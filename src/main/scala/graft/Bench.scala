@@ -1,24 +1,90 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.codec.ConfluentAvro
+import graft.pipeline.{Pipeline, Processors, Step}
+
+/** Benchmark main — one JSON line per run for the driver's BENCH_r{N}.json.
+  *
+  * Each query is forced through the `noop` sink, not `count()`: count()
+  * lets Catalyst prune every computed column (a map-only pipeline would
+  * "run" in zero time without executing its projections), while noop
+  * materializes every row.
+  *
+  * Also measures the BASELINE.md headline: msg/s through the full
+  * decode → chain → encode path (reference consumer loop,
+  * src/consumer.js:153-175) over synthetic messages shaped like
+  * loadTest.js:57-61, at 2M messages.
+  */
 object Bench {
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** loadTest.js-shaped messages, pre-encoded in Confluent wire format. */
+  private def wireMessages(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      ConfluentAvro.toConfluentAvro(
+        struct(
+          concat(lit("key-0-"), (col("id") / 25000).cast("long"), lit("-"), col("id") % 25000).as("key"),
+          concat(lit("value-0-"), col("id")).as("value"),
+          col("id").cast("int").as("num")),
+        ConfluentAvro.eventSchemaJson, schemaId = 1).as("value"))
+
+  /** The reference data plane end-to-end: decode, 3-step chain, encode,
+    * route. Returns msg/s.
+    */
+  private def pipelineThroughput(spark: SparkSession, n: Long): Double = {
+    val wire = wireMessages(spark, n).persist()
+    wire.count() // materialize input outside the timed section
+    val chain = Pipeline(Seq(Step(Processors.capitalize), Step(Processors.add10),
+      Step(Processors.isEven)))
+    val sec = time {
+      val decoded = wire.select(
+        ConfluentAvro.fromConfluentAvro(col("value"), ConfluentAvro.eventSchemaJson).as("m"))
+        .select("m.key", "m.value", "m.num")
+      val routed = chain(decoded)
+      force(routed.kafkaShape(df => ConfluentAvro.toConfluentAvro(
+        struct(df("key"), df("value"), df("num")),
+        ConfluentAvro.eventSchemaJson, schemaId = 1)))
+    }
+    wire.unpersist()
+    n / sec
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // JVM/codegen warmup on the flagship path (not timed)
+    try force(SparkEntry.queries("q1_pricing")(spark, sfDir))
+    catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try time(force(fn(spark, sfDir)))
+      catch { case _: Throwable => -1.0 }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val throughput = pipelineThroughput(spark, 2000000L)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total_queries","value":$total,"unit":"sec","queries":$qs,"pipeline_throughput_msgs_per_sec":$throughput,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

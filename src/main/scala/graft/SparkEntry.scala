@@ -1,13 +1,444 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.tables.Tables
+import graft.pipeline.{Pipeline, Processors, Step}
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.operators.{Dedup, Similarity}
+import graft.multimodal.Multimodal
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), with a DuckDB-equivalent `oracleSql` for everything
+  * SQL-expressible. Column names are aliased identically on both sides
+  * (the driver's compare sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's core semantics end-to-end — message chain
+    * with capitalize → add10 → isEven routing (target vs dropped), over
+    * driver data at sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("pipe_chain_route")(spark, "/root/testdata/sf0.001")
+
+  // -- helpers -------------------------------------------------------------
+
+  private def msgs(s: SparkSession, dir: String): DataFrame = Tables.messages(s, dir)
+
+  private def runPipe(p: Pipeline, in: DataFrame): DataFrame =
+    p(in).df.select("topic", "key", "value", "num")
+
+  /** The four-line derivation of the canonical message shape, repeated in
+    * every pipeline oracle.
+    */
+  private val msgSql =
+    "SELECT event_id::VARCHAR AS key, event_type AS value, user_id AS num FROM events"
+
+  // -- queries -------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference processor library (SURVEY §2.1 T1-T4, F1, P1-P3) ----
+    "pipe_add10" -> ((s, dir) =>
+      Pipeline(Seq(Step(Processors.add10)))(msgs(s, dir)).toTarget),
+    "pipe_append_string" -> ((s, dir) =>
+      Pipeline(Seq(Step(Processors.appendString)))(msgs(s, dir)).toTarget),
+    "pipe_capitalize" -> ((s, dir) =>
+      Pipeline(Seq(Step(Processors.capitalize)))(msgs(s, dir)).toTarget),
+    "pipe_reverse_string" -> ((s, dir) =>
+      Pipeline(Seq(Step(Processors.reverseString)))(msgs(s, dir)).toTarget),
+    "pipe_is_even" -> ((s, dir) =>
+      Pipeline(Seq(Step(Processors.isEven)))(msgs(s, dir)).toTarget),
+    "pipe_chain_route" -> ((s, dir) =>
+      runPipe(Pipeline(Seq(Step(Processors.capitalize), Step(Processors.add10),
+        Step(Processors.isEven))), msgs(s, dir))),
+    "pipe_dlq_route" -> ((s, dir) => {
+      // value numeric for 1/3 of rows; parseNum errors on the rest → DLQ
+      // carries the ORIGINAL message (reference src/consumer.js:100)
+      val in = msgs(s, dir).withColumn("value",
+        when(col("key").cast("long") % 3 === 0, col("num").cast("string"))
+          .otherwise(col("value")))
+      runPipe(Pipeline(Seq(Step(Processors.parseNum, Some("dlq_parse")),
+        Step(Processors.add10))), in)
+    }),
+
+    // ---- relational surface (SURVEY §2.3 — Catalyst-native) ----
+    "q1_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+    "q_top_revenue" -> ((s, dir) => {
+      // aggregate orders BEFORE the join: shrinks the shuffled side from
+      // |orders| to |customers with orders| — the right shape at 100 TB
+      val rev = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      Tables.customer(s, dir)
+        .join(rev, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+    "q_regional_revenue" -> ((s, dir) => {
+      // small dims broadcast; fact joins shuffle on their keys
+      val asia = broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA"))
+      val nat = broadcast(Tables.nation(s, dir))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(asia, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+    "q_window_top_order" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+    "q_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+    }),
+    "q_anti_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+    "q_semi_join" -> ((s, dir) =>
+      Tables.part(s, dir).filter(col("p_size") > 40)
+        .join(Tables.lineitem(s, dir), col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name")),
+    "q_except" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "purchase").select("user_id")
+        .except(ev.filter(col("event_type") === "error").select("user_id"))
+    }),
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))),
+    "q_distinct_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"))),
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"))
+        .groupBy("k_bucket").agg(count(lit(1)).as("n"))),
+    "q_hourly_events" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
+    "q_sessionize" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n"))),
+
+    // ---- text analysis (north star) ----
+    "text_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), T.tokenCount(col("text")).cast("long").as("n_tokens"))),
+    "text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(T.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(T.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        T.qualityScore(col("text")).as("quality"))),
+    "text_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), T.langId(col("text")).as("lang_pred"))),
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))),
+
+    // ---- dedup (north star) ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("text"))),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 16, bands = 8, shingleN = 5, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", maxHamming = 8)),
+    "dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardBlocked(Tables.documents(s, dir), "doc_id", "text",
+        Seq("source"), n = 3, threshold = 0.4)),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingCosineBlocked(Tables.embeddings(s, dir), "vec_id",
+        "embedding", Seq("label"), threshold = 0.4)),
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingCosine(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, nBits = 8, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+
+    // ---- similarity search (north star) ----
+    "sim_topk" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding", q, 10)
+    }),
+    "sim_ann_lsh" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", q,
+        k = 10, dim = 64, nBits = 8, probeHamming = 3)
+    }),
+    "sim_neighbors" -> ((s, dir) =>
+      Similarity.neighborsWithinBuckets(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, k = 3, nBits = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"), col("rank"))),
+
+    // ---- multimodal plumbing (north star; decode is a marked stub) ----
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.withMediaColumns(Tables.documents(s, dir), "text", "image", "png")
+        .select(col("doc_id"), col("meta.media_type").as("media_type"),
+          col("meta.byte_len").as("byte_len"), col("meta.sha256").as("sha256_hex"))),
+    "mm_decode" -> ((s, dir) => {
+      val media = Multimodal.withMediaColumns(Tables.documents(s, dir), "text", "image", "png")
+      Multimodal.decodeFeatures(s, media, "doc_id", "payload")
+        .select(col("id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+    })
+  )
+
+  /** Query vector for similarity search: embedding of vec_id=0, fetched
+    * once on the driver (config-read, like the reference's startup schema
+    * resolution).
+    */
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+
+  // -- oracles -------------------------------------------------------------
+
+  /** DuckDB SQL over the same parquet tables (driver registers each table
+    * by name). Omitted keys (LSH-bucketed ops, stub decode) get the
+    * driver's rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "pipe_add10" ->
+      s"SELECT key, value, num + 10 AS num FROM ($msgSql)",
+    "pipe_append_string" ->
+      s"SELECT key, value || '_appended' AS value, num FROM ($msgSql)",
+    "pipe_capitalize" ->
+      s"SELECT key, upper(value) AS value, num FROM ($msgSql)",
+    "pipe_reverse_string" ->
+      s"SELECT key, reverse(value) AS value, num FROM ($msgSql)",
+    "pipe_is_even" ->
+      s"SELECT key, value, num FROM ($msgSql) WHERE num % 2 = 0",
+    "pipe_chain_route" ->
+      s"""SELECT CASE WHEN (num+10) % 2 = 0 THEN 'target' ELSE '__dropped__' END AS topic,
+         key, upper(value) AS value, num + 10 AS num FROM ($msgSql)""",
+    "pipe_dlq_route" ->
+      s"""WITH input AS (SELECT key, CASE WHEN key::BIGINT % 3 = 0 THEN num::VARCHAR ELSE value END AS value, num FROM ($msgSql))
+         SELECT CASE WHEN key::BIGINT % 3 = 0 THEN 'target' ELSE 'dlq_parse' END AS topic,
+         key, value,
+         CASE WHEN key::BIGINT % 3 = 0 THEN num + 10 ELSE num END AS num FROM input""",
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_top_revenue" ->
+      """SELECT c_custkey, c_name, revenue FROM customer
+         JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+               FROM orders GROUP BY o_custkey) r ON c_custkey = o_custkey
+         ORDER BY revenue DESC, c_custkey LIMIT 10""",
+    "q_regional_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' GROUP BY n_name""",
+    "q_window_top_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn = 1""",
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM orders""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_size > 40
+           AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+    "q_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+         count(DISTINCT l_suppkey) AS distinct_supps
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+         count(*) AS n FROM events GROUP BY 1""",
+    "q_hourly_events" ->
+      """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour, event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts::TIMESTAMP AS ts,
+             CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP)
+               OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n
+         FROM s GROUP BY user_id, sid""",
+
+    "text_tokens" ->
+      """SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens
+         FROM documents""",
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+           FROM documents)
+         SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             (length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]-]', '', 'g')))::DOUBLE
+             / length(text)::DOUBLE END, 6) AS punct_ratio,
+           round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             len(list_filter(toks, x -> list_contains($stopwordListSql, x)))::DOUBLE
+             / len(toks)::DOUBLE END, 6) AS stopword_ratio,
+           round(
+             least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+             + least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                 len(list_filter(toks, x -> list_contains($stopwordListSql, x)))::DOUBLE
+                 / len(toks)::DOUBLE END) * 4.0, 1.0) * 0.4
+             + greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                 (length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]-]', '', 'g')))::DOUBLE
+                 / length(text)::DOUBLE END) * 5.0, 0.0) * 0.2, 6) AS quality
+         FROM t""",
+    "text_langid" -> langIdOracle,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END)), ' ')) AS fp
+         FROM documents""",
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+         count(*) AS dup_count FROM documents GROUP BY 1""",
+    "dedup_ngram" ->
+      s"""WITH t AS (SELECT doc_id, source, $trigramsSql AS g FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.g, b.g))::DOUBLE
+             / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE, 6) AS jaccard
+         FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.g, b.g))::DOUBLE
+             / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE >= 0.4""",
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+
+    "sim_topk" ->
+      """SELECT b.vec_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+         FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id = 0
+         ORDER BY cosine DESC, b.vec_id LIMIT 10""",
+
+    "mm_meta" ->
+      """SELECT doc_id, 'image' AS media_type,
+         octet_length(text::BLOB)::BIGINT AS byte_len,
+         sha256(text) AS sha256_hex FROM documents""",
+    "mm_decode" ->
+      """SELECT doc_id AS id,
+         (64 + octet_length(text::BLOB) % 577)::BIGINT AS width,
+         (64 + (octet_length(text::BLOB) * 31) % 331)::BIGINT AS height,
+         (1 + octet_length(text::BLOB) % 30)::BIGINT AS n_frames
+         FROM documents"""
+  )
+
+  private def stopwordListSql: String =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "that", "for", "on", "with", "as")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** trigram word n-grams of lower/trim text, distinct, as DuckDB SQL. */
+  private def trigramsSql: String =
+    """list_distinct(list_transform(
+       generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 0)),
+       i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i:i+2], ' ')))"""
+
+  /** Marker-occurrence language-ID — replicates TextFunctions.langId:
+    * counts are (len - len(replace))/len(marker); first language in
+    * (en, de, fr, es) order reaching the positive max wins.
+    */
+  private def langIdOracle: String = {
+    val markers = Map(
+      "en" -> Seq(" the ", " and ", " of ", " is "),
+      "de" -> Seq(" der ", " und ", " die ", " ist "),
+      "fr" -> Seq(" le ", " et ", " les ", " est "),
+      "es" -> Seq(" el ", " y ", " los ", " es "))
+    def score(lang: String) = markers(lang).map { m =>
+      s"((length(p) - length(replace(p, '$m', ''))) / ${m.length})::INT"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+       sc AS (SELECT doc_id, ${score("en")} AS s_en, ${score("de")} AS s_de,
+                ${score("fr")} AS s_fr, ${score("es")} AS s_es FROM t),
+       mx AS (SELECT doc_id, s_en, s_de, s_fr, s_es,
+                greatest(s_en, s_de, s_fr, s_es) AS best FROM sc)
+       SELECT doc_id, CASE
+         WHEN best <= 0 THEN 'und'
+         WHEN s_en = best THEN 'en'
+         WHEN s_de = best THEN 'de'
+         WHEN s_fr = best THEN 'fr'
+         WHEN s_es = best THEN 'es'
+         ELSE 'und' END AS lang_pred
+       FROM mx"""
+  }
 }

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM training-data pipelines.
+  *
+  * Everything here composes built-in `org.apache.spark.sql.functions`
+  * (codegen'd, null-safe), never Scala UDFs — at 100 TB these run inside
+  * whole-stage codegen on the scan projection with zero extra passes.
+  *
+  * The reference engine's only string ops are upper/reverse/concat
+  * (reference src/transformations directory); this module is the
+  * north-star text-analysis extension (BASELINE.json).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of trimmed text. `split` on empty string
+    * yields Array("") — guard so blank text tokenizes to an empty array.
+    */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Lowercased whitespace tokens — canonical form for dedup/fingerprints. */
+  def normTokens(text: Column): Column = tokens(lower(text))
+
+  /** Character n-grams ("shingles") of the whitespace-normalized,
+    * lowercased text — the standard MinHash input unit.
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
+    // sequence(1,0) would generate a DESCENDING range, not empty — guard
+    // short/empty text explicitly
+    when(length(norm) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(norm) - (n - 1)), i => norm.substr(i, lit(n)))))
+  }
+
+  /** Word n-grams over normalized tokens. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ts = normTokens(text)
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(ts) - (n - 1)), i => array_join(slice(ts, i, lit(n)), " "))))
+  }
+
+  /** Punctuation character ratio (explicit class, locale-free). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    val noPunct = length(regexp_replace(text, "[.,!?;:'\"()\\[\\]-]", ""))
+    when(n === 0, lit(0.0)).otherwise((n - noPunct).cast("double") / n.cast("double"))
+  }
+
+  private val StopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Fraction of tokens that are (English) stopwords — a standard quality
+    * signal: natural prose sits around 0.2–0.5, keyword spam near 0.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val ts = normTokens(text)
+    val stops = filter(ts, t => t.isin(StopwordsEn: _*))
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(ts).cast("double"))
+  }
+
+  def avgWordLen(text: Column): Column = {
+    val ts = normTokens(text)
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(ts).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length signal, stopword signal,
+    * penalty for punctuation spam. Deterministic and SQL-expressible so
+    * the DuckDB oracle can replicate it exactly.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenSig = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopSig = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPen = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    round((lenSig * 0.4 + stopSig * 0.4 + punctPen * 0.2), 6)
+  }
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " ist "),
+    "fr" -> Seq(" le ", " et ", " les ", " est "),
+    "es" -> Seq(" el ", " y ", " los ", " es "))
+
+  private def occurrences(hay: Column, needle: String): Column =
+    ((length(hay) - length(replace(hay, lit(needle), lit("")))) /
+      lit(needle.length)).cast("int")
+
+  /** Marker-token language ID heuristic: count per-language stopword
+    * occurrences in the padded lowercase text, argmax with 'und'
+    * (undetermined) when nothing matches. An n-gram-frequency model needs
+    * external tables; marker tokens are the standard lightweight fallback
+    * and replicate exactly in the SQL oracle.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = LangMarkers.map { case (lang, ms) =>
+      lang -> ms.map(occurrences(padded, _)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in LangMarkers order) reaching the max wins — the
+    // SQL oracle replicates this as a CASE chain in the same order
+    scores.reverse.foldLeft(lit("und"): Column) { case (acc, (lang, s)) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 of the sorted distinct normalized token
+    * set — word-order- and whitespace-invariant, so near-identical docs
+    * that only shuffle words collide. Cheap first-pass dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(normTokens(text))), " "))
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector / hashing column functions for similarity search and near-dup
+  * detection over embedding columns (`array<float>`).
+  *
+  * All pure higher-order-function expressions (`zip_with`, `aggregate`,
+  * `transform`) — codegen'd, no UDFs, no driver round-trips. At 100 TB
+  * these evaluate per-row inside the scan stage.
+  */
+object VectorFunctions {
+
+  /** Math in double precision regardless of input element type: float
+    * accumulation drifts and would disagree with any double-math oracle.
+    */
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** MinHash signature of a set of string shingles.
+    *
+    * One base 64-bit hash (`xxhash64`) per element, then `k` affine
+    * permutations h_i(x) = (a_i * x + b_i) mod p over a Mersenne prime —
+    * the textbook construction. `array_min(transform(...))` keeps the
+    * whole signature computation inside one projection: NO explode, NO
+    * shuffle. Deterministic seeds so runs are reproducible.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val p = 2147483647L // 2^31 - 1
+    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(p)))
+    val sigs = (0 until k).map { i =>
+      val a = 1L + 2L * i // odd multipliers
+      val b = 104729L * (i + 1) % p
+      when(size(shingles) === 0, lit(p))
+        .otherwise(array_min(transform(hashed, h => pmod(h * a + b, lit(p)))))
+    }
+    array(sigs: _*)
+  }
+
+  /** Banding for LSH: split a k-length signature into `bands` groups and
+    * hash each group — docs sharing ANY band bucket become candidates.
+    * Returns array<struct<band:int, bucket:long>> ready to explode.
+    */
+  def minhashBands(signature: Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rows = k / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(signature, b * rows + 1, rows)).as("bucket"))
+    }: _*)
+  }
+
+  /** 64-bit SimHash over string tokens: per-bit majority vote of token
+    * hashes. Near-duplicate docs differ in few bits (small Hamming
+    * distance). Pure expressions: for each bit, count tokens whose hash
+    * has that bit set; set the result bit iff count > n/2.
+    */
+  def simhash64(tokens: Column): Column = {
+    val n = size(tokens)
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val ones = aggregate(hashes, lit(0),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(1L).cast("int"))
+      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of two string arrays treated as sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Random-hyperplane LSH bucket for an embedding: sign-bit signature
+    * against `nBits` deterministic pseudo-random hyperplanes. Vectors
+    * with high cosine similarity collide with high probability — the
+    * bucketing step for ANN search and embedding near-dup.
+    *
+    * Hyperplane component j of plane i is derived from xxhash64(i,j) —
+    * deterministic, no broadcast of a plane matrix needed.
+    */
+  def hyperplaneLshBucket(vec: Column, nBits: Int, dim: Int): Column = {
+    val v = asDouble(vec)
+    val bits = (0 until nBits).map { i =>
+      // pseudo-random ±1 hyperplane: sign of xxhash64(lit(i), pos)
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(dim - 1)),
+          (x, j) => x * when(pmod(xxhash64(lit(i), j), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+}

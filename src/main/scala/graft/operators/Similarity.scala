@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design: the query vector (or small query set) is a literal /
+  * broadcast side — the corpus is never collected. Brute force is one
+  * narrow codegen'd pass + a top-k (TakeOrderedAndProject, no full sort).
+  * The LSH variant prunes the scan to matching buckets; with the bucket
+  * column persisted (partition or cluster by bucket at write time) the
+  * 100 TB path prunes whole files before reading them.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k by cosine against one query vector.
+    * `orderBy(...).limit(k)` plans as TakeOrderedAndProject: per-partition
+    * heap + driver merge of k rows, NOT a global sort — this is the right
+    * physical shape at any scale.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], k: Int): DataFrame = {
+    val q = typedLit(queryVec)
+    df.select(col(idCol), round(V.cosine(col(vecCol), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN: probe only corpus rows whose hyperplane bucket is
+    * within `probeHamming` bits of the query's bucket (multi-probe LSH),
+    * then exact cosine + top-k on the survivors. Recall/latency trade-off
+    * via nBits and probeHamming.
+    */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], k: Int, dim: Int,
+      nBits: Int = 8, probeHamming: Int = 2): DataFrame = {
+    val q = typedLit(queryVec)
+    val bucketed = df.select(col(idCol), col(vecCol).as("v"),
+      V.hyperplaneLshBucket(col(vecCol), nBits, dim).as("bucket"))
+    // query bucket: same expression over a literal vector — evaluated by
+    // Catalyst constant folding, no action needed
+    val qBucket = V.hyperplaneLshBucket(q, nBits, dim)
+    bucketed
+      .filter(V.hamming64(col("bucket"), qBucket) <= probeHamming)
+      .select(col(idCol), round(V.cosine(col("v"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs top-k neighbors per row, blocked by an LSH bucket: for
+    * each id, its k most-similar bucket-mates. The per-group top-k is a
+    * window rank, shuffled once on the bucket key.
+    */
+  def neighborsWithinBuckets(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, nBits: Int = 8): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol).as("v"),
+      V.hyperplaneLshBucket(col(vecCol), nBits, dim).as("bucket"))
+    val a = bucketed.select(col(idCol).as("id_a"), col("v").as("v_a"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id_b"), col("v").as("v_b"), col("bucket"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), V.cosine(col("v_a"), col("v_b")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.pipeline.{Pipeline, Routing, RoutedMessages}
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference's whole data plane is one streaming job per pipeline:
+  * Kafka source → decode → processor chain → DLQ/target routing → Kafka
+  * sink, at-least-once via produce-then-commit (reference
+  * src/consumer.js:153-175,239-254). Structured Streaming gives the same
+  * contract with checkpointing; the Column-expression chain compiled by
+  * [[graft.pipeline.Pipeline]] is source-agnostic, so the exact same plan
+  * fragment runs over `read` and `readStream`.
+  */
+object StreamingOps {
+
+  /** Kafka streaming source with the reference's consumer tuning mapped
+    * onto Spark options (reference src/consumer.js:198-221):
+    * fromBeginning → startingOffsets=earliest; batchSize 5000 →
+    * maxOffsetsPerTrigger; minPartitions decouples Spark parallelism from
+    * topic partitions (what the reference needed a partition-scaler
+    * sidecar for, partition-scaler.js:72-77).
+    */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession, brokers: String,
+      topic: String, maxOffsetsPerTrigger: Long = 5000,
+      minPartitions: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+    minPartitions.fold(r)(n => r.option("minPartitions", n)).load()
+  }
+
+  /** Run a compiled pipeline over a streaming message frame
+    * (key/value/num columns) and shape the output for a Kafka sink:
+    * per-row `topic` column routes target vs DLQ in ONE sink — the
+    * distributed replacement for the reference's per-message DLQ sends
+    * (src/consumer.js:166-172). Dropped/error rows are filtered (the
+    * reference produces them nowhere, src/consumer.js:134-150).
+    */
+  def routeForKafka(pipeline: Pipeline, messages: DataFrame,
+      encodeValue: DataFrame => Column): DataFrame =
+    pipeline(messages).kafkaShape(encodeValue)
+
+  /** Kafka sink writer with checkpointing — at-least-once, matching the
+    * reference's produce-before-commit contract.
+    */
+  def kafkaSink(routed: DataFrame, brokers: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    routed.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("checkpointLocation", checkpointDir)
+
+  /** Tumbling-window aggregate with watermark — the north-star streaming
+    * aggregation the reference lacks entirely (SURVEY §2.3).
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, width: String,
+      watermark: String, groupCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), width) +: groupCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select((col("window.start").as("window_start") +:
+        groupCols.map(col)) :+ col("n") :+ col("sum_value"): _*)
+
+  /** Session windows with a gap — stateful sessionization. */
+  def sessionAgg(events: DataFrame, tsCol: String, gap: String,
+      watermark: String, keyCol: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"))
+
+  /** Streaming exact dedup within a watermark horizon — bounded state:
+    * Spark evicts keys older than the watermark, so state stays
+    * proportional to the horizon, not the stream history.
+    */
+  def streamingDedup(events: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+}

@@ -1,0 +1,63 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * All reads go through `spark.read.parquet` so Catalyst pushes filters
+  * and prunes columns into the scan — at 100 TB these tables would be
+  * partitioned directories and the same code path applies.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** `events.parquet` carries a nanosecond-precision timestamp, written by
+    * pandas/pyarrow. Spark's parquet reader may surface INT64
+    * TIMESTAMP(NANOS) either as TimestampType (truncated to micros) or —
+    * with `spark.sql.legacy.parquet.nanosAsLong=true` — as LongType nanos.
+    * Normalize to a microsecond TimestampType column `ts` either way so
+    * downstream operators and the DuckDB oracle (`ts::TIMESTAMP`, also a
+    * truncation to micros) agree.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // without this, Spark refuses INT64 TIMESTAMP(NANOS) parquet outright
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        // integral `div`, NOT `/`: ns epochs (~1.7e18) overflow double's
+        // 53-bit mantissa, so float division would corrupt low digits
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
+  /** The reference's canonical message shape {key: string, value: string,
+    * num} (FIXTURES.md §1, reference loadTest.js:57-61), derived from the
+    * events table so pipeline operators run over driver-provided data.
+    */
+  def messages(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id").cast("string").as("key"),
+      col("event_type").as("value"),
+      col("user_id").as("num"))
+}

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T}
+
+class TextFunctionsSpec extends SparkSpec {
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c).head().get(0)
+  }
+
+  test("tokens: empty and blank text tokenize to zero") {
+    one("", T.tokenCount(col("text"))) shouldBe 0
+    one("   ", T.tokenCount(col("text"))) shouldBe 0
+    one("a b  c", T.tokenCount(col("text"))) shouldBe 3
+    one("  padded words ", T.tokenCount(col("text"))) shouldBe 2
+  }
+
+  test("charShingles: n-grams of normalized text, short text is empty") {
+    one("ab", T.charShingles(col("text"), 3)) shouldBe Seq()
+    one("abcd", T.charShingles(col("text"), 3)) shouldBe Seq("abc", "bcd")
+  }
+
+  test("charShingles collapses whitespace and lowercases") {
+    one("A  B", T.charShingles(col("text"), 3)) shouldBe Seq("a b")
+    one("A  Bc", T.charShingles(col("text"), 3)) shouldBe Seq("a b", " bc")
+  }
+
+  test("wordNgrams") {
+    one("a b c d", T.wordNgrams(col("text"), 3)) shouldBe Seq("a b c", "b c d")
+    one("a b", T.wordNgrams(col("text"), 3)) shouldBe Seq()
+  }
+
+  test("punctRatio and stopwordRatio") {
+    one("", T.punctRatio(col("text"))) shouldBe 0.0
+    one("ab,.", T.punctRatio(col("text"))) shouldBe 0.5
+    one("the cat", T.stopwordRatio(col("text"))) shouldBe 0.5
+    one("", T.stopwordRatio(col("text"))) shouldBe 0.0
+  }
+
+  test("langId marker heuristic") {
+    one("the cat and the dog is here", T.langId(col("text"))) shouldBe "en"
+    one("der Hund und die Katze ist gut", T.langId(col("text"))) shouldBe "de"
+    one("le chat et les chiens", T.langId(col("text"))) shouldBe "fr"
+    one("el gato y los perros", T.langId(col("text"))) shouldBe "es"
+    one("xyzzy plugh", T.langId(col("text"))) shouldBe "und"
+  }
+
+  test("fingerprint is order- and duplicate-invariant") {
+    val a = one("beta alpha beta", T.fingerprint(col("text")))
+    val b = one("alpha  beta", T.fingerprint(col("text")))
+    a shouldBe b
+    val c = one("alpha gamma", T.fingerprint(col("text")))
+    a should not be c
+  }
+
+  test("qualityScore in [0,1] and favors natural prose") {
+    val prose = "the quick brown fox jumps over the lazy dog and it is a fine day for running in the sun"
+    val spam = "buy!!! now!!! click;;; here:::"
+    val p = one(prose, T.qualityScore(col("text"))).asInstanceOf[Double]
+    val s = one(spam, T.qualityScore(col("text"))).asInstanceOf[Double]
+    p should be > s
+    p should (be >= 0.0 and be <= 1.0)
+    s should (be >= 0.0 and be <= 1.0)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{VectorFunctions => V}
+
+class VectorFunctionsSpec extends SparkSpec {
+
+  private def cosineOf(a: Seq[Double], b: Seq[Double]): Double = {
+    import spark.implicits._
+    Seq((a, b)).toDF("a", "b")
+      .select(V.cosine(col("a"), col("b"))).head().getDouble(0)
+  }
+
+  test("cosine: identical, orthogonal, opposite, zero vectors") {
+    cosineOf(Seq(1, 2, 3), Seq(1, 2, 3)) shouldBe 1.0 +- 1e-12
+    cosineOf(Seq(1, 0), Seq(0, 1)) shouldBe 0.0 +- 1e-12
+    cosineOf(Seq(1, 0), Seq(-1, 0)) shouldBe -1.0 +- 1e-12
+    cosineOf(Seq(0, 0), Seq(1, 1)) shouldBe 0.0
+  }
+
+  test("jaccard set semantics") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
+    df.select(V.jaccard(col("a"), col("b"))).head().getDouble(0) shouldBe 0.5 +- 1e-12
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+    empty.select(V.jaccard(col("a"), col("b"))).head().getDouble(0) shouldBe 0.0
+  }
+
+  test("hamming64") {
+    import spark.implicits._
+    val df = Seq((0L, -1L), (5L, 4L), (7L, 7L)).toDF("a", "b")
+    df.select(V.hamming64(col("a"), col("b"))).collect().map(_.get(0)) shouldBe
+      Array(64, 1, 0)
+  }
+
+  test("minhash: identical sets share full signature; similar sets collide more") {
+    import spark.implicits._
+    val x = Seq("a", "b", "c", "d", "e", "f")
+    val mostlyX = Seq("a", "b", "c", "d", "e", "zz")
+    val other = Seq("p", "q", "r", "s", "t", "u")
+    val df = Seq(("x", x), ("x2", x), ("y", mostlyX), ("z", other)).toDF("id", "sh")
+    val sigs = df.select(col("id"), V.minhashSignature(col("sh"), 16).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    sigs("x") shouldBe sigs("x2")
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (p, q) => p == q }
+    agree(sigs("x"), sigs("y")) should be > agree(sigs("x"), sigs("z"))
+  }
+
+  test("minhash of empty set is the sentinel signature") {
+    import spark.implicits._
+    val df = Seq(Seq.empty[String]).toDF("sh")
+    val sig = df.select(V.minhashSignature(col("sh"), 4)).head().getSeq[Long](0)
+    sig shouldBe Seq.fill(4)(2147483647L)
+  }
+
+  test("simhash: identical token sets equal; near sets within small hamming") {
+    import spark.implicits._
+    val base = Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog")
+    val near = base.updated(1, "slow")
+    val far = Seq("completely", "different", "words", "entirely", "unrelated")
+    val df = Seq(("a", base), ("a2", base), ("b", near), ("c", far)).toDF("id", "t")
+    val sigs = df.select(col("id"), V.simhash64(col("t")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sigs("a") shouldBe sigs("a2")
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    ham(sigs("a"), sigs("b")) should be < ham(sigs("a"), sigs("c"))
+  }
+
+  test("hyperplane LSH: same vector same bucket; scaled copy same bucket") {
+    import spark.implicits._
+    val v = Seq(0.3, -1.2, 0.8, 2.2)
+    val df = Seq(("a", v), ("b", v.map(_ * 3.0)), ("c", v.map(-_))).toDF("id", "v")
+    val bk = df.select(col("id"), V.hyperplaneLshBucket(col("v"), 8, 4).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bk("a") shouldBe bk("b")             // scale-invariant (sign projections)
+    bk("a") should not be bk("c")        // antipode flips every bit
+    (bk("a") ^ bk("c")) shouldBe 255L    // all 8 bits differ
+  }
+}

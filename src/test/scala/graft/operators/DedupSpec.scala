@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the morning sun", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog in the morning sun", "a"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog in the evening sun", "a"), // near dup of 1
+      (4L, "completely unrelated text about databases and distributed query engines", "a"),
+      (5L, "another unique document mentioning spark catalyst and tungsten internals", "b")
+    ).toDF("doc_id", "text", "source")
+  }
+
+  test("exact dedup: one survivor per content, min id kept, dup counted") {
+    val r = Dedup.exact(docs, "doc_id", Seq("text")).collect()
+    r.length shouldBe 4
+    val dupRow = r.find(_.getAs[Long]("dup_count") == 2L).get
+    dupRow.getAs[Long]("keep_id") shouldBe 1L
+  }
+
+  test("exactSurvivors keeps min-id rows only") {
+    val ids = Dedup.exactSurvivors(docs, "doc_id", Seq("text"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    ids shouldBe Array(1L, 3L, 4L, 5L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 16, bands = 8, shingleN = 5, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    // near-dup 1~3 shares most shingles
+    pairs should contain((1L, 3L))
+    pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L || a == 5L } shouldBe false
+  }
+
+  test("simhash finds near duplicates within hamming bound") {
+    val pairs = Dedup.simhash(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 4L))
+  }
+
+  test("ngram jaccard blocked: respects blocks and threshold") {
+    val r = Dedup.ngramJaccardBlocked(docs, "doc_id", "text", Seq("source"),
+        n = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairSet = r.map(t => (t._1, t._2)).toSet
+    pairSet should contain((1L, 2L))
+    r.find(t => (t._1, t._2) == ((1L, 2L))).get._3 shouldBe 1.0 +- 1e-9
+    pairSet should contain((1L, 3L))
+    // doc 5 is in block b — never paired with block a docs
+    pairSet.exists { case (a, b) => a == 5L || b == 5L } shouldBe false
+  }
+
+  test("embedding cosine dedup via hyperplane LSH") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.01, 0.0, 0.0)),  // near dup of 1
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosine(vecs, "vec_id", "embedding", dim = 4,
+        nBits = 4, threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.pipeline.{Pipeline, Processors, Step}
+
+/** Streaming semantics over MemoryStream (no Kafka broker in this
+  * container): the Column-compiled pipeline chain runs unchanged on a
+  * streaming frame, and the watermarked north-star ops hold their
+  * contracts.
+  */
+class StreamingOpsSpec extends SparkSpec {
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("pipeline chain runs unchanged over a streaming source") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, String, Int)]
+    in.addData(("a", "x", 1), ("b", "y", 2), ("c", "z", 3))
+    val msgs = in.toDF().toDF("key", "value", "num")
+    val routed = Pipeline(Seq(Step(Processors.capitalize), Step(Processors.isEven)))(msgs)
+    runToMemory(routed.df, "routed_out")
+    val out = spark.table("routed_out").collect()
+      .map(r => (r.getAs[String]("topic"), r.getAs[String]("key"), r.getAs[String]("value")))
+      .toSet
+    out shouldBe Set(("__dropped__", "a", "X"), ("target", "b", "Y"),
+      ("__dropped__", "c", "Z"))
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    in.addData((ts(0), "k1"), (ts(1), "k1"), (ts(2), "k2"))
+    val dd = StreamingOps.streamingDedup(
+      in.toDF().toDF("ts", "k"), "ts", "10 minutes", Seq("k"))
+    runToMemory(dd, "dedup_out")
+    spark.table("dedup_out").select("k").collect().map(_.getString(0)).sorted shouldBe
+      Array("k1", "k2")
+  }
+
+  test("tumbling window counts with watermark close as the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    in.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "b", 3.0))
+    // advance watermark far past the first window
+    in.addData((ts(60), "a", 0.0))
+    val agg = StreamingOps.tumblingCounts(
+      in.toDF().toDF("ts", "event_type", "value"),
+      "ts", "5 minutes", "1 minute", Seq("event_type"))
+    runToMemory(agg, "tumble_out", OutputMode.Append())
+    val out = spark.table("tumble_out")
+      .select("window_start", "event_type", "n", "sum_value").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    out should contain((ts(0), "a", 2L, 3.0))
+    out should contain((ts(5), "b", 1L, 3.0))
+  }
+}
