@@ -6,8 +6,8 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.tables.Tables
 import graft.pipeline.{Pipeline, Processors, Step}
-import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Dedup, Similarity}
+import graft.functions.{Aggregators, TextFunctions => T, VectorFunctions => V}
+import graft.operators.{AsofJoin, Dedup, Similarity}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -147,6 +147,111 @@ object SparkEntry {
       Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))),
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+               FROM lineitem_gs
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+    }),
+    "q_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))),
+    "q_percentile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"))
+        .select(posexplode(col("ps")).as(Seq("q", "v")))
+        .select(col("q"), round(col("v"), 4).as("price_q"))),
+    "q_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        (round(corr(col("l_quantity"), col("l_extendedprice")), 6) + lit(0.0)).as("corr_qty_price"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"))),
+    "q_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "purchase").select("user_id")
+        .union(ev.filter(col("event_type") === "error").select("user_id"))
+        .distinct()
+    }),
+    "q_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "purchase").select("user_id")
+        .intersect(ev.filter(col("event_type") === "error").select("user_id"))
+    }),
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // last purchase value at-or-before each event, per user; purchases
+      // pre-deduped on (user, ts) so the as-of match is deterministic
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+      AsofJoin.asof(ev.select("event_id", "user_id", "ts"), purchases,
+          "user_id", "ts", Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+    }),
+    "q_range_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_orderdate")
+      val day = 86400L
+      AsofJoin.rangeJoin(o, o, "o_custkey", "o_orderdate",
+          before = 30 * day, after = 30 * day, bucketSec = 30 * day)
+        .select(col("l_o_orderkey").as("a_orderkey"), col("r_o_orderkey").as("b_orderkey"))
+    }),
+    "q_explode_words" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(T.normTokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(20)),
+    "q_array_agg" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("user_id")
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+          count(lit(1)).as("n"))),
+    "q_date_funcs" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        year(col("l_shipdate")).as("ship_year"),
+        month(col("l_shipdate")).as("ship_month"),
+        dayofmonth(col("l_shipdate")).as("ship_day"),
+        date_add(col("l_shipdate").cast("date"), 30).as("ship_plus30"),
+        datediff(lit("2000-01-01").cast("date"), col("l_shipdate")).as("days_to_2000"))),
+    "q_string_funcs" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_pfx"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        reverse(col("p_name")).as("name_rev"))),
+    "q_math_funcs" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_discount") - 0.05), 6).as("abs_disc"),
+        ceil(col("l_quantity")).as("ceil_qty"),
+        floor(col("l_quantity")).as("floor_qty"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        (col("l_orderkey") % 7).as("mod7"),
+        round(greatest(col("l_tax"), col("l_discount")), 6).as("tax_or_disc"))),
+    "q_centroid" -> ((s, dir) =>
+      Tables.embeddings(s, dir).groupBy("label")
+        .agg(Aggregators.vectorCentroid(col("embedding").cast("array<double>"), 64).as("c"))
+        .select(col("label"), posexplode(col("c")).as(Seq("dim", "v")))
+        // + 0.0 folds IEEE -0.0 (from rounding tiny negatives) into +0.0
+        // so the value hashes identically to the oracle's
+        .select(col("label"), col("dim"), (round(col("v"), 4) + lit(0.0)).as("centroid"))),
+    "q_approx_distinct" -> ((s, dir) =>
+      // HLL sketch — approximate by design, no exact oracle (rows-only)
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))),
     "q_sessionize" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
@@ -319,6 +424,93 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+    "q_pivot" ->
+      """SELECT l_returnflag,
+         round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS "F",
+         round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS "O"
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_percentile" ->
+      """SELECT 0 AS q, round(quantile_cont(l_extendedprice, 0.25), 4) AS price_q FROM lineitem
+         UNION ALL
+         SELECT 1 AS q, round(quantile_cont(l_extendedprice, 0.50), 4) FROM lineitem
+         UNION ALL
+         SELECT 2 AS q, round(quantile_cont(l_extendedprice, 0.75), 4) FROM lineitem""",
+    "q_stats" ->
+      """SELECT l_returnflag,
+         round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+         round(stddev_samp(l_quantity), 6) AS sd_qty,
+         round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_union" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+         UNION
+         SELECT user_id FROM events WHERE event_type = 'error'""",
+    "q_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""",
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, round(p.purchase_value, 6) AS purchase_value
+         FROM events e ASOF LEFT JOIN
+           (SELECT user_id, ts, max(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+           ON e.user_id = p.user_id AND e.ts >= p.ts""",
+    "q_range_join" ->
+      """SELECT a.o_orderkey AS a_orderkey, b.o_orderkey AS b_orderkey
+         FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+           AND b.o_orderdate BETWEEN a.o_orderdate - INTERVAL 30 DAY
+                                 AND a.o_orderdate + INTERVAL 30 DAY""",
+    "q_explode_words" ->
+      """SELECT word, count(*) AS n
+         FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+               FROM documents WHERE trim(text) <> '') t
+         GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+    "q_array_agg" ->
+      """SELECT user_id,
+         array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
+         count(*) AS n FROM events GROUP BY user_id""",
+    "q_date_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         year(l_shipdate)::INT AS ship_year,
+         month(l_shipdate)::INT AS ship_month,
+         day(l_shipdate)::INT AS ship_day,
+         l_shipdate::DATE + 30 AS ship_plus30,
+         date_diff('day', l_shipdate::DATE, DATE '2000-01-01')::INT AS days_to_2000
+         FROM lineitem""",
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+         upper(p_name) AS name_upper,
+         length(p_name)::INT AS name_len,
+         substr(p_name, 1, 8) AS name_pfx,
+         replace(p_name, ' ', '_') AS name_snake,
+         split_part(p_name, ' ', 1) AS first_word,
+         lpad(p_brand, 12, '*') AS brand_pad,
+         concat_ws('|', p_brand, p_type) AS brand_type,
+         reverse(p_name) AS name_rev
+         FROM part""",
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(abs(l_discount - 0.05), 6) AS abs_disc,
+         ceil(l_quantity)::BIGINT AS ceil_qty,
+         floor(l_quantity)::BIGINT AS floor_qty,
+         round(sqrt(l_extendedprice), 6) AS sqrt_price,
+         round(ln(l_extendedprice), 6) AS ln_price,
+         round(pow(l_discount, 2), 6) AS disc_sq,
+         l_orderkey % 7 AS mod7,
+         round(greatest(l_tax, l_discount), 6) AS tax_or_disc
+         FROM lineitem""",
+    "q_centroid" ->
+      """SELECT label, i - 1 AS dim, round(avg(embedding[i]), 4) + 0.0 AS centroid
+         FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+         GROUP BY label, i""",
+
     "q_sessionize" ->
       """WITH g AS (
            SELECT user_id, ts::TIMESTAMP AS ts,

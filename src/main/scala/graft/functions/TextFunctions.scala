@@ -31,22 +31,56 @@ object TextFunctions {
 
   /** Character n-grams ("shingles") of the whitespace-normalized,
     * lowercased text — the standard MinHash input unit.
+    *
+    * Built from n shifted char arrays zipped with `concat`, NOT
+    * `transform(sequence(...), i => norm.substr(i, n))`: a lambda body
+    * that references an outer expression re-evaluates it PER ELEMENT
+    * (the regexp normalization would run len× per row — measured 10×
+    * slower at sf0.1). Here every lambda touches only lambda variables;
+    * the shifted arrays are plain per-row arguments.
     */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
-    // sequence(1,0) would generate a DESCENDING range, not empty — guard
-    // short/empty text explicitly
-    when(length(norm) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), length(norm) - (n - 1)), i => norm.substr(i, lit(n)))))
+  def charShingles(text: Column, n: Int): Column =
+    charShinglesOfChars(normChars(text), n)
+
+  /** Normalized text as a char array — compute this ONCE in its own
+    * projection (`.select(normChars(...).as("chars")).select(
+    * charShinglesOfChars(col("chars"), n))`) when shingling large data:
+    * the n-gram builders reference their input n+1 times, and an
+    * attribute reference is free while re-evaluating the regex chain per
+    * slice is not. (CollapseProject keeps the boundary: it never inlines
+    * a non-cheap expression referenced more than once.)
+    */
+  def normChars(text: Column): Column =
+    split(regexp_replace(trim(lower(text)), "\\s+", " "), "")
+
+  /** Shingles from a pre-split char array: n shifted slices zipped with
+    * `concat`. Every lambda touches only lambda variables — a lambda body
+    * that references an outer expression re-evaluates it PER ELEMENT
+    * (the earlier `transform(sequence, i => norm.substr(i, n))` form ran
+    * the regex normalization len× per row; measured 10× slower at sf0.1).
+    */
+  def charShinglesOfChars(chars: Column, n: Int): Column = {
+    val m = size(chars) - (n - 1) // shingle count (may be <= 0)
+    val parts = (0 until n).map(k => slice(chars, lit(k + 1), greatest(m, lit(0))))
+    val joined = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, y)))
+    when(m <= 0, array().cast("array<string>"))
+      .otherwise(array_distinct(joined))
   }
 
   /** Word n-grams over normalized tokens. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ts = normTokens(text)
-    when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(ts) - (n - 1)), i => array_join(slice(ts, i, lit(n)), " "))))
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsOfTokens(normTokens(text), n)
+
+  /** N-grams from a pre-tokenized array — same shifted-slice construction
+    * (and the same per-element re-evaluation trap) as
+    * [[charShinglesOfChars]].
+    */
+  def wordNgramsOfTokens(ts: Column, n: Int): Column = {
+    val m = size(ts) - (n - 1)
+    val parts = (0 until n).map(k => slice(ts, lit(k + 1), greatest(m, lit(0))))
+    val joined = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    when(m <= 0, array().cast("array<string>"))
+      .otherwise(array_distinct(joined))
   }
 
   /** Punctuation character ratio (explicit class, locale-free). */

@@ -23,10 +23,12 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  /** Single-pass custom expression; bit-identical to the HOF
+    * dot/norm/norm formulation but without three array allocations per
+    * pair — see [[ArrayOps.CosineDouble]].
+    */
+  def cosine(a: Column, b: Column): Column =
+    ArrayOps.cosineDouble(asDouble(a), asDouble(b))
 
   /** MinHash signature of a set of string shingles.
     *
@@ -36,13 +38,19 @@ object VectorFunctions {
     * whole signature computation inside one projection: NO explode, NO
     * shuffle. Deterministic seeds so runs are reproducible.
     */
-  def minhashSignature(shingles: Column, k: Int): Column = {
+  def minhashSignature(shingles: Column, k: Int): Column =
+    minhashSignatureOfHashes(transform(shingles, s => xxhash64(s)), k)
+
+  /** Signature over pre-hashed (64-bit) set elements — the fast path when
+    * the caller already hashed its shingles once for reuse downstream.
+    */
+  def minhashSignatureOfHashes(hashes: Column, k: Int): Column = {
     val p = 2147483647L // 2^31 - 1
-    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(p)))
+    val hashed = transform(hashes, h => pmod(h, lit(p)))
     val sigs = (0 until k).map { i =>
       val a = 1L + 2L * i // odd multipliers
       val b = 104729L * (i + 1) % p
-      when(size(shingles) === 0, lit(p))
+      when(size(hashes) === 0, lit(p))
         .otherwise(array_min(transform(hashed, h => pmod(h * a + b, lit(p)))))
     }
     array(sigs: _*)
@@ -63,18 +71,27 @@ object VectorFunctions {
 
   /** 64-bit SimHash over string tokens: per-bit majority vote of token
     * hashes. Near-duplicate docs differ in few bits (small Hamming
-    * distance). Pure expressions: for each bit, count tokens whose hash
-    * has that bit set; set the result bit iff count > n/2.
+    * distance).
+    *
+    * Single pass: each token is hashed ONCE and its 64 bits accumulated
+    * into a count vector (the previous per-bit formulation re-ran
+    * xxhash64 over every token 64 times). `tokens` should be a cheap
+    * column reference (materialize tokenization in its own projection)
+    * because `size(tokens)` is referenced inside the packing lambda.
     */
   def simhash64(tokens: Column): Column = {
     val n = size(tokens)
     val hashes = transform(tokens, t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val ones = aggregate(hashes, lit(0),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(1L).cast("int"))
-      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
+    val bitIdx = sequence(lit(0), lit(63))
+    val counts = aggregate(hashes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitIdx,
+        (c, i) => c + ArrayOps.shiftRightC(h, i).bitwiseAND(1L).cast("int")))
+    aggregate(
+      zip_with(counts, bitIdx, (c, i) => struct(c.as("c"), i.as("i"))),
+      lit(0L),
+      (acc, s) => acc.bitwiseOR(
+        when(s.getField("c") * 2 > n,
+          ArrayOps.shiftLeftC(lit(1L), s.getField("i"))).otherwise(lit(0L))))
   }
 
   /** Hamming distance between two 64-bit hashes. */

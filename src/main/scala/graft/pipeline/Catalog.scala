@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Control-plane catalog — the Spark analog of the reference's Postgres
+  * tables `pipelines/topics/schemas/processors` and its per-pod loader
+  * (reference src/listen.js:46-87, FIXTURES.md §2).
+  *
+  * A pipeline definition resolves to a [[Pipeline]] on the DRIVER at
+  * start time, exactly as the reference resolves ids → names once at
+  * startup (listen.js:61-82); nothing catalog-related happens per row.
+  */
+final case class PipelineDef(
+    id: Int,
+    name: String,
+    sourceTopic: String,
+    targetTopic: String,
+    incomingSchema: String,
+    outgoingSchema: String,
+    processors: Seq[String],
+    dlq: Seq[Option[String]],
+    isActive: Boolean = true) {
+  def toPipeline: Pipeline = Pipeline.fromNames(processors, dlq, targetTopic)
+}
+
+object Catalog {
+
+  /** Parse the reference's `steps` JSONB shape
+    * `{"processors": [...], "dlq": [idOrNull, ...]}`
+    * (scripts/pipelines/insertTestPipelines.js:23,32,41). Entries may be
+    * names or numeric ids (stringified); `dlq` may be absent → no DLQs.
+    */
+  def parseSteps(json: String): (Seq[String], Seq[Option[String]]) = {
+    def asName(v: JValue): String = v match {
+      case JString(s) => s
+      case JInt(i) => i.toString
+      case other => throw new IllegalArgumentException(s"bad step entry: $other")
+    }
+    val j = JsonMethods.parse(json)
+    val procs = j \ "processors" match {
+      case JArray(xs) => xs.map(asName)
+      case _ => throw new IllegalArgumentException("steps.processors missing")
+    }
+    val dlq = j \ "dlq" match {
+      case JArray(xs) => xs.map {
+        case JNull => None
+        case v => Some(asName(v))
+      }
+      case _ => Seq.fill(procs.length)(None)
+    }
+    require(dlq.length == procs.length,
+      "steps.processors and steps.dlq must be parallel arrays")
+    (procs, dlq)
+  }
+
+  /** Full pipeline row from JSON (the shape a config service or the
+    * reference's `SELECT * FROM pipelines WHERE id=$1` returns).
+    */
+  def fromJson(json: String): PipelineDef = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(json)
+    val (procs, dlq) = parseSteps(JsonMethods.compact(j \ "steps"))
+    PipelineDef(
+      id = (j \ "id").extract[Int],
+      name = (j \ "name").extract[String],
+      sourceTopic = (j \ "source_topic").extract[String],
+      targetTopic = (j \ "target_topic").extract[String],
+      incomingSchema = (j \ "incoming_schema").extractOrElse[String](""),
+      outgoingSchema = (j \ "outgoing_schema").extractOrElse[String](""),
+      processors = procs,
+      dlq = dlq,
+      isActive = (j \ "is_active").extractOrElse[Boolean](true))
+  }
+
+  /** JDBC loader — the literal analog of listen.js:46-56 against the
+    * reference's Postgres schema (FIXTURES.md §2). Driver-side, one row;
+    * requires a JDBC driver jar on the classpath at deploy time.
+    */
+  def fromJdbc(spark: SparkSession, url: String, pipelineId: Int,
+      props: java.util.Properties = new java.util.Properties()): PipelineDef = {
+    def lookup(table: String, idCol: String, nameCol: String, id: Int): String =
+      spark.read.jdbc(url, table, props)
+        .where(s"$idCol = $id").select(nameCol).head().getString(0)
+    val row = spark.read.jdbc(url, "pipelines", props)
+      .where(s"id = $pipelineId AND is_active = true").head()
+    val (procs, dlqIds) = parseSteps(row.getAs[String]("steps"))
+    PipelineDef(
+      id = row.getAs[Int]("id"),
+      name = row.getAs[String]("name"),
+      sourceTopic = lookup("topics", "id", "topic_name", row.getAs[Int]("source_topic_id")),
+      targetTopic = lookup("topics", "id", "topic_name", row.getAs[Int]("target_topic_id")),
+      incomingSchema = lookup("schemas", "id", "schema_name", row.getAs[Int]("incoming_schema_id")),
+      outgoingSchema = lookup("schemas", "id", "schema_name", row.getAs[Int]("outgoing_schema_id")),
+      processors = procs,
+      dlq = dlqIds.map(_.map(id => lookup("topics", "id", "topic_name", id.toInt))),
+      isActive = true)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ArrayOpsSpec extends SparkSpec {
+
+  test("sortedIntersectCount: merge-walk equals array_intersect size") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L)), // overlap 2
+      (Seq(1L, 2L), Seq(3L, 4L)),                  // disjoint
+      (Seq.empty[Long], Seq(1L)),                  // empty side
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))           // identical
+    ).toDF("a", "b")
+    val got = df.select(ArrayOps.sortedIntersectCount(col("a"), col("b")))
+      .collect().map(_.getInt(0))
+    got shouldBe Array(2, 0, 0, 3)
+    val ref = df.select(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_intersect(col("a"), col("b"))))
+      .collect().map(_.getInt(0))
+    got shouldBe ref
+  }
+
+  test("jaccardSortedLong matches generic jaccard on sorted inputs") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L)), // 2/6
+      (Seq.empty[Long], Seq.empty[Long])           // 0 by convention
+    ).toDF("a", "b")
+    val got = df.select(ArrayOps.jaccardSortedLong(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    got(0) shouldBe (2.0 / 6.0) +- 1e-12
+    got(1) shouldBe 0.0
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof carries the latest right row at-or-before each left ts, per key") {
+    import spark.implicits._
+    val trades = Seq(
+      ("A", ts("2026-01-01 10:00:00"), 1L),
+      ("A", ts("2026-01-01 10:05:00"), 2L),
+      ("A", ts("2026-01-01 09:00:00"), 3L), // before any quote
+      ("B", ts("2026-01-01 10:00:00"), 4L)
+    ).toDF("sym", "ts", "trade_id")
+    val quotes = Seq(
+      ("A", ts("2026-01-01 09:59:00"), 100.0),
+      ("A", ts("2026-01-01 10:05:00"), 101.0), // equal-ts: visible to trade 2
+      ("B", ts("2026-01-01 09:00:00"), 200.0)
+    ).toDF("sym", "ts", "px")
+
+    val out = AsofJoin.asof(trades, quotes, "sym", "ts", Seq("px"))
+      .collect().map(r => r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("px"))).toMap
+    out(1L) shouldBe Some(100.0)
+    out(2L) shouldBe Some(101.0) // <= includes the equal timestamp
+    out(3L) shouldBe None        // nothing before 09:00
+    out(4L) shouldBe Some(200.0) // keys don't leak across
+  }
+
+  test("asof result row count equals left row count (left join semantics)") {
+    import spark.implicits._
+    val left = Seq(("k", ts("2026-01-01 00:00:01"), 1), ("k", ts("2026-01-01 00:00:02"), 2))
+      .toDF("k", "ts", "i")
+    val right = Seq(("k", ts("2026-01-01 00:00:00"), 9.0), ("k", ts("2026-01-01 00:00:00"), 8.0))
+      .toDF("k", "ts", "v")
+    AsofJoin.asof(left, right, "k", "ts", Seq("v")).count() shouldBe 2
+  }
+
+  test("rangeJoin yields exactly the pairs within the window, once each") {
+    import spark.implicits._
+    val l = Seq(("k", ts("2026-01-01 00:00:00"), "l1"),
+      ("k", ts("2026-01-01 02:00:00"), "l2")).toDF("k", "ts", "lid")
+    val r = Seq(("k", ts("2026-01-01 00:30:00"), "r1"),   // within 1h of l1
+      ("k", ts("2026-01-01 01:30:00"), "r2"),             // within 1h of l2 (and not l1)
+      ("k", ts("2026-01-01 05:00:00"), "r3"),             // matches nothing
+      ("x", ts("2026-01-01 00:00:00"), "r4")              // different key
+    ).toDF("k", "ts", "rid")
+    val pairs = AsofJoin.rangeJoin(l, r, "k", "ts",
+        before = 3600, after = 3600, bucketSec = 1800)
+      .select("l_lid", "r_rid").collect().map(x => (x.getString(0), x.getString(1))).toSet
+    pairs shouldBe Set(("l1", "r1"), ("l2", "r2"))
+  }
+}
