@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables
 import graft.pipeline.{Pipeline, Processors, Step}
 import graft.functions.{Aggregators, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{AsofJoin, Dedup, Similarity}
+import graft.operators.{AsofJoin, Dedup, Similarity, Skew}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -200,6 +200,28 @@ object SparkEntry {
       AsofJoin.rangeJoin(o, o, "o_custkey", "o_orderdate",
           before = 30 * day, after = 30 * day, bucketSec = 30 * day)
         .select(col("l_o_orderkey").as("a_orderkey"), col("r_o_orderkey").as("b_orderkey"))
+    }),
+    "q_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("price_rank"),
+        round(percent_rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))), 6).as("price_pctrank"))
+    }),
+    "q_salted_join" -> ((s, dir) => {
+      // event_type has 5 values over every row — the degenerate-skew
+      // join shape; salted 8 ways the hot keys spread over 8 tasks
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy("event_type").agg(round(avg("value"), 6).as("type_avg"))
+      Skew.saltedJoin(ev.select("event_id", "event_type"), dim,
+          "event_type", col("event_id"), nSalts = 8)
+        .select("event_id", "event_type", "type_avg")
     }),
     "q_explode_words" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -467,6 +489,23 @@ object SparkEntry {
          FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
            AND b.o_orderdate BETWEEN a.o_orderdate - INTERVAL 30 DAY
                                  AND a.o_orderdate + INTERVAL 30 DAY""",
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_totalprice, 1) OVER w1 AS prev_price,
+         lead(o_totalprice, 1) OVER w1 AS next_price,
+         ntile(4) OVER w1 AS quartile,
+         rank() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+         round(percent_rank() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice, o_orderkey), 6) AS price_pctrank
+         FROM orders
+         WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q_salted_join" ->
+      """SELECT e.event_id, e.event_type, d.type_avg
+         FROM events e JOIN
+           (SELECT event_type, round(avg(value), 6) AS type_avg
+            FROM events GROUP BY event_type) d
+           ON e.event_type = d.event_type""",
     "q_explode_words" ->
       """SELECT word, count(*) AS n
          FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word

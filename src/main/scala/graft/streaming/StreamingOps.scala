@@ -1,9 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.pipeline.{Pipeline, Routing, RoutedMessages}
 
@@ -85,4 +84,28 @@ object StreamingOps {
       keyCols: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Output row of [[statefulRunningCount]]. */
+  case class KeyCount(key: String, n: Long)
+
+  /** Custom cross-batch state via flatMapGroupsWithState: a running count
+    * per key that survives micro-batch boundaries — the primitive behind
+    * any "counter/accumulator/session object per key" operator the
+    * built-in aggregations can't express. State is one Long per key;
+    * partitioned by key, so it scales horizontally with executors.
+    */
+  def statefulRunningCount(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, keyCol: String): Dataset[KeyCount] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    events.select(col(keyCol).cast("string")).as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[String], state: GroupState[Long]) => {
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator(KeyCount(key, n))
+        })
+  }
 }

@@ -19,6 +19,18 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Generic file source: parquet/csv/json/orc behind one entry point
+    * (SURVEY §2.3 sources row). CSV/JSON take an explicit schema so the
+    * scan never pays a driver-side inference pass — at 100 TB inference
+    * would read the data twice.
+    */
+  def loadFormat(spark: SparkSession, path: String, format: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format(format).options(options)
+    schema.fold(r)(r.schema).load(path)
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")

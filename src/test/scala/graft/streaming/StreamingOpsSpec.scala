@@ -52,6 +52,37 @@ class StreamingOpsSpec extends SparkSpec {
       Array("k1", "k2")
   }
 
+  test("statefulRunningCount accumulates per-key state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val counts = StreamingOps.statefulRunningCount(spark, in.toDF().toDF("k"), "k")
+    val q = counts.toDF().writeStream.format("memory")
+      .queryName("state_out").outputMode("update").start()
+    in.addData("a", "a", "b")
+    q.processAllAvailable()
+    in.addData("a", "b", "b")   // second micro-batch: state must carry over
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("state_out").groupBy("key")
+      .agg(org.apache.spark.sql.functions.max("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    last shouldBe Map("a" -> 3L, "b" -> 3L)
+  }
+
+  test("rate source produces rows through the streaming pipeline") {
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+    val q = rate.writeStream.format("memory").queryName("rate_out").start()
+    // wait for at least one non-empty micro-batch
+    val deadline = System.currentTimeMillis() + 20000
+    while (spark.table("rate_out").isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+    }
+    q.stop()
+    spark.table("rate_out").count() should be > 0L
+  }
+
   test("tumbling window counts with watermark close as the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
