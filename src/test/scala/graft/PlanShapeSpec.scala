@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Physical-plan shape assertions — the 100 TB story is only real if the
+  * plans are right: filters reach the scan, small sides broadcast, top-k
+  * never global-sorts, aggregates combine map-side.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push into the parquet scan") {
+    val df = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    p should include("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]")
+    p should include("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>")
+  }
+
+  test("small dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan(SparkEntry.queries("q_regional_revenue")(spark, dir))
+    p should include("BroadcastHashJoin")
+  }
+
+  test("orderBy().limit() plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("q_top_revenue")(spark, dir))
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("aggregation runs partial (map-side combine) before the exchange") {
+    val p = plan(Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag").agg(sum("l_quantity")))
+    p should include("partial_sum")
+    p should include("HashAggregate")
+  }
+
+  test("the compiled pipeline chain is one narrow projection — no shuffle") {
+    import graft.pipeline.{Pipeline, Processors, Step}
+    val routed = Pipeline(Seq(Step(Processors.capitalize),
+      Step(Processors.add10), Step(Processors.isEven)))(Tables.messages(spark, dir))
+    val p = plan(routed.df)
+    p should not include "Exchange"
+  }
+
+  test("bucketed tables co-locate the join: no Exchange in the joined plan") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    Tables.orders(s2, dir).write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    Tables.customer(s2, dir).write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+    val joined = s2.table("orders_b")
+      .join(s2.table("customer_b"), col("o_custkey") === col("c_custkey"))
+    val p = joined.queryExecution.executedPlan.toString
+    p should not include "Exchange"
+    joined.count() should be > 0L
+  }
+}
