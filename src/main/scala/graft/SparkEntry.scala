@@ -329,6 +329,11 @@ object SparkEntry {
       Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", q,
         k = 10, dim = 64, nBits = 8, probeHamming = 3)
     }),
+    "sim_ivf" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding", q,
+        k = 10, dim = 64, nBits = 4, nProbe = 4)
+    }),
     "sim_neighbors" -> ((s, dir) =>
       Similarity.neighborsWithinBuckets(Tables.embeddings(s, dir), "vec_id",
         "embedding", dim = 64, k = 3, nBits = 4)

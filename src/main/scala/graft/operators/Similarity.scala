@@ -49,6 +49,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-flat ANN: the corpus is coarse-quantized into cells (hyperplane
+    * LSH buckets), a centroid per cell is aggregated (map-side partial
+    * combine), and a query probes only the `nProbe` cells whose CENTROIDS
+    * are most cosine-similar to it — better-targeted than Hamming
+    * multi-probe on raw bucket bits.
+    *
+    * Scale shape: the driver holds only ≤2^nBits centroids (the coarse
+    * quantizer); the corpus is never collected. Persist/partition by
+    * `cell` at write time and the probe prunes whole files before
+    * reading them.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], k: Int, dim: Int,
+      nBits: Int = 6, nProbe: Int = 4): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol).as("v"),
+      V.hyperplaneLshBucket(col(vecCol), nBits, dim).as("cell"))
+    val cents = bucketed
+      .groupBy("cell")
+      .agg(graft.functions.Aggregators.vectorCentroid(
+        col("v").cast("array<double>"), dim).as("c"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val probes = cents.sortBy { case (_, c) => -cos(c, queryVec) }
+      .take(nProbe).map(_._1)
+
+    val q = typedLit(queryVec)
+    bucketed.filter(col("cell").isin(probes: _*))
+      .select(col(idCol), round(V.cosine(col("v"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbors per row, blocked by an LSH bucket: for
     * each id, its k most-similar bucket-mates. The per-group top-k is a
     * window rank, shuffled once on the bucket key.

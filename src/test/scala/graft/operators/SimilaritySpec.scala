@@ -36,6 +36,22 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSeq
   }
 
+  test("ivfTopK with all cells probed equals brute force") {
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, k = 3,
+      dim = 4, nBits = 2, nProbe = 4) // 2^2 cells, probe all
+    ivf.collect().map(_.getLong(0)).toSeq shouldBe
+      Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 3)
+        .collect().map(_.getLong(0)).toSeq
+  }
+
+  test("ivfTopK with narrow probe still finds the query's own cell") {
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val r = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, k = 1,
+      dim = 4, nBits = 2, nProbe = 1).collect()
+    r.head.getLong(0) shouldBe 0L
+  }
+
   test("neighborsWithinBuckets returns at most k per id, ranked") {
     val r = Similarity.neighborsWithinBuckets(vecs, "vec_id", "embedding",
       dim = 4, k = 2, nBits = 2)
