@@ -350,6 +350,18 @@ object SparkEntry {
         .select(col("id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"))
+    }),
+    "mm_frames" -> ((s, dir) => {
+      val media = Multimodal.withMediaColumns(Tables.documents(s, dir), "text", "video", "mp4")
+      Multimodal.sampleFrames(s, media, "doc_id", "payload", everyN = 5)
+        .select(col("id"), col("frame_idx").cast("long").as("frame_idx"))
+    }),
+    "mm_resize" -> ((s, dir) => {
+      val media = Multimodal.withMediaColumns(Tables.documents(s, dir), "text", "image", "png")
+      Multimodal.resizeImages(s, media, "doc_id", "payload", w = 224, h = 224)
+        .select(col("id"), col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"),
+          length(col("out_bytes")).cast("long").as("out_len"))
     })
   )
 
@@ -636,7 +648,14 @@ object SparkEntry {
          (64 + octet_length(text::BLOB) % 577)::BIGINT AS width,
          (64 + (octet_length(text::BLOB) * 31) % 331)::BIGINT AS height,
          (1 + octet_length(text::BLOB) % 30)::BIGINT AS n_frames
-         FROM documents"""
+         FROM documents""",
+    "mm_frames" ->
+      """SELECT doc_id AS id,
+         unnest(generate_series(0, (1 + octet_length(text::BLOB) % 30) - 1, 5))::BIGINT AS frame_idx
+         FROM documents""",
+    "mm_resize" ->
+      """SELECT doc_id AS id, 224::BIGINT AS out_w, 224::BIGINT AS out_h,
+         16::BIGINT AS out_len FROM documents"""
   )
 
   private def stopwordListSql: String =

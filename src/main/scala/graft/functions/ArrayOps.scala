@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ShiftLeft, ShiftRight}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ShiftLeft, ShiftRight, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import org.apache.spark.sql.graft.Bridge
 
@@ -84,6 +85,50 @@ object ArrayOps {
 
   def cosineDouble(a: Column, b: Column): Column =
     Bridge.column(CosineDouble(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Sorted distinct xxhash64 values of every n-char window of a string —
+    * the whole MinHash shingling stage as ONE native pass. Equivalent to
+    * `array_sort(array_distinct(transform(<n-char windows>, xxhash64)))`
+    * (same per-window xxhash64 with Spark's seed 42 over UTF-8 bytes,
+    * windows by CHARACTER) but without building a char array, n shifted
+    * slices, or any per-element interpreted lambda. Normalization stays
+    * upstream in column functions.
+    */
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n > 0, "shingle width must be positive")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val m = s.numChars() - (n - 1)
+      if (m <= 0) new GenericArrayData(Array.empty[Long])
+      else {
+        val hs = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          val sub = s.substringSQL(i + 1, n)
+          hs(i) = XXH64.hashUnsafeBytes(sub.getBaseObject, sub.getBaseOffset,
+            sub.numBytes, 42L)
+          i += 1
+        }
+        java.util.Arrays.sort(hs)
+        // dedup in place over the sorted run
+        var out = 0
+        var j = 0
+        while (j < m) {
+          if (out == 0 || hs(j) != hs(out - 1)) { hs(out) = hs(j); out += 1 }
+          j += 1
+        }
+        new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Sorted distinct hashes of n-char windows of `text` (pre-normalized). */
+  def shingleHashes(text: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(text), n))
 
   /** Column-by-column bit shifts — the `functions.shiftleft/shiftright`
     * API only accepts a literal Int shift, but the underlying Catalyst

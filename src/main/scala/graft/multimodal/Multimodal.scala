@@ -73,4 +73,54 @@ object Multimodal {
         it.map { case (id, bytes) => MediaDecoder.decode(id, bytes) }
       }
   }
+
+  /** One resized image per input. */
+  case class ResizedMedia(id: Long, out_w: Int, out_h: Int, out_bytes: Array[Byte])
+
+  /** Batched resize: payloads flow through in fixed-size batches so a
+    * real resizer (SIMD library, GPU) processes many images per call —
+    * the batch shape `mapInPandas` gives Python for free, made explicit
+    * here with `grouped()`. The pixel work is STUBBED (deterministic
+    * output bytes derived from input length); everything around it is the
+    * production shape.
+    */
+  def resizeImages(spark: SparkSession, df: DataFrame, idCol: String,
+      payloadCol: String, w: Int, h: Int, batchSize: Int = 64): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // a real impl calls resizeBatch(batch) on the native library here
+          batch.iterator.map { case (id, bytes) =>
+            val n = if (bytes == null) 0 else bytes.length
+            // ??? <- real resize; deterministic fake: w*h header bytes
+            val out = Array.tabulate(math.min(16, w * h))(i => ((n + i) % 256).toByte)
+            ResizedMedia(id, w, h, out)
+          }
+        }
+      }
+  }
+
+  /** One sampled frame of a video payload. */
+  case class Frame(id: Long, frame_idx: Int)
+
+  /** Frame sampling: every `everyN`-th frame of each payload — the 1→N
+    * exploding shape of video pipelines. Frame count comes from the
+    * (stubbed) decoder's metadata; a real impl would also emit the frame
+    * bytes.
+    */
+  def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
+      payloadCol: String, everyN: Int): Dataset[Frame] = {
+    import spark.implicits._
+    require(everyN > 0, "everyN must be positive")
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val meta = MediaDecoder.decode(id, bytes)
+          (0 until meta.n_frames by everyN).iterator.map(Frame(id, _))
+        }
+      }
+  }
 }

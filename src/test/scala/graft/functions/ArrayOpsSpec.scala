@@ -23,6 +23,24 @@ class ArrayOpsSpec extends SparkSpec {
     got shouldBe ref
   }
 
+  test("shingleHashes equals the composed column pipeline, incl. multibyte chars") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    import org.apache.spark.sql.functions.{array_distinct, array_sort, transform, xxhash64,
+      regexp_replace, trim, lower, split}
+    val texts = Seq("the quick brown fox", "ab", "abcdé 中文字 xyz", "", "  A  B  C  ")
+    val df = texts.toDF("text")
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val native = df.select(ArrayOps.shingleHashes(norm, 3)).collect().map(_.getSeq[Long](0))
+    val composed = df
+      .select(T.normChars(col("text")).as("c"))
+      .select(array_sort(array_distinct(transform(
+        T.charShinglesOfChars(col("c"), 3), s => xxhash64(s)))))
+      .collect().map(_.getSeq[Long](0))
+    native shouldBe composed
+    native(0) should not be empty
+  }
+
   test("jaccardSortedLong matches generic jaccard on sorted inputs") {
     import spark.implicits._
     val df = Seq(
