@@ -183,6 +183,27 @@ object SparkEntry {
       ev.filter(col("event_type") === "purchase").select("user_id")
         .intersect(ev.filter(col("event_type") === "error").select("user_id"))
     }),
+    "q_full_outer" -> ((s, dir) => {
+      // customers without orders AND order-years without customers both
+      // survive — full outer on an aggregated side
+      val byYear = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), year(col("o_orderdate")).as("order_year"))
+        .agg(round(sum("o_totalprice"), 2).as("year_total"))
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+        .join(byYear, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("order_year"),
+          col("year_total"))
+    }),
+    "q_map_funcs" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        map_from_arrays(
+          array(lit("type"), lit("uid")),
+          array(col("event_type"), col("user_id").cast("string"))).as("m"))
+        .select(col("event_id"),
+          element_at(col("m"), "type").as("m_type"),
+          element_at(col("m"), "uid").cast("long").as("m_uid"),
+          size(map_keys(col("m"))).as("n_keys"))),
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       // last purchase value at-or-before each event, per user; purchases
@@ -495,6 +516,17 @@ object SparkEntry {
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
          INTERSECT
          SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""",
+    "q_full_outer" ->
+      """SELECT c_custkey, c_mktsegment, order_year, year_total
+         FROM (SELECT c_custkey, c_mktsegment FROM customer) c
+         FULL OUTER JOIN
+           (SELECT o_custkey, year(o_orderdate)::INT AS order_year,
+                   round(sum(o_totalprice), 2) AS year_total
+            FROM orders GROUP BY o_custkey, year(o_orderdate)) o
+           ON c_custkey = o_custkey""",
+    "q_map_funcs" ->
+      """SELECT event_id, event_type AS m_type, user_id AS m_uid, 2 AS n_keys
+         FROM events""",
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, round(p.purchase_value, 6) AS purchase_value
          FROM events e ASOF LEFT JOIN

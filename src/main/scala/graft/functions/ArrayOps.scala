@@ -130,6 +130,89 @@ object ArrayOps {
   def shingleHashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
 
+  /** 64-bit SimHash of a string-token array in one native pass: hash each
+    * token once (xxhash64, Spark seed 42 — identical to
+    * `transform(tokens, xxhash64)`), accumulate per-bit counts, pack the
+    * majority vote. Replaces an interpreted aggregate-of-zip_with chain
+    * that allocated a 64-int array per token.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val t = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          counts(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) * 2 > n) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def simhash64Native(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  /** MinHash signature of a pre-hashed long array in one native pass:
+    * k affine permutations h_i(x) = (a_i·x + b_i) mod p over the Mersenne
+    * prime 2^31-1, taking the min per permutation — numerically identical
+    * to [[VectorFunctions.minhashSignatureOfHashes]] (same constants,
+    * same pmod semantics) without k interpreted array traversals.
+    */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private val P = 2147483647L // 2^31 - 1
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = new Array[Long](k)
+      if (n == 0) {
+        java.util.Arrays.fill(sig, P)
+      } else {
+        java.util.Arrays.fill(sig, Long.MaxValue)
+        var i = 0
+        while (i < n) {
+          // pmod(h, P): java % can be negative for negative h
+          val h0 = arr.getLong(i) % P
+          val h = if (h0 < 0) h0 + P else h0
+          var j = 0
+          while (j < k) {
+            val a = 1L + 2L * j
+            val b = 104729L * (j + 1) % P
+            val v0 = (h * a + b) % P
+            val v = if (v0 < 0) v0 + P else v0
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
+          i += 1
+        }
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def minhashSignatureNative(hashes: Column, k: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(hashes), k))
+
   /** Column-by-column bit shifts — the `functions.shiftleft/shiftright`
     * API only accepts a literal Int shift, but the underlying Catalyst
     * expressions take any expression (needed inside lambda bodies).

@@ -43,18 +43,11 @@ object VectorFunctions {
 
   /** Signature over pre-hashed (64-bit) set elements — the fast path when
     * the caller already hashed its shingles once for reuse downstream.
+    * Native single pass (see [[ArrayOps.MinHashSignature]] for the
+    * construction: k affine permutations over the Mersenne prime).
     */
-  def minhashSignatureOfHashes(hashes: Column, k: Int): Column = {
-    val p = 2147483647L // 2^31 - 1
-    val hashed = transform(hashes, h => pmod(h, lit(p)))
-    val sigs = (0 until k).map { i =>
-      val a = 1L + 2L * i // odd multipliers
-      val b = 104729L * (i + 1) % p
-      when(size(hashes) === 0, lit(p))
-        .otherwise(array_min(transform(hashed, h => pmod(h * a + b, lit(p)))))
-    }
-    array(sigs: _*)
-  }
+  def minhashSignatureOfHashes(hashes: Column, k: Int): Column =
+    ArrayOps.minhashSignatureNative(hashes, k)
 
   /** Banding for LSH: split a k-length signature into `bands` groups and
     * hash each group — docs sharing ANY band bucket become candidates.
@@ -79,20 +72,7 @@ object VectorFunctions {
     * column reference (materialize tokenization in its own projection)
     * because `size(tokens)` is referenced inside the packing lambda.
     */
-  def simhash64(tokens: Column): Column = {
-    val n = size(tokens)
-    val hashes = transform(tokens, t => xxhash64(t))
-    val bitIdx = sequence(lit(0), lit(63))
-    val counts = aggregate(hashes, array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, bitIdx,
-        (c, i) => c + ArrayOps.shiftRightC(h, i).bitwiseAND(1L).cast("int")))
-    aggregate(
-      zip_with(counts, bitIdx, (c, i) => struct(c.as("c"), i.as("i"))),
-      lit(0L),
-      (acc, s) => acc.bitwiseOR(
-        when(s.getField("c") * 2 > n,
-          ArrayOps.shiftLeftC(lit(1L), s.getField("i"))).otherwise(lit(0L))))
-  }
+  def simhash64(tokens: Column): Column = ArrayOps.simhash64Native(tokens)
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

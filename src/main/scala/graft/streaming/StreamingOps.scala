@@ -85,6 +85,54 @@ object StreamingOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream inner join with watermark-bounded state (SURVEY §2.3
+    * joins row): both sides buffer only rows newer than their watermark,
+    * and the time-range condition lets Spark evict state as the
+    * watermarks advance — without it a stream-stream join's state grows
+    * forever.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTs: String, rightTs: String,
+      watermark: String, joinWindow: String): DataFrame = {
+    require(leftTs != rightTs, "rename one side's timestamp column first")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withColumnRenamed(keyCol, s"${keyCol}_r")
+      .withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"""$keyCol = ${keyCol}_r AND
+          $rightTs >= $leftTs - INTERVAL $joinWindow AND
+          $rightTs <= $leftTs + INTERVAL $joinWindow"""))
+  }
+
+  /** Collects per-batch observed metrics from streaming progress events —
+    * the Prometheus-exporter seam (reference src/metrics.js:5-52 +
+    * /metrics endpoint at listen.js:9-30). A real deployment forwards
+    * `snapshot()` to a Prometheus registry or uses
+    * spark.sql.streaming.metricsEnabled; the listener keeps the
+    * reference's counter names verbatim.
+    */
+  final class PipelineMetricsListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val totals = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val metrics = e.progress.observedMetrics
+      if (metrics.containsKey("pipeline_metrics")) {
+        val row = metrics.get("pipeline_metrics")
+        row.schema.fieldNames.foreach { name =>
+          totals.merge(name, row.getAs[Long](name), (a, b) => a + b)
+        }
+      }
+    }
+    def snapshot(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      totals.asScala.toMap
+    }
+  }
+
   /** Output row of [[statefulRunningCount]]. */
   case class KeyCount(key: String, n: Long)
 

@@ -70,6 +70,66 @@ class StreamingOpsSpec extends SparkSpec {
     last shouldBe Map("a" -> 3L, "b" -> 3L)
   }
 
+  test("stream-stream join pairs rows within the time window per key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    val clicks = MemoryStream[(String, Timestamp)]
+    val buys = MemoryStream[(String, Timestamp)]
+    clicks.addData(("u1", ts(0)), ("u2", ts(1)))
+    buys.addData(("u1", ts(3)), ("u2", ts(90))) // u2's buy is outside 10m
+    val joined = StreamingOps.streamStreamJoin(
+      clicks.toDF().toDF("user", "click_ts"),
+      buys.toDF().toDF("user", "buy_ts"),
+      "user", "click_ts", "buy_ts", "1 minute", "10 minutes")
+    runToMemory(joined, "ssj_out")
+    val out = spark.table("ssj_out").select("user").collect().map(_.getString(0))
+    out shouldBe Array("u1")
+  }
+
+  test("foreachBatch sink observes every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Int]
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = in.toDF().writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.addAndGet(batch.count()): Unit)
+      .start()
+    in.addData(1, 2, 3)
+    q.processAllAvailable()
+    in.addData(4)
+    q.processAllAvailable()
+    q.stop()
+    seen.get() shouldBe 4L
+  }
+
+  test("PipelineMetricsListener accumulates the conservation counters") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val listener = new StreamingOps.PipelineMetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val in = MemoryStream[(String, String, Int)]
+      in.addData(("a", "x", 2), ("b", "y", 3))
+      val p = Pipeline(Seq(Step(Processors.isEven)))
+      val observed = p.observed(in.toDF().toDF("key", "value", "num"))
+      val q = observed.df.writeStream.format("memory")
+        .queryName("metrics_out").start()
+      q.processAllAvailable()
+      q.stop()
+      // listener events fire asynchronously after batch completion
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.snapshot().getOrElse("messages_received_total", 0L) < 2L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val m = listener.snapshot()
+      m("messages_received_total") shouldBe 2L
+      m("messages_completed_total") shouldBe 1L
+      m("messages_dropped_total") shouldBe 1L
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("rate source produces rows through the streaming pipeline") {
     val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", "500").load()
