@@ -147,6 +147,48 @@ object SparkEntry {
       Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
+    "q_shipping_priority" -> ((s, dir) => {
+      // TPC-H Q3 shape: filtered 3-way join, aggregate, top 10 by revenue
+      val cutoff = lit("1996-03-15").cast("timestamp")
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cutoff)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    }),
+    "q_scalar_subquery" -> ((s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("part_sq")
+      s.sql("""SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+               FROM part_sq
+               WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part_sq)""")
+    }),
+    "q_correlated_exists" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_ce")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_ce")
+      // orders where some line shipped at >40 quantity — correlated EXISTS,
+      // decorrelated by Catalyst into a semi join
+      s.sql("""SELECT o_orderkey, round(o_totalprice, 2) AS total
+               FROM orders_ce
+               WHERE EXISTS (SELECT 1 FROM lineitem_ce
+                             WHERE l_orderkey = o_orderkey AND l_quantity > 40)""")
+    }),
+    "pipe_json_codec" -> ((s, dir) => {
+      // the chain over a JSON-serialized stream: serialize → decode →
+      // chain → re-serialize — S2/E1 with the JSON codec instead of Avro
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL("key STRING, value STRING, num INT")
+      val wire = msgs(s, dir)
+        .select(to_json(struct(col("key"), col("value"), col("num"))).as("body"))
+      val decoded = wire.select(from_json(col("body"), schema).as("m"))
+        .select("m.key", "m.value", "m.num")
+      Pipeline(Seq(Step(Processors.capitalize), Step(Processors.add10)))(decoded).toTarget
+    }),
     "q_cube" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .cube("l_returnflag", "l_linestatus")
@@ -484,6 +526,29 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q_shipping_priority" ->
+      """SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+           SELECT l_orderkey, o_orderdate, o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1996-03-15'
+             AND l_shipdate > TIMESTAMP '1996-03-15'
+           GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_scalar_subquery" ->
+      """SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+         FROM part
+         WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)""",
+    "q_correlated_exists" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 40)""",
+    "pipe_json_codec" ->
+      s"SELECT key, upper(value) AS value, num + 10 AS num FROM ($msgSql)",
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          round(sum(l_extendedprice), 2) AS sum_price
