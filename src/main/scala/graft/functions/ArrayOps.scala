@@ -213,6 +213,44 @@ object ArrayOps {
   def minhashSignatureNative(hashes: Column, k: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(hashes), k))
 
+  /** Random-hyperplane LSH bucket in one native pass. The ±1 hyperplane
+    * matrix is derived EXACTLY as the column formulation derived it —
+    * sign of xxhash64(i, j) (seed 42, int children hashed in sequence) —
+    * but precomputed once at plan time instead of re-hashed per element
+    * per row; the projection accumulates left-to-right like the
+    * sequential aggregate did.
+    */
+  case class HyperplaneBucket(child: Expression, nBits: Int, dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(nBits > 0 && nBits <= 63, "nBits in [1, 63]")
+    override def dataType: DataType = LongType
+    @transient private lazy val signs: Array[Array[Double]] =
+      Array.tabulate(nBits, dim) { (i, j) =>
+        val h = XXH64.hashInt(j, XXH64.hashInt(i, 42L))
+        if ((h & 1L) == 0L) 1.0 else -1.0
+      }
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = math.min(v.numElements(), dim)
+      var bucket = 0L
+      var i = 0
+      while (i < nBits) {
+        val row = signs(i)
+        var proj = 0.0
+        var j = 0
+        while (j < n) { proj += v.getDouble(j) * row(j); j += 1 }
+        if (proj >= 0) bucket |= (1L << i)
+        i += 1
+      }
+      bucket
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column =
+    Bridge.column(HyperplaneBucket(Bridge.expression(vec), nBits, dim))
+
   /** Column-by-column bit shifts — the `functions.shiftleft/shiftright`
     * API only accepts a literal Int shift, but the underlying Catalyst
     * expressions take any expression (needed inside lambda bodies).

@@ -92,16 +92,6 @@ object VectorFunctions {
     * Hyperplane component j of plane i is derived from xxhash64(i,j) —
     * deterministic, no broadcast of a plane matrix needed.
     */
-  def hyperplaneLshBucket(vec: Column, nBits: Int, dim: Int): Column = {
-    val v = asDouble(vec)
-    val bits = (0 until nBits).map { i =>
-      // pseudo-random ±1 hyperplane: sign of xxhash64(lit(i), pos)
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(dim - 1)),
-          (x, j) => x * when(pmod(xxhash64(lit(i), j), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  def hyperplaneLshBucket(vec: Column, nBits: Int, dim: Int): Column =
+    ArrayOps.hyperplaneBucket(asDouble(vec), nBits, dim)
 }
