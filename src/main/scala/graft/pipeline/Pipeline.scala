@@ -204,14 +204,26 @@ final case class Pipeline(steps: Seq[Step], target: String = "target") {
     */
   def observed(input: DataFrame, name: String = "pipeline_metrics"): RoutedMessages = {
     val r = apply(input)
-    val obsDf = r.df.observe(name,
+    // per-step splits of the dlq/dropped counters — the closest Spark
+    // analog of the reference's per-processor labels
+    // (src/metrics.js labels {processor_name/step}); sub-expression
+    // timing has no Spark equivalent, documented deviation (SURVEY §7.3)
+    val perStep = steps.zipWithIndex.flatMap { case (Step(p, _), i) =>
+      Seq(
+        count(when(col("error_step") === i, 1))
+          .as(s"step_${i}_${p.name}_errors_total"),
+        count(when(col("dropped_step") === i, 1))
+          .as(s"step_${i}_${p.name}_dropped_total"))
+    }
+    val counters = Seq(
       count(lit(1)).as("messages_received_total"),
       count(when(col("topic") === target, 1)).as("messages_completed_total"),
       count(when(col("topic") =!= target &&
         col("topic") =!= Routing.Dropped && col("topic") =!= Routing.Error, 1))
         .as("messages_dlq_total"),
       count(when(col("topic") === Routing.Dropped, 1)).as("messages_dropped_total"),
-      count(when(col("topic") === Routing.Error, 1)).as("messages_error_total"))
+      count(when(col("topic") === Routing.Error, 1)).as("messages_error_total")) ++ perStep
+    val obsDf = r.df.observe(name, counters.head, counters.tail: _*)
     RoutedMessages(obsDf, target)
   }
 }

@@ -99,6 +99,10 @@ class PipelineSpec extends SparkSpec {
     row.getAs[Long]("messages_received_total") shouldBe 3
     row.getAs[Long]("messages_dlq_total") shouldBe 1
     row.getAs[Long]("messages_dropped_total") shouldBe 2
+    // per-step labels (reference metrics.js {processor_name/step})
+    row.getAs[Long]("step_0_parseNum_errors_total") shouldBe 1
+    row.getAs[Long]("step_1_isEven_dropped_total") shouldBe 2
+    row.getAs[Long]("step_0_parseNum_dropped_total") shouldBe 0
   }
 
   test("fromNames builds from catalog-style parallel arrays") {
