@@ -103,6 +103,23 @@ object SparkEntry {
         .groupBy("n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
+    "q6_forecast" -> ((s, dir) =>
+      // TPC-H Q6 shape: tight range predicates folded into one scan
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.05) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
+    "q_returned_items" -> ((s, dir) =>
+      // TPC-H Q10 shape: returned lineitems joined back to customers
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
     "q_window_top_order" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -362,7 +379,24 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))),
 
+    "text_tfidf" -> ((s, dir) => {
+      // tf·idf over whitespace tokens: tf from per-doc explode, df from
+      // distinct doc-term pairs — two shuffles, both on the term key
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val terms = docs.select(col("doc_id"), explode(T.normTokens(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(df, Seq("term"))
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+    }),
+
     // ---- dedup (north star) ----
+    "dedup_survivors" -> ((s, dir) =>
+      Dedup.exactSurvivors(Tables.documents(s, dir), "doc_id", Seq("text"))
+        .select("doc_id", "source")),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("text"))),
     "dedup_minhash" -> ((s, dir) =>
@@ -712,6 +746,35 @@ object SparkEntry {
                 ELSE regexp_split_to_array(lower(trim(text)), '\s+') END)), ' ')) AS fp
          FROM documents""",
 
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""",
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "text_tfidf" ->
+      """WITH terms AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents WHERE trim(text) <> ''),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, term, tf,
+           round(tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf
+         FROM tf JOIN df USING (term) CROSS JOIN n""",
+    "dedup_survivors" ->
+      """SELECT doc_id, source FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS dup_count FROM documents GROUP BY 1""",
