@@ -104,6 +104,24 @@ object StreamingOps {
           $rightTs <= $leftTs + INTERVAL $joinWindow"""))
   }
 
+  /** Left-outer stream-stream join: unmatched left rows are emitted with
+    * nulls once the watermark proves no match can still arrive — the
+    * "click with no purchase within the window" shape. Same state bounds
+    * as the inner variant.
+    */
+  def streamStreamLeftJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTs: String, rightTs: String,
+      watermark: String, joinWindow: String): DataFrame = {
+    require(leftTs != rightTs, "rename one side's timestamp column first")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withColumnRenamed(keyCol, s"${keyCol}_r")
+      .withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"""$keyCol = ${keyCol}_r AND
+          $rightTs >= $leftTs - INTERVAL $joinWindow AND
+          $rightTs <= $leftTs + INTERVAL $joinWindow"""), "left_outer")
+  }
+
   /** Collects per-batch observed metrics from streaming progress events —
     * the Prometheus-exporter seam (reference src/metrics.js:5-52 +
     * /metrics endpoint at listen.js:9-30). A real deployment forwards

@@ -88,6 +88,36 @@ class StreamingOpsSpec extends SparkSpec {
     out shouldBe Array("u1")
   }
 
+  test("left-outer stream-stream join emits unmatched lefts after the watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    val clicks = MemoryStream[(String, Timestamp)]
+    val buys = MemoryStream[(String, Timestamp)]
+    clicks.addData(("u1", ts(0)), ("u2", ts(0)))
+    buys.addData(("u1", ts(3)))
+    val joined = StreamingOps.streamStreamLeftJoin(
+      clicks.toDF().toDF("user", "click_ts"),
+      buys.toDF().toDF("user", "buy_ts"),
+      "user", "click_ts", "buy_ts", "1 minute", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("sslj_out").start()
+    q.processAllAvailable()
+    // push both watermarks far past the join window so u2's null row emits
+    clicks.addData(("zz", ts(120)))
+    buys.addData(("zz", ts(120)))
+    q.processAllAvailable()
+    clicks.addData(("zz2", ts(180)))
+    buys.addData(("zz2", ts(180)))
+    q.processAllAvailable()
+    q.stop()
+    val byUser = spark.table("sslj_out")
+      .filter(col("user").isin("u1", "u2"))
+      .collect().map(r => r.getAs[String]("user") -> Option(r.getAs[Any]("buy_ts"))).toMap
+    byUser("u1") shouldBe defined
+    byUser.get("u2").flatten shouldBe None // unmatched left emitted with null
+  }
+
   test("foreachBatch sink observes every micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
