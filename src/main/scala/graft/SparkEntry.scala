@@ -393,6 +393,12 @@ object SparkEntry {
           round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
     }),
 
+    "pipeline_training_data" -> ((s, dir) =>
+      // the composed product use-case: quality + language + length
+      // filters, then exact-dedup survivors — one declarative chain
+      graft.operators.TrainingData.prepare(Tables.documents(s, dir),
+        "doc_id", "text", minQuality = 0.5, langs = Seq("en"), minTokens = 10)),
+
     // ---- dedup (north star) ----
     "dedup_survivors" -> ((s, dir) =>
       Dedup.exactSurvivors(Tables.documents(s, dir), "doc_id", Seq("text"))
@@ -772,6 +778,7 @@ object SparkEntry {
          SELECT doc_id, term, tf,
            round(tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf
          FROM tf JOIN df USING (term) CROSS JOIN n""",
+    "pipeline_training_data" -> trainingDataOracle,
     "dedup_survivors" ->
       """SELECT doc_id, source FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
@@ -829,31 +836,71 @@ object SparkEntry {
        generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 0)),
        i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i:i+2], ' ')))"""
 
+  /** Marker scores per language over padded-lowercase column `p` —
+    * shared by the langid and training-data oracles.
+    */
+  private val langMarkers = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " ist "),
+    "fr" -> Seq(" le ", " et ", " les ", " est "),
+    "es" -> Seq(" el ", " y ", " los ", " es "))
+
+  private def langScoreSql(lang: String): String =
+    langMarkers.toMap.apply(lang).map { m =>
+      s"((length(p) - length(replace(p, '$m', ''))) / ${m.length})::INT"
+    }.mkString(" + ")
+
+  private val langCaseSql: String =
+    """CASE
+       WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+       ELSE 'und' END"""
+
   /** Marker-occurrence language-ID — replicates TextFunctions.langId:
     * counts are (len - len(replace))/len(marker); first language in
     * (en, de, fr, es) order reaching the positive max wins.
     */
-  private def langIdOracle: String = {
-    val markers = Map(
-      "en" -> Seq(" the ", " and ", " of ", " is "),
-      "de" -> Seq(" der ", " und ", " die ", " ist "),
-      "fr" -> Seq(" le ", " et ", " les ", " est "),
-      "es" -> Seq(" el ", " y ", " los ", " es "))
-    def score(lang: String) = markers(lang).map { m =>
-      s"((length(p) - length(replace(p, '$m', ''))) / ${m.length})::INT"
-    }.mkString(" + ")
+  private def langIdOracle: String =
     s"""WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
-       sc AS (SELECT doc_id, ${score("en")} AS s_en, ${score("de")} AS s_de,
-                ${score("fr")} AS s_fr, ${score("es")} AS s_es FROM t),
-       mx AS (SELECT doc_id, s_en, s_de, s_fr, s_es,
-                greatest(s_en, s_de, s_fr, s_es) AS best FROM sc)
-       SELECT doc_id, CASE
-         WHEN best <= 0 THEN 'und'
-         WHEN s_en = best THEN 'en'
-         WHEN s_de = best THEN 'de'
-         WHEN s_fr = best THEN 'fr'
-         WHEN s_es = best THEN 'es'
-         ELSE 'und' END AS lang_pred
-       FROM mx"""
+       sc AS (SELECT doc_id, ${langScoreSql("en")} AS s_en, ${langScoreSql("de")} AS s_de,
+                ${langScoreSql("fr")} AS s_fr, ${langScoreSql("es")} AS s_es FROM t)
+       SELECT doc_id, $langCaseSql AS lang_pred FROM sc"""
+
+  /** The composed training-data chain: same quality/lang/token formulas
+    * as the individual oracles, filters, then exact-dedup survivors
+    * computed over the FILTERED set (min doc_id per identical text).
+    */
+  private def trainingDataOracle: String = {
+    val stopRatio =
+      s"""CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+          len(list_filter(toks, x -> list_contains($stopwordListSql, x)))::DOUBLE
+          / len(toks)::DOUBLE END"""
+    val punctRatio =
+      """CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         (length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]-]', '', 'g')))::DOUBLE
+         / length(text)::DOUBLE END"""
+    s"""WITH t AS (SELECT doc_id, text,
+          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks,
+          ' ' || lower(text) || ' ' AS p
+        FROM documents),
+      sc AS (SELECT doc_id, text, toks,
+          ${langScoreSql("en")} AS s_en, ${langScoreSql("de")} AS s_de,
+          ${langScoreSql("fr")} AS s_fr, ${langScoreSql("es")} AS s_es FROM t),
+      ann AS (SELECT doc_id, text,
+          round(
+            least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+            + least(($stopRatio) * 4.0, 1.0) * 0.4
+            + greatest(1.0 - ($punctRatio) * 5.0, 0.0) * 0.2, 6) AS quality,
+          $langCaseSql AS lang,
+          len(toks)::BIGINT AS n_tokens
+        FROM sc),
+      kept AS (SELECT * FROM ann
+        WHERE quality >= 0.5 AND lang IN ('en') AND n_tokens >= 10)
+      SELECT doc_id, quality, lang, n_tokens FROM kept
+      WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY text)"""
   }
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** The composed product use-case: prepare a raw document corpus for LLM
+  * training — quality scoring, language filtering, deduplication, token
+  * accounting — as one declarative chain.
+  *
+  * Every stage is column expressions or a digest-keyed groupBy, so the
+  * whole filter chain collapses into the scan projection and the only
+  * shuffle is the dedup's 16-byte-digest aggregation. Near-dup stages
+  * (minhashLsh / simhash) compose after this deterministic core.
+  */
+object TrainingData {
+
+  /** Deterministic preparation chain:
+    *  1. annotate quality / language / token count,
+    *  2. keep docs meeting the quality floor in accepted languages with
+    *     at least `minTokens` tokens,
+    *  3. exact-dedup survivors (min doc id per identical text).
+    *
+    * Returns the surviving docs with their annotations.
+    */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double, langs: Seq[String], minTokens: Int): DataFrame = {
+    val annotated = docs.select(
+      col(idCol),
+      col(textCol),
+      T.qualityScore(col(textCol)).as("quality"),
+      T.langId(col(textCol)).as("lang"),
+      T.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val kept = annotated.filter(
+      col("quality") >= minQuality &&
+        col("lang").isin(langs: _*) &&
+        col("n_tokens") >= minTokens)
+    Dedup.exactSurvivors(kept, idCol, Seq(textCol))
+      .select(col(idCol), col("quality"), col("lang"), col("n_tokens"))
+  }
+}

@@ -31,6 +31,14 @@ object Tables {
     schema.fold(r)(r.schema).load(path)
   }
 
+  /** Hive-style partitioned parquet write — the 100 TB layout: a filter
+    * on the partition column prunes whole directories before any file is
+    * opened (shows as PartitionFilters in the scan; asserted in
+    * PlanShapeSpec).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")

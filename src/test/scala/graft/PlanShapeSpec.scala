@@ -48,6 +48,18 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange"
   }
 
+  test("partition-column filters prune directories before reading files") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    Tables.writePartitioned(Tables.events(spark, dir), out, Seq("event_type"))
+    val scan = spark.read.parquet(out).filter(col("event_type") === "purchase")
+    val p = plan(scan)
+    p should include("PartitionFilters")
+    p should include("isnotnull(event_type")
+    scan.count() should be > 0L
+    // pruned scan reads only the one partition directory
+    scan.select(countDistinct("event_type")).head().getLong(0) shouldBe 1L
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the joined plan") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val s2 = spark.newSession()
