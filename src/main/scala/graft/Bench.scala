@@ -78,16 +78,25 @@ object Bench {
     try force(SparkEntry.queries("q1_pricing")(spark, sfDir))
     catch { case _: Throwable => }
 
+    // SPARK_GRAFT_ONLY=q1,q2 — iterate on a subset without paying for the
+    // whole suite ("throughput" enables the pipeline number)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+
     // best of 2: the first run pays codegen/JIT/page-cache; the min is the
     // stable number run-to-run
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try math.min(
-        time(force(fn(spark, sfDir))), time(force(fn(spark, sfDir))))
-      catch { case _: Throwable => -1.0 }
-      name -> sec
-    }
-    val throughput = math.max(
-      pipelineThroughput(spark, 2000000L), pipelineThroughput(spark, 2000000L))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val sec = try math.min(
+          time(force(fn(spark, sfDir))), time(force(fn(spark, sfDir))))
+        catch { case _: Throwable => -1.0 }
+        name -> sec
+      }
+    val throughput =
+      if (only.exists(!_.contains("throughput"))) 0.0
+      else math.max(
+        pipelineThroughput(spark, 2000000L), pipelineThroughput(spark, 2000000L))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -439,7 +439,7 @@ object SparkEntry {
     }),
     "sim_neighbors" -> ((s, dir) =>
       Similarity.neighborsWithinBuckets(Tables.embeddings(s, dir), "vec_id",
-        "embedding", dim = 64, k = 3, nBits = 4)
+        "embedding", dim = 64, k = 3, nBits = 12)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"), col("rank"))),
 
     // ---- multimodal plumbing (north star; decode is a marked stub) ----
@@ -783,7 +783,7 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
     "dedup_exact" ->
-      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      """SELECT md5(coalesce(text, chr(1))) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS dup_count FROM documents GROUP BY 1""",
     "dedup_ngram" ->
       s"""WITH t AS (SELECT doc_id, source, $trigramsSql AS g FROM documents)

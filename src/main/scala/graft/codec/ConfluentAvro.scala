@@ -142,37 +142,64 @@ object ConfluentAvro {
       copy(l, r)
   }
 
-  /** Decode a bare Avro body into a struct (schema fixed at plan time). */
+  /** Decode a bare Avro body into a struct (schema fixed at plan time).
+    *
+    * The Avro decoder and record are REUSED across rows (Avro's factory
+    * supports reconfiguring a `BinaryDecoder` onto new bytes and
+    * `GenericDatumReader.read` a previous record) — this is the hot loop
+    * of the pipeline throughput path, and per-row decoder/record
+    * allocation dominated it. State is ThreadLocal because local-mode
+    * tasks can share one deserialized expression tree across threads.
+    */
   case class AvroDecode(child: Expression, schemaJson: String)
       extends UnaryExpression with CodegenFallback {
     @transient private lazy val schema = parseSchema(schemaJson)
     @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
     @transient private lazy val fields = schema.getFields
+    @transient private lazy val state =
+      new ThreadLocal[(Array[org.apache.avro.io.BinaryDecoder],
+        Array[GenericRecord])]() {
+        override def initialValue() =
+          (new Array[org.apache.avro.io.BinaryDecoder](1), new Array[GenericRecord](1))
+      }
     override def dataType: DataType = structTypeFor(parseSchema(schemaJson))
     override def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
-      val dec = DecoderFactory.get().binaryDecoder(bytes, null)
-      val rec = reader.read(null, dec)
+      val (decHolder, recHolder) = state.get()
+      val dec = DecoderFactory.get().binaryDecoder(bytes, decHolder(0))
+      decHolder(0) = dec
+      val rec = reader.read(recHolder(0), dec)
+      recHolder(0) = rec
       val n = fields.size()
       val vals = new Array[Any](n)
       var i = 0
       while (i < n) { vals(i) = avroToCatalyst(rec.get(i)); i += 1 }
-      InternalRow.fromSeq(vals.toIndexedSeq)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
     }
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
 
-  /** Encode a struct into a bare Avro body. */
+  /** Encode a struct into a bare Avro body. Encoder, output buffer, and
+    * record are reused per thread (see [[AvroDecode]]).
+    */
   case class AvroEncode(child: Expression, schemaJson: String)
       extends UnaryExpression with CodegenFallback {
     @transient private lazy val schema = parseSchema(schemaJson)
     @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
+    @transient private lazy val state =
+      new ThreadLocal[(ByteArrayOutputStream,
+        Array[org.apache.avro.io.BinaryEncoder], GenericData.Record)]() {
+        override def initialValue() =
+          (new ByteArrayOutputStream(256),
+            new Array[org.apache.avro.io.BinaryEncoder](1),
+            new GenericData.Record(schema))
+      }
     override def dataType: DataType = BinaryType
     private lazy val inputType = child.dataType.asInstanceOf[StructType]
     override def nullSafeEval(input: Any): Any = {
       val row = input.asInstanceOf[InternalRow]
-      val rec = new GenericData.Record(schema)
+      val (bos, encHolder, rec) = state.get()
       val fields = schema.getFields
       var i = 0
       while (i < fields.size()) {
@@ -182,8 +209,9 @@ object ConfluentAvro {
         rec.put(i, catalystToAvro(v, f.schema()))
         i += 1
       }
-      val bos = new ByteArrayOutputStream()
-      val enc = EncoderFactory.get().binaryEncoder(bos, null)
+      bos.reset()
+      val enc = EncoderFactory.get().binaryEncoder(bos, encHolder(0))
+      encHolder(0) = enc
       writer.write(rec, enc)
       enc.flush()
       bos.toByteArray

@@ -92,19 +92,32 @@ object Similarity {
   }
 
   /** All-pairs top-k neighbors per row, blocked by an LSH bucket: for
-    * each id, its k most-similar bucket-mates. The per-group top-k is a
-    * window rank, shuffled once on the bucket key.
+    * each id, its k most-similar bucket-mates.
+    *
+    * Scale shape: nBits sizes buckets so the within-bucket self-join is
+    * ~N·avgBucketSize pairs, never N²/2^small; degenerate buckets (skewed
+    * regions of embedding space) are dropped by `maxBucketSize`, exactly
+    * like the dedup LSH paths. The per-id top-k windows on
+    * (bucket, id_a) — each id lives in exactly ONE bucket, so this equals
+    * per-id rank, and hash(bucket) from the join already satisfies the
+    * window's clustering: no second shuffle, only a partition-local sort
+    * of capped buckets.
     */
   def neighborsWithinBuckets(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, k: Int, nBits: Int = 8): DataFrame = {
+      dim: Int, k: Int, nBits: Int = 12, maxBucketSize: Int = 1000): DataFrame = {
     val bucketed = df.select(col(idCol), col(vecCol).as("v"),
       V.hyperplaneLshBucket(col(vecCol), nBits, dim).as("bucket"))
-    val a = bucketed.select(col(idCol).as("id_a"), col("v").as("v_a"), col("bucket"))
-    val b = bucketed.select(col(idCol).as("id_b"), col("v").as("v_b"), col("bucket"))
+    val keep = bucketed.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucketSize)).select("bucket")
+    val sized = bucketed.join(keep, Seq("bucket"))
+    val a = sized.select(col("bucket"), col(idCol).as("id_a"), col("v").as("v_a"))
+    val b = sized.select(col("bucket"), col(idCol).as("id_b"), col("v").as("v_b"))
     val pairs = a.join(b, Seq("bucket")).filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"), V.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .select(col("bucket"), col("id_a"), col("id_b"),
+        V.cosine(col("v_a"), col("v_b")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b"))
+      .partitionBy(col("bucket"), col("id_a")).orderBy(col("cosine").desc, col("id_b"))
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("id_a", "id_b", "cosine", "rank")
   }
 }
