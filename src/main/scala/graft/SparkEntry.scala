@@ -63,6 +63,15 @@ object SparkEntry {
       runPipe(Pipeline(Seq(Step(Processors.parseNum, Some("dlq_parse")),
         Step(Processors.add10))), in)
     }),
+    "pipe_error_route" -> ((s, dir) => {
+      // parseNum with NO dlq configured: errored rows fall through to the
+      // __error__ sink carrying the ORIGINAL message — P4 semantics
+      // (reference src/consumer.js:142-150, dlq[i] null)
+      val in = msgs(s, dir).withColumn("value",
+        when(col("key").cast("long") % 3 === 0, col("num").cast("string"))
+          .otherwise(col("value")))
+      runPipe(Pipeline(Seq(Step(Processors.parseNum), Step(Processors.add10))), in)
+    }),
 
     // ---- relational surface (SURVEY §2.3 — Catalyst-native) ----
     "q1_pricing" -> ((s, dir) =>
@@ -350,10 +359,16 @@ object SparkEntry {
         // so the value hashes identically to the oracle's
         .select(col("label"), col("dim"), (round(col("v"), 4) + lit(0.0)).as("centroid"))),
     "q_approx_distinct" -> ((s, dir) =>
-      // HLL sketch — approximate by design, no exact oracle (rows-only)
+      // HLL sketch with a verifiable contract: the sketch's estimate must
+      // land within 5% of the exact count (rsd=0.02 ⇒ ~2.5σ margin) — the
+      // oracle checks the boolean plus the exact count, turning an
+      // approximate op into a hash-matched row
       Tables.lineitem(s, dir).groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))),
+        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("__approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("__approx") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.05).as("approx_within_5pct"))),
     "q_sessionize" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
@@ -428,14 +443,29 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding", q, 10)
     }),
     "sim_ann_lsh" -> ((s, dir) => {
+      // recall contract, hash-checkable: every multi-probe ANN result must
+      // be a genuine near neighbor (inside the exact top-50) — the overlap
+      // count is computed in Spark against bruteForceTopK and asserted by
+      // the oracle
       val q = queryVec(s, dir)
-      Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", q,
-        k = 10, dim = 64, nBits = 8, probeHamming = 3)
+      val emb = Tables.embeddings(s, dir)
+      val ann = Similarity.annTopK(emb, "vec_id", "embedding", q,
+        k = 10, dim = 64, nBits = 8, probeHamming = 3).select("vec_id")
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 50)
+        .select(col("vec_id").as("__evid"))
+      ann.join(exact, col("vec_id") === col("__evid"), "left")
+        .agg(count(lit(1)).as("n_ann"), count(col("__evid")).as("n_in_exact_top50"))
     }),
     "sim_ivf" -> ((s, dir) => {
+      // same recall contract for the IVF probe path
       val q = queryVec(s, dir)
-      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding", q,
-        k = 10, dim = 64, nBits = 4, nProbe = 4)
+      val emb = Tables.embeddings(s, dir)
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", q,
+        k = 10, dim = 64, nBits = 4, nProbe = 4).select("vec_id")
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 50)
+        .select(col("vec_id").as("__evid"))
+      ivf.join(exact, col("vec_id") === col("__evid"), "left")
+        .agg(count(lit(1)).as("n_ivf"), count(col("__evid")).as("n_in_exact_top50"))
     }),
     "sim_neighbors" -> ((s, dir) =>
       Similarity.neighborsWithinBuckets(Tables.embeddings(s, dir), "vec_id",
@@ -465,6 +495,25 @@ object SparkEntry {
         .select(col("id"), col("out_w").cast("long").as("out_w"),
           col("out_h").cast("long").as("out_h"),
           length(col("out_bytes")).cast("long").as("out_len"))
+    }),
+    "mm_decode_real" -> ((s, dir) => {
+      // REAL codec round trip: synthetic PNGs (ImageIO encode) decoded
+      // back (ImageIO decode) — the oracle predicts dims from the id
+      val pngs = Multimodal.syntheticImages(s,
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+      Multimodal.decodeFeatures(s, pngs, "id", "payload")
+        .select(col("id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+    }),
+    "mm_resize_real" -> ((s, dir) => {
+      // real resize then REAL re-decode of the output bytes: reported
+      // dims come from decoding the resized PNG, not from the request
+      val pngs = Multimodal.syntheticImages(s,
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+      val resized = Multimodal.resizeImages(s, pngs, "id", "payload", w = 64, h = 64)
+      Multimodal.decodeFeatures(s, resized.toDF(), "id", "out_bytes")
+        .select(col("id"), col("width").cast("long").as("out_w"),
+          col("height").cast("long").as("out_h"))
     })
   )
 
@@ -500,6 +549,11 @@ object SparkEntry {
     "pipe_dlq_route" ->
       s"""WITH input AS (SELECT key, CASE WHEN key::BIGINT % 3 = 0 THEN num::VARCHAR ELSE value END AS value, num FROM ($msgSql))
          SELECT CASE WHEN key::BIGINT % 3 = 0 THEN 'target' ELSE 'dlq_parse' END AS topic,
+         key, value,
+         CASE WHEN key::BIGINT % 3 = 0 THEN num + 10 ELSE num END AS num FROM input""",
+    "pipe_error_route" ->
+      s"""WITH input AS (SELECT key, CASE WHEN key::BIGINT % 3 = 0 THEN num::VARCHAR ELSE value END AS value, num FROM ($msgSql))
+         SELECT CASE WHEN key::BIGINT % 3 = 0 THEN 'target' ELSE '__error__' END AS topic,
          key, value,
          CASE WHEN key::BIGINT % 3 = 0 THEN num + 10 ELSE num END AS num FROM input""",
 
@@ -558,6 +612,10 @@ object SparkEntry {
     "q_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
          count(DISTINCT l_suppkey) AS distinct_supps
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+         TRUE AS approx_within_5pct
          FROM lineitem GROUP BY l_returnflag""",
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
@@ -805,6 +863,24 @@ object SparkEntry {
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
          FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id = 0
          ORDER BY cosine DESC, b.vec_id LIMIT 10""",
+    // the recall contracts: all k approximate results are inside the exact
+    // top-50 (verified empirically at sf0.001/0.01/0.1; a recall
+    // regression breaks the hash)
+    "sim_ann_lsh" ->
+      "SELECT 10::BIGINT AS n_ann, 10::BIGINT AS n_in_exact_top50",
+    "sim_ivf" ->
+      "SELECT 10::BIGINT AS n_ivf, 10::BIGINT AS n_in_exact_top50",
+    "dedup_minhash" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, length(n)-4), i -> n[i:i+4])) AS g
+         FROM (SELECT doc_id,
+                 regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+               FROM documents)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.g, b.g))::DOUBLE
+             / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE, 6) AS jaccard
+           FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         SELECT * FROM p WHERE jaccard >= 0.4""",
 
     "mm_meta" ->
       """SELECT doc_id, 'image' AS media_type,
@@ -822,7 +898,13 @@ object SparkEntry {
          FROM documents""",
     "mm_resize" ->
       """SELECT doc_id AS id, 224::BIGINT AS out_w, 224::BIGINT AS out_h,
-         16::BIGINT AS out_len FROM documents"""
+         16::BIGINT AS out_len FROM documents""",
+    "mm_decode_real" ->
+      """SELECT doc_id AS id, (16 + doc_id % 32)::BIGINT AS width,
+         (16 + (doc_id * 7) % 32)::BIGINT AS height FROM documents""",
+    "mm_resize_real" ->
+      """SELECT doc_id AS id, 64::BIGINT AS out_w, 64::BIGINT AS out_h
+         FROM documents"""
   )
 
   private def stopwordListSql: String =

@@ -220,6 +220,23 @@ object ConfluentAvro {
       copy(child = c)
   }
 
+  /** Null-on-failure wrapper: evaluates the child, returns null if it
+    * throws. The per-message decode guard of the reference consumer loop
+    * (src/consumer.js:142-150 catches per message, counts
+    * messages_error_total, and keeps consuming) — without it one poison
+    * Kafka message kills the whole streaming query.
+    */
+  case class TryEval(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = child.dataType
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any =
+      try child.eval(input)
+      catch { case scala.util.control.NonFatal(_) => null }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ---- Column-level API ----
   // Spark 4 Columns wrap ColumnNodes, not Expressions; the classic
   // bridge converts both ways.
@@ -228,6 +245,13 @@ object ConfluentAvro {
   /** value bytes in Confluent wire format → decoded struct column. */
   def fromConfluentAvro(value: Column, schemaJson: String): Column =
     toCol(AvroDecode(ConfluentStrip(toExpr(value)), schemaJson))
+
+  /** Like [[fromConfluentAvro]] but null (instead of a query-killing
+    * throw) for malformed messages — bad framing, bad magic byte,
+    * truncated or corrupt Avro bodies.
+    */
+  def fromConfluentAvroSafe(value: Column, schemaJson: String): Column =
+    toCol(TryEval(AvroDecode(ConfluentStrip(toExpr(value)), schemaJson)))
 
   /** struct column → Confluent wire format bytes with the given id. */
   def toConfluentAvro(payload: Column, schemaJson: String, schemaId: Int): Column =

@@ -45,8 +45,13 @@ object ConfluentProto {
   // ---- wire primitives ----
 
   private def readVarint(b: Array[Byte], pos: Int): (Long, Int) = {
+    // bounded at 10 bytes / 64 bits like canonical proto parsers — an
+    // unbounded loop would wrap Scala's Long shift mod 64 on malformed
+    // input and decode garbage silently
     var v = 0L; var shift = 0; var p = pos
     while ({
+      if (shift >= 64) throw new IllegalArgumentException(
+        s"malformed varint at offset $pos: exceeds 10 bytes")
       val x = b(p)
       v |= (x & 0x7FL) << shift
       shift += 7; p += 1

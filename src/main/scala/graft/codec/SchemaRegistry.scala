@@ -1,0 +1,70 @@
+package graft.codec
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Driver-side Confluent Schema Registry client.
+  *
+  * The reference resolves subject → latest schema over HTTP once at
+  * startup (reference src/consumer.js:212-219 via
+  * @kafkajs/confluent-schema-registry) and never again per message; this
+  * client does the same: `latest(subject)` is an HTTP GET of
+  * `/subjects/{subject}/versions/latest`, cached for the lifetime of the
+  * client, so schema resolution happens on the DRIVER at plan-build time
+  * and the resolved schema JSON is baked into the decode/encode
+  * expressions as a literal. Nothing registry-related ever runs per row
+  * or per executor.
+  */
+final class SchemaRegistry(baseUrl: String,
+    connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 5000) {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, SchemaRegistry.Resolved]()
+
+  /** Latest registered schema under a subject (cached after first call). */
+  def latest(subject: String): SchemaRegistry.Resolved =
+    cache.computeIfAbsent(subject, fetch(_))
+
+  /** The Confluent convention: the value schema of topic T lives under
+    * subject "T-value".
+    */
+  def latestForTopic(topic: String): SchemaRegistry.Resolved =
+    latest(s"$topic-value")
+
+  private def fetch(subject: String): SchemaRegistry.Resolved = {
+    val enc = java.net.URLEncoder.encode(subject, "UTF-8")
+    val url = new URI(s"$baseUrl/subjects/$enc/versions/latest").toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestProperty("Accept", "application/vnd.schemaregistry.v1+json")
+    try {
+      val code = conn.getResponseCode
+      require(code == 200, s"schema registry GET $url returned $code")
+      val body = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      SchemaRegistry.parseResponse(body)
+    } finally conn.disconnect()
+  }
+}
+
+object SchemaRegistry {
+
+  /** One resolved registry entry: the wire-format schema id and the
+    * schema definition itself (Avro JSON).
+    */
+  final case class Resolved(id: Int, schemaJson: String)
+
+  /** Parse the registry's versions/latest payload:
+    * `{"subject": s, "version": v, "id": n, "schema": "<escaped json>"}`.
+    */
+  private[codec] def parseResponse(body: String): Resolved = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(body)
+    Resolved(
+      id = (j \ "id").extract[Int],
+      schemaJson = (j \ "schema").extract[String])
+  }
+}

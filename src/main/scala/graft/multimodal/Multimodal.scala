@@ -41,21 +41,89 @@ object Multimodal {
   case class DecodedMedia(id: Long, width: Int, height: Int,
       n_frames: Int, feature: Array[Float])
 
-  /** STUB decoder — deterministic fake deriving "dimensions" and a
-    * small feature vector from the payload bytes. A real implementation
-    * decodes `bytes` with a media library; everything around it
-    * (batch-per-partition iteration, output schema, distribution) is the
-    * production shape.
+  /** Media decoder: REAL decode for images (javax.imageio ships in the
+    * JDK — PNG/JPEG payloads are sniffed by magic bytes and decoded to
+    * true dimensions + a pixel-derived feature vector); audio/video
+    * remain a deterministic STUB (no codec libraries in this container) —
+    * same signature a javacv-style decoder would have, swap `fake` to go
+    * live.
     */
   object MediaDecoder {
-    def decode(id: Long, bytes: Array[Byte]): DecodedMedia = {
-      // ??? <- real decode goes here; deterministic fake below
+
+    /** PNG (\x89PNG) or JPEG (\xFF\xD8) magic. */
+    def looksLikeImage(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 4 &&
+        ((bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte &&
+          bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte) ||
+         (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte))
+
+    def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (!looksLikeImage(bytes)) None
+      else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+
+    def decode(id: Long, bytes: Array[Byte]): DecodedMedia =
+      readImage(bytes) match {
+        case Some(img) =>
+          val w = img.getWidth; val h = img.getHeight
+          // feature: mean RGB of a 2×2 pixel probe grid + normalized dims
+          val probes = for (py <- Seq(0, h - 1); px <- Seq(0, w - 1)) yield img.getRGB(px, py)
+          def mean(shift: Int) =
+            probes.map(p => ((p >> shift) & 0xFF).toFloat / 255f).sum / probes.length
+          val feat = Array(mean(16), mean(8), mean(0),
+            w.toFloat / 4096f, h.toFloat / 4096f,
+            (probes.head & 0xFF).toFloat / 255f,
+            (probes.last & 0xFF).toFloat / 255f, 1f)
+          DecodedMedia(id, w, h, 1, feat)
+        case None => fake(id, bytes)
+      }
+
+    /** Deterministic stand-in for payloads with no in-container codec
+      * (audio/video, or bytes that are not an image at all).
+      */
+    private[multimodal] def fake(id: Long, bytes: Array[Byte]): DecodedMedia = {
       val n = if (bytes == null) 0 else bytes.length
       val w = 64 + (n % 577)
       val h = 64 + ((n * 31) % 331)
       val feat = Array.tabulate(8)(i => ((n * (i + 3)) % 997).toFloat / 997f)
       DecodedMedia(id, w, h, 1 + n % 30, feat)
     }
+
+    /** Encode a deterministic synthetic PNG: id-seeded gradient fill —
+      * a REAL ImageIO encode, so downstream decode/resize exercise the
+      * actual codec while an oracle can predict dimensions from the id.
+      */
+    def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((id * 2654435761L + x * 31L + y * 131L) & 0xFFFFFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Real image resize (area-averaging scale + PNG re-encode) for image
+      * payloads; None for anything else (callers fall back to the stub).
+      */
+    def resizePng(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      readImage(bytes).map { src =>
+        val dst = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.drawImage(src.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING),
+          0, 0, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        bos.toByteArray
+      }
   }
 
   /** Distributed batched decode: `mapPartitions` over (id, payload) so a
@@ -80,9 +148,10 @@ object Multimodal {
   /** Batched resize: payloads flow through in fixed-size batches so a
     * real resizer (SIMD library, GPU) processes many images per call —
     * the batch shape `mapInPandas` gives Python for free, made explicit
-    * here with `grouped()`. The pixel work is STUBBED (deterministic
-    * output bytes derived from input length); everything around it is the
-    * production shape.
+    * here with `grouped()`. Image payloads get a REAL
+    * scale-and-re-encode ([[MediaDecoder.resizePng]]); non-image bytes
+    * keep the deterministic stub output so the plumbing stays testable
+    * without codec libraries.
     */
   def resizeImages(spark: SparkSession, df: DataFrame, idCol: String,
       payloadCol: String, w: Int, h: Int, batchSize: Int = 64): Dataset[ResizedMedia] = {
@@ -93,13 +162,32 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // a real impl calls resizeBatch(batch) on the native library here
           batch.iterator.map { case (id, bytes) =>
-            val n = if (bytes == null) 0 else bytes.length
-            // ??? <- real resize; deterministic fake: w*h header bytes
-            val out = Array.tabulate(math.min(16, w * h))(i => ((n + i) % 256).toByte)
+            val out = MediaDecoder.resizePng(bytes, w, h).getOrElse {
+              // stub for non-image payloads: w*h header bytes
+              val n = if (bytes == null) 0 else bytes.length
+              Array.tabulate(math.min(16, w * h))(i => ((n + i) % 256).toByte)
+            }
             ResizedMedia(id, w, h, out)
           }
         }
       }
+  }
+
+  /** Deterministic synthetic PNG corpus keyed by id — real ImageIO
+    * encodes with oracle-predictable dimensions
+    * (w = 16 + id % 32, h = 16 + id·7 % 32).
+    */
+  def syntheticImages(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 16 + (id % 32).toInt
+          val h = 16 + ((id * 7) % 32).toInt
+          (id, MediaDecoder.syntheticPng(id, w, h))
+        }
+      }
+      .toDF("id", "payload")
   }
 
   /** One sampled frame of a video payload. */

@@ -28,20 +28,25 @@ object AsofJoin {
       valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     // side marker sorts right (0) before left (1) at equal timestamps so
-    // a right row AT the left timestamp is visible to it (<= semantics)
+    // a right row AT the left timestamp is visible to it (<= semantics).
+    // The carried values travel as ONE struct: `last(ignoreNulls)` over
+    // the struct picks a whole right ROW (the struct is non-null whenever
+    // a right row exists, even if some of its fields are null), so a
+    // recent right row with a null field is not spliced with an older
+    // row's field. The struct also serves as the deterministic tiebreaker
+    // for right rows tied on (key, ts): the greatest value-tuple wins.
     val l = left.withColumn("__side", lit(1))
-    val r = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
-        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+    val r = right.select(col(keyCol), col(tsCol), lit(0).as("__side"),
+      struct(valueCols.map(col): _*).as("__r"))
     val u = l.unionByName(r, allowMissingColumns = true)
 
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.select((leftCols.map(col) :+ col("__side")) ++
-        valueCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*)
+    u.select((leftCols.map(col) :+ col("__side")) :+
+        last(col("__r"), ignoreNulls = true).over(w).as("__carried"): _*)
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"__carried.$c").as(c)): _*)
   }
 
   /** Range join: pairs (l, r) on the same key with

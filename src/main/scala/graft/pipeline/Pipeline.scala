@@ -215,8 +215,15 @@ final case class Pipeline(steps: Seq[Step], target: String = "target") {
         count(when(col("dropped_step") === i, 1))
           .as(s"step_${i}_${p.name}_dropped_total"))
     }
+    // steps applied per row: everything before the first drop/error index
+    // (that step itself ran — it dropped or threw), or the whole chain —
+    // the reference's processors_applied_total (src/metrics.js:12-17)
+    val firstStop = coalesce(col("error_step"), col("dropped_step"))
     val counters = Seq(
       count(lit(1)).as("messages_received_total"),
+      coalesce(sum(when(firstStop.isNotNull, firstStop + 1)
+        .otherwise(lit(steps.length))), lit(0L)).cast("long")
+        .as("processors_applied_total"),
       count(when(col("topic") === target, 1)).as("messages_completed_total"),
       count(when(col("topic") =!= target &&
         col("topic") =!= Routing.Dropped && col("topic") =!= Routing.Error, 1))

@@ -133,22 +133,39 @@ object StreamingOps {
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     private val totals = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    private val durationMs = new java.util.concurrent.atomic.AtomicLong()
+    private val batches = new java.util.concurrent.atomic.AtomicLong()
 
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
-      val metrics = e.progress.observedMetrics
-      if (metrics.containsKey("pipeline_metrics")) {
-        val row = metrics.get("pipeline_metrics")
-        row.schema.fieldNames.foreach { name =>
-          totals.merge(name, row.getAs[Long](name), (a, b) => a + b)
+      // merge every *_metrics observation by counter name — the chain's
+      // "pipeline_metrics" and the decode guard's "decode_metrics" both
+      // feed messages_error_total, like the reference's single registry
+      e.progress.observedMetrics.forEach { (obsName, row) =>
+        if (obsName.endsWith("_metrics")) {
+          row.schema.fieldNames.foreach { name =>
+            totals.merge(name, row.getAs[Long](name), (a, b) => a + b)
+          }
         }
+      }
+      // processing-duration seam: the reference histograms per-message
+      // duration (src/metrics.js:48-53); the closest per-batch analog is
+      // triggerExecution time, exported as histogram sum/count
+      Option(e.progress.durationMs.get("triggerExecution")).foreach { ms =>
+        durationMs.addAndGet(ms)
+        batches.incrementAndGet()
       }
     }
     def snapshot(): Map[String, Long] = {
       import scala.jdk.CollectionConverters._
       totals.asScala.toMap
     }
+    /** (total trigger-execution seconds, batch count) for the duration
+      * histogram exposition.
+      */
+    def durationSecondsAndBatches: (Double, Long) =
+      (durationMs.get() / 1000.0, batches.get())
   }
 
   /** Output row of [[statefulRunningCount]]. */

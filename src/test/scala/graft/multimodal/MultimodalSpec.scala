@@ -44,4 +44,31 @@ class MultimodalSpec extends SparkSpec {
     all(out.map(_.out_w)) shouldBe 32
     all(out.map(_.out_bytes.length)) shouldBe 16
   }
+
+  test("real ImageIO decode: known PNG round-trips to true dimensions") {
+    val bytes = Multimodal.MediaDecoder.syntheticPng(42L, 20, 10)
+    Multimodal.MediaDecoder.looksLikeImage(bytes) shouldBe true
+    val d = Multimodal.MediaDecoder.decode(42L, bytes)
+    (d.width, d.height, d.n_frames) shouldBe ((20, 10, 1))
+    d.feature.length shouldBe 8
+  }
+
+  test("real resize: output PNG decodes to the requested dimensions") {
+    val bytes = Multimodal.MediaDecoder.syntheticPng(7L, 33, 21)
+    val out = Multimodal.MediaDecoder.resizePng(bytes, 5, 6)
+    out should not be empty
+    val d = Multimodal.MediaDecoder.decode(7L, out.get)
+    (d.width, d.height) shouldBe ((5, 6))
+  }
+
+  test("distributed real path: syntheticImages -> decodeFeatures true dims") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 33L).toDF("doc_id")
+    val pngs = Multimodal.syntheticImages(spark, ids, "doc_id")
+    val out = Multimodal.decodeFeatures(spark, pngs, "id", "payload")
+      .collect().map(d => d.id -> ((d.width, d.height))).toMap
+    out(0L) shouldBe ((16, 16))
+    out(1L) shouldBe ((17, 23))
+    out(33L) shouldBe ((17, 16 + (33 * 7) % 32))
+  }
 }
