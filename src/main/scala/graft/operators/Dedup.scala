@@ -43,6 +43,7 @@ object Dedup {
     * bucket, `a.id < b.id`, distinct. `maxBucketSize` drops degenerate
     * buckets (a bucket of size s yields s²/2 pairs — one hot bucket can
     * dominate the whole job at scale; standard LSH practice is to cap).
+    *
     */
   private def candidatePairs(buckets: DataFrame, idCol: String,
       maxBucketSize: Int = 1000): DataFrame = {
@@ -79,36 +80,73 @@ object Dedup {
     val shingled = df.select(col(idCol),
       ArrayOps.shingleHashes(
         regexp_replace(trim(lower(col(textCol))), "\\s+", " "), shingleN).as("sh"))
-    val sig = shingled.select(col(idCol), col("sh"),
+    val sig = shingled.select(col(idCol),
       V.minhashSignatureOfHashes(col("sh"), numHashes).as("sig"))
     val bucketed = sig
-      .select(col(idCol),
+      .select(col(idCol), col("sig"),
         explode(V.minhashBands(col("sig"), numHashes, bands)).as("bandStruct"))
-      .select(col(idCol),
+      .select(col(idCol), col("sig"),
         concat_ws(":", col("bandStruct.band"), col("bandStruct.bucket")).as("bucket"))
-    val pairs = candidatePairs(bucketed, idCol)
 
-    // two-stage verify: candidate pairs first move ONLY the k-long
-    // signatures (fixed 16×8 bytes/side), the positional-agreement
-    // estimate prunes far pairs (most band collisions), and only the
-    // survivors — ~1/15 of candidates at a 0.4 threshold — join the full
-    // shingle-hash arrays for the exact merge-walk Jaccard. Band false
-    // positives never shuffle a wide array anywhere.
-    val sigById = sig.select(col(idCol).as("__id"), col("sig"))
-    val shById = shingled.select(col(idCol).as("__id"), col("sh"))
+    // candidate generation in ONE shuffle: group by band-bucket, emit
+    // pairs per bucket with the signature-agreement estimate applied
+    // INLINE — a sub-estimate pair is never materialized, never joined,
+    // never shuffled (the naive bucket self-join materializes every band
+    // collision; on a template-heavy corpus that is ~20% of the full
+    // cross product). Oversized buckets are dropped at the same point.
+    // Only estimate survivors — a tiny fraction — reach the exact verify
+    // join, which attaches full shingle-hash arrays (broadcast-sized per
+    // id) and runs the merge-walk Jaccard.
     val estMin = math.max(0.0, threshold - estimateSlack)
-    val survivors = pairs
-      .join(sigById.select(col("__id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigById.select(col("__id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .filter(ArrayOps.positionalAgreeCount(col("sig_a"), col("sig_b"))
-        .cast("double") / numHashes >= estMin)
-      .select("id_a", "id_b")
+    val minAgree = math.ceil(estMin * numHashes - 1e-9).toInt
+    val survivors = lshCandidatePairs(bucketed, idCol, minAgree, maxBucketSize = 1000)
+    val shById = shingled.select(col(idCol).as("__id"), col("sh"))
     survivors
       .join(shById.select(col("__id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shById.select(col("__id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         ArrayOps.jaccardSortedLong(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Candidate pairs from an (id, sig, bucket) relation in one shuffle:
+    * group by bucket, generate `id_a < id_b` pairs per bucket, keep only
+    * pairs whose signatures agree on >= `minAgree` of the k positions.
+    * Buckets larger than `maxBucketSize` are dropped whole (degenerate
+    * buckets are quadratic; standard LSH capping). State per group is
+    * bounded by the cap, so a skewed bucket cannot blow an executor.
+    */
+  private def lshCandidatePairs(bucketed: DataFrame, idCol: String,
+      minAgree: Int, maxBucketSize: Int): DataFrame = {
+    val spark = bucketed.sparkSession
+    import spark.implicits._
+    bucketed.select(col("bucket"), col(idCol).cast("long"), col("sig"))
+      .as[(String, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val m = it.take(maxBucketSize + 1).toArray
+        if (m.length > maxBucketSize) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          var i = 0
+          while (i < m.length) {
+            var j = i + 1
+            while (j < m.length) {
+              val sa = m(i)._3; val sb = m(j)._3
+              var agree = 0; var k = 0
+              while (k < sa.length) { if (sa(k) == sb(k)) agree += 1; k += 1 }
+              if (agree >= minAgree) {
+                if (m(i)._2 < m(j)._2) out += ((m(i)._2, m(j)._2))
+                else out += ((m(j)._2, m(i)._2))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("id_a", "id_b").distinct()
   }
 
   /** SimHash near-dup: 64-bit signature, bucket on 4 × 16-bit chunks
@@ -126,16 +164,23 @@ object Dedup {
       struct(lit(c).as("chunk"),
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("bits"))
     }
-    val bucketed = sigs.select(col(idCol), explode(array(chunks: _*)).as("b"))
-      .select(col(idCol), concat_ws(":", col("b.chunk"), col("b.bits")).as("bucket"))
-    val pairs = candidatePairs(bucketed, idCol)
-    val byId = sigs.select(col(idCol).as("__id"), col("sig"))
-    pairs
-      .join(byId.select(col("__id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(byId.select(col("__id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+    val bucketed = sigs.select(col(idCol), col("sig"), explode(array(chunks: _*)).as("b"))
+      .select(col(idCol), col("sig"),
+        concat_ws(":", col("b.chunk"), col("b.bits")).as("bucket"))
+    // the 8-byte signature rides through the bucket self-join (no re-join
+    // per side, no re-tokenize/re-simhash per branch); hamming is
+    // functionally dependent on the pair, so filter-then-distinct keeps
+    // it in the output
+    val keep = bucketed.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= 1000).select("bucket")
+    val sized = bucketed.join(keep, Seq("bucket"))
+    val a = sized.select(col("bucket"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = sized.select(col("bucket"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         V.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Word-n-gram Jaccard near-dup within explicit blocks (e.g. same
