@@ -117,8 +117,11 @@ object Multimodal {
         val dst = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = dst.createGraphics()
-        g.drawImage(src.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING),
-          0, 0, null)
+        // direct bilinear drawImage — getScaledInstance(SCALE_AREA_AVERAGING)
+        // is an order of magnitude slower (lazy filtered producer per call)
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
         g.dispose()
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(dst, "png", bos)
@@ -179,7 +182,12 @@ object Multimodal {
     */
   def syntheticImages(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
+    // a small parquet scan is one partition; per-row codec work needs the
+    // cores, so spread the 8-byte ids BEFORE generating payloads (the
+    // same shape a production media pipeline uses ahead of CPU-bound
+    // decode over a few dense input files)
     df.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { id =>
           val w = 16 + (id % 32).toInt
