@@ -34,6 +34,25 @@ final class SchemaRegistry(baseUrl: String,
   def latestForTopic(topic: String): SchemaRegistry.Resolved =
     latest(s"$topic-value")
 
+  /** All registered subjects (GET /subjects) — the catalog-sync input
+    * (reference scripts/pipelines/getTopicsAndSchemas.js:62-70). Not
+    * cached: sync runs want fresh listings.
+    */
+  def subjects(): Seq[String] = {
+    val url = new URI(s"$baseUrl/subjects").toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestProperty("Accept", "application/vnd.schemaregistry.v1+json")
+    try {
+      val code = conn.getResponseCode
+      require(code == 200, s"schema registry GET $url returned $code")
+      val body = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      implicit val fmts: Formats = DefaultFormats
+      JsonMethods.parse(body).extract[Seq[String]]
+    } finally conn.disconnect()
+  }
+
   private def fetch(subject: String): SchemaRegistry.Resolved = {
     val enc = java.net.URLEncoder.encode(subject, "UTF-8")
     val url = new URI(s"$baseUrl/subjects/$enc/versions/latest").toURL

@@ -28,6 +28,8 @@ class SchemaRegistrySpec extends AnyFunSuite with Matchers {
       hits.incrementAndGet()
       val path = ex.getRequestURI.getPath
       val body = path match {
+        case "/subjects" =>
+          """["events-value","out-value"]"""
         case "/subjects/events-value/versions/latest" =>
           s"""{"subject":"events-value","version":3,"id":7,"schema":"${escape(inSchema)}"}"""
         case "/subjects/out-value/versions/latest" =>
@@ -63,6 +65,12 @@ class SchemaRegistrySpec extends AnyFunSuite with Matchers {
       reg.latest("events-value")
       reg.latestForTopic("events") // same subject via the -value convention
       hits.get() shouldBe 1
+    }
+  }
+
+  test("lists all subjects for catalog sync") {
+    withStubRegistry { (url, _) =>
+      new SchemaRegistry(url).subjects() shouldBe Seq("events-value", "out-value")
     }
   }
 

@@ -61,4 +61,43 @@ class SimilaritySpec extends SparkSpec {
       rowsOfA.map(_.getAs[Int]("rank")).sorted shouldBe (1 to rowsOfA.length)
     }
   }
+
+  test("neighborsWithinBuckets cosines are never better than brute force") {
+    // spot-verify vs the exact answer: each reported neighbor's cosine is
+    // a genuine pairwise cosine, so an id's rank-1 within-bucket neighbor
+    // cannot beat its true (global) best neighbor
+    val r = Similarity.neighborsWithinBuckets(vecs, "vec_id", "embedding",
+      dim = 4, k = 1, nBits = 2).collect()
+    r should not be empty
+    r.foreach { row =>
+      val id = row.getAs[Long]("id_a")
+      val q = vecs.filter(col("vec_id") === id)
+        .select(col("embedding")).head().getSeq[Double](0)
+      val best = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") =!= id), "vec_id", "embedding", q, 1)
+        .head().getDouble(1)
+      row.getAs[Double]("cosine") should be <= best + 1e-9
+    }
+  }
+
+  test("neighborsWithinBuckets top-k reuses the bucket join partitioning") {
+    // the (bucket, id) window must NOT reshuffle by id: each id lives in
+    // one bucket, so hash(bucket) from the shuffled join already clusters
+    // the window's keys. With broadcast disabled (the at-scale shape),
+    // every Exchange in the plan partitions on bucket alone.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Similarity.neighborsWithinBuckets(vecs, "vec_id", "embedding",
+        dim = 4, k = 2, nBits = 2).queryExecution.executedPlan.toString
+      plan should include("Window")
+      val partitionings = "hashpartitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      partitionings should not be empty
+      partitionings.foreach { keys =>
+        keys should include("bucket")
+        keys should not include "id_a"
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
