@@ -231,10 +231,12 @@ object SparkEntry {
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(round(sum("l_quantity"), 2))),
     "q_percentile" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"))
-        .select(posexplode(col("ps")).as(Seq("q", "v")))
-        .select(col("q"), round(col("v"), 4).as("price_q"))),
+      // distributed exact quantiles (range sort + flanking-row lookup),
+      // NOT the percentile aggregate, which buffers all values in one
+      // aggregation state and cannot survive 100 TB
+      graft.operators.Quantiles.exactQuantiles(
+        Tables.lineitem(s, dir), "l_extendedprice", Seq(0.25, 0.5, 0.75))
+        .select(col("q"), round(col("value"), 4).as("price_q"))),
     "q_stats" -> ((s, dir) =>
       Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
         (round(corr(col("l_quantity"), col("l_extendedprice")), 6) + lit(0.0)).as("corr_qty_price"),

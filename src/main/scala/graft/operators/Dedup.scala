@@ -203,7 +203,12 @@ object Dedup {
       (col(idCol).as("id_a") +: blockCols.map(col)) :+ col("g").as("g_a"): _*)
     val b = grams.select(
       (col(idCol).as("id_b") +: blockCols.map(col)) :+ col("g").as("g_b"): _*)
-    a.join(b, blockCols).filter(col("id_a") < col("id_b"))
+    // size-ratio prune (exact, not approximate): |∩| <= min(|a|,|b|) and
+    // |∪| >= max(|a|,|b|), so jaccard <= min/max — pairs failing the
+    // ratio can never reach the threshold and skip the merge-walk
+    val sizeOk = least(size(col("g_a")), size(col("g_b"))).cast("double") >=
+      greatest(size(col("g_a")), size(col("g_b"))) * threshold
+    a.join(b, blockCols).filter(col("id_a") < col("id_b") && sizeOk)
       .select(col("id_a"), col("id_b"),
         round(ArrayOps.jaccardSortedLong(col("g_a"), col("g_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+
+/** Exact interpolated quantiles (SQL `percentile_cont` semantics) at
+  * scale.
+  *
+  * Spark's exact `percentile` aggregate buffers EVERY value in a single
+  * aggregation state and sorts it in one task — at 100 TB that is an
+  * executor OOM, not a query plan. This operator instead runs a
+  * distributed RANGE sort (each partition holds a bounded slice), indexes
+  * the sorted rows, and reads back only the two rows flanking each
+  * quantile position; the shuffle files are written once and every
+  * follow-up job reuses them as skipped stages. Peak memory per task is
+  * one partition slice, independent of total rows.
+  */
+object Quantiles {
+
+  /** Quantiles of `valueCol` at `probs` (0 <= p <= 1), linearly
+    * interpolated at position p·(n-1) like `percentile`/`quantile_cont`.
+    * Output: (q int — index into probs, price-style value double).
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, probs: Seq[Double],
+      outCols: (String, String) = ("q", "value")): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "probs must be within [0, 1]")
+    val spark = df.sparkSession
+    val sorted = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double")).sort(col(valueCol))
+      .rdd.map(_.getDouble(0))
+      .zipWithIndex() // one count pass; sort shuffle reused afterwards
+    val n = sorted.count()
+    val rows: Seq[Row] =
+      if (n == 0) Seq.empty
+      else {
+        // the at-most-2·|probs| flanking positions
+        val positions = probs.map(p => p * (n - 1))
+        val needed = positions.flatMap(pos =>
+          Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).toSet
+        val byIdx = sorted.filter { case (_, i) => needed.contains(i) }
+          .map(_.swap).collectAsMap()
+        probs.zip(positions).zipWithIndex.map { case ((_, pos), qi) =>
+          val lo = byIdx(math.floor(pos).toLong)
+          val hi = byIdx(math.ceil(pos).toLong)
+          Row(qi, lo + (pos - math.floor(pos)) * (hi - lo))
+        }
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField(outCols._1, IntegerType, nullable = false),
+        StructField(outCols._2, DoubleType, nullable = false))))
+  }
+}

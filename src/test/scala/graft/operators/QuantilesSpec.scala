@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class QuantilesSpec extends SparkSpec {
+
+  test("exactQuantiles matches the exact percentile aggregate") {
+    import spark.implicits._
+    val df = (1 to 1001).map(i => (i.toLong, (i * 37 % 1000).toDouble))
+      .toDF("id", "v")
+    val probs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val viaAgg = df
+      .agg(expr(s"percentile(v, array(${probs.mkString(",")}))").as("ps"))
+      .select(posexplode(col("ps"))).collect().map(_.getDouble(1))
+    val viaSort = Quantiles.exactQuantiles(df, "v", probs)
+      .orderBy("q").collect().map(_.getDouble(1))
+    viaSort.zip(viaAgg).foreach { case (a, b) => a shouldBe b +- 1e-9 }
+  }
+
+  test("interpolates between flanking rows and ignores nulls") {
+    import spark.implicits._
+    val df = Seq(Some(10.0), None, Some(20.0), Some(30.0), None)
+      .toDF("v")
+    val r = Quantiles.exactQuantiles(df, "v", Seq(0.25, 0.5))
+      .orderBy("q").collect().map(_.getDouble(1))
+    r(0) shouldBe 15.0 +- 1e-9 // pos 0.5 between 10 and 20
+    r(1) shouldBe 20.0 +- 1e-9
+  }
+
+  test("empty input yields empty output") {
+    import spark.implicits._
+    val df = Seq.empty[Double].toDF("v")
+    Quantiles.exactQuantiles(df, "v", Seq(0.5)).count() shouldBe 0L
+  }
+}
