@@ -377,6 +377,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n"))),
+    "q_sliding_events" -> ((s, dir) =>
+      // 1h windows sliding every 30min: each event lands in exactly 2
+      // epoch-aligned windows; Spark assigns inside the aggregation, no
+      // self-join
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))),
 
     // ---- text analysis (north star) ----
     "text_tokens" -> ((s, dir) =>
@@ -784,6 +792,13 @@ object SparkEntry {
          SELECT user_id, min(ts) AS session_start,
            max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n
          FROM s GROUP BY user_id, sid""",
+
+    "q_sliding_events" ->
+      """SELECT make_timestamp(((floor(epoch(ts::TIMESTAMP)/1800)*1800 - i*1800)
+               * 1000000)::BIGINT) AS window_start,
+             event_type, count(*) AS n
+         FROM events CROSS JOIN generate_series(0, 1) AS t(i)
+         GROUP BY 1, 2""",
 
     "text_tokens" ->
       """SELECT doc_id, CASE WHEN trim(text) = '' THEN 0

@@ -67,6 +67,26 @@ object StreamingOps {
       .select((col("window.start").as("window_start") +:
         groupCols.map(col)) :+ col("n") :+ col("sum_value"): _*)
 
+  /** Sliding-window aggregate: each event contributes to width/slide
+    * overlapping windows (Spark explodes the assignment inside the
+    * aggregation — no self-join).
+    */
+  def slidingCounts(events: DataFrame, tsCol: String, width: String,
+      slide: String, watermark: String, groupCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), width, slide) +: groupCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+      .select((col("window.start").as("window_start") +:
+        groupCols.map(col)) :+ col("n"): _*)
+
+  /** Stream-static enrichment join: the static dimension is broadcast to
+    * every task, so the stream never shuffles — the Spark-native version
+    * of the reference's driver-side catalog caches (consumer.js:55,74)
+    * applied to data-plane enrichment. Works identically over batch.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Session windows with a gap — stateful sessionization. */
   def sessionAgg(events: DataFrame, tsCol: String, gap: String,
       watermark: String, keyCol: String): DataFrame =

@@ -192,4 +192,38 @@ class StreamingOpsSpec extends SparkSpec {
     out should contain((ts(0), "a", 2L, 3.0))
     out should contain((ts(5), "b", 1L, 3.0))
   }
+
+  test("sliding windows assign each event to width/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val t0 = Timestamp.valueOf("2026-01-01 00:07:00")
+    in.addData((t0, "a"))
+    in.addData((new Timestamp(t0.getTime + 3600000L), "a")) // advance watermark
+    val agg = StreamingOps.slidingCounts(
+      in.toDF().toDF("ts", "k"), "ts", "10 minutes", "5 minutes",
+      "1 minute", Seq("k"))
+    runToMemory(agg, "slide_out", OutputMode.Append())
+    val starts = spark.table("slide_out").filter(col("n") === 1)
+      .select("window_start").collect().map(_.getTimestamp(0).toString).sorted
+    // event at 00:07 belongs to [00:00,00:10) and [00:05,00:15)
+    starts should contain allOf("2026-01-01 00:00:00.0", "2026-01-01 00:05:00.0")
+  }
+
+  test("stream-static enrich broadcasts the dimension (no stream shuffle)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("k", "label")
+    val in = MemoryStream[String]
+    in.addData("a", "b", "c")
+    val joined = StreamingOps.enrich(in.toDF().toDF("k"), dim, Seq("k"))
+    runToMemory(joined, "enrich_out")
+    val out = spark.table("enrich_out").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    out shouldBe Set(("a", Some("alpha")), ("b", Some("beta")), ("c", None))
+    // batch plan shape: broadcast join, no Exchange on the stream side
+    val batchPlan = StreamingOps.enrich(
+      Seq("a").toDF("k"), dim, Seq("k")).queryExecution.executedPlan.toString
+    batchPlan should include("BroadcastHashJoin")
+  }
 }
