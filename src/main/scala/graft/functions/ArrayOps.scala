@@ -127,15 +127,30 @@ object ArrayOps {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String]
-      val m = s.numChars() - (n - 1)
+      val numChars = s.numChars()
+      val m = numChars - (n - 1)
       if (m <= 0) new GenericArrayData(Array.empty[Long])
       else {
+        // one pass to index char -> byte offset, then hash each window's
+        // byte slice in place. substringSQL per window would copy and
+        // re-scan from the string head (O(len²) on multi-byte text).
+        val base = s.getBaseObject
+        val baseOff = s.getBaseOffset
+        val numBytes = s.numBytes
+        val charOff = new Array[Int](numChars + 1)
+        var b = 0; var c = 0
+        while (b < numBytes) {
+          charOff(c) = b
+          b += UTF8String.numBytesForFirstByte(org.apache.spark.unsafe.Platform.getByte(base, baseOff + b))
+          c += 1
+        }
+        charOff(numChars) = numBytes
         val hs = new Array[Long](m)
         var i = 0
         while (i < m) {
-          val sub = s.substringSQL(i + 1, n)
-          hs(i) = XXH64.hashUnsafeBytes(sub.getBaseObject, sub.getBaseOffset,
-            sub.numBytes, 42L)
+          val start = charOff(i)
+          hs(i) = XXH64.hashUnsafeBytes(base, baseOff + start,
+            charOff(i + n) - start, 42L)
           i += 1
         }
         java.util.Arrays.sort(hs)
