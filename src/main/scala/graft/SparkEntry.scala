@@ -390,6 +390,10 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), T.tokenCount(col("text")).cast("long").as("n_tokens"))),
+    "text_subwords" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          T.subwordCount(col("text")).cast("long").as("n_subwords"))),
     "text_quality" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -827,6 +831,10 @@ object SparkEntry {
                  / length(text)::DOUBLE END) * 5.0, 0.0) * 0.2, 6) AS quality
          FROM t""",
     "text_langid" -> langIdOracle,
+    "text_subwords" ->
+      """SELECT doc_id, len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT
+         AS n_subwords FROM documents""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]

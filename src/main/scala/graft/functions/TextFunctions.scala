@@ -26,6 +26,23 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer segment pattern: contractions, letter
+    * runs, digit runs, punctuation runs (each with an optional leading
+    * space), whitespace runs. Kept RE2-compatible (no lookahead) so SQL
+    * engines replicate it byte-for-byte.
+    */
+  val subwordPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token-count estimate for data budgeting: counts GPT-2
+    * pre-tokenizer segments (every BPE token boundary is also a
+    * pre-token boundary, so this lower-bounds the true BPE count;
+    * English text runs ~1.3 BPE tokens per segment). Codegen'd
+    * regexp_count — no UDF.
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit(subwordPattern))
+
   /** Lowercased whitespace tokens — canonical form for dedup/fingerprints. */
   def normTokens(text: Column): Column = tokens(lower(text))
 

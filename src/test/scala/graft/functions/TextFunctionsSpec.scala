@@ -18,6 +18,17 @@ class TextFunctionsSpec extends SparkSpec {
     one("  padded words ", T.tokenCount(col("text"))) shouldBe 2
   }
 
+  test("subwordCount: GPT-2-style pre-tokenizer segments") {
+    one("", T.subwordCount(col("text"))) shouldBe 0
+    // "Hello", " world" -> 2 segments; punctuation separate
+    one("Hello world", T.subwordCount(col("text"))) shouldBe 2
+    one("Hello, world!", T.subwordCount(col("text"))) shouldBe 4
+    // contraction suffix is its own segment: "don" + "'t"
+    one("don't", T.subwordCount(col("text"))) shouldBe 2
+    // digit runs split from letters: "x" + "42"
+    one("x42", T.subwordCount(col("text"))) shouldBe 2
+  }
+
   test("charShingles: n-grams of normalized text, short text is empty") {
     one("ab", T.charShingles(col("text"), 3)) shouldBe Seq()
     one("abcd", T.charShingles(col("text"), 3)) shouldBe Seq("abc", "bcd")
