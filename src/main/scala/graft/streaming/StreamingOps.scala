@@ -191,6 +191,57 @@ object StreamingOps {
   /** Output row of [[statefulRunningCount]]. */
   case class KeyCount(key: String, n: Long)
 
+  /** Output row of [[statefulRunningAgg]]. */
+  case class KeyAgg(key: String, n: Long, total: Double)
+
+  private case class AggState(n: Long, total: Double)
+
+  /** StatefulProcessor behind [[statefulRunningAgg]]: one typed
+    * ValueState per key, optional TTL handled by the state store.
+    */
+  private class RunningAggProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double), KeyAgg] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[AggState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[AggState]("agg",
+        org.apache.spark.sql.Encoders.product[AggState], ttl)
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[KeyAgg] = {
+      val prev = if (state.exists()) state.get() else AggState(0L, 0.0)
+      var n = prev.n; var total = prev.total
+      rows.foreach { r => n += 1; total += r._2 }
+      state.update(AggState(n, total))
+      Iterator(KeyAgg(key, n, total))
+    }
+  }
+
+  /** Cross-batch running count+sum per key via `transformWithState` —
+    * Spark 4's arbitrary-state API (typed state variables, store-managed
+    * TTL, timers), the successor to (flat)MapGroupsWithState. Requires
+    * the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`), which also gives
+    * the 100 TB state story: state lives off-heap/on-disk per partition
+    * with changelog checkpointing, not in executor heap.
+    *
+    * `ttl` expires idle keys' state (processing-time) so unbounded key
+    * spaces cannot grow state forever; pass None for no expiry.
+    */
+  def statefulRunningAgg(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, keyCol: String, valueCol: String,
+      ttl: Option[java.time.Duration] = None): Dataset[KeyAgg] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    val ttlConf = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    events.select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningAggProcessor(ttlConf),
+        timeMode, OutputMode.Update())
+  }
+
   /** Custom cross-batch state via flatMapGroupsWithState: a running count
     * per key that survives micro-batch boundaries — the primitive behind
     * any "counter/accumulator/session object per key" operator the

@@ -210,6 +210,36 @@ class StreamingOpsSpec extends SparkSpec {
     starts should contain allOf("2026-01-01 00:00:00.0", "2026-01-01 00:05:00.0")
   }
 
+  test("transformWithState running agg accumulates across micro-batches (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(String, Double)]
+      val agg = StreamingOps.statefulRunningAgg(
+        spark, in.toDF().toDF("k", "v"), "k", "v")
+      val q = agg.toDF().writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Update()).start()
+      in.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+      q.processAllAvailable()
+      in.addData(("a", 4.0))
+      q.processAllAvailable()
+      q.stop()
+      val latest = spark.table("tws_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      latest("a") shouldBe (("a", 3L, 7.0))
+      latest("b") shouldBe (("b", 1L, 10.0))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static enrich broadcasts the dimension (no stream shuffle)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
