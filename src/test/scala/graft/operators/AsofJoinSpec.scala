@@ -31,6 +31,32 @@ class AsofJoinSpec extends SparkSpec {
     out(4L) shouldBe Some(200.0) // keys don't leak across
   }
 
+  test("asof carries the most recent right ROW even when its value is null") {
+    import spark.implicits._
+    // the latest quote has a null px: the left row must see that null,
+    // NOT an older row's non-null px spliced in
+    val left = Seq(("k", ts("2026-01-01 00:10:00"), 1)).toDF("k", "ts", "i")
+    val right = Seq(
+      ("k", ts("2026-01-01 00:01:00"), Some(9.0)),
+      ("k", ts("2026-01-01 00:05:00"), Option.empty[Double]))
+      .toDF("k", "ts", "v")
+    val out = AsofJoin.asof(left, right, "k", "ts", Seq("v")).head()
+    Option(out.getAs[Any]("v")) shouldBe None
+  }
+
+  test("asof ties on (key, ts) resolve deterministically to the greatest values") {
+    import spark.implicits._
+    val left = Seq(("k", ts("2026-01-01 00:10:00"), 1)).toDF("k", "ts", "i")
+    val right = Seq(
+      ("k", ts("2026-01-01 00:05:00"), 1.0),
+      ("k", ts("2026-01-01 00:05:00"), 7.0),
+      ("k", ts("2026-01-01 00:05:00"), 3.0)).toDF("k", "ts", "v")
+    (1 to 3).foreach { _ =>
+      AsofJoin.asof(left, right, "k", "ts", Seq("v"))
+        .head().getAs[Double]("v") shouldBe 7.0
+    }
+  }
+
   test("asof result row count equals left row count (left join semantics)") {
     import spark.implicits._
     val left = Seq(("k", ts("2026-01-01 00:00:01"), 1), ("k", ts("2026-01-01 00:00:02"), 2))
