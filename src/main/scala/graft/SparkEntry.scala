@@ -525,6 +525,17 @@ object SparkEntry {
         .select(col("id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
     }),
+    "mm_audio_real" -> ((s, dir) => {
+      // REAL audio round trip: synthetic 16 kHz mono WAVs (javax.sound
+      // encode) decoded back; frame count and duration predictable from id
+      val wavs = Multimodal.syntheticAudio(s,
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+      Multimodal.audioFeatures(s, wavs, "id", "payload")
+        .select(col("id"), col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames").cast("long").as("n_frames"),
+          (col("n_frames") * 1000 / col("sample_rate")).cast("long").as("duration_ms"))
+    }),
     "mm_resize_real" -> ((s, dir) => {
       // real resize then REAL re-decode of the output bytes: reported
       // dims come from decoding the resized PNG, not from the request
@@ -935,6 +946,11 @@ object SparkEntry {
          (16 + (doc_id * 7) % 32)::BIGINT AS height FROM documents""",
     "mm_resize_real" ->
       """SELECT doc_id AS id, 64::BIGINT AS out_w, 64::BIGINT AS out_h
+         FROM documents""",
+    "mm_audio_real" ->
+      """SELECT doc_id AS id, 16000::BIGINT AS sample_rate, 1::BIGINT AS channels,
+         (4000 + (doc_id % 100) * 16)::BIGINT AS n_frames,
+         ((4000 + (doc_id % 100) * 16) * 1000 / 16000)::BIGINT AS duration_ms
          FROM documents"""
   )
 

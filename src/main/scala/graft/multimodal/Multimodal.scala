@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column support: image/audio/video payloads as opaque
   * `binary` columns with a typed metadata struct alongside.
   *
-  * The Spark-side plumbing (schema, partition-wise batched decode,
-  * column shapes) is real and tested; the actual media decode is STUBBED
-  * (no image/audio libraries in this container) behind
-  * `MediaDecoder.decode` — a deterministic fake with the signature a real
-  * decoder (e.g. javacv / TwelveMonkeys ImageIO) would have. Swap that
-  * one function to go live.
+  * Decode is REAL for images (javax.imageio: PNG/JPEG decode, resize,
+  * re-encode) and audio (javax.sound: WAV decode/encode) — both ship in
+  * the JDK. Video remains a deterministic STUB behind
+  * `MediaDecoder.fake` (no video codec in this container); it keeps the
+  * signature a javacv-style decoder would have — swap that one function
+  * to go live. The Spark-side plumbing (schema, partition-wise batched
+  * decode, column shapes, explicit repartition ahead of CPU-bound codec
+  * work) is the production shape throughout.
   */
 object Multimodal {
 
@@ -109,6 +111,51 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** RIFF/WAVE magic. */
+    def looksLikeWav(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 12 &&
+        bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+        bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte &&
+        bytes(8) == 'W'.toByte && bytes(9) == 'A'.toByte &&
+        bytes(10) == 'V'.toByte && bytes(11) == 'E'.toByte
+
+    /** Real WAV decode (javax.sound ships in the JDK): sample rate,
+      * channels, frame count. None for non-WAV payloads.
+      */
+    def decodeWav(bytes: Array[Byte]): Option[(Float, Int, Long)] =
+      if (!looksLikeWav(bytes)) None
+      else {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          Some((fmt.getSampleRate, fmt.getChannels, in.getFrameLength))
+        } finally in.close()
+      }
+
+    /** Deterministic synthetic WAV: mono 16-bit PCM sine at an id-derived
+      * frequency — a REAL javax.sound encode with oracle-predictable
+      * frame count.
+      */
+    def syntheticWav(id: Long, sampleRate: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val pcm = new Array[Byte](nFrames * 2)
+      val freq = 110.0 + (id % 32) * 55.0
+      var i = 0
+      while (i < nFrames) {
+        val s = (math.sin(2 * math.Pi * freq * i / sampleRate) * 16384).toInt
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
     /** Real image resize (area-averaging scale + PNG re-encode) for image
       * payloads; None for anything else (callers fall back to the stub).
       */
@@ -174,6 +221,44 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** One decoded audio payload's header features. */
+  case class AudioMeta(id: Long, sample_rate: Int, channels: Int, n_frames: Long)
+
+  /** Distributed REAL audio decode (WAV via the JDK's javax.sound):
+    * header features per payload; non-WAV payloads are skipped. Same
+    * batched-partition shape as [[decodeFeatures]].
+    */
+  def audioFeatures(spark: SparkSession, df: DataFrame,
+      idCol: String, payloadCol: String): Dataset[AudioMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaDecoder.decodeWav(bytes).map { case (rate, ch, frames) =>
+            AudioMeta(id, rate.toInt, ch, frames)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic WAV corpus keyed by id — real javax.sound
+    * encodes, frame count oracle-predictable (4000 + id % 100 · 16 at
+    * 16 kHz mono, so durations are whole milliseconds).
+    */
+  def syntheticAudio(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          (id, MediaDecoder.syntheticWav(id, sampleRate = 16000,
+            nFrames = 4000 + (id % 100).toInt * 16))
+        }
+      }
+      .toDF("id", "payload")
   }
 
   /** Deterministic synthetic PNG corpus keyed by id — real ImageIO

@@ -61,6 +61,24 @@ class MultimodalSpec extends SparkSpec {
     (d.width, d.height) shouldBe ((5, 6))
   }
 
+  test("real WAV round trip: javax.sound encode decodes to true header") {
+    val wav = Multimodal.MediaDecoder.syntheticWav(5L, sampleRate = 8000, nFrames = 1234)
+    Multimodal.MediaDecoder.looksLikeWav(wav) shouldBe true
+    val Some((rate, ch, frames)) = Multimodal.MediaDecoder.decodeWav(wav)
+    (rate, ch, frames) shouldBe ((8000f, 1, 1234L))
+    Multimodal.MediaDecoder.decodeWav("not audio".getBytes) shouldBe None
+  }
+
+  test("distributed real audio path: syntheticAudio -> audioFeatures") {
+    import spark.implicits._
+    val ids = Seq(0L, 7L).toDF("doc_id")
+    val wavs = Multimodal.syntheticAudio(spark, ids, "doc_id")
+    val out = Multimodal.audioFeatures(spark, wavs, "id", "payload")
+      .collect().map(a => a.id -> a.n_frames).toMap
+    out(0L) shouldBe 4000L
+    out(7L) shouldBe (4000L + 7 * 16)
+  }
+
   test("distributed real path: syntheticImages -> decodeFeatures true dims") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 33L).toDF("doc_id")
