@@ -23,6 +23,29 @@ class DedupSpec extends SparkSpec {
     dupRow.getAs[Long]("keep_id") shouldBe 1L
   }
 
+  test("exact dedup: null-vs-position does not collide across columns") {
+    import spark.implicits._
+    // concat_ws would silently skip NULLs, making ("a", null, "b") and
+    // ("a", "b", null) identical; the per-column sentinel keeps them apart
+    val rows = Seq(
+      (1L, Some("a"), Option.empty[String], Some("b")),
+      (2L, Some("a"), Some("b"), Option.empty[String]),
+      (3L, Some("a"), Option.empty[String], Some("b")) // true dup of 1
+    ).toDF("id", "c1", "c2", "c3")
+    val r = Dedup.exact(rows, "id", Seq("c1", "c2", "c3")).collect()
+    r.length shouldBe 2
+    r.find(_.getAs[Long]("dup_count") == 2L).get.getAs[Long]("keep_id") shouldBe 1L
+  }
+
+  test("exact dedup: null content and empty content are distinct groups") {
+    import spark.implicits._
+    val rows = Seq((1L, Option.empty[String]), (2L, Some("")), (3L, Option.empty[String]))
+      .toDF("id", "text")
+    val r = Dedup.exact(rows, "id", Seq("text")).collect()
+    r.length shouldBe 2
+    r.find(_.getAs[Long]("dup_count") == 2L).get.getAs[Long]("keep_id") shouldBe 1L
+  }
+
   test("exactSurvivors keeps min-id rows only") {
     val ids = Dedup.exactSurvivors(docs, "doc_id", Seq("text"))
       .select("doc_id").collect().map(_.getLong(0)).sorted
