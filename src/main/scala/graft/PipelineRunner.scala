@@ -88,9 +88,15 @@ object PipelineRunner {
     */
   def decodeAndRoute(source: DataFrame, spec: PipelineDef,
       inSchemaJson: String, outSchemaJson: String, outSchemaId: Int): DataFrame = {
+    // poison messages count toward BOTH received and error here, so the
+    // listener's merged totals keep the reference's conservation
+    // invariant (received = completed + dlq + dropped + error): the
+    // chain's own observation adds the successfully-decoded rows to
+    // received, this one adds the failures
     val decoded = source
       .select(ConfluentAvro.fromConfluentAvroSafe(col("value"), inSchemaJson).as("m"))
       .observe("decode_metrics",
+        count(when(col("m").isNull, 1)).as("messages_received_total"),
         count(when(col("m").isNull, 1)).as("messages_error_total"))
       .filter(col("m").isNotNull)
       .select("m.key", "m.value", "m.num")

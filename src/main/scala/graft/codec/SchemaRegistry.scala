@@ -39,23 +39,16 @@ final class SchemaRegistry(baseUrl: String,
     * cached: sync runs want fresh listings.
     */
   def subjects(): Seq[String] = {
-    val url = new URI(s"$baseUrl/subjects").toURL
-    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
-    conn.setConnectTimeout(connectTimeoutMs)
-    conn.setReadTimeout(readTimeoutMs)
-    conn.setRequestProperty("Accept", "application/vnd.schemaregistry.v1+json")
-    try {
-      val code = conn.getResponseCode
-      require(code == 200, s"schema registry GET $url returned $code")
-      val body = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
-      implicit val fmts: Formats = DefaultFormats
-      JsonMethods.parse(body).extract[Seq[String]]
-    } finally conn.disconnect()
+    implicit val fmts: Formats = DefaultFormats
+    JsonMethods.parse(get("/subjects")).extract[Seq[String]]
   }
 
-  private def fetch(subject: String): SchemaRegistry.Resolved = {
-    val enc = java.net.URLEncoder.encode(subject, "UTF-8")
-    val url = new URI(s"$baseUrl/subjects/$enc/versions/latest").toURL
+  private def fetch(subject: String): SchemaRegistry.Resolved =
+    SchemaRegistry.parseResponse(
+      get(s"/subjects/${SchemaRegistry.pathSegment(subject)}/versions/latest"))
+
+  private def get(path: String): String = {
+    val url = new URI(s"$baseUrl$path").toURL
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
@@ -63,8 +56,7 @@ final class SchemaRegistry(baseUrl: String,
     try {
       val code = conn.getResponseCode
       require(code == 200, s"schema registry GET $url returned $code")
-      val body = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
-      SchemaRegistry.parseResponse(body)
+      new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
     } finally conn.disconnect()
   }
 }
@@ -75,6 +67,13 @@ object SchemaRegistry {
     * schema definition itself (Avro JSON).
     */
   final case class Resolved(id: Int, schemaJson: String)
+
+  /** Percent-encode one URL PATH segment. URLEncoder alone is
+    * form-encoding: it turns a space into '+', which the registry would
+    * read as a literal plus in the subject name.
+    */
+  private[codec] def pathSegment(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
 
   /** Parse the registry's versions/latest payload:
     * `{"subject": s, "version": v, "id": n, "schema": "<escaped json>"}`.

@@ -45,33 +45,6 @@ object ArrayOps {
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedLongIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Count of positions where two equal-length long arrays agree —
-    * the MinHash signature estimate (`agree / k ≈ jaccard`). A native
-    * positional walk instead of `aggregate(zip_with(...))`, which is
-    * interpreted per element per row; on the LSH candidate join this
-    * expression runs once per candidate pair.
-    */
-  case class PositionalAgreeCount(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
-    override def dataType: DataType = IntegerType
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
-      var i = 0; var c = 0
-      while (i < n) {
-        if (x.getLong(i) == y.getLong(i)) c += 1
-        i += 1
-      }
-      c
-    }
-    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-      copy(l, r)
-  }
-
-  def positionalAgreeCount(a: Column, b: Column): Column =
-    Bridge.column(PositionalAgreeCount(Bridge.expression(a), Bridge.expression(b)))
-
   /** Jaccard similarity of two sorted, distinct long arrays:
     * |∩| / (|a| + |b| - |∩|).
     */

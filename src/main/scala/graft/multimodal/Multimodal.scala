@@ -61,7 +61,11 @@ object Multimodal {
 
     def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (!looksLikeImage(bytes)) None
-      else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch {
+        // valid magic, corrupt body: one bad file must not kill the job
+        case scala.util.control.NonFatal(_) => None
+      }
 
     def decode(id: Long, bytes: Array[Byte]): DecodedMedia =
       readImage(bytes) match {
@@ -124,13 +128,16 @@ object Multimodal {
       */
     def decodeWav(bytes: Array[Byte]): Option[(Float, Int, Long)] =
       if (!looksLikeWav(bytes)) None
-      else {
+      else try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
           val fmt = in.getFormat
           Some((fmt.getSampleRate, fmt.getChannels, in.getFrameLength))
         } finally in.close()
+      } catch {
+        // valid RIFF magic, corrupt body: skip, don't kill the job
+        case scala.util.control.NonFatal(_) => None
       }
 
     /** Deterministic synthetic WAV: mono 16-bit PCM sine at an id-derived

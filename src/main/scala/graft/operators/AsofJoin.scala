@@ -40,8 +40,17 @@ object AsofJoin {
       struct(valueCols.map(col): _*).as("__r"))
     val u = l.unionByName(r, allowMissingColumns = true)
 
+    // the struct tiebreaker only when every value type is orderable
+    // (maps etc. cannot appear in ORDER BY — such calls keep working,
+    // just without deterministic tie resolution)
+    val orderable = valueCols.forall(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        right.schema(c).dataType))
+    val ordering =
+      if (orderable) Seq(col(tsCol), col("__side"), col("__r"))
+      else Seq(col(tsCol), col("__side"))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"), col("__r"))
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.select((leftCols.map(col) :+ col("__side")) :+
         last(col("__r"), ignoreNulls = true).over(w).as("__carried"): _*)

@@ -72,10 +72,20 @@ object Dedup {
     * band collision (band FPs are mostly far pairs).
     *
     * Returns (id_a, id_b, jaccard) for pairs with jaccard >= threshold.
+    * `idCol` must be long-castable (the one-shuffle pair generator works
+    * on primitive ids; hash string ids to 64-bit first if needed).
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, shingleN: Int = 5,
-      threshold: Double = 0.5, estimateSlack: Double = 0.25): DataFrame = {
+      threshold: Double = 0.5, estimateSlack: Double = 0.25,
+      maxBucketSize: Int = 1000): DataFrame = {
+    // the one-shuffle pair generator works on primitive longs; a silent
+    // cast of string ids could both NPE and collapse distinct ids
+    require(Set("ByteType", "ShortType", "IntegerType", "LongType")
+      .contains(df.schema(idCol).dataType.toString),
+      s"minhashLsh needs an integral id column; got " +
+        s"${df.schema(idCol).dataType.simpleString} — hash string ids to " +
+        "64-bit (xxhash64) upstream first")
     // one native pass over the normalized string (see ArrayOps.ShingleHashes)
     val shingled = df.select(col(idCol),
       ArrayOps.shingleHashes(
@@ -99,7 +109,7 @@ object Dedup {
     // id) and runs the merge-walk Jaccard.
     val estMin = math.max(0.0, threshold - estimateSlack)
     val minAgree = math.ceil(estMin * numHashes - 1e-9).toInt
-    val survivors = lshCandidatePairs(bucketed, idCol, minAgree, maxBucketSize = 1000)
+    val survivors = lshCandidatePairs(bucketed, idCol, minAgree, maxBucketSize)
     val shById = shingled.select(col(idCol).as("__id"), col("sh"))
     survivors
       .join(shById.select(col("__id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -154,7 +164,7 @@ object Dedup {
     * of 4 chunks — pigeonhole), verify Hamming on candidates.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     // tokens in their own projection: simhash64 references them multiple
     // times and attribute reads are free while re-tokenizing is not
     val sigs = df
@@ -172,7 +182,7 @@ object Dedup {
     // functionally dependent on the pair, so filter-then-distinct keeps
     // it in the output
     val keep = bucketed.groupBy("bucket").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= 1000).select("bucket")
+      .filter(col("__n") <= maxBucketSize).select("bucket")
     val sized = bucketed.join(keep, Seq("bucket"))
     val a = sized.select(col("bucket"), col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = sized.select(col("bucket"), col(idCol).as("id_b"), col("sig").as("sig_b"))

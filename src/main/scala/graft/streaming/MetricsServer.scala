@@ -44,6 +44,9 @@ final class MetricsServer(listener: StreamingOps.PipelineMetricsListener,
     // the per-message histogram has no distributed analog, SURVEY §7.3)
     val (sumSec, n) = listener.durationSecondsAndBatches
     sb.append("# TYPE message_processing_duration_seconds histogram\n")
+    // the +Inf bucket is mandatory for valid histogram exposition
+    sb.append("message_processing_duration_seconds_bucket{le=\"+Inf\"} ")
+      .append(n).append('\n')
     sb.append("message_processing_duration_seconds_sum ").append(sumSec).append('\n')
     sb.append("message_processing_duration_seconds_count ").append(n).append('\n')
     sb.toString

@@ -59,16 +59,20 @@ class MetricsServerSpec extends SparkSpec {
 
       // poll: listener events arrive asynchronously after the batch
       val deadline = System.nanoTime() + 10e9.toLong
-      while (listener.snapshot().getOrElse("messages_received_total", 0L) < 3L &&
+      while (listener.snapshot().getOrElse("messages_received_total", 0L) < 4L &&
         System.nanoTime() < deadline) Thread.sleep(50)
 
       val m = listener.snapshot()
-      m("messages_received_total") shouldBe 3L   // decoded rows entering the chain
+      m("messages_received_total") shouldBe 4L   // ALL consumed, incl. poison
       m("messages_error_total") shouldBe 1L      // the poison message
       m("processors_applied_total") shouldBe 6L  // 3 rows × 2 steps
       m("messages_completed_total") shouldBe 2L  // num ∈ {0, 2}
       m("messages_dropped_total") shouldBe 1L    // num = 1 fails isEven
       m("messages_dlq_total") shouldBe 0L
+      // the reference's conservation invariant holds across observations
+      m("messages_received_total") shouldBe
+        m("messages_completed_total") + m("messages_dlq_total") +
+        m("messages_dropped_total") + m("messages_error_total")
 
       // sink payload is the OUTGOING schema + id, not the incoming
       val out = spark.table("metrics_e2e").collect()
