@@ -145,6 +145,64 @@ object ArrayOps {
   def shingleHashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
 
+  /** Sorted distinct xxhash64 values of word n-grams from a token array —
+    * hash-identical to `array_sort(array_distinct(transform(
+    * wordNgramsOfTokens(toks, n), xxhash64)))` (same space-joined bytes,
+    * same seed 42) without materializing n shifted slices, the zipped
+    * string array, or any interpreted lambda. One reusable byte buffer
+    * per row.
+    */
+  case class WordNgramHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n > 0, "ngram width must be positive")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val total = arr.numElements()
+      val m = total - (n - 1)
+      if (m <= 0) new GenericArrayData(Array.empty[Long])
+      else {
+        val toks = new Array[UTF8String](total)
+        var i = 0
+        while (i < total) { toks(i) = arr.getUTF8String(i); i += 1 }
+        val BYTE_OFF = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+        var buf = new Array[Byte](64)
+        val hs = new Array[Long](m)
+        var w = 0
+        while (w < m) {
+          var len = n - 1 // the joining spaces
+          var k = 0
+          while (k < n) { len += toks(w + k).numBytes; k += 1 }
+          if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length * 2))
+          var off = 0
+          k = 0
+          while (k < n) {
+            if (k > 0) { buf(off) = ' '; off += 1 }
+            val t = toks(w + k)
+            t.writeToMemory(buf, BYTE_OFF + off)
+            off += t.numBytes
+            k += 1
+          }
+          hs(w) = XXH64.hashUnsafeBytes(buf, BYTE_OFF, len, 42L)
+          w += 1
+        }
+        java.util.Arrays.sort(hs)
+        var out = 0
+        var j = 0
+        while (j < m) {
+          if (out == 0 || hs(j) != hs(out - 1)) { hs(out) = hs(j); out += 1 }
+          j += 1
+        }
+        new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def wordNgramHashes(tokens: Column, n: Int): Column =
+    Bridge.column(WordNgramHashes(Bridge.expression(tokens), n))
+
   /** 64-bit SimHash of a string-token array in one native pass: hash each
     * token once (xxhash64, Spark seed 42 — identical to
     * `transform(tokens, xxhash64)`), accumulate per-bit counts, pack the

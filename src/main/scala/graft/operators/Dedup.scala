@@ -202,13 +202,13 @@ object Dedup {
       blockCols: Seq[String], n: Int = 3, threshold: Double = 0.4): DataFrame = {
     // grams hashed to longs: pairwise set ops compare 8-byte ints, not
     // strings, and the self-join shuffles fixed-width arrays. Jaccard is
-    // unchanged up to 2^-64 hash collisions.
+    // unchanged up to 2^-64 hash collisions. One native pass builds the
+    // sorted distinct gram hashes (see ArrayOps.WordNgramHashes).
     val grams = df
       .select((col(idCol) +: blockCols.map(col)) :+
         T.normTokens(col(textCol)).as("__toks"): _*)
       .select((col(idCol) +: blockCols.map(col)) :+
-        array_sort(array_distinct(transform(T.wordNgramsOfTokens(col("__toks"), n),
-          s => xxhash64(s)))).as("g"): _*)
+        ArrayOps.wordNgramHashes(col("__toks"), n).as("g"): _*)
     val a = grams.select(
       (col(idCol).as("id_a") +: blockCols.map(col)) :+ col("g").as("g_a"): _*)
     val b = grams.select(

@@ -41,6 +41,25 @@ class ArrayOpsSpec extends SparkSpec {
     native(0) should not be empty
   }
 
+  test("wordNgramHashes equals the composed column pipeline, incl. multibyte tokens") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    import org.apache.spark.sql.functions.{array_distinct, array_sort, transform, xxhash64}
+    val texts = Seq("the quick brown fox jumps", "one two", "", "中文 字符 串 测试 again")
+    val df = texts.toDF("text")
+    val native = df
+      .select(ArrayOps.wordNgramHashes(T.normTokens(col("text")), 3))
+      .collect().map(_.getSeq[Long](0))
+    val composed = df
+      .select(T.normTokens(col("text")).as("t"))
+      .select(array_sort(array_distinct(transform(
+        T.wordNgramsOfTokens(col("t"), 3), s => xxhash64(s)))))
+      .collect().map(_.getSeq[Long](0))
+    native shouldBe composed
+    native(0) should have length 3
+    native(1) shouldBe empty // fewer tokens than n
+  }
+
   test("jaccardSortedLong matches generic jaccard on sorted inputs") {
     import spark.implicits._
     val df = Seq(
