@@ -445,7 +445,12 @@ object SparkEntry {
         estimateSlack = 0.05)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", maxHamming = 8)),
+      // md5 kernel + maxHamming+1 chunk blocking: the output equals the
+      // exact all-pairs hamming<=8 set (pigeonhole), and the DuckDB
+      // oracle rebuilds the signatures from md5() alone — full hash check
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 8, kernel = "md5")
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardBlocked(Tables.documents(s, dir), "doc_id", "text",
         Seq("source"), n = 3, threshold = 0.4)),
@@ -453,8 +458,11 @@ object SparkEntry {
       Dedup.embeddingCosineBlocked(Tables.embeddings(s, dir), "vec_id",
         "embedding", Seq("label"), threshold = 0.4)),
     "dedup_embedding_lsh" -> ((s, dir) =>
+      // md5-Rademacher planes: DuckDB rebuilds the same buckets, so the
+      // bucketed candidate set (not just the cosine filter) is oracle-
+      // checked exactly
       Dedup.embeddingCosine(Tables.embeddings(s, dir), "vec_id", "embedding",
-        dim = 64, nBits = 8, threshold = 0.4)
+        dim = 64, nBits = 6, threshold = 0.4, kernel = "md5")
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
 
     // ---- similarity search (north star) ----
@@ -488,8 +496,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_ivf"), count(col("__evid")).as("n_in_exact_top50"))
     }),
     "sim_neighbors" -> ((s, dir) =>
+      // md5-Rademacher planes — bucketing, cap, pairs, and per-id ranks
+      // all replicated by the DuckDB oracle (full hash check)
       Similarity.neighborsWithinBuckets(Tables.embeddings(s, dir), "vec_id",
-        "embedding", dim = 64, k = 3, nBits = 12)
+        "embedding", dim = 64, k = 3, nBits = 12, kernel = "md5")
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"), col("rank"))),
+    "sim_knn_exact" -> ((s, dir) =>
+      // exact quadratic ground truth (broadcast nested-loop + per-id
+      // window) — the recall yardstick for the LSH paths
+      Similarity.knnJoinExact(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, k = 3)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"), col("rank"))),
 
     // ---- multimodal plumbing (north star; decode is a marked stub) ----
@@ -923,6 +939,65 @@ object SparkEntry {
              / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE, 6) AS jaccard
            FROM t a JOIN t b ON a.doc_id < b.doc_id)
          SELECT * FROM p WHERE jaccard >= 0.4""",
+    // exact simhash replication: 60-bit md5 token hashes -> per-bit
+    // majority vote -> all-pairs hamming. The Spark side's chunk blocking
+    // is pigeonhole-complete at maxHamming=8 (9 chunks), so blocked
+    // output == this all-pairs set.
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+           SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS tok
+           FROM documents),
+         h AS (SELECT doc_id, $md5Hash60Sql AS hv
+           FROM (SELECT doc_id, md5(tok) AS m FROM toks)),
+         bits AS (
+           SELECT doc_id, b AS bit,
+             count(*) FILTER (WHERE ((hv >> b) & 1) = 1) AS ones,
+             count(*) AS n
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+           GROUP BY doc_id, b),
+         sig0 AS (SELECT doc_id,
+             sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sig
+           FROM bits GROUP BY doc_id),
+         sigs AS (SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+           FROM documents d LEFT JOIN sig0 s USING (doc_id))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 8""",
+    // exact hyperplane-LSH replication: md5-Rademacher planes rebuilt in
+    // SQL, same bucket join + cap + cosine threshold as the operator
+    "dedup_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (SELECT vec_id, v, ${lshBucketSql("v", 6)} AS bucket FROM e),
+         keep AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 1000),
+         s AS (SELECT b.* FROM b JOIN keep USING (bucket))
+         SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, bb.v), 6) AS cosine
+         FROM s a JOIN s bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         WHERE list_cosine_similarity(a.v, bb.v) >= 0.4""",
+    "sim_neighbors" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (SELECT vec_id, v, ${lshBucketSql("v", 12)} AS bucket FROM e),
+         keep AS (SELECT bucket FROM b GROUP BY bucket
+                  HAVING count(*) BETWEEN 2 AND 1000),
+         s AS (SELECT b.* FROM b JOIN keep USING (bucket)),
+         p AS (SELECT a.bucket, a.vec_id AS id_a, bb.vec_id AS id_b,
+             list_cosine_similarity(a.v, bb.v) AS c
+           FROM s a JOIN s bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id),
+         r AS (SELECT id_a, id_b, c, row_number() OVER (
+             PARTITION BY bucket, id_a ORDER BY c DESC, id_b) AS rank FROM p)
+         SELECT id_a, id_b, round(c, 6) AS cosine, rank::INT AS rank
+         FROM r WHERE rank <= 3""",
+    "sim_knn_exact" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS c
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         r AS (SELECT id_a, id_b, c, row_number() OVER (
+             PARTITION BY id_a ORDER BY c DESC, id_b) AS rank FROM p)
+         SELECT id_a, id_b, round(c, 6) AS cosine, rank::INT AS rank
+         FROM r WHERE rank <= 3""",
 
     "mm_meta" ->
       """SELECT doc_id, 'image' AS media_type,
@@ -958,6 +1033,26 @@ object SparkEntry {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
       "that", "for", "on", "with", "as")
       .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** 60-bit value from the first 15 hex nibbles of md5 hex column `m` —
+    * replicates [[graft.functions.ArrayOps.Md5Kernel.hash60]] in DuckDB
+    * (15 nibbles keeps every shift below BIGINT overflow).
+    */
+  private val md5Hash60Sql: String =
+    """list_sum(list_transform(generate_series(1, 15),
+       k -> (strpos('0123456789abcdef', substr(m, k, 1)) - 1)::BIGINT << (4 * (15 - k))))"""
+
+  /** Hyperplane-LSH bucket of DOUBLE[] column `vec` with md5-Rademacher
+    * planes — replicates `hyperplaneLshBucket(_, nBits, 64, "md5")`:
+    * plane(i)(j) = +1 iff the first md5 nibble of "i:j" is < 8; bit i set
+    * iff the sequential dot product is >= 0.
+    */
+  private def lshBucketSql(vec: String, nBits: Int): String =
+    s"""list_sum(list_transform(generate_series(0, ${nBits - 1}), i ->
+       CASE WHEN list_dot_product($vec, list_transform(generate_series(0, 63), j ->
+         CASE WHEN strpos('01234567', substr(md5(i || ':' || j), 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END)) >= 0
+       THEN (1::BIGINT << i) ELSE 0 END))"""
 
   /** trigram word n-grams of lower/trim text, distinct, as DuckDB SQL. */
   private def trigramsSql: String =

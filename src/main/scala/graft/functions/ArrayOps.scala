@@ -203,23 +203,66 @@ object ArrayOps {
   def wordNgramHashes(tokens: Column, n: Int): Column =
     Bridge.column(WordNgramHashes(Bridge.expression(tokens), n))
 
-  /** 64-bit SimHash of a string-token array in one native pass: hash each
-    * token once (xxhash64, Spark seed 42 — identical to
-    * `transform(tokens, xxhash64)`), accumulate per-bit counts, pack the
-    * majority vote. Replaces an interpreted aggregate-of-zip_with chain
-    * that allocated a 64-int array per token.
+  /** Hash kernels shared by the SimHash / hyperplane-LSH expressions.
+    *
+    * "xxhash" is the fast default (XXH64, Spark seed 42). "md5" exists so
+    * an external SQL engine can replicate the signatures bit-for-bit from
+    * nothing but standard `md5()` + integer arithmetic — that is what
+    * turns the LSH operators from rows-only checks into exact DuckDB
+    * oracles (the driver's t2 gate). MD5 on short tokens costs ~100 ns,
+    * irrelevant next to the shuffle these ops feed.
     */
-  case class SimHash64(child: Expression)
+  object Md5Kernel {
+    private val md = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+    /** First 15 hex nibbles of MD5(bytes) as a 60-bit non-negative long —
+      * exactly `(strpos-parse of substr(md5(x), 1, 15))` in SQL. 60 bits
+      * keeps every SQL-side shift below the BIGINT overflow boundary.
+      */
+    def hash60(bytes: Array[Byte]): Long = {
+      val d = md.get().digest(bytes)
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+      v >>> 4 // drop the 16th nibble: 15 nibbles = 60 bits
+    }
+
+    /** Rademacher ±1 from MD5("i:j"): +1 iff the first hex nibble is < 8,
+      * i.e. `strpos('01234567', substr(md5(i||':'||j), 1, 1)) > 0`.
+      */
+    def sign(i: Int, j: Int): Double = {
+      val d = md.get().digest(s"$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((d(0) & 0x80) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** 64-bit SimHash of a string-token array in one native pass: hash each
+    * token once, accumulate per-bit counts, pack the majority vote.
+    * Replaces an interpreted aggregate-of-zip_with chain that allocated a
+    * 64-int array per token.
+    *
+    * `kernel` picks the per-token hash: "xxhash" (XXH64 seed 42 —
+    * identical to `transform(tokens, xxhash64)`) or "md5" (low 60 bits of
+    * MD5 — SQL-replicable, see [[Md5Kernel]]; bits 60-63 are always 0).
+    */
+  case class SimHash64(child: Expression, kernel: String = "xxhash")
       extends UnaryExpression with CodegenFallback {
+    require(kernel == "xxhash" || kernel == "md5", s"unknown kernel $kernel")
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val counts = new Array[Int](64)
+      val useMd5 = kernel == "md5"
       var i = 0
       while (i < n) {
         val t = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+        val h =
+          if (useMd5) Md5Kernel.hash60(t.getBytes)
+          else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
         var b = 0
         while (b < 64) {
           counts(b) += ((h >>> b) & 1L).toInt
@@ -239,8 +282,8 @@ object ArrayOps {
       copy(child = c)
   }
 
-  def simhash64Native(tokens: Column): Column =
-    Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def simhash64Native(tokens: Column, kernel: String = "xxhash"): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens), kernel))
 
   /** MinHash signature of a pre-hashed long array in one native pass:
     * k affine permutations h_i(x) = (a_i·x + b_i) mod p over the Mersenne
@@ -287,18 +330,25 @@ object ArrayOps {
     Bridge.column(MinHashSignature(Bridge.expression(hashes), k))
 
   /** Random-hyperplane LSH bucket in one native pass. The ±1 hyperplane
-    * matrix is derived EXACTLY as the column formulation derived it —
-    * sign of xxhash64(i, j) (seed 42, int children hashed in sequence) —
-    * but precomputed once at plan time instead of re-hashed per element
-    * per row; the projection accumulates left-to-right like the
-    * sequential aggregate did.
+    * matrix is precomputed once at plan time instead of re-hashed per
+    * element per row; the projection accumulates left-to-right like a
+    * sequential aggregate (and like DuckDB's `list_dot_product`).
+    *
+    * `kernel` picks the sign derivation: "xxhash" (sign of
+    * xxhash64(i, j), seed 42 — the original column formulation) or "md5"
+    * (sign of the first MD5 nibble of "i:j" — SQL-replicable, see
+    * [[Md5Kernel]]). Both are Rademacher hyperplanes with the same LSH
+    * collision guarantees; only reproducibility outside the JVM differs.
     */
-  case class HyperplaneBucket(child: Expression, nBits: Int, dim: Int)
+  case class HyperplaneBucket(child: Expression, nBits: Int, dim: Int,
+      kernel: String = "xxhash")
       extends UnaryExpression with CodegenFallback {
     require(nBits > 0 && nBits <= 63, "nBits in [1, 63]")
+    require(kernel == "xxhash" || kernel == "md5", s"unknown kernel $kernel")
     override def dataType: DataType = LongType
     @transient private lazy val signs: Array[Array[Double]] =
-      Array.tabulate(nBits, dim) { (i, j) =>
+      if (kernel == "md5") Array.tabulate(nBits, dim)(Md5Kernel.sign)
+      else Array.tabulate(nBits, dim) { (i, j) =>
         val h = XXH64.hashInt(j, XXH64.hashInt(i, 42L))
         if ((h & 1L) == 0L) 1.0 else -1.0
       }
@@ -321,8 +371,9 @@ object ArrayOps {
       copy(child = c)
   }
 
-  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column =
-    Bridge.column(HyperplaneBucket(Bridge.expression(vec), nBits, dim))
+  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int,
+      kernel: String = "xxhash"): Column =
+    Bridge.column(HyperplaneBucket(Bridge.expression(vec), nBits, dim, kernel))
 
   /** Column-by-column bit shifts — the `functions.shiftleft/shiftright`
     * API only accepts a literal Int shift, but the underlying Catalyst

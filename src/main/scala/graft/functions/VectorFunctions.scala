@@ -72,7 +72,8 @@ object VectorFunctions {
     * column reference (materialize tokenization in its own projection)
     * because `size(tokens)` is referenced inside the packing lambda.
     */
-  def simhash64(tokens: Column): Column = ArrayOps.simhash64Native(tokens)
+  def simhash64(tokens: Column, kernel: String = "xxhash"): Column =
+    ArrayOps.simhash64Native(tokens, kernel)
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -89,9 +90,12 @@ object VectorFunctions {
     * with high cosine similarity collide with high probability — the
     * bucketing step for ANN search and embedding near-dup.
     *
-    * Hyperplane component j of plane i is derived from xxhash64(i,j) —
-    * deterministic, no broadcast of a plane matrix needed.
+    * Hyperplane component j of plane i is a deterministic ±1 derived from
+    * a hash of (i, j) — no broadcast of a plane matrix needed. `kernel`
+    * "xxhash" (default) or "md5" (SQL-replicable planes — the exact-
+    * oracle configuration; see [[ArrayOps.Md5Kernel]]).
     */
-  def hyperplaneLshBucket(vec: Column, nBits: Int, dim: Int): Column =
-    ArrayOps.hyperplaneBucket(asDouble(vec), nBits, dim)
+  def hyperplaneLshBucket(vec: Column, nBits: Int, dim: Int,
+      kernel: String = "xxhash"): Column =
+    ArrayOps.hyperplaneBucket(asDouble(vec), nBits, dim, kernel)
 }

@@ -159,20 +159,35 @@ object Dedup {
       .toDF("id_a", "id_b").distinct()
   }
 
-  /** SimHash near-dup: 64-bit signature, bucket on 4 × 16-bit chunks
-    * (any pair within Hamming distance 3 of 64 bits shares at least one
-    * of 4 chunks — pigeonhole), verify Hamming on candidates.
+  /** SimHash near-dup: 64-bit signature, bucket on `maxHamming + 1`
+    * disjoint bit-range chunks (a pair within Hamming distance h of 64
+    * bits differs in at most h chunks, so with h+1 chunks at least one is
+    * IDENTICAL — pigeonhole; the blocked output therefore equals the
+    * all-pairs `hamming <= maxHamming` set exactly, up to the bucket
+    * cap), then verify Hamming on candidates.
+    *
+    * `kernel` "md5" makes the signature SQL-replicable (exact DuckDB
+    * oracle — see [[graft.functions.ArrayOps.Md5Kernel]]); "xxhash" is
+    * the fast default.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      kernel: String = "xxhash"): DataFrame = {
     // tokens in their own projection: simhash64 references them multiple
     // times and attribute reads are free while re-tokenizing is not
     val sigs = df
       .select(col(idCol), T.normTokens(col(textCol)).as("__toks"))
-      .select(col(idCol), V.simhash64(col("__toks")).as("sig"))
-    val chunks = (0 until 4).map { c =>
+      .select(col(idCol), V.simhash64(col("__toks"), kernel).as("sig"))
+    // chunk boundaries floor(64c/n): widths differ by at most one bit and
+    // cover all 64 bits disjointly for any chunk count
+    val nChunks = maxHamming + 1
+    require(nChunks <= 64, "maxHamming must be < 64")
+    val chunks = (0 until nChunks).map { c =>
+      val lo = (64 * c) / nChunks
+      val hi = (64 * (c + 1)) / nChunks
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
       struct(lit(c).as("chunk"),
-        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("bits"))
+        shiftright(col("sig"), lo).bitwiseAND(mask).as("bits"))
     }
     val bucketed = sigs.select(col(idCol), col("sig"), explode(array(chunks: _*)).as("b"))
       .select(col(idCol), col("sig"),
@@ -225,13 +240,15 @@ object Dedup {
   }
 
   /** Embedding near-dup: hyperplane-LSH bucket, then exact cosine on
-    * candidates. Pairs with cosine >= threshold.
+    * candidates. Pairs with cosine >= threshold. `kernel` "md5" derives
+    * SQL-replicable planes (exact DuckDB oracle for the whole output).
     */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      nBits: Int = 8, threshold: Double = 0.95): DataFrame = {
+      nBits: Int = 8, threshold: Double = 0.95,
+      kernel: String = "xxhash"): DataFrame = {
     val withBucket = df.select(col(idCol),
       col(vecCol).as("v"),
-      V.hyperplaneLshBucket(col(vecCol), nBits, dim).as("bucket"))
+      V.hyperplaneLshBucket(col(vecCol), nBits, dim, kernel).as("bucket"))
     val pairs = candidatePairs(withBucket.select(col(idCol), col("bucket")), idCol)
     val byId = withBucket.select(col(idCol).as("__id"), col("v"))
     pairs

@@ -104,9 +104,10 @@ object Similarity {
     * of capped buckets.
     */
   def neighborsWithinBuckets(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, k: Int, nBits: Int = 12, maxBucketSize: Int = 1000): DataFrame = {
+      dim: Int, k: Int, nBits: Int = 12, maxBucketSize: Int = 1000,
+      kernel: String = "xxhash"): DataFrame = {
     val bucketed = df.select(col(idCol), col(vecCol).as("v"),
-      V.hyperplaneLshBucket(col(vecCol), nBits, dim).as("bucket"))
+      V.hyperplaneLshBucket(col(vecCol), nBits, dim, kernel).as("bucket"))
     val keep = bucketed.groupBy("bucket").agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxBucketSize)).select("bucket")
     val sized = bucketed.join(keep, Seq("bucket"))
@@ -117,6 +118,30 @@ object Similarity {
         V.cosine(col("v_a"), col("v_b")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket"), col("id_a")).orderBy(col("cosine").desc, col("id_b"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("id_a", "id_b", "cosine", "rank")
+  }
+
+  /** EXACT k-nearest-neighbor self-join: for every row, its k most
+    * cosine-similar other rows over the WHOLE corpus. Deterministic
+    * tiebreak on (cosine desc, id_b).
+    *
+    * Scale note: exact all-pairs kNN is inherently quadratic — this is
+    * the ground-truth / small-corpus path (recall evaluation, oracle
+    * checks, corpora that fit one broadcast). The right side is
+    * broadcast, so the plan is one BroadcastNestedLoopJoin with no
+    * shuffle of the big side, then a per-id window. At 100 TB use
+    * [[neighborsWithinBuckets]] (LSH-blocked) and validate its recall on
+    * a sampled partition with this operator.
+    */
+  def knnJoinExact(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val pairs = a.join(broadcast(b), col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), V.cosine(col("v_a"), col("v_b")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b"))
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("id_a", "id_b", "cosine", "rank")
   }

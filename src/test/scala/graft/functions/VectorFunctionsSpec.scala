@@ -77,4 +77,46 @@ class VectorFunctionsSpec extends SparkSpec {
     bk("a") should not be bk("c")        // antipode flips every bit
     (bk("a") ^ bk("c")) shouldBe 255L    // all 8 bits differ
   }
+
+  // independent MD5 references (MessageDigest here, hand-rolled bit math
+  // — no shared code with ArrayOps.Md5Kernel beyond the JDK digest)
+  private def md5Bytes(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  test("md5-kernel simhash matches an independent MD5 majority-vote reference") {
+    import spark.implicits._
+    val toks = Seq("the", "quick", "brown", "fox", "the", "éü")
+    val expected = {
+      val counts = new Array[Int](64)
+      toks.foreach { t =>
+        val hex = md5Bytes(t).map(b => f"$b%02x").mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60 bits
+        (0 until 64).foreach(b => counts(b) += ((h >>> b) & 1L).toInt)
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (counts(b) * 2 > toks.length) acc | (1L << b) else acc)
+    }
+    val got = Seq(toks).toDF("t")
+      .select(V.simhash64(col("t"), kernel = "md5")).head().getLong(0)
+    got shouldBe expected
+    (got >>> 60) shouldBe 0L // md5 kernel is 60-bit: top nibble always clear
+  }
+
+  test("md5-kernel hyperplane bucket matches an independent MD5-sign reference") {
+    import spark.implicits._
+    val v = Seq(0.3, -1.2, 0.8, 2.2, -0.5)
+    val nBits = 6
+    val expected = (0 until nBits).foldLeft(0L) { (acc, i) =>
+      val proj = v.indices.foldLeft(0.0) { (p, j) =>
+        val sign = if ((md5Bytes(s"$i:$j")(0) & 0x80) == 0) 1.0 else -1.0
+        p + v(j) * sign
+      }
+      if (proj >= 0) acc | (1L << i) else acc
+    }
+    val got = Seq(v).toDF("v")
+      .select(V.hyperplaneLshBucket(col("v"), nBits, 5, kernel = "md5"))
+      .head().getLong(0)
+    got shouldBe expected
+  }
 }

@@ -69,6 +69,26 @@ class DedupSpec extends SparkSpec {
     pairs should not contain ((1L, 4L))
   }
 
+  test("simhash chunk blocking is pigeonhole-complete: equals all-pairs hamming") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T, VectorFunctions => V}
+    for (kernel <- Seq("xxhash", "md5"); maxHamming <- Seq(3, 8)) {
+      val blocked = Dedup.simhash(docs, "doc_id", "text",
+          maxHamming = maxHamming, kernel = kernel)
+        .select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val sigs = docs
+        .select(col("doc_id"), T.normTokens(col("text")).as("t"))
+        .select(col("doc_id"), V.simhash64(col("t"), kernel).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val allPairs = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxHamming
+      } yield (ia, ib, h)).toSet
+      blocked shouldBe allPairs
+    }
+  }
+
   test("ngram jaccard blocked: respects blocks and threshold") {
     val r = Dedup.ngramJaccardBlocked(docs, "doc_id", "text", Seq("source"),
         n = 3, threshold = 0.4)

@@ -80,6 +80,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnJoinExact: per-id top-k equals bruteForceTopK per id") {
+    val r = Similarity.knnJoinExact(vecs, "vec_id", "embedding", dim = 4, k = 2)
+      .collect()
+      .groupBy(_.getAs[Long]("id_a"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("id_b")).toSeq)
+      .toMap
+    r.keySet shouldBe (0L to 5L).toSet
+    vecs.collect().foreach { row =>
+      val id = row.getLong(0)
+      val q = row.getSeq[Double](1)
+      val expect = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") =!= id), "vec_id", "embedding", q, 2)
+        .collect().map(_.getLong(0)).toSeq
+      r(id) shouldBe expect
+    }
+  }
+
+  test("knnJoinExact broadcasts the right side (no shuffle of the corpus)") {
+    val plan = Similarity.knnJoinExact(vecs, "vec_id", "embedding", dim = 4, k = 2)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
+  }
+
   test("neighborsWithinBuckets top-k reuses the bucket join partitioning") {
     // the (bucket, id) window must NOT reshuffle by id: each id lives in
     // one bucket, so hash(bucket) from the shuffled join already clusters
