@@ -46,4 +46,68 @@ object Aggregators {
     */
   def vectorCentroid(vec: Column, dim: Int): Column =
     udaf(new VectorCentroid(dim)).apply(vec)
+
+  /** Bounded top-k buffer: ids/scores sorted by (score desc, id asc),
+    * at most k entries. The whole point versus a window is the bound —
+    * partial aggregation keeps k entries per group per partition, so a
+    * per-id top-k over an N² pair stream shuffles #ids × k rows instead
+    * of sorting N² rows.
+    */
+  final case class TopKBuf(ids: Array[Long], scores: Array[Double], var n: Int)
+
+  /** Per-group top-k (id, score) pairs, ordered by (score desc, id asc) —
+    * deterministic under ties. Insertion into the sorted bound-k arrays
+    * is O(k) per row with k ≤ ~100; merge is a merge-walk.
+    */
+  final class TopKByScore(k: Int)
+      extends Aggregator[(Long, Double), TopKBuf, Seq[(Long, Double)]] {
+    require(k > 0, "k must be positive")
+
+    private def beats(id1: Long, s1: Double, id2: Long, s2: Double): Boolean =
+      s1 > s2 || (s1 == s2 && id1 < id2)
+
+    override def zero: TopKBuf = TopKBuf(new Array[Long](k), new Array[Double](k), 0)
+
+    override def reduce(b: TopKBuf, in: (Long, Double)): TopKBuf = {
+      val (id, s) = in
+      if (b.n < k || beats(id, s, b.ids(b.n - 1), b.scores(b.n - 1))) {
+        // position of the first entry this one beats
+        var pos = if (b.n < k) b.n else b.n - 1
+        while (pos > 0 && beats(id, s, b.ids(pos - 1), b.scores(pos - 1))) pos -= 1
+        val last = math.min(b.n, k - 1)
+        var i = last
+        while (i > pos) { b.ids(i) = b.ids(i - 1); b.scores(i) = b.scores(i - 1); i -= 1 }
+        b.ids(pos) = id; b.scores(pos) = s
+        if (b.n < k) b.n += 1
+      }
+      b
+    }
+
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      if (b.n == 0) a
+      else if (a.n == 0) b
+      else {
+        val ids = new Array[Long](k); val scores = new Array[Double](k)
+        var i = 0; var j = 0; var o = 0
+        while (o < k && (i < a.n || j < b.n)) {
+          val takeA = j >= b.n ||
+            (i < a.n && beats(a.ids(i), a.scores(i), b.ids(j), b.scores(j)))
+          if (takeA) { ids(o) = a.ids(i); scores(o) = a.scores(i); i += 1 }
+          else { ids(o) = b.ids(j); scores(o) = b.scores(j); j += 1 }
+          o += 1
+        }
+        TopKBuf(ids, scores, o)
+      }
+    }
+
+    override def finish(b: TopKBuf): Seq[(Long, Double)] =
+      (0 until b.n).map(i => (b.ids(i), b.scores(i)))
+    override def bufferEncoder: Encoder[TopKBuf] = ExpressionEncoder[TopKBuf]()
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
+  /** Column API: top-k (id, score) per group, (score desc, id asc). */
+  def topKByScore(id: Column, score: Column, k: Int): Column =
+    udaf(new TopKByScore(k)).apply(id, score)
 }

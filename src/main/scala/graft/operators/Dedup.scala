@@ -246,8 +246,9 @@ object Dedup {
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       nBits: Int = 8, threshold: Double = 0.95,
       kernel: String = "xxhash"): DataFrame = {
+    // double-cast once per row, not per candidate pair (see Similarity)
     val withBucket = df.select(col(idCol),
-      col(vecCol).as("v"),
+      col(vecCol).cast("array<double>").as("v"),
       V.hyperplaneLshBucket(col(vecCol), nBits, dim, kernel).as("bucket"))
     val pairs = candidatePairs(withBucket.select(col(idCol), col("bucket")), idCol)
     val byId = withBucket.select(col(idCol).as("__id"), col("v"))

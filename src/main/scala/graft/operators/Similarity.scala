@@ -106,7 +106,10 @@ object Similarity {
   def neighborsWithinBuckets(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int, nBits: Int = 12, maxBucketSize: Int = 1000,
       kernel: String = "xxhash"): DataFrame = {
-    val bucketed = df.select(col(idCol), col(vecCol).as("v"),
+    // cast to double ONCE per row: a float->double array cast inside the
+    // pairwise cosine would re-box every element per candidate PAIR
+    val bucketed = df.select(col(idCol),
+      col(vecCol).cast("array<double>").as("v"),
       V.hyperplaneLshBucket(col(vecCol), nBits, dim, kernel).as("bucket"))
     val keep = bucketed.groupBy("bucket").agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxBucketSize)).select("bucket")
@@ -128,21 +131,69 @@ object Similarity {
     *
     * Scale note: exact all-pairs kNN is inherently quadratic — this is
     * the ground-truth / small-corpus path (recall evaluation, oracle
-    * checks, corpora that fit one broadcast). The right side is
-    * broadcast, so the plan is one BroadcastNestedLoopJoin with no
-    * shuffle of the big side, then a per-id window. At 100 TB use
-    * [[neighborsWithinBuckets]] (LSH-blocked) and validate its recall on
-    * a sampled partition with this operator.
+    * checks, corpora that fit one broadcast; the broadcast IS the
+    * documented bound, identical to what a broadcast join would ship).
+    * A join-based formulation was measured 10× slower at sf0.1: a
+    * BroadcastNestedLoopJoin materializes every candidate PAIR as a row
+    * carrying both 64-double vectors before the cosine can run, so the
+    * row plumbing — not the math — dominates. Here the corpus rides a
+    * broadcast variable once per executor and each partition streams its
+    * rows against it in primitive arrays with a bounded insertion top-k
+    * (cosine desc, id asc — bit-identical accumulation order to
+    * [[graft.functions.ArrayOps.CosineDouble]]). This is the
+    * mapPartitions-as-deliberate-choice case: per-row work over an
+    * executor-resident matrix that no join/agg shape can express without
+    * materializing N² rows. At 100 TB use [[neighborsWithinBuckets]]
+    * (LSH-blocked) and validate its recall on a sampled partition with
+    * this operator.
+    *
+    * `idCol` must be integral (same contract as `Dedup.minhashLsh`).
     */
   def knnJoinExact(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    val pairs = a.join(broadcast(b), col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"), V.cosine(col("v_a"), col("v_b")).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b"))
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("id_a", "id_b", "cosine", "rank")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val bc = spark.sparkContext.broadcast(typed.collect().sortBy(_._1))
+    typed.mapPartitions { it =>
+      val corp = bc.value
+      it.flatMap { case (ida, va) =>
+        if (va == null) Iterator.empty
+        else {
+          val ids = new Array[Long](k); val cos = new Array[Double](k)
+          var n = 0
+          def beats(c: Double, id: Long, i: Int): Boolean =
+            c > cos(i) || (c == cos(i) && id < ids(i))
+          var ci = 0
+          while (ci < corp.length) {
+            val (idb, vb) = corp(ci)
+            if (idb != ida && vb != null) {
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              val m = math.min(va.length, vb.length)
+              var j = 0
+              while (j < m) {
+                val x = va(j); val y = vb(j)
+                dot += x * y; na += x * x; nb += y * y; j += 1
+              }
+              val d = math.sqrt(na) * math.sqrt(nb)
+              val c = if (d == 0.0) 0.0 else dot / d
+              if (n < k || beats(c, idb, n - 1)) {
+                var pos = if (n < k) n else n - 1
+                while (pos > 0 && beats(c, idb, pos - 1)) pos -= 1
+                var i = math.min(n, k - 1)
+                while (i > pos) { ids(i) = ids(i - 1); cos(i) = cos(i - 1); i -= 1 }
+                ids(pos) = idb; cos(pos) = c
+                if (n < k) n += 1
+              }
+            }
+            ci += 1
+          }
+          (0 until n).iterator.map(r => (ida, ids(r), cos(r), r + 1))
+        }
+      }
+    }.toDF("id_a", "id_b", "cosine", "rank")
   }
 }

@@ -18,4 +18,20 @@ class AggregatorsSpec extends SparkSpec {
     out("a") shouldBe Seq(2.0, 3.0)
     out("b") shouldBe Seq(10.0, 0.0)
   }
+
+  test("topKByScore: bounded, ordered (score desc, id asc), merges across partitions") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 0.5), ("a", 2L, 0.9), ("a", 3L, 0.9), ("a", 4L, 0.1),
+      ("b", 7L, 0.3)
+    ).toDF("g", "id", "s").repartition(4) // force merge()
+    val out = df.groupBy("g")
+      .agg(Aggregators.topKByScore(col("id"), col("s"), 3).as("top"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getLong(0), p.getDouble(1))))
+      .toMap
+    out("a") shouldBe Seq((2L, 0.9), (3L, 0.9), (1L, 0.5)) // tie → lower id first
+    out("b") shouldBe Seq((7L, 0.3))
+  }
 }

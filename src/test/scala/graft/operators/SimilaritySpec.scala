@@ -97,10 +97,12 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("knnJoinExact broadcasts the right side (no shuffle of the corpus)") {
+  test("knnJoinExact plan is one narrow pass — no join rows, no shuffle") {
     val plan = Similarity.knnJoinExact(vecs, "vec_id", "embedding", dim = 4, k = 2)
       .queryExecution.executedPlan.toString
-    plan should include("BroadcastNestedLoopJoin")
+    plan should include("MapPartitions")
+    plan should not include "Exchange"
+    plan should not include "Join"
   }
 
   test("neighborsWithinBuckets top-k reuses the bucket join partitioning") {
