@@ -427,6 +427,33 @@ object SparkEntry {
       // filters, then exact-dedup survivors — one declarative chain
       graft.operators.TrainingData.prepare(Tables.documents(s, dir),
         "doc_id", "text", minQuality = 0.5, langs = Seq("en"), minTokens = 10)),
+    "pipeline_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: corpus docs sharing any word-4-gram
+      // with the "eval set" (docs 0-4) — the drop list before training
+      val docs = Tables.documents(s, dir)
+      graft.operators.TrainingData.decontaminate(
+        docs.filter(col("doc_id") >= 5), "doc_id", "text",
+        docs.filter(col("doc_id") < 5), "text", n = 4)
+    }),
+    "text_gopher" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        T.tokenCount(col("text")).cast("long").as("n_words"),
+        round(T.avgWordLen(col("text")), 6).as("mean_word_len"),
+        round(T.typeTokenRatio(col("text")), 6).as("ttr"),
+        T.gopherPass(col("text")).as("gopher_pass"))),
+    "sample_hash" -> ((s, dir) =>
+      graft.operators.Sampling.hashSample(Tables.documents(s, dir), "doc_id", 0.25)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+    "sample_stratified" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+        Tables.documents(s, dir), Seq("lang"), "doc_id", n = 20)
+        .select(col("doc_id"), col("lang"))),
+    "embed_quantize" -> ((s, dir) =>
+      graft.operators.Embeddings.quantizeInt8(
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          array_join(col("q").cast("array<string>"), ",").as("q_csv"))),
 
     // ---- dedup (north star) ----
     "dedup_survivors" -> ((s, dir) =>
@@ -895,6 +922,51 @@ object SparkEntry {
            round(tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf
          FROM tf JOIN df USING (term) CROSS JOIN n""",
     "pipeline_training_data" -> trainingDataOracle,
+    "pipeline_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+         FROM documents),
+         g AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 3, 0)),
+             i -> array_to_string(toks[i:i+3], ' '))) AS grams FROM t),
+         bench AS (SELECT DISTINCT unnest(grams) AS bg FROM g WHERE doc_id < 5)
+         SELECT doc_id, count(*)::BIGINT AS n_overlap_grams
+         FROM (SELECT doc_id, unnest(grams) AS dg FROM g WHERE doc_id >= 5) d
+         JOIN bench ON dg = bg GROUP BY doc_id""",
+    "text_gopher" ->
+      """WITH t AS (SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+         FROM documents)
+         SELECT doc_id, len(toks)::BIGINT AS n_words,
+           round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) END, 6)
+             AS mean_word_len,
+           round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             len(list_distinct(toks))::DOUBLE / len(toks) END, 6) AS ttr,
+           (len(toks) BETWEEN 50 AND 100000) AND
+             (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+              list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) END
+              BETWEEN 3.0 AND 10.0) AS gopher_pass
+         FROM t""",
+    "sample_hash" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE list_sum(list_transform(generate_series(1, 4),
+           k -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)::BIGINT
+                << (4 * (4 - k)))) < 16384""",
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, row_number() OVER (
+             PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+           FROM documents) WHERE rn <= 20""",
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
+         SELECT vec_id, round(scale, 6) AS scale,
+           array_to_string(list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+             ELSE floor(x / scale * 127 + 0.5)::INT END), ',') AS q_csv
+         FROM s""",
     "dedup_survivors" ->
       """SELECT doc_id, source FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",

@@ -173,4 +173,24 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(normTokens(text))), " "))
+
+  /** Type-token ratio (distinct tokens / total tokens) — the standard
+    * repetition signal: template spam and keyword stuffing sit near 0,
+    * natural prose higher.
+    */
+  def typeTokenRatio(text: Column): Column = {
+    val ts = normTokens(text)
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(size(array_distinct(ts)).cast("double") / size(ts).cast("double"))
+  }
+
+  /** Gopher-style structural quality gate (Rae et al. 2021 §A1.1 subset
+    * that needs no external tables): word count within bounds and mean
+    * word length within bounds. Composes with [[qualityScore]] /
+    * [[typeTokenRatio]] for the full filter chain.
+    */
+  def gopherPass(text: Column, minWords: Int = 50, maxWords: Int = 100000,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0): Column =
+    tokenCount(text).between(minWords, maxWords) &&
+      avgWordLen(text).between(minAvgLen, maxAvgLen)
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data budgeting.
+  *
+  * `df.sample()` is seed-dependent per partition SPLIT — re-partitioning
+  * or re-running over different file layouts changes the sample. Content-
+  * hash sampling is layout-independent: the same row is in or out of the
+  * sample on every run, on every cluster size, which is what data
+  * budgeting, ablations, and incremental re-runs need. (The md5-bucket
+  * construction is also SQL-replicable, so the driver oracle checks these
+  * exactly.)
+  *
+  * Scale shape: `hashSample` is a pure filter — it folds into the scan
+  * projection, no shuffle. `stratifiedSample` shuffles once on the strata
+  * key; its per-stratum sort is bounded by the stratum size (use it for
+  * per-language / per-source quotas, not for billion-row strata — cap
+  * those with `hashSample` first).
+  */
+object Sampling {
+
+  /** md5-bucket in [0, 65536): first 4 hex nibbles of md5(id as string). */
+  private def md5Bucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Keep a deterministic `fraction` of rows keyed on `idCol` content.
+    * Same id → same verdict regardless of layout, partitioning, or run.
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0, 1]")
+    df.filter(md5Bucket(col(idCol)) < lit((fraction * 65536).toLong))
+  }
+
+  /** Deterministic fixed-quota sample per stratum: the `n` rows with the
+    * smallest md5(id) in each strata group (ties broken by id). Standard
+    * per-language / per-source quota sampling.
+    */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], idCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

@@ -39,4 +39,30 @@ object TrainingData {
     Dedup.exactSurvivors(kept, idCol, Seq(textCol))
       .select(col(idCol), col("quality"), col("lang"), col("n_tokens"))
   }
+
+  /** Benchmark decontamination (train/test overlap removal): count, per
+    * corpus doc, the distinct word-`n`-grams it shares with a benchmark /
+    * evaluation set. Docs with any overlap are the contamination set a
+    * pipeline drops before training.
+    *
+    * Scale shape: eval sets are small, so the benchmark's distinct gram
+    * HASHES (8-byte longs, not strings) broadcast; the corpus side is one
+    * narrow pass (native n-gram hashing in the scan projection, explode,
+    * broadcast-hash semi join) — corpus grams for non-matching docs never
+    * shuffle, and the only exchange carries (id, gram-hash) pairs for
+    * actual matches into the per-doc count.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    import graft.functions.ArrayOps
+    val docGrams = docs.select(col(idCol),
+      explode(ArrayOps.wordNgramHashes(T.normTokens(col(textCol)), n)).as("g"))
+    val benchGrams = benchmark.select(
+      explode(ArrayOps.wordNgramHashes(T.normTokens(col(benchTextCol)), n)).as("g"))
+      .distinct()
+    // per-doc gram hashes are already distinct (wordNgramHashes dedups),
+    // so the join emits each overlapping gram once and count == distinct
+    docGrams.join(broadcast(benchGrams), Seq("g"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap_grams"))
+  }
 }

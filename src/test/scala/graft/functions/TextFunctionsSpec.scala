@@ -76,4 +76,19 @@ class TextFunctionsSpec extends SparkSpec {
     p should (be >= 0.0 and be <= 1.0)
     s should (be >= 0.0 and be <= 1.0)
   }
+
+  test("typeTokenRatio: repetition low, all-unique 1.0, empty 0.0") {
+    one("a a a a", T.typeTokenRatio(col("text"))) shouldBe 0.25
+    one("each word once here", T.typeTokenRatio(col("text"))) shouldBe 1.0
+    one("", T.typeTokenRatio(col("text"))) shouldBe 0.0
+  }
+
+  test("gopherPass: word-count and mean-word-length bounds") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    one(fifty, T.gopherPass(col("text"))) shouldBe true
+    one("too few words", T.gopherPass(col("text"))) shouldBe false
+    // 50 single-char words: mean word length 1 < 3 → fail
+    one(Seq.fill(50)("a").mkString(" "), T.gopherPass(col("text"))) shouldBe false
+    one("", T.gopherPass(col("text"))) shouldBe false
+  }
 }

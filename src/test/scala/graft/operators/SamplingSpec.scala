@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val rows = {
+    import spark.implicits._
+    (0L until 1000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+  }
+
+  test("hashSample is deterministic and layout-independent") {
+    val a = Sampling.hashSample(rows, "id", 0.25).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(rows.repartition(7), "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    a shouldBe b                       // same ids regardless of partitioning
+    a.size.toDouble should be(250.0 +- 60.0) // ~fraction of 1000
+  }
+
+  test("hashSample edge fractions") {
+    Sampling.hashSample(rows, "id", 0.0).count() shouldBe 0L
+    Sampling.hashSample(rows, "id", 1.0).count() shouldBe 1000L
+  }
+
+  test("hashSample is a pure filter — no shuffle") {
+    val plan = Sampling.hashSample(rows, "id", 0.5)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
+  test("stratifiedSample takes exactly n per stratum, deterministically") {
+    val s1 = Sampling.stratifiedSample(rows, Seq("lang"), "id", 10).collect()
+    val s2 = Sampling.stratifiedSample(rows.repartition(5), Seq("lang"), "id", 10)
+      .collect()
+    s1.map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      s2.map(r => (r.getLong(0), r.getString(1))).toSet
+    s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap shouldBe
+      Map("en" -> 10, "de" -> 10)
+  }
+
+  test("stratifiedSample quota larger than stratum returns the whole stratum") {
+    import spark.implicits._
+    val tiny = Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("id", "lang")
+    Sampling.stratifiedSample(tiny, Seq("lang"), "id", 10).count() shouldBe 3L
+  }
+}
