@@ -435,6 +435,11 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 5), "doc_id", "text",
         docs.filter(col("doc_id") < 5), "text", n = 4)
     }),
+    "text_logprob" -> ((s, dir) =>
+      graft.operators.TrainingData.unigramLogProb(
+        Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"),
+          col("n_tokens_scored"))),
     "text_gopher" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -934,6 +939,15 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_overlap_grams
          FROM (SELECT doc_id, unnest(grams) AS dg FROM g WHERE doc_id >= 5) d
          JOIN bench ON dg = bg GROUP BY doc_id""",
+    "text_logprob" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents WHERE trim(text) <> ''),
+         freq AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
+         tot AS (SELECT sum(cnt)::DOUBLE AS total FROM freq)
+         SELECT doc_id, round(avg(ln(cnt::DOUBLE / total)), 6) AS avg_logprob,
+           count(*)::BIGINT AS n_tokens_scored
+         FROM terms JOIN freq USING (term) CROSS JOIN tot GROUP BY doc_id""",
     "text_gopher" ->
       """WITH t AS (SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]

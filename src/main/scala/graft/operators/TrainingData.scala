@@ -65,4 +65,29 @@ object TrainingData {
     docGrams.join(broadcast(benchGrams), Seq("g"))
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap_grams"))
   }
+
+  /** CCNet-style language-model quality signal without an external model:
+    * a unigram LM estimated from the corpus itself, scoring each doc by
+    * its mean token log-probability. Template spam full of globally rare
+    * filler scores low; docs made of common words score high. The real
+    * CCNet uses a pretrained KenLM — the aggregation shape (score each
+    * doc against a frequency table) is identical.
+    *
+    * Scale shape: two shuffles on the term key (frequency count, then
+    * score join — both well-distributed), one on the doc id for the final
+    * mean. The vocabulary table stays distributed; nothing collects.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs.select(col(idCol), explode(T.normTokens(col(textCol))).as("term"))
+    val freq = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("total"))
+    terms
+      .join(freq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(
+        avg(log(col("cnt").cast("double") / col("total").cast("double")))
+          .as("avg_logprob"),
+        count(lit(1)).as("n_tokens_scored"))
+  }
 }

@@ -142,6 +142,25 @@ object StreamingOps {
           $rightTs <= $leftTs + INTERVAL $joinWindow"""), "left_outer")
   }
 
+  /** Full-outer stream-stream join: each side's unmatched rows are
+    * emitted with nulls once BOTH watermarks prove no partner can still
+    * arrive — the reconciliation shape (orders vs. payments, either side
+    * may be missing). Same watermark-bounded state as the inner variant;
+    * outputs for unmatched rows are naturally delayed by the watermark.
+    */
+  def streamStreamFullOuterJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTs: String, rightTs: String,
+      watermark: String, joinWindow: String): DataFrame = {
+    require(leftTs != rightTs, "rename one side's timestamp column first")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withColumnRenamed(keyCol, s"${keyCol}_r")
+      .withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"""$keyCol = ${keyCol}_r AND
+          $rightTs >= $leftTs - INTERVAL $joinWindow AND
+          $rightTs <= $leftTs + INTERVAL $joinWindow"""), "full_outer")
+  }
+
   /** Collects per-batch observed metrics from streaming progress events —
     * the Prometheus-exporter seam (reference src/metrics.js:5-52 +
     * /metrics endpoint at listen.js:9-30). A real deployment forwards

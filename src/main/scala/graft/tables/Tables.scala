@@ -31,6 +31,27 @@ object Tables {
     schema.fold(r)(r.schema).load(path)
   }
 
+  /** Whole-file binary ingestion (`binaryFile` source) — the raw side of
+    * the multimodal pipeline: each row is (path, modificationTime,
+    * length, content) and feeds `Multimodal.decodeFeatures` et al.
+    * `pathGlobFilter` prunes by extension BEFORE reading file contents;
+    * at 100 TB list+prune is the difference between a metadata operation
+    * and a full scan.
+    */
+  def loadBinaryFiles(spark: SparkSession, path: String,
+      globFilter: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    globFilter.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
+  /** Line-oriented text source — one string column `value` per line,
+    * the rawest document-corpus ingestion path (`wholetext=true` gives
+    * one row per file instead).
+    */
+  def loadText(spark: SparkSession, path: String,
+      wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
+
   /** Hive-style partitioned parquet write — the 100 TB layout: a filter
     * on the partition column prunes whole directories before any file is
     * opened (shows as PartitionFilters in the scan; asserted in

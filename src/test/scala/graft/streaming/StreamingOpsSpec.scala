@@ -118,6 +118,40 @@ class StreamingOpsSpec extends SparkSpec {
     byUser.get("u2").flatten shouldBe None // unmatched left emitted with null
   }
 
+  test("full-outer stream-stream join emits unmatched rows from BOTH sides") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    val orders = MemoryStream[(String, Timestamp)]
+    val pays = MemoryStream[(String, Timestamp)]
+    orders.addData(("o1", ts(0)), ("o2", ts(0)))  // o2 never paid
+    pays.addData(("o1", ts(3)), ("o9", ts(4)))    // o9 pay without order
+    val joined = StreamingOps.streamStreamFullOuterJoin(
+      orders.toDF().toDF("oid", "order_ts"),
+      pays.toDF().toDF("oid", "pay_ts"),
+      "oid", "order_ts", "pay_ts", "1 minute", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssfo_out").start()
+    q.processAllAvailable()
+    // advance both watermarks far past the window so unmatched rows emit
+    orders.addData(("zz", ts(120))); pays.addData(("zz", ts(120)))
+    q.processAllAvailable()
+    orders.addData(("zz2", ts(180))); pays.addData(("zz2", ts(180)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssfo_out").collect()
+    val matched = rows.filter(r => r.getAs[String]("oid") == "o1")
+    matched should have length 1
+    matched.head.getAs[Timestamp]("pay_ts") should not be null
+    // unmatched left: order with null pay side
+    rows.exists(r => r.getAs[String]("oid") == "o2" &&
+      r.getAs[Any]("pay_ts") == null) shouldBe true
+    // unmatched right: pay with null order side (oid comes back as oid_r)
+    rows.exists(r => r.getAs[Any]("oid") == null &&
+      r.getAs[String]("oid_r") == "o9" &&
+      r.getAs[Any]("order_ts") == null) shouldBe true
+  }
+
   test("foreachBatch sink observes every micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -28,6 +28,28 @@ class TablesSpec extends SparkSpec {
       Array(Seq("k1", "v1", 1), Seq("k2", "v2", 2))
   }
 
+  test("binaryFile source reads whole files with glob pruning before content") {
+    val dir = Files.createTempDirectory("graft-bin").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/a.png"), Array[Byte](1, 2, 3))
+    Files.write(java.nio.file.Paths.get(s"$dir/b.png"), Array[Byte](4, 5))
+    Files.write(java.nio.file.Paths.get(s"$dir/skip.txt"), Array[Byte](9))
+    val df = Tables.loadBinaryFiles(spark, dir, Some("*.png"))
+    val rows = df.select("path", "length", "content").collect()
+    rows should have length 2 // txt pruned by glob, not read
+    rows.map(_.getAs[Long]("length")).sorted shouldBe Array(2L, 3L)
+    rows.find(_.getAs[String]("path").endsWith("a.png"))
+      .get.getAs[Array[Byte]]("content") shouldBe Array[Byte](1, 2, 3)
+  }
+
+  test("text source reads lines, wholetext reads one row per file") {
+    val dir = Files.createTempDirectory("graft-text").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.txt"), "line one\nline two\n")
+    Tables.loadText(spark, dir).count() shouldBe 2
+    val whole = Tables.loadText(spark, dir, wholeFile = true).collect()
+    whole should have length 1
+    whole.head.getString(0) shouldBe "line one\nline two\n"
+  }
+
   test("events loader normalizes the nanosecond timestamp column") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     ev.schema("ts").dataType shouldBe TimestampType
