@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.unsafe.types.UTF8String
+
+import org.apache.spark.sql.graft.Bridge
+import graft.functions.{ArrayOps, TextFunctions => T, VectorFunctions => V}
+
+/** SQL surface for graft's custom functions: every native expression and
+  * key column composition, callable from `spark.sql(...)` as
+  * `graft_*`. Two registration paths, same builders:
+  *
+  *  - `GraftFunctions.register(spark)` — into a live session;
+  *  - `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `builder.withExtensions(new GraftExtensions)`) — at session build,
+  *    the standard plugin mechanism for a Spark-native library.
+  *
+  * A DataFrame-API user never needs these; they exist so `spark.sql`
+  * users (the reference's operators work from SQL consoles too) get the
+  * full operator surface — LSH signatures, quality scores, similarity
+  * kernels — without touching Scala.
+  */
+object GraftFunctions {
+
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal integer, got $other")
+    }
+  }
+
+  private def litStr(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a literal string")
+    e.eval() match {
+      case s: UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal string, got $other")
+    }
+  }
+
+  private def arity(ch: Seq[Expression], ns: Int*): Unit =
+    require(ns.contains(ch.size),
+      s"expected ${ns.mkString(" or ")} arguments, got ${ch.size}")
+
+  /** Column-composition builder: lift child expressions to Columns, run
+    * the library's column function, drop back to a REAL Catalyst tree
+    * (the lazy ColumnNode wrapper would survive into the physical plan
+    * unconverted when returned from a registry builder).
+    */
+  private def viaColumns(f: Seq[Column] => Column)(ch: Seq[Expression]): Expression =
+    Bridge.resolvedExpression(f(ch.map(Bridge.column)))
+
+  /** name → (builder, usage) — single source for both registration paths. */
+  val builders: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("graft_cosine",
+      { ch => arity(ch, 2); viaColumns(c => V.cosine(c(0), c(1)))(ch) },
+      "cosine similarity of two numeric arrays (double math)"),
+    ("graft_hamming64",
+      { ch => arity(ch, 2); viaColumns(c => V.hamming64(c(0), c(1)))(ch) },
+      "Hamming distance between two 64-bit signatures"),
+    ("graft_intersect_count",
+      { ch => arity(ch, 2); ArrayOps.SortedLongIntersectCount(ch(0), ch(1)) },
+      "|a ∩ b| of two sorted distinct bigint arrays"),
+    ("graft_jaccard_sorted",
+      { ch => arity(ch, 2); viaColumns(c => ArrayOps.jaccardSortedLong(c(0), c(1)))(ch) },
+      "Jaccard similarity of two sorted distinct bigint arrays"),
+    ("graft_shingle_hashes",
+      { ch => arity(ch, 2); ArrayOps.ShingleHashes(ch(0), litInt(ch(1), "shingle width")) },
+      "sorted distinct xxhash64 of every n-char window"),
+    ("graft_word_ngram_hashes",
+      { ch => arity(ch, 2); ArrayOps.WordNgramHashes(ch(0), litInt(ch(1), "ngram width")) },
+      "sorted distinct xxhash64 of word n-grams of a token array"),
+    ("graft_minhash_signature",
+      { ch => arity(ch, 2); ArrayOps.MinHashSignature(ch(0), litInt(ch(1), "k")) },
+      "k-permutation MinHash signature of pre-hashed set elements"),
+    ("graft_simhash64",
+      { ch =>
+        arity(ch, 1, 2)
+        val kernel = if (ch.size == 2) litStr(ch(1), "kernel") else "xxhash"
+        ArrayOps.SimHash64(ch(0), kernel)
+      },
+      "64-bit SimHash of a token array; kernel 'xxhash' (default) or 'md5'"),
+    ("graft_hyperplane_bucket",
+      { ch =>
+        arity(ch, 3, 4)
+        val kernel = if (ch.size == 4) litStr(ch(3), "kernel") else "xxhash"
+        viaColumns(c => V.hyperplaneLshBucket(c(0),
+          litInt(ch(1), "nBits"), litInt(ch(2), "dim"), kernel))(ch)
+      },
+      "random-hyperplane LSH bucket of an embedding"),
+    ("graft_token_count",
+      { ch => arity(ch, 1); viaColumns(c => T.tokenCount(c(0)))(ch) },
+      "whitespace token count"),
+    ("graft_subword_count",
+      { ch => arity(ch, 1); viaColumns(c => T.subwordCount(c(0)))(ch) },
+      "GPT-2-style pre-tokenizer segment count (BPE estimate)"),
+    ("graft_quality_score",
+      { ch => arity(ch, 1); viaColumns(c => T.qualityScore(c(0)))(ch) },
+      "composite text quality score in [0,1]"),
+    ("graft_lang_id",
+      { ch => arity(ch, 1); viaColumns(c => T.langId(c(0)))(ch) },
+      "marker-token language id (en/de/fr/es/und)"),
+    ("graft_fingerprint",
+      { ch => arity(ch, 1); viaColumns(c => T.fingerprint(c(0)))(ch) },
+      "order-invariant document fingerprint (md5 of sorted token set)"),
+    ("graft_type_token_ratio",
+      { ch => arity(ch, 1); viaColumns(c => T.typeTokenRatio(c(0)))(ch) },
+      "distinct/total token ratio (repetition signal)"),
+    ("graft_gopher_pass",
+      { ch => arity(ch, 1); viaColumns(c => T.gopherPass(c(0)))(ch) },
+      "Gopher-style structural quality gate"))
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(GraftFunctions.getClass.getName, null, name, usage, "")
+
+  /** Register every graft function into a live session. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b, usage) =>
+      Bridge.registerFunction(spark, name, info(name, usage), b)
+    }
+
+  /** The `SparkSessionExtensions` hook body — shared by
+    * [[GraftExtensions]] so config-based and programmatic registration
+    * stay identical.
+    */
+  def inject(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b, usage) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), b))
+    }
+}
+
+/** `spark.sql.extensions=graft.GraftExtensions` — the standard way to
+  * ship a Spark-native library's SQL surface (same mechanism Delta/
+  * Iceberg use). Also usable as `builder.withExtensions(new
+  * GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

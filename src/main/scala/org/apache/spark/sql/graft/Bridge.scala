@@ -13,4 +13,27 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Fully convert a composed Column into a Catalyst tree. The plain
+    * `ExpressionUtils.expression` wraps the ColumnNode lazily — fine
+    * inside DataFrame plans (the session converts it during analysis),
+    * but a function-registry builder must return a real tree, so convert
+    * through the active session's ColumnNodeToExpressionConverter.
+    */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.SparkSession.getActiveSession match {
+      case Some(s) => s.expression(c)
+      case None    => ExpressionUtils.expression(c)
+    }
+
+  /** Register a native function builder into a LIVE session's function
+    * registry (`sessionState` is `private[sql]`, hence this shim). The
+    * `spark.sql.extensions` path covers new sessions; this covers the
+    * session you already have — same builders either way.
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

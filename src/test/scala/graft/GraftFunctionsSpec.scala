@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  private lazy val registered: SparkSession = { GraftFunctions.register(spark); spark }
+
+  test("graft_cosine / graft_hamming64 from SQL") {
+    val r = registered.sql(
+      """SELECT graft_cosine(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS c,
+         graft_hamming64(5L, 9L) AS h""").head()
+    r.getDouble(0) shouldBe 1.0 +- 1e-12
+    r.getInt(1) shouldBe 2
+  }
+
+  test("graft_simhash64 SQL matches the column API, both kernels") {
+    import spark.implicits._
+    val toks = Seq("alpha", "beta", "gamma")
+    val fromCol = Seq(toks).toDF("t")
+      .select(V.simhash64(col("t")), V.simhash64(col("t"), "md5"))
+      .head()
+    val fromSql = registered.sql(
+      """SELECT graft_simhash64(array('alpha','beta','gamma')),
+         graft_simhash64(array('alpha','beta','gamma'), 'md5')""").head()
+    fromSql.getLong(0) shouldBe fromCol.getLong(0)
+    fromSql.getLong(1) shouldBe fromCol.getLong(1)
+  }
+
+  test("graft_shingle_hashes + graft_jaccard_sorted + minhash from SQL") {
+    val r = registered.sql(
+      """SELECT size(graft_shingle_hashes('abcdef', 3)) AS n,
+         graft_jaccard_sorted(graft_shingle_hashes('abcdef', 3),
+                              graft_shingle_hashes('abcdef', 3)) AS j,
+         size(graft_minhash_signature(graft_shingle_hashes('abcdef', 3), 8)) AS k
+      """).head()
+    r.getInt(0) shouldBe 4
+    r.getDouble(1) shouldBe 1.0
+    r.getInt(2) shouldBe 8
+  }
+
+  test("text functions from SQL") {
+    val r = registered.sql(
+      """SELECT graft_token_count('one two three') AS n,
+         graft_lang_id('the cat and the dog is here') AS lang,
+         graft_type_token_ratio('a a b b') AS ttr,
+         graft_gopher_pass('too short') AS pass""").head()
+    r.getInt(0) shouldBe 3
+    r.getString(1) shouldBe "en"
+    r.getDouble(2) shouldBe 0.5
+    r.getBoolean(3) shouldBe false
+  }
+
+  test("literal-argument validation rejects non-literal widths") {
+    // a foldable expression (length('xx')) is fine; a column reference is not
+    registered.sql("SELECT size(graft_shingle_hashes('abc', length('xx')))")
+      .head().getInt(0) shouldBe 2
+    val e = intercept[Exception] {
+      registered.sql(
+        "SELECT graft_shingle_hashes('abc', n) FROM (SELECT 2 AS n)").head()
+    }
+    e.getMessage should include("literal")
+  }
+
+  test("spark.sql.extensions path registers the same surface on a fresh session") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      s2.sql("SELECT graft_cosine(array(3.0D, 0.0D), array(1.0D, 0.0D))")
+        .head().getDouble(0) shouldBe 1.0 +- 1e-12
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
