@@ -80,10 +80,16 @@ object Catalog {
     */
   def fromJdbc(spark: SparkSession, url: String, pipelineId: Int,
       props: java.util.Properties = new java.util.Properties()): PipelineDef = {
+    // normalize identifier case: Postgres folds unquoted names to lower,
+    // Derby/Oracle to UPPER — Row.getAs is case-sensitive, so read
+    // through a lowercased projection and stay dialect-agnostic
+    def read(table: String) = {
+      val df = spark.read.jdbc(url, table, props)
+      df.toDF(df.columns.map(_.toLowerCase): _*)
+    }
     def lookup(table: String, idCol: String, nameCol: String, id: Int): String =
-      spark.read.jdbc(url, table, props)
-        .where(s"$idCol = $id").select(nameCol).head().getString(0)
-    val row = spark.read.jdbc(url, "pipelines", props)
+      read(table).where(s"$idCol = $id").select(nameCol).head().getString(0)
+    val row = read("pipelines")
       .where(s"id = $pipelineId AND is_active = true").head()
     val (procs, dlqIds) = parseSteps(row.getAs[String]("steps"))
     PipelineDef(

@@ -95,13 +95,25 @@ object CatalogSync {
 
   /** JDBC store against the reference's Postgres schema (FIXTURES.md §2).
     * Driver-side, one statement per mutation like the reference scripts.
-    * Code-only in this container: no JDBC driver jar ships here.
+    * SQL is kept portable (UPDATE-then-INSERT upsert, duplicate-key
+    * swallowed) instead of Postgres `ON CONFLICT`, so the store runs —
+    * and is integration-tested — against embedded Derby in-container;
+    * semantics are identical under the unique constraints.
     */
   final class JdbcStore(url: String,
       props: java.util.Properties = new java.util.Properties()) extends Store {
     private def withConn[A](f: java.sql.Connection => A): A = {
       val c = java.sql.DriverManager.getConnection(url, props)
       try f(c) finally c.close()
+    }
+
+    /** INSERT that treats a unique-key violation as "already there". */
+    private def insertIgnoringDup(c: java.sql.Connection, sql: String,
+        value: String): Unit = {
+      val st = c.prepareStatement(sql)
+      st.setString(1, value)
+      try st.executeUpdate()
+      catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
     }
     def processors(): Map[String, Boolean] = withConn { c =>
       val rs = c.createStatement()
@@ -111,12 +123,18 @@ object CatalogSync {
       b.result()
     }
     def upsertProcessor(row: ProcessorRow): Unit = withConn { c =>
-      val st = c.prepareStatement(
-        """INSERT INTO processors (processor_name, is_filter) VALUES (?, ?)
-           ON CONFLICT (processor_name) DO UPDATE SET is_filter = EXCLUDED.is_filter
-           WHERE processors.is_filter != EXCLUDED.is_filter""")
-      st.setString(1, row.name); st.setBoolean(2, row.isFilter)
-      st.executeUpdate()
+      val up = c.prepareStatement(
+        "UPDATE processors SET is_filter = ? WHERE processor_name = ?")
+      up.setBoolean(1, row.isFilter); up.setString(2, row.name)
+      if (up.executeUpdate() == 0) {
+        val ins = c.prepareStatement(
+          "INSERT INTO processors (processor_name, is_filter) VALUES (?, ?)")
+        ins.setString(1, row.name); ins.setBoolean(2, row.isFilter)
+        try ins.executeUpdate()
+        catch { case _: java.sql.SQLIntegrityConstraintViolationException =>
+          upsertProcessor(row) // lost a concurrent insert race: update instead
+        }
+      }
     }
     def deleteProcessor(name: String): Unit = withConn { c =>
       val st = c.prepareStatement("DELETE FROM processors WHERE processor_name = ?")
@@ -129,9 +147,7 @@ object CatalogSync {
       b.result()
     }
     def insertTopic(name: String): Unit = withConn { c =>
-      val st = c.prepareStatement(
-        "INSERT INTO topics (topic_name) VALUES (?) ON CONFLICT (topic_name) DO NOTHING")
-      st.setString(1, name); st.executeUpdate()
+      insertIgnoringDup(c, "INSERT INTO topics (topic_name) VALUES (?)", name)
     }
     def schemas(): Set[String] = withConn { c =>
       val rs = c.createStatement().executeQuery("SELECT schema_name FROM schemas")
@@ -140,9 +156,7 @@ object CatalogSync {
       b.result()
     }
     def insertSchema(name: String): Unit = withConn { c =>
-      val st = c.prepareStatement(
-        "INSERT INTO schemas (schema_name) VALUES (?) ON CONFLICT (schema_name) DO NOTHING")
-      st.setString(1, name); st.executeUpdate()
+      insertIgnoringDup(c, "INSERT INTO schemas (schema_name) VALUES (?)", name)
     }
   }
 }
