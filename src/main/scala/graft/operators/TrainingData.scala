@@ -40,6 +40,31 @@ object TrainingData {
       .select(col(idCol), col("quality"), col("lang"), col("n_tokens"))
   }
 
+  /** Streaming variant of [[prepare]]: the quality / language / token
+    * annotations are stateless column expressions, so they run unchanged
+    * inside a streaming projection; exact dedup becomes watermarked
+    * content dedup (same md5 content digest as the batch path,
+    * `dropDuplicatesWithinWatermark` state bounded by the horizon).
+    * One chain serves both the backfill (batch) and the live feed.
+    */
+  def prepareStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String,
+      minQuality: Double, langs: Seq[String], minTokens: Int): DataFrame = {
+    val annotated = docs.select(
+      col(idCol), col(tsCol),
+      md5(coalesce(col(textCol), lit(""))).as("__digest"),
+      T.qualityScore(col(textCol)).as("quality"),
+      T.langId(col(textCol)).as("lang"),
+      T.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val kept = annotated.filter(
+      col("quality") >= minQuality &&
+        col("lang").isin(langs: _*) &&
+        col("n_tokens") >= minTokens)
+    graft.streaming.StreamingOps
+      .streamingDedup(kept, tsCol, watermark, Seq("__digest"))
+      .select(col(idCol), col(tsCol), col("quality"), col("lang"), col("n_tokens"))
+  }
+
   /** Benchmark decontamination (train/test overlap removal): count, per
     * corpus doc, the distinct word-`n`-grams it shares with a benchmark /
     * evaluation set. Docs with any overlap are the contamination set a

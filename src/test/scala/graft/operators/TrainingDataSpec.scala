@@ -34,4 +34,29 @@ class TrainingDataSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
   }
+
+  test("prepareStream filters and dedups a live feed like the batch chain") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and it is a fine " +
+      "day for running in the sun with friends and the weather is good"
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    in.addData(
+      (1L, t0, good),
+      (2L, new Timestamp(t0.getTime + 1000), good),      // dup content → dropped
+      (3L, new Timestamp(t0.getTime + 2000), "kurz und klein und so")) // not en / low
+    val out = TrainingData.prepareStream(
+      in.toDF().toDF("doc_id", "ts", "text"),
+      "doc_id", "text", "ts", "10 minutes",
+      minQuality = 0.5, langs = Seq("en"), minTokens = 10)
+    val q = out.writeStream.format("memory").queryName("prep_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("prep_stream").collect()
+    rows.map(_.getAs[Long]("doc_id")).toSeq shouldBe Seq(1L)
+    rows.head.getAs[String]("lang") shouldBe "en"
+  }
 }
