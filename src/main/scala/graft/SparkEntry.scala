@@ -435,6 +435,16 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 5), "doc_id", "text",
         docs.filter(col("doc_id") < 5), "text", n = 4)
     }),
+    "q_approx_quantile" -> ((s, dir) => {
+      // sketch quantile (GK/KLL-style approx_percentile) within 1% of the
+      // exact median — same contract pattern as q_approx_distinct (HLL)
+      val li = Tables.lineitem(s, dir)
+      val exact = expr("percentile(l_extendedprice, 0.5)")
+      val approx = expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+      li.groupBy("l_returnflag").agg(
+        round(exact, 4).as("exact_median"),
+        (abs(approx - exact) / exact <= 0.01).as("approx_within_1pct"))
+    }),
     "text_logprob" -> ((s, dir) =>
       graft.operators.TrainingData.unigramLogProb(
         Tables.documents(s, dir), "doc_id", "text")
@@ -939,6 +949,11 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_overlap_grams
          FROM (SELECT doc_id, unnest(grams) AS dg FROM g WHERE doc_id >= 5) d
          JOIN bench ON dg = bg GROUP BY doc_id""",
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+         TRUE AS approx_within_1pct
+         FROM lineitem GROUP BY l_returnflag""",
     "text_logprob" ->
       """WITH terms AS (
            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
