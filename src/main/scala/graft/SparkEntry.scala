@@ -486,6 +486,18 @@ object SparkEntry {
         numHashes = 16, bands = 8, shingleN = 5, threshold = 0.4,
         estimateSlack = 0.05)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    "dedup_clusters" -> ((s, dir) => {
+      // pairwise LSH matches → duplicate CLUSTERS (connected components):
+      // A-B and B-C collapse into one cluster keyed by its min doc id.
+      // The LSH pair set equals the exact-Jaccard pair set on this corpus
+      // (dedup_minhash's hash check), so the oracle can close over the
+      // exact pairs with a recursive CTE.
+      val pairs = Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 16, bands = 8, shingleN = 5, threshold = 0.4,
+        estimateSlack = 0.05)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       // md5 kernel + maxHamming+1 chunk blocking: the output equals the
       // exact all-pairs hamming<=8 set (pigeonhole), and the DuckDB
@@ -1030,16 +1042,19 @@ object SparkEntry {
     "sim_ivf" ->
       "SELECT 10::BIGINT AS n_ivf, 10::BIGINT AS n_in_exact_top50",
     "dedup_minhash" ->
-      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
-           generate_series(1, length(n)-4), i -> n[i:i+4])) AS g
-         FROM (SELECT doc_id,
-                 regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
-               FROM documents)),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.g, b.g))::DOUBLE
-             / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE, 6) AS jaccard
-           FROM t a JOIN t b ON a.doc_id < b.doc_id)
+      s"""WITH $minhashPairsSql
          SELECT * FROM p WHERE jaccard >= 0.4""",
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsSql,
+         pr AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.4),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                   UNION SELECT id_b, id_a FROM pr),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
+         FROM reach GROUP BY a""",
     // exact simhash replication: 60-bit md5 token hashes -> per-bit
     // majority vote -> all-pairs hamming. The Spark side's chunk blocking
     // is pigeonhole-complete at maxHamming=8 (9 chunks), so blocked
@@ -1134,6 +1149,21 @@ object SparkEntry {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
       "that", "for", "on", "with", "as")
       .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Exact 5-char-shingle Jaccard pairs of documents as DuckDB CTEs
+    * (`t` shingle sets, `p` all pairs with jaccard) — shared by the
+    * minhash and cluster oracles.
+    */
+  private val minhashPairsSql: String =
+    """t AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, length(n)-4), i -> n[i:i+4])) AS g
+         FROM (SELECT doc_id,
+                 regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+               FROM documents)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.g, b.g))::DOUBLE
+             / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE, 6) AS jaccard
+           FROM t a JOIN t b ON a.doc_id < b.doc_id)"""
 
   /** 60-bit value from the first 15 hex nibbles of md5 hex column `m` —
     * replicates [[graft.functions.ArrayOps.Md5Kernel.hash60]] in DuckDB

@@ -259,6 +259,59 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Connected components over a near-dup PAIR relation — the step that
+    * turns pairwise matches into dedup decisions: docs A-B and B-C are
+    * one duplicate CLUSTER even though A-C was never compared, and a
+    * pipeline keeps one survivor per cluster, not per pair.
+    *
+    * Min-label propagation to fixpoint (Pregel-style): every node starts
+    * as its own label; each round takes the min label over itself and its
+    * neighbors. Rounds needed = graph diameter, and LSH duplicate
+    * clusters are near-cliques (diameter 2-3), so this converges in a
+    * handful of BROADCAST- or shuffle-joined rounds; each round is one
+    * join + one groupBy on well-distributed keys. The driver loop holds
+    * only the convergence counter — labels never leave the cluster.
+    *
+    * Returns (id, cluster_id) for every id appearing in `pairs`, where
+    * cluster_id = min id of the component (deterministic).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    // materialize the pair relation ONCE: the undirected-edge union reads
+    // it twice, and `pairs` is typically the output of a whole LSH
+    // pipeline that must not re-execute per direction (or per round)
+    val p = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .localCheckpoint(true)
+    val edges = p
+      .union(p.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist()
+    // localCheckpoint each round: an iterative join loop otherwise grows
+    // an unbounded lineage that re-executes every prior round on each
+    // action (on a real cluster point spark.checkpoint.dir at durable
+    // storage and use checkpoint() for executor-loss tolerance)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min("nl").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label"))
+        .localCheckpoint(true)
+      converged = next.filter(col("next_label") < col("label")).isEmpty
+      labels = next.select(col("id"), col("next_label").as("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Exact pairwise embedding cosine within blocks (oracle-friendly
     * companion to `embeddingCosine`, same contract as
     * `ngramJaccardBlocked`).

@@ -89,6 +89,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: chains collapse transitively, min id labels") {
+    import spark.implicits._
+    // component {1,2,3,4,5} as a path (diameter 4 → needs several
+    // propagation rounds), component {10,11}, and pair order mixed
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val r = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    r shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L)
+  }
+
   test("ngram jaccard blocked: respects blocks and threshold") {
     val r = Dedup.ngramJaccardBlocked(docs, "doc_id", "text", Seq("source"),
         n = 3, threshold = 0.4)
