@@ -285,6 +285,16 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           round(col("purchase_value"), 6).as("purchase_value"))
     }),
+    "q_asof_forward" -> ((s, dir) => {
+      // mirror direction: NEXT purchase at-or-after each event per user
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("next_purchase_value"))
+      AsofJoin.asofForward(ev.select("event_id", "user_id", "ts"), purchases,
+          "user_id", "ts", Seq("next_purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("next_purchase_value"), 6).as("next_purchase_value"))
+    }),
     "q_range_join" -> ((s, dir) => {
       val o = Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_orderdate")
       val day = 86400L
@@ -799,6 +809,13 @@ object SparkEntry {
            (SELECT user_id, ts, max(value) AS purchase_value
             FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
            ON e.user_id = p.user_id AND e.ts >= p.ts""",
+    "q_asof_forward" ->
+      """SELECT e.event_id, e.user_id,
+         round(p.next_purchase_value, 6) AS next_purchase_value
+         FROM events e ASOF LEFT JOIN
+           (SELECT user_id, ts, max(value) AS next_purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+           ON e.user_id = p.user_id AND e.ts <= p.ts""",
     "q_range_join" ->
       """SELECT a.o_orderkey AS a_orderkey, b.o_orderkey AS b_orderkey
          FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey

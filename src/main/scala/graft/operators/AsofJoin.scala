@@ -25,18 +25,34 @@ object AsofJoin {
     * @return left rows + carried columns (null when no prior right row)
     */
   def asof(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, valueCols, forward = false)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `rightTs >= leftTs` on the same key — "next event after" semantics
+    * (time-to-next-purchase, next maintenance window). Same union-sort
+    * shape, mirrored frame.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, valueCols, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCols: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
-    // side marker sorts right (0) before left (1) at equal timestamps so
-    // a right row AT the left timestamp is visible to it (<= semantics).
-    // The carried values travel as ONE struct: `last(ignoreNulls)` over
-    // the struct picks a whole right ROW (the struct is non-null whenever
-    // a right row exists, even if some of its fields are null), so a
-    // recent right row with a null field is not spliced with an older
-    // row's field. The struct also serves as the deterministic tiebreaker
-    // for right rows tied on (key, ts): the greatest value-tuple wins.
-    val l = left.withColumn("__side", lit(1))
-    val r = right.select(col(keyCol), col(tsCol), lit(0).as("__side"),
+    // side marker makes a right row AT the left timestamp visible to it
+    // (<= / >= inclusive semantics): backward sorts right (0) before left
+    // (1); forward sorts left (0) before right (1).
+    // The carried values travel as ONE struct: last/first(ignoreNulls)
+    // over the struct picks a whole right ROW (the struct is non-null
+    // whenever a right row exists, even if some of its fields are null),
+    // so a qualifying right row with a null field is not spliced with
+    // another row's field. The struct also serves as the deterministic
+    // tiebreaker for right rows tied on (key, ts): backward carries the
+    // greatest value-tuple, forward the smallest.
+    val (leftMark, rightMark) = if (forward) (0, 1) else (1, 0)
+    val l = left.withColumn("__side", lit(leftMark))
+    val r = right.select(col(keyCol), col(tsCol), lit(rightMark).as("__side"),
       struct(valueCols.map(col): _*).as("__r"))
     val u = l.unionByName(r, allowMissingColumns = true)
 
@@ -49,12 +65,17 @@ object AsofJoin {
     val ordering =
       if (orderable) Seq(col(tsCol), col("__side"), col("__r"))
       else Seq(col(tsCol), col("__side"))
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(ordering: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Window.partitionBy(col(keyCol)).orderBy(ordering: _*)
+    val (w, pick) =
+      if (forward)
+        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__r"), ignoreNulls = true))
+      else
+        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__r"), ignoreNulls = true))
     u.select((leftCols.map(col) :+ col("__side")) :+
-        last(col("__r"), ignoreNulls = true).over(w).as("__carried"): _*)
-      .filter(col("__side") === 1)
+        pick.over(w).as("__carried"): _*)
+      .filter(col("__side") === leftMark)
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"__carried.$c").as(c)): _*)
   }
 

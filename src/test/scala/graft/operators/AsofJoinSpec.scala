@@ -57,6 +57,38 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("asofForward carries the earliest right row at-or-after each left ts") {
+    import spark.implicits._
+    val events = Seq(
+      ("A", ts("2026-01-01 10:00:00"), 1L),
+      ("A", ts("2026-01-01 10:06:00"), 2L), // after the last quote → null
+      ("B", ts("2026-01-01 08:00:00"), 3L)
+    ).toDF("sym", "ts", "event_id")
+    val quotes = Seq(
+      ("A", ts("2026-01-01 10:00:00"), 100.0), // equal-ts: visible to event 1
+      ("A", ts("2026-01-01 10:05:00"), 101.0),
+      ("B", ts("2026-01-01 09:00:00"), 200.0)
+    ).toDF("sym", "ts", "px")
+    val out = AsofJoin.asofForward(events, quotes, "sym", "ts", Seq("px"))
+      .collect().map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Any]("px"))).toMap
+    out(1L) shouldBe Some(100.0) // >= includes the equal timestamp
+    out(2L) shouldBe None        // nothing after
+    out(3L) shouldBe Some(200.0)
+  }
+
+  test("asofForward ties on (key, ts) resolve deterministically to the smallest values") {
+    import spark.implicits._
+    val left = Seq(("k", ts("2026-01-01 00:01:00"), 1)).toDF("k", "ts", "i")
+    val right = Seq(
+      ("k", ts("2026-01-01 00:05:00"), 7.0),
+      ("k", ts("2026-01-01 00:05:00"), 1.0),
+      ("k", ts("2026-01-01 00:05:00"), 3.0)).toDF("k", "ts", "v")
+    (1 to 3).foreach { _ =>
+      AsofJoin.asofForward(left, right, "k", "ts", Seq("v"))
+        .head().getAs[Double]("v") shouldBe 1.0
+    }
+  }
+
   test("asof result row count equals left row count (left join semantics)") {
     import spark.implicits._
     val left = Seq(("k", ts("2026-01-01 00:00:01"), 1), ("k", ts("2026-01-01 00:00:02"), 2))
