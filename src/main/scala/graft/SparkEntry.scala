@@ -467,6 +467,14 @@ object SparkEntry {
         round(T.avgWordLen(col("text")), 6).as("mean_word_len"),
         round(T.typeTokenRatio(col("text")), 6).as("ttr"),
         T.gopherPass(col("text")).as("gopher_pass"))),
+    "pipeline_shards" -> ((s, dir) =>
+      graft.operators.TrainingData.packShards(
+        Tables.documents(s, dir), "doc_id", "text", tokenBudget = 2000)),
+    "sample_mixture" -> ((s, dir) =>
+      // data-mixing: keep all English, a quarter of everything else
+      graft.operators.Sampling.mixtureSample(Tables.documents(s, dir),
+        "lang", "doc_id", Map("en" -> 1.0), defaultFraction = 0.25)
+        .select(col("doc_id"), col("lang"))),
     "sample_hash" -> ((s, dir) =>
       graft.operators.Sampling.hashSample(Tables.documents(s, dir), "doc_id", 0.25)
         .select(col("doc_id"), col("source"), col("n_chars"))),
@@ -1010,6 +1018,22 @@ object SparkEntry {
               list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) END
               BETWEEN 3.0 AND 10.0) AS gopher_pass
          FROM t""",
+    "pipeline_shards" ->
+      """WITH t AS (SELECT doc_id,
+           (CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens
+         FROM documents)
+         SELECT doc_id, n_tokens,
+           floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)::BIGINT
+             AS shard_id
+         FROM t""",
+    "sample_mixture" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE list_sum(list_transform(generate_series(1, 4),
+           k -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)::BIGINT
+                << (4 * (4 - k))))
+           < CASE WHEN lang = 'en' THEN 65536 ELSE 16384 END""",
     "sample_hash" ->
       """SELECT doc_id, source, n_chars FROM documents
          WHERE list_sum(list_transform(generate_series(1, 4),

@@ -34,6 +34,26 @@ object Sampling {
     df.filter(md5Bucket(col(idCol)) < lit((fraction * 65536).toLong))
   }
 
+  /** Weighted mixture sampling — the data-mixing knob: keep a different
+    * deterministic fraction per group value (e.g. 100% of `en`, 25% of
+    * everything else) to hit a target corpus composition. Same md5-bucket
+    * construction as [[hashSample]], so it is layout-independent and a
+    * group's sample at fraction p is a SUBSET of its sample at p' > p
+    * (nested samples — raising a weight only adds rows).
+    *
+    * Still a pure filter: folds into the scan, no shuffle.
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq)
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions in [0, 1]")
+    val threshold = fractions.foldLeft(
+      lit((defaultFraction * 65536).toLong)) { case (acc, (k, f)) =>
+      when(col(groupCol) === k, lit((f * 65536).toLong)).otherwise(acc)
+    }
+    df.filter(md5Bucket(col(idCol)) < threshold)
+  }
+
   /** Deterministic fixed-quota sample per stratum: the `n` rows with the
     * smallest md5(id) in each strata group (ties broken by id). Standard
     * per-language / per-source quota sampling.

@@ -91,6 +91,32 @@ object TrainingData {
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap_grams"))
   }
 
+  /** Token-budget shard assignment — the "assemble docs into ~N-token
+    * training shards" step. Docs are laid out in a deterministic order
+    * (ascending id) and cut into shards by cumulative token count:
+    * shard k holds the docs whose running total lands in
+    * [k·budget, (k+1)·budget). A doc larger than the budget gets a shard
+    * of its own and the next shard starts after it.
+    *
+    * Scale shape: one global range-sort by id (Spark's range partitioner
+    * — the same shape any deterministic global layout costs) and a
+    * running-sum window; at 100 TB, shard within partitions (add a
+    * partition key to the window) or pre-bucket by id range.
+    */
+  def packShards(docs: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), T.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      // tokens BEFORE this doc decide its shard: a doc never straddles
+      // two shards and an oversized doc claims its own
+      .withColumn("shard_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / tokenBudget))
+  }
+
   /** CCNet-style language-model quality signal without an external model:
     * a unigram LM estimated from the corpus itself, scoring each doc by
     * its mean token log-probability. Template spam full of globally rare

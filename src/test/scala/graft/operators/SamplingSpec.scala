@@ -30,6 +30,20 @@ class SamplingSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("mixtureSample: per-group fractions, nested samples, pure filter") {
+    val mixed = Sampling.mixtureSample(rows, "lang", "id",
+      Map("en" -> 1.0), defaultFraction = 0.25)
+    val got = mixed.collect().map(_.getLong(0)).toSet
+    // every en row kept
+    rows.filter(col("lang") === "en").collect().map(_.getLong(0))
+      .forall(got.contains) shouldBe true
+    // de rows: exactly the 25% hash sample → subset of the 50% sample
+    val de50 = Sampling.mixtureSample(rows, "lang", "id",
+      Map("en" -> 1.0), defaultFraction = 0.5).collect().map(_.getLong(0)).toSet
+    got.subsetOf(de50) shouldBe true
+    mixed.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
   test("stratifiedSample takes exactly n per stratum, deterministically") {
     val s1 = Sampling.stratifiedSample(rows, Seq("lang"), "id", 10).collect()
     val s2 = Sampling.stratifiedSample(rows.repartition(5), Seq("lang"), "id", 10)

@@ -35,6 +35,19 @@ class TrainingDataSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("packShards cuts by cumulative tokens; oversized doc claims its own shard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),                                    // 3 tokens  → shard 0
+      (2L, (1 to 12).map(i => s"w$i").mkString(" ")),   // 12 tokens → shard 0 (starts at 3)
+      (3L, "x y"),                                      // starts at 15 → shard 1
+      (4L, "z")                                         // starts at 17 → shard 1
+    ).toDF("doc_id", "text")
+    val r = TrainingData.packShards(docs, "doc_id", "text", tokenBudget = 10)
+      .collect().map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2))).toMap
+    r shouldBe Map(1L -> (3L, 0L), 2L -> (12L, 0L), 3L -> (2L, 1L), 4L -> (1L, 1L))
+  }
+
   test("prepareStream filters and dedups a live feed like the batch chain") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
