@@ -445,6 +445,12 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 5), "doc_id", "text",
         docs.filter(col("doc_id") < 5), "text", n = 4)
     }),
+    "q_percentile_grouped" -> ((s, dir) =>
+      // per-group exact median via the distributed rank+flank shape (the
+      // value-buffering percentile aggregate would OOM per group at scale)
+      graft.operators.Quantiles.groupedExactQuantile(
+        Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice", 0.5)
+        .select(col("l_returnflag"), round(col("quantile"), 4).as("median_price"))),
     "q_approx_quantile" -> ((s, dir) => {
       // sketch quantile (GK/KLL-style approx_percentile) within 1% of the
       // exact median — same contract pattern as q_approx_distinct (HLL)
@@ -988,6 +994,10 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_overlap_grams
          FROM (SELECT doc_id, unnest(grams) AS dg FROM g WHERE doc_id >= 5) d
          JOIN bench ON dg = bg GROUP BY doc_id""",
+    "q_percentile_grouped" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+         FROM lineitem GROUP BY l_returnflag""",
     "q_approx_quantile" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,

@@ -52,4 +52,36 @@ object Quantiles {
       StructType(Seq(StructField(outCols._1, IntegerType, nullable = false),
         StructField(outCols._2, DoubleType, nullable = false))))
   }
+
+  /** Per-GROUP exact interpolated quantile without buffering a group's
+    * values in one aggregation state: rank within group (one shuffle-sort
+    * on (group, value), spill-safe), join the per-group counts (reuses
+    * the same hash(group) partitioning — no extra exchange), keep only
+    * the two rows flanking position p·(n-1), interpolate. Peak memory is
+    * a partition slice, as in [[exactQuantiles]], but per group.
+    */
+  def groupedExactQuantile(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, p: Double, outCol: String = "quantile"): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, "p must be within [0, 1]")
+    val g = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__v"))
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select(g :+ col(valueCol).cast("double").as("__v"): _*)
+      .withColumn("__rn", row_number().over(w).cast("long") - 1L)
+    val counts = ranked.groupBy(g: _*).agg(count(lit(1)).as("__n"))
+    val pos = lit(p) * (col("__n") - 1).cast("double")
+    ranked.join(counts, groupCols)
+      .withColumn("__pos", pos)
+      .filter(col("__rn") === floor(col("__pos")) ||
+        col("__rn") === ceil(col("__pos")))
+      .groupBy(g: _*)
+      .agg(
+        min(when(col("__rn") === floor(col("__pos")), col("__v"))).as("__lo"),
+        min(when(col("__rn") === ceil(col("__pos")), col("__v"))).as("__hi"),
+        first(col("__pos")).as("__p"))
+      .select(g :+
+        (col("__lo") + (col("__p") - floor(col("__p"))) *
+          (col("__hi") - col("__lo"))).as(outCol): _*)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class QuantilesSpec extends SparkSpec {
@@ -32,5 +33,27 @@ class QuantilesSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq.empty[Double].toDF("v")
     Quantiles.exactQuantiles(df, "v", Seq(0.5)).count() shouldBe 0L
+  }
+
+  test("groupedExactQuantile matches the percentile aggregate per group") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (s"g${i % 3}", (i * 37 % 200).toDouble))
+      .toDF("g", "v").repartition(7)
+    val got = Quantiles.groupedExactQuantile(df, Seq("g"), "v", 0.25)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expect = df.groupBy("g")
+      .agg(expr("percentile(v, 0.25)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.keySet shouldBe expect.keySet
+    got.foreach { case (g, v) => v shouldBe expect(g) +- 1e-9 }
+  }
+
+  test("groupedExactQuantile: singleton group and exact-position quantile") {
+    import spark.implicits._
+    val df = Seq(("a", 5.0), ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r = Quantiles.groupedExactQuantile(df, Seq("g"), "v", 0.5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    r("a") shouldBe 5.0
+    r("b") shouldBe 2.0 // exact middle element, no interpolation
   }
 }
