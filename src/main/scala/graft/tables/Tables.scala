@@ -60,6 +60,43 @@ object Tables {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Range-clustered parquet write — the poor-man's Z-order: rows are
+    * range-partitioned then sorted on `clusterCols`, so each output file
+    * covers a narrow, non-overlapping slice of the key space and parquet
+    * row-group min/max statistics prune files on any range or point
+    * filter over those columns. At 100 TB this is the difference between
+    * "open every file" and "open the two files that can match".
+    * (Table formats with real multi-dimensional clustering — Delta
+    * Z-order, Iceberg sort orders — replace this at deploy time; the
+    * write shape is identical.)
+    */
+  def writeClustered(df: DataFrame, path: String, clusterCols: Seq[String],
+      numFiles: Int): Unit = {
+    val keys = clusterCols.map(col)
+    df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Small-file compaction — the standard maintenance pass: streaming
+    * sinks and fine-grained partitions accrete kilobyte files whose
+    * per-file open/footer cost eventually dominates scans. Rewrites the
+    * dataset into `ceil(rows / rowsPerFile)` files. Reads before
+    * overwriting, so the caller must supply a temp dir for the atomic
+    * swap (object stores have no rename-into-place for directories).
+    */
+  def compact(spark: SparkSession, path: String, tmpPath: String,
+      rowsPerFile: Long): Unit = {
+    require(rowsPerFile > 0, "rowsPerFile must be positive")
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    df.repartition(files).write.mode("overwrite").parquet(tmpPath)
+    // re-write from the compacted copy: the source dir cannot be
+    // overwritten while it is being read
+    spark.read.parquet(tmpPath).write.mode("overwrite").parquet(path)
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")

@@ -2,6 +2,7 @@ package graft.tables
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{max, min}
 import org.apache.spark.sql.types._
 import graft.SparkSpec
 
@@ -48,6 +49,37 @@ class TablesSpec extends SparkSpec {
     val whole = Tables.loadText(spark, dir, wholeFile = true).collect()
     whole should have length 1
     whole.head.getString(0) shouldBe "line one\nline two\n"
+  }
+
+  test("writeClustered produces non-overlapping key ranges per file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-clustered").toString
+    val df = (1 to 2000).map(i => ((i * 733) % 2000, s"row$i")).toDF("k", "payload")
+    Tables.writeClustered(df, s"$dir/t", Seq("k"), numFiles = 4)
+    val parts = new java.io.File(s"$dir/t").listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.getPath)
+    parts.length shouldBe 4
+    val ranges = parts.map { p =>
+      val r = spark.read.parquet(p).agg(min("k"), max("k")).head()
+      (r.getInt(0), r.getInt(1))
+    }.sortBy(_._1)
+    // each file covers a slice disjoint from the next → min/max stats prune
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => hi should be < lo2
+      case _ =>
+    }
+  }
+
+  test("compact rewrites many small files into the computed file count") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString
+    (1 to 1000).toDF("v").repartition(40).write.parquet(s"$dir/t")
+    def fileCount = new java.io.File(s"$dir/t").listFiles()
+      .count(_.getName.startsWith("part-"))
+    fileCount shouldBe 40
+    Tables.compact(spark, s"$dir/t", s"$dir/tmp", rowsPerFile = 250)
+    fileCount shouldBe 4
+    spark.read.parquet(s"$dir/t").count() shouldBe 1000L
   }
 
   test("events loader normalizes the nanosecond timestamp column") {
