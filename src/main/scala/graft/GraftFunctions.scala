@@ -28,7 +28,10 @@ object GraftFunctions {
     require(e.foldable, s"$what must be a literal integer")
     e.eval() match {
       case i: Int  => i
-      case l: Long => l.toInt
+      case l: Long =>
+        require(l >= Int.MinValue && l <= Int.MaxValue,
+          s"$what out of int range: $l") // silent narrowing would corrupt widths
+        l.toInt
       case other => throw new IllegalArgumentException(
         s"$what must be a literal integer, got $other")
     }

@@ -178,13 +178,18 @@ object Dedup {
     val sigs = df
       .select(col(idCol), T.normTokens(col(textCol)).as("__toks"))
       .select(col(idCol), V.simhash64(col("__toks"), kernel).as("sig"))
-    // chunk boundaries floor(64c/n): widths differ by at most one bit and
-    // cover all 64 bits disjointly for any chunk count
+    // chunk boundaries floor(sigBits·c/n): widths differ by at most one
+    // bit and cover the POPULATED bits disjointly for any chunk count.
+    // The md5 kernel is 60-bit (bits 60-63 always 0) — chunking those
+    // dead bits would give the last chunk almost no entropy, so its
+    // buckets degenerate toward N²-candidate blobs and can overflow the
+    // bucket cap (silently losing pairs the all-pairs oracle keeps).
+    val sigBits = if (kernel == "md5") 60 else 64
     val nChunks = maxHamming + 1
-    require(nChunks <= 64, "maxHamming must be < 64")
+    require(nChunks <= sigBits, s"maxHamming must be < $sigBits")
     val chunks = (0 until nChunks).map { c =>
-      val lo = (64 * c) / nChunks
-      val hi = (64 * (c + 1)) / nChunks
+      val lo = (sigBits * c) / nChunks
+      val hi = (sigBits * (c + 1)) / nChunks
       val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
       struct(lit(c).as("chunk"),
         shiftright(col("sig"), lo).bitwiseAND(mask).as("bits"))
@@ -300,6 +305,8 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min("nl").as("nbr_min"))
+      // per-round checkpoint blocks are reclaimed by the ContextCleaner
+      // once the previous round's reference drops out of scope here
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label"))
@@ -309,6 +316,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a silent early exit would split one component across cluster ids —
+    // multiple "survivors" for one duplicate cluster. Labels move one hop
+    // per round, so this only trips on components of diameter > maxIter;
+    // fail loudly rather than dedup wrongly.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — a " +
+        "component has diameter > maxIter; raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

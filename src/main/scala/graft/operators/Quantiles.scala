@@ -69,9 +69,16 @@ object Quantiles {
     val ranked = df.filter(col(valueCol).isNotNull)
       .select(g :+ col(valueCol).cast("double").as("__v"): _*)
       .withColumn("__rn", row_number().over(w).cast("long") - 1L)
+    // renamed count-side keys: counts derives from ranked, so unrenamed
+    // columns would be ambiguous in the self-join
     val counts = ranked.groupBy(g: _*).agg(count(lit(1)).as("__n"))
+      .select(groupCols.map(c => col(c).as(s"__c_$c")) :+ col("__n"): _*)
     val pos = lit(p) * (col("__n") - 1).cast("double")
-    ranked.join(counts, groupCols)
+    // groupBy treats null keys as a group; the count join must too, so
+    // join NULL-SAFELY — a plain equi-join would drop null-keyed groups
+    val flanks = ranked.join(counts,
+        groupCols.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _))
+      .select(g ++ Seq(col("__v"), col("__rn"), col("__n")): _*)
       .withColumn("__pos", pos)
       .filter(col("__rn") === floor(col("__pos")) ||
         col("__rn") === ceil(col("__pos")))
@@ -83,5 +90,14 @@ object Quantiles {
       .select(g :+
         (col("__lo") + (col("__p") - floor(col("__p"))) *
           (col("__hi") - col("__lo"))).as(outCol): _*)
+    // quantile_cont GROUP BY semantics: a group whose values are ALL null
+    // yields a NULL quantile, not a missing row. Renamed join columns
+    // sidestep self-join ambiguity (flanks shares df's lineage).
+    val f = flanks.select(
+      groupCols.map(c => col(c).as(s"__f_$c")) :+ col(outCol): _*)
+    df.select(groupCols.map(c => col(c).as(s"__d_$c")): _*).distinct()
+      .join(f, groupCols.map(c => col(s"__d_$c") <=> col(s"__f_$c"))
+        .reduce(_ && _), "left")
+      .select(groupCols.map(c => col(s"__d_$c").as(c)) :+ col(outCol): _*)
   }
 }

@@ -163,6 +163,10 @@ object Similarity {
       it.flatMap { case (ida, va) =>
         if (va == null) Iterator.empty
         else {
+          // a short/corrupt vector would silently rank on a partial dot
+          // product — fail loudly instead
+          require(va.length == dim,
+            s"vector for id $ida has length ${va.length}, expected $dim")
           val ids = new Array[Long](k); val cos = new Array[Double](k)
           var n = 0
           def beats(c: Double, id: Long, i: Int): Boolean =

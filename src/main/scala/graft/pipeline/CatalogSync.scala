@@ -107,13 +107,22 @@ object CatalogSync {
       try f(c) finally c.close()
     }
 
+    /** True for unique/integrity violations across drivers: Derby raises
+      * the SQLIntegrityConstraintViolationException subclass, but pgjdbc
+      * raises a plain PSQLException — the portable signal is SQLState
+      * class 23 (integrity constraint violation).
+      */
+    private def isConstraintViolation(e: java.sql.SQLException): Boolean =
+      e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+        Option(e.getSQLState).exists(_.startsWith("23"))
+
     /** INSERT that treats a unique-key violation as "already there". */
     private def insertIgnoringDup(c: java.sql.Connection, sql: String,
         value: String): Unit = {
       val st = c.prepareStatement(sql)
       st.setString(1, value)
       try st.executeUpdate()
-      catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+      catch { case e: java.sql.SQLException if isConstraintViolation(e) => () }
     }
     def processors(): Map[String, Boolean] = withConn { c =>
       val rs = c.createStatement()
@@ -131,7 +140,7 @@ object CatalogSync {
           "INSERT INTO processors (processor_name, is_filter) VALUES (?, ?)")
         ins.setString(1, row.name); ins.setBoolean(2, row.isFilter)
         try ins.executeUpdate()
-        catch { case _: java.sql.SQLIntegrityConstraintViolationException =>
+        catch { case e: java.sql.SQLException if isConstraintViolation(e) =>
           upsertProcessor(row) // lost a concurrent insert race: update instead
         }
       }

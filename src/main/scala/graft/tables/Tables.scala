@@ -81,9 +81,15 @@ object Tables {
   /** Small-file compaction — the standard maintenance pass: streaming
     * sinks and fine-grained partitions accrete kilobyte files whose
     * per-file open/footer cost eventually dominates scans. Rewrites the
-    * dataset into `ceil(rows / rowsPerFile)` files. Reads before
-    * overwriting, so the caller must supply a temp dir for the atomic
-    * swap (object stores have no rename-into-place for directories).
+    * dataset into `ceil(rows / rowsPerFile)` files via `tmpPath`, then
+    * swaps with filesystem renames.
+    *
+    * NOT atomic: there is a metadata-only window between removing `path`
+    * and renaming the compacted copy into place; a crash there leaves
+    * the data intact in `tmpPath` (nothing is deleted until the rename
+    * source exists and is complete) but `path` briefly missing. Real
+    * deployments put a table format (Delta/Iceberg commit) or a catalog
+    * pointer-swap in front of this; the rewrite shape is identical.
     */
   def compact(spark: SparkSession, path: String, tmpPath: String,
       rowsPerFile: Long): Unit = {
@@ -92,9 +98,13 @@ object Tables {
     val n = df.count()
     val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
     df.repartition(files).write.mode("overwrite").parquet(tmpPath)
-    // re-write from the compacted copy: the source dir cannot be
-    // overwritten while it is being read
-    spark.read.parquet(tmpPath).write.mode("overwrite").parquet(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(tmpPath)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    if (!fs.delete(dst, true)) throw new java.io.IOException(s"could not remove $dst")
+    if (!fs.rename(src, dst)) throw new java.io.IOException(
+      s"rename $src -> $dst failed; compacted data remains at $src")
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")

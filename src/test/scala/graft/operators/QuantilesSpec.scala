@@ -48,6 +48,20 @@ class QuantilesSpec extends SparkSpec {
     got.foreach { case (g, v) => v shouldBe expect(g) +- 1e-9 }
   }
 
+  test("groupedExactQuantile keeps null group keys and all-null-value groups") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), Option(1.0)), (Option("a"), Option(3.0)),
+      (Option.empty[String], Option(10.0)), (Option.empty[String], Option(20.0)),
+      (Option("z"), Option.empty[Double])) // all-null values → NULL quantile
+      .toDF("g", "v")
+    val r = Quantiles.groupedExactQuantile(df, Seq("g"), "v", 0.5)
+      .collect().map(x => Option(x.getString(0)) -> Option(x.get(1))).toMap
+    r(Some("a")) shouldBe Some(2.0)
+    r(None) shouldBe Some(15.0)       // null key is a real group
+    r(Some("z")) shouldBe None        // group survives with NULL quantile
+  }
+
   test("groupedExactQuantile: singleton group and exact-position quantile") {
     import spark.implicits._
     val df = Seq(("a", 5.0), ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
