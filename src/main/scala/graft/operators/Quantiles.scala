@@ -54,11 +54,13 @@ object Quantiles {
   }
 
   /** Per-GROUP exact interpolated quantile without buffering a group's
-    * values in one aggregation state: rank within group (one shuffle-sort
-    * on (group, value), spill-safe), join the per-group counts (reuses
-    * the same hash(group) partitioning — no extra exchange), keep only
-    * the two rows flanking position p·(n-1), interpolate. Peak memory is
-    * a partition slice, as in [[exactQuantiles]], but per group.
+    * values in one aggregation state: ONE shuffle-sort on (group, value)
+    * carries both the within-group rank and the group count (two window
+    * functions over the same partitioning — no count join, and null
+    * group keys are ordinary window partitions), then only the two rows
+    * flanking position p·(n-1) survive into a tiny per-group aggregate
+    * that the window's partitioning already satisfies. Peak memory is a
+    * partition slice, as in [[exactQuantiles]], but per group.
     */
   def groupedExactQuantile(df: DataFrame, groupCols: Seq[String],
       valueCol: String, p: Double, outCol: String = "quantile"): DataFrame = {
@@ -66,19 +68,12 @@ object Quantiles {
     val g = groupCols.map(col)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(g: _*).orderBy(col("__v"))
-    val ranked = df.filter(col(valueCol).isNotNull)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    val pos = lit(p) * (col("__n") - 1).cast("double")
+    val flanks = df.filter(col(valueCol).isNotNull)
       .select(g :+ col(valueCol).cast("double").as("__v"): _*)
       .withColumn("__rn", row_number().over(w).cast("long") - 1L)
-    // renamed count-side keys: counts derives from ranked, so unrenamed
-    // columns would be ambiguous in the self-join
-    val counts = ranked.groupBy(g: _*).agg(count(lit(1)).as("__n"))
-      .select(groupCols.map(c => col(c).as(s"__c_$c")) :+ col("__n"): _*)
-    val pos = lit(p) * (col("__n") - 1).cast("double")
-    // groupBy treats null keys as a group; the count join must too, so
-    // join NULL-SAFELY — a plain equi-join would drop null-keyed groups
-    val flanks = ranked.join(counts,
-        groupCols.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _))
-      .select(g ++ Seq(col("__v"), col("__rn"), col("__n")): _*)
+      .withColumn("__n", count(lit(1)).over(wAll))
       .withColumn("__pos", pos)
       .filter(col("__rn") === floor(col("__pos")) ||
         col("__rn") === ceil(col("__pos")))
