@@ -522,6 +522,16 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
+    "dedup_near_survivors" -> ((s, dir) => {
+      // the full near-dup product: corpus in → clustered → one survivor
+      // per duplicate cluster out
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 16, bands = 8, shingleN = 5, threshold = 0.4,
+        estimateSlack = 0.05)
+      Dedup.nearDupSurvivors(docs, "doc_id", pairs)
+        .select("doc_id", "source")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       // md5 kernel + maxHamming+1 chunk blocking: the output equals the
       // exact all-pairs hamming<=8 set (pigeonhole), and the DuckDB
@@ -1097,6 +1107,19 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $minhashPairsSql
          SELECT * FROM p WHERE jaccard >= 0.4""",
+    "dedup_near_survivors" ->
+      s"""WITH RECURSIVE $minhashPairsSql,
+         pr AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.4),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                   UNION SELECT id_b, id_a FROM pr),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         losers AS (SELECT a FROM reach GROUP BY a
+                    HAVING least(a, min(b)) <> a)
+         SELECT doc_id, source FROM documents
+         WHERE doc_id NOT IN (SELECT a FROM losers)""",
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsSql,
          pr AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.4),

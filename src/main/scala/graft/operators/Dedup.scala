@@ -326,6 +326,21 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** The end product of near-dup dedup: the corpus with one survivor per
+    * duplicate cluster (the min id) — every non-survivor cluster member
+    * anti-joined away, docs with no near-dup untouched. `pairs` is any
+    * near-dup pair relation ([[minhashLsh]], [[simhash]],
+    * [[embeddingCosine]], ...).
+    */
+  def nearDupSurvivors(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol, maxIter)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact pairwise embedding cosine within blocks (oracle-friendly
     * companion to `embeddingCosine`, same contract as
     * `ngramJaccardBlocked`).

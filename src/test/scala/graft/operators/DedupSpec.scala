@@ -101,6 +101,15 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L)
   }
 
+  test("nearDupSurvivors keeps min id per cluster and all unpaired docs") {
+    import spark.implicits._
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDupSurvivors(corpus, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L, 4L, 9L) // cluster {1,2,3}→1, {4,5}→4, loner 9
+  }
+
   test("ngram jaccard blocked: respects blocks and threshold") {
     val r = Dedup.ngramJaccardBlocked(docs, "doc_id", "text", Seq("source"),
         n = 3, threshold = 0.4)
