@@ -162,7 +162,9 @@ object ConfluentAvro {
         override def initialValue() =
           (new Array[org.apache.avro.io.BinaryDecoder](1), new Array[GenericRecord](1))
       }
-    override def dataType: DataType = structTypeFor(parseSchema(schemaJson))
+    // lazy: dataType is read repeatedly during analysis — re-parsing the
+    // schema JSON per call would allocate a Parser each time
+    @transient override lazy val dataType: DataType = structTypeFor(schema)
     override def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
       val (decHolder, recHolder) = state.get()
@@ -197,6 +199,20 @@ object ConfluentAvro {
       }
     override def dataType: DataType = BinaryType
     private lazy val inputType = child.dataType.asInstanceOf[StructType]
+    // Avro fields resolved to input-struct ordinals BY NAME, once: the
+    // outgoing schema (e.g. from the registry) may order fields
+    // differently from the struct, and positional mapping would silently
+    // swap same-typed values (ProtoEncode already maps by name)
+    @transient private lazy val fieldSources: Array[Int] = {
+      val fs = schema.getFields
+      Array.tabulate(fs.size()) { i =>
+        val name = fs.get(i).name()
+        require(inputType.fieldNames.contains(name),
+          s"outgoing schema field '$name' missing from input struct " +
+            s"(${inputType.fieldNames.mkString(", ")})")
+        inputType.fieldIndex(name)
+      }
+    }
     override def nullSafeEval(input: Any): Any = {
       val row = input.asInstanceOf[InternalRow]
       val (bos, encHolder, rec) = state.get()
@@ -204,8 +220,9 @@ object ConfluentAvro {
       var i = 0
       while (i < fields.size()) {
         val f = fields.get(i)
-        val v = if (row.isNullAt(i)) null
-          else row.get(i, inputType(i).dataType)
+        val src = fieldSources(i)
+        val v = if (row.isNullAt(src)) null
+          else row.get(src, inputType(src).dataType)
         rec.put(i, catalystToAvro(v, f.schema()))
         i += 1
       }

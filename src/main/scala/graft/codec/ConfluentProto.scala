@@ -118,6 +118,12 @@ object ConfluentProto {
                 vals(i) = java.lang.Float.intBitsToFloat(bits); p += 4
               case 2 =>
                 val (len, p2) = readVarint(bytes, p)
+                // copyOfRange silently ZERO-PADS past the array end — a
+                // truncated message must error onto the poison path, not
+                // decode to NUL-padded "valid" data
+                require(len >= 0 && p2 + len <= bytes.length,
+                  s"truncated length-delimited field: need $len bytes, " +
+                    s"have ${bytes.length - p2}")
                 val body = java.util.Arrays.copyOfRange(bytes, p2, p2 + len.toInt)
                 vals(i) = f.dataType match {
                   case StringType => UTF8String.fromBytes(body)
@@ -136,7 +142,9 @@ object ConfluentProto {
             }
         }
       }
-      InternalRow.fromSeq(vals.toIndexedSeq)
+      // GenericInternalRow wraps the array directly — fromSeq would copy
+      // it per row on the throughput hot path
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
     }
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
@@ -149,12 +157,15 @@ object ConfluentProto {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
     private lazy val inputType = child.dataType.asInstanceOf[StructType]
+    // tag order + struct ordinals resolved ONCE — sorting and name lookup
+    // per row would allocate on the pipeline throughput hot path
+    @transient private lazy val ordered: Array[(ProtoField, Int)] =
+      fields.sortBy(_.tag).map(f => (f, inputType.fieldIndex(f.name))).toArray
 
     override def nullSafeEval(input: Any): Any = {
       val row = input.asInstanceOf[InternalRow]
       val out = new ByteArrayOutputStream()
-      fields.sortBy(_.tag).foreach { f =>
-        val i = inputType.fieldIndex(f.name)
+      ordered.foreach { case (f, i) =>
         if (!row.isNullAt(i)) {
           val keyV = (f.tag.toLong << 3) | wireTypeOf(f.dataType)
           f.dataType match {
@@ -210,8 +221,16 @@ object ConfluentProto {
   def encodeProto(payload: Column, fields: Seq[ProtoField]): Column =
     Bridge.column(ProtoEncode(Bridge.expression(payload), fields))
 
-  /** Confluent wire format (magic byte + schema id header, same framing
+  /** Confluent-style framing (magic byte + schema id header, same shape
     * the Avro path uses) around a proto3 body.
+    *
+    * DOCUMENTED DEVIATION, inherited from the reference: Confluent's
+    * Java KafkaProtobufSerializer additionally emits a message-indexes
+    * varint array between the header and the body; the reference's
+    * kafkajs registry client omits it, and this codec stays wire-
+    * compatible with the reference (and with itself round-trip), not
+    * with Java-client protobuf producers. Interop with those requires
+    * skipping the message-index varints after the header.
     */
   def fromConfluentProto(value: Column, fields: Seq[ProtoField]): Column =
     Bridge.column(ProtoDecode(

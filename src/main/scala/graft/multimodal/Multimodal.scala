@@ -87,11 +87,14 @@ object Multimodal {
       * (audio/video, or bytes that are not an image at all).
       */
     private[multimodal] def fake(id: Long, bytes: Array[Byte]): DecodedMedia = {
-      val n = if (bytes == null) 0 else bytes.length
-      val w = 64 + (n % 577)
-      val h = 64 + ((n * 31) % 331)
+      // Long arithmetic: n * 31 overflows Int beyond ~69 MB payloads and
+      // would produce negative dimensions (the SQL oracle computes these
+      // in 64-bit, so Long is also the semantics the oracle checks)
+      val n: Long = if (bytes == null) 0L else bytes.length.toLong
+      val w = (64 + n % 577).toInt
+      val h = (64 + (n * 31) % 331).toInt
       val feat = Array.tabulate(8)(i => ((n * (i + 3)) % 997).toFloat / 997f)
-      DecodedMedia(id, w, h, 1 + n % 30, feat)
+      DecodedMedia(id, w, h, (1 + n % 30).toInt, feat)
     }
 
     /** Encode a deterministic synthetic PNG: id-seeded gradient fill —
@@ -282,8 +285,10 @@ object Multimodal {
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { id =>
-          val w = 16 + (id % 32).toInt
-          val h = 16 + ((id * 7) % 32).toInt
+          // floorMod: a negative id with signed % would yield w/h <= 0
+          // and BufferedImage throws, killing the task
+          val w = 16 + Math.floorMod(id, 32L).toInt
+          val h = 16 + Math.floorMod(id * 7, 32L).toInt
           (id, MediaDecoder.syntheticPng(id, w, h))
         }
       }

@@ -92,6 +92,14 @@ object Catalog {
     val row = read("pipelines")
       .where(s"id = $pipelineId AND is_active = true").head()
     val (procs, dlqIds) = parseSteps(row.getAs[String]("steps"))
+    // the reference's seed rows reference processors BY ID in steps
+    // (insertTestPipelines.js); names pass through, numeric ids resolve
+    // against the processors table like every other id column here
+    val procNames = procs.map { p =>
+      if (p.nonEmpty && p.forall(_.isDigit))
+        lookup("processors", "id", "processor_name", p.toInt)
+      else p
+    }
     PipelineDef(
       id = row.getAs[Int]("id"),
       name = row.getAs[String]("name"),
@@ -99,7 +107,7 @@ object Catalog {
       targetTopic = lookup("topics", "id", "topic_name", row.getAs[Int]("target_topic_id")),
       incomingSchema = lookup("schemas", "id", "schema_name", row.getAs[Int]("incoming_schema_id")),
       outgoingSchema = lookup("schemas", "id", "schema_name", row.getAs[Int]("outgoing_schema_id")),
-      processors = procs,
+      processors = procNames,
       dlq = dlqIds.map(_.map(id => lookup("topics", "id", "topic_name", id.toInt))),
       isActive = true)
   }

@@ -161,8 +161,12 @@ final case class Pipeline(steps: Seq[Step], target: String = "target") {
       val m = Msg(col("key"), col("value"), col("num"))
       p match {
         case f: FilterProcessor =>
+          // SQL filter semantics: a NULL predicate drops the row (like
+          // df.filter). Without the coalesce, when(ok && !null, ...)
+          // would fall through and silently KEEP null-predicate rows.
           df = df.withColumn("__drop",
-            when(ok && !f.pred(m), lit(i)).otherwise(col("__drop")))
+            when(ok && !coalesce(f.pred(m), lit(false)), lit(i))
+              .otherwise(col("__drop")))
         case mp: MapProcessor =>
           val err = when(ok && mp.errorWhen(m), lit(i)).otherwise(col("__err"))
           val live = col("__drop").isNull && err.isNull

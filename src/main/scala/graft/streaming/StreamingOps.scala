@@ -60,12 +60,18 @@ object StreamingOps {
     * aggregation the reference lacks entirely (SURVEY §2.3).
     */
   def tumblingCounts(events: DataFrame, tsCol: String, width: String,
-      watermark: String, groupCols: Seq[String]): DataFrame =
+      watermark: String, groupCols: Seq[String],
+      sumCol: Option[String] = None): DataFrame = {
+    // the summed measure is opt-in like every other column here — a
+    // hardcoded sum("value") would fail analysis on frames without one
+    val aggs = count(lit(1)).as("n") +:
+      sumCol.map(c => sum(col(c)).as(s"sum_$c")).toSeq
     events.withWatermark(tsCol, watermark)
       .groupBy((window(col(tsCol), width) +: groupCols.map(col)): _*)
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-      .select((col("window.start").as("window_start") +:
-        groupCols.map(col)) :+ col("n") :+ col("sum_value"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col("window.start").as("window_start") +: groupCols.map(col)) ++
+        Seq(col("n")) ++ sumCol.map(c => col(s"sum_$c")): _*)
+  }
 
   /** Sliding-window aggregate: each event contributes to width/slide
     * overlapping windows (Spark explodes the assignment inside the

@@ -51,4 +51,37 @@ class ConfluentAvroSpec extends SparkSpec {
     }
     e.getMessage should include("Confluent")
   }
+
+  test("encode maps struct fields to schema fields by NAME, not position") {
+    import spark.implicits._
+    // outgoing schema orders fields (value, key, num) — a registry-
+    // resolved schema need not match the struct's order
+    val reordered =
+      """{"type":"record","name":"Event","fields":[
+        |{"name":"value","type":"string"},
+        |{"name":"key","type":"string"},
+        |{"name":"num","type":"int"}]}""".stripMargin
+    val wire = Seq(("the-key", "the-value", 3)).toDF("key", "value", "num")
+      .select(toConfluentAvro(struct(col("key"), col("value"), col("num")),
+        reordered, schemaId = 1).as("value"))
+    val back = wire.select(fromConfluentAvro(col("value"), reordered).as("m"))
+      .select("m.key", "m.value", "m.num").head()
+    back.getString(0) shouldBe "the-key"   // not silently swapped
+    back.getString(1) shouldBe "the-value"
+    back.getInt(2) shouldBe 3
+  }
+
+  test("encode rejects a schema field missing from the input struct") {
+    import spark.implicits._
+    val widened =
+      """{"type":"record","name":"Event","fields":[
+        |{"name":"key","type":"string"},
+        |{"name":"extra","type":"string"}]}""".stripMargin
+    val e = intercept[Exception] {
+      Seq(("k", "v", 1)).toDF("key", "value", "num")
+        .select(toConfluentAvro(struct(col("key"), col("value"), col("num")),
+          widened, schemaId = 1)).collect()
+    }
+    e.getMessage should include("missing from input struct")
+  }
 }

@@ -17,6 +17,17 @@ class ConfluentProtoSpec extends SparkSpec {
     rows(back) shouldBe Seq(Seq("k1", "v1", 1), Seq("", "v2", 0), Seq("k3", "", -7))
   }
 
+  test("decode errors on a truncated length-delimited field (no zero-padding)") {
+    import spark.implicits._
+    // declares a 9-byte string but only 2 payload bytes follow
+    val truncated = Array[Byte](0x0A, 0x09, 'a', 'b')
+    val e = intercept[Exception] {
+      Seq(truncated).toDF("b")
+        .select(decodeProto(col("b"), schemaC1)).collect()
+    }
+    e.getMessage should include("truncated")
+  }
+
   test("decode matches a canonical hand-built proto3 message") {
     import spark.implicits._
     // SchemaC1 {key:"ab", value:"c", num:5}:

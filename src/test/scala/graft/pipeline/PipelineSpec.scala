@@ -37,6 +37,16 @@ class PipelineSpec extends SparkSpec {
     r.dropped.count() shouldBe 1
   }
 
+  test("a NULL filter predicate drops the row (SQL filter semantics)") {
+    import spark.implicits._
+    // num null → (num % 2 = 0) is null → drop, exactly like df.filter
+    val in = Seq(("a", "x", Some(2)), ("b", "y", Option.empty[Int]))
+      .toDF("key", "value", "num")
+    val r = Pipeline(Seq(Step(Processors.isEven)))(in)
+    rows(r.toTarget) shouldBe Seq(Seq("a", "x", 2))
+    r.dropped.count() shouldBe 1
+  }
+
   test("steps execute in array order (reference src/consumer.js:89)") {
     // add10 then isEven: 1 -> 11 (odd, dropped); isEven then add10: kept
     val in = msgs(("k", "v", 1))

@@ -218,7 +218,7 @@ class StreamingOpsSpec extends SparkSpec {
     in.addData((ts(60), "a", 0.0))
     val agg = StreamingOps.tumblingCounts(
       in.toDF().toDF("ts", "event_type", "value"),
-      "ts", "5 minutes", "1 minute", Seq("event_type"))
+      "ts", "5 minutes", "1 minute", Seq("event_type"), sumCol = Some("value"))
     runToMemory(agg, "tumble_out", OutputMode.Append())
     val out = spark.table("tumble_out")
       .select("window_start", "event_type", "n", "sum_value").collect()
