@@ -1078,13 +1078,14 @@ object SparkEntry {
       """SELECT md5(coalesce(text, chr(1))) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS dup_count FROM documents GROUP BY 1""",
     "dedup_ngram" ->
-      s"""WITH t AS (SELECT doc_id, source, $trigramsSql AS g FROM documents)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.g, b.g))::DOUBLE
-             / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE, 6) AS jaccard
-         FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-         WHERE len(list_intersect(a.g, b.g))::DOUBLE
-             / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE >= 0.4""",
+      s"""WITH t AS (SELECT doc_id, source, $trigramsSql AS g
+           FROM documents WHERE text IS NOT NULL),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0
+             ELSE len(list_intersect(a.g, b.g))::DOUBLE
+               / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE END AS j
+           FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.4""",
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
@@ -1104,12 +1105,13 @@ object SparkEntry {
       "SELECT 10::BIGINT AS n_ann, 10::BIGINT AS n_in_exact_top50",
     "sim_ivf" ->
       "SELECT 10::BIGINT AS n_ivf, 10::BIGINT AS n_in_exact_top50",
+    // filter on RAW jaccard then round for output — the operator's order
     "dedup_minhash" ->
       s"""WITH $minhashPairsSql
-         SELECT * FROM p WHERE jaccard >= 0.4""",
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.4""",
     "dedup_near_survivors" ->
       s"""WITH RECURSIVE $minhashPairsSql,
-         pr AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.4),
+         pr AS (SELECT id_a, id_b FROM p WHERE j >= 0.4),
          edges AS (SELECT id_a AS a, id_b AS b FROM pr
                    UNION SELECT id_b, id_a FROM pr),
          reach(a, b) AS (
@@ -1122,7 +1124,7 @@ object SparkEntry {
          WHERE doc_id NOT IN (SELECT a FROM losers)""",
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsSql,
-         pr AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.4),
+         pr AS (SELECT id_a, id_b FROM p WHERE j >= 0.4),
          edges AS (SELECT id_a AS a, id_b AS b FROM pr
                    UNION SELECT id_b, id_a FROM pr),
          reach(a, b) AS (
@@ -1152,7 +1154,8 @@ object SparkEntry {
              sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sig
            FROM bits GROUP BY doc_id),
          sigs AS (SELECT d.doc_id, coalesce(s.sig, 0) AS sig
-           FROM documents d LEFT JOIN sig0 s USING (doc_id))
+           FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+           LEFT JOIN sig0 s USING (doc_id))
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
@@ -1235,10 +1238,11 @@ object SparkEntry {
            generate_series(1, length(n)-4), i -> n[i:i+4])) AS g
          FROM (SELECT doc_id,
                  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
-               FROM documents)),
+               FROM documents WHERE text IS NOT NULL)),
          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.g, b.g))::DOUBLE
-             / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE, 6) AS jaccard
+           CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0
+             THEN 0.0 ELSE len(list_intersect(a.g, b.g))::DOUBLE
+             / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE END AS j
            FROM t a JOIN t b ON a.doc_id < b.doc_id)"""
 
   /** 60-bit value from the first 15 hex nibbles of md5 hex column `m` —

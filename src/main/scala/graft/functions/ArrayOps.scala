@@ -164,7 +164,13 @@ object ArrayOps {
       else {
         val toks = new Array[UTF8String](total)
         var i = 0
-        while (i < total) { toks(i) = arr.getUTF8String(i); i += 1 }
+        // NULL elements (possible via the SQL surface) count as empty
+        // tokens rather than NPE-ing the executor
+        while (i < total) {
+          toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8
+            else arr.getUTF8String(i)
+          i += 1
+        }
         val BYTE_OFF = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
         var buf = new Array[Byte](64)
         val hs = new Array[Long](m)
@@ -259,7 +265,10 @@ object ArrayOps {
       val useMd5 = kernel == "md5"
       var i = 0
       while (i < n) {
-        val t = arr.getUTF8String(i)
+        // NULL elements (possible via the SQL surface) hash as empty
+        // tokens rather than NPE-ing the executor
+        val t = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8
+          else arr.getUTF8String(i)
         val h =
           if (useMd5) Md5Kernel.hash60(t.getBytes)
           else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)

@@ -52,8 +52,13 @@ object AsofJoin {
     // greatest value-tuple, forward the smallest.
     val (leftMark, rightMark) = if (forward) (0, 1) else (1, 0)
     val l = left.withColumn("__side", lit(leftMark))
-    val r = right.select(col(keyCol), col(tsCol), lit(rightMark).as("__side"),
-      struct(valueCols.map(col): _*).as("__r"))
+    // SQL ASOF semantics: a right row with a NULL timestamp or key can
+    // never satisfy `l.ts >= r.ts AND l.key = r.key` — drop them here or
+    // they would sort into the frame (nulls first) and be carried
+    val r = right
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol), col(tsCol), lit(rightMark).as("__side"),
+        struct(valueCols.map(col): _*).as("__r"))
     val u = l.unionByName(r, allowMissingColumns = true)
 
     // the struct tiebreaker only when every value type is orderable
@@ -73,8 +78,12 @@ object AsofJoin {
       else
         (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
           last(col("__r"), ignoreNulls = true))
-    u.select((leftCols.map(col) :+ col("__side")) :+
-        pick.over(w).as("__carried"): _*)
+    // a left row with a NULL timestamp matches nothing either (the
+    // inequality is never true) — null its carried struct rather than
+    // letting the nulls-first sort position pick up frame contents
+    val carried = when(col(tsCol).isNull, lit(null))
+      .otherwise(pick.over(w))
+    u.select((leftCols.map(col) :+ col("__side")) :+ carried.as("__carried"): _*)
       .filter(col("__side") === leftMark)
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"__carried.$c").as(c)): _*)
   }

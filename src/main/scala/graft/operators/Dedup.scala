@@ -86,10 +86,18 @@ object Dedup {
       s"minhashLsh needs an integral id column; got " +
         s"${df.schema(idCol).dataType.simpleString} — hash string ids to " +
         "64-bit (xxhash64) upstream first")
-    // one native pass over the normalized string (see ArrayOps.ShingleHashes)
-    val shingled = df.select(col(idCol),
-      ArrayOps.shingleHashes(
-        regexp_replace(trim(lower(col(textCol))), "\\s+", " "), shingleN).as("sh"))
+    // null text has no shingles and can never reach a positive threshold;
+    // keeping such rows would thread NULL signature arrays into the
+    // pair generator (NPE on the primitive compare)
+    // one native pass over the normalized string (see ArrayOps.ShingleHashes),
+    // checkpointed: three plan branches read it (signatures + both verify
+    // sides) and would otherwise re-run the scan and the hot shingle pass
+    val shingled = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        ArrayOps.shingleHashes(
+          regexp_replace(trim(lower(col(textCol))), "\\s+", " "), shingleN).as("sh"))
+      .localCheckpoint(true)
     val sig = shingled.select(col(idCol),
       V.minhashSignatureOfHashes(col("sh"), numHashes).as("sig"))
     val bucketed = sig
@@ -174,8 +182,12 @@ object Dedup {
       maxHamming: Int = 3, maxBucketSize: Int = 1000,
       kernel: String = "xxhash"): DataFrame = {
     // tokens in their own projection: simhash64 references them multiple
-    // times and attribute reads are free while re-tokenizing is not
+    // times and attribute reads are free while re-tokenizing is not.
+    // Null text is excluded (no signature → no pairs, like minhashLsh);
+    // EMPTY text keeps its all-zero signature and pairs with other
+    // empty docs.
     val sigs = df
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), T.normTokens(col(textCol)).as("__toks"))
       .select(col(idCol), V.simhash64(col("__toks"), kernel).as("sig"))
     // chunk boundaries floor(sigBits·c/n): widths differ by at most one

@@ -63,8 +63,11 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       queryVec: Seq[Double], k: Int, dim: Int,
       nBits: Int = 6, nProbe: Int = 4): DataFrame = {
+    // checkpointed: the centroid collect and the probe filter both read
+    // this — without it the scan + bucket projection runs twice
     val bucketed = df.select(col(idCol), col(vecCol).as("v"),
       V.hyperplaneLshBucket(col(vecCol), nBits, dim).as("cell"))
+      .localCheckpoint(true)
     val cents = bucketed
       .groupBy("cell")
       .agg(graft.functions.Aggregators.vectorCentroid(

@@ -89,6 +89,27 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("null timestamps never match: right nulls dropped, left nulls carry null") {
+    import spark.implicits._
+    val left = Seq(
+      ("k", Some(ts("2026-01-01 00:10:00")), 1),
+      ("k", Option.empty[Timestamp], 2) // null left ts → no match
+    ).toDF("k", "ts", "i")
+    val right = Seq(
+      ("k", Option.empty[Timestamp], 99.0), // null right ts → never carried
+      ("k", Some(ts("2026-01-01 00:05:00")), 5.0)
+    ).toDF("k", "ts", "v")
+    for (dir <- Seq("backward", "forward")) {
+      val out = (if (dir == "backward") AsofJoin.asof(left, right, "k", "ts", Seq("v"))
+        else AsofJoin.asofForward(left, right, "k", "ts", Seq("v")))
+        .collect().map(r => r.getAs[Int]("i") -> Option(r.getAs[Any]("v"))).toMap
+      withClue(s"$dir: ") {
+        out(2) shouldBe None
+        out(1) shouldBe (if (dir == "backward") Some(5.0) else None)
+      }
+    }
+  }
+
   test("asof result row count equals left row count (left join semantics)") {
     import spark.implicits._
     val left = Seq(("k", ts("2026-01-01 00:00:01"), 1), ("k", ts("2026-01-01 00:00:02"), 2))

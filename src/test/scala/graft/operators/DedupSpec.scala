@@ -101,6 +101,23 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L)
   }
 
+  test("null text yields no near-dup pairs (and no NPE) in minhash and simhash") {
+    import spark.implicits._
+    val withNulls = Seq(
+      (1L, Some("the quick brown fox jumps over the lazy dog every day")),
+      (2L, Some("the quick brown fox jumps over the lazy dog every day")),
+      (3L, Option.empty[String]),
+      (4L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val mh = Dedup.minhashLsh(withNulls, "doc_id", "text",
+        numHashes = 16, bands = 8, shingleN = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    mh.toSet shouldBe Set((1L, 2L))
+    val sh = Dedup.simhash(withNulls, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    sh.toSet shouldBe Set((1L, 2L)) // null-text docs never pair
+  }
+
   test("nearDupSurvivors keeps min id per cluster and all unpaired docs") {
     import spark.implicits._
     val corpus = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
