@@ -522,6 +522,16 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
+    "dedup_incremental" -> ((s, dir) => {
+      // production shape: dedup a NEW batch (ids >= 250) against itself
+      // and against the digest index of the already-ingested corpus
+      val docs = Tables.documents(s, dir)
+      val existing = Dedup.exact(docs.filter(col("doc_id") < 250),
+        "doc_id", Seq("text")).select("content_hash")
+      Dedup.incrementalExact(docs.filter(col("doc_id") >= 250),
+        "doc_id", Seq("text"), existing)
+        .select("doc_id", "source")
+    }),
     "dedup_near_survivors" -> ((s, dir) => {
       // the full near-dup product: corpus in → clustered → one survivor
       // per duplicate cluster out
@@ -1109,6 +1119,17 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $minhashPairsSql
          SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.4""",
+    "dedup_incremental" ->
+      """WITH existing AS (
+           SELECT DISTINCT md5(coalesce(text, chr(1))) AS d
+           FROM documents WHERE doc_id < 250),
+         keep AS (
+           SELECT min(doc_id) AS doc_id
+           FROM documents WHERE doc_id >= 250
+           GROUP BY md5(coalesce(text, chr(1)))
+           HAVING md5(coalesce(text, chr(1))) NOT IN (SELECT d FROM existing))
+         SELECT doc_id, source FROM documents
+         WHERE doc_id IN (SELECT doc_id FROM keep)""",
     "dedup_near_survivors" ->
       s"""WITH RECURSIVE $minhashPairsSql,
          pr AS (SELECT id_a, id_b FROM p WHERE j >= 0.4),

@@ -39,6 +39,32 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup — the shape production pipelines actually
+    * run: a NEW batch deduped against itself and against the digests of
+    * everything already ingested, without touching the existing corpus's
+    * text. Returns the new-batch survivors (min id per new content that
+    * doesn't collide with an existing digest).
+    *
+    * Scale note: `existingDigests` is the 16-byte digest column persisted
+    * from prior runs (`exact(...).select("content_hash")`) — the
+    * anti-join shuffles digests only, never documents, and a
+    * bucketed/partitioned digest table makes it co-located.
+    */
+  def incrementalExact(newDocs: DataFrame, idCol: String,
+      contentCols: Seq[String], existingDigests: DataFrame,
+      digestCol: String = "content_hash"): DataFrame = {
+    // SAME digest construction as [[exact]] -- digests persisted from
+    // exact(...).select("content_hash") must match byte-for-byte
+    val digest = md5(concat_ws("\u0000",
+      contentCols.map(c => coalesce(col(c), lit("\u0001"))): _*))
+    val keepIds = newDocs.select(col(idCol), digest.as("__digest"))
+      .groupBy("__digest").agg(min(col(idCol)).as(idCol))
+      .join(existingDigests.select(col(digestCol).as("__digest")),
+        Seq("__digest"), "left_anti")
+      .select(idCol)
+    newDocs.join(keepIds, Seq(idCol), "left_semi")
+  }
+
   /** Candidate pairs from an exploded (id, bucket) relation: self-join on
     * bucket, `a.id < b.id`, distinct. `maxBucketSize` drops degenerate
     * buckets (a bucket of size s yields s²/2 pairs — one hot bucket can

@@ -101,6 +101,21 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L)
   }
 
+  test("incrementalExact dedups the new batch within itself and vs existing digests") {
+    import spark.implicits._
+    val existingDocs = Seq((1L, "already ingested text"), (2L, "old news")).toDF("doc_id", "text")
+    val existing = Dedup.exact(existingDocs, "doc_id", Seq("text")).select("content_hash")
+    val fresh = Seq(
+      (10L, "brand new content"),
+      (11L, "brand new content"),      // within-batch dup of 10
+      (12L, "already ingested text"),  // collides with existing corpus
+      (13L, "another novel doc")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(fresh, "doc_id", Seq("text"), existing)
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(10L, 13L)
+  }
+
   test("null text yields no near-dup pairs (and no NPE) in minhash and simhash") {
     import spark.implicits._
     val withNulls = Seq(

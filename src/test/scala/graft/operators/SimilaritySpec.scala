@@ -80,6 +80,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted LSH index: bucket filter prunes partitions before any file read") {
+    // the documented 100 TB ANN story: write the corpus partitioned by
+    // its hyperplane bucket, and a probe's bucket predicate prunes whole
+    // directories (PartitionFilters), not rows
+    import graft.functions.{VectorFunctions => V}
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    val bucketed = vecs.select(col("vec_id"), col("embedding"),
+      V.hyperplaneLshBucket(col("embedding"), 2, 4).as("bucket"))
+    graft.tables.Tables.writePartitioned(bucketed, s"$dir/idx", Seq("bucket"))
+    val probe = spark.read.parquet(s"$dir/idx").filter(col("bucket") === 1L)
+    val scan = probe.queryExecution.executedPlan.toString
+    scan should include("PartitionFilters")
+    scan should include("bucket")
+    // and the probe still returns exactly the rows of that bucket
+    probe.count() shouldBe bucketed.filter(col("bucket") === 1L).count()
+  }
+
   test("knnJoinExact: per-id top-k equals bruteForceTopK per id") {
     val r = Similarity.knnJoinExact(vecs, "vec_id", "embedding", dim = 4, k = 2)
       .collect()
