@@ -532,6 +532,17 @@ object SparkEntry {
         "doc_id", Seq("text"), existing)
         .select("doc_id", "source")
     }),
+    "dedup_incremental_lsh" -> ((s, dir) => {
+      // continuous-ingestion near-dup: new batch (ids >= 250) against
+      // the persisted MinHash index of the existing corpus + itself
+      val docs = Tables.documents(s, dir)
+      val index = Dedup.minhashIndex(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", numHashes = 16, bands = 8, shingleN = 5)
+      Dedup.minhashLshIncremental(docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", index, numHashes = 16, bands = 8, shingleN = 5,
+        threshold = 0.4, estimateSlack = 0.05)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
     "dedup_near_survivors" -> ((s, dir) => {
       // the full near-dup product: corpus in → clustered → one survivor
       // per duplicate cluster out
@@ -1119,6 +1130,12 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $minhashPairsSql
          SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.4""",
+    // every new-involving exact pair: id_a < id_b, so any pair touching
+    // the new batch (ids >= 250) has id_b >= 250
+    "dedup_incremental_lsh" ->
+      s"""WITH $minhashPairsSql
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
+         WHERE j >= 0.4 AND id_b >= 250""",
     "dedup_incremental" ->
       """WITH existing AS (
            SELECT DISTINCT md5(coalesce(text, chr(1))) AS d

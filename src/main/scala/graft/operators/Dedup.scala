@@ -159,13 +159,22 @@ object Dedup {
     * Buckets larger than `maxBucketSize` are dropped whole (degenerate
     * buckets are quadratic; standard LSH capping). State per group is
     * bounded by the cap, so a skewed bucket cannot blow an executor.
+    *
+    * When the relation carries a `__new` flag (incremental mode), only
+    * pairs with at least one new side are emitted — existing×existing
+    * pairs were found in prior runs.
     */
   private def lshCandidatePairs(bucketed: DataFrame, idCol: String,
-      minAgree: Int, maxBucketSize: Int): DataFrame = {
+      minAgree: Int, maxBucketSize: Int,
+      incremental: Boolean = false): DataFrame = {
     val spark = bucketed.sparkSession
     import spark.implicits._
-    bucketed.select(col("bucket"), col(idCol).cast("long"), col("sig"))
-      .as[(String, Long, Array[Long])]
+    val flagged =
+      if (incremental) bucketed.select(col("bucket"), col(idCol).cast("long"),
+        col("sig"), col("__new"))
+      else bucketed.select(col("bucket"), col(idCol).cast("long"),
+        col("sig"), lit(true).as("__new"))
+    flagged.as[(String, Long, Array[Long], Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val m = it.take(maxBucketSize + 1).toArray
@@ -176,12 +185,14 @@ object Dedup {
           while (i < m.length) {
             var j = i + 1
             while (j < m.length) {
-              val sa = m(i)._3; val sb = m(j)._3
-              var agree = 0; var k = 0
-              while (k < sa.length) { if (sa(k) == sb(k)) agree += 1; k += 1 }
-              if (agree >= minAgree) {
-                if (m(i)._2 < m(j)._2) out += ((m(i)._2, m(j)._2))
-                else out += ((m(j)._2, m(i)._2))
+              if (m(i)._4 || m(j)._4) {
+                val sa = m(i)._3; val sb = m(j)._3
+                var agree = 0; var k = 0
+                while (k < sa.length) { if (sa(k) == sb(k)) agree += 1; k += 1 }
+                if (agree >= minAgree) {
+                  if (m(i)._2 < m(j)._2) out += ((m(i)._2, m(j)._2))
+                  else out += ((m(j)._2, m(i)._2))
+                }
               }
               j += 1
             }
@@ -191,6 +202,68 @@ object Dedup {
         }
       }
       .toDF("id_a", "id_b").distinct()
+  }
+
+  /** The persistable MinHash index of a corpus: one row per (id, band)
+    * with the id's full signature and shingle-hash set attached —
+    * everything [[minhashLshIncremental]] needs to match FUTURE batches
+    * against this corpus without re-reading its text. Write it
+    * partitioned/bucketed by `bucket` and the incremental join
+    * co-locates.
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, shingleN: Int = 5): DataFrame = {
+    val shingled = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        ArrayOps.shingleHashes(
+          regexp_replace(trim(lower(col(textCol))), "\\s+", " "), shingleN).as("sh"))
+    shingled
+      .select(col(idCol), col("sh"),
+        V.minhashSignatureOfHashes(col("sh"), numHashes).as("sig"))
+      .select(col(idCol), col("sh"), col("sig"),
+        explode(V.minhashBands(col("sig"), numHashes, bands)).as("bandStruct"))
+      .select(col(idCol), col("sh"), col("sig"),
+        concat_ws(":", col("bandStruct.band"), col("bandStruct.bucket")).as("bucket"))
+  }
+
+  /** Incremental near-dup: match a NEW batch against a persisted
+    * [[minhashIndex]] and against itself, in one LSH pass — the
+    * continuous-ingestion shape. Returns (id_a, id_b, jaccard) for every
+    * pair involving at least one new doc; existing×existing pairs are
+    * not re-derived (prior runs own them). Candidate generation,
+    * capping, and verification are IDENTICAL to running [[minhashLsh]]
+    * over (existing ∪ new) and keeping new-involving pairs, so recall
+    * properties carry over unchanged — but the existing corpus's text is
+    * never touched, only its index.
+    */
+  def minhashLshIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      existingIndex: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      shingleN: Int = 5, threshold: Double = 0.5,
+      estimateSlack: Double = 0.25, maxBucketSize: Int = 1000): DataFrame = {
+    require(Set("ByteType", "ShortType", "IntegerType", "LongType")
+      .contains(newDocs.schema(idCol).dataType.toString),
+      "minhashLshIncremental needs an integral id column")
+    val newIndex = minhashIndex(newDocs, idCol, textCol,
+      numHashes, bands, shingleN).localCheckpoint(true)
+    val all = existingIndex
+      .select(col(idCol), col("sh"), col("sig"), col("bucket"),
+        lit(false).as("__new"))
+      .unionByName(newIndex.withColumn("__new", lit(true)))
+    val estMin = math.max(0.0, threshold - estimateSlack)
+    val minAgree = math.ceil(estMin * numHashes - 1e-9).toInt
+    val survivors = lshCandidatePairs(
+      all.select(col(idCol), col("sig"), col("bucket"), col("__new")),
+      idCol, minAgree, maxBucketSize, incremental = true)
+    // one sh row per id (the index repeats sh per band)
+    val shById = all.select(col(idCol).cast("long").as("__id"), col("sh"))
+      .dropDuplicates("__id")
+    survivors
+      .join(shById.select(col("__id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shById.select(col("__id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ArrayOps.jaccardSortedLong(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash near-dup: 64-bit signature, bucket on `maxHamming + 1`

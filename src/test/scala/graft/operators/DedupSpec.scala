@@ -116,6 +116,26 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Set(10L, 13L)
   }
 
+  test("minhashLshIncremental: new-vs-index and new-vs-new pairs, no existing pairs") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the morning sun"),
+      (2L, "the quick brown fox jumps over the lazy dog in the morning sun"), // dup of 1 (already known)
+      (3L, "completely unrelated text about databases and query engines")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog in the morning sun"), // dup of 1 AND 2
+      (11L, "another brand new document about spark catalyst internals"),
+      (12L, "another brand new document about spark catalyst internals")       // dup of 11
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(existing, "doc_id", "text",
+      numHashes = 16, bands = 8, shingleN = 5)
+    val pairs = Dedup.minhashLshIncremental(fresh, "doc_id", "text", index,
+        numHashes = 16, bands = 8, shingleN = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 10L), (2L, 10L), (11L, 12L)) // no (1,2): prior run owns it
+  }
+
   test("null text yields no near-dup pairs (and no NPE) in minhash and simhash") {
     import spark.implicits._
     val withNulls = Seq(
