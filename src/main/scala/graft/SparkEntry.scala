@@ -476,6 +476,37 @@ object SparkEntry {
     "pipeline_shards" -> ((s, dir) =>
       graft.operators.TrainingData.packShards(
         Tables.documents(s, dir), "doc_id", "text", tokenBudget = 2000)),
+    "text_repetition" -> ((s, dir) =>
+      // Gopher repetition signals: duplicate word-2/3-gram fractions and
+      // top-unigram fraction; tokens split ONCE in their own projection
+      Tables.documents(s, dir)
+        .select(col("doc_id"), T.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          round(T.dupNgramFractionOfTokens(col("toks"), 2), 6).as("dup2_frac"),
+          round(T.dupNgramFractionOfTokens(col("toks"), 3), 6).as("dup3_frac"),
+          round(T.topTokenFractionOfTokens(col("toks")), 6).as("top_token_frac"))),
+    "text_boilerplate" -> ((s, dir) =>
+      // minDf tuned to the corpus: its near-dup template clusters put the
+      // 3-gram df ceiling at ~7-9, so df >= 5 marks the shared-template
+      // phrases without marking everything
+      graft.operators.TrainingData.boilerplateScore(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, minDf = 5)),
+    "text_pii" -> ((s, dir) => {
+      // deterministic PII injected from doc_id (the synthetic corpus has
+      // none), then the scrub chain — counts per type + redacted digest
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com at 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 254 + 1).cast("string"),
+        lit(" or (415) 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ssn "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id") +: (T.piiCounts(col("t")) :+
+          md5(T.redactPii(col("t"))).as("redacted_fp")): _*)
+    }),
     "sample_mixture" -> ((s, dir) =>
       // data-mixing: keep all English, a quarter of everything else
       graft.operators.Sampling.mixtureSample(Tables.documents(s, dir),
@@ -1069,6 +1100,75 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)::BIGINT
              AS shard_id
          FROM t""",
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+         FROM documents),
+         g AS (SELECT doc_id, toks,
+           list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+             i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+           list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> array_to_string(toks[i:i+2], ' ')) AS g3
+         FROM t)
+         SELECT doc_id,
+           round(CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+             (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2) END, 6) AS dup2_frac,
+           round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+             (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END, 6) AS dup3_frac,
+           round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             list_max(list_transform(list_distinct(toks),
+               u -> len(list_filter(toks, x -> x = u))))::DOUBLE / len(toks) END, 6)
+             AS top_token_frac
+         FROM g""",
+    "text_boilerplate" ->
+      """WITH t AS (SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+         FROM documents),
+         g AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15))) AS grams
+           FROM t),
+         gg AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0),
+         e AS (SELECT doc_id, unnest(grams) AS gr FROM gg),
+         c AS (SELECT gr FROM e GROUP BY gr HAVING count(*) >= 5),
+         cnt AS (SELECT doc_id, count(*) AS n_common
+                 FROM e JOIN c USING (gr) GROUP BY doc_id)
+         SELECT gg.doc_id, len(gg.grams)::BIGINT AS n_grams,
+           coalesce(cnt.n_common, 0)::BIGINT AS n_common,
+           round(coalesce(cnt.n_common, 0)::DOUBLE / len(gg.grams), 6)
+             AS boilerplate_frac
+         FROM gg LEFT JOIN cnt USING (doc_id)""",
+    "text_pii" ->
+      """WITH t0 AS (SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com at 10.' ||
+           (doc_id % 256) || '.0.' || (doc_id % 254 + 1) ||
+           ' or (415) 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+           ' ssn ' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+           lpad((doc_id % 100)::VARCHAR, 2, '0') || '-' ||
+           lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+         FROM documents),
+         s1 AS (SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g') AS t
+         FROM t0),
+         s2 AS (SELECT doc_id, n_email,
+           len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+           regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<ssn>', 'g') AS t
+         FROM s1),
+         s3 AS (SELECT doc_id, n_email, n_ssn,
+           len(regexp_extract_all(t, '\(\d{3}\)[ .-]?\d{3}[ .-]\d{4}\b|\b\d{3}[ .-]\d{3}[ .-]\d{4}\b')) AS n_phone,
+           regexp_replace(t, '\(\d{3}\)[ .-]?\d{3}[ .-]\d{4}\b|\b\d{3}[ .-]\d{3}[ .-]\d{4}\b', '<phone>', 'g') AS t
+         FROM s2),
+         s4 AS (SELECT doc_id, n_email, n_ssn, n_phone,
+           len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+           regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<ipv4>', 'g') AS t
+         FROM s3)
+         SELECT doc_id, n_email::INT AS n_email, n_ssn::INT AS n_ssn,
+           n_phone::INT AS n_phone, n_ipv4::INT AS n_ipv4,
+           md5(t) AS redacted_fp
+         FROM s4""",
     "sample_mixture" ->
       """SELECT doc_id, lang FROM documents
          WHERE list_sum(list_transform(generate_series(1, 4),

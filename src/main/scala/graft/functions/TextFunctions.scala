@@ -184,6 +184,83 @@ object TextFunctions {
       .otherwise(size(array_distinct(ts)).cast("double") / size(ts).cast("double"))
   }
 
+  /** Word n-grams WITH repeats (no dedup) — the input unit for repetition
+    * metrics, where duplicate grams are the signal, not noise.
+    */
+  def wordNgramsAllOfTokens(ts: Column, n: Int): Column = {
+    val m = size(ts) - (n - 1)
+    val parts = (0 until n).map(k => slice(ts, lit(k + 1), greatest(m, lit(0))))
+    val joined = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    when(m <= 0, array().cast("array<string>")).otherwise(joined)
+  }
+
+  /** Fraction of word n-gram OCCURRENCES that are repeats of an earlier
+    * gram: `(total - distinct) / total` (Rae et al. 2021 §A1.1 "duplicate
+    * n-gram fraction"). Template spam repeats whole phrases, so this
+    * catches what [[typeTokenRatio]] (unigrams) misses.
+    *
+    * Takes a pre-split token array: compute `normTokens` ONCE in its own
+    * projection — the gram builder references its input n+1 times, and a
+    * lambda body that references a non-attribute outer expression
+    * re-evaluates it per element.
+    */
+  def dupNgramFractionOfTokens(ts: Column, n: Int): Column = {
+    val gs = wordNgramsAllOfTokens(ts, n)
+    when(size(gs) === 0, lit(0.0))
+      .otherwise((size(gs) - size(array_distinct(gs))).cast("double") /
+        size(gs).cast("double"))
+  }
+
+  /** Fraction of tokens equal to the single most frequent token (Gopher's
+    * "top unigram fraction" repetition signal). O(tokens × distinct) per
+    * row via nested HOFs — fine for document-length rows; a corpus-scale
+    * variant would explode + groupBy instead. The inner lambda touches
+    * only lambda variables and the token-array ATTRIBUTE, so nothing
+    * non-trivial re-evaluates per element — pass a pre-split token array
+    * column, not an expression.
+    */
+  def topTokenFractionOfTokens(ts: Column): Column = {
+    val counts = transform(array_distinct(ts), u => size(filter(ts, t => t === u)))
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(array_max(counts).cast("double") / size(ts).cast("double"))
+  }
+
+  /** PII patterns, applied in this order. RE2-safe (no lookaround, ASCII
+    * `\b`) so DuckDB/Trino-class engines replicate the scrub
+    * byte-for-byte. Email runs first so its digit runs can't also feed
+    * the phone/IP patterns.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    // two top-level alternatives: `\b` before `\(` can never match (both
+    // sides non-word), so the parenthesized form anchors on `\(` itself
+    "phone" -> "\\(\\d{3}\\)[ .-]?\\d{3}[ .-]\\d{4}\\b|\\b\\d{3}[ .-]\\d{3}[ .-]\\d{4}\\b",
+    "ipv4" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b")
+
+  /** Redact PII spans with `<type>` placeholders — the standard scrub
+    * pass before training-data release. Sequential `regexp_replace`
+    * chain, codegen'd, one pass per pattern.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (name, p)) =>
+      regexp_replace(t, p, s"<$name>")
+    }
+
+  /** Count of PII matches by type, counted sequentially on the
+    * progressively redacted text (so one span never counts under two
+    * types — matching [[redactPii]]'s replacement order exactly).
+    * Returns the per-type counts in [[piiPatterns]] order.
+    */
+  def piiCounts(text: Column): Seq[Column] = {
+    val (counts, _) = piiPatterns.foldLeft((Seq.empty[Column], text)) {
+      case ((acc, t), (name, p)) =>
+        (acc :+ regexp_count(t, lit(p)).as(s"n_$name"),
+          regexp_replace(t, p, s"<$name>"))
+    }
+    counts
+  }
+
   /** Gopher-style structural quality gate (Rae et al. 2021 §A1.1 subset
     * that needs no external tables): word count within bounds and mean
     * word length within bounds. Composes with [[qualityScore]] /

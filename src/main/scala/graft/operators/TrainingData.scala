@@ -117,6 +117,44 @@ object TrainingData {
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / tokenBudget))
   }
 
+  /** Corpus-boilerplate scoring (RefinedWeb/CCNet-style): the fraction of
+    * each doc's distinct word-`n`-grams that are corpus-common (document
+    * frequency ≥ `minDf`). Docs dominated by grams every other doc also
+    * has are navigation chrome / templates / license headers — the usual
+    * drop or down-weight set.
+    *
+    * Scale shape: grams travel as 15-hex-nibble md5 prefixes (60 bits —
+    * fixed-width keys, not unbounded strings), so both shuffles move
+    * narrow rows. The common-gram set (df ≥ minDf) is by definition the
+    * heavy tail of the df distribution — small — so the count-matches
+    * join broadcasts; per-doc totals come free from the gram array length
+    * and never re-shuffle. Docs with fewer than `n` tokens have no grams
+    * and are excluded (no 0/0 row).
+    */
+  def boilerplateScore(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDf: Int = 20): DataFrame = {
+    val base = docs
+      .select(col(idCol), T.normTokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        transform(T.wordNgramsOfTokens(col("__toks"), n),
+          g => substring(md5(g), 1, 15)).as("__grams"))
+      .filter(size(col("__grams")) > 0)
+    val exploded = base.select(col(idCol), explode(col("__grams")).as("g"))
+    val common = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("g")
+    // wordNgramsOfTokens dedups per doc, so count(*) over the semi join
+    // is the distinct-common-gram count
+    val commonPerDoc = exploded.join(common, Seq("g"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_common"))
+    base.select(col(idCol), size(col("__grams")).cast("long").as("n_grams"))
+      .join(commonPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 6).as("boilerplate_frac"))
+  }
+
   /** CCNet-style language-model quality signal without an external model:
     * a unigram LM estimated from the corpus itself, scoring each doc by
     * its mean token log-probability. Template spam full of globally rare

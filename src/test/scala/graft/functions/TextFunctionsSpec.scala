@@ -91,4 +91,46 @@ class TextFunctionsSpec extends SparkSpec {
     one(Seq.fill(50)("a").mkString(" "), T.gopherPass(col("text"))) shouldBe false
     one("", T.gopherPass(col("text"))) shouldBe false
   }
+
+  private def rep(text: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .select(T.normTokens(col("text")).as("toks"))
+      .select(f(col("toks"))).head().get(0)
+  }
+
+  test("dupNgramFractionOfTokens: repeated phrases, not unigrams") {
+    // "a b a b a" → 2-grams: [a b, b a, a b, b a] → 2 dup / 4
+    rep("a b a b a", t => T.dupNgramFractionOfTokens(t, 2)) shouldBe 0.5
+    // all distinct bigrams
+    rep("a b c d", t => T.dupNgramFractionOfTokens(t, 2)) shouldBe 0.0
+    // shorter than n → 0, not NaN
+    rep("a", t => T.dupNgramFractionOfTokens(t, 2)) shouldBe 0.0
+    rep("", t => T.dupNgramFractionOfTokens(t, 2)) shouldBe 0.0
+  }
+
+  test("topTokenFractionOfTokens: most frequent token's share") {
+    rep("x x x y", T.topTokenFractionOfTokens) shouldBe 0.75
+    rep("a b c d", T.topTokenFractionOfTokens) shouldBe 0.25
+    rep("", T.topTokenFractionOfTokens) shouldBe 0.0
+  }
+
+  test("redactPii scrubs email, ssn, phone (both forms), ipv4") {
+    val in = "mail a.user+tag@mail.example.org ssn 123-45-6789 " +
+      "call (415) 555-0123 or 415-555-0123 from 192.168.1.10 end"
+    one(in, T.redactPii(col("text"))) shouldBe
+      "mail <email> ssn <ssn> call <phone> or <phone> from <ipv4> end"
+    // no PII → unchanged
+    one("just words here", T.redactPii(col("text"))) shouldBe "just words here"
+    // a 3-2-4 ssn is not double-counted as a phone; ip octets never
+    // combine into a phone shape
+    one("ip 10.255.0.254 stays", T.redactPii(col("text"))) shouldBe "ip <ipv4> stays"
+  }
+
+  test("piiCounts counts each span under exactly one type") {
+    import spark.implicits._
+    val in = "a@b.co and c@d.org ssn 111-22-3333 tel 555-123-4567 ip 8.8.8.8"
+    val r = Seq(in).toDF("text").select(T.piiCounts(col("text")): _*).head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) shouldBe ((2, 1, 1, 1))
+  }
 }

@@ -48,6 +48,21 @@ class TrainingDataSpec extends SparkSpec {
     r shouldBe Map(1L -> (3L, 0L), 2L -> (12L, 0L), 3L -> (2L, 1L), 4L -> (1L, 1L))
   }
 
+  test("boilerplateScore: corpus-common n-grams dominate template docs") {
+    import spark.implicits._
+    val boiler = "all rights reserved click here to subscribe"
+    val docs = ((1L to 10L).map(i => (i, s"$boiler unique words $i alpha$i beta$i")) :+
+      ((99L, "totally fresh content with no shared phrases at all"))).toDF("doc_id", "text")
+    val r = TrainingData.boilerplateScore(docs, "doc_id", "text", n = 3, minDf = 10)
+      .collect().map(row => (row.getLong(0), (row.getLong(1), row.getLong(2),
+        row.getDouble(3)))).toMap
+    // template docs: 12 tokens → 10 grams, 7 inside the shared prefix
+    r(1L) shouldBe ((10L, 7L, 0.7))
+    r(5L) shouldBe ((10L, 7L, 0.7))
+    // fresh doc: all grams unique in the corpus
+    r(99L) shouldBe ((7L, 0L, 0.0))
+  }
+
   test("prepareStream filters and dedups a live feed like the batch chain") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
