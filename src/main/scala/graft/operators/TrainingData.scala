@@ -125,33 +125,35 @@ object TrainingData {
     *
     * Scale shape: grams travel as 15-hex-nibble md5 prefixes (60 bits —
     * fixed-width keys, not unbounded strings), so both shuffles move
-    * narrow rows. The common-gram set (df ≥ minDf) is by definition the
-    * heavy tail of the df distribution — small — so the count-matches
-    * join broadcasts; per-doc totals come free from the gram array length
-    * and never re-shuffle. Docs with fewer than `n` tokens have no grams
-    * and are excluded (no 0/0 row).
+    * narrow rows. The expensive part — tokenize, build n-grams, hash —
+    * feeds TWO consumers (the df count and the per-doc score), so the
+    * narrow (id, gram) frame is checkpointed once instead of recomputed
+    * per consumer. The common-gram set (df ≥ minDf) is the heavy tail of
+    * the df distribution — bounded by total-grams/minDf — so AQE picks a
+    * broadcast for the marker join at runtime; per-doc totals and common
+    * counts then come from ONE aggregation (count all / count marked),
+    * no join back to the docs. Docs with fewer than `n` tokens have no
+    * grams and are excluded (no 0/0 row).
     */
   def boilerplateScore(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minDf: Int = 20): DataFrame = {
-    val base = docs
+    val exploded = docs
       .select(col(idCol), T.normTokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        transform(T.wordNgramsOfTokens(col("__toks"), n),
-          g => substring(md5(g), 1, 15)).as("__grams"))
-      .filter(size(col("__grams")) > 0)
-    val exploded = base.select(col(idCol), explode(col("__grams")).as("g"))
+        explode(transform(T.wordNgramsOfTokens(col("__toks"), n),
+          g => substring(md5(g), 1, 15))).as("g"))
+      .localCheckpoint(true)
     val common = exploded.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-      .select("g")
-    // wordNgramsOfTokens dedups per doc, so count(*) over the semi join
-    // is the distinct-common-gram count
-    val commonPerDoc = exploded.join(common, Seq("g"))
-      .groupBy(idCol).agg(count(lit(1)).as("n_common"))
-    base.select(col(idCol), size(col("__grams")).cast("long").as("n_grams"))
-      .join(commonPerDoc, Seq(idCol), "left")
-      .select(col(idCol), col("n_grams"),
-        coalesce(col("n_common"), lit(0L)).as("n_common"),
-        round(coalesce(col("n_common"), lit(0L)).cast("double") /
+      .select(col("g"), lit(1).as("__common"))
+    // wordNgramsOfTokens dedups per doc, so the gram rows are distinct
+    // per doc and count == distinct count on both totals
+    exploded.join(common, Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__common")).as("n_common"))
+      .select(col(idCol), col("n_grams"), col("n_common"),
+        round(col("n_common").cast("double") /
           col("n_grams").cast("double"), 6).as("boilerplate_frac"))
   }
 
