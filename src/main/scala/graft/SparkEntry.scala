@@ -694,6 +694,18 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"),
           (col("n_frames") * 1000 / col("sample_rate")).cast("long").as("duration_ms"))
     }),
+    "mm_phash_dedup" -> ((s, dir) => {
+      // image near-dup by CONTENT: consecutive ids render the same
+      // pattern at different resolutions (different bytes, different
+      // sha256 — byte-level dedup finds nothing), the perceptual hash
+      // collides, and chunk-blocked hamming pairing recovers exactly the
+      // same-pattern pairs. Pixels never shuffle — only 8-byte hashes.
+      val imgs = Multimodal.syntheticPatternImages(s,
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", idsPerPattern = 2)
+      val hashes = Multimodal.perceptualHashes(s, imgs, "id", "payload").toDF()
+      graft.operators.Dedup.hammingPairs(hashes, "id", "phash", maxHamming = 8)
+        .select(col("id_a"), col("id_b"))
+    }),
     "mm_resize_real" -> ((s, dir) => {
       // real resize then REAL re-decode of the output bytes: reported
       // dims come from decoding the resized PNG, not from the request
@@ -1359,7 +1371,16 @@ object SparkEntry {
       """SELECT doc_id AS id, 16000::BIGINT AS sample_rate, 1::BIGINT AS channels,
          (4000 + (doc_id % 100) * 16)::BIGINT AS n_frames,
          ((4000 + (doc_id % 100) * 16) * 1000 / 16000)::BIGINT AS duration_ms
-         FROM documents"""
+         FROM documents""",
+    // every consecutive (even, odd) id pair renders the same pattern at
+    // two resolutions; the pHash pipeline must recover exactly these
+    // pairs (empirical margins: same-pattern hamming <= 3, cross-pattern
+    // > 10, thresholds asserted in MultimodalSpec; chunk blocking is
+    // pigeonhole-exact at maxHamming = 8)
+    "mm_phash_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         WHERE a.doc_id % 2 = 0"""
   )
 
   private def stopwordListSql: String =

@@ -118,6 +118,123 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Encode a synthetic PNG whose CONTENT depends only on `patternId`
+      * and whose resolution is free: a low-frequency field of two
+      * sinusoids sampled in normalized coordinates, so two renders of the
+      * same pattern at different sizes depict the same image. Low spatial
+      * frequency (≤ ~2.5 cycles) survives downscale-to-32×32, which is
+      * what makes the perceptual hash of same-pattern renders collide
+      * and different-pattern renders diverge.
+      */
+    def patternPng(patternId: Long, w: Int, h: Int): Array[Byte] = {
+      // drive ALL 63 AC components of the 8×8 DCT basis with a
+      // per-pattern random sign: the continuous field is
+      //   f(u,v) = 127.5 + A·Σ s_ab·cos(πa·u)·cos(πb·v)
+      // in normalized coords, so every perceptual-hash bit is a solid
+      // ±A decision (a sparse field leaves near-zero coefficients whose
+      // bits flip on resize — and lets distinct patterns collide)
+      // full splitmix64 finalizer — a bare linear form mod small-N has
+      // only log2(N) bits of entropy in the pattern id and near ids
+      // produce identical sign sequences
+      def mix(k: Long): Double = {
+        var z = patternId * 0x9E3779B97F4A7C15L + k * 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+        z ^= (z >>> 31)
+        (z >>> 40).toDouble / (1L << 24).toDouble
+      }
+      val amp = 9.0
+      val s = Array.tabulate(8, 8)((a, b) =>
+        if (a == 0 && b == 0) 0.0 else (if (mix(a * 8 + b) < 0.5) -amp else amp))
+      val ca = Array.tabulate(w, 8)((x, a) => math.cos(math.Pi * a * (x + 0.5) / w))
+      val cb = Array.tabulate(h, 8)((y, b) => math.cos(math.Pi * b * (y + 0.5) / h))
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val t = new Array[Double](8)
+      var y = 0
+      while (y < h) {
+        var a = 0
+        while (a < 8) {
+          var acc = 0.0; var b = 0
+          while (b < 8) { acc += s(a)(b) * cb(y)(b); b += 1 }
+          t(a) = acc; a += 1
+        }
+        var x = 0
+        while (x < w) {
+          var v = 127.5; a = 0
+          while (a < 8) { v += ca(x)(a) * t(a); a += 1 }
+          val g = math.max(0, math.min(255, v.toInt))
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** 64-bit perceptual hash (pHash): decode, bilinear-downscale to
+      * 32×32, luminance, 2D DCT-II, take the 8×8 low-frequency block,
+      * bit i = coefficient i > mean of the 63 AC coefficients (DC
+      * excluded — it only encodes global brightness). Deterministic pure
+      * JVM; None for non-image payloads.
+      */
+    def perceptualHash64(bytes: Array[Byte]): Option[Long] =
+      readImage(bytes).map { src =>
+        val n = 32
+        val small = new java.awt.image.BufferedImage(n, n,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, n, n, null)
+        g.dispose()
+        val lum = new Array[Double](n * n)
+        var y = 0
+        while (y < n) {
+          var x = 0
+          while (x < n) {
+            val p = small.getRGB(x, y)
+            lum(y * n + x) = 0.299 * ((p >> 16) & 0xFF) +
+              0.587 * ((p >> 8) & 0xFF) + 0.114 * (p & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        // DCT-II, only the 8×8 low-frequency corner is needed
+        val coef = new Array[Double](64)
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var acc = 0.0
+            var yy = 0
+            while (yy < n) {
+              var xx = 0
+              while (xx < n) {
+                acc += lum(yy * n + xx) *
+                  math.cos(math.Pi * (2 * xx + 1) * u / (2.0 * n)) *
+                  math.cos(math.Pi * (2 * yy + 1) * v / (2.0 * n))
+                xx += 1
+              }
+              yy += 1
+            }
+            coef(v * 8 + u) = acc
+            v += 1
+          }
+          u += 1
+        }
+        var sum = 0.0
+        var i = 1
+        while (i < 64) { sum += coef(i); i += 1 }
+        val mean = sum / 63.0
+        var bits = 0L
+        i = 1
+        while (i < 64) { if (coef(i) > mean) bits |= (1L << i); i += 1 }
+        bits
+      }
+
     /** RIFF/WAVE magic. */
     def looksLikeWav(bytes: Array[Byte]): Boolean =
       bytes != null && bytes.length >= 12 &&
@@ -293,6 +410,49 @@ object Multimodal {
         }
       }
       .toDF("id", "payload")
+  }
+
+  /** Synthetic pattern-PNG corpus: content class = id / idsPerPattern,
+    * resolution varies with the id — consecutive ids in one class depict
+    * the SAME image at different sizes (the near-dup-by-content shape a
+    * perceptual hash must catch, where byte/sha dedup finds nothing).
+    */
+  def syntheticPatternImages(spark: SparkSession, df: DataFrame, idCol: String,
+      idsPerPattern: Int): DataFrame = {
+    import spark.implicits._
+    require(idsPerPattern > 0, "idsPerPattern must be positive")
+    df.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 48 + Math.floorMod(id, 32L).toInt
+          val h = 48 + Math.floorMod(id * 7, 32L).toInt
+          (id, MediaDecoder.patternPng(Math.floorDiv(id, idsPerPattern.toLong), w, h))
+        }
+      }
+      .toDF("id", "payload")
+  }
+
+  /** One perceptual hash per image payload. */
+  case class PHash(id: Long, phash: Long)
+
+  /** Distributed perceptual hashing: (id, 64-bit pHash) per image
+    * payload, non-images skipped. Same batched-partition shape as
+    * [[decodeFeatures]]; downstream near-dup blocking is
+    * [[graft.operators.Dedup.hammingPairs]] on the `phash` column — the
+    * whole image-dedup pipeline then shuffles 8-byte signatures, never
+    * pixels.
+    */
+  def perceptualHashes(spark: SparkSession, df: DataFrame,
+      idCol: String, payloadCol: String): Dataset[PHash] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaDecoder.perceptualHash64(bytes).map(PHash(id, _))
+        }
+      }
   }
 
   /** One sampled frame of a video payload. */

@@ -296,6 +296,18 @@ object Dedup {
     // buckets degenerate toward N²-candidate blobs and can overflow the
     // bucket cap (silently losing pairs the all-pairs oracle keeps).
     val sigBits = if (kernel == "md5") 60 else 64
+    hammingPairs(sigs, idCol, "sig", maxHamming, maxBucketSize, sigBits)
+  }
+
+  /** Chunk-blocked Hamming pair generation over ANY 64-bit signature
+    * column (SimHash, image perceptual hash, audio fingerprint):
+    * `maxHamming + 1` disjoint bit-range chunks, pigeonhole-complete (the
+    * blocked output equals the all-pairs `hamming <= maxHamming` set
+    * exactly, up to the bucket cap). Shared by [[simhash]] and the
+    * multimodal pHash dedup.
+    */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, maxBucketSize: Int = 1000, sigBits: Int = 64): DataFrame = {
     val nChunks = maxHamming + 1
     require(nChunks <= sigBits, s"maxHamming must be < $sigBits")
     val chunks = (0 until nChunks).map { c =>
@@ -303,15 +315,16 @@ object Dedup {
       val hi = (sigBits * (c + 1)) / nChunks
       val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
       struct(lit(c).as("chunk"),
-        shiftright(col("sig"), lo).bitwiseAND(mask).as("bits"))
+        shiftright(col(sigCol), lo).bitwiseAND(mask).as("bits"))
     }
-    val bucketed = sigs.select(col(idCol), col("sig"), explode(array(chunks: _*)).as("b"))
+    val bucketed = sigs
+      .select(col(idCol), col(sigCol).as("sig"), explode(array(chunks: _*)).as("b"))
       .select(col(idCol), col("sig"),
         concat_ws(":", col("b.chunk"), col("b.bits")).as("bucket"))
     // the 8-byte signature rides through the bucket self-join (no re-join
-    // per side, no re-tokenize/re-simhash per branch); hamming is
-    // functionally dependent on the pair, so filter-then-distinct keeps
-    // it in the output
+    // per side, no re-compute per branch); hamming is functionally
+    // dependent on the pair, so filter-then-distinct keeps it in the
+    // output
     val keep = bucketed.groupBy("bucket").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucketSize).select("bucket")
     val sized = bucketed.join(keep, Seq("bucket"))

@@ -79,6 +79,33 @@ class MultimodalSpec extends SparkSpec {
     out(7L) shouldBe (4000L + 7 * 16)
   }
 
+  test("perceptual hash: same pattern at any size collides, different patterns diverge") {
+    import spark.implicits._
+    val imgs = Multimodal.syntheticPatternImages(spark,
+      (0L until 200L).toDF("id"), "id", idsPerPattern = 2)
+    val hashes = Multimodal.perceptualHashes(spark, imgs, "id", "payload")
+      .collect().map(p => p.id -> p.phash).toMap
+    hashes.size shouldBe 200
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // same pattern rendered at two different resolutions
+    val same = (0L until 200L by 2).map(k => ham(hashes(k), hashes(k + 1)))
+    withClue(s"same-pattern hamming max=${same.max}: ") { same.max should be <= 3 }
+    // different patterns must clear the match threshold with margin
+    val cross = for (p <- 0L until 100L; q <- (p + 1) until 100L)
+      yield ham(hashes(p * 2), hashes(q * 2))
+    withClue(s"cross-pattern hamming min=${cross.min}: ") { cross.min should be > 10 }
+  }
+
+  test("phash near-dup: hammingPairs over perceptual hashes = same-pattern pairs") {
+    import spark.implicits._
+    val imgs = Multimodal.syntheticPatternImages(spark,
+      (0L until 40L).toDF("id"), "id", idsPerPattern = 2)
+    val hashes = Multimodal.perceptualHashes(spark, imgs, "id", "payload").toDF()
+    val pairs = graft.operators.Dedup.hammingPairs(hashes, "id", "phash", maxHamming = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe (0L until 40L by 2).map(k => (k, k + 1)).toSet
+  }
+
   test("distributed real path: syntheticImages -> decodeFeatures true dims") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 33L).toDF("doc_id")
