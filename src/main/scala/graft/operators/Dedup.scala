@@ -246,6 +246,17 @@ object Dedup {
       "minhashLshIncremental needs an integral id column")
     val newIndex = minhashIndex(newDocs, idCol, textCol,
       numHashes, bands, shingleN).localCheckpoint(true)
+    minhashLshIncrementalFromIndex(newIndex, idCol, existingIndex,
+      numHashes, threshold, estimateSlack, maxBucketSize)
+  }
+
+  /** [[minhashLshIncremental]] with the new batch's index already built —
+    * the seam the streaming path uses, where one [[minhashIndex]] pass
+    * must serve both the probe and the index append without recomputing.
+    */
+  def minhashLshIncrementalFromIndex(newIndex: DataFrame, idCol: String,
+      existingIndex: DataFrame, numHashes: Int, threshold: Double,
+      estimateSlack: Double = 0.25, maxBucketSize: Int = 1000): DataFrame = {
     val all = existingIndex
       .select(col(idCol), col("sh"), col("sig"), col("bucket"),
         lit(false).as("__new"))

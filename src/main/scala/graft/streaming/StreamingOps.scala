@@ -111,6 +111,52 @@ object StreamingOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Continuous-ingestion near-dup: each micro-batch probes the parquet
+    * MinHash index of everything ingested before it
+    * ([[graft.operators.Dedup.minhashLshIncrementalFromIndex]]), appends
+    * the resulting new-involving pairs, then appends its own index rows
+    * so later batches match against it. The corpus text is read exactly
+    * once, ever; the accumulated state is the (id, band, sig, shingles)
+    * index on disk — restart-safe and corpus-sized on storage, never in
+    * executor memory.
+    *
+    * Both writes are partitioned by batch id with dynamic partition
+    * overwrite, so a replayed batch (at-least-once foreachBatch)
+    * replaces its own partition instead of duplicating rows —
+    * effectively exactly-once output.
+    */
+  def continuousNearDup(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, pairsPath: String, checkpoint: String,
+      numHashes: Int = 16, bands: Int = 8, shingleN: Int = 5,
+      threshold: Double = 0.5, estimateSlack: Double = 0.25): DataStreamWriter[Row] = {
+    import graft.operators.Dedup
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val newIdx = Dedup.minhashIndex(batch.toDF(), idCol, textCol,
+          numHashes, bands, shingleN).localCheckpoint(true)
+        val existing =
+          try spark.read.parquet(indexPath)
+            // a replayed batch must not see its own failed attempt's rows
+            .where(col("batch_id") =!= batchId).drop("batch_id")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            newIdx.limit(0) } // first batch: nothing ingested yet
+        val pairs = Dedup.minhashLshIncrementalFromIndex(newIdx, idCol,
+          existing, numHashes, threshold, estimateSlack)
+        def writeBatch(df: DataFrame, path: String): Unit = df
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(path)
+        writeBatch(pairs, pairsPath)
+        writeBatch(newIdx, indexPath)
+        ()
+      }
+  }
+
   /** Stream-stream inner join with watermark-bounded state (SURVEY §2.3
     * joins row): both sides buffer only rows newer than their watermark,
     * and the time-range condition lets Spark evict state as the

@@ -274,6 +274,34 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("continuousNearDup: batches probe and grow the persisted index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cnd").toString
+    val a = "the quick brown fox jumps over the lazy dog in the morning sun"
+    val c = "another brand new document about spark catalyst internals today"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.continuousNearDup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/index", s"$dir/pairs", s"$dir/ckpt",
+      bands = 8, threshold = 0.5).start()
+    try {
+      in.addData((0L, a), (1L, a), (2L, "totally unrelated text about databases"))
+      q.processAllAvailable()
+      // batch 2: 10 duplicates batch 1's doc 1; 11/12 duplicate each other
+      in.addData((10L, a), (11L, c), (12L, c))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (0,1) found within batch 1; batch 2 finds its cross-batch and
+    // in-batch pairs but never re-derives (0,1)
+    pairs shouldBe Set((0L, 1L), (0L, 10L), (1L, 10L), (11L, 12L))
+    // the index now covers both batches, one batch_id partition each
+    spark.read.parquet(s"$dir/index").select("batch_id").distinct().count() shouldBe 2
+  }
+
   test("stream-static enrich broadcasts the dimension (no stream shuffle)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
