@@ -48,6 +48,23 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange"
   }
 
+  test("per-doc text analytics stay in the scan projection — no shuffle") {
+    // repetition metrics and the PII scrub are pure column chains; at
+    // 100 TB they must ride the scan, not cost a stage
+    val rep = plan(SparkEntry.queries("text_repetition")(spark, dir))
+    rep should not include "Exchange"
+    val pii = plan(SparkEntry.queries("text_pii")(spark, dir))
+    pii should not include "Exchange"
+  }
+
+  test("boilerplate scoring computes grams once and combines map-side") {
+    val p = plan(SparkEntry.queries("text_boilerplate")(spark, dir))
+    // the gram build feeds two consumers from a checkpoint, not two scans
+    p should not include "FileScan parquet"
+    p should include("Scan ExistingRDD")
+    p should include("partial_count")
+  }
+
   test("partition-column filters prune directories before reading files") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     Tables.writePartitioned(Tables.events(spark, dir), out, Seq("event_type"))
