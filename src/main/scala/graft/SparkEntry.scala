@@ -485,6 +485,12 @@ object SparkEntry {
           round(T.dupNgramFractionOfTokens(col("toks"), 2), 6).as("dup2_frac"),
           round(T.dupNgramFractionOfTokens(col("toks"), 3), 6).as("dup3_frac"),
           round(T.topTokenFractionOfTokens(col("toks")), 6).as("top_token_frac"))),
+    "text_heavy_hitters" -> ((s, dir) =>
+      // exact frequent-token set via MG-candidates + exact recount; the
+      // synthetic vocab is tiny so the sketch never decrements here —
+      // the decrement path is stress-tested in HeavyHittersSpec
+      graft.operators.HeavyHitters.topTokens(
+        Tables.documents(s, dir), "text", minFraction = 0.02)),
     "text_boilerplate" -> ((s, dir) =>
       // minDf tuned to the corpus: its near-dup template clusters put the
       // 3-gram df ceiling at ~7-9, so df >= 5 marks the shared-template
@@ -1133,6 +1139,13 @@ object SparkEntry {
                u -> len(list_filter(toks, x -> x = u))))::DOUBLE / len(toks) END, 6)
              AS top_token_frac
          FROM g""",
+    "text_heavy_hitters" ->
+      """WITH terms AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents WHERE trim(text) <> ''),
+         tot AS (SELECT count(*)::DOUBLE AS total FROM terms)
+         SELECT term, count(*)::BIGINT AS cnt
+         FROM terms, tot GROUP BY term, tot.total
+         HAVING count(*) >= 0.02 * tot.total""",
     "text_boilerplate" ->
       """WITH t AS (SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
