@@ -485,6 +485,13 @@ object SparkEntry {
           round(T.dupNgramFractionOfTokens(col("toks"), 2), 6).as("dup2_frac"),
           round(T.dupNgramFractionOfTokens(col("toks"), 3), 6).as("dup3_frac"),
           round(T.topTokenFractionOfTokens(col("toks")), 6).as("top_token_frac"))),
+    "pipeline_ccnet" -> ((s, dir) =>
+      // CCNet shape: unigram-LM score → exact quartile buckets →
+      // per-bucket deterministic resample (all head, half middle, 10% tail)
+      graft.operators.TrainingData.perplexityBuckets(
+        Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("bucket"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))),
     "text_heavy_hitters" -> ((s, dir) =>
       // exact frequent-token set via MG-candidates + exact recount; the
       // synthetic vocab is tiny so the sketch never decrements here —
@@ -1139,6 +1146,28 @@ object SparkEntry {
                u -> len(list_filter(toks, x -> x = u))))::DOUBLE / len(toks) END, 6)
              AS top_token_frac
          FROM g""",
+    // thresholds replicate Sampling's (fraction * 65536).toLong exactly:
+    // 0.1 * 65536 truncates to 6553
+    "pipeline_ccnet" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents WHERE trim(text) <> ''),
+         freq AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
+         tot AS (SELECT sum(cnt)::DOUBLE AS total FROM freq),
+         scored AS (SELECT doc_id, avg(ln(cnt::DOUBLE / total)) AS lp
+           FROM terms JOIN freq USING (term) CROSS JOIN tot GROUP BY doc_id),
+         q AS (SELECT quantile_cont(lp, 0.25) AS q1, quantile_cont(lp, 0.75) AS q3
+           FROM scored),
+         b AS (SELECT doc_id, lp,
+           CASE WHEN lp >= q3 THEN 'head' WHEN lp >= q1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+           FROM scored, q)
+         SELECT doc_id, bucket, round(lp, 6) AS avg_logprob FROM b
+         WHERE list_sum(list_transform(generate_series(1, 4),
+             k -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)::BIGINT
+                  << (4 * (4 - k))))
+           < CASE bucket WHEN 'head' THEN 65536 WHEN 'middle' THEN 32768
+             ELSE 6553 END""",
     "text_heavy_hitters" ->
       """WITH terms AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
            FROM documents WHERE trim(text) <> ''),

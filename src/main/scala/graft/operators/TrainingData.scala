@@ -91,6 +91,35 @@ object TrainingData {
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap_grams"))
   }
 
+  /** CCNet-style perplexity bucketing + resampling: score every doc with
+    * the corpus-unigram LM ([[unigramLogProb]]), split at the exact
+    * 25th/75th percentiles into head (most fluent) / middle / tail, then
+    * keep a deterministic md5-hash fraction per bucket — the standard
+    * "keep all head, half of middle, a sliver of tail" pretraining mix.
+    *
+    * Scale shape: the score frame (id, double) is checkpointed once and
+    * feeds both the quantile pass and the output; the percentiles come
+    * from the distributed rank-and-flank quantile (no value buffering)
+    * and only the TWO threshold doubles ever reach the driver. The
+    * bucket assignment and sample predicate are pure column expressions.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      headFraction: Double = 1.0, middleFraction: Double = 0.5,
+      tailFraction: Double = 0.1): DataFrame = {
+    val scored = unigramLogProb(docs, idCol, textCol)
+      .select(col(idCol), col("avg_logprob")).localCheckpoint(true)
+    val qs = Quantiles.exactQuantiles(scored, "avg_logprob", Seq(0.25, 0.75))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    require(qs.length == 2, "empty corpus: no quantiles to bucket on")
+    val bucketed = scored.withColumn("bucket",
+      when(col("avg_logprob") >= qs(1), lit("head"))
+        .when(col("avg_logprob") >= qs(0), lit("middle"))
+        .otherwise(lit("tail")))
+    Sampling.mixtureSample(bucketed, "bucket", idCol,
+      Map("head" -> headFraction, "middle" -> middleFraction,
+        "tail" -> tailFraction), defaultFraction = 0.0)
+  }
+
   /** Token-budget shard assignment — the "assemble docs into ~N-token
     * training shards" step. Docs are laid out in a deterministic order
     * (ascending id) and cut into shards by cumulative token count:

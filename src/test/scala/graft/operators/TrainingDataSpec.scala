@@ -63,6 +63,32 @@ class TrainingDataSpec extends SparkSpec {
     r(99L) shouldBe ((7L, 0L, 0.0))
   }
 
+  test("perplexityBuckets: tercile-ish split + per-bucket md5 sampling") {
+    import spark.implicits._
+    // doc i: i copies of a corpus-common token + (101-i) singletons, so
+    // avg_logprob increases strictly with i — bucket boundaries land at
+    // i=25/75 (q1/q3 interpolate between adjacent distinct scores)
+    val docs = (1L to 100L).map { i =>
+      (i, (Seq.fill(i.toInt)("common") ++
+        (1 to (101 - i.toInt)).map(j => s"rare_${i}_$j")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TrainingData.perplexityBuckets(docs, "doc_id", "text",
+        headFraction = 1.0, middleFraction = 0.5, tailFraction = 0.1)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent md5-bucket replica (first two digest bytes, big-endian)
+    def md5val(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
+    }
+    val expected =
+      (76L to 100L).map(_ -> "head") ++
+      (26L to 75L).filter(md5val(_) < 32768).map(_ -> "middle") ++
+      (1L to 25L).filter(md5val(_) < 6553).map(_ -> "tail")
+    out shouldBe expected.toMap
+  }
+
   test("prepareStream filters and dedups a live feed like the batch chain") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
