@@ -116,7 +116,19 @@ object GraftFunctions {
       "distinct/total token ratio (repetition signal)"),
     ("graft_gopher_pass",
       { ch => arity(ch, 1); viaColumns(c => T.gopherPass(c(0)))(ch) },
-      "Gopher-style structural quality gate"))
+      "Gopher-style structural quality gate"),
+    ("graft_redact_pii",
+      { ch => arity(ch, 1); viaColumns(c => T.redactPii(c(0)))(ch) },
+      "scrub email/SSN/phone/IPv4 spans to <type> placeholders"),
+    ("graft_dup_ngram_fraction",
+      { ch => arity(ch, 2)
+        viaColumns(c => T.dupNgramFractionOfTokens(T.normTokens(c(0)),
+          litInt(ch(1), "n")))(ch) },
+      "fraction of word n-gram occurrences that repeat an earlier gram"),
+    ("graft_top_token_fraction",
+      { ch => arity(ch, 1)
+        viaColumns(c => T.topTokenFractionOfTokens(T.normTokens(c(0))))(ch) },
+      "share of tokens equal to the single most frequent token"))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(GraftFunctions.getClass.getName, null, name, usage, "")

@@ -51,6 +51,13 @@ class GraftFunctionsSpec extends SparkSpec {
     r.getString(1) shouldBe "en"
     r.getDouble(2) shouldBe 0.5
     r.getBoolean(3) shouldBe false
+    val r2 = registered.sql(
+      """SELECT graft_redact_pii('mail a@b.co ip 10.0.0.1') AS scrubbed,
+         graft_dup_ngram_fraction('a b a b a', 2) AS dup2,
+         graft_top_token_fraction('x x x y') AS top""").head()
+    r2.getString(0) shouldBe "mail <email> ip <ipv4>"
+    r2.getDouble(1) shouldBe 0.5
+    r2.getDouble(2) shouldBe 0.75
   }
 
   test("literal-argument validation rejects non-literal widths") {
