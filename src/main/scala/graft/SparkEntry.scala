@@ -707,6 +707,17 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"),
           (col("n_frames") * 1000 / col("sample_rate")).cast("long").as("duration_ms"))
     }),
+    "mm_audio_dedup" -> ((s, dir) => {
+      // audio near-dup by CONTENT: same tone at different durations ⇒
+      // same fingerprint class; byte/sha dedup finds nothing. The
+      // zero-crossing estimate sits within a few Hz of the true tone, so
+      // rounding to the 55 Hz class grid is exact and oracle-checkable.
+      val wavs = Multimodal.syntheticAudio(s,
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+      Multimodal.audioFingerprints(s, wavs, "id", "payload").toDF()
+        .select(col("id"),
+          round((col("freq_hz") - 110.0) / 55.0).cast("long").as("fp_class"))
+    }),
     "mm_phash_dedup" -> ((s, dir) => {
       // image near-dup by CONTENT: consecutive ids render the same
       // pattern at different resolutions (different bytes, different
@@ -1422,7 +1433,11 @@ object SparkEntry {
     "mm_phash_dedup" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-         WHERE a.doc_id % 2 = 0"""
+         WHERE a.doc_id % 2 = 0""",
+    // syntheticAudio's tone is 110 + (id % 32)·55 Hz; the estimator must
+    // land every doc back on its true class
+    "mm_audio_dedup" ->
+      """SELECT doc_id AS id, (doc_id % 32)::BIGINT AS fp_class FROM documents"""
   )
 
   private def stopwordListSql: String =

@@ -283,6 +283,35 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Real PCM decode (16-bit mono WAV via javax.sound): signed samples
+      * + sample rate. None for non-WAV or non-16-bit-mono payloads.
+      */
+    def decodePcm16(bytes: Array[Byte]): Option[(Array[Short], Float)] =
+      if (!looksLikeWav(bytes)) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+          else {
+            val raw = in.readAllBytes()
+            val out = new Array[Short](raw.length / 2)
+            var i = 0
+            while (i < out.length) {
+              val b0 = raw(2 * i) & 0xFF
+              val b1 = raw(2 * i + 1) & 0xFF
+              out(i) = (if (fmt.isBigEndian) (b0 << 8) | b1
+                        else (b1 << 8) | b0).toShort
+              i += 1
+            }
+            Some((out, fmt.getSampleRate))
+          }
+        } finally in.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+
     /** Real image resize (area-averaging scale + PNG re-encode) for image
       * payloads; None for anything else (callers fall back to the stub).
       */
@@ -366,6 +395,41 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           MediaDecoder.decodeWav(bytes).map { case (rate, ch, frames) =>
             AudioMeta(id, rate.toInt, ch, frames)
+          }
+        }
+      }
+  }
+
+  /** One dominant-frequency estimate per audio payload. */
+  case class AudioFreq(id: Long, freq_hz: Double)
+
+  /** Audio content fingerprinting: dominant-frequency estimate from the
+    * REAL decoded PCM via zero-crossing rate — the cheap classical
+    * monophonic pitch estimator (a production fingerprint would swap in
+    * an FFT/chroma hash here; the decode → per-partition DSP → narrow
+    * feature shape is identical). Two payloads with the same tone at
+    * different durations fingerprint identically — content dedup where
+    * byte/sha dedup finds nothing. Non-WAV payloads are skipped.
+    */
+  def audioFingerprints(spark: SparkSession, df: DataFrame,
+      idCol: String, payloadCol: String): Dataset[AudioFreq] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaDecoder.decodePcm16(bytes).map { case (samples, rate) =>
+            var crossings = 0
+            var i = 1
+            while (i < samples.length) {
+              // zero counts as positive: a quantized sine hits 0.0 exactly
+              if ((samples(i) >= 0) != (samples(i - 1) >= 0)) crossings += 1
+              i += 1
+            }
+            val freq =
+              if (samples.length < 2) 0.0
+              else crossings.toDouble * rate / (2.0 * (samples.length - 1))
+            AudioFreq(id, freq)
           }
         }
       }

@@ -79,6 +79,17 @@ class MultimodalSpec extends SparkSpec {
     out(7L) shouldBe (4000L + 7 * 16)
   }
 
+  test("audio fingerprint: zero-crossing freq estimate recovers the tone class") {
+    import spark.implicits._
+    // ids 0/32/64 share freq 110 Hz at different durations; 1/33 share 165
+    val ids = Seq(0L, 1L, 32L, 33L, 64L).toDF("doc_id")
+    val wavs = Multimodal.syntheticAudio(spark, ids, "doc_id")
+    val cls = Multimodal.audioFingerprints(spark, wavs, "id", "payload")
+      .collect().map(a => a.id ->
+        math.round((a.freq_hz - 110.0) / 55.0)).toMap
+    cls shouldBe Map(0L -> 0L, 1L -> 1L, 32L -> 0L, 33L -> 1L, 64L -> 0L)
+  }
+
   test("perceptual hash: same pattern at any size collides, different patterns diverge") {
     import spark.implicits._
     val imgs = Multimodal.syntheticPatternImages(spark,
