@@ -61,9 +61,11 @@ object HeavyHitters {
       }
       m.keysIterator
     }.toDF("term").distinct()
-    // pass 2: exact recount of candidates only; total rides alongside as
-    // a one-row broadcast so the threshold is exact, not estimated
-    val total = terms.agg(count(lit(1)).as("total"))
+    // pass 2: exact recount of candidates only; the total token count
+    // rides alongside as a one-row broadcast so the threshold is exact —
+    // computed as sum(size(tokens)) per doc, which never explodes
+    val total = docs
+      .agg(sum(size(T.normTokens(col(textCol)))).as("total"))
     terms.join(broadcast(candidates), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
