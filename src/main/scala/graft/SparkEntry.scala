@@ -485,6 +485,11 @@ object SparkEntry {
           round(T.dupNgramFractionOfTokens(col("toks"), 2), 6).as("dup2_frac"),
           round(T.dupNgramFractionOfTokens(col("toks"), 3), 6).as("dup3_frac"),
           round(T.topTokenFractionOfTokens(col("toks")), 6).as("top_token_frac"))),
+    "text_chunks" -> ((s, dir) =>
+      // embedding/RAG prep: overlapping 32-token windows, stride 24 —
+      // the 1→N expansion stays in the scan projection (PlanShapeSpec)
+      graft.operators.TrainingData.chunkTokens(
+        Tables.documents(s, dir), "doc_id", "text", size = 32, overlap = 8)),
     "pipeline_ccnet" -> ((s, dir) =>
       // CCNet shape: unigram-LM score → exact quartile buckets →
       // per-bucket deterministic resample (all head, half middle, 10% tail)
@@ -1157,6 +1162,19 @@ object SparkEntry {
                u -> len(list_filter(toks, x -> x = u))))::DOUBLE / len(toks) END, 6)
              AS top_token_frac
          FROM g""",
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+         FROM documents),
+         c AS (SELECT doc_id, toks,
+           unnest(generate_series(0,
+             greatest(greatest(len(toks) - 8 + 23, 0) // 24, 1) - 1)) AS chunk_idx
+           FROM t WHERE len(toks) > 0)
+         SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+           array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk_text,
+           len(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32])::BIGINT AS n_tokens
+         FROM c""",
     // thresholds replicate Sampling's (fraction * 65536).toLong exactly:
     // 0.1 * 65536 truncates to 6553
     "pipeline_ccnet" ->

@@ -91,6 +91,38 @@ object TrainingData {
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap_grams"))
   }
 
+  /** Split every doc into overlapping token windows — the standard
+    * embedding/RAG prep step (a context-limited encoder can't take whole
+    * docs; overlap keeps boundary context). Chunk k covers tokens
+    * [k·(size−overlap), k·(size−overlap)+size); the last chunk may be
+    * shorter; docs shorter than `size` yield one chunk; empty/null docs
+    * yield none.
+    *
+    * Pure column expressions (tokens split once, `sequence` + `explode` +
+    * `slice`), so the 1→N expansion happens in the scan projection with
+    * no shuffle at all.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need size > 0 and 0 <= overlap < size")
+    val stride = size - overlap
+    val nChunks = greatest(
+      (org.apache.spark.sql.functions.size(col("__toks")) - overlap + (stride - 1))
+        .divide(stride).cast("long"), lit(1L))
+    docs
+      .select(col(idCol), T.normTokens(col(textCol)).as("__toks"))
+      .filter(org.apache.spark.sql.functions.size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(size)), " ").as("chunk_text"),
+        org.apache.spark.sql.functions.size(slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(size))).cast("long")
+          .as("n_tokens"))
+  }
+
   /** CCNet-style perplexity bucketing + resampling: score every doc with
     * the corpus-unigram LM ([[unigramLogProb]]), split at the exact
     * 25th/75th percentiles into head (most fluent) / middle / tail, then

@@ -63,6 +63,23 @@ class TrainingDataSpec extends SparkSpec {
     r(99L) shouldBe ((7L, 0L, 0.0))
   }
 
+  test("chunkTokens: overlapping windows, short last chunk, short docs whole") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than size
+      (3L, ""), (4L, null.asInstanceOf[String])       // no chunks
+    ).toDF("doc_id", "text")
+    val r = TrainingData.chunkTokens(docs, "doc_id", "text", size = 8, overlap = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getString(2), x.getLong(3)))).toMap
+    r.keySet shouldBe Set((1L, 0L), (1L, 1L), (2L, 0L))
+    r((1L, 0L)) shouldBe (("w1 w2 w3 w4 w5 w6 w7 w8", 8L))
+    // stride 6: second chunk starts at token 7, runs to the end (4 tokens)
+    r((1L, 1L)) shouldBe (("w7 w8 w9 w10", 4L))
+    r((2L, 0L)) shouldBe (("a b c", 3L))
+  }
+
   test("perplexityBuckets: tercile-ish split + per-bucket md5 sampling") {
     import spark.implicits._
     // doc i: i copies of a corpus-common token + (101-i) singletons, so
