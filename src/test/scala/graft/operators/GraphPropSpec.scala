@@ -61,4 +61,52 @@ class GraphPropSpec extends SparkSpec {
       }
     }
   }
+
+  test("hammingPairs equals all-pairs hamming on random 64-bit signatures") {
+    import spark.implicits._
+    val sigGen = Gen.listOfN(40, Gen.choose(Long.MinValue, Long.MaxValue))
+    (1 to 6).foreach { i =>
+      // half the sigs get a near-duplicate (≤ maxHamming bit flips) so the
+      // positive set is non-trivial
+      val base = sigGen(Gen.Parameters.default, Seed(3000L + i)).get
+      val sigs = base.zipWithIndex.map { case (s, j) =>
+        (j.toLong, if (j % 2 == 1) base(j - 1) ^ (1L << (j % 64)) else s)
+      }
+      val got = Dedup.hammingPairs(sigs.toDF("id", "sig"), "id", "sig",
+          maxHamming = 3)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ref = (for {
+        a <- sigs; b <- sigs if a._1 < b._1
+        if java.lang.Long.bitCount(a._2 ^ b._2) <= 3
+      } yield (a._1, b._1)).toSet
+      withClue(s"seed ${3000 + i}: ") { got shouldBe ref }
+    }
+  }
+
+  test("chunkTokens reassembles to the original token stream") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(12, Gen.choose(0, 40).map(n =>
+      (1 to n).map(k => s"t$k").mkString(" ")))
+    (1 to 5).foreach { i =>
+      val texts = docGen(Gen.Parameters.default, Seed(4000L + i)).get
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val size = 7 + i; val overlap = i // varies per round, overlap < size
+      val chunks = TrainingData.chunkTokens(docs, "doc_id", "text", size, overlap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1)
+      texts.zipWithIndex.foreach { case (t, j) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        val got = chunks.get(j.toLong).map { rows =>
+          val ordered = rows.sortBy(_._2).map(_._3.split(" ").toSeq)
+          // chunk 0 whole, then each chunk minus its `overlap`-token echo
+          (ordered.head ++ ordered.tail.flatMap(_.drop(overlap))).toSeq
+        }.getOrElse(Seq.empty)
+        withClue(s"seed ${4000 + i}, doc $j (n=${toks.size}): ") {
+          got shouldBe toks
+        }
+      }
+    }
+  }
 }
