@@ -22,14 +22,23 @@ import graft.functions.{ArrayOps, TextFunctions => T, VectorFunctions => V}
   */
 object Dedup {
 
+  /** The ONE content-digest construction, shared by [[exact]] and
+    * [[incrementalExact]]: digests persisted by one must keep matching
+    * the other byte-for-byte across releases, so the expression exists
+    * exactly once. NUL ("\\u0000") joins columns; "\\u0001" marks NULL so
+    * NULL and empty content differ and values cannot slide across column
+    * positions.
+    */
+  private def contentDigest(contentCols: Seq[String]): Column =
+    md5(concat_ws("\u0000",
+      contentCols.map(c => coalesce(col(c), lit("\u0001"))): _*))
+
   /** Exact dedup on a content digest. Returns one survivor per distinct
     * content (the minimum id — deterministic, unlike dropDuplicates) plus
     * the duplicate count.
     */
   def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
-    val digest = md5(concat_ws("\u0000",
-      contentCols.map(c => coalesce(col(c), lit("\u0001"))): _*))
-    df.groupBy(digest.as("content_hash"))
+    df.groupBy(contentDigest(contentCols).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
   }
 
@@ -53,11 +62,8 @@ object Dedup {
   def incrementalExact(newDocs: DataFrame, idCol: String,
       contentCols: Seq[String], existingDigests: DataFrame,
       digestCol: String = "content_hash"): DataFrame = {
-    // SAME digest construction as [[exact]] -- digests persisted from
-    // exact(...).select("content_hash") must match byte-for-byte
-    val digest = md5(concat_ws("\u0000",
-      contentCols.map(c => coalesce(col(c), lit("\u0001"))): _*))
-    val keepIds = newDocs.select(col(idCol), digest.as("__digest"))
+    val keepIds = newDocs
+      .select(col(idCol), contentDigest(contentCols).as("__digest"))
       .groupBy("__digest").agg(min(col(idCol)).as(idCol))
       .join(existingDigests.select(col(digestCol).as("__digest")),
         Seq("__digest"), "left_anti")
@@ -187,6 +193,12 @@ object Dedup {
             while (j < m.length) {
               if (m(i)._4 || m(j)._4) {
                 val sa = m(i)._3; val sb = m(j)._3
+                // a persisted index probed with a different numHashes
+                // must fail loudly — comparing prefixes would silently
+                // collapse recall (or read past the shorter array)
+                if (sa.length != sb.length) throw new IllegalStateException(
+                  s"signature length mismatch in bucket (${sa.length} vs " +
+                    s"${sb.length}) — index built with a different numHashes?")
                 var agree = 0; var k = 0
                 while (k < sa.length) { if (sa(k) == sb(k)) agree += 1; k += 1 }
                 if (agree >= minAgree) {
@@ -257,6 +269,14 @@ object Dedup {
   def minhashLshIncrementalFromIndex(newIndex: DataFrame, idCol: String,
       existingIndex: DataFrame, numHashes: Int, threshold: Double,
       estimateSlack: Double = 0.25, maxBucketSize: Int = 1000): DataFrame = {
+    // same guard as the doc-level entry points: lshCandidatePairs works
+    // on primitive longs, and a silent string cast would NPE or collapse
+    // distinct ids ("07" vs "7")
+    Seq(newIndex, existingIndex).foreach { idx =>
+      require(Set("ByteType", "ShortType", "IntegerType", "LongType")
+        .contains(idx.schema(idCol).dataType.toString),
+        "minhashLshIncrementalFromIndex needs an integral id column")
+    }
     val all = existingIndex
       .select(col(idCol), col("sh"), col("sig"), col("bucket"),
         lit(false).as("__new"))
@@ -266,9 +286,18 @@ object Dedup {
     val survivors = lshCandidatePairs(
       all.select(col(idCol), col("sig"), col("bucket"), col("__new")),
       idCol, minAgree, maxBucketSize, incremental = true)
-    // one sh row per id (the index repeats sh per band)
-    val shById = all.select(col(idCol).cast("long").as("__id"), col("sh"))
-      .dropDuplicates("__id")
+    // one sh row per id (the index repeats sh per band), chosen
+    // DETERMINISTICALLY: prefer the new batch's row for a re-ingested
+    // id, break remaining ties by content hash — dropDuplicates would
+    // pick per-run-arbitrarily and a replayed batch could emit
+    // different pairs than its first attempt
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+      .orderBy(col("__new").desc, xxhash64(col("sh")))
+    val shById = all
+      .select(col(idCol).cast("long").as("__id"), col("sh"), col("__new"))
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1).select(col("__id"), col("sh"))
     survivors
       .join(shById.select(col("__id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shById.select(col("__id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -156,8 +156,10 @@ object TrainingData {
     * training shards" step. Docs are laid out in a deterministic order
     * (ascending id) and cut into shards by cumulative token count:
     * shard k holds the docs whose running total lands in
-    * [k·budget, (k+1)·budget). A doc larger than the budget gets a shard
-    * of its own and the next shard starts after it.
+    * [k·budget, (k+1)·budget). A doc never straddles two shards; a doc
+    * larger than the budget lands in whatever shard its predecessors
+    * occupy and pushes the NEXT doc several shard ids ahead (shard ids
+    * may skip — per-shard token totals are bounded below, not above).
     *
     * Scale shape: one global range-sort by id (Spark's range partitioner
     * — the same shape any deterministic global layout costs) and a

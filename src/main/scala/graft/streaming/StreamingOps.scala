@@ -141,8 +141,14 @@ object StreamingOps {
           try spark.read.parquet(indexPath)
             // a replayed batch must not see its own failed attempt's rows
             .where(col("batch_id") =!= batchId).drop("batch_id")
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            newIdx.limit(0) } // first batch: nothing ingested yet
+          catch {
+            // ONLY path-not-found means "first batch: nothing ingested
+            // yet" — any other analysis error (schema mismatch, an index
+            // written without batch_id partitions) must surface, not
+            // silently empty the corpus
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => newIdx.limit(0)
+          }
         val pairs = Dedup.minhashLshIncrementalFromIndex(newIdx, idCol,
           existing, numHashes, threshold, estimateSlack)
         def writeBatch(df: DataFrame, path: String): Unit = df
