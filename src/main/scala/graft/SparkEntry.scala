@@ -39,7 +39,7 @@ object SparkEntry {
 
   // -- queries -------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference processor library (SURVEY §2.1 T1-T4, F1, P1-P3) ----
     "pipe_add10" -> ((s, dir) =>
       Pipeline(Seq(Step(Processors.add10)))(msgs(s, dir)).toTarget),
@@ -762,7 +762,7 @@ object SparkEntry {
     * by name). Omitted keys (LSH-bucketed ops, stub decode) get the
     * driver's rows-only check.
     */
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "pipe_add10" ->
       s"SELECT key, value, num + 10 AS num FROM ($msgSql)",
     "pipe_append_string" ->

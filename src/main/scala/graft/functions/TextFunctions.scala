@@ -92,13 +92,8 @@ object TextFunctions {
     * (and the same per-element re-evaluation trap) as
     * [[charShinglesOfChars]].
     */
-  def wordNgramsOfTokens(ts: Column, n: Int): Column = {
-    val m = size(ts) - (n - 1)
-    val parts = (0 until n).map(k => slice(ts, lit(k + 1), greatest(m, lit(0))))
-    val joined = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
-    when(m <= 0, array().cast("array<string>"))
-      .otherwise(array_distinct(joined))
-  }
+  def wordNgramsOfTokens(ts: Column, n: Int): Column =
+    array_distinct(wordNgramsAllOfTokens(ts, n))
 
   /** Punctuation character ratio (explicit class, locale-free). */
   def punctRatio(text: Column): Column = {

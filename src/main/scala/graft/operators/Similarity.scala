@@ -64,9 +64,13 @@ object Similarity {
       queryVec: Seq[Double], k: Int, dim: Int,
       nBits: Int = 6, nProbe: Int = 4): DataFrame = {
     // checkpointed: the centroid collect and the probe filter both read
-    // this — without it the scan + bucket projection runs twice
-    val bucketed = df.select(col(idCol), col(vecCol).as("v"),
-      V.hyperplaneLshBucket(col(vecCol), nBits, dim).as("cell"))
+    // this — without it the scan + bucket projection runs twice. Null
+    // embeddings have no cell (and can never rank) — dropped up front so
+    // the driver-side centroid read never sees a null cell row
+    val bucketed = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("v"),
+        V.hyperplaneLshBucket(col(vecCol), nBits, dim).as("cell"))
       .localCheckpoint(true)
     val cents = bucketed
       .groupBy("cell")
@@ -154,6 +158,12 @@ object Similarity {
     */
   def knnJoinExact(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // enforce the documented contract (same reason as Dedup.minhashLsh:
+    // a silent string cast would null out or collapse distinct ids)
+    require(Set("ByteType", "ShortType", "IntegerType", "LongType")
+      .contains(df.schema(idCol).dataType.toString),
+      "knnJoinExact needs an integral id column")
     val spark = df.sparkSession
     import spark.implicits._
     val typed = df
