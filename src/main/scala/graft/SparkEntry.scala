@@ -485,6 +485,11 @@ object SparkEntry {
           round(T.dupNgramFractionOfTokens(col("toks"), 2), 6).as("dup2_frac"),
           round(T.dupNgramFractionOfTokens(col("toks"), 3), 6).as("dup3_frac"),
           round(T.topTokenFractionOfTokens(col("toks")), 6).as("top_token_frac"))),
+    "q_profile" -> ((s, dir) =>
+      // one-pass data-quality profile of lineitem: counts, nulls, exact
+      // ndv, numeric min/max — single aggregation, then stack-unpivot
+      graft.operators.Profiling.profile(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"))),
     "text_chunks" -> ((s, dir) =>
       // embedding/RAG prep: overlapping 32-token windows, stride 24 —
       // the 1→N expansion stays in the scan projection (PlanShapeSpec)
@@ -1162,6 +1167,20 @@ object SparkEntry {
                u -> len(list_filter(toks, x -> x = u))))::DOUBLE / len(toks) END, 6)
              AS top_token_frac
          FROM g""",
+    "q_profile" ->
+      """SELECT 'l_quantity' AS col_name, count(*)::BIGINT AS n_rows,
+           (count(*) - count(l_quantity))::BIGINT AS n_nulls,
+           count(DISTINCT l_quantity)::BIGINT AS n_distinct,
+           min(l_quantity)::DOUBLE AS min_num, max(l_quantity)::DOUBLE AS max_num
+         FROM lineitem
+         UNION ALL SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice), min(l_extendedprice)::DOUBLE,
+           max(l_extendedprice)::DOUBLE FROM lineitem
+         UNION ALL SELECT 'l_discount', count(*), count(*) - count(l_discount),
+           count(DISTINCT l_discount), min(l_discount)::DOUBLE,
+           max(l_discount)::DOUBLE FROM lineitem
+         UNION ALL SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag), NULL::DOUBLE, NULL::DOUBLE FROM lineitem""",
     "text_chunks" ->
       """WITH t AS (SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
