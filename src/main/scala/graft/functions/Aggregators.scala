@@ -23,6 +23,10 @@ object Aggregators {
     override def zero: CentroidBuffer = CentroidBuffer(Array.fill(dim)(0.0), 0L)
     override def reduce(b: CentroidBuffer, v: Seq[Double]): CentroidBuffer = {
       if (v != null) {
+        // fail loudly: a short vector would IndexOutOfBounds mid-job and
+        // a long one would silently contribute only its prefix
+        if (v.length != dim) throw new IllegalArgumentException(
+          s"vectorCentroid(dim=$dim) got a length-${v.length} vector")
         var i = 0
         while (i < dim) { b.sums(i) += v(i); i += 1 }
         b.n += 1

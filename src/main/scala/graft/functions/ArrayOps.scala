@@ -60,15 +60,19 @@ object ArrayOps {
     * Accumulation order matches the sequential HOF version exactly
     * (component-wise, left to right), so results are bit-identical to the
     * previous formulation and to DuckDB's list_cosine_similarity.
-    * Zero-norm inputs yield 0.0 by convention.
+    * Zero-norm inputs yield 0.0 by convention; mismatched lengths yield
+    * NULL (the HOF formulation's zip_with null-padding poisoned the
+    * aggregate to NULL — a silent prefix-cosine would be a wrong answer).
     */
   case class CosineDouble(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      if (x.numElements() != y.numElements()) return null
+      val n = x.numElements()
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
@@ -335,8 +339,13 @@ object ArrayOps {
       copy(child = c)
   }
 
-  def minhashSignatureNative(hashes: Column, k: Int): Column =
+  def minhashSignatureNative(hashes: Column, k: Int): Column = {
+    // k = 0 would give every row an empty signature (whole corpus in one
+    // LSH bucket → cross product) and k < 0 a NegativeArraySizeException
+    // at eval — fail at plan time like the sibling builders
+    require(k > 0, s"minhash signature length must be positive, got $k")
     Bridge.column(MinHashSignature(Bridge.expression(hashes), k))
+  }
 
   /** Random-hyperplane LSH bucket in one native pass. The ±1 hyperplane
     * matrix is precomputed once at plan time instead of re-hashed per

@@ -69,8 +69,8 @@ object VectorFunctions {
     * Single pass: each token is hashed ONCE and its 64 bits accumulated
     * into a count vector (the previous per-bit formulation re-ran
     * xxhash64 over every token 64 times). `tokens` should be a cheap
-    * column reference (materialize tokenization in its own projection)
-    * because `size(tokens)` is referenced inside the packing lambda.
+    * one native single-pass expression (ArrayOps.SimHash64) that
+    * evaluates its child exactly once — `tokens` may be any expression.
     */
   def simhash64(tokens: Column, kernel: String = "xxhash"): Column =
     ArrayOps.simhash64Native(tokens, kernel)

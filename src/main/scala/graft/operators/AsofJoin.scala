@@ -98,22 +98,31 @@ object AsofJoin {
   def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, before: Long, after: Long, bucketSec: Long): DataFrame = {
     require(bucketSec > 0, "bucketSec must be positive")
-    def bucketOf(ts: Column): Column = floor(ts / lit(bucketSec.toDouble)).cast("long")
+    // microsecond arithmetic end-to-end: unix_timestamp would TRUNCATE to
+    // whole seconds, silently admitting sub-second pairs up to 1 s outside
+    // the promised window. Buckets via integral `div` — a double division
+    // can land exactly-on-boundary timestamps in the wrong bucket
+    val M = 1000000L
+    val bMicros = bucketSec * M
+    // the cast covers TIMESTAMP_NTZ inputs (unix_micros requires
+    // TIMESTAMP); the session is pinned UTC and only ts DIFFERENCES
+    // matter to the window, so the epoch convention cancels out
     val lb = left
-      .withColumn("__lts", unix_timestamp(col(tsCol)))
-      .withColumn("__bucket", bucketOf(col("__lts")))
+      .withColumn("__lts", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__bucket", expr(s"__lts div ${bMicros}L"))
     // right row replicated into every bucket whose left rows could reach it
     val rb = right
-      .withColumn("__rts", unix_timestamp(col(tsCol)))
-      .withColumn("__bucket",
-        explode(sequence(bucketOf(col("__rts") - after), bucketOf(col("__rts") + before))))
+      .withColumn("__rts", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__bucket", explode(sequence(
+        expr(s"(__rts - ${after * M}L) div ${bMicros}L"),
+        expr(s"(__rts + ${before * M}L) div ${bMicros}L"))))
     val lSel = lb.select(Seq(col(keyCol).as("__k"), col("__bucket"), col("__lts")) ++
       left.columns.map(c => col(c).as(s"l_$c")): _*)
     val rSel = rb.select(Seq(col(keyCol).as("__k"), col("__bucket"), col("__rts")) ++
       right.columns.map(c => col(c).as(s"r_$c")): _*)
     lSel.join(rSel, Seq("__k", "__bucket"))
-      .filter(col("__rts") >= col("__lts") - before &&
-        col("__rts") <= col("__lts") + after)
+      .filter(col("__rts") >= col("__lts") - before * M &&
+        col("__rts") <= col("__lts") + after * M)
       .drop("__k", "__bucket", "__lts", "__rts")
   }
 }

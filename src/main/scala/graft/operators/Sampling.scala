@@ -62,7 +62,11 @@ object Sampling {
       n: Int): DataFrame = {
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
+    // md5(NULL) is NULL and sorts FIRST ascending — null-id rows would
+    // deterministically steal the whole quota; hashSample's predicate
+    // already drops them, keep the two samplers consistent
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__rn")
   }

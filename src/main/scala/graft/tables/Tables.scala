@@ -124,9 +124,15 @@ object Tables {
     * Normalize to a microsecond TimestampType column `ts` either way so
     * downstream operators and the DuckDB oracle (`ts::TIMESTAMP`, also a
     * truncation to micros) agree.
+    *
+    * SIDE EFFECT: this flips `spark.sql.legacy.parquet.nanosAsLong` for
+    * the whole session (without it Spark refuses TIMESTAMP(NANOS)
+    * parquet outright, and the conf is consulted during execution, so a
+    * set-read-restore dance is unsafe). Any LATER nanos-timestamp
+    * parquet read in the session will surface LongType nanos — route
+    * such reads through this normalizer too.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // without this, Spark refuses INT64 TIMESTAMP(NANOS) parquet outright
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")
     df.schema("ts").dataType match {

@@ -133,4 +133,23 @@ class AsofJoinSpec extends SparkSpec {
       .select("l_lid", "r_rid").collect().map(x => (x.getString(0), x.getString(1))).toSet
     pairs shouldBe Set(("l1", "r1"), ("l2", "r2"))
   }
+
+  test("rangeJoin honors sub-second windows (no whole-second truncation)") {
+    import spark.implicits._
+    val l = Seq(("k", java.sql.Timestamp.valueOf("2026-01-01 00:00:00.1"), "l1"))
+      .toDF("k", "ts", "lid")
+    val r = Seq(
+      ("k", java.sql.Timestamp.valueOf("2026-01-01 00:00:00.9"), "far"),  // 800 ms out
+      ("k", java.sql.Timestamp.valueOf("2026-01-01 00:00:00.25"), "near") // 150 ms in
+    ).toDF("k", "ts", "rid")
+    val pairs = AsofJoin.rangeJoin(l, r, "k", "ts",
+        before = 0, after = 0, bucketSec = 1)
+      .select("l_lid", "r_rid").collect().map(x => (x.getString(0), x.getString(1))).toSet
+    // before = after = 0 means "same instant"; nothing matches
+    pairs shouldBe Set.empty
+    val loose = AsofJoin.rangeJoin(l, r, "k", "ts",
+        before = 1, after = 1, bucketSec = 1)
+      .select("r_rid").collect().map(_.getString(0)).toSet
+    loose shouldBe Set("far", "near")
+  }
 }
