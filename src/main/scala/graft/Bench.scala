@@ -83,14 +83,27 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
 
+    // Several operators persist/localCheckpoint intermediates (dedup
+    // pair-gen, IVF buckets, CCNet thresholds, connected components).
+    // Left in place they accumulate across ~200 executions and tax every
+    // later query with storage pressure — numbers stop being per-query.
+    def clearState(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+
     // best of 2: the first run pays codegen/JIT/page-cache; the min is the
     // stable number run-to-run
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val sec = try math.min(
-          time(force(fn(spark, sfDir))), time(force(fn(spark, sfDir))))
-        catch { case _: Throwable => -1.0 }
+        val sec = try {
+          val a = time(force(fn(spark, sfDir)))
+          clearState()
+          val b = time(force(fn(spark, sfDir)))
+          math.min(a, b)
+        } catch { case _: Throwable => -1.0 }
+        finally clearState()
         name -> sec
       }
     val throughput =

@@ -54,40 +54,108 @@ object Quantiles {
   }
 
   /** Per-GROUP exact interpolated quantile without buffering a group's
-    * values in one aggregation state: ONE shuffle-sort on (group, value)
-    * carries both the within-group rank and the group count (two window
-    * functions over the same partitioning — no count join, and null
-    * group keys are ordinary window partitions), then only the two rows
-    * flanking position p·(n-1) survive into a tiny per-group aggregate
-    * that the window's partitioning already satisfies. Peak memory is a
-    * partition slice, as in [[exactQuantiles]], but per group.
+    * values in one aggregation state AND without a per-group window: a
+    * `Window.partitionBy(group)` sends each ENTIRE group through one task
+    * (3 groups ⇒ parallelism 3 no matter the data size), so instead this
+    * runs ONE range sort on (group, value) — a group's rows span as many
+    * partitions as its size demands — then:
+    *
+    *  1. per-partition run-length counts of each group (groups arrive
+    *     contiguously within a sorted range partition, so a partition
+    *     holds a contiguous slice of groups: the metadata is
+    *     O(partitions + groups) entries, not partitions × groups);
+    *  2. a tiny driver fold turns those runs into per-(partition, group)
+    *     global rank offsets and per-group totals — the only driver-side
+    *     state, O(partitions + groups) longs, broadcast back;
+    *  3. a second pass over the SAME sorted RDD (shuffle files reused as
+    *     skipped stages) keeps only the two rows flanking position
+    *     p·(n−1) per group and reduces them to the interpolated value —
+    *     fully distributed, no window, no group-sized task.
+    *
+    * Peak memory per task is one range-partition slice, independent of
+    * group cardinality and skew. The driver/broadcast metadata grows with
+    * DISTINCT group count; for very high-cardinality groups (where every
+    * group is small) Spark's own `percentile` aggregate is the right tool
+    * and this operator is unnecessary.
     */
   def groupedExactQuantile(df: DataFrame, groupCols: Seq[String],
       valueCol: String, p: Double, outCol: String = "quantile"): DataFrame = {
     require(p >= 0.0 && p <= 1.0, "p must be within [0, 1]")
-    val g = groupCols.map(col)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(g: _*).orderBy(col("__v"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
-    val pos = lit(p) * (col("__n") - 1).cast("double")
-    val flanks = df.filter(col(valueCol).isNotNull)
-      .select(g :+ col(valueCol).cast("double").as("__v"): _*)
-      .withColumn("__rn", row_number().over(w).cast("long") - 1L)
-      .withColumn("__n", count(lit(1)).over(wAll))
-      .withColumn("__pos", pos)
-      .filter(col("__rn") === floor(col("__pos")) ||
-        col("__rn") === ceil(col("__pos")))
-      .groupBy(g: _*)
-      .agg(
-        min(when(col("__rn") === floor(col("__pos")), col("__v"))).as("__lo"),
-        min(when(col("__rn") === ceil(col("__pos")), col("__v"))).as("__hi"),
-        first(col("__pos")).as("__p"))
-      .select(g :+
-        (col("__lo") + (col("__p") - floor(col("__p"))) *
-          (col("__hi") - col("__lo"))).as(outCol): _*)
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val spark = df.sparkSession
+    val gWidth = groupCols.length
+    val cleaned = df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
+    val sortCols = groupCols.map(col) :+ col("__v")
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val sorted = cleaned.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .rdd.map(r => (List.tabulate(gWidth)(r.get), r.getDouble(gWidth)))
+
+    // pass 1: run-length group counts per sorted partition
+    val runs: Array[(Int, Seq[(List[Any], Long)])] =
+      sorted.mapPartitionsWithIndex { (pid, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(List[Any], Long)]
+        var cur: List[Any] = null
+        var cnt = 0L
+        var has = false
+        it.foreach { case (k, _) =>
+          if (has && k == cur) cnt += 1
+          else { if (has) buf += ((cur, cnt)); cur = k; cnt = 1L; has = true }
+        }
+        if (has) buf += ((cur, cnt))
+        Iterator.single((pid, buf.toSeq))
+      }.collect()
+
+    // driver fold: rank offset of each group's first row in each partition
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, List[Any]), Long]
+    val totals = scala.collection.mutable.HashMap.empty[List[Any], Long]
+    runs.sortBy(_._1).foreach { case (pid, rs) =>
+      rs.foreach { case (k, c) =>
+        val sofar = totals.getOrElse(k, 0L)
+        offsets((pid, k)) = sofar
+        totals(k) = sofar + c
+      }
+    }
+    // flanking ranks per group at position p·(n−1)
+    val needed: Map[List[Any], (Long, Long, Double)] = totals.map {
+      case (k, n) =>
+        val pos = p * (n - 1)
+        k -> ((math.floor(pos).toLong, math.ceil(pos).toLong, pos))
+    }.toMap
+    val bOff = spark.sparkContext.broadcast(offsets.toMap)
+    val bNeed = spark.sparkContext.broadcast(needed)
+
+    // pass 2: keep flanking rows, reduce to (lo, hi), interpolate
+    val quantiles = sorted.mapPartitionsWithIndex { (pid, it) =>
+      val off = bOff.value
+      val need = bNeed.value
+      var cur: List[Any] = null
+      var first = true
+      var rank = 0L
+      it.flatMap { case (k, v) =>
+        if (first || k != cur) { cur = k; rank = off((pid, k)); first = false }
+        else rank += 1
+        val (lo, hi, _) = need(k)
+        if (rank == lo || rank == hi)
+          Iterator.single((k, (if (rank == lo) Some(v) else None,
+            if (rank == hi) Some(v) else None)))
+        else Iterator.empty
+      }
+    }.reduceByKey((a, b) => (a._1.orElse(b._1), a._2.orElse(b._2)))
+      .map { case (k, (loOpt, hiOpt)) =>
+      val (_, _, pos) = bNeed.value(k)
+      val lo = loOpt.get
+      val hi = hiOpt.get
+      Row.fromSeq(k :+ (lo + (pos - math.floor(pos)) * (hi - lo)))
+    }
+
+    val flanks = spark.createDataFrame(quantiles, StructType(
+      cleaned.schema.fields.take(gWidth).toSeq :+
+        StructField(outCol, DoubleType, nullable = true)))
     // quantile_cont GROUP BY semantics: a group whose values are ALL null
-    // yields a NULL quantile, not a missing row. Renamed join columns
-    // sidestep self-join ambiguity (flanks shares df's lineage).
+    // yields a NULL quantile, not a missing row — null-safe left join from
+    // the distinct groups of the input.
     val f = flanks.select(
       groupCols.map(c => col(c).as(s"__f_$c")) :+ col(outCol): _*)
     df.select(groupCols.map(c => col(c).as(s"__d_$c")): _*).distinct()

@@ -161,23 +161,52 @@ object TrainingData {
     * occupy and pushes the NEXT doc several shard ids ahead (shard ids
     * may skip — per-shard token totals are bounded below, not above).
     *
-    * Scale shape: one global range-sort by id (Spark's range partitioner
-    * — the same shape any deterministic global layout costs) and a
-    * running-sum window; at 100 TB, shard within partitions (add a
-    * partition key to the window) or pre-bucket by id range.
+    * Scale shape: a global running sum WITHOUT the single-task
+    * unpartitioned window (`Window.orderBy(id)` puts the whole corpus
+    * through one task). Instead: one range sort by id (each partition
+    * holds a bounded id slice), a per-partition token-total pass whose
+    * O(partitions) longs fold into per-partition starting offsets on the
+    * driver, then a second pass over the SAME sorted partitions (shuffle
+    * files reused as skipped stages) that carries the running sum from
+    * its partition's offset. Peak memory per task is one partition
+    * slice; nothing scales with corpus size on the driver.
     */
   def packShards(docs: DataFrame, idCol: String, textCol: String,
       tokenBudget: Long): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs
-      .select(col(idCol), T.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      // tokens BEFORE this doc decide its shard: a doc never straddles
-      // two shards and an oversized doc claims its own
-      .withColumn("shard_id",
-        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / tokenBudget))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = docs.sparkSession
+    val base = docs.select(
+      col(idCol), T.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val sorted = base.repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(col(idCol)).rdd
+
+    // pass 1: per-partition token totals (null token counts add nothing,
+    // matching SQL sum-over-window semantics)
+    val totals: Array[(Int, Long)] = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => if (!r.isNullAt(1)) s += r.getLong(1))
+      Iterator.single((pid, s))
+    }.collect()
+    val offsets = new Array[Long](sorted.getNumPartitions)
+    var acc = 0L
+    totals.sortBy(_._1).foreach { case (pid, s) => offsets(pid) = acc; acc += s }
+    val bOff = spark.sparkContext.broadcast(offsets)
+
+    // pass 2: tokens BEFORE this doc decide its shard — a doc never
+    // straddles two shards and an oversized doc claims its own
+    val rows = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var before = bOff.value(pid)
+      it.map { r =>
+        val shard = math.floorDiv(before, tokenBudget)
+        if (!r.isNullAt(1)) before += r.getLong(1)
+        Row(r.get(0), if (r.isNullAt(1)) null else r.getLong(1), shard)
+      }
+    }
+    spark.createDataFrame(rows, StructType(base.schema.fields.toSeq :+
+      StructField("shard_id", LongType, nullable = false)))
   }
 
   /** Corpus-boilerplate scoring (RefinedWeb/CCNet-style): the fraction of

@@ -65,6 +65,14 @@ class PlanShapeSpec extends SparkSpec {
     p should include("partial_count")
   }
 
+  test("grouped exact quantile has no per-group window (no WindowExec)") {
+    // Window.partitionBy(group) would put each ENTIRE group through one
+    // task — parallelism = |groups| regardless of data size. The rewrite
+    // range-sorts on (group, value) instead; no window operator at all.
+    val p = plan(SparkEntry.queries("q_percentile_grouped")(spark, dir))
+    p should not include "Window"
+  }
+
   test("partition-column filters prune directories before reading files") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     Tables.writePartitioned(Tables.events(spark, dir), out, Seq("event_type"))
