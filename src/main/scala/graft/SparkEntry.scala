@@ -597,6 +597,19 @@ object SparkEntry {
         threshold = 0.4, estimateSlack = 0.05)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
+    "dedup_incremental_simhash" -> ((s, dir) => {
+      // continuous-ingestion Hamming near-dup: new batch (ids >= 250)
+      // probes the persisted SimHash chunk index of the existing corpus
+      // + itself; existing text is never re-read. Pigeonhole blocking is
+      // unchanged, so output == all-pairs hamming<=8 set restricted to
+      // new-involving pairs (id_a < id_b ⇒ id_b >= 250).
+      val docs = Tables.documents(s, dir)
+      val index = Dedup.simhashIndex(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", maxHamming = 8, kernel = "md5")
+      Dedup.simhashIncremental(docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", index, maxHamming = 8, kernel = "md5")
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
     "dedup_near_survivors" -> ((s, dir) => {
       // the full near-dup product: corpus in → clustered → one survivor
       // per duplicate cluster out
@@ -1400,6 +1413,31 @@ object SparkEntry {
            bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sig, b.sig)) <= 8""",
+    // same exact signature rebuild; any pair involving the new batch
+    // (ids >= 250) has id_b >= 250 because id_a < id_b
+    "dedup_incremental_simhash" ->
+      s"""WITH toks AS (
+           SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS tok
+           FROM documents),
+         h AS (SELECT doc_id, $md5Hash60Sql AS hv
+           FROM (SELECT doc_id, md5(tok) AS m FROM toks)),
+         bits AS (
+           SELECT doc_id, b AS bit,
+             count(*) FILTER (WHERE ((hv >> b) & 1) = 1) AS ones,
+             count(*) AS n
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+           GROUP BY doc_id, b),
+         sig0 AS (SELECT doc_id,
+             sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sig
+           FROM bits GROUP BY doc_id),
+         sigs AS (SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+           FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+           LEFT JOIN sig0 s USING (doc_id))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 8 AND b.doc_id >= 250""",
     // exact hyperplane-LSH replication: md5-Rademacher planes rebuilt in
     // SQL, same bucket join + cap + cosine threshold as the operator
     "dedup_embedding_lsh" ->

@@ -348,6 +348,18 @@ object Dedup {
     */
   def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int, maxBucketSize: Int = 1000, sigBits: Int = 64): DataFrame = {
+    val bucketed = chunkBuckets(sigs, idCol, sigCol, maxHamming, sigBits)
+      .withColumn("__new", lit(true))
+    hammingPairsOfBuckets(bucketed, idCol, maxHamming, maxBucketSize)
+  }
+
+  /** The (id, sig, bucket) chunk-block relation behind [[hammingPairs]]:
+    * `maxHamming + 1` disjoint bit-range chunks of the signature, one row
+    * per (id, chunk). Persist this (partitioned by `bucket`) and it is
+    * the incremental index [[hammingPairsIncremental]] probes.
+    */
+  def chunkBuckets(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, sigBits: Int = 64): DataFrame = {
     val nChunks = maxHamming + 1
     require(nChunks <= sigBits, s"maxHamming must be < $sigBits")
     val chunks = (0 until nChunks).map { c =>
@@ -357,10 +369,19 @@ object Dedup {
       struct(lit(c).as("chunk"),
         shiftright(col(sigCol), lo).bitwiseAND(mask).as("bits"))
     }
-    val bucketed = sigs
+    sigs
       .select(col(idCol), col(sigCol).as("sig"), explode(array(chunks: _*)).as("b"))
       .select(col(idCol), col("sig"),
         concat_ws(":", col("b.chunk"), col("b.bits")).as("bucket"))
+  }
+
+  /** Bucket-capped Hamming verification over a flagged (id, sig, bucket,
+    * __new) relation; only pairs with at least one new side are emitted
+    * (existing×existing pairs were found in prior runs; in the
+    * from-scratch path every row is new).
+    */
+  private def hammingPairsOfBuckets(bucketed: DataFrame, idCol: String,
+      maxHamming: Int, maxBucketSize: Int): DataFrame = {
     // the 8-byte signature rides through the bucket self-join (no re-join
     // per side, no re-compute per branch); hamming is functionally
     // dependent on the pair, so filter-then-distinct keeps it in the
@@ -368,13 +389,67 @@ object Dedup {
     val keep = bucketed.groupBy("bucket").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucketSize).select("bucket")
     val sized = bucketed.join(keep, Seq("bucket"))
-    val a = sized.select(col("bucket"), col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = sized.select(col("bucket"), col(idCol).as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val a = sized.select(col("bucket"), col(idCol).as("id_a"),
+      col("sig").as("sig_a"), col("__new").as("__new_a"))
+    val b = sized.select(col("bucket"), col(idCol).as("id_b"),
+      col("sig").as("sig_b"), col("__new").as("__new_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b") && (col("__new_a") || col("__new_b")))
       .select(col("id_a"), col("id_b"),
         V.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** The persistable SimHash index of a corpus: one row per (id, chunk
+    * bucket) with the 64-bit signature attached — everything
+    * [[simhashIncremental]] needs to match FUTURE batches against this
+    * corpus without re-reading its text. Write it partitioned/bucketed by
+    * `bucket` and the incremental probe co-locates. The index is bound to
+    * its (maxHamming, kernel) build parameters — probe with the same ones
+    * (a different chunk count or kernel mis-aligns buckets and silently
+    * loses pairs).
+    */
+  def simhashIndex(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, kernel: String = "xxhash"): DataFrame = {
+    val sigs = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), T.normTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), V.simhash64(col("__toks"), kernel).as("sig"))
+    val sigBits = if (kernel == "md5") 60 else 64
+    chunkBuckets(sigs, idCol, "sig", maxHamming, sigBits)
+  }
+
+  /** Incremental SimHash near-dup: match a NEW batch against a persisted
+    * [[simhashIndex]] and against itself, in one chunk-blocked pass — the
+    * continuous-ingestion shape, mirroring [[minhashLshIncremental]].
+    * Returns (id_a, id_b, hamming) for every pair within `maxHamming`
+    * involving at least one new doc; existing×existing pairs are not
+    * re-derived (prior runs own them). Blocking, capping, and Hamming
+    * verification are IDENTICAL to running [[simhash]] over
+    * (existing ∪ new) and keeping new-involving pairs, so the pigeonhole
+    * completeness guarantee carries over — but the existing corpus's text
+    * is never touched, only its index.
+    */
+  def simhashIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      existingIndex: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000, kernel: String = "xxhash"): DataFrame = {
+    val newIndex = simhashIndex(newDocs, idCol, textCol, maxHamming, kernel)
+    simhashIncrementalFromIndex(newIndex, idCol, existingIndex,
+      maxHamming, maxBucketSize)
+  }
+
+  /** [[simhashIncremental]] with the new batch's index already built —
+    * the seam a streaming path uses, where one [[simhashIndex]] pass
+    * serves both the probe and the index append without recomputing.
+    */
+  def simhashIncrementalFromIndex(newIndex: DataFrame, idCol: String,
+      existingIndex: DataFrame, maxHamming: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val all = existingIndex
+      .select(col(idCol), col("sig"), col("bucket"), lit(false).as("__new"))
+      .unionByName(newIndex.withColumn("__new", lit(true)))
+    hammingPairsOfBuckets(all, idCol, maxHamming, maxBucketSize)
   }
 
   /** Word-n-gram Jaccard near-dup within explicit blocks (e.g. same

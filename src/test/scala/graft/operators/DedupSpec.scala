@@ -136,6 +136,25 @@ class DedupSpec extends SparkSpec {
     pairs shouldBe Set((1L, 10L), (2L, 10L), (11L, 12L)) // no (1,2): prior run owns it
   }
 
+  test("simhashIncremental equals full simhash restricted to new-involving pairs") {
+    import spark.implicits._
+    val existing = docs.filter(col("doc_id") <= 3)
+    val fresh = docs.filter(col("doc_id") > 3)
+    for (kernel <- Seq("xxhash", "md5")) {
+      val index = Dedup.simhashIndex(existing, "doc_id", "text",
+        maxHamming = 8, kernel = kernel)
+      val inc = Dedup.simhashIncremental(fresh, "doc_id", "text", index,
+          maxHamming = 8, kernel = kernel)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val newIds = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+      val full = Dedup.simhash(docs, "doc_id", "text",
+          maxHamming = 8, kernel = kernel)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        .filter(p => newIds.contains(p._1) || newIds.contains(p._2))
+      inc shouldBe full
+    }
+  }
+
   test("null text yields no near-dup pairs (and no NPE) in minhash and simhash") {
     import spark.implicits._
     val withNulls = Seq(
