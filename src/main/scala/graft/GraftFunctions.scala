@@ -58,6 +58,18 @@ object GraftFunctions {
   private def viaColumns(f: Seq[Column] => Column)(ch: Seq[Expression]): Expression =
     Bridge.resolvedExpression(f(ch.map(Bridge.column)))
 
+  /** Evaluate `e` ONCE and pass it to `f` as a lambda variable: a HOF
+    * lambda body that references a non-attribute outer expression
+    * re-evaluates it per element (the codebase's documented trap), and
+    * the SQL registry hands builders raw expressions, not projected
+    * attributes. `transform` over a one-element array makes the value an
+    * attribute-like lambda variable for everything `f` builds.
+    */
+  private def bindOnce(e: Column, f: Column => Column): Column = {
+    import org.apache.spark.sql.functions.{array, element_at, transform}
+    element_at(transform(array(e), f), 1)
+  }
+
   /** name → (builder, usage) — single source for both registration paths. */
   val builders: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("graft_cosine",
@@ -122,12 +134,13 @@ object GraftFunctions {
       "scrub email/SSN/phone/IPv4 spans to <type> placeholders"),
     ("graft_dup_ngram_fraction",
       { ch => arity(ch, 2)
-        viaColumns(c => T.dupNgramFractionOfTokens(T.normTokens(c(0)),
-          litInt(ch(1), "n")))(ch) },
+        viaColumns(c => bindOnce(T.normTokens(c(0)),
+          ts => T.dupNgramFractionOfTokens(ts, litInt(ch(1), "n"))))(ch) },
       "fraction of word n-gram occurrences that repeat an earlier gram"),
     ("graft_top_token_fraction",
       { ch => arity(ch, 1)
-        viaColumns(c => T.topTokenFractionOfTokens(T.normTokens(c(0))))(ch) },
+        viaColumns(c => bindOnce(T.normTokens(c(0)),
+          ts => T.topTokenFractionOfTokens(ts)))(ch) },
       "share of tokens equal to the single most frequent token"))
 
   private def info(name: String, usage: String): ExpressionInfo =

@@ -401,9 +401,13 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), T.tokenCount(col("text")).cast("long").as("n_tokens"))),
     "text_subwords" -> ((s, dir) =>
+      // n_segments: the zero-dependency regex estimator (lower bound);
+      // n_bpe: REAL merge-loop BPE count from the bundled merges fixture
+      // (graft/bpe/merges.txt) — the number token budgets actually use
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          T.subwordCount(col("text")).cast("long").as("n_subwords"))),
+          T.subwordCount(col("text")).cast("long").as("n_segments"),
+          graft.functions.Bpe.bpeCount(col("text")).cast("long").as("n_bpe"))),
     "text_quality" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -1066,10 +1070,7 @@ object SparkEntry {
                  / length(text)::DOUBLE END) * 5.0, 0.0) * 0.2, 6) AS quality
          FROM t""",
     "text_langid" -> langIdOracle,
-    "text_subwords" ->
-      """SELECT doc_id, len(regexp_extract_all(text,
-         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT
-         AS n_subwords FROM documents""",
+    "text_subwords" -> bpeOracle,
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -1561,6 +1562,67 @@ object SparkEntry {
     """list_distinct(list_transform(
        generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 0)),
        i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i:i+2], ' ')))"""
+
+  /** DuckDB string literal (single-quoted, embedded quotes doubled). */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Exact replication of [[graft.functions.Bpe]] merge-loop counting
+    * from the SAME bundled merges fixture, plus the regex segment count.
+    *
+    * Shape: distinct pre-token segments (token counts are additive, so
+    * per-doc totals = Σ multiplicity × per-distinct-segment count), then
+    * a recursive CTE advancing each segment one merge per iteration:
+    * symbols ride as a chr(31)-delimited string, the lowest-rank adjacent
+    * pair comes from a map lookup over chr(30)-joined pair keys, and
+    * merging ALL occurrences left-to-right is a list_reduce fold (the
+    * merged symbol a||b can never equal a, so a merge never chains into
+    * itself — making the fold equivalent to the skip-2 scan). Segments
+    * with no applicable pair emit once with done=true.
+    */
+  private lazy val bpeOracle: String = {
+    val vals = graft.functions.Bpe.defaultMerges.zipWithIndex.map {
+      case ((a, b), i) => s"(${sqlStr(a)},${sqlStr(b)},$i,${sqlStr(a + b)})"
+    }.mkString(",")
+    val pat = sqlStr(graft.functions.TextFunctions.subwordPattern)
+    s"""WITH RECURSIVE
+       m(a, b, r, merged) AS (VALUES $vals),
+       mp AS (SELECT map_from_entries(list({'k': a || chr(30) || b, 'v': r})) AS mp FROM m),
+       segc AS (
+         SELECT doc_id, g, count(*) AS cnt
+         FROM (SELECT doc_id, unnest(regexp_extract_all(text, $pat)) AS g
+               FROM documents WHERE text IS NOT NULL)
+         GROUP BY doc_id, g),
+       uniq AS (SELECT DISTINCT g FROM segc),
+       enc(g, s, done) AS (
+         SELECT g, list_reduce(regexp_split_to_array(g, ''),
+           (x, y) -> x || chr(31) || y), false
+         FROM uniq
+         UNION ALL
+         SELECT g,
+           CASE WHEN best IS NULL THEN s
+                ELSE list_reduce(string_split(s, chr(31)), (acc, x) -> CASE
+                  WHEN x = m.b AND (acc = m.a OR ends_with(acc, chr(31) || m.a))
+                  THEN CASE WHEN acc = m.a THEN m.merged
+                       ELSE left(acc, length(acc) - length(m.a) - 1)
+                            || chr(31) || m.merged END
+                  ELSE acc || chr(31) || x END) END,
+           best IS NULL
+         FROM (
+           SELECT g, s,
+             list_min(list_transform(range(1, len(string_split(s, chr(31)))),
+               i -> (mp.mp[string_split(s, chr(31))[i] || chr(30)
+                     || string_split(s, chr(31))[i+1]])[1])) AS best
+           FROM enc, mp WHERE NOT done) e
+         LEFT JOIN m ON m.r = e.best),
+       toks AS (SELECT g, len(string_split(s, chr(31))) AS n FROM enc WHERE done),
+       per_doc AS (SELECT doc_id, sum(cnt * n)::BIGINT AS n_bpe
+                   FROM segc JOIN toks USING (g) GROUP BY doc_id)
+       SELECT d.doc_id,
+         len(regexp_extract_all(d.text, $pat))::BIGINT AS n_segments,
+         (CASE WHEN d.text IS NULL THEN NULL
+               ELSE coalesce(p.n_bpe, 0) END)::BIGINT AS n_bpe
+       FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+  }
 
   /** Marker scores per language over padded-lowercase column `p` —
     * shared by the langid and training-data oracles.

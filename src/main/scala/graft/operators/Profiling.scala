@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -9,34 +9,50 @@ import org.apache.spark.sql.types.NumericType
   * and numeric min/max, computed in a SINGLE aggregation over one scan
   * (profiling a 100 TB table with one pass per column would be N scans).
   *
-  * Exact distinct counts are kept because the driver oracle checks them;
-  * at extreme cardinalities swap `countDistinct` for
-  * `approx_count_distinct` — the operator shape (one agg, then unpivot
-  * via `stack`) is unchanged.
+  * `exact = true` keeps exact distinct counts (the driver oracle checks
+  * them) at the cost of a Catalyst Expand: k exact `countDistinct`s in
+  * one agg replicate every scan row k+1 times into the shuffle. At
+  * 100 TB run `exact = false` — `approx_count_distinct` (HLL++) keeps
+  * the aggregation a true single pass with constant state per column,
+  * no Expand.
   */
 object Profiling {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** Column reference that survives any column name (dots, spaces,
+    * backticks) — `col` parses dots as field access, so quote.
+    */
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    val ndv: Column => Column =
+      if (exact) c => countDistinct(c) else c => approx_count_distinct(c)
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       val isNum = df.schema(c).dataType.isInstanceOf[NumericType]
       Seq(
-        count(col(c)).as(s"__cnt_$c"),
-        countDistinct(col(c)).as(s"__ndv_$c"),
-        (if (isNum) min(col(c)).cast("double")
+        count(qcol(c)).as(s"__cnt_$c"),
+        ndv(qcol(c)).as(s"__ndv_$c"),
+        (if (isNum) min(qcol(c)).cast("double")
          else lit(null).cast("double")).as(s"__min_$c"),
-        (if (isNum) max(col(c)).cast("double")
+        (if (isNum) max(qcol(c)).cast("double")
          else lit(null).cast("double")).as(s"__max_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot the single row into one row per column
-    val stacked = cols.map { c =>
-      s"'$c', __n - __cnt_$c, __ndv_$c, __min_$c, __max_$c"
-    }.mkString(", ")
-    one.select(col("__n"), expr(
-      s"stack(${cols.length}, $stacked) AS " +
-        "(col_name, n_nulls, n_distinct, min_num, max_num)"))
-      .select(col("col_name"), col("__n").as("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_num"), col("max_num"))
+    // unpivot the single row into one row per column — Column API
+    // (explode over per-column structs), not a stack() SQL string, so
+    // arbitrary column names never hit the parser
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        (qcol("__n") - qcol(s"__cnt_$c")).as("n_nulls"),
+        qcol(s"__ndv_$c").as("n_distinct"),
+        qcol(s"__min_$c").as("min_num"),
+        qcol(s"__max_$c").as("max_num"))
+    }
+    one.select(qcol("__n"), explode(array(entries: _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), qcol("__n").as("n_rows"),
+        col("e.n_nulls").as("n_nulls"), col("e.n_distinct").as("n_distinct"),
+        col("e.min_num").as("min_num"), col("e.max_num").as("max_num"))
   }
 }

@@ -170,7 +170,15 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
-    val bc = spark.sparkContext.broadcast(typed.collect().sortBy(_._1))
+    // validate corpus vectors ONCE at broadcast build: a mismatched
+    // vector must fail here, not only when its own row streams (and the
+    // dot product below can then trust both lengths — no silent min())
+    val corpus = typed.collect().sortBy(_._1)
+    corpus.foreach { case (id, v) =>
+      require(v == null || v.length == dim,
+        s"corpus vector for id $id has length ${v.length}, expected $dim")
+    }
+    val bc = spark.sparkContext.broadcast(corpus)
     typed.mapPartitions { it =>
       val corp = bc.value
       it.flatMap { case (ida, va) =>
@@ -189,7 +197,7 @@ object Similarity {
             val (idb, vb) = corp(ci)
             if (idb != ida && vb != null) {
               var dot = 0.0; var na = 0.0; var nb = 0.0
-              val m = math.min(va.length, vb.length)
+              val m = dim // both sides validated against dim
               var j = 0
               while (j < m) {
                 val x = va(j); val y = vb(j)

@@ -87,17 +87,26 @@ object Catalog {
       val df = spark.read.jdbc(url, table, props)
       df.toDF(df.columns.map(_.toLowerCase): _*)
     }
+    def lookupOpt(table: String, idCol: String, nameCol: String, id: Int): Option[String] =
+      read(table).where(s"$idCol = $id").select(nameCol)
+        .collect().headOption.map(_.getString(0))
     def lookup(table: String, idCol: String, nameCol: String, id: Int): String =
-      read(table).where(s"$idCol = $id").select(nameCol).head().getString(0)
+      lookupOpt(table, idCol, nameCol, id).getOrElse(throw new NoSuchElementException(
+        s"catalog: no row in '$table' with $idCol = $id (dangling reference " +
+          s"from pipeline $pipelineId)"))
     val row = read("pipelines")
-      .where(s"id = $pipelineId AND is_active = true").head()
+      .where(s"id = $pipelineId AND is_active = true")
+      .collect().headOption.getOrElse(throw new NoSuchElementException(
+        s"catalog: no active pipeline with id = $pipelineId"))
     val (procs, dlqIds) = parseSteps(row.getAs[String]("steps"))
     // the reference's seed rows reference processors BY ID in steps
     // (insertTestPipelines.js); names pass through, numeric ids resolve
-    // against the processors table like every other id column here
+    // against the processors table — but an all-digit token whose id has
+    // no row falls back to being a NAME (a processor legitimately named
+    // "42" stays referenceable)
     val procNames = procs.map { p =>
       if (p.nonEmpty && p.forall(_.isDigit))
-        lookup("processors", "id", "processor_name", p.toInt)
+        lookupOpt("processors", "id", "processor_name", p.toInt).getOrElse(p)
       else p
     }
     PipelineDef(

@@ -208,21 +208,25 @@ final case class Pipeline(steps: Seq[Step], target: String = "target") {
     */
   def observed(input: DataFrame, name: String = "pipeline_metrics"): RoutedMessages = {
     val r = apply(input)
-    // per-step splits of the dlq/dropped counters — the closest Spark
-    // analog of the reference's per-processor labels
-    // (src/metrics.js labels {processor_name/step}); sub-expression
-    // timing has no Spark equivalent, documented deviation (SURVEY §7.3)
+    // first step index that stopped a row (that step itself ran — it
+    // dropped or threw); null = the row survived the whole chain
+    val firstStop = coalesce(col("error_step"), col("dropped_step"))
+    // per-step splits of the dlq/dropped counters plus per-step row
+    // counts — the closest Spark analog of the reference's per-processor
+    // labels (src/metrics.js labels {processor_name/step}); sub-expression
+    // timing has no Spark equivalent, documented deviation (SURVEY §7.3).
+    // rows_in localizes a conservation break to ONE step:
+    // rows_in(i) = rows_in(i+1) + dropped(i) + errors(i)
+    // (and for the last step, completed replaces rows_in(i+1)).
     val perStep = steps.zipWithIndex.flatMap { case (Step(p, _), i) =>
       Seq(
+        count(when(firstStop.isNull || firstStop >= i, 1))
+          .as(s"step_${i}_${p.name}_rows_in_total"),
         count(when(col("error_step") === i, 1))
           .as(s"step_${i}_${p.name}_errors_total"),
         count(when(col("dropped_step") === i, 1))
           .as(s"step_${i}_${p.name}_dropped_total"))
     }
-    // steps applied per row: everything before the first drop/error index
-    // (that step itself ran — it dropped or threw), or the whole chain —
-    // the reference's processors_applied_total (src/metrics.js:12-17)
-    val firstStop = coalesce(col("error_step"), col("dropped_step"))
     val counters = Seq(
       count(lit(1)).as("messages_received_total"),
       coalesce(sum(when(firstStop.isNotNull, firstStop + 1)

@@ -22,6 +22,29 @@ class ProfilingSpec extends SparkSpec {
     s.isNullAt(5) shouldBe true
   }
 
+  test("profile exact=false: approx ndv, same shape, no Expand in the plan") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, s"v${i % 37}")).toDF("id", "s")
+    val r = Profiling.profile(df, Seq("id", "s"), exact = false)
+    val m = r.collect().map(row => row.getString(0) -> row).toMap
+    // HLL++ at default rsd (5%): counts are approximate at any size
+    m("id").getLong(3).toDouble shouldBe 1000.0 +- 100.0
+    m("s").getLong(3).toDouble shouldBe 37.0 +- 4.0
+    // the whole point of approx mode: no Expand (scan rows not replicated)
+    r.queryExecution.executedPlan.toString should not include "Expand"
+    Profiling.profile(df, Seq("id", "s"), exact = true)
+      .queryExecution.executedPlan.toString should include("Expand")
+  }
+
+  test("profile survives column names needing quoting") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("the id", "dot.ted")
+    val r = Profiling.profile(df, Seq("the id", "dot.ted")).collect()
+      .map(row => row.getString(0) -> row).toMap
+    r("the id").getLong(3) shouldBe 2L
+    r("dot.ted").getLong(2) shouldBe 0L
+  }
+
   test("profile rejects an empty column list") {
     import spark.implicits._
     an[IllegalArgumentException] should be thrownBy

@@ -88,11 +88,24 @@ class MetricsServerSpec extends SparkSpec {
         try new String(c.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
         finally c.disconnect()
       }
+      // per-step observability: rows_in localizes a conservation break
+      // to one step — rows_in(i) = rows_in(i+1) + dropped(i) + errors(i)
+      m("step_0_capitalize_rows_in_total") shouldBe 3L
+      m("step_0_capitalize_dropped_total") shouldBe 0L
+      m("step_0_capitalize_errors_total") shouldBe 0L
+      m("step_1_isEven_rows_in_total") shouldBe 3L
+      m("step_1_isEven_dropped_total") shouldBe 1L
+      m("step_1_isEven_rows_in_total") shouldBe
+        m("messages_completed_total") + m("step_1_isEven_dropped_total") +
+        m("step_1_isEven_errors_total")
+
       val text = get("/metrics")
       Seq("messages_received_total", "processors_applied_total",
         "messages_completed_total", "messages_error_total",
         "messages_dlq_total", "messages_dropped_total",
-        "message_processing_duration_seconds").foreach { name =>
+        "message_processing_duration_seconds",
+        "step_0_capitalize_rows_in_total", "step_1_isEven_rows_in_total",
+        "step_1_isEven_dropped_total").foreach { name =>
         text should include(name)
       }
       text should include("messages_error_total 1")
