@@ -163,6 +163,63 @@ object StreamingOps {
       }
   }
 
+  /** Continuous-ingestion near-dup for the HAMMING family — the chunk-
+    * blocked analog of [[continuousNearDup]]: each micro-batch builds its
+    * (id, sig, bucket) chunk index rows via `indexOf` (text SimHash, image
+    * perceptual hash, audio fingerprint — anything emitting
+    * [[graft.operators.Dedup.chunkBuckets]] shape), probes the persisted
+    * index of everything ingested before it
+    * ([[graft.operators.Dedup.simhashIncrementalFromIndex]]), appends the
+    * new-involving pairs, then appends its own index rows. Media/text
+    * bytes are read exactly once, ever; accumulated state is the 8-byte-
+    * signature index on disk. Same per-batch-id dynamic partition
+    * overwrite as [[continuousNearDup]], so replays replace rather than
+    * duplicate.
+    */
+  def continuousHammingDedup(docs: DataFrame, indexOf: DataFrame => DataFrame,
+      idCol: String, indexPath: String, pairsPath: String, checkpoint: String,
+      maxHamming: Int, maxBucketSize: Int = 1000): DataStreamWriter[Row] = {
+    import graft.operators.Dedup
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val newIdx = indexOf(batch.toDF()).localCheckpoint(true)
+        val existing =
+          try spark.read.parquet(indexPath)
+            .where(col("batch_id") =!= batchId).drop("batch_id")
+          catch {
+            // ONLY path-not-found means "first batch" (see
+            // continuousNearDup — other analysis errors must surface)
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => newIdx.limit(0)
+          }
+        val pairs = Dedup.simhashIncrementalFromIndex(newIdx, idCol,
+          existing, maxHamming, maxBucketSize)
+        def writeBatch(df: DataFrame, path: String): Unit = df
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(path)
+        writeBatch(pairs, pairsPath)
+        writeBatch(newIdx, indexPath)
+        ()
+      }
+  }
+
+  /** [[continuousHammingDedup]] specialized to text SimHash — the
+    * streaming face of [[graft.operators.Dedup.simhashIncremental]].
+    */
+  def continuousSimhashDedup(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, pairsPath: String, checkpoint: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      kernel: String = "xxhash"): DataStreamWriter[Row] =
+    continuousHammingDedup(docs,
+      b => graft.operators.Dedup.simhashIndex(b, idCol, textCol, maxHamming, kernel),
+      idCol, indexPath, pairsPath, checkpoint, maxHamming, maxBucketSize)
+
   /** Stream-stream inner join with watermark-bounded state (SURVEY §2.3
     * joins row): both sides buffer only rows newer than their watermark,
     * and the time-range condition lets Spark evict state as the

@@ -302,6 +302,37 @@ class StreamingOpsSpec extends SparkSpec {
     spark.read.parquet(s"$dir/index").select("batch_id").distinct().count() shouldBe 2
   }
 
+  test("continuousSimhashDedup: hamming family probes and grows its chunk index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("chd").toString
+    val a = "the quick brown fox jumps over the lazy dog in the morning sun"
+    val far = "completely unrelated text about databases and query engines today"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.continuousSimhashDedup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/index", s"$dir/pairs", s"$dir/ckpt", maxHamming = 8).start()
+    try {
+      in.addData((0L, a), (1L, a), (2L, far))
+      q.processAllAvailable()
+      // batch 2: 10 duplicates batch 1's 0/1 across batches; 11 is new
+      in.addData((10L, a), (11L, "something else entirely different here"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((0L, 1L))   // in-batch exact dup, batch 1
+    pairs should contain((0L, 10L))  // cross-batch near-dup
+    pairs should contain((1L, 10L))
+    // existing×existing pairs are never re-derived: (0,1) appears once
+    spark.read.parquet(s"$dir/pairs")
+      .filter(col("id_a") === 0 && col("id_b") === 1).count() shouldBe 1L
+    pairs.exists { case (x, y) => x == 2L || y == 2L || y == 11L } shouldBe false
+    spark.read.parquet(s"$dir/index")
+      .select("batch_id").distinct().count() shouldBe 2
+  }
+
   test("stream-static enrich broadcasts the dimension (no stream shuffle)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
