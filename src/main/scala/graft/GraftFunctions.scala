@@ -114,6 +114,10 @@ object GraftFunctions {
     ("graft_subword_count",
       { ch => arity(ch, 1); viaColumns(c => T.subwordCount(c(0)))(ch) },
       "GPT-2-style pre-tokenizer segment count (BPE estimate)"),
+    ("graft_bpe_count",
+      { ch => arity(ch, 1)
+        graft.functions.Bpe.BpeCount(ch(0), graft.functions.Bpe.defaultMerges) },
+      "real merge-loop BPE token count (bundled merges fixture)"),
     ("graft_quality_score",
       { ch => arity(ch, 1); viaColumns(c => T.qualityScore(c(0)))(ch) },
       "composite text quality score in [0,1]"),

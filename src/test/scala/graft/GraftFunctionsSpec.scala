@@ -58,6 +58,11 @@ class GraftFunctionsSpec extends SparkSpec {
     r2.getString(0) shouldBe "mail <email> ip <ipv4>"
     r2.getDouble(1) shouldBe 0.5
     r2.getDouble(2) shouldBe 0.75
+    val r3 = registered.sql(
+      "SELECT graft_bpe_count('the scan table') AS n_bpe").head()
+    r3.getInt(0) shouldBe
+      new graft.functions.Bpe.Encoder(graft.functions.Bpe.defaultMerges)
+        .countText("the scan table")
   }
 
   test("literal-argument validation rejects non-literal widths") {

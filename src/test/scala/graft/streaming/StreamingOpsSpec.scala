@@ -333,6 +333,44 @@ class StreamingOpsSpec extends SparkSpec {
       .select("batch_id").distinct().count() shouldBe 2
   }
 
+  test("continuousHammingDedup composes with image perceptual hashes") {
+    // the generalization claim made real: continuous image near-dup —
+    // per batch, decode → DCT pHash → chunk index, probe prior batches;
+    // pixels are read once ever, only 8-byte hashes accumulate
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("cpd").toString
+    val in = MemoryStream[(Long, Array[Byte])]
+    val indexOf = (batch: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Dedup.chunkBuckets(
+        Multimodal.perceptualHashes(spark, batch, "img_id", "payload")
+          .toDF("img_id", "sig"),
+        "img_id", "sig", maxHamming = 6)
+    val q = StreamingOps.continuousHammingDedup(
+      in.toDF().toDF("img_id", "payload"),
+      indexOf, "img_id", s"$dir/index", s"$dir/pairs", s"$dir/ckpt",
+      maxHamming = 6).start()
+    try {
+      // batch 1: pattern 1 at two resolutions (near-dup), pattern 2
+      in.addData(
+        (0L, Multimodal.MediaDecoder.patternPng(1L, 64, 64)),
+        (1L, Multimodal.MediaDecoder.patternPng(1L, 96, 96)),
+        (2L, Multimodal.MediaDecoder.patternPng(2L, 64, 64)))
+      q.processAllAvailable()
+      // batch 2: pattern 1 again at a third resolution
+      in.addData((10L, Multimodal.MediaDecoder.patternPng(1L, 128, 128)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((0L, 1L))   // in-batch, different resolutions
+    pairs should contain((0L, 10L))  // cross-batch vs the persisted index
+    pairs should contain((1L, 10L))
+    pairs.exists { case (x, y) => x == 2L || y == 2L } shouldBe false
+  }
+
   test("stream-static enrich broadcasts the dimension (no stream shuffle)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
