@@ -114,4 +114,69 @@ object Aggregators {
   /** Column API: top-k (id, score) per group, (score desc, id asc). */
   def topKByScore(id: Column, score: Column, k: Int): Column =
     udaf(new TopKByScore(k)).apply(id, score)
+
+  /** Bounded bottom-k buffer ordered by (key asc, id asc). String keys so
+    * an md5 hex ordering replicates exactly (a double score would lose
+    * long-prefix precision past 53 bits and reorder ties).
+    */
+  final case class BotKBuf(keys: Array[String], ids: Array[Long], var n: Int)
+
+  /** Per-group ids of the k smallest (key, id) pairs — the bounded-state
+    * replacement for `row_number() OVER (PARTITION BY g ORDER BY key)`:
+    * a per-group window sends each ENTIRE group through one task, while
+    * this aggregates with map-side combine (k entries per group per
+    * partition in the shuffle) and never materializes a group-sized sort.
+    */
+  final class BottomKByKey(k: Int)
+      extends Aggregator[(String, Long), BotKBuf, Seq[Long]] {
+    require(k > 0, "k must be positive")
+
+    private def precedes(k1: String, i1: Long, k2: String, i2: Long): Boolean = {
+      val c = k1.compareTo(k2)
+      c < 0 || (c == 0 && i1 < i2)
+    }
+
+    override def zero: BotKBuf = BotKBuf(new Array[String](k), new Array[Long](k), 0)
+
+    override def reduce(b: BotKBuf, in: (String, Long)): BotKBuf = {
+      val (key, id) = in
+      if (key != null) {
+        if (b.n < k || precedes(key, id, b.keys(b.n - 1), b.ids(b.n - 1))) {
+          var pos = if (b.n < k) b.n else b.n - 1
+          while (pos > 0 && precedes(key, id, b.keys(pos - 1), b.ids(pos - 1))) pos -= 1
+          val last = math.min(b.n, k - 1)
+          var i = last
+          while (i > pos) { b.keys(i) = b.keys(i - 1); b.ids(i) = b.ids(i - 1); i -= 1 }
+          b.keys(pos) = key; b.ids(pos) = id
+          if (b.n < k) b.n += 1
+        }
+      }
+      b
+    }
+
+    override def merge(a: BotKBuf, b: BotKBuf): BotKBuf = {
+      if (b.n == 0) a
+      else if (a.n == 0) b
+      else {
+        val keys = new Array[String](k); val ids = new Array[Long](k)
+        var i = 0; var j = 0; var o = 0
+        while (o < k && (i < a.n || j < b.n)) {
+          val takeA = j >= b.n ||
+            (i < a.n && precedes(a.keys(i), a.ids(i), b.keys(j), b.ids(j)))
+          if (takeA) { keys(o) = a.keys(i); ids(o) = a.ids(i); i += 1 }
+          else { keys(o) = b.keys(j); ids(o) = b.ids(j); j += 1 }
+          o += 1
+        }
+        BotKBuf(keys, ids, o)
+      }
+    }
+
+    override def finish(b: BotKBuf): Seq[Long] = (0 until b.n).map(b.ids(_))
+    override def bufferEncoder: Encoder[BotKBuf] = ExpressionEncoder[BotKBuf]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column API: ids of the k smallest (key, id) pairs per group. */
+  def bottomKByKey(key: Column, id: Column, k: Int): Column =
+    udaf(new BottomKByKey(k)).apply(key, id)
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data budgeting.
@@ -15,10 +14,10 @@ import org.apache.spark.sql.functions._
   * exactly.)
   *
   * Scale shape: `hashSample` is a pure filter — it folds into the scan
-  * projection, no shuffle. `stratifiedSample` shuffles once on the strata
-  * key; its per-stratum sort is bounded by the stratum size (use it for
-  * per-language / per-source quotas, not for billion-row strata — cap
-  * those with `hashSample` first).
+  * projection, no shuffle. `stratifiedSample` is a bounded bottom-k
+  * aggregation (map-side combine, at most n entries per stratum per
+  * partition in the shuffle) + a broadcast semi-join — stratum size never
+  * bounds a task.
   */
 object Sampling {
 
@@ -57,17 +56,37 @@ object Sampling {
   /** Deterministic fixed-quota sample per stratum: the `n` rows with the
     * smallest md5(id) in each strata group (ties broken by id). Standard
     * per-language / per-source quota sampling.
+    *
+    * NOT a per-stratum window (`row_number() OVER (PARTITION BY strata)`
+    * sends each ENTIRE stratum through one task — with 4 languages at
+    * 100 TB that is 4 tasks): a bounded bottom-k AGGREGATION with
+    * map-side combine — the shuffle carries at most n (md5, id) entries
+    * per stratum per partition, and no stratum-sized sort ever happens —
+    * then a broadcast-sized semi-join brings back the selected rows.
+    * `idCol` must be integral and unique per stratum (it is the row id
+    * the md5 lottery draws on).
     */
   def stratifiedSample(df: DataFrame, strataCols: Seq[String], idCol: String,
       n: Int): DataFrame = {
-    val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    // md5(NULL) is NULL and sorts FIRST ascending — null-id rows would
-    // deterministically steal the whole quota; hashSample's predicate
-    // already drops them, keep the two samplers consistent
-    df.filter(col(idCol).isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
+    require(n > 0, "n must be positive")
+    require(Set("ByteType", "ShortType", "IntegerType", "LongType")
+      .contains(df.schema(idCol).dataType.toString),
+      "stratifiedSample needs an integral id column (hash string ids to " +
+        "64-bit upstream first)")
+    // md5(NULL) is NULL and would sort FIRST — null-id rows must not
+    // steal the quota; hashSample's predicate already drops them, keep
+    // the two samplers consistent (reduce() also skips null keys)
+    val sel = df.filter(col(idCol).isNotNull)
+      .groupBy(strataCols.map(col): _*)
+      .agg(graft.functions.Aggregators.bottomKByKey(
+        md5(col(idCol).cast("string")), col(idCol).cast("long"), n).as("__sel"))
+      .select(strataCols.map(c => col(c).as(s"__s_$c")) :+
+        explode(col("__sel")).as("__id"): _*)
+    // selected set is #strata × n rows — broadcast-sized for quota use;
+    // null-safe on strata so a NULL stratum is a real group
+    df.join(broadcast(sel),
+      strataCols.map(c => col(c) <=> col(s"__s_$c"))
+        .reduce(_ && _) && col(idCol).cast("long") === col("__id"),
+      "left_semi")
   }
 }

@@ -34,4 +34,20 @@ class AggregatorsSpec extends SparkSpec {
     out("a") shouldBe Seq((2L, 0.9), (3L, 0.9), (1L, 0.5)) // tie → lower id first
     out("b") shouldBe Seq((7L, 0.3))
   }
+
+  test("bottomKByKey: k smallest (key, id), null keys skipped, merges across partitions") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, "mm"), ("a", 2L, "aa"), ("a", 3L, "zz"), ("a", 4L, "aa"),
+      ("a", 5L, null), // null key must not claim a slot
+      ("b", 7L, "qq")
+    ).toDF("g", "id", "k").repartition(4) // force merge()
+    val out = df.groupBy("g")
+      .agg(Aggregators.bottomKByKey(col("k"), col("id"), 3).as("sel"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+      .toMap
+    out("a") shouldBe Seq(2L, 4L, 1L) // ("aa",2) < ("aa",4) < ("mm",1)
+    out("b") shouldBe Seq(7L)
+  }
 }

@@ -59,4 +59,28 @@ class SamplingSpec extends SparkSpec {
     val tiny = Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("id", "lang")
     Sampling.stratifiedSample(tiny, Seq("lang"), "id", 10).count() shouldBe 3L
   }
+
+  test("stratifiedSample matches the window formulation, without a window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sampled = Sampling.stratifiedSample(rows, Seq("lang"), "id", 7)
+    // no per-stratum window: stratum size must never bound a task
+    sampled.queryExecution.executedPlan.toString should not include "Window"
+    val viaWindow = rows.filter(col("id").isNotNull)
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(md5(col("id").cast("string")), col("id"))))
+      .filter(col("__rn") <= 7).drop("__rn")
+    sampled.collect().map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      viaWindow.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+  }
+
+  test("stratifiedSample keeps a NULL stratum as a real group") {
+    import spark.implicits._
+    val df = Seq((1L, Option("en")), (2L, Option.empty[String]),
+      (3L, Option.empty[String]), (4L, Option.empty[String])).toDF("id", "lang")
+    val got = Sampling.stratifiedSample(df, Seq("lang"), "id", 2)
+      .collect().map(r => Option(r.getString(1)))
+    got.count(_.isEmpty) shouldBe 2 // quota applies inside the null stratum
+    got.count(_.contains("en")) shouldBe 1
+  }
 }
