@@ -644,6 +644,20 @@ object SparkEntry {
       Dedup.embeddingCosine(Tables.embeddings(s, dir), "vec_id", "embedding",
         dim = 64, nBits = 6, threshold = 0.4, kernel = "md5")
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+    "dedup_incremental_embedding_lsh" -> ((s, dir) => {
+      // continuous-ingestion embedding near-dup: new batch (ids >= 250)
+      // probes the persisted hyperplane index of the existing corpus +
+      // itself; existing vectors are read from the index, never the
+      // source table. Blocking unchanged ⇒ output == full-corpus pair
+      // set restricted to new-involving pairs (id_a < id_b ⇒ id_b >= 250).
+      val emb = Tables.embeddings(s, dir)
+      val index = Dedup.embeddingIndex(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", dim = 64, nBits = 6, kernel = "md5")
+      Dedup.embeddingCosineIncremental(emb.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", index, dim = 64, nBits = 6,
+        threshold = 0.4, kernel = "md5")
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
 
     // ---- similarity search (north star) ----
     "sim_topk" -> ((s, dir) => {
@@ -1450,6 +1464,17 @@ object SparkEntry {
            round(list_cosine_similarity(a.v, bb.v), 6) AS cosine
          FROM s a JOIN s bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
          WHERE list_cosine_similarity(a.v, bb.v) >= 0.4""",
+    // same exact bucket rebuild; any pair involving the new batch
+    // (ids >= 250) has id_b >= 250 because id_a < id_b
+    "dedup_incremental_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (SELECT vec_id, v, ${lshBucketSql("v", 6)} AS bucket FROM e),
+         keep AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 1000),
+         s AS (SELECT b.* FROM b JOIN keep USING (bucket))
+         SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, bb.v), 6) AS cosine
+         FROM s a JOIN s bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         WHERE list_cosine_similarity(a.v, bb.v) >= 0.4 AND bb.vec_id >= 250""",
     "sim_neighbors" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          b AS (SELECT vec_id, v, ${lshBucketSql("v", 12)} AS bucket FROM e),

@@ -503,6 +503,62 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** The persistable hyperplane-LSH index of an embedding corpus: one row
+    * per id with its double-cast vector and single LSH bucket — everything
+    * [[embeddingCosineIncremental]] needs to match FUTURE batches against
+    * this corpus without re-reading its vectors from the source table.
+    * Bound to its (dim, nBits, kernel) build parameters — probe with the
+    * same ones.
+    */
+  def embeddingIndex(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nBits: Int = 8, kernel: String = "xxhash"): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"),
+        V.hyperplaneLshBucket(col(vecCol), nBits, dim, kernel).as("bucket"))
+
+  /** Incremental embedding near-dup: match a NEW batch against a
+    * persisted [[embeddingIndex]] and against itself — completing the
+    * continuous-ingestion story for the third near-dup family
+    * (MinHash-Jaccard, SimHash-Hamming, hyperplane-cosine). Returns
+    * (id_a, id_b, cosine) for pairs >= threshold with at least one new
+    * side; existing×existing pairs are not re-derived. Blocking, capping,
+    * and verification match [[embeddingCosine]] over (existing ∪ new)
+    * exactly.
+    */
+  def embeddingCosineIncremental(newDocs: DataFrame, idCol: String,
+      vecCol: String, existingIndex: DataFrame, dim: Int, nBits: Int = 8,
+      threshold: Double = 0.95, kernel: String = "xxhash",
+      maxBucketSize: Int = 1000): DataFrame = {
+    val newIdx = embeddingIndex(newDocs, idCol, vecCol, dim, nBits, kernel)
+    embeddingCosineIncrementalFromIndex(newIdx, idCol, existingIndex,
+      threshold, maxBucketSize)
+  }
+
+  /** [[embeddingCosineIncremental]] with the new batch's index already
+    * built — the seam a streaming path uses. Each id has exactly ONE
+    * bucket row (hyperplane LSH does not explode bands), so the bucket
+    * self-join emits each candidate pair at most once and the vectors
+    * ride the join without duplication.
+    */
+  def embeddingCosineIncrementalFromIndex(newIndex: DataFrame, idCol: String,
+      existingIndex: DataFrame, threshold: Double,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val all = existingIndex
+      .select(col(idCol), col("v"), col("bucket"), lit(false).as("__new"))
+      .unionByName(newIndex.withColumn("__new", lit(true)))
+    val keep = all.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize).select("bucket")
+    val sized = all.join(keep, Seq("bucket"))
+    val a = sized.select(col("bucket"), col(idCol).as("id_a"),
+      col("v").as("v_a"), col("__new").as("__new_a"))
+    val b = sized.select(col("bucket"), col(idCol).as("id_b"),
+      col("v").as("v_b"), col("__new").as("__new_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b") && (col("__new_a") || col("__new_b")))
+      .select(col("id_a"), col("id_b"), V.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Connected components over a near-dup PAIR relation — the step that
     * turns pairwise matches into dedup decisions: docs A-B and B-C are
     * one duplicate CLUSTER even though A-C was never compared, and a

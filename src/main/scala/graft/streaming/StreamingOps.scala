@@ -178,8 +178,40 @@ object StreamingOps {
     */
   def continuousHammingDedup(docs: DataFrame, indexOf: DataFrame => DataFrame,
       idCol: String, indexPath: String, pairsPath: String, checkpoint: String,
-      maxHamming: Int, maxBucketSize: Int = 1000): DataStreamWriter[Row] = {
-    import graft.operators.Dedup
+      maxHamming: Int, maxBucketSize: Int = 1000): DataStreamWriter[Row] =
+    continuousIndexedDedup(docs, indexOf,
+      (newIdx, existing) => graft.operators.Dedup
+        .simhashIncrementalFromIndex(newIdx, idCol, existing,
+          maxHamming, maxBucketSize),
+      indexPath, pairsPath, checkpoint)
+
+  /** Continuous-ingestion embedding near-dup — the hyperplane-LSH face of
+    * the same loop ([[graft.operators.Dedup.embeddingCosineIncremental]]):
+    * per batch, vector → single LSH bucket → probe the persisted index +
+    * self → append cosine pairs and index rows.
+    */
+  def continuousEmbeddingDedup(docs: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, pairsPath: String, checkpoint: String,
+      dim: Int, nBits: Int = 8, threshold: Double = 0.95,
+      kernel: String = "xxhash", maxBucketSize: Int = 1000): DataStreamWriter[Row] =
+    continuousIndexedDedup(docs,
+      b => graft.operators.Dedup.embeddingIndex(b, idCol, vecCol, dim, nBits, kernel),
+      (newIdx, existing) => graft.operators.Dedup
+        .embeddingCosineIncrementalFromIndex(newIdx, idCol, existing,
+          threshold, maxBucketSize),
+      indexPath, pairsPath, checkpoint)
+
+  /** The shared probe-and-append micro-batch loop behind the continuous
+    * dedup variants: build the new batch's index rows, probe them against
+    * the persisted index of all prior batches, append pairs and index —
+    * both writes per-batch-id dynamic-partition-overwritten so replays
+    * replace rather than duplicate.
+    */
+  private def continuousIndexedDedup(docs: DataFrame,
+      indexOf: DataFrame => DataFrame,
+      probe: (DataFrame, DataFrame) => DataFrame,
+      indexPath: String, pairsPath: String,
+      checkpoint: String): DataStreamWriter[Row] = {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -195,8 +227,7 @@ object StreamingOps {
             case e: org.apache.spark.sql.AnalysisException
                 if e.getCondition == "PATH_NOT_FOUND" => newIdx.limit(0)
           }
-        val pairs = Dedup.simhashIncrementalFromIndex(newIdx, idCol,
-          existing, maxHamming, maxBucketSize)
+        val pairs = probe(newIdx, existing)
         def writeBatch(df: DataFrame, path: String): Unit = df
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")

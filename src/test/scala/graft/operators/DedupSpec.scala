@@ -155,6 +155,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embeddingCosineIncremental equals full LSH restricted to new-involving pairs") {
+    import spark.implicits._
+    val dim = 4
+    def vec(seed: Int): Seq[Double] =
+      Seq.tabulate(dim)(j => math.sin(seed * 13 + j).abs + 0.1)
+    val rows = (0L to 11L).map(i =>
+      (i, if (i % 3 == 0) vec(1) else vec(i.toInt))).toDF("vec_id", "embedding")
+    val existing = rows.filter(col("vec_id") < 6)
+    val fresh = rows.filter(col("vec_id") >= 6)
+    val index = Dedup.embeddingIndex(existing, "vec_id", "embedding",
+      dim = dim, nBits = 4, kernel = "md5")
+    val inc = Dedup.embeddingCosineIncremental(fresh, "vec_id", "embedding",
+        index, dim = dim, nBits = 4, threshold = 0.95, kernel = "md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.embeddingCosine(rows, "vec_id", "embedding",
+        dim = dim, nBits = 4, threshold = 0.95, kernel = "md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 >= 6 || p._2 >= 6)
+    inc shouldBe full
+    inc should contain((0L, 6L)) // cross-batch: identical vectors collide
+  }
+
   test("null text yields no near-dup pairs (and no NPE) in minhash and simhash") {
     import spark.implicits._
     val withNulls = Seq(

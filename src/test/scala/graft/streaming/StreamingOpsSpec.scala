@@ -371,6 +371,33 @@ class StreamingOpsSpec extends SparkSpec {
     pairs.exists { case (x, y) => x == 2L || y == 2L } shouldBe false
   }
 
+  test("continuousEmbeddingDedup: cosine pairs across batches via the persisted index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ced").toString
+    def vec(seed: Int): Seq[Double] =
+      Seq.tabulate(4)(j => math.sin(seed * 13 + j).abs + 0.1)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.continuousEmbeddingDedup(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/index", s"$dir/pairs", s"$dir/ckpt",
+      dim = 4, nBits = 4, threshold = 0.95, kernel = "md5").start()
+    try {
+      in.addData((0L, vec(1)), (1L, vec(1)), (2L, vec(9)))
+      q.processAllAvailable()
+      in.addData((10L, vec(1))) // collides with batch 1's 0 and 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((0L, 1L))
+    pairs should contain((0L, 10L))
+    pairs should contain((1L, 10L))
+    spark.read.parquet(s"$dir/index")
+      .select("batch_id").distinct().count() shouldBe 2
+  }
+
   test("stream-static enrich broadcasts the dimension (no stream shuffle)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
