@@ -78,6 +78,20 @@ object Quantiles {
     * group is small) Spark's own `percentile` aggregate is the right tool
     * and this operator is unnecessary.
     */
+  /** Binary group values need value equality for the driver/broadcast
+    * key maps — a bare Array[Byte] compares by reference and would
+    * silently split a group per occurrence.
+    */
+  private case class BKey(bytes: Seq[Byte])
+  private def keyOf(v: Any): Any = v match {
+    case b: Array[Byte] => BKey(scala.collection.immutable.ArraySeq.unsafeWrapArray(b))
+    case x => x
+  }
+  private def unkey(v: Any): Any = v match {
+    case BKey(bytes) => bytes.toArray
+    case x => x
+  }
+
   def groupedExactQuantile(df: DataFrame, groupCols: Seq[String],
       valueCol: String, p: Double, outCol: String = "quantile"): DataFrame = {
     require(p >= 0.0 && p <= 1.0, "p must be within [0, 1]")
@@ -90,7 +104,7 @@ object Quantiles {
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val sorted = cleaned.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .rdd.map(r => (List.tabulate(gWidth)(r.get), r.getDouble(gWidth)))
+      .rdd.map(r => (List.tabulate(gWidth)(i => keyOf(r.get(i))), r.getDouble(gWidth)))
 
     // pass 1: run-length group counts per sorted partition
     val runs: Array[(Int, Seq[(List[Any], Long)])] =
@@ -147,7 +161,7 @@ object Quantiles {
       val (_, _, pos) = bNeed.value(k)
       val lo = loOpt.get
       val hi = hiOpt.get
-      Row.fromSeq(k :+ (lo + (pos - math.floor(pos)) * (hi - lo)))
+      Row.fromSeq(k.map(unkey) :+ (lo + (pos - math.floor(pos)) * (hi - lo)))
     }
 
     val flanks = spark.createDataFrame(quantiles, StructType(

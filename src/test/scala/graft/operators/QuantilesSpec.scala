@@ -62,6 +62,19 @@ class QuantilesSpec extends SparkSpec {
     r(Some("z")) shouldBe None        // group survives with NULL quantile
   }
 
+  test("groupedExactQuantile groups binary keys by value, not reference") {
+    import spark.implicits._
+    // binary group keys (e.g. content digests): every row carries a fresh
+    // Array[Byte] instance, so reference equality would split each group
+    val df = (1 to 100).map(i => (Array((i % 2).toByte, 7.toByte), i.toDouble))
+      .toDF("g", "v").repartition(5)
+    val r = Quantiles.groupedExactQuantile(df, Seq("g"), "v", 0.5)
+      .collect().map(x => x.getAs[Array[Byte]](0).toSeq -> x.getDouble(1)).toMap
+    r.size shouldBe 2 // two groups, not one per row
+    r(Seq[Byte](0, 7)) shouldBe 51.0 // evens 2..100: median
+    r(Seq[Byte](1, 7)) shouldBe 50.0 // odds 1..99
+  }
+
   test("groupedExactQuantile: singleton group and exact-position quantile") {
     import spark.implicits._
     val df = Seq(("a", 5.0), ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
