@@ -408,6 +408,14 @@ object SparkEntry {
         .select(col("doc_id"),
           T.subwordCount(col("text")).cast("long").as("n_segments"),
           graft.functions.Bpe.bpeCount(col("text")).cast("long").as("n_bpe"))),
+    "text_line_dedup" -> ((s, dir) =>
+      // CCNet/RefinedWeb cross-doc line dedup: a duplicated line survives
+      // only at its first (doc, position) occurrence; exact-dup docs lose
+      // every line to the original and come back NULL. Digest output
+      // keeps the row narrow; the oracle rebuilds the same reassembly.
+      graft.operators.TrainingData.dedupLines(
+        Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("text_digest"))),
     "text_quality" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -1085,6 +1093,24 @@ object SparkEntry {
          FROM t""",
     "text_langid" -> langIdOracle,
     "text_subwords" -> bpeOracle,
+    "text_line_dedup" ->
+      """WITH l AS (
+           SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+           FROM documents WHERE text IS NOT NULL),
+         k AS (
+           SELECT doc_id, pos, line,
+             (trim(line) = '' OR row_number() OVER (
+                PARTITION BY CASE WHEN trim(line) = '' THEN NULL ELSE line END
+                ORDER BY doc_id, pos) = 1) AS keep
+           FROM l),
+         r AS (
+           SELECT doc_id,
+             array_to_string(list(line ORDER BY pos) FILTER (WHERE keep),
+               chr(10)) AS text
+           FROM k GROUP BY doc_id)
+         SELECT d.doc_id, md5(r.text) AS text_digest
+         FROM documents d LEFT JOIN r USING (doc_id)""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]

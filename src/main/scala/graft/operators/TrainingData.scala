@@ -209,6 +209,38 @@ object TrainingData {
       StructField("shard_id", LongType, nullable = false)))
   }
 
+  /** Cross-document exact LINE dedup (CCNet/RefinedWeb preprocessing):
+    * a line duplicated anywhere in the corpus survives only at its first
+    * occurrence (lowest (doc id, line position)); blank lines are
+    * document structure, not content, and always stay. Docs are
+    * reassembled in original line order; a doc whose every line was
+    * deduped away comes back with NULL text (and null-text docs stay
+    * NULL).
+    *
+    * Scale shape: NO per-line window — the first-occurrence choice is a
+    * `min(struct(id, pos))` aggregation (partial-aggregatable: map-side
+    * combine collapses each partition's occurrences of a line to one
+    * candidate, so a line duplicated a billion times shuffles one row
+    * per partition, and AQE handles residual skew on the join back).
+    * Reassembly is one groupBy on the doc id with an in-row sort.
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val content = trim(col("line")) =!= ""
+    val firsts = lines.filter(content)
+      .groupBy("line")
+      .agg(min(struct(col(idCol).as("__id"), col("pos").as("__pos"))).as("__first"))
+    val kept = lines.join(firsts, Seq("line"), "left")
+      .filter(!content ||
+        (col("__first.__id") === col(idCol) && col("__first.__pos") === col("pos")))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s("line")), "\n").as(textCol))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+  }
+
   /** Corpus-boilerplate scoring (RefinedWeb/CCNet-style): the fraction of
     * each doc's distinct word-`n`-grams that are corpus-common (document
     * frequency ≥ `minDf`). Docs dominated by grams every other doc also

@@ -48,6 +48,22 @@ class TrainingDataSpec extends SparkSpec {
     r shouldBe Map(1L -> (3L, 0L), 2L -> (12L, 0L), 3L -> (2L, 1L), 4L -> (1L, 1L))
   }
 
+  test("dedupLines: first occurrence wins, blanks stay, order preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Option("intro line\nshared footer\n\nunique one")),
+      (2L, Option("second doc\nshared footer\nunique two")), // footer deduped
+      (3L, Option("intro line")),                            // whole doc deduped
+      (4L, Option.empty[String])                             // null stays null
+    ).toDF("doc_id", "text").repartition(3)
+    val r = graft.operators.TrainingData.dedupLines(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    r(1L) shouldBe Some("intro line\nshared footer\n\nunique one")
+    r(2L) shouldBe Some("second doc\nunique two")
+    r(3L) shouldBe None // its only line lives in doc 1
+    r(4L) shouldBe None
+  }
+
   test("boilerplateScore: corpus-common n-grams dominate template docs") {
     import spark.implicits._
     val boiler = "all rights reserved click here to subscribe"
