@@ -408,6 +408,14 @@ object SparkEntry {
         .select(col("doc_id"),
           T.subwordCount(col("text")).cast("long").as("n_segments"),
           graft.functions.Bpe.bpeCount(col("text")).cast("long").as("n_bpe"))),
+    "pipeline_shard_stats" -> ((s, dir) =>
+      // the shard manifest a packing job ships with its output: docs and
+      // token mass per shard (per-shard totals are bounded below by the
+      // budget, not above — an oversized doc overflows its shard)
+      graft.operators.TrainingData.packShards(
+        Tables.documents(s, dir), "doc_id", "text", tokenBudget = 2000)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))),
     "text_line_dedup" -> ((s, dir) =>
       // CCNet/RefinedWeb cross-doc line dedup: a duplicated line survives
       // only at its first (doc, position) occurrence; exact-dup docs lose
@@ -1200,6 +1208,19 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)::BIGINT
              AS shard_id
          FROM t""",
+    "pipeline_shard_stats" ->
+      """WITH t AS (SELECT doc_id,
+           (CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens
+         FROM documents),
+         s AS (SELECT doc_id, n_tokens,
+           floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)::BIGINT
+             AS shard_id
+         FROM t)
+         SELECT shard_id, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS shard_tokens
+         FROM s GROUP BY shard_id""",
     "text_repetition" ->
       """WITH t AS (SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
