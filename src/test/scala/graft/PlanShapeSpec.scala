@@ -65,6 +65,14 @@ class PlanShapeSpec extends SparkSpec {
     p should include("partial_count")
   }
 
+  test("line dedup picks first occurrences map-side (partial min, no window)") {
+    // the first-occurrence choice must combine before the exchange: a
+    // line duplicated N times shuffles one candidate per partition
+    val p = plan(SparkEntry.queries("text_line_dedup")(spark, dir))
+    p should include("partial_min")
+    p should not include "Window"
+  }
+
   test("grouped exact quantile has no per-group window (no WindowExec)") {
     // Window.partitionBy(group) would put each ENTIRE group through one
     // task — parallelism = |groups| regardless of data size. The rewrite
