@@ -104,6 +104,10 @@ object Bench {
           math.min(a, b)
         } catch { case _: Throwable => -1.0 }
         finally clearState()
+        // one line per query, emitted as it completes: the driver's tail
+        // capture truncated BENCH_r04's single summary line mid-way, losing
+        // ~30 early-alphabet timings — per-query lines survive any cut
+        println(s"""{"q":"$name","s":$sec}""")
         name -> sec
       }
     val throughput =

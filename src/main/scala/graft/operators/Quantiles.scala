@@ -74,9 +74,12 @@ object Quantiles {
     *
     * Peak memory per task is one range-partition slice, independent of
     * group cardinality and skew. The driver/broadcast metadata grows with
-    * DISTINCT group count; for very high-cardinality groups (where every
-    * group is small) Spark's own `percentile` aggregate is the right tool
-    * and this operator is unnecessary.
+    * DISTINCT group count AND with group-key width — the maps are keyed
+    * on the group values themselves (so "O(partitions + groups) entries",
+    * not longs; wide string/binary keys multiply driver and broadcast
+    * memory accordingly). For very high-cardinality or very wide group
+    * keys (where every group is small) Spark's own `percentile` aggregate
+    * is the right tool and this operator is unnecessary.
     */
   /** Binary group values need value equality for the driver/broadcast
     * key maps — a bare Array[Byte] compares by reference and would

@@ -101,12 +101,21 @@ object Catalog {
     val (procs, dlqIds) = parseSteps(row.getAs[String]("steps"))
     // the reference's seed rows reference processors BY ID in steps
     // (insertTestPipelines.js); names pass through, numeric ids resolve
-    // against the processors table — but an all-digit token whose id has
-    // no row falls back to being a NAME (a processor legitimately named
-    // "42" stays referenceable)
+    // against the processors table. An all-digit token whose id has no
+    // row is treated as a NAME only when a processor with that literal
+    // name exists (so a processor legitimately named "42" stays
+    // referenceable) — otherwise it is a dangling id and fails fast
+    // with the descriptive error rather than surfacing later.
     val procNames = procs.map { p =>
       if (p.nonEmpty && p.forall(_.isDigit))
-        lookupOpt("processors", "id", "processor_name", p.toInt).getOrElse(p)
+        lookupOpt("processors", "id", "processor_name", p.toInt).getOrElse {
+          val existsAsName = !read("processors")
+            .where(s"processor_name = '$p'").isEmpty
+          if (existsAsName) p
+          else throw new NoSuchElementException(
+            s"catalog: no row in 'processors' with id = $p (dangling " +
+              s"reference from pipeline $pipelineId)")
+        }
       else p
     }
     PipelineDef(

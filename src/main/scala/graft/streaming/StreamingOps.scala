@@ -135,30 +135,38 @@ object StreamingOps {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // persist (not localCheckpoint): compute the batch index once for
+        // both the probe and the index write, with a handle we can release
+        // — checkpointed blocks would accumulate on executors for the
+        // stream's lifetime
         val newIdx = Dedup.minhashIndex(batch.toDF(), idCol, textCol,
-          numHashes, bands, shingleN).localCheckpoint(true)
-        val existing =
-          try spark.read.parquet(indexPath)
-            // a replayed batch must not see its own failed attempt's rows
-            .where(col("batch_id") =!= batchId).drop("batch_id")
-          catch {
-            // ONLY path-not-found means "first batch: nothing ingested
-            // yet" — any other analysis error (schema mismatch, an index
-            // written without batch_id partitions) must surface, not
-            // silently empty the corpus
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" => newIdx.limit(0)
-          }
-        val pairs = Dedup.minhashLshIncrementalFromIndex(newIdx, idCol,
-          existing, numHashes, threshold, estimateSlack)
-        def writeBatch(df: DataFrame, path: String): Unit = df
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(path)
-        writeBatch(pairs, pairsPath)
-        writeBatch(newIdx, indexPath)
+          numHashes, bands, shingleN)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          newIdx.count() // eager, like localCheckpoint(true) was
+          val existing =
+            try spark.read.parquet(indexPath)
+              // a replayed batch must not see its own failed attempt's rows
+              .where(col("batch_id") =!= batchId).drop("batch_id")
+            catch {
+              // ONLY path-not-found means "first batch: nothing ingested
+              // yet" — any other analysis error (schema mismatch, an index
+              // written without batch_id partitions) must surface, not
+              // silently empty the corpus
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition == "PATH_NOT_FOUND" => newIdx.limit(0)
+            }
+          val pairs = Dedup.minhashLshIncrementalFromIndex(newIdx, idCol,
+            existing, numHashes, threshold, estimateSlack)
+          def writeBatch(df: DataFrame, path: String): Unit = df
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+          writeBatch(pairs, pairsPath)
+          writeBatch(newIdx, indexPath)
+        } finally newIdx.unpersist(blocking = false)
         ()
       }
   }
@@ -217,25 +225,30 @@ object StreamingOps {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val newIdx = indexOf(batch.toDF()).localCheckpoint(true)
-        val existing =
-          try spark.read.parquet(indexPath)
-            .where(col("batch_id") =!= batchId).drop("batch_id")
-          catch {
-            // ONLY path-not-found means "first batch" (see
-            // continuousNearDup — other analysis errors must surface)
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" => newIdx.limit(0)
-          }
-        val pairs = probe(newIdx, existing)
-        def writeBatch(df: DataFrame, path: String): Unit = df
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(path)
-        writeBatch(pairs, pairsPath)
-        writeBatch(newIdx, indexPath)
+        // persist + unpersist, not localCheckpoint — see continuousNearDup
+        val newIdx = indexOf(batch.toDF())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          newIdx.count()
+          val existing =
+            try spark.read.parquet(indexPath)
+              .where(col("batch_id") =!= batchId).drop("batch_id")
+            catch {
+              // ONLY path-not-found means "first batch" (see
+              // continuousNearDup — other analysis errors must surface)
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition == "PATH_NOT_FOUND" => newIdx.limit(0)
+            }
+          val pairs = probe(newIdx, existing)
+          def writeBatch(df: DataFrame, path: String): Unit = df
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+          writeBatch(pairs, pairsPath)
+          writeBatch(newIdx, indexPath)
+        } finally newIdx.unpersist(blocking = false)
         ()
       }
   }
