@@ -408,6 +408,14 @@ object SparkEntry {
         .select(col("doc_id"),
           T.subwordCount(col("text")).cast("long").as("n_segments"),
           graft.functions.Bpe.bpeCount(col("text")).cast("long").as("n_bpe"))),
+    "text_subwords_bytes" -> ((s, dir) =>
+      // REAL GPT-2-shape byte-level BPE: segment bytes through the
+      // bytes→unicode alphabet, then the merge loop over the byte-level
+      // fixture (merges_byte.txt) — the count token budgets should use
+      // on non-ASCII corpora, where char-level drifts
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Bpe.bpeCountBytes(col("text")).cast("long").as("n_bpe_bytes"))),
     "pipeline_shard_stats" -> ((s, dir) =>
       // the shard manifest a packing job ships with its output: docs and
       // token mass per shard (per-shard totals are bounded below by the
@@ -594,6 +602,28 @@ object SparkEntry {
         numHashes = 16, bands = 8, shingleN = 5, threshold = 0.4,
         estimateSlack = 0.05)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+    "dedup_incremental_clusters" -> ((s, dir) => {
+      // continuous-ingestion cluster maintenance: labels persisted from
+      // the already-ingested corpus (ids < 250) merge with the new
+      // batch's incremental-LSH pairs — propagation touches only the
+      // components the batch's pairs reach, untouched labels pass
+      // through — yet the result must equal rebuilding the closure over
+      // the FULL corpus (same oracle as dedup_clusters: old-corpus pairs
+      // ∪ new-involving pairs = the complete pair set)
+      val docs = Tables.documents(s, dir)
+      val oldDocs = docs.filter(col("doc_id") < 250)
+      val oldPairs = Dedup.minhashLsh(oldDocs, "doc_id", "text",
+        numHashes = 16, bands = 8, shingleN = 5, threshold = 0.4,
+        estimateSlack = 0.05)
+      val oldLabels = Dedup.connectedComponents(oldPairs, "id_a", "id_b")
+      val index = Dedup.minhashIndex(oldDocs, "doc_id", "text",
+        numHashes = 16, bands = 8, shingleN = 5)
+      val newPairs = Dedup.minhashLshIncremental(docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", index, numHashes = 16, bands = 8, shingleN = 5,
+        threshold = 0.4, estimateSlack = 0.05)
+      Dedup.incrementalConnectedComponents(oldLabels, newPairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
     "dedup_incremental" -> ((s, dir) => {
@@ -1101,6 +1131,7 @@ object SparkEntry {
          FROM t""",
     "text_langid" -> langIdOracle,
     "text_subwords" -> bpeOracle,
+    "text_subwords_bytes" -> bpeBytesOracle,
     "text_line_dedup" ->
       """WITH l AS (
            SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
@@ -1437,17 +1468,10 @@ object SparkEntry {
                     HAVING least(a, min(b)) <> a)
          SELECT doc_id, source FROM documents
          WHERE doc_id NOT IN (SELECT a FROM losers)""",
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairsSql,
-         pr AS (SELECT id_a, id_b FROM p WHERE j >= 0.4),
-         edges AS (SELECT id_a AS a, id_b AS b FROM pr
-                   UNION SELECT id_b, id_a FROM pr),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-         SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
-         FROM reach GROUP BY a""",
+    "dedup_clusters" -> clustersClosureOracle,
+    // incremental label maintenance must land on the same closure as a
+    // full rebuild: old-corpus pairs ∪ new-involving pairs = all pairs
+    "dedup_incremental_clusters" -> clustersClosureOracle,
     // exact simhash replication: 60-bit md5 token hashes -> per-bit
     // majority vote -> all-pairs hamming. The Spark side's chunk blocking
     // is pigeonhole-complete at maxHamming=8 (9 chunks), so blocked
@@ -1651,11 +1675,66 @@ object SparkEntry {
     * itself — making the fold equivalent to the skip-2 scan). Segments
     * with no applicable pair emit once with done=true.
     */
-  private lazy val bpeOracle: String = {
-    val vals = graft.functions.Bpe.defaultMerges.zipWithIndex.map {
+  /** Transitive closure over the exact-Jaccard ≥0.4 pair set → min-id
+    * cluster labels; shared by dedup_clusters (batch rebuild) and
+    * dedup_incremental_clusters (persisted-label maintenance).
+    */
+  private lazy val clustersClosureOracle: String =
+    s"""WITH RECURSIVE $minhashPairsSql,
+       pr AS (SELECT id_a, id_b FROM p WHERE j >= 0.4),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                 UNION SELECT id_b, id_a FROM pr),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
+       FROM reach GROUP BY a"""
+
+  private lazy val bpeOracle: String = bpeReplaySql(
+    graft.functions.Bpe.defaultMerges,
+    "list_reduce(regexp_split_to_array(g, ''), (x, y) -> x || chr(31) || y)",
+    outCol = "n_bpe", withSegments = true)
+
+  /** Byte-level variant: initial symbols are the segment's UTF-8 BYTES
+    * through the GPT-2 bytes→unicode mapping ([[graft.functions.Bpe
+    * .byteToUnicode]]), rebuilt in SQL — codepoints expand to bytes by
+    * the UTF-8 arithmetic, each byte maps via the closed form (printable
+    * latin-1 identity; excluded bytes shift to 256+n in byte order).
+    */
+  private lazy val bpeBytesOracle: String = {
+    val b2u = """CASE WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+                  OR (b >= 174) THEN chr(b)
+                WHEN b <= 32 THEN chr(256 + b)
+                WHEN b BETWEEN 127 AND 160 THEN chr(289 + b - 127)
+                ELSE chr(323) END"""
+    val init = s"""list_reduce(
+        flatten(list_transform(regexp_split_to_array(g, ''), c ->
+          list_transform(
+            CASE WHEN unicode(c) < 128 THEN [unicode(c)]
+                 WHEN unicode(c) < 2048 THEN
+                   [192 + unicode(c) // 64, 128 + unicode(c) % 64]
+                 WHEN unicode(c) < 65536 THEN
+                   [224 + unicode(c) // 4096, 128 + (unicode(c) // 64) % 64,
+                    128 + unicode(c) % 64]
+                 ELSE
+                   [240 + unicode(c) // 262144, 128 + (unicode(c) // 4096) % 64,
+                    128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64] END,
+            b -> $b2u))),
+        (x, y) -> x || chr(31) || y)"""
+    bpeReplaySql(graft.functions.Bpe.defaultByteMerges, init,
+      outCol = "n_bpe_bytes", withSegments = false)
+  }
+
+  private def bpeReplaySql(mergesFixture: Seq[(String, String)],
+      initSymsExpr: String, outCol: String, withSegments: Boolean): String = {
+    val vals = mergesFixture.zipWithIndex.map {
       case ((a, b), i) => s"(${sqlStr(a)},${sqlStr(b)},$i,${sqlStr(a + b)})"
     }.mkString(",")
     val pat = sqlStr(graft.functions.TextFunctions.subwordPattern)
+    val segCol =
+      if (withSegments) s"len(regexp_extract_all(d.text, $pat))::BIGINT AS n_segments,"
+      else ""
     s"""WITH RECURSIVE
        m(a, b, r, merged) AS (VALUES $vals),
        mp AS (SELECT map_from_entries(list({'k': a || chr(30) || b, 'v': r})) AS mp FROM m),
@@ -1666,8 +1745,7 @@ object SparkEntry {
          GROUP BY doc_id, g),
        uniq AS (SELECT DISTINCT g FROM segc),
        enc(g, s, done) AS (
-         SELECT g, list_reduce(regexp_split_to_array(g, ''),
-           (x, y) -> x || chr(31) || y), false
+         SELECT g, $initSymsExpr, false
          FROM uniq
          UNION ALL
          SELECT g,
@@ -1687,12 +1765,12 @@ object SparkEntry {
            FROM enc, mp WHERE NOT done) e
          LEFT JOIN m ON m.r = e.best),
        toks AS (SELECT g, len(string_split(s, chr(31))) AS n FROM enc WHERE done),
-       per_doc AS (SELECT doc_id, sum(cnt * n)::BIGINT AS n_bpe
+       per_doc AS (SELECT doc_id, sum(cnt * n)::BIGINT AS total
                    FROM segc JOIN toks USING (g) GROUP BY doc_id)
        SELECT d.doc_id,
-         len(regexp_extract_all(d.text, $pat))::BIGINT AS n_segments,
+         $segCol
          (CASE WHEN d.text IS NULL THEN NULL
-               ELSE coalesce(p.n_bpe, 0) END)::BIGINT AS n_bpe
+               ELSE coalesce(p.total, 0) END)::BIGINT AS $outCol
        FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
   }
 

@@ -56,16 +56,78 @@ object Bpe {
     finally in.close()
   }
 
+  /** Byte-level fixture (merges_byte.txt), trained by
+    * [[graft.tools.TrainBpe]] on the same corpus in the real GPT-2 file
+    * format: `#version` header, rules over the bytes→unicode alphabet
+    * (space rides as 'Ġ' = U+0120).
+    */
+  lazy val defaultByteMerges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe/merges_byte.txt")
+    require(in != null, "bundled merges fixture /graft/bpe/merges_byte.txt missing")
+    try parseMerges(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
   def loadMergesFile(path: String): Seq[(String, String)] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
     try parseMerges(src.getLines()) finally src.close()
   }
 
+  /** Parse a GPT-2-format vocab.json ({"token": id, ...}) — the other
+    * half of a real merges+vocab tokenizer pair. Only needed when token
+    * IDS (not counts) are the output.
+    */
+  def parseVocab(json: String): Map[String, Int] = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case JObject(fields) => fields.map {
+        case (k, JInt(v)) => k -> v.toInt
+        case (k, v) => throw new IllegalArgumentException(s"vocab id for '$k' not an int: $v")
+      }.toMap
+      case other => throw new IllegalArgumentException(s"vocab.json must be an object, got $other")
+    }
+  }
+
+  def loadVocabFile(path: String): Map[String, Int] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parseVocab(src.mkString) finally src.close()
+  }
+
+  /** GPT-2 bytes↔unicode pre-mapping: every byte gets a PRINTABLE
+    * codepoint so merge rules are plain text. Printable latin-1 bytes
+    * (33-126, 161-172, 174-255) map to themselves; the 68 excluded bytes
+    * (controls, space, DEL, NBSP range, soft hyphen) map to 256+n in
+    * increasing byte order — so space(32)→'Ġ'(288), newline(10)→'Ċ'(266),
+    * exactly the alphabet real GPT-2/tiktoken merges files are written in.
+    */
+  val byteToUnicode: Array[Char] = {
+    val out = new Array[Char](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      val printable = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) || (b >= 174)
+      if (printable) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+    }
+    out
+  }
+
+  /** Inverse of [[byteToUnicode]] (codepoint → original byte). */
+  lazy val unicodeToByte: Map[Char, Byte] =
+    byteToUnicode.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
   /** The encoder: rank table + pre-tokenizer + bounded segment cache.
     * One instance per task (deserialized with the expression, or shipped
-    * via a broadcast for production-size merge tables).
+    * via a broadcast for production-size merge tables —
+    * [[broadcastEncoder]]).
+    *
+    * `byteLevel = true` is the real GPT-2/tiktoken shape: a segment's
+    * initial symbols are its UTF-8 BYTES through [[byteToUnicode]], not
+    * its characters — token budgets then stop drifting on non-ASCII text,
+    * where one character is 2-4 byte symbols before merging.
     */
-  final class Encoder(merges: Seq[(String, String)]) extends Serializable {
+  final class Encoder(merges: Seq[(String, String)],
+      val byteLevel: Boolean = false,
+      vocab: Map[String, Int] = Map.empty) extends Serializable {
     @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](merges.size * 2)
       merges.zipWithIndex.foreach { case ((a, b), i) =>
@@ -94,7 +156,11 @@ object Bpe {
 
     /** BPE symbols of ONE pre-token segment (exposed for tests). */
     def encodeSegment(seg: String): Array[String] = {
-      var word: Array[String] = seg.toCharArray.map(_.toString)
+      var word: Array[String] =
+        if (byteLevel)
+          seg.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .map(b => String.valueOf(byteToUnicode(b & 0xff)))
+        else seg.toCharArray.map(_.toString)
       var done = word.length < 2
       while (!done) {
         // lowest-rank adjacent pair present in the word
@@ -143,15 +209,60 @@ object Bpe {
       while (m.find()) n += countSegment(m.group())
       n
     }
+
+    /** All BPE token strings of a text, in order. */
+    def encodeText(text: String): Array[String] = {
+      val m = segPattern.matcher(text)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) out ++= encodeSegment(m.group())
+      out.toArray
+    }
+
+    /** Token IDS under the vocab (requires one — the real merges+vocab
+      * pair from [[loadMergesFile]]/[[loadVocabFile]]). A symbol absent
+      * from the vocab is a fixture/corpus mismatch and throws.
+      */
+    def encodeIds(text: String): Array[Int] = {
+      require(vocab.nonEmpty, "encodeIds needs a vocab (loadVocabFile)")
+      encodeText(text).map { t =>
+        vocab.getOrElse(t, throw new NoSuchElementException(
+          s"BPE symbol '$t' not in vocab (merges/vocab pair mismatch?)"))
+      }
+    }
   }
 
+  /** Production shape for real 50k-merge tables: ship ONE copy of the
+    * encoder per executor via a broadcast instead of riding the merges
+    * inside every serialized expression.
+    */
+  def broadcastEncoder(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], byteLevel: Boolean = false,
+      vocab: Map[String, Int] = Map.empty)
+      : org.apache.spark.broadcast.Broadcast[Encoder] =
+    spark.sparkContext.broadcast(new Encoder(merges, byteLevel, vocab))
+
   /** BPE token count of `child` under `merges`. Null-safe; empty → 0. */
-  case class BpeCount(child: Expression, merges: Seq[(String, String)])
+  case class BpeCount(child: Expression, merges: Seq[(String, String)],
+      byteLevel: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = IntegerType
-    @transient private lazy val enc = new Encoder(merges)
+    @transient private lazy val enc = new Encoder(merges, byteLevel)
     override def nullSafeEval(input: Any): Any =
       enc.countText(input.asInstanceOf[UTF8String].toString)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** BPE token count through a broadcast encoder — only the broadcast
+    * HANDLE rides in the serialized expression; executors fetch the
+    * (potentially 50k-rule) rank table once each.
+    */
+  case class BpeCountBroadcast(child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[Encoder])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any =
+      bc.value.countText(input.asInstanceOf[UTF8String].toString)
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
@@ -159,8 +270,20 @@ object Bpe {
   /** Column builder: real BPE token count from a merges table (the
     * bundled fixture by default).
     */
-  def bpeCount(text: Column, merges: Seq[(String, String)] = defaultMerges): Column = {
+  def bpeCount(text: Column, merges: Seq[(String, String)] = defaultMerges,
+      byteLevel: Boolean = false): Column = {
     import org.apache.spark.sql.graft.Bridge
-    Bridge.column(BpeCount(Bridge.expression(text), merges))
+    Bridge.column(BpeCount(Bridge.expression(text), merges, byteLevel))
+  }
+
+  /** Byte-level count from the bundled byte-level fixture. */
+  def bpeCountBytes(text: Column): Column =
+    bpeCount(text, defaultByteMerges, byteLevel = true)
+
+  /** Count through a [[broadcastEncoder]] (production merge tables). */
+  def bpeCount(text: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Encoder]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(BpeCountBroadcast(Bridge.expression(text), bc))
   }
 }
