@@ -621,6 +621,53 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Incremental cluster-label maintenance for continuous ingestion:
+    * merge a new batch's pairs into PERSISTED labels without recomputing
+    * the closure of the whole accumulated pair set.
+    *
+    * Old labels are a closure summary — each (id, cluster_id) row is an
+    * edge to the component's representative — so correctness needs
+    * propagation only over the components the new pairs TOUCH:
+    *  1. touched ids = ids in `newPairs`; affected components = their
+    *     old cluster ids (one semi-join; batch-sized, broadcastable);
+    *  2. subgraph = affected components' label rows as (id, cluster_id)
+    *     edges ∪ `newPairs`; run [[connectedComponents]] on it — the
+    *     iterative loop never sees the untouched corpus;
+    *  3. untouched labels pass through an anti-join byte-identical.
+    *
+    * New pairs can bridge two old components through a new doc — both
+    * are affected and re-label to the global min id. Persist the result
+    * (e.g. parquet, like the pair/index state in
+    * [[graft.streaming.StreamingOps.continuousNearDup]]) and feed it back
+    * as `oldLabels` on the next batch.
+    *
+    * 100 TB shape: corpus-sized `oldLabels` crosses exactly three
+    * single-shuffle joins (semi on id, semi + anti on cluster_id, all
+    * against batch-sized broadcast sides); the multi-round propagation
+    * cost scales with the batch's neighborhood, not the corpus.
+    */
+  def incrementalConnectedComponents(oldLabels: DataFrame, newPairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // materialize once: read for touched ids AND as subgraph edges (and
+    // newPairs is typically a whole incremental-LSH pipeline)
+    val np = newPairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .localCheckpoint(true)
+    val labels = oldLabels.select(
+      col("id").cast("long").as("id"), col("cluster_id").cast("long").as("cluster_id"))
+    val touched = np.select(col("a").as("id"))
+      .union(np.select(col("b").as("id"))).distinct()
+    val affected = labels.join(touched, Seq("id"), "left_semi")
+      .select("cluster_id").distinct()
+    val subEdges = labels.join(affected, Seq("cluster_id"), "left_semi")
+      .select(col("id").as("a"), col("cluster_id").as("b"))
+      .union(np)
+    val subLabels = connectedComponents(subEdges, "a", "b", maxIter)
+    labels.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+      .union(subLabels.select(col("id"), col("cluster_id")))
+  }
+
   /** The end product of near-dup dedup: the corpus with one survivor per
     * duplicate cluster (the min id) — every non-survivor cluster member
     * anti-joined away, docs with no near-dup untouched. `pairs` is any

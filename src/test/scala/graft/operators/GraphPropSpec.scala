@@ -39,6 +39,43 @@ class GraphPropSpec extends SparkSpec {
     }
   }
 
+  test("incrementalConnectedComponents: untouched labels pass through, affected merge") {
+    import spark.implicits._
+    // {5,6} carries a SENTINEL non-min label 99: a recompute would
+    // relabel it to 5, so 99 surviving proves untouched components are
+    // passed through rather than rewritten
+    val oldLabels = Seq((1L, 1L), (2L, 1L), (5L, 99L), (6L, 99L),
+      (10L, 10L), (11L, 10L)).toDF("id", "cluster_id")
+    // new docs 20,21: 20 touches component 1 (via 2), 21 bridges it with
+    // component 10 — two old components merge through the new batch
+    val newPairs = Seq((2L, 20L), (20L, 21L), (10L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.incrementalConnectedComponents(oldLabels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got(5L) shouldBe 99L
+    got(6L) shouldBe 99L
+    Seq(1L, 2L, 10L, 11L, 20L, 21L).foreach(id => got(id) shouldBe 1L)
+    got.size shouldBe 8
+  }
+
+  test("incrementalConnectedComponents equals full rebuild on random graphs") {
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.listOfN(20, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))),
+      Gen.listOfN(8, Gen.zip(Gen.choose(0L, 25L), Gen.choose(16L, 25L))))
+    (1 to 8).foreach { i =>
+      val (oldE, newE) = gen(Gen.Parameters.default, Seed(5000L + i)).get
+      val oldEdges = oldE.filter(p => p._1 != p._2)
+      val newEdges = newE.filter(p => p._1 != p._2)
+      val oldLabels = unionFind(oldEdges).toSeq.toDF("id", "cluster_id")
+      val got = Dedup.incrementalConnectedComponents(
+          oldLabels, newEdges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"seed ${5000 + i}: ") {
+        got shouldBe unionFind(oldEdges ++ newEdges)
+      }
+    }
+  }
+
   test("topKByScore equals sort-take on random inputs across partitions") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
