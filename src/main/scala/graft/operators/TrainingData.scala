@@ -218,22 +218,39 @@ object TrainingData {
     * NULL).
     *
     * Scale shape: NO per-line window — the first-occurrence choice is a
-    * `min(struct(id, pos))` aggregation (partial-aggregatable: map-side
-    * combine collapses each partition's occurrences of a line to one
-    * candidate, so a line duplicated a billion times shuffles one row
-    * per partition, and AQE handles residual skew on the join back).
-    * Reassembly is one groupBy on the doc id with an in-row sort.
+    * `min(struct(id, pos))` aggregation over a fixed-width line digest
+    * (partial-aggregatable: map-side combine collapses each partition's
+    * occurrences of a line to one candidate, so a line duplicated a
+    * billion times shuffles one row per partition). The join back is a
+    * semi join on (id, pos) — unique on both sides, so no corpus-wide
+    * hot line can concentrate on one reducer. Reassembly is one groupBy
+    * on the doc id with an in-row sort.
     */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the first-occurrence shuffle keys on a 60-bit md5 prefix of the
+    // line, NOT the line itself: key width stays fixed no matter how long
+    // lines get, and the text rides only where reassembly needs it. Same
+    // collision stance as the other digest ops ([[Dedup.exact]],
+    // boilerplateScore): a 60-bit collision conflates two distinct lines
+    // (~birthday bound 2^30 ≈ 1B distinct lines per corpus before a
+    // single expected collision — acceptable for preprocessing; widen
+    // the prefix if not).
     val lines = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
     val content = trim(col("line")) =!= ""
+    // `firsts` IS the kept set: (min id, pos) per distinct line. Joining
+    // it back on the line key would concentrate a corpus-wide hot line
+    // (boilerplate in every doc) on one reducer — and Spark's AQE skew
+    // split can't rescue a join whose build side is an aggregation
+    // output (OptimizeSkewedJoin only matches joins fed directly by
+    // shuffle stages). So join back SEMI on (id, pos) instead: unique on
+    // both sides by construction, so NO key can be hot, for any corpus.
     val firsts = lines.filter(content)
-      .groupBy("line")
+      .groupBy(substring(md5(col("line")), 1, 15).as("__lk"))
       .agg(min(struct(col(idCol).as("__id"), col("pos").as("__pos"))).as("__first"))
-    val kept = lines.join(firsts, Seq("line"), "left")
-      .filter(!content ||
-        (col("__first.__id") === col(idCol) && col("__first.__pos") === col("pos")))
+      .select(col("__first.__id").as(idCol), col("__first.__pos").as("pos"))
+    val kept = lines.filter(content).join(firsts, Seq(idCol, "pos"), "left_semi")
+      .unionByName(lines.filter(!content))
     val rebuilt = kept.groupBy(idCol)
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),

@@ -71,6 +71,38 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("text_line_dedup")(spark, dir))
     p should include("partial_min")
     p should not include "Window"
+    // the first-occurrence shuffle keys on the fixed-width line digest
+    // (md5 prefix), never the raw line text — key width stays bounded at
+    // any line length — and the join back is a SEMI join on the unique
+    // (id, pos) pair, so no corpus-wide hot line can concentrate on one
+    // reducer (skew-immune by construction; AQE's OptimizeSkewedJoin
+    // could not rescue a digest-keyed join back because the build side
+    // is an aggregation output, not a bare shuffle stage)
+    p should include("LeftSemi")
+    p should not include "hashpartitioning(line"
+    p should include("md5")
+  }
+
+  test("line dedup handles a corpus dominated by one hot line without a hot key") {
+    import spark.implicits._
+    // adversarial corpus: ONE line dominates every doc. The old
+    // line-keyed join back would send every occurrence to one reducer;
+    // the (id, pos) semi join spreads them uniformly.
+    val hotLine = "hot boilerplate navigation chrome line " +
+      "that repeats in every single document of the corpus"
+    val hot = Array.fill(30)(hotLine).mkString("\n")
+    val docs = (1L to 3000L)
+      .map(i => (i, s"$hot\nunique content line $i"))
+      .toDF("doc_id", "text").repartition(8)
+    val out = graft.operators.TrainingData.dedupLines(docs, "doc_id", "text")
+    val got = out.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // even doc 1's own 30 copies dedup to the single first occurrence
+    got(1L) shouldBe Some(hotLine + "\nunique content line 1")
+    (2L to 3000L).foreach(i => got(i) shouldBe Some(s"unique content line $i"))
+    // the join-back stages must never key on the hot line's digest: the
+    // final plan's semi join reads both sides partitioned by (id, pos)
+    val p = out.queryExecution.executedPlan.toString
+    p should include("LeftSemi")
   }
 
   test("grouped exact quantile has no per-group window (no WindowExec)") {
