@@ -728,10 +728,16 @@ object SparkEntry {
       // same recall contract for the IVF probe path
       val q = queryVec(s, dir)
       val emb = Tables.embeddings(s, dir)
-      // nBits=6 → 64 cells, probing 4 = 6% of the corpus (vs 25% at
-      // nBits=4) with recall contract intact at every SF
+      // nBits=6 → 64 cells; ONE Lloyd iteration trains the coarse
+      // quantizer, cutting the probes needed for full recall from 4
+      // (raw LSH cells) to 3 — measured 10/10 at sf0.001/0.01/0.1.
+      // nProbe=2 does NOT suffice at any SF: the synthetic embeddings
+      // are near-uniform, so a query's true top-10 genuinely straddles
+      // 3 Voronoi cells; on clustered real corpora training buys more
+      // (see the SimilaritySpec adaptive-cells test, where 1 probe
+      // recovers what raw LSH splits)
       val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", q,
-        k = 10, dim = 64, nBits = 6, nProbe = 4).select("vec_id")
+        k = 10, dim = 64, nBits = 6, nProbe = 3, lloydIters = 1).select("vec_id")
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 50)
         .select(col("vec_id").as("__evid"))
       ivf.join(exact, col("vec_id") === col("__evid"), "left")

@@ -49,35 +49,52 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-flat ANN: the corpus is coarse-quantized into cells (hyperplane
-    * LSH buckets), a centroid per cell is aggregated (map-side partial
-    * combine), and a query probes only the `nProbe` cells whose CENTROIDS
-    * are most cosine-similar to it — better-targeted than Hamming
-    * multi-probe on raw bucket bits.
+  /** IVF-flat ANN: the corpus is coarse-quantized into cells, a centroid
+    * per cell is aggregated (map-side partial combine), and a query
+    * probes only the `nProbe` cells whose CENTROIDS are most
+    * cosine-similar to it — better-targeted than Hamming multi-probe on
+    * raw bucket bits.
+    *
+    * `lloydIters` trains the coarse quantizer: hyperplane-LSH buckets
+    * seed the cells, then each iteration reassigns every vector to its
+    * nearest centroid (one distributed projection — ≤2^nBits cosines per
+    * row against a broadcast centroid literal) and re-aggregates
+    * centroids. Data-adaptive cells hug the corpus's actual clusters, so
+    * the same recall needs fewer probes than raw LSH cells (k-means as
+    * in IVF-Flat/FAISS; Lloyd 1982).
     *
     * Scale shape: the driver holds only ≤2^nBits centroids (the coarse
-    * quantizer); the corpus is never collected. Persist/partition by
-    * `cell` at write time and the probe prunes whole files before
-    * reading them.
+    * quantizer); the corpus is never collected, reassignment is
+    * shuffle-free. Persist/partition by `cell` at write time and the
+    * probe prunes whole files before reading them.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       queryVec: Seq[Double], k: Int, dim: Int,
-      nBits: Int = 6, nProbe: Int = 4): DataFrame = {
-    // checkpointed: the centroid collect and the probe filter both read
-    // this — without it the scan + bucket projection runs twice. Null
-    // embeddings have no cell (and can never rank) — dropped up front so
-    // the driver-side centroid read never sees a null cell row
-    val bucketed = df
+      nBits: Int = 6, nProbe: Int = 4, lloydIters: Int = 0): DataFrame = {
+    // checkpointed: the centroid collect(s) and the probe filter all read
+    // this — without it the scan + bucket projection runs per consumer.
+    // Null embeddings have no cell (and can never rank) — dropped up
+    // front so the driver-side centroid read never sees a null cell row
+    val base = df
       .filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).as("v"),
         V.hyperplaneLshBucket(col(vecCol), nBits, dim).as("cell"))
       .localCheckpoint(true)
-    val cents = bucketed
+
+    def centroidsOf(assigned: DataFrame): Array[(Long, Seq[Double])] = assigned
       .groupBy("cell")
       .agg(graft.functions.Aggregators.vectorCentroid(
         col("v").cast("array<double>"), dim).as("c"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1))
+
+    var assigned = base
+    var cents = centroidsOf(base)
+    (1 to lloydIters).foreach { _ =>
+      assigned = base.select(col(idCol), col("v"),
+        nearestCell(col("v"), cents.map(_._2).toSeq).as("cell"))
+      cents = centroidsOf(assigned)
+    }
 
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -92,10 +109,24 @@ object Similarity {
       .take(nProbe).map(_._1)
 
     val q = typedLit(queryVec)
-    bucketed.filter(col("cell").isin(probes: _*))
+    assigned.filter(col("cell").isin(probes: _*))
       .select(col(idCol), round(V.cosine(col("v"), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Index (0-based, as long) of the centroid most cosine-similar to
+    * `v`, evaluated as one HOF fold over a broadcast centroid literal —
+    * ties break to the LOWEST index, so reassignment is deterministic.
+    */
+  private def nearestCell(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val centLit = typedLit(cents)
+    val scored = transform(sequence(lit(0), lit(cents.length - 1)),
+      i => struct(V.cosine(v, element_at(centLit, i + lit(1))).as("c"), i.as("i")))
+    aggregate(scored,
+      struct(lit(Double.NegativeInfinity).as("c"), lit(-1).as("i")),
+      (acc, x) => when(x("c") > acc("c"), x).otherwise(acc))
+      .getField("i").cast("long")
   }
 
   /** All-pairs top-k neighbors per row, blocked by an LSH bucket: for

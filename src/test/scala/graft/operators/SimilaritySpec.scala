@@ -52,6 +52,37 @@ class SimilaritySpec extends SparkSpec {
     r.head.getLong(0) shouldBe 0L
   }
 
+  test("ivfTopK Lloyd training: all cells probed still equals brute force") {
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    // after training, cells are indices 0..m-1; probing them all must
+    // remain exhaustive regardless of how reassignment moved vectors
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, k = 3,
+      dim = 4, nBits = 2, nProbe = 4, lloydIters = 2)
+    ivf.collect().map(_.getLong(0)).toSeq shouldBe
+      Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 3)
+        .collect().map(_.getLong(0)).toSeq
+  }
+
+  test("ivfTopK Lloyd training adapts cells: one probe finds a cluster LSH splits") {
+    import spark.implicits._
+    // two tight clusters around +e1 and +e2, each straddling a random
+    // hyperplane: raw LSH cells cut through the clusters, but one k-means
+    // iteration pulls each cluster into a single cell
+    val cluster1 = (0L until 20L).map(i =>
+      (i, Seq(1.0, 0.002 * i - 0.02, 0.001 * i, 0.0)))
+    val cluster2 = (20L until 40L).map(i =>
+      (i, Seq(0.002 * i - 0.06, 1.0, 0.0, 0.001 * i)))
+    val df = (cluster1 ++ cluster2).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val trained = Similarity.ivfTopK(df, "vec_id", "embedding", q, k = 10,
+      dim = 4, nBits = 3, nProbe = 1, lloydIters = 2)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    // one trained probe recovers the full exact top-10 (all in cluster 1)
+    trained shouldBe exact
+  }
+
   test("neighborsWithinBuckets returns at most k per id, ranked") {
     val r = Similarity.neighborsWithinBuckets(vecs, "vec_id", "embedding",
       dim = 4, k = 2, nBits = 2)
