@@ -448,16 +448,20 @@ object SparkEntry {
 
     "text_tfidf" -> ((s, dir) => {
       // tf·idf over whitespace tokens: tf from per-doc explode, df from
-      // distinct doc-term pairs — two shuffles, both on the term key
+      // distinct doc-term pairs — two shuffles, both on the term key.
+      // The corpus size folds into the plan as a broadcast 1-row total
+      // (like the other crossJoin(broadcast(total)) sites) instead of a
+      // driver-side count() — one job per run, not two
       val docs = Tables.documents(s, dir)
-      val n = docs.count()
+      val nTotal = docs.agg(count(lit(1)).cast("double").as("__n"))
       val terms = docs.select(col("doc_id"), explode(T.normTokens(col("text"))).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = terms.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))
       tf.join(df, Seq("term"))
+        .crossJoin(broadcast(nTotal))
         .select(col("doc_id"), col("term"), col("tf"),
-          round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+          round(col("tf") * log(col("__n") / col("df")), 6).as("tfidf"))
     }),
 
     "pipeline_training_data" -> ((s, dir) =>

@@ -648,6 +648,27 @@ object Dedup {
     */
   def incrementalConnectedComponents(oldLabels: DataFrame, newPairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val (labels, affected, subLabels) =
+      incrementalComponentParts(oldLabels, newPairs, aCol, bCol, maxIter)
+    labels.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+      .union(subLabels)
+  }
+
+  /** Only the labels CHANGED by the new pairs (re-propagated affected
+    * components + newly labeled ids) — the append-only delta a
+    * continuous pipeline persists per batch
+    * ([[graft.streaming.StreamingOps.continuousClusteredDedup]]); the
+    * current label of an id is its row in the LATEST batch that touched
+    * it. Same semantics as [[incrementalConnectedComponents]] minus the
+    * corpus-sized untouched pass-through.
+    */
+  def incrementalComponentDelta(oldLabels: DataFrame, newPairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b", maxIter: Int = 20): DataFrame =
+    incrementalComponentParts(oldLabels, newPairs, aCol, bCol, maxIter)._3
+
+  private def incrementalComponentParts(oldLabels: DataFrame, newPairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int): (DataFrame, DataFrame, DataFrame) = {
     // materialize once: read for touched ids AND as subgraph edges (and
     // newPairs is typically a whole incremental-LSH pipeline)
     val np = newPairs
@@ -663,9 +684,8 @@ object Dedup {
       .select(col("id").as("a"), col("cluster_id").as("b"))
       .union(np)
     val subLabels = connectedComponents(subEdges, "a", "b", maxIter)
-    labels.join(affected, Seq("cluster_id"), "left_anti")
       .select(col("id"), col("cluster_id"))
-      .union(subLabels.select(col("id"), col("cluster_id")))
+    (labels, affected, subLabels)
   }
 
   /** The end product of near-dup dedup: the corpus with one survivor per

@@ -209,17 +209,56 @@ object StreamingOps {
           threshold, maxBucketSize),
       indexPath, pairsPath, checkpoint)
 
+  /** Continuous near-dup WITH cluster-label maintenance: the MinHash
+    * probe-and-append loop of [[continuousNearDup]], plus per-batch
+    * incremental connected components
+    * ([[graft.operators.Dedup.incrementalComponentDelta]]) into an
+    * append-only labels table at `labelsPath`.
+    *
+    * Labels are stored as DELTAS partitioned by batch id — each batch
+    * writes only the labels its pairs changed (re-propagated affected
+    * components + newly clustered ids), never the corpus-sized label
+    * set. The current label of an id is its row in the latest batch
+    * that touched it ([[currentClusterLabels]]); a batch replay
+    * overwrites its own partition like the pair/index writes.
+    */
+  def continuousClusteredDedup(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, pairsPath: String, labelsPath: String,
+      checkpoint: String, numHashes: Int = 16, bands: Int = 8,
+      shingleN: Int = 5, threshold: Double = 0.5,
+      estimateSlack: Double = 0.25): DataStreamWriter[Row] = {
+    import graft.operators.Dedup
+    continuousIndexedDedup(docs,
+      b => Dedup.minhashIndex(b, idCol, textCol, numHashes, bands, shingleN),
+      (newIdx, existing) => Dedup.minhashLshIncrementalFromIndex(newIdx, idCol,
+        existing, numHashes, threshold, estimateSlack),
+      indexPath, pairsPath, checkpoint, labelsPath = Some(labelsPath))
+  }
+
+  /** Current (id, cluster_id) view over a [[continuousClusteredDedup]]
+    * labels table: latest batch's row per id. Cost scales with the
+    * ever-clustered id count (pairs are sparse relative to the corpus),
+    * not the corpus.
+    */
+  def currentClusterLabels(spark: org.apache.spark.sql.SparkSession,
+      labelsPath: String): DataFrame =
+    spark.read.parquet(labelsPath)
+      .groupBy("id")
+      .agg(max_by(col("cluster_id"), col("batch_id")).as("cluster_id"))
+
   /** The shared probe-and-append micro-batch loop behind the continuous
     * dedup variants: build the new batch's index rows, probe them against
     * the persisted index of all prior batches, append pairs and index —
     * both writes per-batch-id dynamic-partition-overwritten so replays
-    * replace rather than duplicate.
+    * replace rather than duplicate. With `labelsPath` set, each batch
+    * also folds its pairs into the persisted cluster labels (see
+    * [[continuousClusteredDedup]]).
     */
   private def continuousIndexedDedup(docs: DataFrame,
       indexOf: DataFrame => DataFrame,
       probe: (DataFrame, DataFrame) => DataFrame,
       indexPath: String, pairsPath: String,
-      checkpoint: String): DataStreamWriter[Row] = {
+      checkpoint: String, labelsPath: Option[String] = None): DataStreamWriter[Row] = {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -239,15 +278,36 @@ object StreamingOps {
               case e: org.apache.spark.sql.AnalysisException
                   if e.getCondition == "PATH_NOT_FOUND" => newIdx.limit(0)
             }
+          // the pair relation feeds the pair write AND (optionally) the
+          // label maintenance — materialize once, bounded (new-involving
+          // pairs only)
           val pairs = probe(newIdx, existing)
-          def writeBatch(df: DataFrame, path: String): Unit = df
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(path)
-          writeBatch(pairs, pairsPath)
-          writeBatch(newIdx, indexPath)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            def writeBatch(df: DataFrame, path: String): Unit = df
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(path)
+            writeBatch(pairs, pairsPath)
+            writeBatch(newIdx, indexPath)
+            labelsPath.foreach { lp =>
+              val current =
+                try spark.read.parquet(lp)
+                  .where(col("batch_id") =!= batchId)
+                  .groupBy("id")
+                  .agg(max_by(col("cluster_id"), col("batch_id")).as("cluster_id"))
+                catch {
+                  case e: org.apache.spark.sql.AnalysisException
+                      if e.getCondition == "PATH_NOT_FOUND" =>
+                    pairs.select(col("id_a").as("id"),
+                      col("id_a").as("cluster_id")).limit(0)
+                }
+              writeBatch(graft.operators.Dedup.incrementalComponentDelta(
+                current, pairs), lp)
+            }
+          } finally pairs.unpersist(blocking = false)
         } finally newIdx.unpersist(blocking = false)
         ()
       }

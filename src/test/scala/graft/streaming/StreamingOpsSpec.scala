@@ -302,6 +302,43 @@ class StreamingOpsSpec extends SparkSpec {
     spark.read.parquet(s"$dir/index").select("batch_id").distinct().count() shouldBe 2
   }
 
+  test("continuousClusteredDedup maintains labels matching a batch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccd").toString
+    val a = "the quick brown fox jumps over the lazy dog in the morning sun"
+    val c = "another brand new document about spark catalyst internals today"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.continuousClusteredDedup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/index", s"$dir/pairs", s"$dir/labels", s"$dir/ckpt",
+      bands = 8, threshold = 0.5).start()
+    try {
+      in.addData((0L, a), (1L, a), (2L, "totally unrelated text about databases"))
+      q.processAllAvailable()
+      // batch 2: 10 joins the {0,1} cluster cross-batch; {11,12} is new
+      in.addData((10L, a), (11L, c), (12L, c))
+      q.processAllAvailable()
+    } finally q.stop()
+    val labels = StreamingOps.currentClusterLabels(spark, s"$dir/labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the maintained view equals a batch connectedComponents over the
+    // full accumulated pair set
+    val allPairs = spark.read.parquet(s"$dir/pairs")
+    val rebuilt = graft.operators.Dedup.connectedComponents(allPairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels shouldBe rebuilt
+    labels shouldBe Map(0L -> 0L, 1L -> 0L, 10L -> 0L, 11L -> 11L, 12L -> 11L)
+    // batch 1 wrote only its own cluster's labels; batch 2's delta
+    // re-propagated {0,1,10} and added {11,12} — per-batch partitions
+    val deltas = spark.read.parquet(s"$dir/labels")
+      // partition-column type inference may read batch_id as int
+      .select(col("batch_id").cast("long"), col("id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+    deltas(0L).map(_._2).toSet shouldBe Set(0L, 1L)
+    deltas(1L).map(_._2).toSet shouldBe Set(0L, 1L, 10L, 11L, 12L)
+  }
+
   test("continuousSimhashDedup: hamming family probes and grows its chunk index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
