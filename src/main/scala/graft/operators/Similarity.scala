@@ -71,6 +71,54 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       queryVec: Seq[Double], k: Int, dim: Int,
       nBits: Int = 6, nProbe: Int = 4, lloydIters: Int = 0): DataFrame = {
+    val (assigned, cents) = trainCells(df, idCol, vecCol, dim, nBits, lloydIters)
+    val probes = probeCells(cents, queryVec, nProbe)
+    val q = typedLit(queryVec)
+    assigned.filter(col("cell").isin(probes: _*))
+      .select(col(idCol), round(V.cosine(col("v"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Train (see [[ivfTopK]]) and PERSIST the IVF index: cell assignments
+    * partitioned by `cell` under `<path>/cells`, centroids under
+    * `<path>/centroids`. The production shape — build once, then every
+    * [[ivfTopKFromIndex]] probe reads ONLY its `nProbe` cell directories
+    * (partition pruning, no corpus scan) after a driver-side read of
+    * ≤2^nBits centroid rows.
+    */
+  def ivfWriteIndex(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, path: String, nBits: Int = 6, lloydIters: Int = 1): Unit = {
+    val (assigned, cents) = trainCells(df, idCol, vecCol, dim, nBits, lloydIters)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.toSeq.toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a persisted [[ivfWriteIndex]] index. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, queryVec: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val probes = probeCells(cents, queryVec, nProbe)
+    val q = typedLit(queryVec)
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probes: _*))
+      .select(col(idCol), round(V.cosine(col("v"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Shared coarse-quantizer build: LSH-seeded cells, `lloydIters`
+    * k-means refinements. Returns the (id, v, cell) assignment and the
+    * driver-held centroids.
+    */
+  private def trainCells(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, lloydIters: Int)
+      : (DataFrame, Array[(Long, Seq[Double])]) = {
     // checkpointed: the centroid collect(s) and the probe filter all read
     // this — without it the scan + bucket projection runs per consumer.
     // Null embeddings have no cell (and can never rank) — dropped up
@@ -95,7 +143,14 @@ object Similarity {
         nearestCell(col("v"), cents.map(_._2).toSeq).as("cell"))
       cents = centroidsOf(assigned)
     }
+    (assigned, cents)
+  }
 
+  /** The `nProbe` cell ids whose centroids are most cosine-similar to
+    * the query (driver-side over ≤2^nBits centroids).
+    */
+  private def probeCells(cents: Array[(Long, Seq[Double])],
+      queryVec: Seq[Double], nProbe: Int): Seq[Long] = {
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -105,14 +160,8 @@ object Similarity {
       val d = math.sqrt(na) * math.sqrt(nb)
       if (d == 0.0) 0.0 else dot / d
     }
-    val probes = cents.sortBy { case (_, c) => -cos(c, queryVec) }
-      .take(nProbe).map(_._1)
-
-    val q = typedLit(queryVec)
-    assigned.filter(col("cell").isin(probes: _*))
-      .select(col(idCol), round(V.cosine(col("v"), q), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+    cents.sortBy { case (_, c) => -cos(c, queryVec) }
+      .take(nProbe).map(_._1).toSeq
   }
 
   /** Index (0-based, as long) of the centroid most cosine-similar to

@@ -129,6 +129,29 @@ class SimilaritySpec extends SparkSpec {
     probe.count() shouldBe bucketed.filter(col("bucket") === 1L).count()
   }
 
+  test("persisted trained-IVF index: probe prunes cell partitions, matches direct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    // centroids table is driver-small: <= 2^nBits rows
+    spark.read.parquet(s"$dir/centroids").count() should be <= 4L
+    val fromIdx = Similarity.ivfTopKFromIndex(spark, dir, "vec_id", q,
+      k = 3, nProbe = 4)
+    // probing all cells from the index equals the direct trained path
+    fromIdx.collect().map(_.getLong(0)).toSeq shouldBe
+      Similarity.ivfTopK(vecs, "vec_id", "embedding", q, k = 3,
+        dim = 4, nBits = 2, nProbe = 4, lloydIters = 1)
+        .collect().map(_.getLong(0)).toSeq
+    // a narrow probe prunes whole cell directories before any file read
+    val narrow = Similarity.ivfTopKFromIndex(spark, dir, "vec_id", q,
+      k = 1, nProbe = 1)
+    val scan = narrow.queryExecution.executedPlan.toString
+    scan should include("PartitionFilters")
+    scan should include("cell")
+    narrow.collect().head.getLong(0) shouldBe 0L
+  }
+
   test("knnJoinExact: per-id top-k equals bruteForceTopK per id") {
     val r = Similarity.knnJoinExact(vecs, "vec_id", "embedding", dim = 4, k = 2)
       .collect()
