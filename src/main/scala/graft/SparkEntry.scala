@@ -508,6 +508,12 @@ object SparkEntry {
     "pipeline_shards" -> ((s, dir) =>
       graft.operators.TrainingData.packShards(
         Tables.documents(s, dir), "doc_id", "text", tokenBudget = 2000)),
+    "pipeline_bpe_shards" -> ((s, dir) =>
+      // shards cut by REAL byte-level BPE token counts — the budget a
+      // trainer actually consumes — instead of the whitespace proxy
+      graft.operators.TrainingData.packShardsBy(
+        Tables.documents(s, dir), "doc_id",
+        graft.functions.Bpe.bpeCountBytes(col("text")), tokenBudget = 2000)),
     "text_repetition" -> ((s, dir) =>
       // Gopher repetition signals: duplicate word-2/3-gram fractions and
       // top-unigram fraction; tokens split ONCE in their own projection
@@ -1244,6 +1250,16 @@ object SparkEntry {
            (CASE WHEN trim(text) = '' THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens
          FROM documents)
+         SELECT doc_id, n_tokens,
+           floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)::BIGINT
+             AS shard_id
+         FROM t""",
+    // same running-sum cut, but per-doc counts come from the byte-level
+    // BPE replay (nested CTE) — null-text docs keep NULL counts and add 0
+    "pipeline_bpe_shards" ->
+      s"""WITH t AS (SELECT doc_id, n_bpe_bytes AS n_tokens
+           FROM ($bpeBytesOracle))
          SELECT doc_id, n_tokens,
            floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)::BIGINT

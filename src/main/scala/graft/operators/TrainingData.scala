@@ -172,13 +172,21 @@ object TrainingData {
     * slice; nothing scales with corpus size on the driver.
     */
   def packShards(docs: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Long): DataFrame =
+    packShardsBy(docs, idCol, T.tokenCount(col(textCol)), tokenBudget)
+
+  /** [[packShards]] with a caller-supplied token-count column — point it
+    * at real byte-level BPE counts ([[graft.functions.Bpe.bpeCountBytes]])
+    * and shards are cut by the budget a trainer actually consumes, not
+    * the whitespace proxy.
+    */
+  def packShardsBy(docs: DataFrame, idCol: String, tokenCount: Column,
       tokenBudget: Long): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = docs.sparkSession
-    val base = docs.select(
-      col(idCol), T.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val base = docs.select(col(idCol), tokenCount.cast("long").as("n_tokens"))
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val sorted = base.repartitionByRange(parts, col(idCol))
       .sortWithinPartitions(col(idCol)).rdd

@@ -48,6 +48,14 @@ class TrainingDataSpec extends SparkSpec {
     r shouldBe Map(1L -> (3L, 0L), 2L -> (12L, 0L), 3L -> (2L, 1L), 4L -> (1L, 1L))
   }
 
+  test("packShardsBy cuts by the supplied count column") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("doc_id", "w")
+    val r = TrainingData.packShardsBy(docs, "doc_id", col("w"), tokenBudget = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    r shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 1L) // cut at cumulative 10
+  }
+
   test("dedupLines: first occurrence wins, blanks stay, order preserved") {
     import spark.implicits._
     val docs = Seq(
