@@ -636,6 +636,26 @@ object SparkEntry {
       Dedup.incrementalConnectedComponents(oldLabels, newPairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
+    "dedup_incremental_survivors" -> ((s, dir) => {
+      // the continuous-ingestion end product: survivors computed from
+      // the incrementally-MAINTAINED labels (old labels + new batch's
+      // probe pairs), never from a full-corpus closure — must equal the
+      // batch dedup_near_survivors output
+      val docs = Tables.documents(s, dir)
+      val oldDocs = docs.filter(col("doc_id") < 250)
+      val oldPairs = Dedup.minhashLsh(oldDocs, "doc_id", "text",
+        numHashes = 16, bands = 8, shingleN = 5, threshold = 0.4,
+        estimateSlack = 0.05)
+      val oldLabels = Dedup.connectedComponents(oldPairs, "id_a", "id_b")
+      val index = Dedup.minhashIndex(oldDocs, "doc_id", "text",
+        numHashes = 16, bands = 8, shingleN = 5)
+      val newPairs = Dedup.minhashLshIncremental(docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", index, numHashes = 16, bands = 8, shingleN = 5,
+        threshold = 0.4, estimateSlack = 0.05)
+      Dedup.survivorsFromLabels(docs, "doc_id",
+          Dedup.incrementalConnectedComponents(oldLabels, newPairs))
+        .select("doc_id", "source")
+    }),
     "dedup_incremental" -> ((s, dir) => {
       // production shape: dedup a NEW batch (ids >= 250) against itself
       // and against the digest index of the already-ingested corpus
@@ -1481,19 +1501,10 @@ object SparkEntry {
            HAVING md5(coalesce(text, chr(1))) NOT IN (SELECT d FROM existing))
          SELECT doc_id, source FROM documents
          WHERE doc_id IN (SELECT doc_id FROM keep)""",
-    "dedup_near_survivors" ->
-      s"""WITH RECURSIVE $minhashPairsSql,
-         pr AS (SELECT id_a, id_b FROM p WHERE j >= 0.4),
-         edges AS (SELECT id_a AS a, id_b AS b FROM pr
-                   UNION SELECT id_b, id_a FROM pr),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         losers AS (SELECT a FROM reach GROUP BY a
-                    HAVING least(a, min(b)) <> a)
-         SELECT doc_id, source FROM documents
-         WHERE doc_id NOT IN (SELECT a FROM losers)""",
+    "dedup_near_survivors" -> survivorsClosureOracle,
+    // survivors from incrementally-maintained labels must equal the
+    // batch rebuild (old-corpus pairs ∪ new-involving pairs = all pairs)
+    "dedup_incremental_survivors" -> survivorsClosureOracle,
     "dedup_clusters" -> clustersClosureOracle,
     // incremental label maintenance must land on the same closure as a
     // full rebuild: old-corpus pairs ∪ new-involving pairs = all pairs
@@ -1701,6 +1712,23 @@ object SparkEntry {
     * itself — making the fold equivalent to the skip-2 scan). Segments
     * with no applicable pair emit once with done=true.
     */
+  /** Same closure, surviving docs only (cluster member ≠ min id drops);
+    * shared by dedup_near_survivors and dedup_incremental_survivors.
+    */
+  private lazy val survivorsClosureOracle: String =
+    s"""WITH RECURSIVE $minhashPairsSql,
+       pr AS (SELECT id_a, id_b FROM p WHERE j >= 0.4),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                 UNION SELECT id_b, id_a FROM pr),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       losers AS (SELECT a FROM reach GROUP BY a
+                  HAVING least(a, min(b)) <> a)
+       SELECT doc_id, source FROM documents
+       WHERE doc_id NOT IN (SELECT a FROM losers)"""
+
   /** Transitive closure over the exact-Jaccard ≥0.4 pair set → min-id
     * cluster labels; shared by dedup_clusters (batch rebuild) and
     * dedup_incremental_clusters (persisted-label maintenance).

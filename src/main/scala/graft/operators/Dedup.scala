@@ -696,8 +696,19 @@ object Dedup {
     */
   def nearDupSurvivors(docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
-    val losers = connectedComponents(pairs, aCol, bCol, maxIter)
+      maxIter: Int = 20): DataFrame =
+    survivorsFromLabels(docs, idCol,
+      connectedComponents(pairs, aCol, bCol, maxIter))
+
+  /** Survivors from an existing (id, cluster_id) label relation — e.g.
+    * the maintained labels of [[incrementalConnectedComponents]] or
+    * [[graft.streaming.StreamingOps.currentClusterLabels]]: a
+    * continuously-ingesting pipeline gets its deduped corpus view
+    * without re-deriving pairs or closures.
+    */
+  def survivorsFromLabels(docs: DataFrame, idCol: String,
+      labels: DataFrame): DataFrame = {
+    val losers = labels
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
