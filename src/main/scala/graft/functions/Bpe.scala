@@ -73,6 +73,16 @@ object Bpe {
     try parseMerges(src.getLines()) finally src.close()
   }
 
+  /** Vocab paired with [[defaultByteMerges]] (vocab_byte.json: 256 byte
+    * symbols in byte order, then merged symbols in merge order).
+    */
+  lazy val defaultByteVocab: Map[String, Int] = {
+    val in = getClass.getResourceAsStream("/graft/bpe/vocab_byte.json")
+    require(in != null, "bundled vocab fixture /graft/bpe/vocab_byte.json missing")
+    try parseVocab(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    finally in.close()
+  }
+
   /** Parse a GPT-2-format vocab.json ({"token": id, ...}) — the other
     * half of a real merges+vocab tokenizer pair. Only needed when token
     * IDS (not counts) are the output.
@@ -229,6 +239,35 @@ object Bpe {
           s"BPE symbol '$t' not in vocab (merges/vocab pair mismatch?)"))
       }
     }
+
+    @transient private lazy val symbolOf: Map[Int, String] =
+      vocab.map(_.swap)
+
+    /** Inverse of [[encodeIds]]. Byte-level decoding is LOSSLESS for any
+      * input text: ids → symbols → mapped chars → original bytes → UTF-8
+      * (every byte has a vocab symbol, so `decodeIds(encodeIds(t)) == t`
+      * always — the property a trainer's detokenizer relies on).
+      * Char-level decoding concatenates symbols directly.
+      */
+    def decodeIds(ids: Array[Int]): String = {
+      require(vocab.nonEmpty, "decodeIds needs a vocab (loadVocabFile)")
+      val joined = ids.map { id =>
+        symbolOf.getOrElse(id, throw new NoSuchElementException(
+          s"token id $id not in vocab"))
+      }.mkString
+      if (!byteLevel) joined
+      else {
+        val bytes = new Array[Byte](joined.length)
+        var i = 0
+        while (i < joined.length) {
+          bytes(i) = unicodeToByte.getOrElse(joined.charAt(i),
+            throw new IllegalArgumentException(
+              s"decoded symbol codepoint ${joined.charAt(i).toInt} outside the byte alphabet"))
+          i += 1
+        }
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      }
+    }
   }
 
   /** Production shape for real 50k-merge tables: ship ONE copy of the
@@ -265,6 +304,29 @@ object Bpe {
       bc.value.countText(input.asInstanceOf[UTF8String].toString)
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
+  }
+
+  /** Token IDS of `child` — the actual training-data emission: text in,
+    * ordered vocab ids out. Null-safe; empty text → empty array.
+    */
+  case class BpeIds(child: Expression, merges: Seq[(String, String)],
+      vocab: Map[String, Int], byteLevel: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val enc = new Encoder(merges, byteLevel, vocab)
+    override def nullSafeEval(input: Any): Any =
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        enc.encodeIds(input.asInstanceOf[UTF8String].toString))
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Byte-level token ids from the bundled merges+vocab pair. */
+  def bpeIdsBytes(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(BpeIds(Bridge.expression(text), defaultByteMerges,
+      defaultByteVocab, byteLevel = true))
   }
 
   /** Column builder: real BPE token count from a merges table (the

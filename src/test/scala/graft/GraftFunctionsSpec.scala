@@ -59,10 +59,17 @@ class GraftFunctionsSpec extends SparkSpec {
     r2.getDouble(1) shouldBe 0.5
     r2.getDouble(2) shouldBe 0.75
     val r3 = registered.sql(
-      "SELECT graft_bpe_count('the scan table') AS n_bpe").head()
+      """SELECT graft_bpe_count('the scan table') AS n_bpe,
+         graft_bpe_count_bytes('the scan table') AS n_bytes,
+         graft_bpe_ids('the scan table') AS ids""").head()
     r3.getInt(0) shouldBe
       new graft.functions.Bpe.Encoder(graft.functions.Bpe.defaultMerges)
         .countText("the scan table")
+    val bEnc = new graft.functions.Bpe.Encoder(
+      graft.functions.Bpe.defaultByteMerges, byteLevel = true,
+      vocab = graft.functions.Bpe.defaultByteVocab)
+    r3.getInt(1) shouldBe bEnc.countText("the scan table")
+    r3.getSeq[Int](2) shouldBe bEnc.encodeIds("the scan table").toSeq
   }
 
   test("literal-argument validation rejects non-literal widths") {
