@@ -508,6 +508,11 @@ object SparkEntry {
     "pipeline_shards" -> ((s, dir) =>
       graft.operators.TrainingData.packShards(
         Tables.documents(s, dir), "doc_id", "text", tokenBudget = 2000)),
+    "text_bpe_chunks" -> ((s, dir) =>
+      // training windows over real token ids: 32-id chunks, 8 ids of
+      // overlap — the output rows ARE the training examples
+      graft.operators.TrainingData.chunkTokenIds(
+        Tables.documents(s, dir), "doc_id", "text", size = 32, overlap = 8)),
     "text_token_ids" -> ((s, dir) =>
       // the emission step itself: ordered byte-level BPE vocab ids per
       // doc — what a trainer reads. Oracle replays merges AND the vocab
@@ -1176,6 +1181,18 @@ object SparkEntry {
     "text_subwords" -> bpeOracle,
     "text_subwords_bytes" -> bpeBytesOracle,
     "text_token_ids" -> bpeIdsOracle,
+    // same ids replay nested, then 32-wide / stride-24 window slices
+    "text_bpe_chunks" ->
+      s"""WITH ids AS (SELECT doc_id, token_ids FROM ($bpeIdsOracle)
+           WHERE token_ids IS NOT NULL AND len(token_ids) > 0),
+         ch AS (SELECT doc_id, token_ids,
+             unnest(generate_series(0,
+               greatest((len(token_ids) - 8 + 23) // 24, 1) - 1)) AS chunk_idx
+           FROM ids)
+         SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+           token_ids[chunk_idx*24 + 1 : chunk_idx*24 + 32] AS token_ids,
+           len(token_ids[chunk_idx*24 + 1 : chunk_idx*24 + 32])::BIGINT AS n_tokens
+         FROM ch""",
     "text_line_dedup" ->
       """WITH l AS (
            SELECT doc_id, unnest(string_split(text, chr(10))) AS line,

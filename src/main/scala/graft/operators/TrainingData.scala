@@ -123,6 +123,34 @@ object TrainingData {
           .as("n_tokens"))
   }
 
+  /** [[chunkTokens]] over real byte-level BPE token IDS — the windows a
+    * trainer actually consumes: fixed `size`-id chunks with `overlap`
+    * ids of context carry-over. Same scan-side explode+slice shape (no
+    * shuffle); emits the id slice itself, so the output IS the training
+    * example (and byte-level decode can recover each chunk's text
+    * losslessly when needed — [[graft.functions.Bpe.Encoder.decodeIds]]).
+    */
+  def chunkTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need size > 0 and 0 <= overlap < size")
+    val stride = size - overlap
+    val nChunks = greatest(
+      (org.apache.spark.sql.functions.size(col("__ids")) - overlap + (stride - 1))
+        .divide(stride).cast("long"), lit(1L))
+    docs
+      .select(col(idCol), graft.functions.Bpe.bpeIdsBytes(col(textCol)).as("__ids"))
+      .filter(org.apache.spark.sql.functions.size(col("__ids")) > 0)
+      .select(col(idCol), col("__ids"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__ids"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(size)).as("token_ids"),
+        org.apache.spark.sql.functions.size(slice(col("__ids"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(size))).cast("long")
+          .as("n_tokens"))
+  }
+
   /** CCNet-style perplexity bucketing + resampling: score every doc with
     * the corpus-unigram LM ([[unigramLogProb]]), split at the exact
     * 25th/75th percentiles into head (most fluent) / middle / tail, then
