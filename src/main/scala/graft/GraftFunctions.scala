@@ -128,6 +128,11 @@ object GraftFunctions {
         graft.functions.Bpe.BpeIds(ch(0), graft.functions.Bpe.defaultByteMerges,
           graft.functions.Bpe.defaultByteVocab, byteLevel = true) },
       "byte-level BPE token ids (bundled merges+vocab pair)"),
+    ("graft_bpe_decode",
+      { ch => arity(ch, 1)
+        graft.functions.Bpe.BpeDecode(ch(0), graft.functions.Bpe.defaultByteMerges,
+          graft.functions.Bpe.defaultByteVocab, byteLevel = true) },
+      "lossless byte-level decode of BPE token ids back to text"),
     ("graft_quality_score",
       { ch => arity(ch, 1); viaColumns(c => T.qualityScore(c(0)))(ch) },
       "composite text quality score in [0,1]"),

@@ -329,6 +329,29 @@ object Bpe {
       defaultByteVocab, byteLevel = true))
   }
 
+  /** Inverse of [[BpeIds]]: ids back to text (lossless at byte level —
+    * see [[Encoder.decodeIds]]).
+    */
+  case class BpeDecode(child: Expression, merges: Seq[(String, String)],
+      vocab: Map[String, Int], byteLevel: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    @transient private lazy val enc = new Encoder(merges, byteLevel, vocab)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      UTF8String.fromString(enc.decodeIds(arr.toIntArray()))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Byte-level decode of a token-id array column. */
+  def bpeDecodeBytes(ids: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(BpeDecode(Bridge.expression(ids), defaultByteMerges,
+      defaultByteVocab, byteLevel = true))
+  }
+
   /** Column builder: real BPE token count from a merges table (the
     * bundled fixture by default).
     */

@@ -70,6 +70,10 @@ class GraftFunctionsSpec extends SparkSpec {
       vocab = graft.functions.Bpe.defaultByteVocab)
     r3.getInt(1) shouldBe bEnc.countText("the scan table")
     r3.getSeq[Int](2) shouldBe bEnc.encodeIds("the scan table").toSeq
+    // SQL-side round trip: decode(ids(text)) == text, losslessly
+    registered.sql(
+      "SELECT graft_bpe_decode(graft_bpe_ids('the café — scan 42!')) AS t")
+      .head().getString(0) shouldBe "the café — scan 42!"
   }
 
   test("literal-argument validation rejects non-literal widths") {
