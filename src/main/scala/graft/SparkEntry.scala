@@ -588,6 +588,13 @@ object SparkEntry {
     "sample_hash" -> ((s, dir) =>
       graft.operators.Sampling.hashSample(Tables.documents(s, dir), "doc_id", 0.25)
         .select(col("doc_id"), col("source"), col("n_chars"))),
+    "sample_temperature" -> ((s, dir) =>
+      // α=0.5 mixing: sample shares follow sqrt(domain count) — small
+      // languages upweighted relative to their raw share; half the
+      // corpus kept overall (modulo the ≤1 cap)
+      graft.operators.Sampling.temperatureMixture(Tables.documents(s, dir),
+        "lang", "doc_id", alpha = 0.5, targetFraction = 0.5)
+        .select(col("doc_id"), col("lang"))),
     "sample_stratified" -> ((s, dir) =>
       graft.operators.Sampling.stratifiedSample(
         Tables.documents(s, dir), Seq("lang"), "doc_id", n = 20)
@@ -1459,6 +1466,23 @@ object SparkEntry {
          WHERE list_sum(list_transform(generate_series(1, 4),
            k -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)::BIGINT
                 << (4 * (4 - k)))) < 16384""",
+    // exact replay of temperatureMixture(alpha=0.5, target=0.5): sqrt is
+    // IEEE-correctly-rounded (unlike pow), the weight sum runs in key
+    // order like the Scala fold, and the same expression order keeps the
+    // doubles bit-identical
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang AS k, count(*)::DOUBLE AS c
+           FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+         w AS (SELECT list_sum(list(sqrt(c) ORDER BY k)) AS wsum,
+                 sum(c) AS total FROM c),
+         th AS (SELECT k,
+             floor(least(1.0, 0.5 * w.total * sqrt(c.c) / w.wsum / c.c)
+               * 65536)::BIGINT AS t
+           FROM c, w)
+         SELECT d.doc_id, d.lang FROM documents d JOIN th ON th.k = d.lang
+         WHERE list_sum(list_transform(generate_series(1, 4),
+           k -> (strpos('0123456789abcdef', substr(md5(d.doc_id::VARCHAR), k, 1)) - 1)::BIGINT
+                << (4 * (4 - k)))) < th.t""",
     "sample_stratified" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang, row_number() OVER (

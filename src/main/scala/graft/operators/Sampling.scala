@@ -53,6 +53,41 @@ object Sampling {
     df.filter(md5Bucket(col(idCol)) < threshold)
   }
 
+  /** Temperature-based domain mixing (the multilingual-pretraining knob,
+    * e.g. XLM-R's α-sampling): the sample's domain shares follow
+    * count^alpha instead of raw counts — alpha < 1 flattens the mix,
+    * upweighting small domains. Keep-fraction per domain d:
+    * `min(1, targetFraction · N · c_d^alpha / Σc^alpha / c_d)` (capped:
+    * a filter cannot upsample), applied via [[mixtureSample]]'s
+    * deterministic md5 buckets — layout-independent, nested samples.
+    *
+    * The per-domain count collect is DISTINCT-domain-sized (languages /
+    * sources — driver-trivial). Rows with a NULL domain are dropped
+    * (fraction 0). alpha = 0.5 routes through `sqrt`, which IEEE
+    * guarantees correctly rounded on every platform — the fractions are
+    * then reproducible bit-for-bit by any engine (generic `pow` is not
+    * correctly rounded and may differ across libms in the last ulp).
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    require(targetFraction > 0.0 && targetFraction <= 1.0, "targetFraction in (0, 1]")
+    def w(c: Double): Double =
+      if (alpha == 0.5) math.sqrt(c) else math.pow(c, alpha)
+    // sorted by key so the floating-point sum order is deterministic
+    // (and replicable by an oracle summing in key order)
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(groupCol).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val total = counts.map(_._2).sum.toDouble
+    val wsum = counts.map { case (_, c) => w(c.toDouble) }.sum
+    val fractions = counts.map { case (k, c) =>
+      k -> math.min(1.0, targetFraction * total * w(c.toDouble) / wsum / c.toDouble)
+    }.toMap
+    mixtureSample(df, groupCol, idCol, fractions, defaultFraction = 0.0)
+  }
+
   /** Deterministic fixed-quota sample per stratum: the `n` rows with the
     * smallest md5(id) in each strata group (ties broken by id). Standard
     * per-language / per-source quota sampling.

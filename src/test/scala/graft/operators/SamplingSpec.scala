@@ -5,6 +5,29 @@ import graft.SparkSpec
 
 class SamplingSpec extends SparkSpec {
 
+  test("temperatureMixture flattens domain shares toward small domains") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 900 of "big", 100 of "small": raw shares 90/10; alpha=0.5 weights
+    // sqrt(900):sqrt(100) = 3:1 → sample shares 75/25
+    val docs = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))).toDF("doc_id", "lang")
+    val kept = Sampling.temperatureMixture(docs, "lang", "doc_id",
+      alpha = 0.5, targetFraction = 0.5)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~500 rows total, big:small ≈ 3:1 (md5-bucket noise is a few %)
+    val total = kept.values.sum.toDouble
+    total should (be > 400.0 and be < 600.0)
+    val smallShare = kept("small") / total
+    smallShare should (be > 0.18 and be < 0.32) // vs 0.10 raw share
+    // determinism: same input → identical sample
+    val again = Sampling.temperatureMixture(docs, "lang", "doc_id", 0.5, 0.5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    Sampling.temperatureMixture(docs, "lang", "doc_id", 0.5, 0.5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet shouldBe again
+  }
+
   private lazy val rows = {
     import spark.implicits._
     (0L until 1000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
