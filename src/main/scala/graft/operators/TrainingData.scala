@@ -151,6 +151,26 @@ object TrainingData {
           .as("n_tokens"))
   }
 
+  /** The emission step end-to-end: cut the corpus into ~`tokenBudget`
+    * shards by REAL byte-level BPE counts ([[packShardsBy]]), window
+    * each doc into `size`-id training chunks ([[chunkTokenIds]]), and
+    * write them partitioned by shard — the directory layout a trainer
+    * streams, one shard per reader task, resumable by shard id.
+    *
+    * One wide-side join (chunk rows ↔ narrow (id, shard) assignment,
+    * broadcast-eligible since the assignment is 2 longs per doc), then a
+    * partitioned write; nothing corpus-sized on the driver.
+    */
+  def writeTokenShards(docs: DataFrame, idCol: String, textCol: String,
+      path: String, tokenBudget: Long, size: Int, overlap: Int): Unit = {
+    val shards = packShardsBy(docs, idCol,
+      graft.functions.Bpe.bpeCountBytes(col(textCol)), tokenBudget)
+      .select(col(idCol), col("shard_id"))
+    chunkTokenIds(docs, idCol, textCol, size, overlap)
+      .join(shards, Seq(idCol))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+  }
+
   /** CCNet-style perplexity bucketing + resampling: score every doc with
     * the corpus-unigram LM ([[unigramLogProb]]), split at the exact
     * 25th/75th percentiles into head (most fluent) / middle / tail, then

@@ -48,6 +48,33 @@ class TrainingDataSpec extends SparkSpec {
     r shouldBe Map(1L -> (3L, 0L), 2L -> (12L, 0L), 3L -> (2L, 1L), 4L -> (1L, 1L))
   }
 
+  test("writeTokenShards emits chunked ids partitioned by shard, reassemblable") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "spark catalyst optimizes the declarative plan"),
+      (3L, "a third document with enough words to cross a chunk boundary maybe")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    TrainingData.writeTokenShards(docs, "doc_id", "text", dir,
+      tokenBudget = 20, size = 8, overlap = 2)
+    val back = spark.read.parquet(dir)
+    back.columns.toSet shouldBe Set("doc_id", "chunk_idx", "token_ids", "n_tokens", "shard_id")
+    // shard dirs exist on disk (partitioned layout a trainer streams)
+    new java.io.File(dir).listFiles.count(_.getName.startsWith("shard_id=")) should be >= 2
+    // chunks of a doc reassemble to its full id sequence (overlap dropped)
+    val enc = new graft.functions.Bpe.Encoder(
+      graft.functions.Bpe.defaultByteMerges, byteLevel = true,
+      vocab = graft.functions.Bpe.defaultByteVocab)
+    docs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val chunks = back.filter(col("doc_id") === id)
+        .orderBy("chunk_idx").collect().map(_.getSeq[Int](2))
+      val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(2))
+      rebuilt shouldBe enc.encodeIds(r.getString(1)).toSeq
+    }
+  }
+
   test("packShardsBy cuts by the supplied count column") {
     import spark.implicits._
     val docs = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("doc_id", "w")
