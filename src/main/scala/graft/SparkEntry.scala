@@ -508,6 +508,11 @@ object SparkEntry {
     "pipeline_shards" -> ((s, dir) =>
       graft.operators.TrainingData.packShards(
         Tables.documents(s, dir), "doc_id", "text", tokenBudget = 2000)),
+    "pipeline_shuffle" -> ((s, dir) =>
+      // deterministic global corpus shuffle: stable permutation position
+      // per doc under a seed — trainer consumption order, resume-safe
+      graft.operators.TrainingData.shufflePositions(
+        Tables.documents(s, dir), "doc_id", seed = "r5")),
     "text_bpe_chunks" -> ((s, dir) =>
       // training windows over real token ids: 32-id chunks, 8 ids of
       // overlap — the output rows ARE the training examples
@@ -1307,6 +1312,12 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)::BIGINT
              AS shard_id
          FROM t""",
+    "pipeline_shuffle" ->
+      """SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5(concat('r5', ' ', CAST(doc_id AS VARCHAR))), doc_id)
+             - 1 AS shuffle_pos
+         FROM documents""",
     // same running-sum cut, but per-doc counts come from the byte-level
     // BPE replay (nested CTE) — null-text docs keep NULL counts and add 0
     "pipeline_bpe_shards" ->

@@ -265,6 +265,48 @@ object TrainingData {
       StructField("shard_id", LongType, nullable = false)))
   }
 
+  /** Deterministic global corpus shuffle: every doc gets a stable
+    * permutation position under `seed` — the order a trainer consumes
+    * examples in. Change the seed, get an independent permutation;
+    * rerun the same seed, get the identical one (resume-safe).
+    *
+    * Scale shape: the permutation key is a fixed-width md5 of
+    * (seed, id), so the sort is a range sort on 32-byte keys — same
+    * two-pass shape as [[packShardsBy]]: range-partition + sort by key,
+    * per-partition ROW COUNTS to the driver (O(partitions) longs),
+    * offsets broadcast back, positions assigned in a second pass over
+    * the reused shuffle. No global single-task window, nothing
+    * corpus-sized anywhere. To emit in shuffled order, sort the payload
+    * by the same key — the positions are for manifests/resume points.
+    */
+  def shufflePositions(docs: DataFrame, idCol: String, seed: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol),
+      md5(concat_ws(" ", lit(seed), col(idCol).cast("string"))).as("__key"))
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // id is the tie-break so the permutation is total even under a
+    // (cryptographically negligible) md5 collision
+    val sorted = base.repartitionByRange(parts, col("__key"), col(idCol))
+      .sortWithinPartitions(col("__key"), col(idCol)).rdd
+
+    val counts: Array[(Int, Long)] = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; it.foreach(_ => n += 1); Iterator.single((pid, n))
+    }.collect()
+    val offsets = new Array[Long](sorted.getNumPartitions)
+    var acc = 0L
+    counts.sortBy(_._1).foreach { case (pid, n) => offsets(pid) = acc; acc += n }
+    val bOff = spark.sparkContext.broadcast(offsets)
+
+    val rows = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var pos = bOff.value(pid)
+      it.map { r => val out = Row(r.get(0), pos); pos += 1; out }
+    }
+    spark.createDataFrame(rows, StructType(Seq(base.schema.fields.head,
+      StructField("shuffle_pos", LongType, nullable = false))))
+  }
+
   /** Cross-document exact LINE dedup (CCNet/RefinedWeb preprocessing):
     * a line duplicated anywhere in the corpus survives only at its first
     * occurrence (lowest (doc id, line position)); blank lines are

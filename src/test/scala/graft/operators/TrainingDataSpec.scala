@@ -48,6 +48,25 @@ class TrainingDataSpec extends SparkSpec {
     r shouldBe Map(1L -> (3L, 0L), 2L -> (12L, 0L), 3L -> (2L, 1L), 4L -> (1L, 1L))
   }
 
+  test("shufflePositions is the md5-seeded permutation; deterministic, seed-sensitive") {
+    import spark.implicits._
+    val docs = (1L to 100L).toDF("doc_id")
+    val got = TrainingData.shufflePositions(docs, "doc_id", "s1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.values.toSeq.sorted shouldBe (0L until 100L)
+    // matches the sequential reference: rank of md5("s1 <id>")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) =
+      md.digest(s"s1 $id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (1L to 100L).sortBy(id => (key(id), id)).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    got shouldBe expected
+    TrainingData.shufflePositions(docs, "doc_id", "s1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe got
+    TrainingData.shufflePositions(docs, "doc_id", "s2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap should not be got
+  }
+
   test("writeTokenShards emits chunked ids partitioned by shard, reassemblable") {
     import spark.implicits._
     val docs = Seq(
