@@ -68,6 +68,24 @@ class ScalePathPropSpec extends SparkSpec {
     }
   }
 
+  test("shufflePositions equals the sequential md5-rank reference") {
+    import spark.implicits._
+    val idGen = Gen.listOfN(70, Gen.choose(-1000000L, 1000000L))
+    (1 to 6).foreach { i =>
+      val ids = idGen(Gen.Parameters.default, Seed(9500L + i)).get.distinct
+      val seed = s"prop$i"
+      val df = ids.toDF("id").repartition(9)
+      val got = TrainingData.shufflePositions(df, "id", seed)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def key(id: Long) =
+        md.digest(s"$seed $id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expect = ids.sortBy(id => (key(id), id)).zipWithIndex
+        .map { case (id, p) => id -> p.toLong }.toMap
+      withClue(s"seed ${9500 + i}: ") { got shouldBe expect }
+    }
+  }
+
   test("stratifiedSample equals sequential bottom-n per stratum") {
     import spark.implicits._
     val rowGen = Gen.listOfN(90, Gen.zip(
