@@ -104,10 +104,6 @@ object Bench {
           math.min(a, b)
         } catch { case _: Throwable => -1.0 }
         finally clearState()
-        // one line per query, emitted as it completes: the driver's tail
-        // capture truncated BENCH_r04's single summary line mid-way, losing
-        // ~30 early-alphabet timings — per-query lines survive any cut
-        println(s"""{"q":"$name","s":$sec}""")
         name -> sec
       }
     val throughput =
@@ -118,6 +114,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total_queries","value":$total,"unit":"sec","queries":$qs,"pipeline_throughput_msgs_per_sec":$throughput,"sf":"$sfDir"}""")
+    // per-query lines AFTER the summary: the driver captures a fixed-size
+    // TAIL of stdout, and the giant summary line got front-truncated in
+    // r4 AND r5, losing early-alphabet timings both times. With the small
+    // per-query lines last, the tail window always contains every timing
+    // (and the summary is merely redundant with them if it gets cut).
+    results.foreach { case (name, sec) => println(s"""{"q":"$name","s":$sec}""") }
     spark.stop()
   }
 }

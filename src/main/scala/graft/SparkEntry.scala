@@ -515,16 +515,25 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", seed = "r5")),
     "text_bpe_chunks" -> ((s, dir) =>
       // training windows over real token ids: 32-id chunks, 8 ids of
-      // overlap — the output rows ARE the training examples
+      // overlap — the output rows ARE the training examples. Ids ride
+      // as a space-joined CSV string (embed_quantize q_csv precedent):
+      // the checker's row sort cannot ingest raw array columns
       graft.operators.TrainingData.chunkTokenIds(
-        Tables.documents(s, dir), "doc_id", "text", size = 32, overlap = 8)),
+        Tables.documents(s, dir), "doc_id", "text", size = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"),
+          array_join(col("token_ids").cast("array<string>"), " ")
+            .as("token_ids_csv"),
+          col("n_tokens"))),
     "text_token_ids" -> ((s, dir) =>
       // the emission step itself: ordered byte-level BPE vocab ids per
       // doc — what a trainer reads. Oracle replays merges AND the vocab
-      // lookup, then reassembles ids in segment order
+      // lookup, then reassembles ids in segment order. CSV-joined for
+      // the checker (embed_quantize q_csv precedent)
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          graft.functions.Bpe.bpeIdsBytes(col("text")).as("token_ids"))),
+          array_join(
+            graft.functions.Bpe.bpeIdsBytes(col("text")).cast("array<string>"),
+            " ").as("token_ids_csv"))),
     "pipeline_bpe_shards" -> ((s, dir) =>
       // shards cut by REAL byte-level BPE token counts — the budget a
       // trainer actually consumes — instead of the whitespace proxy
@@ -1192,7 +1201,11 @@ object SparkEntry {
     "text_langid" -> langIdOracle,
     "text_subwords" -> bpeOracle,
     "text_subwords_bytes" -> bpeBytesOracle,
-    "text_token_ids" -> bpeIdsOracle,
+    // ids flattened to a space-joined CSV (array_to_string) so the
+    // checker's row sort can ingest the column — mirrors the Spark side
+    "text_token_ids" ->
+      s"""SELECT doc_id, array_to_string(token_ids, ' ') AS token_ids_csv
+         FROM ($bpeIdsOracle)""",
     // same ids replay nested, then 32-wide / stride-24 window slices
     "text_bpe_chunks" ->
       s"""WITH ids AS (SELECT doc_id, token_ids FROM ($bpeIdsOracle)
@@ -1202,7 +1215,8 @@ object SparkEntry {
                greatest((len(token_ids) - 8 + 23) // 24, 1) - 1)) AS chunk_idx
            FROM ids)
          SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
-           token_ids[chunk_idx*24 + 1 : chunk_idx*24 + 32] AS token_ids,
+           array_to_string(token_ids[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')
+             AS token_ids_csv,
            len(token_ids[chunk_idx*24 + 1 : chunk_idx*24 + 32])::BIGINT AS n_tokens
          FROM ch""",
     "text_line_dedup" ->

@@ -151,18 +151,37 @@ object Bpe {
     @transient private lazy val segPattern =
       java.util.regex.Pattern.compile(TextFunctions.subwordPattern)
     // LRU over distinct segments: natural text re-uses the same words
-    // constantly; 64k entries of short strings is a few MB per thread.
+    // constantly; 64k entries of short symbol arrays is a few MB per
+    // thread. Stores the ENCODED SYMBOLS (not just the count) so the
+    // emission path (encodeText/encodeIds) shares the same memoization
+    // as the count path — the merge loop runs once per distinct segment
+    // for both. Callers must not mutate the cached arrays.
     // ThreadLocal because a CodegenFallback expression instance is shared
     // across an executor's task threads (same reason the md5 kernel's
     // MessageDigest is ThreadLocal) and LinkedHashMap is not thread-safe.
     @transient private lazy val cache =
-      new ThreadLocal[java.util.LinkedHashMap[String, Integer]] {
-        override def initialValue(): java.util.LinkedHashMap[String, Integer] =
-          new java.util.LinkedHashMap[String, Integer](1024, 0.75f, true) {
+      new ThreadLocal[java.util.LinkedHashMap[String, Array[String]]] {
+        override def initialValue(): java.util.LinkedHashMap[String, Array[String]] =
+          new java.util.LinkedHashMap[String, Array[String]](1024, 0.75f, true) {
             override def removeEldestEntry(
-                e: java.util.Map.Entry[String, Integer]): Boolean = size() > 65536
+                e: java.util.Map.Entry[String, Array[String]]): Boolean =
+              size() > 65536
           }
       }
+
+    /** [[encodeSegment]] through the per-thread LRU — the entry point
+      * both the count and the emission paths share.
+      */
+    private def cachedSegment(seg: String): Array[String] = {
+      val c = cache.get()
+      val hit = c.get(seg)
+      if (hit != null) hit
+      else {
+        val syms = encodeSegment(seg)
+        c.put(seg, syms)
+        syms
+      }
+    }
 
     /** BPE symbols of ONE pre-token segment (exposed for tests). */
     def encodeSegment(seg: String): Array[String] = {
@@ -201,16 +220,7 @@ object Bpe {
       word
     }
 
-    def countSegment(seg: String): Int = {
-      val c = cache.get()
-      val hit = c.get(seg)
-      if (hit != null) hit.intValue()
-      else {
-        val n = encodeSegment(seg).length
-        c.put(seg, n)
-        n
-      }
-    }
+    def countSegment(seg: String): Int = cachedSegment(seg).length
 
     /** Total BPE tokens of a text: pre-tokenize, sum segment counts. */
     def countText(text: String): Int = {
@@ -220,11 +230,11 @@ object Bpe {
       n
     }
 
-    /** All BPE token strings of a text, in order. */
+    /** All BPE token strings of a text, in order (segment-LRU-backed). */
     def encodeText(text: String): Array[String] = {
       val m = segPattern.matcher(text)
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (m.find()) out ++= encodeSegment(m.group())
+      while (m.find()) out ++= cachedSegment(m.group())
       out.toArray
     }
 
@@ -309,15 +319,25 @@ object Bpe {
   /** Token IDS of `child` — the actual training-data emission: text in,
     * ordered vocab ids out. Null-safe; empty text → empty array.
     */
+  /** Per-row evaluation counter for [[BpeIds]] (local-mode diagnostic:
+    * lets specs assert an operator encodes a corpus exactly once — e.g.
+    * writeTokenShards' single-pass contract. One atomic add per row is
+    * noise next to the encode itself; on a real cluster each executor
+    * counts only its own rows.)
+    */
+  val idsEvalCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   case class BpeIds(child: Expression, merges: Seq[(String, String)],
       vocab: Map[String, Int], byteLevel: Boolean)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType =
       org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
     @transient private lazy val enc = new Encoder(merges, byteLevel, vocab)
-    override def nullSafeEval(input: Any): Any =
+    override def nullSafeEval(input: Any): Any = {
+      idsEvalCount.incrementAndGet()
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
         enc.encodeIds(input.asInstanceOf[UTF8String].toString))
+    }
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }

@@ -576,7 +576,22 @@ object Dedup {
     * cluster_id = min id of the component (deterministic).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsWithCleanup(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus an explicit release handle for the one
+    * cached frame the result reads from. A per-micro-batch caller
+    * ([[graft.streaming.StreamingOps.continuousClusteredDedup]]) MUST
+    * consume the result and then invoke the handle in a `finally` —
+    * relying on GC-driven ContextCleaner reclamation (the old
+    * `localCheckpoint(true)` behavior) accumulates executor blocks for
+    * the stream's lifetime. One-shot batch callers may use
+    * [[connectedComponents]] and leave the single result cache to
+    * session cleanup.
+    */
+  def connectedComponentsWithCleanup(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int = 20): (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.graft.Bridge
     // materialize the pair relation ONCE: the undirected-edge union reads
     // it twice, and `pairs` is typically the output of a whole LSH
     // pipeline that must not re-execute per direction (or per round)
@@ -587,38 +602,54 @@ object Dedup {
       .union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist()
-    // localCheckpoint each round: an iterative join loop otherwise grows
-    // an unbounded lineage that re-executes every prior round on each
-    // action (on a real cluster point spark.checkpoint.dir at durable
-    // storage and use checkpoint() for executor-loss tolerance)
+    edges.count() // materialize so the pair relation can release NOW
+    Bridge.releaseLocalCheckpoint(p)
+    // eager localCheckpoint each round: an iterative join loop otherwise
+    // grows a lineage that DOUBLES per round (`labels` appears twice in
+    // the next round's plan) — plain persist leaves plan analysis /
+    // rendering exponential even though execution would hit the cache.
+    // The checkpoint truncates the plan to a flat LogicalRDD; round k−1's
+    // blocks are then released EXPLICITLY once round k is materialized
+    // (Bridge.releaseLocalCheckpoint) instead of waiting on GC-driven
+    // ContextCleaner reclamation — the leak that matters when this runs
+    // per micro-batch. (On a real cluster point spark.checkpoint.dir at
+    // durable storage and use checkpoint() for executor-loss tolerance.)
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    var prevRound = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min("nl").as("nbr_min"))
-      // per-round checkpoint blocks are reclaimed by the ContextCleaner
-      // once the previous round's reference drops out of scope here
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // eager: fully materialized here
       converged = next.filter(col("next_label") < col("label")).isEmpty
+      // round k−1 is never read again (round k is a flat checkpointed
+      // frame) — free its executor blocks deterministically
+      Bridge.releaseLocalCheckpoint(prevRound)
+      prevRound = next
       labels = next.select(col("id"), col("next_label").as("label"))
       iter += 1
     }
-    edges.unpersist()
+    edges.unpersist(blocking = false)
     // a silent early exit would split one component across cluster ids —
     // multiple "survivors" for one duplicate cluster. Labels move one hop
     // per round, so this only trips on components of diameter > maxIter;
     // fail loudly rather than dedup wrongly.
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds — a " +
-        "component has diameter > maxIter; raise maxIter")
-    labels.select(col("id"), col("label").as("cluster_id"))
+    if (!converged) {
+      Bridge.releaseLocalCheckpoint(prevRound)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — a " +
+          "component has diameter > maxIter; raise maxIter")
+    }
+    val lastRound = prevRound
+    (labels.select(col("id"), col("label").as("cluster_id")),
+      () => Bridge.releaseLocalCheckpoint(lastRound))
   }
 
   /** Incremental cluster-label maintenance for continuous ingestion:
@@ -648,7 +679,7 @@ object Dedup {
     */
   def incrementalConnectedComponents(oldLabels: DataFrame, newPairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val (labels, affected, subLabels) =
+    val (labels, affected, subLabels, _) =
       incrementalComponentParts(oldLabels, newPairs, aCol, bCol, maxIter)
     labels.join(affected, Seq("cluster_id"), "left_anti")
       .select(col("id"), col("cluster_id"))
@@ -667,25 +698,54 @@ object Dedup {
       aCol: String = "id_a", bCol: String = "id_b", maxIter: Int = 20): DataFrame =
     incrementalComponentParts(oldLabels, newPairs, aCol, bCol, maxIter)._3
 
+  /** [[incrementalComponentDelta]] plus the release handle for the two
+    * cached frames the delta reads from (the affected-components set and
+    * the propagation result). The per-micro-batch streaming loop MUST
+    * write the delta out and then invoke the handle in a `finally`, so
+    * executor blocks are freed deterministically each batch instead of
+    * waiting on GC-driven ContextCleaner reclamation.
+    */
+  def incrementalComponentDeltaWithCleanup(oldLabels: DataFrame,
+      newPairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 20): (DataFrame, () => Unit) = {
+    val parts = incrementalComponentParts(oldLabels, newPairs, aCol, bCol, maxIter)
+    (parts._3, parts._4)
+  }
+
   private def incrementalComponentParts(oldLabels: DataFrame, newPairs: DataFrame,
-      aCol: String, bCol: String, maxIter: Int): (DataFrame, DataFrame, DataFrame) = {
+      aCol: String, bCol: String, maxIter: Int)
+      : (DataFrame, DataFrame, DataFrame, () => Unit) = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // materialize once: read for touched ids AND as subgraph edges (and
     // newPairs is typically a whole incremental-LSH pipeline)
     val np = newPairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .localCheckpoint(true)
+      .persist(sl)
     val labels = oldLabels.select(
       col("id").cast("long").as("id"), col("cluster_id").cast("long").as("cluster_id"))
     val touched = np.select(col("a").as("id"))
       .union(np.select(col("b").as("id"))).distinct()
     val affected = labels.join(touched, Seq("id"), "left_semi")
       .select("cluster_id").distinct()
+      .persist(sl)
+    // the semi-join scans ALL of np, so this one action materializes both
+    // caches — np's via the scan, affected's via the persist
+    affected.count()
     val subEdges = labels.join(affected, Seq("cluster_id"), "left_semi")
       .select(col("id").as("a"), col("cluster_id").as("b"))
       .union(np)
-    val subLabels = connectedComponents(subEdges, "a", "b", maxIter)
-      .select(col("id"), col("cluster_id"))
-    (labels, affected, subLabels)
+    val (cc, ccRelease) =
+      connectedComponentsWithCleanup(subEdges, "a", "b", maxIter)
+    val subLabels = cc.select(col("id"), col("cluster_id"))
+    // the propagation result is materialized inside the loop above; np
+    // is never read again (the anti-join pass-through needs only
+    // `labels` + cached `affected`) — release it now, not at GC time
+    np.unpersist(blocking = false)
+    val cleanup = () => {
+      affected.unpersist(blocking = false)
+      ccRelease()
+    }
+    (labels, affected, subLabels, cleanup)
   }
 
   /** The end product of near-dup dedup: the corpus with one survivor per

@@ -46,9 +46,12 @@ object Sampling {
       fractions: Map[String, Double], defaultFraction: Double): DataFrame = {
     require((defaultFraction +: fractions.values.toSeq)
       .forall(f => f >= 0.0 && f <= 1.0), "fractions in [0, 1]")
+    // group values compare through a string cast so a numeric / date
+    // domain column works with the same Map[String, Double] keying
+    // (no-op for string columns)
     val threshold = fractions.foldLeft(
       lit((defaultFraction * 65536).toLong)) { case (acc, (k, f)) =>
-      when(col(groupCol) === k, lit((f * 65536).toLong)).otherwise(acc)
+      when(col(groupCol).cast("string") === k, lit((f * 65536).toLong)).otherwise(acc)
     }
     df.filter(md5Bucket(col(idCol)) < threshold)
   }
@@ -75,9 +78,11 @@ object Sampling {
     def w(c: Double): Double =
       if (alpha == 0.5) math.sqrt(c) else math.pow(c, alpha)
     // sorted by key so the floating-point sum order is deterministic
-    // (and replicable by an oracle summing in key order)
+    // (and replicable by an oracle summing in key order); domain values
+    // read through a string cast so non-string domain columns (int
+    // source ids, dates) work instead of ClassCastException
     val counts = df.filter(col(groupCol).isNotNull)
-      .groupBy(groupCol).count()
+      .groupBy(col(groupCol).cast("string").as(groupCol)).count()
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
     val total = counts.map(_._2).sum.toDouble

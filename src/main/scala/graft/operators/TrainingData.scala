@@ -131,6 +131,18 @@ object TrainingData {
     * losslessly when needed — [[graft.functions.Bpe.Encoder.decodeIds]]).
     */
   def chunkTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame =
+    chunkIdsFrame(
+      docs.select(col(idCol),
+        graft.functions.Bpe.bpeIdsBytes(col(textCol)).as("__ids")),
+      idCol, size, overlap)
+
+  /** Windowing half of [[chunkTokenIds]]: `ids` already carries the
+    * encoded `__ids` array column. Split out so [[writeTokenShards]] can
+    * feed a single persisted encode pass to both the shard packer and
+    * the chunker instead of encoding the corpus twice.
+    */
+  private def chunkIdsFrame(ids: DataFrame, idCol: String,
       size: Int, overlap: Int): DataFrame = {
     require(size > 0 && overlap >= 0 && overlap < size,
       "need size > 0 and 0 <= overlap < size")
@@ -138,8 +150,7 @@ object TrainingData {
     val nChunks = greatest(
       (org.apache.spark.sql.functions.size(col("__ids")) - overlap + (stride - 1))
         .divide(stride).cast("long"), lit(1L))
-    docs
-      .select(col(idCol), graft.functions.Bpe.bpeIdsBytes(col(textCol)).as("__ids"))
+    ids
       .filter(org.apache.spark.sql.functions.size(col("__ids")) > 0)
       .select(col(idCol), col("__ids"),
         explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
@@ -160,15 +171,31 @@ object TrainingData {
     * One wide-side join (chunk rows ↔ narrow (id, shard) assignment,
     * broadcast-eligible since the assignment is 2 longs per doc), then a
     * partitioned write; nothing corpus-sized on the driver.
+    *
+    * The corpus is BPE-encoded exactly ONCE: the (id, ids-array) frame
+    * is persisted (memory, spilling to disk) and feeds BOTH the shard
+    * packer (`n_tokens = size(__ids)` — same null/empty semantics as
+    * `bpeCountBytes`) and the chunker. At 100 TB the encode dominates
+    * the job; one materialized pass + a disk spill beats two encodes.
     */
   def writeTokenShards(docs: DataFrame, idCol: String, textCol: String,
       path: String, tokenBudget: Long, size: Int, overlap: Int): Unit = {
-    val shards = packShardsBy(docs, idCol,
-      graft.functions.Bpe.bpeCountBytes(col(textCol)), tokenBudget)
-      .select(col(idCol), col("shard_id"))
-    chunkTokenIds(docs, idCol, textCol, size, overlap)
-      .join(shards, Seq(idCol))
-      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    val ids = docs
+      .select(col(idCol), graft.functions.Bpe.bpeIdsBytes(col(textCol)).as("__ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // packShardsBy's per-partition totals collect is the first action
+      // and populates the cache; every later stage reads cached blocks
+      // explicit null guard: size(null) is conf-dependent (-1 under
+      // legacy.sizeOfNull) and a -1 would corrupt the running totals
+      val nTokens = when(col("__ids").isNull, lit(null))
+        .otherwise(org.apache.spark.sql.functions.size(col("__ids")))
+      val shards = packShardsBy(ids, idCol, nTokens, tokenBudget)
+        .select(col(idCol), col("shard_id"))
+      chunkIdsFrame(ids, idCol, size, overlap)
+        .join(shards, Seq(idCol))
+        .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    } finally ids.unpersist(blocking = false)
   }
 
   /** CCNet-style perplexity bucketing + resampling: score every doc with

@@ -246,6 +246,60 @@ object StreamingOps {
       .groupBy("id")
       .agg(max_by(col("cluster_id"), col("batch_id")).as("cluster_id"))
 
+  /** Compact a [[continuousClusteredDedup]] labels table: fold every
+    * COMMITTED delta partition (all but the latest batch, plus any prior
+    * snapshot) into one snapshot partition at `batch_id = -1`, then prune
+    * the folded delta directories. Without this, a long-running stream's
+    * [[currentClusterLabels]] re-aggregates the whole delta history on
+    * every read; after compaction a read touches only the snapshot + the
+    * post-snapshot deltas. Run it periodically (e.g. every N batches,
+    * from the maintenance side — it only rewrites partition -1).
+    *
+    * Safety: the view semantics are unchanged — real batch ids are ≥ 0,
+    * so `max_by(batch_id)` always prefers a live delta over the snapshot.
+    * The LATEST delta partition is never folded, so Structured
+    * Streaming's replay of the last uncommitted batch (the only batch it
+    * ever replays) cannot resurrect stale labels over the snapshot. The
+    * snapshot is written BEFORE the deltas are pruned, so a crash between
+    * the two leaves duplicate rows that agree in value (the snapshot
+    * folded exactly those deltas); re-running compaction completes the
+    * prune.
+    */
+  def compactClusterLabels(spark: org.apache.spark.sql.SparkSession,
+      labelsPath: String): Unit = {
+    val all =
+      try spark.read.parquet(labelsPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => return
+      }
+    val maxB = all.agg(max(col("batch_id"))).head.get(0)
+    if (maxB == null) return
+    val maxBatch = maxB.toString.toLong
+    if (maxBatch <= 0) return // nothing strictly below the latest batch
+    val snapshot = all.where(col("batch_id") < maxBatch)
+      .groupBy("id")
+      .agg(max_by(col("cluster_id"), col("batch_id")).as("cluster_id"))
+      .withColumn("batch_id", lit(-1L))
+    snapshot.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(labelsPath)
+    // prune the folded delta partitions (0 ≤ batch_id < maxBatch) via the
+    // filesystem — partition directories, the same granularity the
+    // dynamic-overwrite writes use
+    val root = new org.apache.hadoop.fs.Path(labelsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("batch_id=")) {
+        val bid = scala.util.Try(name.stripPrefix("batch_id=").toLong)
+        if (bid.toOption.exists(b => b >= 0 && b < maxBatch))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** The shared probe-and-append micro-batch loop behind the continuous
     * dedup variants: build the new batch's index rows, probe them against
     * the persisted index of all prior batches, append pairs and index —
@@ -304,8 +358,14 @@ object StreamingOps {
                     pairs.select(col("id_a").as("id"),
                       col("id_a").as("cluster_id")).limit(0)
                 }
-              writeBatch(graft.operators.Dedup.incrementalComponentDelta(
-                current, pairs), lp)
+              // WithCleanup: the delta's cached frames are released in the
+              // finally — per-batch localCheckpoint/persist blocks must
+              // not wait on GC-driven ContextCleaner reclamation or they
+              // accumulate for the stream's lifetime
+              val (delta, release) = graft.operators.Dedup
+                .incrementalComponentDeltaWithCleanup(current, pairs)
+              try writeBatch(delta, lp)
+              finally release()
             }
           } finally pairs.unpersist(blocking = false)
         } finally newIdx.unpersist(blocking = false)

@@ -28,6 +28,21 @@ class SamplingSpec extends SparkSpec {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet shouldBe again
   }
 
+  test("temperatureMixture accepts a non-string domain column") {
+    import spark.implicits._
+    // integer source-id domain: same 900/100 split as the string case —
+    // must sample, not ClassCastException on the domain read
+    val docs = ((1L to 900L).map(i => (i, 7)) ++
+      (901L to 1000L).map(i => (i, 42))).toDF("doc_id", "source")
+    val kept = Sampling.temperatureMixture(docs, "source", "doc_id",
+      alpha = 0.5, targetFraction = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = kept.values.sum.toDouble
+    total should (be > 400.0 and be < 600.0)
+    (kept(42) / total) should (be > 0.18 and be < 0.32)
+  }
+
   private lazy val rows = {
     import spark.implicits._
     (0L until 1000L).map(i => (i, if (i % 3 == 0) "en" else "de"))

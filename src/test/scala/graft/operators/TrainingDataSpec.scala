@@ -94,6 +94,22 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("writeTokenShards BPE-encodes the corpus exactly once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one pass over this text"),
+      (2L, "and one pass over that text"),
+      (3L, "never a second encode of any doc")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards1p").toString
+    val before = graft.functions.Bpe.idsEvalCount.get()
+    TrainingData.writeTokenShards(docs, "doc_id", "text", dir,
+      tokenBudget = 10, size = 4, overlap = 1)
+    // BpeIds evaluated once per doc: the persisted ids frame feeds BOTH
+    // the shard packer and the chunker — the old shape paid 2 encodes
+    (graft.functions.Bpe.idsEvalCount.get() - before) shouldBe 3L
+  }
+
   test("packShardsBy cuts by the supplied count column") {
     import spark.implicits._
     val docs = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("doc_id", "w")

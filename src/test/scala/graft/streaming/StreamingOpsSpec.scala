@@ -339,6 +339,44 @@ class StreamingOpsSpec extends SparkSpec {
     deltas(1L).map(_._2).toSet shouldBe Set(0L, 1L, 10L, 11L, 12L)
   }
 
+  test("compactClusterLabels folds committed deltas; current view unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccdc").toString
+    val a = "the quick brown fox jumps over the lazy dog in the morning sun"
+    val c = "another brand new document about spark catalyst internals today"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.continuousClusteredDedup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/index", s"$dir/pairs", s"$dir/labels", s"$dir/ckpt",
+      bands = 8, threshold = 0.5).start()
+    try {
+      in.addData((0L, a), (1L, a))
+      q.processAllAvailable()
+      in.addData((10L, a), (11L, c), (12L, c))
+      q.processAllAvailable()
+      // batch 3 extends the c-cluster so the latest delta is non-trivial
+      in.addData((13L, c))
+      q.processAllAvailable()
+    } finally q.stop()
+    val before = StreamingOps.currentClusterLabels(spark, s"$dir/labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    StreamingOps.compactClusterLabels(spark, s"$dir/labels")
+    val after = StreamingOps.currentClusterLabels(spark, s"$dir/labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    after shouldBe before
+    // on disk only the snapshot (-1) and the LATEST delta partition
+    // remain — a read now touches snapshot + post-snapshot deltas only
+    val parts = new java.io.File(s"$dir/labels").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("batch_id=")).toSet
+    parts shouldBe Set("batch_id=-1", "batch_id=2")
+    // idempotent: compacting again changes nothing
+    StreamingOps.compactClusterLabels(spark, s"$dir/labels")
+    StreamingOps.currentClusterLabels(spark, s"$dir/labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe before
+  }
+
   test("continuousSimhashDedup: hamming family probes and grows its chunk index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
