@@ -432,6 +432,14 @@ object SparkEntry {
       graft.operators.TrainingData.dedupLines(
         Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), md5(col("text")).as("text_digest"))),
+    "text_span_dedup" -> ((s, dir) =>
+      // exact-substring dedup (Lee et al. 2021) at 8-token block
+      // granularity: each distinct block survives only at its globally
+      // first (doc, block-index) occurrence. Digest output keeps the row
+      // narrow; the oracle replays tiling + reassembly.
+      graft.operators.TrainingData.dedupSpans(
+        Tables.documents(s, dir), "doc_id", "text", k = 8)
+        .select(col("doc_id"), md5(col("text")).as("text_digest"))),
     "text_quality" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -498,6 +506,14 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"),
           col("n_tokens_scored"))),
+    "text_bigram_logprob" -> ((s, dir) =>
+      // order-2 fluency signal: interpolated bigram LM (λ=0.5 for exact
+      // cross-engine arithmetic); catches shuffled-common-words spam the
+      // unigram model scores high
+      graft.operators.TrainingData.bigramLogProb(
+        Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("avg_logprob2"), 6).as("avg_logprob2"),
+          col("n_bigrams_scored"))),
     "text_gopher" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -1237,6 +1253,35 @@ object SparkEntry {
            FROM k GROUP BY doc_id)
          SELECT d.doc_id, md5(r.text) AS text_digest
          FROM documents d LEFT JOIN r USING (doc_id)""",
+    // same tiling the Spark side does: 8-token blocks, first (doc_id,
+    // bidx) occurrence of each distinct block wins, remainder tail kept
+    "text_span_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+           FROM documents WHERE text IS NOT NULL),
+         n AS (SELECT doc_id, toks, len(toks) // 8 AS nb FROM t),
+         b AS (SELECT doc_id, toks, unnest(generate_series(0, nb - 1)) AS bidx
+               FROM n WHERE nb > 0),
+         bb AS (SELECT doc_id, bidx,
+                  array_to_string(toks[bidx*8 + 1 : bidx*8 + 8], ' ') AS btext
+                FROM b),
+         f AS (SELECT doc_id, bidx, btext,
+                 row_number() OVER (PARTITION BY btext ORDER BY doc_id, bidx) AS rn
+               FROM bb),
+         h AS (SELECT doc_id,
+                 list(btext ORDER BY bidx) FILTER (WHERE rn = 1) AS blocks
+               FROM f GROUP BY doc_id),
+         r AS (SELECT n.doc_id,
+                 -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+                 -- array_join([]) is '' (doc whose every block dropped)
+                 coalesce(array_to_string(list_concat(
+                   coalesce(h.blocks, []::VARCHAR[]),
+                   n.toks[n.nb*8 + 1 : len(n.toks)]), ' '), '') AS text
+               FROM n LEFT JOIN h USING (doc_id))
+         SELECT d.doc_id, md5(r.text) AS text_digest
+         FROM documents d LEFT JOIN r USING (doc_id)""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -1300,6 +1345,28 @@ object SparkEntry {
          SELECT doc_id, round(avg(ln(cnt::DOUBLE / total)), 6) AS avg_logprob,
            count(*)::BIGINT AS n_tokens_scored
          FROM terms JOIN freq USING (term) CROSS JOIN tot GROUP BY doc_id""",
+    // interpolated bigram LM, λ=0.5: same arithmetic association as the
+    // Spark side ((λ·c2)/c1 + (λ·cu)/n), unigram table over ALL docs
+    "text_bigram_logprob" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+           FROM documents WHERE text IS NOT NULL),
+         uni AS (SELECT w, count(*)::DOUBLE AS c
+                 FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         tot AS (SELECT sum(c) AS n FROM uni),
+         i AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS ix
+               FROM t WHERE len(toks) >= 2),
+         p AS (SELECT doc_id, toks[ix] AS w1, toks[ix + 1] AS w2 FROM i),
+         big AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM p GROUP BY w1, w2)
+         SELECT doc_id,
+           round(avg(ln(0.5 * c2 / u1.c + 0.5 * u2.c / n)), 6) AS avg_logprob2,
+           count(*)::BIGINT AS n_bigrams_scored
+         FROM p JOIN big USING (w1, w2)
+           JOIN uni u1 ON p.w1 = u1.w JOIN uni u2 ON p.w2 = u2.w
+           CROSS JOIN tot
+         GROUP BY doc_id""",
     "text_gopher" ->
       """WITH t AS (SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]

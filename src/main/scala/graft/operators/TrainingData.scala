@@ -351,6 +351,62 @@ object TrainingData {
     * hot line can concentrate on one reducer. Reassembly is one groupBy
     * on the doc id with an in-row sort.
     */
+  /** Cross-document repeated-SPAN removal — the training-data dedup of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better") at block granularity: tile each doc's token stream into
+    * fixed `k`-token blocks, keep only the globally FIRST occurrence of
+    * each distinct block (ordered by (doc id, block index)), drop every
+    * later copy — in the same doc or any other — and reassemble each doc
+    * from its kept blocks plus its always-kept tail (the `len % k`
+    * remainder tokens). Returns (id, text) with the text rebuilt from
+    * normalized tokens; docs with null text stay null.
+    *
+    * Blocks instead of the paper's suffix array deliberately: a suffix
+    * array over 100 TB does not distribute, while block hashing is one
+    * narrow-shuffle pass (this is the standard scale adaptation; raise
+    * recall by lowering `k`). Same scale shape as [[dedupLines]]: block
+    * keys travel as 60-bit md5 prefixes (fixed width regardless of `k`),
+    * first-occurrence is a map-side-combinable min-struct agg, and the
+    * join back is SEMI on (id, block idx) — unique on both sides by
+    * construction, so no corpus-wide hot block (boilerplate in every
+    * doc) can skew a reducer. Reassembly groups by doc id, bounded by
+    * doc length.
+    */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k (block size in tokens) must be positive")
+    val S = org.apache.spark.sql.functions
+    // tokens split ONCE in their own projection (CollapseProject keeps a
+    // multiply-referenced non-trivial alias un-inlined)
+    val toksed = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), T.normTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        floor(S.size(col("__toks")) / k).cast("int").as("__nb"))
+    val blocks = toksed.filter(col("__nb") > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__nb") - 1)).as("bidx"))
+      .select(col(idCol), col("bidx"),
+        array_join(slice(col("__toks"), col("bidx") * k + 1, lit(k)), " ")
+          .as("__btext"))
+    val firsts = blocks
+      .groupBy(substring(md5(col("__btext")), 1, 15).as("__bk"))
+      .agg(min(struct(col(idCol).as("__id"), col("bidx").as("__bidx"))).as("__first"))
+      .select(col("__first.__id").as(idCol), col("__first.__bidx").as("bidx"))
+    val kept = blocks.join(firsts, Seq(idCol, "bidx"), "left_semi")
+    val heads = kept.groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("bidx"), col("__btext")))),
+        s => s("__btext")).as("__blocks"))
+    val rebuilt = toksed.join(heads, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          concat(
+            coalesce(col("__blocks"), array().cast("array<string>")),
+            slice(col("__toks"), col("__nb") * k + 1,
+              S.size(col("__toks")) - col("__nb") * k)),
+          " ").as(textCol))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+  }
+
   def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // the first-occurrence shuffle keys on a 60-bit md5 prefix of the
     // line, NOT the line itself: key width stays fixed no matter how long
@@ -446,5 +502,53 @@ object TrainingData {
         avg(log(col("cnt").cast("double") / col("total").cast("double")))
           .as("avg_logprob"),
         count(lit(1)).as("n_tokens_scored"))
+  }
+
+  /** [[unigramLogProb]] upgraded one Markov order: each doc scored by
+    * its mean log of an INTERPOLATED bigram probability,
+    * `λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N` — the Jelinek-Mercer smoothing
+    * a KenLM-style fluency filter reduces to at order 2. Catches what
+    * the unigram model cannot: shuffled common words ("the of and the")
+    * score high on unigrams but low here, because the TRANSITIONS are
+    * rare. Returns (id, avg_logprob2, n_bigrams_scored) for docs with at
+    * least one bigram.
+    *
+    * Default λ = 0.5: both mixture weights are then exactly
+    * representable, so scores are bit-reproducible by any engine (an
+    * arbitrary λ makes `1−λ` carry float error). Scale shape: the bigram
+    * and unigram tables are built once (one narrow shuffle each), the
+    * unigram counts and corpus total fold INTO the bigram table
+    * (bigram-table-sized joins), and the doc stream joins that enriched
+    * table once on (w1, w2) before the per-doc mean — same
+    * frequency-table discipline as [[unigramLogProb]]; nothing collects.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.5): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, "lambda in (0, 1)")
+    val S = org.apache.spark.sql.functions
+    val toksed = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), T.normTokens(col(textCol)).as("__toks"))
+    val pairs = toksed.filter(S.size(col("__toks")) >= 2)
+      .select(col(idCol),
+        explode(zip_with(
+          slice(col("__toks"), lit(1), S.size(col("__toks")) - 1),
+          slice(col("__toks"), lit(2), S.size(col("__toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val uni = toksed.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("double").as("c"))
+    val total = uni.agg(sum("c").as("n"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("c2"))
+    val enriched = big
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("cu")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        log(lit(lambda) * col("c2") / col("c1") +
+          lit(1.0 - lambda) * col("cu") / col("n")).as("__lp"))
+    pairs.join(enriched, Seq("w1", "w2"))
+      .groupBy(idCol)
+      .agg(avg(col("__lp")).as("avg_logprob2"),
+        count(lit(1)).as("n_bigrams_scored"))
   }
 }

@@ -118,6 +118,57 @@ class TrainingDataSpec extends SparkSpec {
     r shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 1L) // cut at cumulative 10
   }
 
+  test("dedupSpans: first block occurrence wins globally, tails kept") {
+    import spark.implicits._
+    // k=3 blocks; doc 1 owns "a b c" and "d e f"; doc 2 repeats "a b c"
+    // (dropped) then has its own "x y z" (kept) + tail "t1 t2"; doc 3
+    // repeats "a b c" at block 0 AND block 1-shifted content that is NOT
+    // block-aligned ("b c a") so it survives; doc 4 is short (tail only)
+    val docs = Seq(
+      (1L, Option("a b c d e f")),
+      (2L, Option("a b c x y z t1 t2")),
+      (3L, Option("a b c b c a")),
+      (4L, Option("just two")),
+      (5L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val got = TrainingData.dedupSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    got(1L) shouldBe Some("a b c d e f")
+    got(2L) shouldBe Some("x y z t1 t2") // dup block gone, tail kept
+    got(3L) shouldBe Some("b c a")       // only the block-aligned copy drops
+    got(4L) shouldBe Some("just two")    // sub-k doc is pure tail
+    got(5L) shouldBe None
+    // in-doc repetition: the SECOND aligned copy inside one doc drops too
+    val one = TrainingData.dedupSpans(
+      Seq((9L, "p q r p q r")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().head.getString(1)
+    one shouldBe "p q r"
+  }
+
+  test("bigramLogProb: interpolated transition probabilities, by hand") {
+    import spark.implicits._
+    // corpus: uni a=3 b=3 c=1 (N=7); bigrams (a,b)=3, (b,a)=1
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = TrainingData.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val lpAB = math.log(0.5 * 3 / 3 + 0.5 * 3 / 7)
+    val lpBA = math.log(0.5 * 1 / 3 + 0.5 * 3 / 7)
+    got(1L)._1 shouldBe ((lpAB + lpBA + lpAB) / 3) +- 1e-9
+    got(1L)._2 shouldBe 3L
+    got(2L)._1 shouldBe lpAB +- 1e-9
+    got.contains(3L) shouldBe false // no bigrams in a 1-token doc
+    // the order-2 property: against a corpus of fluent docs, a doc of
+    // the same words in shuffled order has RARE transitions and scores
+    // lower — invisible to the unigram model (identical word counts)
+    val corpus = (1L to 5L).map(i => (i, "the cat sat on the mat")) :+
+      (9L, "mat the on sat the cat")
+    val two = TrainingData.bigramLogProb(
+      corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    two(1L) should be > two(9L)
+  }
+
   test("dedupLines: first occurrence wins, blanks stay, order preserved") {
     import spark.implicits._
     val docs = Seq(
