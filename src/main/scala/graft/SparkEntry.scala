@@ -715,6 +715,18 @@ object SparkEntry {
         "doc_id", Seq("text"), existing)
         .select("doc_id", "source")
     }),
+    "dedup_incremental_spans" -> ((s, dir) => {
+      // continuous-ingestion span dedup: rebuild only the new batch
+      // (ids >= 250) against the persisted first-occurrence block index
+      // of the already-ingested corpus — must equal the full-corpus
+      // rebuild restricted to the new ids (oracle runs exactly that)
+      val docs = Tables.documents(s, dir)
+      val existing = graft.operators.TrainingData.spanIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", k = 8)
+      graft.operators.TrainingData.dedupSpansIncremental(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", k = 8, existing)
+        .select(col("doc_id"), md5(col("text")).as("text_digest"))
+    }),
     "dedup_incremental_lsh" -> ((s, dir) => {
       // continuous-ingestion near-dup: new batch (ids >= 250) against
       // the persisted MinHash index of the existing corpus + itself
@@ -1255,33 +1267,10 @@ object SparkEntry {
          FROM documents d LEFT JOIN r USING (doc_id)""",
     // same tiling the Spark side does: 8-token blocks, first (doc_id,
     // bidx) occurrence of each distinct block wins, remainder tail kept
-    "text_span_dedup" ->
-      """WITH t AS (
-           SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
-           FROM documents WHERE text IS NOT NULL),
-         n AS (SELECT doc_id, toks, len(toks) // 8 AS nb FROM t),
-         b AS (SELECT doc_id, toks, unnest(generate_series(0, nb - 1)) AS bidx
-               FROM n WHERE nb > 0),
-         bb AS (SELECT doc_id, bidx,
-                  array_to_string(toks[bidx*8 + 1 : bidx*8 + 8], ' ') AS btext
-                FROM b),
-         f AS (SELECT doc_id, bidx, btext,
-                 row_number() OVER (PARTITION BY btext ORDER BY doc_id, bidx) AS rn
-               FROM bb),
-         h AS (SELECT doc_id,
-                 list(btext ORDER BY bidx) FILTER (WHERE rn = 1) AS blocks
-               FROM f GROUP BY doc_id),
-         r AS (SELECT n.doc_id,
-                 -- coalesce: DuckDB array_to_string([]) is NULL, Spark
-                 -- array_join([]) is '' (doc whose every block dropped)
-                 coalesce(array_to_string(list_concat(
-                   coalesce(h.blocks, []::VARCHAR[]),
-                   n.toks[n.nb*8 + 1 : len(n.toks)]), ' '), '') AS text
-               FROM n LEFT JOIN h USING (doc_id))
-         SELECT d.doc_id, md5(r.text) AS text_digest
-         FROM documents d LEFT JOIN r USING (doc_id)""",
+    "text_span_dedup" -> spanDedupSql(""),
+    // the incremental rebuild (new batch vs persisted block index) must
+    // equal the full-corpus rebuild restricted to the new ids
+    "dedup_incremental_spans" -> spanDedupSql("WHERE d.doc_id >= 250"),
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -1929,6 +1918,40 @@ object SparkEntry {
             b -> $b2u))),
         (x, y) -> x || chr(31) || y)"""
   }
+
+  /** Full-corpus span-dedup replay (8-token block tiling, global first
+    * occurrence by (doc_id, bidx), tails kept, reassembly digest); the
+    * trailing `docFilter` restricts the OUTPUT rows only — the closure
+    * always runs over the whole corpus, which is exactly what the
+    * incremental variant must reproduce for the new batch.
+    */
+  private def spanDedupSql(docFilter: String): String =
+    s"""WITH t AS (
+         SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+         FROM documents WHERE text IS NOT NULL),
+       n AS (SELECT doc_id, toks, len(toks) // 8 AS nb FROM t),
+       b AS (SELECT doc_id, toks, unnest(generate_series(0, nb - 1)) AS bidx
+             FROM n WHERE nb > 0),
+       bb AS (SELECT doc_id, bidx,
+                array_to_string(toks[bidx*8 + 1 : bidx*8 + 8], ' ') AS btext
+              FROM b),
+       f AS (SELECT doc_id, bidx, btext,
+               row_number() OVER (PARTITION BY btext ORDER BY doc_id, bidx) AS rn
+             FROM bb),
+       h AS (SELECT doc_id,
+               list(btext ORDER BY bidx) FILTER (WHERE rn = 1) AS blocks
+             FROM f GROUP BY doc_id),
+       r AS (SELECT n.doc_id,
+               -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+               -- array_join([]) is '' (doc whose every block dropped)
+               coalesce(array_to_string(list_concat(
+                 coalesce(h.blocks, []::VARCHAR[]),
+                 n.toks[n.nb*8 + 1 : len(n.toks)]), ' '), '') AS text
+             FROM n LEFT JOIN h USING (doc_id))
+       SELECT d.doc_id, md5(r.text) AS text_digest
+       FROM documents d LEFT JOIN r USING (doc_id) $docFilter"""
 
   private lazy val bpeBytesOracle: String =
     bpeReplaySql(graft.functions.Bpe.defaultByteMerges, byteInitExpr,

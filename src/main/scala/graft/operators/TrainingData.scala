@@ -374,25 +374,89 @@ object TrainingData {
     */
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    val toksed = spanToks(docs, idCol, textCol, k)
+    val blocks = spanBlocks(toksed, idCol, k)
+    val firsts = spanFirsts(blocks, idCol)
+      .select(col("__first.__id").as(idCol), col("__first.__bidx").as("bidx"))
+    val kept = blocks.join(firsts, Seq(idCol, "bidx"), "left_semi")
+    spanReassemble(docs, toksed, kept, idCol, textCol, k)
+  }
+
+  /** Persisted first-occurrence block index of a corpus: one row per
+    * distinct `k`-token block — `(block_key, id, bidx)` of its globally
+    * first occurrence, keyed by the 60-bit md5 block digest. This is the
+    * state [[dedupSpansIncremental]] probes against and appends
+    * ([[spanIndexDelta]]) — the span-dedup face of the same
+    * probe-and-append index discipline as [[Dedup.incrementalExact]]'s
+    * digest table.
+    */
+  def spanIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    spanFirsts(spanBlocks(spanToks(docs, idCol, textCol, k), idCol, k), idCol)
+      .select(col("__bk").as("block_key"),
+        col("__first.__id").as(idCol), col("__first.__bidx").as("bidx"))
+
+  /** The index rows a new batch ADDS: its batch-local first occurrences
+    * whose block key is absent from `existingIndex`. Append these to the
+    * persisted index after processing the batch.
+    */
+  def spanIndexDelta(newDocs: DataFrame, idCol: String, textCol: String,
+      k: Int, existingIndex: DataFrame): DataFrame =
+    spanIndex(newDocs, idCol, textCol, k)
+      .join(existingIndex.select("block_key"), Seq("block_key"), "left_anti")
+
+  /** [[dedupSpans]] for continuous ingestion: rebuild only the NEW batch,
+    * dropping blocks already owned by the ingested corpus (present in
+    * `existingIndex`, built/maintained via [[spanIndex]] /
+    * [[spanIndexDelta]]) as well as later in-batch copies. Equals the
+    * full-corpus [[dedupSpans]] restricted to the new ids whenever
+    * ingestion order matches id order (existing ids sort before new
+    * ids) — the same invariant the other incremental dedups state.
+    * The existing corpus's TEXT is never touched, only its index; the
+    * index probe is an anti join on fixed-width block keys.
+    */
+  def dedupSpansIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, k: Int, existingIndex: DataFrame): DataFrame = {
+    val toksed = spanToks(newDocs, idCol, textCol, k)
+    val blocks = spanBlocks(toksed, idCol, k)
+    val keepFirsts = spanFirsts(blocks, idCol)
+      .join(existingIndex.select("block_key").withColumnRenamed("block_key", "__bk"),
+        Seq("__bk"), "left_anti")
+      .select(col("__first.__id").as(idCol), col("__first.__bidx").as("bidx"))
+    val kept = blocks.join(keepFirsts, Seq(idCol, "bidx"), "left_semi")
+    spanReassemble(newDocs, toksed, kept, idCol, textCol, k)
+  }
+
+  // tokens split ONCE in their own projection (CollapseProject keeps a
+  // multiply-referenced non-trivial alias un-inlined)
+  private def spanToks(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
     require(k > 0, "k (block size in tokens) must be positive")
-    val S = org.apache.spark.sql.functions
-    // tokens split ONCE in their own projection (CollapseProject keeps a
-    // multiply-referenced non-trivial alias un-inlined)
-    val toksed = docs.filter(col(textCol).isNotNull)
+    docs.filter(col(textCol).isNotNull)
       .select(col(idCol), T.normTokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"),
-        floor(S.size(col("__toks")) / k).cast("int").as("__nb"))
-    val blocks = toksed.filter(col("__nb") > 0)
+        floor(org.apache.spark.sql.functions.size(col("__toks")) / k)
+          .cast("int").as("__nb"))
+  }
+
+  private def spanBlocks(toksed: DataFrame, idCol: String, k: Int): DataFrame =
+    toksed.filter(col("__nb") > 0)
       .select(col(idCol), col("__toks"),
         explode(sequence(lit(0), col("__nb") - 1)).as("bidx"))
       .select(col(idCol), col("bidx"),
         array_join(slice(col("__toks"), col("bidx") * k + 1, lit(k)), " ")
           .as("__btext"))
-    val firsts = blocks
+
+  // (__bk, __first(__id, __bidx)): first occurrence per distinct block —
+  // partial-aggregatable min over the fixed-width digest key
+  private def spanFirsts(blocks: DataFrame, idCol: String): DataFrame =
+    blocks
       .groupBy(substring(md5(col("__btext")), 1, 15).as("__bk"))
       .agg(min(struct(col(idCol).as("__id"), col("bidx").as("__bidx"))).as("__first"))
-      .select(col("__first.__id").as(idCol), col("__first.__bidx").as("bidx"))
-    val kept = blocks.join(firsts, Seq(idCol, "bidx"), "left_semi")
+
+  private def spanReassemble(docs: DataFrame, toksed: DataFrame,
+      kept: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val S = org.apache.spark.sql.functions
     val heads = kept.groupBy(col(idCol))
       .agg(transform(array_sort(collect_list(struct(col("bidx"), col("__btext")))),
         s => s("__btext")).as("__blocks"))

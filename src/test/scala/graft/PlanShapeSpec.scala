@@ -105,6 +105,31 @@ class PlanShapeSpec extends SparkSpec {
     p should include("LeftSemi")
   }
 
+  test("span dedup: digest-keyed partial min, semi join back, no window") {
+    // same scale contract as line dedup, at block granularity: the
+    // first-occurrence agg combines map-side over fixed-width md5 block
+    // keys (a block duplicated N times shuffles one candidate per
+    // partition), and the join back is SEMI on unique (id, bidx) — a
+    // corpus-wide hot block (license header in every doc) cannot
+    // concentrate on one reducer
+    val p = plan(SparkEntry.queries("text_span_dedup")(spark, dir))
+    p should include("partial_min")
+    p should not include "Window"
+    p should include("LeftSemi")
+    p should not include "hashpartitioning(__btext"
+    p should include("md5")
+  }
+
+  test("bigram LM: corpus totals broadcast, doc stream joins bigram table once") {
+    // the 2-row corpus total rides a BroadcastNestedLoopJoin (broadcast
+    // cross join), never a shuffle; the per-doc score is a partial-avg
+    // hash aggregate, not a window
+    val p = plan(SparkEntry.queries("text_bigram_logprob")(spark, dir))
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "Window"
+    p should include("partial_avg")
+  }
+
   test("grouped exact quantile has no per-group window (no WindowExec)") {
     // Window.partitionBy(group) would put each ENTIRE group through one
     // task — parallelism = |groups| regardless of data size. The rewrite

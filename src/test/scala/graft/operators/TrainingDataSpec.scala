@@ -145,6 +145,36 @@ class TrainingDataSpec extends SparkSpec {
     one shouldBe "p q r"
   }
 
+  test("dedupSpansIncremental equals the full rebuild restricted to new ids") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "a b c d e f"),          // owns blocks "a b c", "d e f"
+      (2L, "g h i j k l m"))        // owns "g h i", "j k l"; tail "m"
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "a b c x y z"),         // "a b c" owned by doc 1 → drops
+      (11L, "x y z q r s"),         // "x y z" first seen in doc 10 → drops
+      (12L, "d e f d e f tail"))    // both copies drop (owned by doc 1)
+      .toDF("doc_id", "text")
+    val idx = TrainingData.spanIndex(old, "doc_id", "text", k = 3)
+    val inc = TrainingData.dedupSpansIncremental(
+      fresh, "doc_id", "text", k = 3, idx)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    inc(10L) shouldBe Some("x y z")
+    inc(11L) shouldBe Some("q r s")
+    inc(12L) shouldBe Some("tail")
+    // equivalence with the batch rebuild over old ∪ fresh, new ids only
+    val full = TrainingData.dedupSpans(old.union(fresh), "doc_id", "text", 3)
+      .filter(col("doc_id") >= 10L)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    inc shouldBe full
+    // the index delta holds exactly the batch's NEW first occurrences
+    val delta = TrainingData.spanIndexDelta(fresh, "doc_id", "text", 3, idx)
+      .select(col("doc_id").cast("long"), col("bidx").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    delta shouldBe Set((10L, 1L), (11L, 1L)) // "x y z" @10, "q r s" @11
+  }
+
   test("bigramLogProb: interpolated transition probabilities, by hand") {
     import spark.implicits._
     // corpus: uni a=3 b=3 c=1 (N=7); bigrams (a,b)=3, (b,a)=1
