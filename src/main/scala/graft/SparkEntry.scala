@@ -550,6 +550,18 @@ object SparkEntry {
           array_join(
             graft.functions.Bpe.bpeIdsBytes(col("text")).cast("array<string>"),
             " ").as("token_ids_csv"))),
+    "pipeline_token_stream" -> ((s, dir) =>
+      // GPT-style packing: the corpus as ONE token stream (EOD after
+      // each doc), cut into fixed 64-id windows that cross doc
+      // boundaries — zero padding waste. Ids ride as CSV (embed_quantize
+      // q_csv precedent) so the checker's row sort can ingest them
+      graft.operators.TrainingData.packTokenStream(
+        Tables.documents(s, dir), "doc_id", "text", size = 64,
+        eodId = graft.functions.Bpe.defaultByteVocab.size)
+        .select(col("window_idx"),
+          array_join(col("token_ids").cast("array<string>"), " ")
+            .as("token_ids_csv"),
+          col("n_tokens"))),
     "pipeline_bpe_shards" -> ((s, dir) =>
       // shards cut by REAL byte-level BPE token counts — the budget a
       // trainer actually consumes — instead of the whitespace proxy
@@ -1247,6 +1259,25 @@ object SparkEntry {
              AS token_ids_csv,
            len(token_ids[chunk_idx*24 + 1 : chunk_idx*24 + 32])::BIGINT AS n_tokens
          FROM ch""",
+    // ids replay nested, then the GLOBAL stream layout: every doc's ids
+    // + EOD in ascending-id order, global positions via an exclusive
+    // running sum, 64-wide windows by integer position division
+    "pipeline_token_stream" -> {
+      val eod = graft.functions.Bpe.defaultByteVocab.size
+      s"""WITH ids0 AS (SELECT doc_id, token_ids FROM ($bpeIdsOracle)
+           WHERE token_ids IS NOT NULL),
+         ids AS (SELECT doc_id, list_concat(token_ids, [$eod]) AS t FROM ids0),
+         off AS (SELECT doc_id, t,
+             coalesce(sum(len(t)) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+           FROM ids),
+         flat AS (SELECT s + unnest(range(0, len(t))) AS pos, unnest(t) AS tok
+           FROM off)
+         SELECT (pos // 64)::BIGINT AS window_idx,
+           array_to_string(list(tok ORDER BY pos), ' ') AS token_ids_csv,
+           count(*)::BIGINT AS n_tokens
+         FROM flat GROUP BY 1"""
+    },
     "text_line_dedup" ->
       """WITH l AS (
            SELECT doc_id, unnest(string_split(text, chr(10))) AS line,

@@ -198,6 +198,90 @@ object TrainingData {
     } finally ids.unpersist(blocking = false)
   }
 
+  /** GPT-style token-stream packing: concatenate every doc's byte-level
+    * BPE ids in ascending-id order with `eodId` appended after each doc,
+    * then slice the ONE global stream into fixed `size`-token training
+    * windows — windows CROSS doc boundaries (unlike [[chunkTokenIds]],
+    * which windows within a doc). The trailing window may be short.
+    * This is the packing GPT-2/3-style pretraining actually consumes:
+    * zero padding waste, every window exactly `size` ids (except the
+    * global tail).
+    *
+    * Scale shape: the corpus is BPE-encoded ONCE, before the
+    * range-partition shuffle; the two offset passes reuse the same
+    * shuffle files (skipped stages), so the encode never re-runs. Each
+    * doc's global start offset comes from the [[packShardsBy]] two-pass
+    * (per-partition token totals → O(partitions) longs on the driver →
+    * broadcast offsets — no single-task global window). Window assembly
+    * is scan-side explode+slice into per-window fragments plus ONE hash
+    * shuffle keyed by the 8-byte window index; per-window state is
+    * bounded (≤ `size` ids + one struct per contributing doc).
+    */
+  def packTokenStream(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, eodId: Int): DataFrame = {
+    require(size > 0, "size (window length in tokens) must be positive")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val S = org.apache.spark.sql.functions
+    val spark = docs.sparkSession
+    val ids = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        concat(graft.functions.Bpe.bpeIdsBytes(col(textCol)),
+          array(lit(eodId))).as("__ids"))
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val sorted = ids.repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(col(idCol)).rdd
+
+    // pass 1: per-partition token totals (EOD already counted in __ids)
+    val totals: Array[(Int, Long)] = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getSeq[Int](1).length)
+      Iterator.single((pid, s))
+    }.collect()
+    val offsets = new Array[Long](sorted.getNumPartitions)
+    var acc = 0L
+    totals.sortBy(_._1).foreach { case (pid, s) => offsets(pid) = acc; acc += s }
+    val bOff = spark.sparkContext.broadcast(offsets)
+
+    // pass 2 (reused shuffle): each doc's global start offset
+    val rows = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var at = bOff.value(pid)
+      it.map { r =>
+        val ts = r.getSeq[Int](1)
+        val out = Row(r.get(0), ts, at)
+        at += ts.length
+        out
+      }
+    }
+    val withStart = spark.createDataFrame(rows,
+      StructType(ids.schema.fields.toSeq :+
+        StructField("__start", LongType, nullable = false)))
+
+    // explode each doc into the windows it overlaps; slice out the
+    // fragment each window takes (all scan-side column expressions)
+    val len = S.size(col("__ids")).cast("long")
+    val frag = withStart
+      .select(col("__ids"), col("__start"),
+        explode(sequence(
+          floor(col("__start") / size).cast("long"),
+          floor((col("__start") + len - 1) / size).cast("long")))
+          .as("window_idx"))
+      .select(col("window_idx"),
+        greatest(col("__start"), col("window_idx") * size).as("__fs"),
+        col("__ids"), col("__start"))
+      .select(col("window_idx"), col("__fs"),
+        slice(col("__ids"), (col("__fs") - col("__start") + 1).cast("int"),
+          (least(col("__start") + S.size(col("__ids")),
+            (col("window_idx") + 1) * size) - col("__fs")).cast("int"))
+          .as("__frag"))
+    frag.groupBy("window_idx")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__fs"), col("__frag")))),
+        s => s("__frag"))).as("token_ids"))
+      .select(col("window_idx"), col("token_ids"),
+        S.size(col("token_ids")).cast("long").as("n_tokens"))
+  }
+
   /** CCNet-style perplexity bucketing + resampling: score every doc with
     * the corpus-unigram LM ([[unigramLogProb]]), split at the exact
     * 25th/75th percentiles into head (most fluent) / middle / tail, then

@@ -175,6 +175,33 @@ class TrainingDataSpec extends SparkSpec {
     delta shouldBe Set((10L, 1L), (11L, 1L)) // "x y z" @10, "q r s" @11
   }
 
+  test("packTokenStream: windows tile the global doc-order token stream") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "hello world"),
+      (2L, null.asInstanceOf[String]),   // null text: skipped entirely
+      (7L, ""),                          // empty text: contributes one EOD
+      (5L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val eod = graft.functions.Bpe.defaultByteVocab.size
+    val out = TrainingData.packTokenStream(docs, "doc_id", "text",
+      size = 7, eodId = eod)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+      .sortBy(_._1)
+    // the reference stream: each doc's ids + EOD, ascending id order
+    val perDoc = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.Bpe.bpeIdsBytes(col("text")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).sortBy(_._1)
+    val stream = perDoc.flatMap { case (_, ids) => ids :+ eod }.toSeq
+    out.map(_._1).toSeq shouldBe (0L until out.length.toLong)
+    out.flatMap(_._2).toSeq shouldBe stream           // exact tiling
+    out.dropRight(1).foreach(_._3 shouldBe 7L)        // full windows
+    out.last._3 shouldBe (stream.length - 7L * (out.length - 1))
+    out.foreach(w => w._3 shouldBe w._2.length.toLong)
+  }
+
   test("bigramLogProb: interpolated transition probabilities, by hand") {
     import spark.implicits._
     // corpus: uni a=3 b=3 c=1 (N=7); bigrams (a,b)=3, (b,a)=1
