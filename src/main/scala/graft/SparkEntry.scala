@@ -514,6 +514,13 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), round(col("avg_logprob2"), 6).as("avg_logprob2"),
           col("n_bigrams_scored"))),
+    "text_nb_classifier" -> ((s, dir) =>
+      // model-based quality filter: multinomial Naive Bayes trained in
+      // ONE aggregation pass on gopher weak labels, scored corpus-wide
+      graft.operators.Classifier.naiveBayesQuality(
+        Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("label"), col("n_tokens_scored"),
+          round(col("nb_score"), 6).as("nb_score"), col("predicted_pass"))),
     "text_gopher" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -1387,6 +1394,42 @@ object SparkEntry {
            JOIN uni u1 ON p.w1 = u1.w JOIN uni u2 ON p.w2 = u2.w
            CROSS JOIN tot
          GROUP BY doc_id""",
+    // NB replay: identical add-one-smoothed math, same arithmetic
+    // association (ln(pos-frac) − ln(neg-frac) per token, prior + Σ llr
+    // per doc); weak labels are the text_gopher expression inlined
+    "text_nb_classifier" ->
+      """WITH t AS (SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+         FROM documents WHERE text IS NOT NULL),
+         lab AS (SELECT doc_id, toks,
+           (len(toks) BETWEEN 50 AND 100000) AND
+             (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+              list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END
+              BETWEEN 3.0 AND 10.0) AS label
+         FROM t),
+         terms AS (SELECT doc_id, label, unnest(toks) AS term FROM lab),
+         cnt AS (SELECT term,
+             count(*) FILTER (WHERE label) AS c_pos,
+             count(*) FILTER (WHERE NOT label) AS c_neg
+           FROM terms GROUP BY term),
+         tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+             count(*) AS v FROM cnt),
+         dt AS (SELECT count(*) FILTER (WHERE label) AS d_pos,
+             count(*) FILTER (WHERE NOT label) AS d_neg
+           FROM (SELECT DISTINCT doc_id, label FROM terms)),
+         llr AS (SELECT term,
+             ln((c_pos + 1)::DOUBLE / (t_pos + v)::DOUBLE) -
+               ln((c_neg + 1)::DOUBLE / (t_neg + v)::DOUBLE) AS l
+           FROM cnt CROSS JOIN tot)
+         SELECT doc_id, any_value(label) AS label,
+           count(*)::BIGINT AS n_tokens_scored,
+           round(ln((d_pos + 1)::DOUBLE / (d_neg + 1)::DOUBLE) + sum(l), 6)
+             AS nb_score,
+           (ln((d_pos + 1)::DOUBLE / (d_neg + 1)::DOUBLE) + sum(l)) > 0
+             AS predicted_pass
+         FROM terms JOIN llr USING (term) CROSS JOIN dt
+         GROUP BY doc_id, d_pos, d_neg""",
     "text_gopher" ->
       """WITH t AS (SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
