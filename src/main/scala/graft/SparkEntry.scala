@@ -800,6 +800,14 @@ object SparkEntry {
       Dedup.embeddingCosine(Tables.embeddings(s, dir), "vec_id", "embedding",
         dim = 64, nBits = 6, threshold = 0.4, kernel = "md5")
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup: near-identical pairs within each hyperplane-LSH
+      // cluster of embedding space; keep the member FARTHEST from the
+      // cluster centroid (diversity-preserving survivor rule)
+      Dedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, nBits = 6, threshold = 0.4, kernel = "md5")
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))),
     "dedup_incremental_embedding_lsh" -> ((s, dir) => {
       // continuous-ingestion embedding near-dup: new batch (ids >= 250)
       // probes the persisted hyperplane index of the existing corpus +
@@ -1776,6 +1784,43 @@ object SparkEntry {
            round(list_cosine_similarity(a.v, bb.v), 6) AS cosine
          FROM s a JOIN s bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
          WHERE list_cosine_similarity(a.v, bb.v) >= 0.4""",
+    // same bucket rebuild + recursive closure over the >=0.4 cosine
+    // pairs; centroid = per-dimension bucket mean; survivor = lowest
+    // (centroid_cos, id) per cluster — full-precision rank, like the
+    // Spark-side struct-min
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS MATERIALIZED (
+           SELECT vec_id, v, ${lshBucketSql("v", 6)} AS bucket FROM e),
+         keepb AS (SELECT bucket FROM b GROUP BY bucket
+                   HAVING count(*) <= 1000),
+         s AS MATERIALIZED (SELECT b.* FROM b JOIN keepb USING (bucket)),
+         pr AS MATERIALIZED (
+           SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+           FROM s a JOIN s bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+           WHERE list_cosine_similarity(a.v, bb.v) >= 0.4),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                   UNION SELECT id_b, id_a FROM pr),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         lab AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+                 FROM reach GROUP BY a),
+         dims AS (SELECT bucket, j, avg(v[j]) AS cj
+           FROM s CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
+           GROUP BY bucket, j),
+         cent AS (SELECT bucket, list(cj ORDER BY j) AS c
+                  FROM dims GROUP BY bucket),
+         m AS (SELECT lab.vec_id, lab.cluster_id,
+             list_cosine_similarity(s.v, cent.c) AS cc
+           FROM lab JOIN s USING (vec_id) JOIN cent USING (bucket)),
+         r AS (SELECT vec_id, cluster_id, cc, row_number() OVER (
+             PARTITION BY cluster_id ORDER BY cc, vec_id) AS rk FROM m)
+         SELECT vec_id, cluster_id::BIGINT AS cluster_id,
+           round(cc, 6) AS centroid_cos, (rk = 1) AS keep
+         FROM r""",
     // same exact bucket rebuild; any pair involving the new batch
     // (ids >= 250) has id_b >= 250 because id_a < id_b
     "dedup_incremental_embedding_lsh" ->

@@ -559,6 +559,65 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, find near-identical pairs WITHIN each
+    * cluster, and keep one representative per duplicate group — the
+    * member FARTHEST from the cluster centroid (lowest cosine; the
+    * paper's best-performing keep rule, which biases survivors toward
+    * the diverse edge of each semantic neighborhood). Ties break to the
+    * lowest id.
+    *
+    * The clustering is the same hyperplane-LSH partition the other
+    * embedding paths use (deterministic, and with `kernel = "md5"`
+    * exactly SQL-replayable) rather than k-means — every member of a
+    * duplicate group lands in ONE bucket, which is what the centroid and
+    * the pair search need; [[graft.operators.Similarity.ivfTopK]] holds
+    * the Lloyd-trained variant of the same partition.
+    *
+    * Returns one row per doc that appears in a >=`threshold` pair:
+    * (id, cluster_id, centroid_cos, keep). Docs in no pair are
+    * untouched by dedup and are not emitted (same contract as
+    * [[connectedComponents]]).
+    *
+    * Scale shape: vectors ride one capped within-bucket self-join (the
+    * [[embeddingCosine]] discipline); centroids are ONE partial-agg
+    * bucket aggregation, never collected; label propagation touches only
+    * pair members; the final keep decision is a cluster-keyed min over
+    * (cosine, id) structs — every stage shuffles fixed-width keys and
+    * the corpus-sized frames never leave the executors.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nBits: Int = 6, threshold: Double = 0.9, kernel: String = "xxhash",
+      maxBucketSize: Int = 1000): DataFrame = {
+    // one checkpointed (id, v, bucket) frame feeds the cap count, both
+    // pair sides, the centroid agg, and the member join-back
+    val idx = embeddingIndex(df, idCol, vecCol, dim, nBits, kernel)
+      .localCheckpoint(true)
+    val keep = idx.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize).select("bucket")
+    val sized = idx.join(keep, Seq("bucket"))
+    val a = sized.select(col("bucket"), col(idCol).as("id_a"), col("v").as("v_a"))
+    val b = sized.select(col("bucket"), col(idCol).as("id_b"), col("v").as("v_b"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        V.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select("id_a", "id_b")
+    val labels = connectedComponents(pairs, "id_a", "id_b")
+    val cents = sized.groupBy("bucket")
+      .agg(graft.functions.Aggregators.vectorCentroid(col("v"), dim).as("__c"))
+    val members = labels
+      .join(sized.select(col(idCol).cast("long").as("id"), col("v"), col("bucket")),
+        Seq("id"))
+      .join(cents, Seq("bucket"))
+      .select(col("id"), col("cluster_id"),
+        V.cosine(col("v"), col("__c")).as("centroid_cos"))
+    val best = members.groupBy("cluster_id")
+      .agg(min(struct(col("centroid_cos"), col("id"))).as("__best"))
+    members.join(best, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("centroid_cos"),
+        (struct(col("centroid_cos"), col("id")) === col("__best")).as("keep"))
+  }
+
   /** Connected components over a near-dup PAIR relation — the step that
     * turns pairwise matches into dedup decisions: docs A-B and B-C are
     * one duplicate CLUSTER even though A-C was never compared, and a

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{VectorFunctions => V}
+
+class SemanticDedupSpec extends SparkSpec {
+
+  // three near-parallel groups plus two singletons, dim 4
+  private val vecs: Seq[(Long, Seq[Double])] = Seq(
+    1L -> Seq(1.0, 0.0, 0.0, 0.0),
+    2L -> Seq(0.99, 0.01, 0.0, 0.02),
+    3L -> Seq(0.98, 0.02, 0.01, 0.0),
+    4L -> Seq(0.0, 1.0, 0.0, 0.0),
+    5L -> Seq(0.01, 0.99, 0.02, 0.0),
+    6L -> Seq(0.0, 0.0, 1.0, 0.0),
+    7L -> Seq(0.5, 0.5, 0.5, 0.5),
+    8L -> Seq(-1.0, 0.02, 0.0, 0.01),
+    9L -> Seq(-0.99, 0.0, 0.01, 0.0))
+
+  private def cos(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  test("semanticDedup: one diversity-edge survivor per semantic cluster") {
+    import spark.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val threshold = 0.95
+
+    // reference: buckets from the (already spec-covered) LSH function,
+    // then sequential pairs → union-find → centroid → keep-farthest
+    val buckets = df.select(col("vec_id"),
+      V.hyperplaneLshBucket(col("embedding"), 3, 4, "md5").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byId = vecs.toMap
+    val pairs = for {
+      (a, va) <- vecs; (b, vb) <- vecs
+      if a < b && buckets(a) == buckets(b) && cos(va, vb) >= threshold
+    } yield (a, b)
+    val parent = collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val clusterOf = inPairs.map(id => id ->
+      inPairs.filter(o => find(o) == find(id)).min).toMap
+    val centroids = vecs.groupBy(v => buckets(v._1)).map { case (b, vs) =>
+      b -> (0 until 4).map(j => vs.map(_._2(j)).sum / vs.size)
+    }
+    val expected = inPairs.map { id =>
+      val cc = cos(byId(id), centroids(buckets(id)))
+      id -> (clusterOf(id), cc)
+    }.toMap
+    val keepOf = expected.groupBy(_._2._1).map { case (c, ms) =>
+      c -> ms.toSeq.map { case (id, (_, cc)) => (cc, id) }.min._2
+    }
+
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", dim = 4,
+      nBits = 3, threshold = threshold, kernel = "md5")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+
+    out.keySet shouldBe expected.keySet
+    expected.foreach { case (id, (cid, cc)) =>
+      val (ocid, occ, okeep) = out(id)
+      ocid shouldBe cid
+      occ shouldBe cc +- 1e-9
+      okeep shouldBe (keepOf(cid) == id)
+    }
+    // exactly one survivor per cluster, and the survivor rule bites:
+    // every cluster with >1 member drops someone
+    val clusters = out.values.groupBy(_._1)
+    clusters.foreach { case (_, ms) =>
+      ms.count(_._3) shouldBe 1
+    }
+    assert(clusters.exists(_._2.size > 1), "fixture must form a real cluster")
+  }
+
+  test("semanticDedup: corpus with no near pairs emits nothing") {
+    import spark.implicits._
+    val df = Seq(
+      1L -> Seq(1.0, 0.0, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0, 0.0),
+      3L -> Seq(0.0, 0.0, 1.0, 0.0)).toDF("vec_id", "embedding")
+    Dedup.semanticDedup(df, "vec_id", "embedding", dim = 4,
+      nBits = 3, threshold = 0.999, kernel = "md5")
+      .count() shouldBe 0L
+  }
+}
