@@ -485,6 +485,16 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 5), "doc_id", "text",
         docs.filter(col("doc_id") < 5), "text", n = 4)
     }),
+    "pipeline_decontaminate_bloom" -> ((s, dir) => {
+      // the scale path for big eval unions: bloom prefilter in the scan
+      // projection + exact confirm join — answer IDENTICAL to
+      // pipeline_decontaminate (bloom FPs are confirmed away), so both
+      // share one oracle
+      val docs = Tables.documents(s, dir)
+      graft.operators.TrainingData.decontaminateBloom(
+        docs.filter(col("doc_id") >= 5), "doc_id", "text",
+        docs.filter(col("doc_id") < 5), "text", n = 4)
+    }),
     "q_percentile_grouped" -> ((s, dir) =>
       // per-group exact median via the distributed rank+flank shape (the
       // value-buffering percentile aggregate would OOM per group at scale)
@@ -1350,18 +1360,9 @@ object SparkEntry {
            round(tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf
          FROM tf JOIN df USING (term) CROSS JOIN n""",
     "pipeline_training_data" -> trainingDataOracle,
-    "pipeline_decontaminate" ->
-      """WITH t AS (SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
-         FROM documents),
-         g AS (SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, greatest(len(toks) - 3, 0)),
-             i -> array_to_string(toks[i:i+3], ' '))) AS grams FROM t),
-         bench AS (SELECT DISTINCT unnest(grams) AS bg FROM g WHERE doc_id < 5)
-         SELECT doc_id, count(*)::BIGINT AS n_overlap_grams
-         FROM (SELECT doc_id, unnest(grams) AS dg FROM g WHERE doc_id >= 5) d
-         JOIN bench ON dg = bg GROUP BY doc_id""",
+    "pipeline_decontaminate" -> decontaminateOracle,
+    // bloom prefilter + exact confirm ⇒ same answer as the exact path
+    "pipeline_decontaminate_bloom" -> decontaminateOracle,
     "q_percentile_grouped" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
@@ -1958,6 +1959,23 @@ object SparkEntry {
 
   /** DuckDB string literal (single-quoted, embedded quotes doubled). */
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Word-4-gram benchmark-overlap counts (docs 0-4 are the eval set) —
+    * shared verbatim by pipeline_decontaminate and its bloom-prefiltered
+    * scale path, whose outputs are defined to be identical.
+    */
+  private lazy val decontaminateOracle: String =
+    """WITH t AS (SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+       FROM documents),
+       g AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 3, 0)),
+           i -> array_to_string(toks[i:i+3], ' '))) AS grams FROM t),
+       bench AS (SELECT DISTINCT unnest(grams) AS bg FROM g WHERE doc_id < 5)
+       SELECT doc_id, count(*)::BIGINT AS n_overlap_grams
+       FROM (SELECT doc_id, unnest(grams) AS dg FROM g WHERE doc_id >= 5) d
+       JOIN bench ON dg = bg GROUP BY doc_id"""
 
   /** Exact replication of [[graft.functions.Bpe]] merge-loop counting
     * from the SAME bundled merges fixture, plus the regex segment count.

@@ -91,6 +91,41 @@ object TrainingData {
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap_grams"))
   }
 
+  /** [[decontaminate]] for benchmark sets too big to broadcast raw: a
+    * [[graft.functions.Bloom]] prefilter over the gram hashes, then the
+    * exact confirm join on the (tiny) bloom survivors. Output is
+    * IDENTICAL to [[decontaminate]] — bloom false positives are removed
+    * by the confirm join, and false negatives cannot exist — so the two
+    * share one oracle; the bloom only changes WHERE work happens.
+    *
+    * Scale shape: at `bitsPerElem = 16` the driver/broadcast cost is
+    * 2 bytes per benchmark gram versus 8 for the raw hash set (plus
+    * hashing the whole union of eval sets once, not per probe); on the
+    * corpus side the k bit tests run inside the scan's codegen'd
+    * projection, so non-matching grams (approximately all of them, fpp
+    * ~0.05 %) die before the explode output ever reaches a shuffle. The
+    * confirm join then touches only true overlaps + the fpp sliver.
+    */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8,
+      bitsPerElem: Int = 16, k: Int = 4): DataFrame = {
+    import graft.functions.{ArrayOps, Bloom}
+    require(bitsPerElem >= 2, "bitsPerElem >= 2")
+    val benchGrams = benchmark.select(
+      explode(ArrayOps.wordNgramHashes(T.normTokens(col(benchTextCol)), n)).as("g"))
+      .distinct()
+      .localCheckpoint(true) // feeds the size count, the build, the confirm
+    val nGrams = benchGrams.count()
+    val numWords = math.max(1L, (nGrams * bitsPerElem + 63L) / 64L).toInt
+    val words = Bloom.build(benchGrams, "g", numWords, k)
+    val docGrams = docs.select(col(idCol),
+      explode(ArrayOps.wordNgramHashes(T.normTokens(col(textCol)), n)).as("g"))
+    docGrams
+      .filter(Bloom.mightContain(col("g"), words, k))
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap_grams"))
+  }
+
   /** Split every doc into overlapping token windows — the standard
     * embedding/RAG prep step (a context-limited encoder can't take whole
     * docs; overlap keeps boundary context). Chunk k covers tokens
