@@ -416,6 +416,16 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"),
           graft.functions.Bpe.bpeCountBytes(col("text")).cast("long").as("n_bpe_bytes"))),
+    "text_bpe_train" -> ((s, dir) => {
+      // distributed BPE TRAINING (not replay): per-iteration pair-count
+      // shuffles + limit(1) argmax, narrow fold application — the driver
+      // sees one row per merge. Oracle re-trains in SQL via 6 unrolled
+      // count→argmax→apply stages
+      import s.implicits._
+      graft.tools.TrainBpe.distTrain(Tables.documents(s, dir), "text", 6)
+        .zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+        .toDF("merge_rank", "lhs", "rhs")
+    }),
     "pipeline_shard_stats" -> ((s, dir) =>
       // the shard manifest a packing job ships with its output: docs and
       // token mass per shard (per-shard totals are bounded below by the
@@ -1266,6 +1276,8 @@ object SparkEntry {
     "text_langid" -> langIdOracle,
     "text_subwords" -> bpeOracle,
     "text_subwords_bytes" -> bpeBytesOracle,
+    // SQL re-TRAINING (6 unrolled count→argmax→apply stages), not replay
+    "text_bpe_train" -> bpeTrainOracle(6),
     // ids flattened to a space-joined CSV (array_to_string) so the
     // checker's row sort can ingest the column — mirrors the Spark side
     "text_token_ids" ->
@@ -2134,6 +2146,54 @@ object SparkEntry {
          (CASE WHEN d.text IS NULL THEN NULL
                ELSE coalesce(p.total, 0) END)::BIGINT AS $outCol
        FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+  }
+
+  /** Re-trains byte-level BPE in SQL: `k` UNROLLED training iterations
+    * (the merge list is the OUTPUT here, so the fixture-replay recursion
+    * doesn't apply). Stage i counts adjacent symbol pairs over the
+    * distinct-segment table weighted by corpus frequency (overlaps
+    * counted, exactly like the trainers), picks the (count desc, pair
+    * asc) argmax, and applies it with the same greedy fold the replay
+    * oracles use — `best_i` rides into the lambda via a LEFT JOIN
+    * because DuckDB lambdas cannot contain subqueries. Stages are
+    * MATERIALIZED: each is read by both the next pair count and the
+    * next apply.
+    */
+  private def bpeTrainOracle(k: Int): String = {
+    val pat = sqlStr(graft.functions.TextFunctions.subwordPattern)
+    val stages = (0 until k).map { i =>
+      s"""p$i AS (
+           SELECT u.a AS a, u.b AS b, sum(cnt) AS c
+           FROM (SELECT cnt,
+                   unnest(list_transform(range(1, len(string_split(s, chr(31)))),
+                     j -> {'a': string_split(s, chr(31))[j],
+                           'b': string_split(s, chr(31))[j+1]})) AS u
+                 FROM s$i)
+           GROUP BY 1, 2),
+         best$i AS MATERIALIZED (
+           SELECT a, b, a || b AS m FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         s${i + 1} AS MATERIALIZED (
+           SELECT cnt,
+             CASE WHEN bi.a IS NULL THEN s ELSE
+               list_reduce(string_split(s, chr(31)), (acc, x) -> CASE
+                 WHEN x = bi.b AND (acc = bi.a OR ends_with(acc, chr(31) || bi.a))
+                 THEN CASE WHEN acc = bi.a THEN bi.m
+                      ELSE left(acc, length(acc) - length(bi.a) - 1)
+                           || chr(31) || bi.m END
+                 ELSE acc || chr(31) || x END) END AS s
+           FROM s$i LEFT JOIN best$i bi ON true)"""
+    }.mkString(",\n")
+    val out = (0 until k).map(i =>
+      s"SELECT $i::INT AS merge_rank, a AS lhs, b AS rhs FROM best$i")
+      .mkString(" UNION ALL ")
+    s"""WITH sc AS (
+         SELECT g, count(*) AS cnt
+         FROM (SELECT unnest(regexp_extract_all(text, $pat)) AS g
+               FROM documents WHERE text IS NOT NULL)
+         GROUP BY g),
+       s0 AS MATERIALIZED (SELECT cnt, $byteInitExpr AS s FROM sc),
+       $stages
+       $out"""
   }
 
   /** The shared CTE chain of the merge replay: merge rules + rank map,

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Bpe, TextFunctions}
@@ -69,6 +69,90 @@ object TrainBpe {
     }
     merges.toSeq
   }
+
+  /** [[train]] at cluster scale: the distinct-segment table never
+    * leaves the executors. Per merge iteration the only shuffle is the
+    * pair-count aggregation (bounded by distinct adjacent symbol pairs,
+    * map-side combined); the argmax is a `limit(1)` reduce — the driver
+    * receives ONE row per iteration and holds only the merge rules.
+    * The merge itself applies as a narrow `aggregate` fold over the
+    * symbol arrays, so iterations chain without data movement; a
+    * rotating local checkpoint every `checkpointEvery` rounds stops
+    * lineage (and the fold-expression nesting) growing unboundedly,
+    * releasing the previous checkpoint's blocks eagerly.
+    *
+    * Semantics are exactly [[train]]'s (same overlapping pair counting
+    * weighted by segment frequency, same (count desc, pair asc)
+    * tie-break, same greedy left-to-right merge application) —
+    * DistTrainBpeSpec asserts sequence equality, and the fold is the
+    * same shape the DuckDB oracle replays. Fully-merged single-symbol
+    * segments are dropped each round: they can neither change nor
+    * produce pairs, so the working table shrinks as training proceeds.
+    */
+  def distTrain(docs: DataFrame, textCol: String, nMerges: Int,
+      checkpointEvery: Int = 16): Seq[(String, String)] = {
+    require(nMerges >= 0, "nMerges >= 0")
+    require(checkpointEvery >= 1, "checkpointEvery >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the one corpus-sized pass: distinct pre-token segments + corpus
+    // frequency, then byte-level initial symbols (vocabulary-sized map)
+    var cur = docs
+      .select(explode(regexp_extract_all(
+        col(textCol), lit(TextFunctions.subwordPattern), lit(0))).as("g"))
+      .groupBy("g").count()
+      .as[(String, Long)]
+      .map { case (seg, f) =>
+        (seg.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .toSeq.map(b => String.valueOf(Bpe.byteToUnicode(b & 0xff))), f)
+      }
+      .toDF("syms", "cnt")
+      .filter(size(col("syms")) >= 2)
+      .localCheckpoint(true)
+    var lastCkpt = cur
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var sinceCkpt = 0
+    var done = false
+    while (merges.size < nMerges && !done) {
+      val top = cur
+        .select(explode(transform(sequence(lit(0), size(col("syms")) - 2),
+          j => struct(element_at(col("syms"), j + 1).as("a"),
+            element_at(col("syms"), j + 2).as("b")))).as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(desc("c"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        cur = cur
+          .withColumn("syms", applyMerge(col("syms"), a, b))
+          .filter(size(col("syms")) >= 2)
+        sinceCkpt += 1
+        if (sinceCkpt >= checkpointEvery) {
+          cur = cur.localCheckpoint(true)
+          org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(lastCkpt)
+          lastCkpt = cur
+          sinceCkpt = 0
+        }
+      }
+    }
+    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(lastCkpt)
+    merges.toSeq
+  }
+
+  /** One greedy left-to-right application of merge rule (a, b) as a
+    * fold: if the running output ends with `a` and the next symbol is
+    * `b`, the pair collapses to `a+b` (and, exactly like the sequential
+    * scan, the freshly merged symbol is never itself the left partner
+    * of the SAME pass — `a+b` can only equal `a` if `b` were empty).
+    */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(x === lit(b) && size(acc) > 0 && element_at(acc, -1) === lit(a),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
