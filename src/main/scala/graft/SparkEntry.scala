@@ -541,6 +541,17 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("label"), col("n_tokens_scored"),
           round(col("nb_score"), 6).as("nb_score"), col("predicted_pass"))),
+    "text_nb_incremental" -> ((s, dir) => {
+      // persisted-model scoring: train once on the corpus snapshot, score
+      // a NEW batch (ids >= 250) against the model — must equal the full
+      // corpus-wide run restricted to the batch (oracle runs exactly that)
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.Classifier.nbTrain(docs, "doc_id", "text")
+      graft.operators.Classifier.nbScore(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", model)
+        .select(col("doc_id"), col("label"), col("n_tokens_scored"),
+          round(col("nb_score"), 6).as("nb_score"), col("predicted_pass"))
+    }),
     "text_gopher" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -1418,39 +1429,10 @@ object SparkEntry {
     // NB replay: identical add-one-smoothed math, same arithmetic
     // association (ln(pos-frac) − ln(neg-frac) per token, prior + Σ llr
     // per doc); weak labels are the text_gopher expression inlined
-    "text_nb_classifier" ->
-      """WITH t AS (SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
-         FROM documents WHERE text IS NOT NULL),
-         lab AS (SELECT doc_id, toks,
-           (len(toks) BETWEEN 50 AND 100000) AND
-             (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-              list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END
-              BETWEEN 3.0 AND 10.0) AS label
-         FROM t),
-         terms AS (SELECT doc_id, label, unnest(toks) AS term FROM lab),
-         cnt AS (SELECT term,
-             count(*) FILTER (WHERE label) AS c_pos,
-             count(*) FILTER (WHERE NOT label) AS c_neg
-           FROM terms GROUP BY term),
-         tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
-             count(*) AS v FROM cnt),
-         dt AS (SELECT count(*) FILTER (WHERE label) AS d_pos,
-             count(*) FILTER (WHERE NOT label) AS d_neg
-           FROM (SELECT DISTINCT doc_id, label FROM terms)),
-         llr AS (SELECT term,
-             ln((c_pos + 1)::DOUBLE / (t_pos + v)::DOUBLE) -
-               ln((c_neg + 1)::DOUBLE / (t_neg + v)::DOUBLE) AS l
-           FROM cnt CROSS JOIN tot)
-         SELECT doc_id, any_value(label) AS label,
-           count(*)::BIGINT AS n_tokens_scored,
-           round(ln((d_pos + 1)::DOUBLE / (d_neg + 1)::DOUBLE) + sum(l), 6)
-             AS nb_score,
-           (ln((d_pos + 1)::DOUBLE / (d_neg + 1)::DOUBLE) + sum(l)) > 0
-             AS predicted_pass
-         FROM terms JOIN llr USING (term) CROSS JOIN dt
-         GROUP BY doc_id, d_pos, d_neg""",
+    "text_nb_classifier" -> nbOracle(""),
+    // persisted-model scoring == the full corpus-wide run restricted to
+    // the scored batch (model trained on the whole snapshot either way)
+    "text_nb_incremental" -> nbOracle("WHERE doc_id >= 250"),
     "text_gopher" ->
       """WITH t AS (SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -1971,6 +1953,49 @@ object SparkEntry {
 
   /** DuckDB string literal (single-quoted, embedded quotes doubled). */
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** NB replay: identical add-one-smoothed math, same arithmetic
+    * association (ln(pos-frac) − ln(neg-frac) per token, prior + Σ llr
+    * per doc); weak labels are the text_gopher expression inlined. The
+    * model (counts / totals / llr) always trains on the FULL corpus;
+    * `restrict` filters only the final per-doc scoring aggregation —
+    * empty for the corpus-wide query, a doc_id predicate for the
+    * persisted-model batch-scoring query.
+    */
+  private def nbOracle(restrict: String): String =
+    s"""WITH t AS (SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+       FROM documents WHERE text IS NOT NULL),
+       lab AS (SELECT doc_id, toks,
+         (len(toks) BETWEEN 50 AND 100000) AND
+           (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+            list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END
+            BETWEEN 3.0 AND 10.0) AS label
+       FROM t),
+       terms AS (SELECT doc_id, label, unnest(toks) AS term FROM lab),
+       cnt AS (SELECT term,
+           count(*) FILTER (WHERE label) AS c_pos,
+           count(*) FILTER (WHERE NOT label) AS c_neg
+         FROM terms GROUP BY term),
+       tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+           count(*) AS v FROM cnt),
+       dt AS (SELECT count(*) FILTER (WHERE label) AS d_pos,
+           count(*) FILTER (WHERE NOT label) AS d_neg
+         FROM (SELECT DISTINCT doc_id, label FROM terms)),
+       llr AS (SELECT term,
+           ln((c_pos + 1)::DOUBLE / (t_pos + v)::DOUBLE) -
+             ln((c_neg + 1)::DOUBLE / (t_neg + v)::DOUBLE) AS l
+         FROM cnt CROSS JOIN tot)
+       SELECT doc_id, any_value(label) AS label,
+         count(*)::BIGINT AS n_tokens_scored,
+         round(ln((d_pos + 1)::DOUBLE / (d_neg + 1)::DOUBLE) + sum(l), 6)
+           AS nb_score,
+         (ln((d_pos + 1)::DOUBLE / (d_neg + 1)::DOUBLE) + sum(l)) > 0
+           AS predicted_pass
+       FROM terms JOIN llr USING (term) CROSS JOIN dt
+       $restrict
+       GROUP BY doc_id, d_pos, d_neg"""
 
   /** Word-4-gram benchmark-overlap counts (docs 0-4 are the eval set) —
     * shared verbatim by pipeline_decontaminate and its bloom-prefiltered

@@ -104,7 +104,22 @@ object TrainingData {
     * corpus side the k bit tests run inside the scan's codegen'd
     * projection, so non-matching grams (approximately all of them, fpp
     * ~0.05 %) die before the explode output ever reaches a shuffle. The
-    * confirm join then touches only true overlaps + the fpp sliver.
+    * confirm join then touches only true overlaps + the fpp sliver —
+    * and is broadcast ONLY when the gram set actually fits under the
+    * session's auto-broadcast threshold (`nGrams` is already counted
+    * for the bloom sizing, so the gate is free); above it, both sides
+    * shuffle on the well-distributed 8-byte gram hash, which is cheap
+    * precisely because the bloom already shrank the probe side to
+    * ~true-overlaps. Forcing the broadcast would re-create the problem
+    * this operator exists to avoid.
+    *
+    * Size ceiling: the bloom word array itself is a broadcast plan
+    * literal of `bitsPerElem/8` bytes per gram — linear in the
+    * benchmark, just 4× smaller than the raw hash set at the default
+    * 16 bits. It caps out around a few hundred million grams (~1 GB of
+    * literal at 5e8 grams); past that, split the gram space and run
+    * per-bucket blooms, or skip the prefilter and let the confirm join
+    * shuffle both full sides.
     */
   def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 8,
@@ -120,9 +135,15 @@ object TrainingData {
     val words = Bloom.build(benchGrams, "g", numWords, k)
     val docGrams = docs.select(col(idCol),
       explode(ArrayOps.wordNgramHashes(T.normTokens(col(textCol)), n)).as("g"))
+    // ~32 bytes per broadcast hash-relation row of one long; only hint
+    // the broadcast when the whole gram set provably fits
+    val threshold = docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val confirm =
+      if (threshold > 0 && nGrams * 32L < threshold) broadcast(benchGrams)
+      else benchGrams
     docGrams
       .filter(Bloom.mightContain(col("g"), words, k))
-      .join(broadcast(benchGrams), Seq("g"))
+      .join(confirm, Seq("g"))
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap_grams"))
   }
 

@@ -150,6 +150,32 @@ class PlanShapeSpec extends SparkSpec {
     scan.select(countDistinct("event_type")).head().getLong(0) shouldBe 1L
   }
 
+  test("bloom decontamination: confirm join is NOT broadcast above the gate") {
+    // the operator exists for benchmark sets too big to broadcast raw —
+    // forcing broadcast(benchGrams) would re-create exactly that OOM.
+    // Above the auto-broadcast threshold the confirm must be a shuffle
+    // join (cheap: the bloom already shrank the probe side), and the
+    // answer must still equal the exact path.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "64") // bytes
+    val docs = Tables.documents(s2, dir)
+    val bloom = graft.operators.TrainingData.decontaminateBloom(
+      docs.filter(col("doc_id") >= 5), "doc_id", "text",
+      docs.filter(col("doc_id") < 5), "text", n = 4)
+    val p = bloom.queryExecution.executedPlan.toString
+    p should not include "BroadcastHashJoin"
+    val exact = graft.operators.TrainingData.decontaminate(
+      docs.filter(col("doc_id") >= 5), "doc_id", "text",
+      docs.filter(col("doc_id") < 5), "text", n = 4)
+    bloom.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      exact.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // below the gate (default session threshold) the hint still applies
+    val hinted = graft.operators.TrainingData.decontaminateBloom(
+      Tables.documents(spark, dir).filter(col("doc_id") >= 5), "doc_id", "text",
+      Tables.documents(spark, dir).filter(col("doc_id") < 5), "text", n = 4)
+    hinted.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the joined plan") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val s2 = spark.newSession()

@@ -66,6 +66,36 @@ class ClassifierSpec extends SparkSpec {
     out.foreach { case (id, (lab, _, _, pred)) => pred shouldBe lab }
   }
 
+  test("nbTrain/nbScore: parquet-persisted model scores a batch exactly like the full run") {
+    import spark.implicits._
+    val fluent = Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dogs")
+    val docs = (1L to 20L).map { i =>
+      if (i % 2 == 0) (i, (0 until 56).map(j => fluent((j + i.toInt) % fluent.size)).mkString(" "))
+      else (i, s"buy cheap pills zzz qqq spam$i")
+    }.toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("nb-model").toString
+    Classifier.nbTrain(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/model")
+    val model = spark.read.parquet(s"$dir/model")
+    // model is vocabulary-sized: terms + exactly one null metadata row
+    model.filter($"term".isNull).count() shouldBe 1L
+
+    val batch = docs.filter($"doc_id" > 15L)
+    val scored = Classifier.nbScore(batch, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val full = Classifier.naiveBayesQuality(docs, "doc_id", "text")
+      .filter($"doc_id" > 15L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    scored.keySet shouldBe full.keySet
+    full.foreach { case (id, (lab, n, s, pred)) =>
+      val (olab, on, os, opred) = scored(id)
+      olab shouldBe lab; on shouldBe n; os shouldBe s +- 1e-12; opred shouldBe pred
+    }
+  }
+
   test("naiveBayesQuality: single-class corpus stays defined via smoothing") {
     import spark.implicits._
     val docs = Seq((1L, "short spam"), (2L, "more spam here"))
