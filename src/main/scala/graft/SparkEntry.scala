@@ -450,6 +450,14 @@ object SparkEntry {
       graft.operators.TrainingData.dedupSpans(
         Tables.documents(s, dir), "doc_id", "text", k = 8)
         .select(col("doc_id"), md5(col("text")).as("text_digest"))),
+    "text_span_dedup_sliding" -> ((s, dir) =>
+      // sliding-window variant (stride 4 < k=8): catches duplicated
+      // spans at any alignment offset >= stride-1 that block tiling
+      // misses; non-first window occurrences mark their token range,
+      // surviving text = tokens outside all marked ranges
+      graft.operators.TrainingData.dedupSpansSliding(
+        Tables.documents(s, dir), "doc_id", "text", k = 8, stride = 4)
+        .select(col("doc_id"), md5(col("text")).as("text_digest"))),
     "text_quality" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -1350,6 +1358,35 @@ object SparkEntry {
     // the incremental rebuild (new batch vs persisted block index) must
     // equal the full-corpus rebuild restricted to the new ids
     "dedup_incremental_spans" -> spanDedupSql("WHERE d.doc_id >= 250"),
+    // sliding windows every 4 tokens; dup windows mark [start, start+8),
+    // text rebuilt from tokens outside all marked ranges
+    "text_span_dedup_sliding" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+           FROM documents WHERE text IS NOT NULL),
+         n AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) >= 8 THEN (len(toks) - 8) // 4 + 1
+                      ELSE 0 END AS nw FROM t),
+         w AS (SELECT doc_id, toks, unnest(generate_series(0, nw - 1)) AS widx
+               FROM n WHERE nw > 0),
+         ww AS (SELECT doc_id, widx * 4 AS wstart,
+                  array_to_string(toks[widx*4 + 1 : widx*4 + 8], ' ') AS wtext
+                FROM w),
+         f AS (SELECT doc_id, wstart,
+                 row_number() OVER (PARTITION BY wtext ORDER BY doc_id, wstart) AS rn
+               FROM ww),
+         m AS (SELECT doc_id, list(wstart) AS starts
+               FROM f WHERE rn > 1 GROUP BY doc_id),
+         r AS (SELECT n.doc_id,
+                 coalesce(array_to_string(
+                   list_filter(n.toks, (tok, i) -> len(list_filter(
+                     coalesce(m.starts, []::INTEGER[]),
+                     st -> i BETWEEN st + 1 AND st + 8)) = 0), ' '), '') AS text
+               FROM n LEFT JOIN m USING (doc_id))
+         SELECT d.doc_id, md5(r.text) AS text_digest
+         FROM documents d LEFT JOIN r USING (doc_id)""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]

@@ -522,6 +522,67 @@ object TrainingData {
     spanReassemble(docs, toksed, kept, idCol, textCol, k)
   }
 
+  /** Sliding-window variant of [[dedupSpans]], closing its documented
+    * recall gap: block TILING misses a duplicated span whose alignment
+    * is offset by fewer than `k` tokens, while windows every `stride`
+    * (< `k`) tokens catch any repeat of length ≥ `k + stride − 1`
+    * at ANY alignment (and exactly length-`k` repeats at stride-aligned
+    * offsets — stride 1 recovers the full Lee et al. 2021 guarantee of
+    * catching every ≥`k`-token repeat, at `k`× the window rows).
+    * Removal is position-anchored: every NON-first occurrence of a
+    * window (global order by (doc id, window start)) marks its token
+    * range [start, start+k) for deletion; a doc's surviving text is its
+    * tokens outside all marked ranges (so a kept first-occurrence
+    * window overlapping a marked range in the same doc loses the
+    * overlap — duplicated SPANS are removed, window identity is only
+    * the detector). Docs shorter than `k` tokens pass through; null
+    * text stays null.
+    *
+    * Scale shape: identical discipline to [[dedupSpans]] — window keys
+    * travel as 60-bit md5 prefixes, first-occurrence is one
+    * map-side-combinable min-struct agg, the dup set comes back via an
+    * ANTI join on (id, wstart) (unique on both sides — a corpus-wide
+    * hot window cannot concentrate on one reducer), and per-doc mark
+    * lists are bounded by doc length. The token-survival filter is an
+    * indexed HOF over attributes only (nothing re-evaluates per
+    * element). Window rows are `k/stride`× the tiling variant's — the
+    * price of the recall, paid in narrow rows.
+    */
+  def dedupSpansSliding(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, stride: Int): DataFrame = {
+    require(k > 0, "k (window size in tokens) must be positive")
+    require(stride > 0 && stride <= k, "need 0 < stride <= k")
+    val S = org.apache.spark.sql.functions
+    val toksed = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), T.normTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        when(S.size(col("__toks")) >= k,
+          (floor((S.size(col("__toks")) - k) / stride) + 1).cast("int"))
+          .otherwise(lit(0)).as("__nw"))
+    val windows = toksed.filter(col("__nw") > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__nw") - 1)).as("__widx"))
+      .select(col(idCol), (col("__widx") * stride).as("wstart"),
+        array_join(slice(col("__toks"), col("__widx") * stride + 1, lit(k)), " ")
+          .as("__wtext"))
+    val firsts = windows
+      .groupBy(substring(md5(col("__wtext")), 1, 15).as("__wk"))
+      .agg(min(struct(col(idCol).as("__id"), col("wstart").as("__ws"))).as("__first"))
+      .select(col("__first.__id").as(idCol), col("__first.__ws").as("wstart"))
+    val dups = windows.select(col(idCol), col("wstart"))
+      .join(firsts, Seq(idCol, "wstart"), "left_anti")
+    val marks = dups.groupBy(col(idCol))
+      .agg(collect_list(col("wstart")).as("__starts"))
+    val rebuilt = toksed.join(marks, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__st"))
+      .select(col(idCol),
+        array_join(S.filter(col("__toks"),
+          (tok, p) => !S.exists(col("__st"), st => st <= p && p < st + k)), " ")
+          .as(textCol))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+  }
+
   /** Persisted first-occurrence block index of a corpus: one row per
     * distinct `k`-token block — `(block_key, id, bidx)` of its globally
     * first occurrence, keyed by the 60-bit md5 block digest. This is the

@@ -221,18 +221,27 @@ object StreamingOps {
     * set. The current label of an id is its row in the latest batch
     * that touched it ([[currentClusterLabels]]); a batch replay
     * overwrites its own partition like the pair/index writes.
+    *
+    * `compactEveryBatches > 0` runs [[compactClusterLabels]] inline
+    * after every Nth batch's label write, so a long-running stream's
+    * delta history stays bounded without a separate maintenance job
+    * (reads then touch the snapshot + ≤N deltas). Safe at any cadence:
+    * compaction never folds the latest delta, so the streaming replay
+    * contract is untouched, and it only ever rewrites partition -1.
     */
   def continuousClusteredDedup(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, pairsPath: String, labelsPath: String,
       checkpoint: String, numHashes: Int = 16, bands: Int = 8,
       shingleN: Int = 5, threshold: Double = 0.5,
-      estimateSlack: Double = 0.25): DataStreamWriter[Row] = {
+      estimateSlack: Double = 0.25,
+      compactEveryBatches: Int = 0): DataStreamWriter[Row] = {
     import graft.operators.Dedup
     continuousIndexedDedup(docs,
       b => Dedup.minhashIndex(b, idCol, textCol, numHashes, bands, shingleN),
       (newIdx, existing) => Dedup.minhashLshIncrementalFromIndex(newIdx, idCol,
         existing, numHashes, threshold, estimateSlack),
-      indexPath, pairsPath, checkpoint, labelsPath = Some(labelsPath))
+      indexPath, pairsPath, checkpoint, labelsPath = Some(labelsPath),
+      compactEveryBatches = compactEveryBatches)
   }
 
   /** Current (id, cluster_id) view over a [[continuousClusteredDedup]]
@@ -312,7 +321,8 @@ object StreamingOps {
       indexOf: DataFrame => DataFrame,
       probe: (DataFrame, DataFrame) => DataFrame,
       indexPath: String, pairsPath: String,
-      checkpoint: String, labelsPath: Option[String] = None): DataStreamWriter[Row] = {
+      checkpoint: String, labelsPath: Option[String] = None,
+      compactEveryBatches: Int = 0): DataStreamWriter[Row] = {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -366,6 +376,11 @@ object StreamingOps {
                 .incrementalComponentDeltaWithCleanup(current, pairs)
               try writeBatch(delta, lp)
               finally release()
+              // inline maintenance: fold committed deltas into the -1
+              // snapshot every N batches (batch 0 has nothing to fold)
+              if (compactEveryBatches > 0 && batchId > 0 &&
+                  batchId % compactEveryBatches == 0)
+                compactClusterLabels(spark, lp)
             }
           } finally pairs.unpersist(blocking = false)
         } finally newIdx.unpersist(blocking = false)

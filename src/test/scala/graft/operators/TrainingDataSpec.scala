@@ -145,6 +145,74 @@ class TrainingDataSpec extends SparkSpec {
     one shouldBe "p q r"
   }
 
+  test("dedupSpansSliding catches off-aligned dups that tiling misses") {
+    import spark.implicits._
+    // doc 2 repeats doc 1's "b c d e" at an offset that is NOT a
+    // multiple of k — tiling (k=4) misses it, sliding stride=1 removes it
+    val docs = Seq(
+      (1L, Option("a b c d e f g h")),
+      (2L, Option("x b c d e f y z")),
+      (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val tiled = TrainingData.dedupSpans(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    tiled(2L) shouldBe Some("x b c d e f y z") // recall gap: unchanged
+    val slid = TrainingData.dedupSpansSliding(docs, "doc_id", "text", k = 4, stride = 1)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    slid(1L) shouldBe Some("a b c d e f g h") // first occurrences all kept
+    slid(2L) shouldBe Some("x y z")           // the repeated span is gone
+    slid(3L) shouldBe None
+  }
+
+  /** Sequential reference of the sliding-window rule: first global
+    * occurrence of each window (by (id, start)) wins; every other
+    * occurrence marks [start, start+k); text = tokens outside marks.
+    */
+  private def refSliding(docs: Seq[(Long, Option[String])], k: Int, s: Int)
+      : Map[Long, Option[String]] = {
+    def norm(t: String): Vector[String] = {
+      val tr = t.toLowerCase.trim
+      if (tr.isEmpty) Vector.empty else tr.split("\\s+").toVector
+    }
+    val toks = docs.collect { case (id, Some(t)) => id -> norm(t) }.sortBy(_._1)
+    val firsts = collection.mutable.Map.empty[String, (Long, Int)]
+    for ((id, ts) <- toks; st <- 0 to ts.length - k by s)
+      firsts.getOrElseUpdate(ts.slice(st, st + k).mkString(" "), (id, st))
+    val rebuilt = toks.map { case (id, ts) =>
+      val marked = (0 to ts.length - k by s).filter { st =>
+        firsts(ts.slice(st, st + k).mkString(" ")) != ((id, st))
+      }
+      id -> Some(ts.zipWithIndex.collect {
+        case (t, p) if !marked.exists(st => st <= p && p < st + k) => t
+      }.mkString(" "))
+    }.toMap
+    docs.map { case (id, t) => id -> (if (t.isEmpty) None else rebuilt(id)) }.toMap
+  }
+
+  test("dedupSpansSliding matches a sequential reference on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // tiny vocab forces window collisions within and across docs
+    val docGen = Gen.listOfN(14, Gen.zip(
+      Gen.choose(0, 24),
+      Gen.listOfN(18, Gen.oneOf("a", "b", "c"))))
+    (1 to 5).foreach { i =>
+      val k = 2 + (i % 3)          // 2..4
+      val s = 1 + (i % k)          // 1..k
+      val raw = docGen(Gen.Parameters.default, Seed(4200L + i)).get
+      val docs = raw.zipWithIndex.map { case ((n, ws), j) =>
+        (j.toLong, Option(ws.take(n).mkString(" "))) // includes "" docs
+      } :+ (99L, Option.empty[String])
+      val df = docs.toDF("doc_id", "text").repartition(5)
+      val got = TrainingData.dedupSpansSliding(df, "doc_id", "text", k, s)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      withClue(s"seed=${4200 + i} k=$k stride=$s") {
+        got shouldBe refSliding(docs, k, s)
+      }
+    }
+  }
+
   test("dedupSpansIncremental equals the full rebuild restricted to new ids") {
     import spark.implicits._
     val old = Seq(

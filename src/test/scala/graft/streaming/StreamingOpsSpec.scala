@@ -377,6 +377,44 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe before
   }
 
+  test("continuousClusteredDedup auto-compacts every N batches; labels unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog in the morning sun"
+    val c = "another brand new document about spark catalyst internals today"
+    val feed = Seq(
+      Seq((0L, a), (1L, a)),
+      Seq((10L, a), (11L, c), (12L, c)),
+      Seq((13L, c)),
+      Seq((20L, a), (21L, "totally unrelated text about databases")),
+      Seq((22L, c)))
+    def run(dir: String, every: Int): Map[Long, Long] = {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingOps.continuousClusteredDedup(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$dir/index", s"$dir/pairs", s"$dir/labels", s"$dir/ckpt",
+        bands = 8, threshold = 0.5, compactEveryBatches = every).start()
+      try feed.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      StreamingOps.currentClusterLabels(spark, s"$dir/labels")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val plain = java.nio.file.Files.createTempDirectory("ccda0").toString
+    val auto = java.nio.file.Files.createTempDirectory("ccda2").toString
+    val expected = run(plain, every = 0)
+    run(auto, every = 2) shouldBe expected
+    // the stream compacted itself at batches 2 and 4: on disk only the
+    // snapshot and the post-snapshot deltas remain (batch 4 was the
+    // latest at compaction time, so it survives alongside -1)
+    val parts = new java.io.File(s"$auto/labels").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("batch_id=")).toSet
+    parts shouldBe Set("batch_id=-1", "batch_id=4")
+    // no-compaction run kept every delta partition
+    new java.io.File(s"$plain/labels").listFiles()
+      .filter(_.isDirectory).count(_.getName.startsWith("batch_id=")) shouldBe 5
+  }
+
   test("continuousSimhashDedup: hamming family probes and grows its chunk index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
