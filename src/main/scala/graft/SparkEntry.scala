@@ -513,6 +513,21 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 5), "doc_id", "text",
         docs.filter(col("doc_id") < 5), "text", n = 4)
     }),
+    "pipeline_decontaminate_fuzzy" -> ((s, dir) => {
+      // near-dup decontamination: corpus docs whose shingle sets
+      // near-duplicate an "eval set" doc (every 10th id) — catches the
+      // paraphrased/reformatted contamination the exact n-gram path
+      // misses. Threshold/slack mirror dedup_minhash (true matches here
+      // sit at jaccard >= 0.93, far above the banding recall floor)
+      val docs = Tables.documents(s, dir)
+      graft.operators.TrainingData.decontaminateFuzzy(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        numHashes = 16, bands = 8, shingleN = 5,
+        threshold = 0.4, estimateSlack = 0.05)
+        .select(col("doc_id"), col("n_bench_matches"),
+          round(col("max_jaccard"), 6).as("max_jaccard"))
+    }),
     "q_percentile_grouped" -> ((s, dir) =>
       // per-group exact median via the distributed rank+flank shape (the
       // value-buffering percentile aggregate would OOM per group at scale)
@@ -1358,6 +1373,27 @@ object SparkEntry {
     // the incremental rebuild (new batch vs persisted block index) must
     // equal the full-corpus rebuild restricted to the new ids
     "dedup_incremental_spans" -> spanDedupSql("WHERE d.doc_id >= 250"),
+    // exact bipartite shingle-jaccard: corpus (id % 10 != 0) vs eval set
+    // (id % 10 = 0); the LSH path's banding is recall-complete here
+    // (matches at j >= 0.93), so LSH output == the exact pair set
+    "pipeline_decontaminate_fuzzy" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, length(n)-4), i -> n[i:i+4])) AS g
+           FROM (SELECT doc_id,
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+                 FROM documents WHERE text IS NOT NULL)),
+         p AS (SELECT a.doc_id AS doc_id,
+                 len(list_intersect(a.g, b.g)) AS i,
+                 len(a.g) AS na, len(b.g) AS nb
+               FROM t a JOIN t b
+                 ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+         j AS (SELECT doc_id,
+                 CASE WHEN na + nb - i = 0 THEN 0.0
+                      ELSE i::DOUBLE / (na + nb - i)::DOUBLE END AS j
+               FROM p)
+         SELECT doc_id, count(*)::BIGINT AS n_bench_matches,
+           round(max(j), 6) AS max_jaccard
+         FROM j WHERE j >= 0.4 GROUP BY doc_id""",
     // sliding windows every 4 tokens; dup windows mark [start, start+8),
     // text rebuilt from tokens outside all marked ranges
     "text_span_dedup_sliding" ->

@@ -147,6 +147,56 @@ object TrainingData {
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap_grams"))
   }
 
+  /** FUZZY decontamination: corpus docs NEAR-duplicating a benchmark doc
+    * (MinHash-LSH over character shingles, exact-Jaccard verified) — the
+    * contamination [[decontaminate]]'s exact n-gram overlap misses when
+    * eval items were paraphrased, reformatted, or lightly edited before
+    * landing in the crawl (the GPT-3/PaLM appendices document exactly
+    * this failure mode). Returns one row per contaminated corpus doc:
+    * `(id, n_bench_matches, max_jaccard)`.
+    *
+    * Scale shape: both sides build the same [[Dedup.minhashIndex]] rows
+    * (signatures in the scan projection, no shuffle until the bucket
+    * join); candidates are a BIPARTITE band-bucket join — corpus×bench
+    * only, never corpus×corpus, so a hot bucket costs |docs-in-bucket| ×
+    * |bench-in-bucket| where the bench factor is eval-set-sized; the
+    * signature-agreement prefilter then prunes the candidate set before
+    * the exact shingle-Jaccard verify, and one doc-keyed aggregation
+    * emits the drop list. Same discipline (estimate floor + exact
+    * verify) as [[Dedup.minhashLsh]], shapes shared via its index.
+    */
+  def decontaminateFuzzy(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      numHashes: Int = 16, bands: Int = 8, shingleN: Int = 5,
+      threshold: Double = 0.5, estimateSlack: Double = 0.25): DataFrame = {
+    import graft.functions.ArrayOps
+    val docIdx = Dedup.minhashIndex(docs, idCol, textCol,
+      numHashes, bands, shingleN)
+    val benchIdx = Dedup.minhashIndex(benchmark, benchIdCol, benchTextCol,
+      numHashes, bands, shingleN)
+      .select(col(benchIdCol).as("__bid"), col("sh").as("__bsh"),
+        col("sig").as("__bsig"), col("bucket"))
+    val estMin = math.max(0.0, threshold - estimateSlack)
+    val minAgree = math.ceil(estMin * numHashes - 1e-9).toInt
+    // sh/sig are functionally dependent on the id, so the per-pair pick
+    // after dropDuplicates is deterministic in value
+    val cands = docIdx.select(col(idCol), col("sh"), col("sig"), col("bucket"))
+      .join(benchIdx, Seq("bucket"))
+      .dropDuplicates(idCol, "__bid")
+    val agree = aggregate(
+      zip_with(col("sig"), col("__bsig"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    cands
+      .filter(agree >= minAgree)
+      .select(col(idCol),
+        ArrayOps.jaccardSortedLong(col("sh"), col("__bsh")).as("__j"))
+      .filter(col("__j") >= threshold)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(col("__j")).as("max_jaccard"))
+  }
+
   /** Split every doc into overlapping token windows — the standard
     * embedding/RAG prep step (a context-limited encoder can't take whole
     * docs; overlap keeps boundary context). Chunk k covers tokens

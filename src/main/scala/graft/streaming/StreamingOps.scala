@@ -171,6 +171,70 @@ object StreamingOps {
       }
   }
 
+  /** Continuous-ingestion SPAN dedup — the exact-substring face of the
+    * probe-and-append loop, completing the family symmetry (MinHash,
+    * SimHash, embedding, and now spans all stream the same way): each
+    * micro-batch is rebuilt against the persisted first-occurrence block
+    * index ([[graft.operators.TrainingData.dedupSpansIncremental]]) —
+    * blocks already owned by the ingested corpus, or by an earlier doc
+    * in the batch, are stripped — and the deduped text is written to
+    * `outPath`; then the batch's NEW first-occurrence blocks
+    * ([[graft.operators.TrainingData.spanIndexDelta]]) append to the
+    * index so later batches match against them.
+    *
+    * Accumulated state is the fixed-width block-key index on disk
+    * (one row per distinct block ever seen), never text; both writes
+    * are per-batch-id dynamic-partition overwrites, so replays replace
+    * rather than duplicate (the index read excludes the replaying
+    * batch's own failed rows). The rebuilt output equals the batch
+    * restriction of a full-corpus [[graft.operators.TrainingData.dedupSpans]]
+    * whenever ingestion order matches id order — the same invariant the
+    * other incremental dedups state.
+    */
+  def continuousSpanDedup(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, outPath: String, checkpoint: String,
+      k: Int = 8): DataStreamWriter[Row] = {
+    import graft.operators.TrainingData
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // the batch feeds two tokenize passes (rebuild + index delta) —
+        // persist the raw batch once, release deterministically
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          b.count()
+          val existing =
+            try spark.read.parquet(indexPath)
+              .where(col("batch_id") =!= batchId).drop("batch_id")
+            catch {
+              // ONLY path-not-found means "first batch" — see
+              // continuousNearDup
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition == "PATH_NOT_FOUND" =>
+                TrainingData.spanIndex(b.limit(0), idCol, textCol, k)
+            }
+          def writeBatch(df: DataFrame, path: String): Unit = df
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+          // output first, index second: a crash between the two replays
+          // the batch with the index still excluding its own rows
+          writeBatch(
+            TrainingData.dedupSpansIncremental(b, idCol, textCol, k, existing),
+            outPath)
+          writeBatch(
+            TrainingData.spanIndexDelta(b, idCol, textCol, k, existing),
+            indexPath)
+        } finally b.unpersist(blocking = false)
+        ()
+      }
+  }
+
   /** Continuous-ingestion near-dup for the HAMMING family — the chunk-
     * blocked analog of [[continuousNearDup]]: each micro-batch builds its
     * (id, sig, bucket) chunk index rows via `indexOf` (text SimHash, image

@@ -145,6 +145,26 @@ class TrainingDataSpec extends SparkSpec {
     one shouldBe "p q r"
   }
 
+  test("decontaminateFuzzy flags near-dups of benchmark docs; exact misses them") {
+    import spark.implicits._
+    val evalDoc = "what is the capital of france the capital of france is paris " +
+      "and it has been the capital since the tenth century more or less"
+    // light edit: word swapped — exact 4-gram overlap shrinks, shingle
+    // jaccard stays high
+    val contaminated = evalDoc.replace("tenth", "ninth")
+    val clean = "completely unrelated text about spark catalyst internals " +
+      "and how adaptive query execution replans shuffles at runtime"
+    val corpus = Seq((10L, contaminated), (11L, clean)).toDF("doc_id", "text")
+    val bench = Seq((1L, evalDoc)).toDF("doc_id", "text")
+    val got = TrainingData.decontaminateFuzzy(
+      corpus, "doc_id", "text", bench, "doc_id", "text",
+      threshold = 0.4, estimateSlack = 0.05)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got.keySet shouldBe Set(10L)
+    got(10L)._1 shouldBe 1L
+    got(10L)._2 should be > 0.8
+  }
+
   test("dedupSpansSliding catches off-aligned dups that tiling misses") {
     import spark.implicits._
     // doc 2 repeats doc 1's "b c d e" at an offset that is NOT a

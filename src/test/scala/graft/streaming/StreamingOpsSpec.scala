@@ -415,6 +415,43 @@ class StreamingOpsSpec extends SparkSpec {
       .filter(_.isDirectory).count(_.getName.startsWith("batch_id=")) shouldBe 5
   }
 
+  test("continuousSpanDedup strips cross-batch repeated spans, grows the block index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("csd").toString
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.continuousSpanDedup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/index", s"$dir/out", s"$dir/ckpt", k = 3).start()
+    try {
+      in.addData((0L, "a b c d e f"), (1L, "g h i tail1"))
+      q.processAllAvailable()
+      // batch 2: doc 10 repeats doc 0's blocks (stripped via the
+      // persisted index), doc 11 repeats doc 10's fresh block IN-batch
+      in.addData((10L, "a b c x y z"), (11L, "x y z t2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text"))).toMap
+    out(0L) shouldBe Some("a b c d e f")
+    out(1L) shouldBe Some("g h i tail1")
+    out(10L) shouldBe Some("x y z") // "a b c" owned by doc 0
+    out(11L) shouldBe Some("t2")    // "x y z" owned by doc 10, tail kept
+    // equals the full-corpus rebuild (ingestion order == id order)
+    val full = graft.operators.TrainingData.dedupSpans(
+      Seq((0L, "a b c d e f"), (1L, "g h i tail1"),
+        (10L, "a b c x y z"), (11L, "x y z t2")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    out shouldBe full
+    // index holds one row per distinct block, owned by its first doc
+    val idx = spark.read.parquet(s"$dir/index")
+      .collect().map(r => r.getAs[Long]("doc_id")).toSeq
+    idx.size shouldBe 4 // "a b c", "d e f", "g h i", "x y z"
+    idx.count(_ == 10L) shouldBe 1 // doc 10 owns only its fresh block
+  }
+
   test("continuousSimhashDedup: hamming family probes and grows its chunk index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
