@@ -450,6 +450,11 @@ object SparkEntry {
       graft.operators.TrainingData.dedupSpans(
         Tables.documents(s, dir), "doc_id", "text", k = 8)
         .select(col("doc_id"), md5(col("text")).as("text_digest"))),
+    "text_span_stats" -> ((s, dir) =>
+      // corpus duplication profile: fraction of tokens sitting in
+      // repeated 8-token blocks — read before paying for the dedup
+      graft.operators.TrainingData.spanStats(
+        Tables.documents(s, dir), "doc_id", "text", k = 8)),
     "text_span_dedup_sliding" -> ((s, dir) =>
       // sliding-window variant (stride 4 < k=8): catches duplicated
       // spans at any alignment offset >= stride-1 that block tiling
@@ -513,6 +518,17 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 5), "doc_id", "text",
         docs.filter(col("doc_id") < 5), "text", n = 4)
     }),
+    "pipeline_mixture_plan" -> ((s, dir) =>
+      // the per-source budgeting table a pretraining run starts from:
+      // weighted sources, 100k-token budget, 2-epoch repeat ceiling —
+      // src0 is deliberately over-asked (weight 0.5) so the epoch cap
+      // and shortfall arithmetic are exercised; unlisted sources get 0
+      graft.operators.Sampling.mixturePlan(
+        Tables.documents(s, dir), "source",
+        T.tokenCount(col("text")),
+        weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.15,
+          "src3" -> 0.05, "src99" -> 1.0),
+        tokenBudget = 100000L, maxEpochs = 2.0)),
     "pipeline_decontaminate_fuzzy" -> ((s, dir) => {
       // near-dup decontamination: corpus docs whose shingle sets
       // near-duplicate an "eval set" doc (every 10th id) — catches the
@@ -1373,6 +1389,33 @@ object SparkEntry {
     // the incremental rebuild (new batch vs persisted block index) must
     // equal the full-corpus rebuild restricted to the new ids
     "dedup_incremental_spans" -> spanDedupSql("WHERE d.doc_id >= 250"),
+    // same arithmetic chain: weights normalized over PRESENT sources
+    // (src99 drops out), round-then-floor at each step, 2-epoch cap,
+    // shortfall never negative
+    "pipeline_mixture_plan" ->
+      """WITH tok AS (SELECT source, count(*) AS n_docs,
+             sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT
+               AS n_tokens
+           FROM documents GROUP BY source),
+         w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3),
+           ('src2', 0.15), ('src3', 0.05), ('src99', 1.0)),
+         norm AS (SELECT sum(wt) AS nw FROM w
+                  WHERE source IN (SELECT source FROM tok)),
+         base AS (SELECT t.source, n_docs, n_tokens,
+             round(coalesce(w.wt, 0) / nw, 6) AS weight
+           FROM tok t LEFT JOIN w USING (source) CROSS JOIN norm),
+         b2 AS (SELECT *, floor(weight * 100000)::BIGINT AS target_tokens
+                FROM base),
+         b3 AS (SELECT *, round(least(2.0, target_tokens::DOUBLE /
+                  greatest(n_tokens::DOUBLE, 1.0)), 6) AS rate FROM b2),
+         b4 AS (SELECT *, floor(rate * n_tokens)::BIGINT AS planned_tokens
+                FROM b3)
+         SELECT source, n_docs, n_tokens, weight, target_tokens, rate,
+           planned_tokens,
+           greatest(target_tokens - planned_tokens, 0)::BIGINT
+             AS shortfall_tokens
+         FROM b4""",
     // exact bipartite shingle-jaccard: corpus (id % 10 != 0) vs eval set
     // (id % 10 = 0); the LSH path's banding is recall-complete here
     // (matches at j >= 0.93), so LSH output == the exact pair set
@@ -1394,6 +1437,26 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_bench_matches,
            round(max(j), 6) AS max_jaccard
          FROM j WHERE j >= 0.4 GROUP BY doc_id""",
+    // same tiling universe: non-null-text docs, 8-token blocks, distinct
+    // on the block text (the 60-bit digest is collision-free here)
+    "text_span_stats" ->
+      """WITH t AS (SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+         FROM documents WHERE text IS NOT NULL),
+         n AS (SELECT doc_id, toks, len(toks) // 8 AS nb FROM t),
+         b AS (SELECT doc_id, toks, unnest(generate_series(0, nb - 1)) AS bidx
+               FROM n WHERE nb > 0),
+         bb AS (SELECT array_to_string(toks[bidx*8 + 1 : bidx*8 + 8], ' ')
+                  AS btext FROM b),
+         ta AS (SELECT count(*)::BIGINT AS n_docs,
+                  coalesce(sum(len(toks)), 0)::BIGINT AS total_tokens FROM n),
+         ba AS (SELECT count(*)::BIGINT AS n_blocks,
+                  count(DISTINCT btext)::BIGINT AS n_distinct_blocks FROM bb)
+         SELECT n_docs, total_tokens, n_blocks, n_distinct_blocks,
+           round((n_blocks - n_distinct_blocks) * 8 /
+             greatest(total_tokens, 1)::DOUBLE, 6) AS dup_token_fraction
+         FROM ta CROSS JOIN ba""",
     // sliding windows every 4 tokens; dup windows mark [start, start+8),
     // text rebuilt from tokens outside all marked ranges
     "text_span_dedup_sliding" ->

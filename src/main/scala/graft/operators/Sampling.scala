@@ -93,6 +93,59 @@ object Sampling {
     mixtureSample(df, groupCol, idCol, fractions, defaultFraction = 0.0)
   }
 
+  /** Static data-mixing plan — the per-source budgeting table every
+    * pretraining run starts from (The Pile / LLaMA-style mixture specs):
+    * given target mixture `weights` (normalized over the sources present)
+    * and a global `tokenBudget`, compute for each source its available
+    * tokens, target tokens, and the sampling RATE that realizes the
+    * target — `rate > 1` means the source must repeat (epochs), capped at
+    * `maxEpochs` (Muennighoff et al. 2023's repeat ceiling); the
+    * uncovered remainder is reported as `shortfall_tokens` rather than
+    * silently redistributed, so the operator stays a pure function of
+    * its inputs (re-weighting is the caller's policy decision).
+    * Sources in the data but absent from `weights` get weight 0 (rate 0);
+    * weights for absent sources are ignored by the normalization.
+    *
+    * Scale shape: ONE aggregation over (source) — map-side combined,
+    * distinct-source-sized output — then pure column arithmetic against
+    * broadcast literals; nothing corpus-sized moves, nothing collects.
+    * Feed `rate ≤ 1` rows to [[mixtureSample]] (fractions = rate) and
+    * `rate > 1` rows to a repeat-and-sample emission to realize the plan.
+    */
+  def mixturePlan(docs: DataFrame, sourceCol: String, tokenCount: Column,
+      weights: Map[String, Double], tokenBudget: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val avail = docs
+      .groupBy(col(sourceCol).cast("string").as(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount.cast("long")).as("n_tokens"))
+    // normalize over the sources actually present: the weight column is
+    // a when-chain (distinct-source-sized), the normalizer one literal
+    val weightCol = weights.foldLeft(lit(0.0)) { case (acc, (k, w)) =>
+      when(col(sourceCol) === k, lit(w)).otherwise(acc)
+    }
+    val present = avail.select(col(sourceCol)).collect()
+      .map(_.getString(0)).toSet
+    val norm = weights.collect { case (k, w) if present(k) => w }.sum
+    require(norm > 0, "no positive weight matches a present source")
+    avail
+      .withColumn("weight", round(weightCol / norm, 6))
+      .withColumn("target_tokens",
+        floor(col("weight") * tokenBudget).cast("long"))
+      .withColumn("rate",
+        round(least(
+          lit(maxEpochs),
+          col("target_tokens").cast("double") /
+            greatest(col("n_tokens").cast("double"), lit(1.0))), 6))
+      .withColumn("planned_tokens",
+        floor(col("rate") * col("n_tokens")).cast("long"))
+      .withColumn("shortfall_tokens",
+        greatest(col("target_tokens") - col("planned_tokens"), lit(0L)))
+  }
+
   /** Deterministic fixed-quota sample per stratum: the `n` rows with the
     * smallest md5(id) in each strata group (ties broken by id). Standard
     * per-language / per-source quota sampling.

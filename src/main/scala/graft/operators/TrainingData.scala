@@ -155,40 +155,57 @@ object TrainingData {
     * this failure mode). Returns one row per contaminated corpus doc:
     * `(id, n_bench_matches, max_jaccard)`.
     *
-    * Scale shape: both sides build the same [[Dedup.minhashIndex]] rows
-    * (signatures in the scan projection, no shuffle until the bucket
-    * join); candidates are a BIPARTITE band-bucket join — corpus×bench
-    * only, never corpus×corpus, so a hot bucket costs |docs-in-bucket| ×
-    * |bench-in-bucket| where the bench factor is eval-set-sized; the
-    * signature-agreement prefilter then prunes the candidate set before
-    * the exact shingle-Jaccard verify, and one doc-keyed aggregation
-    * emits the drop list. Same discipline (estimate floor + exact
-    * verify) as [[Dedup.minhashLsh]], shapes shared via its index.
+    * Scale shape ([[Dedup.minhashLsh]]'s discipline, bipartite): each
+    * side's shingle pass is checkpointed once (it feeds the bucket
+    * branch AND the verify join); candidates meet in a BIPARTITE
+    * band-bucket join of NARROW (id, sig, bucket) rows — corpus×bench
+    * only, never corpus×corpus, and a hot bucket costs
+    * |docs-in-bucket| × |bench-in-bucket| where the bench factor is
+    * eval-set-sized; the signature-agreement estimate runs INLINE on the
+    * joined row, so a sub-estimate candidate is never deduped, never
+    * re-joined, never carries shingles. Only estimate survivors (a tiny
+    * distinct pair set) pull in the full shingle arrays — bench side
+    * first (eval-set-sized, broadcast), then the doc side streams off
+    * its checkpoint against the broadcast candidate set, so the
+    * corpus-sized shingle table itself never shuffles. One doc-keyed
+    * aggregation emits the drop list. (A first cut deduped WIDE rows —
+    * shingle arrays through the bucket-join shuffle — and ran 9× slower
+    * than the self-LSH at the same SF.)
     */
   def decontaminateFuzzy(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
       numHashes: Int = 16, bands: Int = 8, shingleN: Int = 5,
       threshold: Double = 0.5, estimateSlack: Double = 0.25): DataFrame = {
-    import graft.functions.ArrayOps
-    val docIdx = Dedup.minhashIndex(docs, idCol, textCol,
-      numHashes, bands, shingleN)
-    val benchIdx = Dedup.minhashIndex(benchmark, benchIdCol, benchTextCol,
-      numHashes, bands, shingleN)
-      .select(col(benchIdCol).as("__bid"), col("sh").as("__bsh"),
-        col("sig").as("__bsig"), col("bucket"))
+    import graft.functions.{ArrayOps, VectorFunctions => V}
+    def shingled(df: DataFrame, id: String, text: String): DataFrame = df
+      .filter(col(text).isNotNull)
+      .select(col(id), ArrayOps.shingleHashes(
+        regexp_replace(trim(lower(col(text))), "\\s+", " "), shingleN).as("sh"))
+      .localCheckpoint(true)
+    def buckets(sh: DataFrame, id: String): DataFrame = sh
+      .select(col(id), V.minhashSignatureOfHashes(col("sh"), numHashes).as("sig"))
+      .select(col(id), col("sig"),
+        explode(V.minhashBands(col("sig"), numHashes, bands)).as("b"))
+      .select(col(id), col("sig"),
+        concat_ws(":", col("b.band"), col("b.bucket")).as("bucket"))
+    val docSh = shingled(docs, idCol, textCol)
+    val benchSh = shingled(benchmark, benchIdCol, benchTextCol)
+      .select(col(benchIdCol).as("__bid"), col("sh"))
     val estMin = math.max(0.0, threshold - estimateSlack)
     val minAgree = math.ceil(estMin * numHashes - 1e-9).toInt
-    // sh/sig are functionally dependent on the id, so the per-pair pick
-    // after dropDuplicates is deterministic in value
-    val cands = docIdx.select(col(idCol), col("sh"), col("sig"), col("bucket"))
-      .join(benchIdx, Seq("bucket"))
-      .dropDuplicates(idCol, "__bid")
     val agree = aggregate(
       zip_with(col("sig"), col("__bsig"),
         (a, b) => when(a === b, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    cands
+    val cands = buckets(docSh, idCol)
+      .join(buckets(benchSh, "__bid")
+        .select(col("__bid"), col("sig").as("__bsig"), col("bucket")),
+        Seq("bucket"))
       .filter(agree >= minAgree)
+      .select(col(idCol), col("__bid")).distinct()
+    cands
+      .join(benchSh.select(col("__bid"), col("sh").as("__bsh")), Seq("__bid"))
+      .join(docSh, Seq(idCol))
       .select(col(idCol),
         ArrayOps.jaccardSortedLong(col("sh"), col("__bsh")).as("__j"))
       .filter(col("__j") >= threshold)
@@ -631,6 +648,35 @@ object TrainingData {
           (tok, p) => !S.exists(col("__st"), st => st <= p && p < st + k)), " ")
           .as(textCol))
     docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+  }
+
+  /** Corpus duplication profile at `k`-token block granularity — the
+    * "how duplicated is this crawl" number a pipeline reads BEFORE
+    * deciding to run [[dedupSpans]] (Lee et al. 2021 report it as
+    * the fraction of tokens in duplicated spans). One row:
+    * `(n_docs, total_tokens, n_blocks, n_distinct_blocks,
+    * dup_token_fraction)` over docs with non-null text.
+    *
+    * Scale shape: two partial-aggregatable global aggregations (token
+    * totals off the scan; block count + distinct 60-bit digests off the
+    * block stream) joined as single-row broadcasts — nothing collects,
+    * nothing is corpus-sized off-scan.
+    */
+  def spanStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val S = org.apache.spark.sql.functions
+    val toksed = spanToks(docs, idCol, textCol, k)
+    val blocks = spanBlocks(toksed, idCol, k)
+    val tokAgg = toksed.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(S.size(col("__toks")).cast("long")), lit(0L))
+        .as("total_tokens"))
+    val blockAgg = blocks.agg(count(lit(1)).as("n_blocks"),
+      countDistinct(substring(md5(col("__btext")), 1, 15))
+        .as("n_distinct_blocks"))
+    tokAgg.crossJoin(broadcast(blockAgg))
+      .withColumn("dup_token_fraction",
+        round((col("n_blocks") - col("n_distinct_blocks")) * k /
+          greatest(col("total_tokens"), lit(1L)).cast("double"), 6))
   }
 
   /** Persisted first-occurrence block index of a corpus: one row per

@@ -49,6 +49,31 @@ class SamplingSpec extends SparkSpec {
       .toDF("id", "lang")
   }
 
+  test("mixturePlan: weights normalize over present sources, epoch cap, shortfall") {
+    import spark.implicits._
+    // web: 100 tokens avail; books: 10 avail but asked for 50% of a
+    // 200-token budget -> needs 10 epochs, capped at 2 -> shortfall 80;
+    // "missing" carries weight but is absent (drops from normalization);
+    // unlisted "junk" gets weight 0
+    val docs = Seq(
+      ("web", "t " * 50), ("web", "t " * 50),
+      ("books", "t " * 10),
+      ("junk", "t " * 30))
+      .toDF("source", "text")
+    val plan = Sampling.mixturePlan(docs, "source",
+      graft.functions.TextFunctions.tokenCount(col("text")),
+      weights = Map("web" -> 0.25, "books" -> 0.25, "missing" -> 0.5),
+      tokenBudget = 200L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5), r.getLong(6), r.getLong(7)))).toMap
+    // norm over present = 0.25 + 0.25 = 0.5 -> web/books each 0.5
+    plan("web") shouldBe ((2L, 100L, 0.5, 100L, 1.0, 100L, 0L))
+    plan("books") shouldBe ((1L, 10L, 0.5, 100L, 2.0, 20L, 80L))
+    plan("junk") shouldBe ((1L, 30L, 0.0, 0L, 0.0, 0L, 0L))
+    plan.keySet shouldBe Set("web", "books", "junk")
+  }
+
   test("hashSample is deterministic and layout-independent") {
     val a = Sampling.hashSample(rows, "id", 0.25).collect().map(_.getLong(0)).toSet
     val b = Sampling.hashSample(rows.repartition(7), "id", 0.25)
