@@ -518,6 +518,29 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 5), "doc_id", "text",
         docs.filter(col("doc_id") < 5), "text", n = 4)
     }),
+    "pipeline_curation_report" -> ((s, dir) =>
+      // the per-source corpus report card a curation pass starts from:
+      // doc/token counts, mean heuristic quality, gopher pass rate,
+      // English share — ONE map-side-combined aggregation over the scan
+      Tables.documents(s, dir)
+        .select(col("source"), col("text"),
+          T.tokenCount(col("text")).cast("long").as("__nt"),
+          T.qualityScore(col("text")).as("__q"),
+          T.langId(col("text")).as("__lang"),
+          T.gopherPass(col("text")).as("__gp"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("text")).as("n_docs_text"),
+          coalesce(sum("__nt"), lit(0L)).as("total_tokens"),
+          // mean via an exact integer micro-unit sum: double addition is
+          // order-sensitive across partitions and the 6th decimal flips
+          // run-to-run; per-doc micro rounding makes the sum exact and
+          // order-free, so the mean is bit-reproducible by any engine
+          round(sum(round(col("__q") * 1e6).cast("long")).cast("double") /
+            count(col("__q")) / 1e6, 6).as("avg_quality"),
+          sum(when(col("__gp"), 1L).otherwise(0L)).as("n_gopher_pass"),
+          sum(when(col("__lang") === "en", 1L).otherwise(0L)).as("n_en"))),
     "pipeline_mixture_plan" -> ((s, dir) =>
       // the per-source budgeting table a pretraining run starts from:
       // weighted sources, 100k-token budget, 2-epoch repeat ceiling —
@@ -1389,6 +1412,43 @@ object SparkEntry {
     // the incremental rebuild (new batch vs persisted block index) must
     // equal the full-corpus rebuild restricted to the new ids
     "dedup_incremental_spans" -> spanDedupSql("WHERE d.doc_id >= 250"),
+    // per-source roll-up of the SAME per-doc formulas the text_quality /
+    // text_langid / text_gopher oracles use (unrounded per doc, rounded
+    // once at the mean); null-text docs count in n_docs only
+    "pipeline_curation_report" ->
+      s"""WITH t AS (SELECT source, text,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks,
+           ' ' || lower(text) || ' ' AS p
+         FROM documents),
+         sc AS (SELECT source, text, toks,
+             ${langScoreSql("en")} AS s_en, ${langScoreSql("de")} AS s_de,
+             ${langScoreSql("fr")} AS s_fr, ${langScoreSql("es")} AS s_es
+           FROM t),
+         d AS (SELECT source, text,
+             len(toks)::BIGINT AS nt,
+             least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+             + least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                 len(list_filter(toks, x -> list_contains($stopwordListSql, x)))::DOUBLE
+                 / len(toks)::DOUBLE END) * 4.0, 1.0) * 0.4
+             + greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                 (length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]-]', '', 'g')))::DOUBLE
+                 / length(text)::DOUBLE END) * 5.0, 0.0) * 0.2 AS q,
+             $langCaseSql AS lang,
+             (len(toks) BETWEEN 50 AND 100000) AND
+               (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                / len(toks) END BETWEEN 3.0 AND 10.0) AS gp
+           FROM sc)
+         SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(text)::BIGINT AS n_docs_text,
+           coalesce(sum(nt), 0)::BIGINT AS total_tokens,
+           round(sum(round(q * 1e6))::DOUBLE / count(q) / 1e6, 6)
+             AS avg_quality,
+           count(*) FILTER (WHERE gp)::BIGINT AS n_gopher_pass,
+           count(*) FILTER (WHERE lang = 'en')::BIGINT AS n_en
+         FROM d GROUP BY source""",
     // same arithmetic chain: weights normalized over PRESENT sources
     // (src99 drops out), round-then-floor at each step, 2-epoch cap,
     // shortfall never negative

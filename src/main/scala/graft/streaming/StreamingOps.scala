@@ -171,6 +171,33 @@ object StreamingOps {
       }
   }
 
+  /** Continuous quality scoring against a persisted Naive Bayes model
+    * ([[graft.operators.Classifier.nbTrain]] output, read back from
+    * parquet): each micro-batch is scored with
+    * [[graft.operators.Classifier.nbScore]] and written per-batch-id
+    * (dynamic overwrite — replays replace). The model is STATIC for the
+    * stream's lifetime — the standard train-offline / score-online
+    * split; retraining is a new model path and a stream restart. Scoring
+    * is a vocabulary-table join + one per-doc aggregation per batch;
+    * nothing stateful accumulates.
+    */
+  def continuousNbScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, outPath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.Classifier
+          .nbScore(batch.toDF(), idCol, textCol, model)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+
   /** Continuous-ingestion SPAN dedup — the exact-substring face of the
     * probe-and-append loop, completing the family symmetry (MinHash,
     * SimHash, embedding, and now spans all stream the same way): each

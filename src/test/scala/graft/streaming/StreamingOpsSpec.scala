@@ -415,6 +415,44 @@ class StreamingOpsSpec extends SparkSpec {
       .filter(_.isDirectory).count(_.getName.startsWith("batch_id=")) shouldBe 5
   }
 
+  test("continuousNbScore scores a stream against a persisted model") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cnb").toString
+    val fluent = Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dogs")
+    val corpus = (1L to 12L).map { i =>
+      if (i % 2 == 0)
+        (i, (0 until 56).map(j => fluent((j + i.toInt) % fluent.size)).mkString(" "))
+      else (i, s"buy cheap pills zzz qqq spam$i")
+    }
+    val corpusDf = corpus.toDF("doc_id", "text")
+    graft.operators.Classifier.nbTrain(corpusDf, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/model")
+    val model = spark.read.parquet(s"$dir/model")
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.continuousNbScore(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      model, s"$dir/scores", s"$dir/ckpt").start()
+    try {
+      in.addData(corpus.take(6): _*); q.processAllAvailable()
+      in.addData(corpus.drop(6): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/scores")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("label"), r.getAs[Double]("nb_score")))).toMap
+    val batchRun = graft.operators.Classifier
+      .naiveBayesQuality(corpusDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getDouble(3)))).toMap
+    streamed.keySet shouldBe batchRun.keySet
+    batchRun.foreach { case (id, (lab, s)) =>
+      streamed(id)._1 shouldBe lab
+      streamed(id)._2 shouldBe s +- 1e-12
+    }
+  }
+
   test("continuousSpanDedup strips cross-batch repeated spans, grows the block index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
