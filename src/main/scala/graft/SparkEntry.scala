@@ -450,6 +450,16 @@ object SparkEntry {
       graft.operators.TrainingData.dedupSpans(
         Tables.documents(s, dir), "doc_id", "text", k = 8)
         .select(col("doc_id"), md5(col("text")).as("text_digest"))),
+    "text_unigram_tokenize" -> ((s, dir) => {
+      // SentencePiece-family unigram tokenizer: corpus-seeded piece
+      // vocab (chars + top-200 multi-char substrings), then integer
+      // micro-nat Viterbi segmentation per doc — exact cross-engine
+      // arithmetic, oracle replays the DP in a recursive CTE
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.UnigramTokenizer.seedVocab(
+        docs, "text", maxPieceLen = 4, vocabSize = 200)
+      graft.operators.UnigramTokenizer.score(docs, "doc_id", "text", vocab)
+    }),
     "text_span_stats" -> ((s, dir) =>
       // corpus duplication profile: fraction of tokens sitting in
       // repeated 8-token blocks — read before paying for the dedup
@@ -682,6 +692,12 @@ object SparkEntry {
       // ndv, numeric min/max — single aggregation, then stack-unpivot
       graft.operators.Profiling.profile(Tables.lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"))),
+    "q_histogram" -> ((s, dir) =>
+      // the value-distribution primitive next to q_profile: 16 equi-width
+      // bins over the price range, empty bins present; <= nBins groups
+      // after the scan-side bin projection
+      graft.operators.Profiling.histogram(Tables.lineitem(s, dir),
+        "l_extendedprice", nBins = 16, lo = 0.0, hi = 80000.0)),
     "text_chunks" -> ((s, dir) =>
       // embedding/RAG prep: overlapping 32-token windows, stride 24 —
       // the 1→N expansion stays in the scan projection (PlanShapeSpec)
@@ -1497,6 +1513,58 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_bench_matches,
            round(max(j), 6) AS max_jaccard
          FROM j WHERE j >= 0.4 GROUP BY doc_id""",
+    // full unigram replay: same seed-vocab construction (counts, top-k
+    // by cnt*(len-1) with piece tie-break, micro-nat ln scores), then
+    // the integer Viterbi as a recursive CTE carrying each word's dp/np
+    // vectors as lists — all comparisons and sums in exact BIGINTs, so
+    // the engines cannot drift; tie-break = max score then fewest pieces
+    // (list_max over {bl, bn=-n} structs)
+    "text_unigram_tokenize" ->
+      """WITH RECURSIVE tdocs AS (SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+         FROM documents WHERE text IS NOT NULL),
+         toks AS (SELECT doc_id, unnest(toks) AS w FROM tdocs),
+         pieces AS (SELECT unnest(flatten(list_transform(
+             generate_series(1, length(w)), i ->
+               list_transform(generate_series(1, least(4, length(w) - i + 1)),
+                 l -> w[i:i+l-1])))) AS p
+           FROM toks),
+         cnts AS (SELECT p, count(*)::BIGINT AS cnt FROM pieces GROUP BY p),
+         multi AS (SELECT p, cnt FROM cnts WHERE length(p) > 1
+                   ORDER BY cnt * (length(p) - 1) DESC, p ASC LIMIT 200),
+         sel AS (SELECT p, cnt FROM cnts WHERE length(p) = 1
+                 UNION ALL SELECT p, cnt FROM multi),
+         tot AS (SELECT sum(cnt)::DOUBLE AS t FROM sel),
+         voc AS (SELECT p, round(ln(cnt::DOUBLE / t) * 1000000)::BIGINT AS lp
+                 FROM sel CROSS JOIN tot),
+         vm AS (SELECT map_from_entries(list({'k': p, 'v': lp})) AS m FROM voc),
+         words AS (SELECT DISTINCT w FROM toks),
+         rec AS (
+           SELECT w, [CAST(0 AS BIGINT)] AS dp, [CAST(0 AS BIGINT)] AS np, 0 AS i
+           FROM words
+           UNION ALL
+           SELECT w, list_append(dp, b['bl']), list_append(np, -b['bn']), i + 1
+           FROM (
+             SELECT w, dp, np, i,
+               list_max(list_filter(
+                 list_transform(generate_series(greatest(0, i + 1 - 4), i), j ->
+                   {'bl': dp[j + 1] + coalesce(
+                       element_at(vm.m, w[j + 1 : i + 1])[1],
+                       CASE WHEN i - j = 1 THEN -23000000 ELSE NULL END),
+                    'bn': -(np[j + 1] + 1)}),
+                 c -> c['bl'] IS NOT NULL)) AS b
+             FROM rec, vm
+             WHERE i < length(w)
+           )
+         ),
+         scored AS (SELECT w, dp[length(w) + 1] AS wl, np[length(w) + 1] AS wn
+                    FROM rec WHERE i = length(w)),
+         per_doc AS (SELECT doc_id, sum(wl) AS lp_micro, sum(wn) AS n_pieces
+           FROM toks JOIN scored USING (w) GROUP BY doc_id)
+         SELECT doc_id, n_pieces::BIGINT AS n_pieces,
+           lp_micro / 1000000.0 AS logprob
+         FROM per_doc""",
     // same tiling universe: non-null-text docs, 8-token blocks, distinct
     // on the block text (the 60-bit digest is collision-free here)
     "text_span_stats" ->
@@ -1719,6 +1787,21 @@ object SparkEntry {
            max(l_discount)::DOUBLE FROM lineitem
          UNION ALL SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
            count(DISTINCT l_returnflag), NULL::DOUBLE, NULL::DOUBLE FROM lineitem""",
+    // same bin arithmetic ((v - lo) / w, floor, last-bin clamp) on
+    // identical IEEE doubles; empty bins via the generated axis
+    "q_histogram" ->
+      """WITH axis AS (SELECT unnest(generate_series(0, 15)) AS bin),
+         c AS (SELECT least(floor((l_extendedprice - 0.0) / 5000.0), 15)::BIGINT
+                 AS bin, count(*) AS cnt
+               FROM lineitem
+               WHERE l_extendedprice IS NOT NULL
+                 AND l_extendedprice >= 0.0 AND l_extendedprice <= 80000.0
+               GROUP BY 1)
+         SELECT axis.bin::BIGINT AS bin,
+           round(0.0 + axis.bin * 5000.0, 6)::DOUBLE AS bin_lo,
+           round(0.0 + (axis.bin + 1) * 5000.0, 6)::DOUBLE AS bin_hi,
+           coalesce(cnt, 0)::BIGINT AS cnt
+         FROM axis LEFT JOIN c USING (bin)""",
     "text_chunks" ->
       """WITH t AS (SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]

@@ -55,4 +55,35 @@ object Profiling {
         col("e.n_nulls").as("n_nulls"), col("e.n_distinct").as("n_distinct"),
         col("e.min_num").as("min_num"), col("e.max_num").as("max_num"))
   }
+
+  /** Fixed-range equi-width histogram of a numeric column: `nBins`
+    * buckets over [lo, hi], hi-inclusive into the last bin, nulls and
+    * out-of-range values excluded, EMPTY bins present in the output
+    * (a plotting/profiling consumer wants the full axis). The value
+    * distribution primitive next to [[profile]]'s min/max — run
+    * `profile` first to pick the range.
+    *
+    * Scale shape: one map-side-combined aggregation on the bin key
+    * (≤ nBins groups), then a broadcast join against the
+    * `spark.range(nBins)` axis — nothing bigger than nBins anywhere
+    * after the scan; the bin expression folds into the scan projection.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    require(lo < hi, "need lo < hi")
+    val w = (hi - lo) / nBins
+    val counts = df
+      .select(qcol(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") >= lo && col("__v") <= hi)
+      .select(least(floor((col("__v") - lo) / w), lit(nBins - 1))
+        .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    df.sparkSession.range(nBins).toDF("bin")
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        round(lit(lo) + col("bin") * w, 6).as("bin_lo"),
+        round(lit(lo) + (col("bin") + 1) * w, 6).as("bin_hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
 }

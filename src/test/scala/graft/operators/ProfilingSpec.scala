@@ -50,4 +50,27 @@ class ProfilingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Profiling.profile(Seq(1).toDF("a"), Seq.empty)
   }
+
+  test("histogram: equi-width bins, hi-inclusive last bin, empty bins kept") {
+    import spark.implicits._
+    // values: 0 (bin 0), 5 (bin 1), 9.99 (bin 1... wait width 2.5)
+    val df = Seq(0.0, 1.0, 2.5, 5.0, 9.9, 10.0, -1.0, 11.0)
+      .toDF("v") // lo=0 hi=10, 4 bins of width 2.5; -1 and 11 excluded
+    val r = Profiling.histogram(df, "v", nBins = 4, lo = 0.0, hi = 10.0)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getDouble(1), x.getDouble(2), x.getLong(3)))).toMap
+    r.keySet shouldBe Set(0L, 1L, 2L, 3L)
+    r(0L) shouldBe ((0.0, 2.5, 2L))   // 0.0, 1.0
+    r(1L) shouldBe ((2.5, 5.0, 1L))   // 2.5
+    r(2L) shouldBe ((5.0, 7.5, 1L))   // 5.0
+    r(3L) shouldBe ((7.5, 10.0, 2L))  // 9.9 + hi-inclusive 10.0
+  }
+
+  test("histogram: null values excluded, all-empty axis still emitted") {
+    import spark.implicits._
+    val df = Seq[Option[Double]](None, Some(99.0)).toDF("v")
+    val r = Profiling.histogram(df, "v", nBins = 3, lo = 0.0, hi = 30.0)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    r shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L)
+  }
 }
