@@ -757,6 +757,24 @@ object SparkEntry {
       graft.operators.Sampling.stratifiedSample(
         Tables.documents(s, dir), Seq("lang"), "doc_id", n = 20)
         .select(col("doc_id"), col("lang"))),
+    "sample_dsir" -> ((s, dir) => {
+      // DSIR importance weights: target domain = sources src0/src1, raw =
+      // whole corpus; hashed word-bigram features over 256 buckets
+      val docs = Tables.documents(s, dir)
+      graft.operators.Sampling.importanceWeights(
+        docs, docs.filter(col("source").isin("src0", "src1")),
+        "doc_id", "text", numBuckets = 256)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("logw"), 6).as("logw"))
+    }),
+    "sample_dsir_topk" -> ((s, dir) => {
+      // the resampling half: 50 docs most target-like by hashed-bigram
+      // importance weight (deterministic tie order)
+      val docs = Tables.documents(s, dir)
+      graft.operators.Sampling.importanceResampleTopK(
+        docs, docs.filter(col("source").isin("src0", "src1")),
+        "doc_id", "text", numBuckets = 256, k = 50)
+    }),
     "embed_quantize" -> ((s, dir) =>
       graft.operators.Embeddings.quantizeInt8(
         Tables.embeddings(s, dir), "vec_id", "embedding")
@@ -1925,6 +1943,18 @@ object SparkEntry {
            SELECT doc_id, lang, row_number() OVER (
              PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
            FROM documents) WHERE rn <= 20""",
+    // full DSIR replay: same whitespace bigrams, same md5-bucket kernel
+    // (first 4 nibbles mod 256), same add-one smoothing arithmetic; the
+    // left-join tail restores featureless docs at the empty-product
+    // weight 0
+    "sample_dsir" -> (dsirWeightsSql +
+      """ SELECT d.doc_id, coalesce(s.n_feats, 0)::BIGINT AS n_feats,
+            round(coalesce(s.logw, 0), 6) AS logw
+          FROM documents d LEFT JOIN s USING (doc_id)"""),
+    "sample_dsir_topk" -> (dsirWeightsSql +
+      """ SELECT d.doc_id, round(coalesce(s.logw, 0), 6) AS logw
+          FROM documents d LEFT JOIN s USING (doc_id)
+          ORDER BY round(coalesce(s.logw, 0), 6) DESC, d.doc_id LIMIT 50"""),
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
@@ -2280,6 +2310,37 @@ object SparkEntry {
     * shared verbatim by pipeline_decontaminate and its bloom-prefiltered
     * scale path, whose outputs are defined to be identical.
     */
+  /** Shared CTE prefix for the DSIR queries: hashed word-bigram feature
+    * table over documents (`b`), target/raw bucket distributions with
+    * add-one smoothing over 256 buckets, per-bucket log ratios, and
+    * per-doc weight sums (`s`). Target = sources src0/src1; hash kernel =
+    * first 4 md5 nibbles mod 256 (the sample_hash strpos replication).
+    */
+  private lazy val dsirWeightsSql: String =
+    """WITH tok AS (SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS t
+       FROM documents WHERE trim(text) <> ''),
+       g AS (SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS g
+         FROM (SELECT doc_id, source, t,
+                 unnest(generate_series(1, len(t) - 1)) AS i
+               FROM tok WHERE len(t) >= 2)),
+       b AS (SELECT doc_id, source,
+           list_sum(list_transform(generate_series(1, 4),
+             k -> (strpos('0123456789abcdef', substr(md5(g), k, 1)) - 1)::BIGINT
+                  << (4 * (4 - k)))) % 256 AS b
+         FROM g),
+       tc AS (SELECT b, count(*)::DOUBLE AS ct FROM b
+              WHERE source IN ('src0', 'src1') GROUP BY 1),
+       rc AS (SELECT b, count(*)::DOUBLE AS cr FROM b GROUP BY 1),
+       tt AS (SELECT sum(ct) AS t FROM tc),
+       rt AS (SELECT sum(cr) AS r FROM rc),
+       lr AS (SELECT rc.b,
+           ln((coalesce(tc.ct, 0) + 1) / (tt.t + 256)) -
+           ln((rc.cr + 1) / (rt.r + 256)) AS lr
+         FROM rc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN rt),
+       s AS (SELECT doc_id, count(*)::BIGINT AS n_feats, sum(lr.lr) AS logw
+             FROM b JOIN lr USING (b) GROUP BY 1)"""
+
   private lazy val decontaminateOracle: String =
     """WITH t AS (SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]

@@ -146,6 +146,95 @@ object Sampling {
         greatest(col("target_tokens") - col("planned_tokens"), lit(0L)))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * each raw document by how much more likely its hashed word-bigram
+    * features are under the TARGET corpus's feature distribution than
+    * under the RAW corpus's —
+    * `log w(x) = Σ_f c_f(x) · (ln p̂_t(f) − ln p̂_r(f))`, with add-one
+    * smoothing over the `numBuckets` hashed-feature space. High-weight
+    * docs "look like" the target domain; resampling by weight steers a
+    * pretraining mix toward it without training a classifier.
+    *
+    * Features are consecutive word bigrams of the lowercased whitespace
+    * tokens, hashed into `numBuckets` buckets via the library's md5-bucket
+    * kernel (first 4 md5 nibbles mod numBuckets) — SQL-replicable, so the
+    * driver oracle checks the weights exactly. Docs with fewer than two
+    * tokens have no features and get weight 0 (the empty product).
+    *
+    * Scale shape: both feature distributions are ONE map-side-combined
+    * aggregation each, with output bounded by `numBuckets` (the whole
+    * point of feature hashing — the model size is fixed at any corpus
+    * size). The per-bucket log-ratio table is then a broadcast join onto
+    * the exploded raw-doc features, followed by one doc-keyed aggregation
+    * — one shuffle carries (doc, bucket) partial sums, nothing
+    * corpus-sized is ever collected or broadcast unbounded.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets > 0 && numBuckets <= 65536,
+      "numBuckets in [1, 65536] (the md5-bucket kernel has 16 bits)")
+    import graft.functions.{TextFunctions => T}
+    val B = lit(numBuckets.toLong)
+
+    // bigrams from a zip of the token array with its own tail — the
+    // trailing (last, null) pair concats to null and is filtered; the
+    // token split runs ONCE in its own projection (generator-adjacency
+    // discipline: nothing non-trivial is computed next to the explode)
+    def feats(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ T.normTokens(col(textCol)).as("__t"): _*)
+        .select(keep :+ explode(filter(
+          zip_with(col("__t"), slice(col("__t"), lit(2), size(col("__t"))),
+            (a, b) => concat(a, lit(" "), b)),
+          g => g.isNotNull)).as("__g"): _*)
+        .select(keep :+
+          (conv(substring(md5(col("__g")), 1, 4), 16, 10).cast("long") % B)
+            .as("__b"): _*)
+
+    val tCounts = feats(target, Seq.empty).groupBy("__b")
+      .agg(count(lit(1)).cast("double").as("__ct"))
+    val rawFeats = feats(raw, Seq(col(idCol)))
+    val rCounts = rawFeats.groupBy("__b")
+      .agg(count(lit(1)).cast("double").as("__cr"))
+    // totals fold into the plan as 1-row broadcasts (tfidf precedent):
+    // one job per run, no driver-side count()
+    val tTot = tCounts.agg(sum("__ct").as("__tt"))
+    val rTot = rCounts.agg(sum("__cr").as("__rt"))
+    // only buckets some raw feature hits matter; target-only buckets can
+    // never be referenced by a raw doc — a left join from the raw side
+    val ratios = rCounts
+      .join(tCounts, Seq("__b"), "left_outer")
+      .na.fill(0.0, Seq("__ct"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("__b"),
+        (log((col("__ct") + 1d) / (col("__tt") + B)) -
+          log((col("__cr") + 1d) / (col("__rt") + B))).as("__lr"))
+    val scored = rawFeats
+      .join(broadcast(ratios), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum("__lr").as("logw"))
+    // featureless docs (0-1 tokens) re-enter with the empty-product weight
+    raw.select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .na.fill(0L, Seq("n_feats")).na.fill(0.0, Seq("logw"))
+  }
+
+  /** The resampling half of DSIR: the `k` raw docs with the highest
+    * importance weight (deterministic top-k — ties broken on rounded
+    * weight then id, so the selected SET is engine-replicable; the
+    * published recipe's Gumbel noise is a seeded jitter on the same
+    * ordering). Plans as TakeOrderedAndProject: per-partition heaps +
+    * a driver merge of k rows, no global sort.
+    */
+  def importanceResampleTopK(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    importanceWeights(raw, target, idCol, textCol, numBuckets)
+      .select(col(idCol), round(col("logw"), 6).as("logw"))
+      .orderBy(col("logw").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic fixed-quota sample per stratum: the `n` rows with the
     * smallest md5(id) in each strata group (ties broken by id). Standard
     * per-language / per-source quota sampling.

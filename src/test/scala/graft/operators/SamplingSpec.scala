@@ -146,4 +146,88 @@ class SamplingSpec extends SparkSpec {
     got.count(_.isEmpty) shouldBe 2 // quota applies inside the null stratum
     got.count(_.contains("en")) shouldBe 1
   }
+
+  // two disjoint vocabularies: "wiki-like" docs vs "spam-like" docs
+  private lazy val dsirDocs = {
+    import spark.implicits._
+    val wiki = (0L until 20L).map(i =>
+      (i, s"the quick study of history shows pattern ${i % 3} in science"))
+    val spam = (20L until 40L).map(i =>
+      (i, s"buy cheap deal now click offer ${i % 3} win prize money"))
+    val short = Seq((40L, "one"), (41L, ""))
+    (wiki ++ spam ++ short).toDF("doc_id", "text")
+  }
+
+  test("importanceWeights ranks target-like docs above off-domain docs") {
+    // target = 5 wiki docs; every wiki doc must outweigh every spam doc
+    val target = dsirDocs.filter(col("doc_id") < 5)
+    val w = Sampling.importanceWeights(dsirDocs, target, "doc_id", "text",
+      numBuckets = 128)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val wikiMin = (0L until 20L).map(w).min
+    val spamMax = (20L until 40L).map(w).max
+    wikiMin should be > spamMax
+    // featureless docs (one token / empty) carry the empty-product weight
+    w(40L) shouldBe 0.0
+    w(41L) shouldBe 0.0
+    // every doc re-enters the output exactly once
+    w.size shouldBe 42
+  }
+
+  test("importanceResampleTopK selects the k highest-weight docs, deterministically") {
+    val target = dsirDocs.filter(col("doc_id") < 5)
+    val top = Sampling.importanceResampleTopK(dsirDocs, target,
+      "doc_id", "text", numBuckets = 128, k = 20)
+      .collect().map(_.getLong(0)).toSet
+    // contract: exactly the k docs that lead the weights output under
+    // the same (rounded weight desc, id) order
+    val expected = Sampling.importanceWeights(dsirDocs, target,
+      "doc_id", "text", numBuckets = 128)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy { case (id, w) =>
+        (-math.round(w * 1e6) / 1e6, id)
+      }.take(20).map(_._1).toSet
+    top shouldBe expected
+    // no spam doc outranks the weight-0 floor into the resample
+    top.intersect((20L until 40L).toSet) shouldBe empty
+    // re-run is bit-identical (content-hash features, no RNG)
+    Sampling.importanceResampleTopK(dsirDocs, target,
+      "doc_id", "text", numBuckets = 128, k = 20)
+      .collect().map(_.getLong(0)).toSet shouldBe top
+  }
+
+  test("importanceWeights matches a sequential reference on a tiny corpus") {
+    import spark.implicits._
+    // 4 docs, small bucket space to force collisions through the same
+    // md5 kernel the operator uses
+    val docs = Seq((1L, "a b c"), (2L, "b c d"), (3L, "x y"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") === 1)
+    val B = 16
+    def bucket(g: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (Integer.parseInt(hex.take(4), 16) % B)
+    }
+    def grams(t: String): Seq[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      toks.zip(toks.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val all = Map(1L -> "a b c", 2L -> "b c d", 3L -> "x y", 4L -> "a b")
+    val tCnt = grams(all(1L)).groupBy(bucket).map { case (k, v) => k -> v.size }
+    val rCnt = all.values.flatMap(grams).groupBy(bucket)
+      .map { case (k, v) => k -> v.size }
+    val tTot = tCnt.values.sum.toDouble
+    val rTot = rCnt.values.sum.toDouble
+    def lw(id: Long): Double = grams(all(id)).map { g =>
+      val b = bucket(g)
+      math.log((tCnt.getOrElse(b, 0) + 1d) / (tTot + B)) -
+        math.log((rCnt(b) + 1d) / (rTot + B))
+    }.sum
+    val got = Sampling.importanceWeights(docs, target, "doc_id", "text", B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    all.keys.foreach { id =>
+      got(id) shouldBe (lw(id) +- 1e-9)
+    }
+  }
 }
