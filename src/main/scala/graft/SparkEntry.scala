@@ -775,6 +775,17 @@ object SparkEntry {
         docs, docs.filter(col("source").isin("src0", "src1")),
         "doc_id", "text", numBuckets = 256, k = 50)
     }),
+    "graph_pagerank" -> ((s, dir) => {
+      // link-graph quality prior: PageRank over the part↔supplier
+      // co-supply graph (both directions of each distinct pair;
+      // supplier ids offset into their own node-id space), 3 rounds
+      val li = Tables.lineitem(s, dir)
+      val ps = li.select(col("l_partkey").cast("long").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst")).distinct()
+      val e = ps.union(ps.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pageRank(e, "src", "dst", iters = 3)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
     "embed_quantize" -> ((s, dir) =>
       graft.operators.Embeddings.quantizeInt8(
         Tables.embeddings(s, dir), "vec_id", "embedding")
@@ -1955,6 +1966,28 @@ object SparkEntry {
       """ SELECT d.doc_id, round(coalesce(s.logw, 0), 6) AS logw
           FROM documents d LEFT JOIN s USING (doc_id)
           ORDER BY round(coalesce(s.logw, 0), 6) DESC, d.doc_id LIMIT 50"""),
+    // 3 PageRank rounds unrolled; same unnormalized (1−d) + d·Σ r/deg
+    // arithmetic as the operator, UNION dedups the node set
+    "graph_pagerank" ->
+      """WITH pe AS (SELECT DISTINCT l_partkey::BIGINT AS src,
+             (l_suppkey + 1000000)::BIGINT AS dst FROM lineitem),
+         e AS (SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe),
+         n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         d AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT id, 1.0::DOUBLE AS r FROM n),
+         c1 AS (SELECT e.dst AS id, sum(r0.r / d.deg) AS c FROM e
+                JOIN r0 ON r0.id = e.src JOIN d ON d.src = e.src GROUP BY 1),
+         r1 AS (SELECT n.id, 0.15 + 0.85 * coalesce(c1.c, 0) AS r
+                FROM n LEFT JOIN c1 USING (id)),
+         c2 AS (SELECT e.dst AS id, sum(r1.r / d.deg) AS c FROM e
+                JOIN r1 ON r1.id = e.src JOIN d ON d.src = e.src GROUP BY 1),
+         r2 AS (SELECT n.id, 0.15 + 0.85 * coalesce(c2.c, 0) AS r
+                FROM n LEFT JOIN c2 USING (id)),
+         c3 AS (SELECT e.dst AS id, sum(r2.r / d.deg) AS c FROM e
+                JOIN r2 ON r2.id = e.src JOIN d ON d.src = e.src GROUP BY 1),
+         r3 AS (SELECT n.id, 0.15 + 0.85 * coalesce(c3.c, 0) AS r
+                FROM n LEFT JOIN c3 USING (id))
+         SELECT id, round(r, 6) AS rank FROM r3""",
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e)

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for corpus curation. PageRank over a crawl's
+  * link graph is the classic page-quality prior (it is what "quality
+  * documents link to quality documents" means operationally), used to
+  * weight or filter web-scale pretraining corpora alongside the text
+  * heuristics in [[graft.functions.TextFunctions]].
+  *
+  * The reference (a per-message Kafka pipeline, `/root/reference/
+  * src/consumer.js`) has no graph surface; this extends the relational
+  * engine the same way [[Dedup.connectedComponents]] does — iterative
+  * joins with eager checkpoint + explicit block release per round.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank (Page et al. 1999) in the classic
+    * unnormalized form:
+    * `rank⁰(v) = 1;  rankᵏ(v) = (1−d) + d · Σ_{(u,v)∈E} rankᵏ⁻¹(u) / outdeg(u)`.
+    * Nodes with no in-edges settle at `1−d`; dangling nodes (no
+    * out-edges) simply contribute nothing — this is the standard
+    * map-reduce formulation (ranks sum to ≤N rather than 1, ordering
+    * and ratios match the normalized variant on non-dangling graphs).
+    *
+    * Duplicate (src, dst) rows act as parallel edges (each contributes);
+    * pre-`distinct()` for simple-graph semantics.
+    *
+    * Scale shape: the edge table is joined against the rank table every
+    * iteration, so it is out-degree-annotated ONCE, hash-partitioned by
+    * `src` ONCE, and persisted — each round then shuffles only the
+    * node-sized rank table to meet it (the planner reuses the cached
+    * edge partitioning), followed by one map-side-combined aggregation
+    * on `dst`. Per round the lineage is truncated with an eager
+    * localCheckpoint and the previous round's blocks are released
+    * explicitly ([[org.apache.spark.sql.graft.Bridge]]) — the same
+    * discipline as [[Dedup.connectedComponentsWithCleanup]], so a loop
+    * of 10-20 rounds holds exactly one node-sized frame at a time. On a
+    * real cluster point `spark.checkpoint.dir` at durable storage and
+    * swap `checkpoint()` in for executor-loss tolerance.
+    *
+    * Returns (id, rank) for every node appearing as a src or dst.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(damping > 0.0 && damping < 1.0, "damping in (0, 1)")
+    import org.apache.spark.sql.graft.Bridge
+
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // out-degree annotation once, partitioned by the per-round join key
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val linked = e.join(outdeg, Seq("src"))
+      .repartition(col("src"))
+      .persist()
+    val nodes = linked.select(col("src").as("id"))
+      .union(linked.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+
+    val base = lit(1.0 - damping)
+    var ranks = nodes.select(col("id"), lit(1.0).as("rank"))
+      .localCheckpoint(true)
+    var prev = ranks
+    (1 to iters).foreach { _ =>
+      val contribs = linked
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("deg")).as("c"))
+      ranks = nodes.join(contribs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (base + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint(true) // eager: materialized here
+      Bridge.releaseLocalCheckpoint(prev) // round k−1 is never read again
+      prev = ranks
+    }
+    linked.unpersist(blocking = false)
+    Bridge.releaseLocalCheckpoint(nodes)
+    ranks
+  }
+}

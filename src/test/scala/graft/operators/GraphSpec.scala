@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+
+  /** Sequential reference: same unnormalized fixed-iteration recurrence. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    var r = nodes.map(_ -> 1.0).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = edges.groupBy(_._2).map { case (v, in) =>
+        v -> in.map { case (u, _) => r(u) / outdeg(u) }.sum
+      }
+      r = nodes.map(v => v -> ((1 - d) + d * contrib.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the sequential recurrence on a small cyclic graph") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(edges, iters = 4)
+    got.keySet shouldBe want.keySet
+    want.foreach { case (id, r) => got(id) shouldBe (r +- 1e-9) }
+    // the hub (3: two in-edges incl. the full weight of 2) outranks the
+    // no-in-edge dangling-ish node 4
+    got(3L) should be > got(4L)
+    // a node with no in-edges settles at 1 − d
+    got(4L) shouldBe (0.15 +- 1e-9)
+  }
+
+  test("pageRank treats duplicate rows as parallel edges") {
+    import spark.implicits._
+    // 1 has out-degree 3: twice to 2, once to 3 → 2 receives 2/3 of 1's rank
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got(2L) shouldBe (0.15 + 0.85 * (2.0 / 3.0) +- 1e-9)
+    got(3L) shouldBe (0.15 + 0.85 * (1.0 / 3.0) +- 1e-9)
+  }
+
+  test("pageRank is deterministic across runs") {
+    import spark.implicits._
+    val edges = (0L until 200L).map(i => (i, (i * 7 + 3) % 200)) ++
+      (0L until 200L).map(i => (i, (i * 13 + 1) % 200))
+    val df = edges.toDF("src", "dst")
+    // compare at the oracle's rounding: partial-sum merge order may
+    // differ run to run in the last ulps
+    def run() = Graph.pageRank(df, "src", "dst", iters = 5)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+      .sortBy(_._1)
+    run() shouldBe run()
+  }
+}
