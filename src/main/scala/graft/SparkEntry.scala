@@ -791,6 +791,12 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding")
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
           array_join(col("q").cast("array<string>"), ",").as("q_csv"))),
+    "embed_kmeans" -> ((s, dir) =>
+      // spherical k-means topic sharding: 4 clusters, 2 Lloyd rounds
+      // from the 4 lowest-id seeds; the rounded-cosine / rounded-centroid
+      // recipe makes the assignment exactly engine-replicable
+      graft.operators.Embeddings.kmeans(Tables.embeddings(s, dir),
+        "vec_id", "embedding", dim = 64, k = 4, iters = 2)),
 
     // ---- dedup (north star) ----
     "dedup_survivors" -> ((s, dir) =>
@@ -1995,6 +2001,42 @@ object SparkEntry {
            array_to_string(list_transform(v, x -> CASE WHEN scale = 0 THEN 0
              ELSE floor(x / scale * 127 + 0.5)::INT END), ',') AS q_csv
          FROM s""",
+    // full k-means replay: same seeds (4 lowest ids), same rounded-cosine
+    // argmax (ties → lowest cluster), same round-9 centroid components,
+    // empty clusters keep their previous centroid via the left-join
+    // coalesce
+    "embed_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         s0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+         a1 AS (SELECT e.vec_id,
+             (SELECT s.c FROM s0 s
+              ORDER BY round(list_cosine_similarity(e.v, s.v), 6) DESC, s.c
+              LIMIT 1) AS c FROM e),
+         m1 AS (SELECT a1.c, js.j, round(avg(e.v[js.j]), 9) AS m
+                FROM a1 JOIN e USING (vec_id)
+                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
+                GROUP BY a1.c, js.j),
+         c1 AS (SELECT s0.c, coalesce(mm.v, s0.v) AS v FROM s0
+                LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
+                           FROM m1 GROUP BY c) mm USING (c)),
+         a2 AS (SELECT e.vec_id,
+             (SELECT s.c FROM c1 s
+              ORDER BY round(list_cosine_similarity(e.v, s.v), 6) DESC, s.c
+              LIMIT 1) AS c FROM e),
+         m2 AS (SELECT a2.c, js.j, round(avg(e.v[js.j]), 9) AS m
+                FROM a2 JOIN e USING (vec_id)
+                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
+                GROUP BY a2.c, js.j),
+         c2 AS (SELECT c1.c, coalesce(mm.v, c1.v) AS v FROM c1
+                LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
+                           FROM m2 GROUP BY c) mm USING (c))
+         SELECT e.vec_id,
+           (SELECT s.c FROM c2 s
+            ORDER BY round(list_cosine_similarity(e.v, s.v), 6) DESC, s.c
+            LIMIT 1)::INT AS cluster
+         FROM e""",
     "dedup_survivors" ->
       """SELECT doc_id, source FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",

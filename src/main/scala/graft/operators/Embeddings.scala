@@ -34,4 +34,64 @@ object Embeddings {
   def dequantizeInt8(df: DataFrame, qCol: String, scaleCol: String): DataFrame =
     df.withColumn("v_approx",
       transform(col(qCol), q => q.cast("double") * col(scaleCol) / 127.0))
+
+  /** Spherical k-means corpus clustering (Lloyd 1982, cosine kernel) —
+    * the topic-sharding step of cluster-based pipelines (SemDeDup's
+    * cluster stage, cluster-balanced sampling): `iters` update rounds
+    * from deterministic seeds (the vectors of the `k` smallest ids),
+    * then the assignment against the final centroids.
+    *
+    * Engine-replicable by construction, so the driver oracle checks the
+    * assignment EXACTLY: assignments argmax a cosine ROUNDED to 6
+    * decimals (ties → lowest cluster index) and recomputed centroids are
+    * rounded per-component to 9 decimals — both absorb the last-ulp
+    * differences of distributed vs sequential summation, in this engine
+    * and in any re-implementation. An empty cluster keeps its previous
+    * centroid.
+    *
+    * Scale shape: centroids live on the driver (k×dim doubles — the
+    * coarse-quantizer discipline of [[Similarity.ivfTopK]]); each round
+    * is ONE distributed projection (k cosines per row against centroid
+    * literals, whole-stage codegen'd — the k ≤ a-few-hundred regime this
+    * targets) plus ONE map-side-combined centroid aggregation. The
+    * corpus is never collected; the seed read collects exactly k rows.
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    import graft.functions.{VectorFunctions => V}
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .localCheckpoint(true) // read once per round + once for seeds
+
+    def nearest(cents: Seq[Seq[Double]]) = {
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        struct(round(V.cosine(col("__v"), typedLit(c)), 6).as("c"),
+          lit(i).as("i"))
+      }
+      // left fold keeps the FIRST max → ties to the lowest cluster index
+      scored.reduceLeft((a, b) => when(b("c") > a("c"), b).otherwise(a))
+        .getField("i").as("cluster")
+    }
+
+    // deterministic seeds: the k lowest-id vectors (bounded collect)
+    var cents: Seq[Seq[Double]] = base.orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Double](1)).toSeq
+    (1 to iters).foreach { _ =>
+      val updated = base.select(nearest(cents), col("__v"))
+        .groupBy("cluster")
+        .agg(graft.functions.Aggregators.vectorCentroid(col("__v"), dim).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(x =>
+          // SQL round() semantics (half away from zero), 9 decimals —
+          // engine-stable centroid components
+          BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+        .toMap
+      cents = cents.zipWithIndex.map { case (prev, i) =>
+        updated.getOrElse(i, prev) // empty cluster keeps its centroid
+      }
+    }
+    base.select(col(idCol), nearest(cents))
+  }
 }

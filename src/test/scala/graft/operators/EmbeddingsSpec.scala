@@ -41,4 +41,49 @@ class EmbeddingsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should not include "Exchange"
   }
+
+  test("kmeans separates well-separated direction groups") {
+    import spark.implicits._
+    // three tight cones in 4-d; ids 0/10/20 are the natural seeds of
+    // their own groups (k=3 seeds = ids 0, 1, 2 — two from group A —
+    // so convergence has to MOVE a centroid onto group B or C)
+    def jig(i: Long) = 0.01 * (i % 5)
+    val a = (0L until 10L).map(i => (i, Seq(1.0, jig(i), 0.0, 0.0)))
+    val b = (10L until 20L).map(i => (i, Seq(0.0, 1.0, jig(i), 0.0)))
+    val c = (20L until 30L).map(i => (i, Seq(0.0, 0.0, 1.0, jig(i))))
+    val df = (a ++ b ++ c).toDF("vec_id", "v")
+    val got = Embeddings.kmeans(df, "vec_id", "v", dim = 4, k = 3, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // each group lands in ONE cluster, and the three clusters differ
+    def clusterOf(ids: Seq[Long]) = { val cs = ids.map(got).distinct; cs.size shouldBe 1; cs.head }
+    val ca = clusterOf((0L until 10L))
+    val cb = clusterOf((10L until 20L))
+    val cc = clusterOf((20L until 30L))
+    Set(ca, cb, cc).size shouldBe 3
+  }
+
+  test("kmeans is deterministic and total over non-null vectors") {
+    import spark.implicits._
+    val df = (0L until 50L)
+      .map(i => (i, Seq(math.sin(i * 0.7), math.cos(i * 1.3), 0.5, -0.25)))
+      .toDF("vec_id", "v")
+    val run1 = Embeddings.kmeans(df, "vec_id", "v", dim = 4, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
+    val run2 = Embeddings.kmeans(df, "vec_id", "v", dim = 4, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
+    run1 shouldBe run2
+    run1.length shouldBe 50
+  }
+
+  test("kmeans with iters=0 assigns against the raw seeds") {
+    import spark.implicits._
+    val df = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.9, 0.1)), (3L, Seq(0.1, 0.9))).toDF("vec_id", "v")
+    val got = Embeddings.kmeans(df, "vec_id", "v", dim = 2, k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got(0L) shouldBe 0
+    got(2L) shouldBe 0
+    got(1L) shouldBe 1
+    got(3L) shouldBe 1
+  }
 }
