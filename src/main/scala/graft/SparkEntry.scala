@@ -757,6 +757,12 @@ object SparkEntry {
       graft.operators.Sampling.stratifiedSample(
         Tables.documents(s, dir), Seq("lang"), "doc_id", n = 20)
         .select(col("doc_id"), col("lang"))),
+    "sample_cap_per_source" -> ((s, dir) =>
+      // per-domain flood guard: at most 10 docs per source, keeping the
+      // longest (ties → lowest doc_id); bounded top-k agg, no window
+      graft.operators.Sampling.capPerGroup(Tables.documents(s, dir),
+        Seq("source"), "doc_id", col("n_chars"), n = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
     "sample_dsir" -> ((s, dir) => {
       // DSIR importance weights: target domain = sources src0/src1, raw =
       // whole corpus; hashed word-bigram features over 256 buckets
@@ -1960,6 +1966,11 @@ object SparkEntry {
            SELECT doc_id, lang, row_number() OVER (
              PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
            FROM documents) WHERE rn <= 20""",
+    "sample_cap_per_source" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars, row_number() OVER (
+             PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents) WHERE rn <= 10""",
     // full DSIR replay: same whitespace bigrams, same md5-bucket kernel
     // (first 4 nibbles mod 256), same add-one smoothing arithmetic; the
     // left-join tail restores featureless docs at the empty-product

@@ -235,6 +235,35 @@ object Sampling {
       .limit(k)
   }
 
+  /** Per-group quality cap — "keep at most `n` best docs per domain",
+    * the standard guard against one crawl source flooding the mix: the
+    * `n` rows per group with the highest `score` (ties → lowest id).
+    *
+    * Same physical discipline as [[stratifiedSample]]: a bounded top-k
+    * AGGREGATION with map-side combine (the shuffle carries at most n
+    * (id, score) entries per group per partition) + a broadcast
+    * semi-join — NOT a per-group window, which would push each entire
+    * group through one task and make the hottest domain the job's
+    * critical path. The selected set is #groups × n rows
+    * (broadcast-sized in the per-domain-cap regime this targets).
+    * `idCol` must be integral and unique.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+      score: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val sel = df.filter(col(idCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.Aggregators.topKByScore(
+        col(idCol).cast("long"), score.cast("double"), n).as("__sel"))
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) :+
+        explode(col("__sel")).as("__kv"): _*)
+      .select(groupCols.map(c => col(s"__g_$c")) :+ col("__kv._1").as("__id"): _*)
+    df.join(broadcast(sel),
+      groupCols.map(c => col(c) <=> col(s"__g_$c"))
+        .reduce(_ && _) && col(idCol).cast("long") === col("__id"),
+      "left_semi")
+  }
+
   /** Deterministic fixed-quota sample per stratum: the `n` rows with the
     * smallest md5(id) in each strata group (ties broken by id). Standard
     * per-language / per-source quota sampling.

@@ -147,6 +147,27 @@ class SamplingSpec extends SparkSpec {
     got.count(_.contains("en")) shouldBe 1
   }
 
+  test("capPerGroup keeps the n best per group, window-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // group "a": scores 0..9 (cap keeps 7..9); "b": 3 rows, all kept;
+    // tie on score 5 in "a" broken toward the lower id
+    val df = ((0L until 10L).map(i => (i, "a", i.toDouble)) ++
+      Seq((100L, "a", 5.0)) ++
+      (200L until 203L).map(i => (i, "b", 1.0))).toDF("id", "g", "s")
+    val capped = Sampling.capPerGroup(df, Seq("g"), "id", col("s"), 3)
+    capped.queryExecution.executedPlan.toString should not include "Window"
+    val viaWindow = df
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("g"))
+        .orderBy(col("s").desc, col("id"))))
+      .filter(col("__rn") <= 3).drop("__rn")
+    capped.collect().map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      viaWindow.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // tie check: id 5 (score 5.0) and 100 (score 5.0) both lose to 7/8/9
+    val aIds = capped.filter(col("g") === "a").collect().map(_.getLong(0)).toSet
+    aIds shouldBe Set(7L, 8L, 9L)
+  }
+
   // two disjoint vocabularies: "wiki-like" docs vs "spam-like" docs
   private lazy val dsirDocs = {
     import spark.implicits._
