@@ -773,6 +773,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_feats"),
           round(col("logw"), 6).as("logw"))
     }),
+    "sample_dsir_incremental" -> ((s, dir) => {
+      // persisted-model scoring: train the bucket log-ratio model once,
+      // score a NEW batch (ids >= 250) — must equal the one-shot run
+      // restricted to the batch (oracle runs exactly that)
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.Sampling.dsirTrain(
+        docs, docs.filter(col("source").isin("src0", "src1")),
+        "doc_id", "text", numBuckets = 256)
+      graft.operators.Sampling.dsirScore(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", model, 256)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("logw"), 6).as("logw"))
+    }),
     "sample_dsir_topk" -> ((s, dir) => {
       // the resampling half: 50 docs most target-like by hashed-bigram
       // importance weight (deterministic tie order)
@@ -1979,6 +1992,12 @@ object SparkEntry {
       """ SELECT d.doc_id, coalesce(s.n_feats, 0)::BIGINT AS n_feats,
             round(coalesce(s.logw, 0), 6) AS logw
           FROM documents d LEFT JOIN s USING (doc_id)"""),
+    // persisted-model scoring ≡ the one-shot run restricted to the batch
+    "sample_dsir_incremental" -> (dsirWeightsSql +
+      """ SELECT d.doc_id, coalesce(s.n_feats, 0)::BIGINT AS n_feats,
+            round(coalesce(s.logw, 0), 6) AS logw
+          FROM documents d LEFT JOIN s USING (doc_id)
+          WHERE d.doc_id >= 250"""),
     "sample_dsir_topk" -> (dsirWeightsSql +
       """ SELECT d.doc_id, round(coalesce(s.logw, 0), 6) AS logw
           FROM documents d LEFT JOIN s USING (doc_id)

@@ -61,9 +61,11 @@ object Graph {
       .localCheckpoint(true)
 
     val base = lit(1.0 - damping)
+    // round 0 stays a plain projection of the checkpointed node table —
+    // one less materialization; it must also never be "released" (that
+    // would free the NODES blocks it reads), hence the null sentinel
     var ranks = nodes.select(col("id"), lit(1.0).as("rank"))
-      .localCheckpoint(true)
-    var prev = ranks
+    var prev: DataFrame = null
     (1 to iters).foreach { _ =>
       val contribs = linked
         .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
@@ -73,7 +75,8 @@ object Graph {
         .select(col("id"),
           (base + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
         .localCheckpoint(true) // eager: materialized here
-      Bridge.releaseLocalCheckpoint(prev) // round k−1 is never read again
+      // round k−1 is never read again (round 0 holds no blocks of its own)
+      if (prev != null) Bridge.releaseLocalCheckpoint(prev)
       prev = ranks
     }
     linked.unpersist(blocking = false)

@@ -171,50 +171,87 @@ object Sampling {
     * corpus-sized is ever collected or broadcast unbounded.
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int = 1024): DataFrame =
+    // one-shot form: train on (raw, target), score raw itself. Every raw
+    // bucket is in the model by construction, so the unseen-bucket
+    // default never fires and this is the exact Σ c_f · lr recipe.
+    dsirScore(raw, idCol, textCol,
+      dsirTrain(raw, target, idCol, textCol, numBuckets), numBuckets)
+
+  /** Hashed word-bigram feature stream: one (row-keys, bucket) row per
+    * bigram occurrence. Bigrams come from a zip of the token array with
+    * its own tail — the trailing (last, null) pair concats to null and
+    * is filtered; the token split runs ONCE in its own projection
+    * (generator-adjacency discipline: nothing non-trivial next to the
+    * explode).
+    */
+  private def dsirFeats(df: DataFrame, keep: Seq[Column], textCol: String,
+      numBuckets: Int): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    df.select(keep :+ T.normTokens(col(textCol)).as("__t"): _*)
+      .select(keep :+ explode(filter(
+        zip_with(col("__t"), slice(col("__t"), lit(2), size(col("__t"))),
+          (a, b) => concat(a, lit(" "), b)),
+        g => g.isNotNull)).as("__g"): _*)
+      .select(keep :+
+        (conv(substring(md5(col("__g")), 1, 4), 16, 10).cast("long")
+          % numBuckets.toLong).as("__b"): _*)
+  }
+
+  /** Training half of DSIR: the per-bucket log-ratio MODEL as a small
+    * DataFrame — (b, lr) for every bucket the raw corpus hits, plus one
+    * b = NULL row carrying the unseen-bucket default
+    * `ln(R+B) − ln(T+B)` (the smoothed ratio at count 0/0) — persist it
+    * with `model.write.parquet(...)` and score arbitrary future batches
+    * against it, the same persisted-state discipline as
+    * [[graft.operators.Classifier.nbTrain]] and the dedup indexes.
+    * Bounded by `numBuckets + 1` rows at any corpus size.
+    */
+  def dsirTrain(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, numBuckets: Int = 1024): DataFrame = {
     require(numBuckets > 0 && numBuckets <= 65536,
       "numBuckets in [1, 65536] (the md5-bucket kernel has 16 bits)")
-    import graft.functions.{TextFunctions => T}
-    val B = lit(numBuckets.toLong)
-
-    // bigrams from a zip of the token array with its own tail — the
-    // trailing (last, null) pair concats to null and is filtered; the
-    // token split runs ONCE in its own projection (generator-adjacency
-    // discipline: nothing non-trivial is computed next to the explode)
-    def feats(df: DataFrame, keep: Seq[Column]): DataFrame =
-      df.select(keep :+ T.normTokens(col(textCol)).as("__t"): _*)
-        .select(keep :+ explode(filter(
-          zip_with(col("__t"), slice(col("__t"), lit(2), size(col("__t"))),
-            (a, b) => concat(a, lit(" "), b)),
-          g => g.isNotNull)).as("__g"): _*)
-        .select(keep :+
-          (conv(substring(md5(col("__g")), 1, 4), 16, 10).cast("long") % B)
-            .as("__b"): _*)
-
-    val tCounts = feats(target, Seq.empty).groupBy("__b")
-      .agg(count(lit(1)).cast("double").as("__ct"))
-    val rawFeats = feats(raw, Seq(col(idCol)))
-    val rCounts = rawFeats.groupBy("__b")
-      .agg(count(lit(1)).cast("double").as("__cr"))
+    val B = lit(numBuckets.toDouble)
+    val tCounts = dsirFeats(target, Seq.empty, textCol, numBuckets)
+      .groupBy("__b").agg(count(lit(1)).cast("double").as("__ct"))
+    val rCounts = dsirFeats(raw, Seq.empty, textCol, numBuckets)
+      .groupBy("__b").agg(count(lit(1)).cast("double").as("__cr"))
     // totals fold into the plan as 1-row broadcasts (tfidf precedent):
     // one job per run, no driver-side count()
-    val tTot = tCounts.agg(sum("__ct").as("__tt"))
-    val rTot = rCounts.agg(sum("__cr").as("__rt"))
+    val tTot = tCounts.agg(coalesce(sum("__ct"), lit(0.0)).as("__tt"))
+    val rTot = rCounts.agg(coalesce(sum("__cr"), lit(0.0)).as("__rt"))
     // only buckets some raw feature hits matter; target-only buckets can
     // never be referenced by a raw doc — a left join from the raw side
     val ratios = rCounts
       .join(tCounts, Seq("__b"), "left_outer")
       .na.fill(0.0, Seq("__ct"))
       .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
-      .select(col("__b"),
+      .select(col("__b").as("b"),
         (log((col("__ct") + 1d) / (col("__tt") + B)) -
-          log((col("__cr") + 1d) / (col("__rt") + B))).as("__lr"))
-    val scored = rawFeats
-      .join(broadcast(ratios), Seq("__b"))
+          log((col("__cr") + 1d) / (col("__rt") + B))).as("lr"))
+    ratios.unionByName(
+      tTot.crossJoin(rTot).select(lit(null).cast("long").as("b"),
+        log((col("__rt") + B) / (col("__tt") + B)).as("lr")))
+  }
+
+  /** Scoring half: per-doc importance weights for a NEW batch against a
+    * persisted [[dsirTrain]] model (pass the SAME `numBuckets` the model
+    * was trained with). Buckets absent from the model fall back to its
+    * NULL-row default; featureless docs (0-1 tokens) score 0 (the empty
+    * product). When the model's raw corpus contains the scored docs this
+    * reproduces [[importanceWeights]] restricted to them exactly.
+    */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, numBuckets: Int): DataFrame = {
+    val ratios = model.filter(col("b").isNotNull)
+    val dflt = model.filter(col("b").isNull).select(col("lr").as("__dflt"))
+    val scored = dsirFeats(docs, Seq(col(idCol)), textCol, numBuckets)
+      .join(broadcast(ratios), col("__b") === col("b"), "left_outer")
+      .crossJoin(broadcast(dflt))
+      .select(col(idCol), coalesce(col("lr"), col("__dflt")).as("__lr"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum("__lr").as("logw"))
-    // featureless docs (0-1 tokens) re-enter with the empty-product weight
-    raw.select(col(idCol))
+    docs.select(col(idCol))
       .join(scored, Seq(idCol), "left_outer")
       .na.fill(0L, Seq("n_feats")).na.fill(0.0, Seq("logw"))
   }

@@ -217,6 +217,49 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet shouldBe top
   }
 
+  test("dsirScore against a persisted model equals the one-shot run on contained docs") {
+    val target = dsirDocs.filter(col("doc_id") < 5)
+    val full = Sampling.importanceWeights(dsirDocs, target, "doc_id", "text",
+      numBuckets = 128)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // round-trip the model through parquet like a real pipeline would
+    val dir = java.nio.file.Files.createTempDirectory("dsir_model").toString
+    Sampling.dsirTrain(dsirDocs, target, "doc_id", "text", 128)
+      .write.mode("overwrite").parquet(dir)
+    val model = spark.read.parquet(dir)
+    val batch = dsirDocs.filter(col("doc_id") >= 30)
+    val got = Sampling.dsirScore(batch, "doc_id", "text", model, 128)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.keySet shouldBe (30L until 42L).toSet
+    got.foreach { case (id, w) => w shouldBe (full(id) +- 1e-9) }
+  }
+
+  test("dsirScore falls back to the model's unseen-bucket default") {
+    import spark.implicits._
+    val target = dsirDocs.filter(col("doc_id") < 5)
+    // full 16-bit bucket space: the ~420 training features leave the
+    // space sparse, so the alien grams' buckets miss the model
+    val B = 65536
+    val model = Sampling.dsirTrain(dsirDocs, target, "doc_id", "text", B)
+    val alien = Seq((99L, "zq xv qqj vvk zzt")).toDF("doc_id", "text")
+    // precondition (deterministic md5 data): no alien bucket is trained
+    val trained = model.filter(col("b").isNotNull)
+      .collect().map(_.getLong(0)).toSet
+    val alienGrams = Seq("zq xv", "xv qqj", "qqj vvk", "vvk zzt")
+    def bucket(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.take(4), 16).toLong % B
+    }
+    alienGrams.map(bucket).toSet.intersect(trained) shouldBe empty
+    val row = Sampling.dsirScore(alien, "doc_id", "text", model, B).head()
+    row.getLong(1) shouldBe 4 // 4 bigrams scored
+    // all-miss score = n_feats × default ln((R+B)/(T+B)), positive (R > T)
+    val dflt = model.filter(col("b").isNull).head().getDouble(1)
+    dflt should be > 0.0
+    row.getDouble(2) shouldBe (4 * dflt +- 1e-9)
+  }
+
   test("importanceWeights matches a sequential reference on a tiny corpus") {
     import spark.implicits._
     // 4 docs, small bucket space to force collisions through the same
