@@ -460,6 +460,18 @@ object SparkEntry {
         docs, "text", maxPieceLen = 4, vocabSize = 200)
       graft.operators.UnigramTokenizer.score(docs, "doc_id", "text", vocab)
     }),
+    "text_wordpiece" -> ((s, dir) => {
+      // WordPiece greedy longest-match tokenizer: position-split
+      // corpus-seeded vocab (start vs continuation pieces), pure string
+      // arithmetic — the oracle replays the greedy walk in a recursive
+      // CTE and checks the exact segmentation via the pieces digest
+      val docs = Tables.documents(s, dir)
+      val (sv, cv) = graft.operators.WordPieceTokenizer.seedVocab(
+        docs, "text", maxPieceLen = 4, vocabSize = 200)
+      graft.operators.WordPieceTokenizer.encode(docs, "doc_id", "text", sv, cv)
+        .select(col("doc_id"), col("n_pieces"),
+          md5(col("pieces")).as("pieces_fp"))
+    }),
     "text_span_stats" -> ((s, dir) =>
       // corpus duplication profile: fraction of tokens sitting in
       // repeated 8-token blocks — read before paying for the dedup
@@ -1619,6 +1631,66 @@ object SparkEntry {
          SELECT doc_id, n_pieces::BIGINT AS n_pieces,
            lp_micro / 1000000.0 AS logprob
          FROM per_doc""",
+    // full WordPiece replay: same position-split seed vocab (counts,
+    // top-k by cnt*(len-1) with piece-then-kind tie-break), then the
+    // greedy longest-match walk as a recursive CTE — one piece per
+    // iteration, longest matching length via list_max, single-char
+    // fallback via coalesce(…, 1); pure string/integer arithmetic, so
+    // the engines cannot drift and the pieces digest checks the exact
+    // segmentation
+    "text_wordpiece" ->
+      """WITH RECURSIVE tdocs AS (SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+         FROM documents WHERE text IS NOT NULL),
+         toks AS (SELECT doc_id, unnest(toks) AS w,
+                  unnest(generate_series(1, len(toks))) AS widx FROM tdocs),
+         pcs AS (SELECT unnest(flatten(list_transform(
+             generate_series(1, length(w)), i ->
+               list_transform(generate_series(1, least(4, length(w) - i + 1)),
+                 l -> {'p': w[i:i+l-1],
+                       'k': CASE WHEN i = 1 THEN 0 ELSE 1 END})))) AS pk
+           FROM toks),
+         cnts AS (SELECT pk['p'] AS p, pk['k'] AS k, count(*)::BIGINT AS cnt
+                  FROM pcs GROUP BY 1, 2),
+         multi AS (SELECT p, k FROM cnts WHERE length(p) > 1
+                   ORDER BY cnt * (length(p) - 1) DESC, p ASC, k ASC LIMIT 200),
+         sel AS (SELECT p, k FROM cnts WHERE length(p) = 1
+                 UNION ALL SELECT p, k FROM multi),
+         vs AS (SELECT map_from_entries(list({'k': p, 'v': TRUE})) AS m
+                FROM sel WHERE k = 0),
+         vc AS (SELECT map_from_entries(list({'k': p, 'v': TRUE})) AS m
+                FROM sel WHERE k = 1),
+         words AS (SELECT DISTINCT w FROM toks),
+         rec AS (
+           SELECT w, 0 AS pos, CAST('' AS VARCHAR) AS acc,
+             CAST(0 AS BIGINT) AS n
+           FROM words
+           UNION ALL
+           SELECT w, pos + tk,
+             CASE WHEN pos = 0 THEN w[1:tk]
+                  ELSE acc || chr(31) || w[pos+1 : pos+tk] END,
+             n + 1
+           FROM (
+             SELECT w, pos, acc, n,
+               coalesce(list_max(list_filter(
+                 list_transform(
+                   generate_series(1, least(4, length(w) - pos)), l ->
+                     CASE WHEN (CASE WHEN pos = 0
+                                THEN element_at(vs.m, w[pos+1 : pos+l])[1]
+                                ELSE element_at(vc.m, w[pos+1 : pos+l])[1]
+                                END)
+                          THEN l ELSE NULL END),
+                 x -> x IS NOT NULL)), 1) AS tk
+             FROM rec, vs, vc
+             WHERE pos < length(w)
+           )
+         ),
+         seg AS (SELECT w, acc, n FROM rec WHERE pos = length(w)),
+         per_doc AS (SELECT doc_id, sum(n)::BIGINT AS n_pieces,
+             md5(string_agg(acc, chr(30) ORDER BY widx)) AS pieces_fp
+           FROM toks JOIN seg USING (w) GROUP BY doc_id)
+         SELECT doc_id, n_pieces, pieces_fp FROM per_doc""",
     // same tiling universe: non-null-text docs, 8-token blocks, distinct
     // on the block text (the 60-bit digest is collision-free here)
     "text_span_stats" ->
