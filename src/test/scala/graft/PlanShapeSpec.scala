@@ -176,6 +176,40 @@ class PlanShapeSpec extends SparkSpec {
     hinted.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
   }
 
+  test("DSIR scoring: bucket-bounded model broadcasts, doc agg combines map-side") {
+    // the log-ratio model is ≤ numBuckets rows — it must reach the
+    // feature stream as a broadcast, never a shuffle join; the per-doc
+    // weight sum must run partial before its exchange
+    val p = plan(SparkEntry.queries("sample_dsir")(spark, dir))
+    p should include("BroadcastHashJoin")
+    p should include("partial_sum")
+    // the only sort-merge allowed is the doc-keyed featureless-doc
+    // restore (corpus × corpus — correctly a shuffle join at scale);
+    // the model join itself must never appear as one
+    p.split("SortMergeJoin").length should be <= 2
+  }
+
+  test("wordpiece encode is one narrow projection over the scan — no shuffle") {
+    val docs = Tables.documents(spark, dir)
+    val (sv, cv) = graft.operators.WordPieceTokenizer.seedVocab(
+      docs, "text", maxPieceLen = 4, vocabSize = 50)
+    val p = plan(graft.operators.WordPieceTokenizer.encode(
+      docs, "doc_id", "text", sv, cv))
+    p should not include "Exchange"
+  }
+
+  test("kmeans assignment round is a projection + one partial aggregation") {
+    // the per-round reassignment must not shuffle the corpus: k cosines
+    // against centroid literals in the scan projection, then ONE
+    // map-side-combined centroid agg
+    val assigned = graft.operators.Embeddings.kmeans(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      dim = 64, k = 4, iters = 1)
+    val p = plan(assigned)
+    // final output: assignment over the checkpointed base — pure projection
+    p should not include "Exchange"
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the joined plan") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val s2 = spark.newSession()
