@@ -198,6 +198,32 @@ object StreamingOps {
         ()
       }
 
+  /** Continuous domain-relevance scoring against a persisted DSIR model
+    * ([[graft.operators.Sampling.dsirTrain]] output, read back from
+    * parquet): each micro-batch is scored with
+    * [[graft.operators.Sampling.dsirScore]] and written per-batch-id
+    * (dynamic overwrite — replays replace). Same train-offline /
+    * score-online split as [[continuousNbScore]]; the model is a
+    * bucket-bounded broadcast per batch, nothing stateful accumulates.
+    * Downstream, a threshold on `logw` is the online keep/drop gate.
+    */
+  def continuousDsirScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, numBuckets: Int, outPath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.Sampling
+          .dsirScore(batch.toDF(), idCol, textCol, model, numBuckets)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+
   /** Continuous-ingestion SPAN dedup — the exact-substring face of the
     * probe-and-append loop, completing the family symmetry (MinHash,
     * SimHash, embedding, and now spans all stream the same way): each

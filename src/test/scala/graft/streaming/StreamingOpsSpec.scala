@@ -453,6 +453,39 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("continuousDsirScore scores a stream against a persisted model") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdsir").toString
+    val corpus = (1L to 12L).map { i =>
+      if (i % 2 == 0) (i, "the quick study of science and history")
+      else (i, s"buy cheap deal now win prize$i")
+    }
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val target = corpusDf.filter(org.apache.spark.sql.functions.col("doc_id") <= 2)
+    graft.operators.Sampling.dsirTrain(corpusDf, target, "doc_id", "text", 128)
+      .write.mode("overwrite").parquet(s"$dir/model")
+    val model = spark.read.parquet(s"$dir/model")
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.continuousDsirScore(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      model, 128, s"$dir/scores", s"$dir/ckpt").start()
+    try {
+      in.addData(corpus.take(5): _*); q.processAllAvailable()
+      in.addData(corpus.drop(5): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/scores")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw"))
+      .toMap
+    val batchRun = graft.operators.Sampling
+      .importanceWeights(corpusDf, target, "doc_id", "text", 128)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    streamed.keySet shouldBe batchRun.keySet
+    batchRun.foreach { case (id, w) => streamed(id) shouldBe w +- 1e-12 }
+  }
+
   test("continuousSpanDedup strips cross-batch repeated spans, grows the block index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
