@@ -690,6 +690,12 @@ object SparkEntry {
       graft.operators.TrainingData.packShardsBy(
         Tables.documents(s, dir), "doc_id",
         graft.functions.Bpe.bpeCountBytes(col("text")), tokenBudget = 2000)),
+    "pipeline_pack_pairs" -> ((s, dir) =>
+      // depth-2 sequence packing: longest doc pairs with shortest;
+      // pairs over the 128-token budget split into solo sequences
+      graft.operators.TrainingData.packFoldedPairs(
+        Tables.documents(s, dir), "doc_id",
+        T.tokenCount(col("text")), maxLen = 128L)),
     "text_repetition" -> ((s, dir) =>
       // Gopher repetition signals: duplicate word-2/3-gram fractions and
       // top-unigram fraction; tokens split ONCE in their own projection
@@ -1785,6 +1791,44 @@ object SparkEntry {
          round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
          TRUE AS approx_within_1pct
          FROM lineitem GROUP BY l_returnflag""",
+    // folded-pairing replay: same (count desc, id) rank, same fold
+    // pair = least(r, N+1-r), same fit/split emission at maxLen 128
+    "pipeline_pack_pairs" ->
+      """WITH t AS (SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+           END AS n
+         FROM documents),
+         r AS (SELECT doc_id, n,
+             row_number() OVER (ORDER BY n DESC, doc_id) AS r,
+             count(*) OVER () AS total_n
+           FROM t),
+         p AS (SELECT doc_id, n, least(r, total_n + 1 - r) AS pair,
+             CASE WHEN 2 * r <= total_n + 1 THEN 0 ELSE 1 END AS role
+           FROM r),
+         g AS (SELECT pair,
+             min(CASE WHEN role = 0 THEN doc_id END) AS id0,
+             min(CASE WHEN role = 1 THEN doc_id END) AS id1,
+             min(CASE WHEN role = 0 THEN n END) AS n0,
+             min(CASE WHEN role = 1 THEN n END) AS n1
+           FROM p GROUP BY pair),
+         s AS (
+           SELECT pair * 2 AS seq_id,
+             CASE WHEN id1 IS NULL THEN id0::VARCHAR
+                  ELSE id0::VARCHAR || ',' || id1::VARCHAR END AS doc_ids,
+             CASE WHEN id1 IS NULL THEN 1 ELSE 2 END AS n_docs,
+             n0 + coalesce(n1, 0) AS total_tokens
+           FROM g WHERE id1 IS NULL OR n0 + n1 <= 128
+           UNION ALL
+           SELECT pair * 2, id0::VARCHAR, 1, n0 FROM g
+           WHERE id1 IS NOT NULL AND n0 + n1 > 128
+           UNION ALL
+           SELECT pair * 2 + 1, id1::VARCHAR, 1, n1 FROM g
+           WHERE id1 IS NOT NULL AND n0 + n1 > 128)
+         SELECT seq_id::BIGINT AS seq_id, doc_ids, n_docs::INT AS n_docs,
+           total_tokens::BIGINT AS total_tokens,
+           greatest(0, 128 - total_tokens)::BIGINT AS padding
+         FROM s""",
     "text_logprob" ->
       """WITH terms AS (
            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

@@ -541,6 +541,84 @@ object TrainingData {
       StructField("shuffle_pos", LongType, nullable = false))))
   }
 
+  /** Length-aware sequence packing, packing depth 2 (the "folded"
+    * pairing of Krell et al. 2021, arXiv:2107.02027): rank docs by token
+    * count descending and pair rank r with rank N+1−r — the longest doc
+    * packs with the shortest — emitting one training sequence per pair
+    * that fits `maxLen` and splitting the pair into two solo sequences
+    * when it does not (solo also for the odd middle doc). Cuts padding
+    * waste versus one-doc-per-sequence without crossing document
+    * boundaries (the boundary-crossing alternative is
+    * [[packTokenStream]]).
+    *
+    * Scale shape: the global rank is the [[packShardsBy]] two-pass
+    * recipe — range sort by (count desc, id), O(partitions) row counts
+    * to the driver, rank assigned over the reused shuffle — then ONE
+    * pair-keyed aggregation (≤2 rows per key, skew-free by
+    * construction). Deterministic and engine-replicable throughout:
+    * integer counts, total tie order.
+    *
+    * Returns one row per sequence:
+    * (seq_id, doc_ids CSV longest-first, n_docs, total_tokens, padding).
+    */
+  def packFoldedPairs(docs: DataFrame, idCol: String, tokenCount: Column,
+      maxLen: Long): DataFrame = {
+    require(maxLen > 0, "maxLen must be positive")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      coalesce(tokenCount.cast("long"), lit(0L)).as("n"))
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val sorted = base.repartitionByRange(parts, col("n").desc, col("id").asc)
+      .sortWithinPartitions(col("n").desc, col("id").asc).rdd
+
+    val counts: Array[(Int, Long)] = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L; it.foreach(_ => c += 1); Iterator.single((pid, c))
+    }.collect()
+    val offsets = new Array[Long](sorted.getNumPartitions)
+    var acc = 0L
+    counts.sortBy(_._1).foreach { case (pid, c) => offsets(pid) = acc; acc += c }
+    val nTotal = acc
+    val bOff = spark.sparkContext.broadcast(offsets)
+
+    val rows = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var r = bOff.value(pid)
+      it.map { row => r += 1; Row(row.getLong(0), row.getLong(1), r) }
+    }
+    val ranked = spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("r", LongType, nullable = false))))
+
+    val paired = ranked
+      .withColumn("pair", least(col("r"), lit(nTotal + 1) - col("r")))
+      .withColumn("role", when(col("r") * 2 <= lit(nTotal + 1), 0).otherwise(1))
+    val pairs = paired.groupBy("pair").agg(
+      min(when(col("role") === 0, col("id"))).as("id0"),
+      min(when(col("role") === 1, col("id"))).as("id1"),
+      min(when(col("role") === 0, col("n"))).as("n0"),
+      min(when(col("role") === 1, col("n"))).as("n1"))
+    val fits = col("id1").isNull || (col("n0") + col("n1")) <= maxLen
+    val one = struct(lit(0).as("sub"),
+      concat_ws(",", col("id0").cast("string"), col("id1").cast("string"))
+        .as("doc_ids"),
+      when(col("id1").isNull, 1).otherwise(2).as("n_docs"),
+      (col("n0") + coalesce(col("n1"), lit(0L))).as("total"))
+    val soloA = struct(lit(0).as("sub"), col("id0").cast("string").as("doc_ids"),
+      lit(1).as("n_docs"), col("n0").as("total"))
+    val soloB = struct(lit(1).as("sub"), col("id1").cast("string").as("doc_ids"),
+      lit(1).as("n_docs"), col("n1").as("total"))
+    pairs
+      .select(col("pair"),
+        explode(when(fits, array(one)).otherwise(array(soloA, soloB))).as("s"))
+      .select((col("pair") * 2 + col("s.sub")).as("seq_id"),
+        col("s.doc_ids").as("doc_ids"),
+        col("s.n_docs").as("n_docs"),
+        col("s.total").as("total_tokens"),
+        greatest(lit(0L), lit(maxLen) - col("s.total")).as("padding"))
+  }
+
   /** Cross-document exact LINE dedup (CCNet/RefinedWeb preprocessing):
     * a line duplicated anywhere in the corpus survives only at its first
     * occurrence (lowest (doc id, line position)); blank lines are

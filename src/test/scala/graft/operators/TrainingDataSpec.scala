@@ -48,6 +48,52 @@ class TrainingDataSpec extends SparkSpec {
     r shouldBe Map(1L -> (3L, 0L), 2L -> (12L, 0L), 3L -> (2L, 1L), 4L -> (1L, 1L))
   }
 
+  test("packFoldedPairs: longest pairs with shortest, oversized pairs split") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    // token counts: 10, 7, 5, 3, 2 (N = 5, ranks in that order)
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 7).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 5).map(i => s"c$i").mkString(" ")),
+      (4L, "d1 d2 d3"),
+      (5L, "e1 e2")).toDF("doc_id", "text")
+    // maxLen 12: fold pairs (10,2)=12 fits, (7,3)=10 fits, middle 5 solo
+    val fit = TrainingData.packFoldedPairs(docs, "doc_id",
+      T.tokenCount(col("text")), maxLen = 12L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    fit shouldBe Seq(
+      (2L, "1,5", 2, 12L, 0L),  // pair 1: ranks 1 & 5
+      (4L, "2,4", 2, 10L, 2L),  // pair 2: ranks 2 & 4
+      (6L, "3", 1, 5L, 7L))     // middle doc solo
+    // maxLen 11: (10,2) no longer fits → splits into two solos
+    val split = TrainingData.packFoldedPairs(docs, "doc_id",
+      T.tokenCount(col("text")), maxLen = 11L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    split.take(2) shouldBe Seq((2L, "1", 1), (3L, "5", 1))
+    // conservation under any budget: every doc lands in exactly one seq
+    split.flatMap(_._2.split(",")).sorted shouldBe
+      Seq("1", "2", "3", "4", "5")
+  }
+
+  test("packFoldedPairs padding beats naive one-doc-per-sequence packing") {
+    import spark.implicits._
+    val docs = (1L to 100L)
+      .map(i => (i, (1L to (i % 40 + 10)).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    import graft.functions.{TextFunctions => T}
+    val packed = TrainingData.packFoldedPairs(docs, "doc_id",
+      T.tokenCount(col("text")), maxLen = 64L)
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    val naivePadding = docs
+      .select(org.apache.spark.sql.functions.greatest(lit(0L),
+        lit(64L) - T.tokenCount(col("text")).cast("long")))
+      .collect().map(_.getLong(0)).sum
+    packed.map(_._2).sum should be < naivePadding / 2
+  }
+
   test("shufflePositions is the md5-seeded permutation; deterministic, seed-sensitive") {
     import spark.implicits._
     val docs = (1L to 100L).toDF("doc_id")
