@@ -698,13 +698,16 @@ object SparkEntry {
         T.tokenCount(col("text")), maxLen = 128L)),
     "text_repetition" -> ((s, dir) =>
       // Gopher repetition signals: duplicate word-2/3-gram fractions and
-      // top-unigram fraction; tokens split ONCE in their own projection
+      // top-unigram fraction — one-pass native expression (bit-equal to
+      // the HOF reference forms, TextFunctionsSpec); tokens split ONCE
+      // in their own projection
       Tables.documents(s, dir)
         .select(col("doc_id"), T.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"), T.repetitionStats(col("toks")).as("r"))
         .select(col("doc_id"),
-          round(T.dupNgramFractionOfTokens(col("toks"), 2), 6).as("dup2_frac"),
-          round(T.dupNgramFractionOfTokens(col("toks"), 3), 6).as("dup3_frac"),
-          round(T.topTokenFractionOfTokens(col("toks")), 6).as("top_token_frac"))),
+          round(col("r.dup2_frac"), 6).as("dup2_frac"),
+          round(col("r.dup3_frac"), 6).as("dup3_frac"),
+          round(col("r.top_token_frac"), 6).as("top_token_frac"))),
     "q_profile" -> ((s, dir) =>
       // one-pass data-quality profile of lineitem: counts, nulls, exact
       // ndv, numeric min/max — single aggregation, then stack-unpivot

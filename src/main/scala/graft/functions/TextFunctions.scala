@@ -220,6 +220,78 @@ object TextFunctions {
       .otherwise(array_max(counts).cast("double") / size(ts).cast("double"))
   }
 
+  /** One-pass native form of the three repetition signals
+    * ([[dupNgramFractionOfTokens]] ×2 + [[topTokenFractionOfTokens]]):
+    * O(tokens) with per-row hash sets instead of the HOF forms'
+    * O(tokens × distinct) nested scans — same values bit-for-bit (exact
+    * integer counts, one final double division each), asserted against
+    * the HOF forms in TextFunctionsSpec. Use this on the hot path; the
+    * HOF forms remain the SQL-shaped reference.
+    */
+  def repetitionStats(ts: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(RepetitionStats(
+      org.apache.spark.sql.graft.Bridge.expression(ts)))
+
+  case class RepetitionStats(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    override def dataType: org.apache.spark.sql.types.DataType = StructType(Seq(
+      StructField("dup2_frac", DoubleType, nullable = false),
+      StructField("dup3_frac", DoubleType, nullable = false),
+      StructField("top_token_frac", DoubleType, nullable = false)))
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      val toks = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
+        i += 1
+      }
+      def dupFrac(g: Int): Double = {
+        val total = n - g + 1
+        if (total <= 0) 0.0
+        else {
+          val seen = new java.util.HashSet[String](total * 2)
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          var dups = 0
+          while (j < total) {
+            sb.setLength(0)
+            var k = 0
+            while (k < g) {
+              if (k > 0) sb.append(' ')
+              sb.append(toks(j + k))
+              k += 1
+            }
+            if (!seen.add(sb.toString)) dups += 1
+            j += 1
+          }
+          dups.toDouble / total.toDouble
+        }
+      }
+      val top = if (n == 0) 0.0 else {
+        val counts = new java.util.HashMap[String, Int](n * 2)
+        var j = 0
+        var max = 0
+        while (j < n) {
+          val c = counts.merge(toks(j), 1, (a, b) => a + b)
+          if (c > max) max = c
+          j += 1
+        }
+        max.toDouble / n.toDouble
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](dupFrac(2), dupFrac(3), top))
+    }
+
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+  }
+
   /** PII patterns, applied in this order. RE2-safe (no lookaround, ASCII
     * `\b`) so DuckDB/Trino-class engines replicate the scrub
     * byte-for-byte. Email runs first so its digit runs can't also feed

@@ -115,6 +115,29 @@ class TextFunctionsSpec extends SparkSpec {
     rep("", T.topTokenFractionOfTokens) shouldBe 0.0
   }
 
+  test("repetitionStats equals the HOF reference forms on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "spam", "spam", "the")
+    val docs = ((0 until 60).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    } :+ (100L, "") :+ (101L, "solo")).toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"), T.normTokens(col("text")).as("ts"))
+    val native = base.select(col("doc_id"), T.repetitionStats(col("ts")).as("r"))
+      .select(col("doc_id"), col("r.dup2_frac"), col("r.dup3_frac"),
+        col("r.top_token_frac"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val hof = base.select(col("doc_id"),
+      T.dupNgramFractionOfTokens(col("ts"), 2),
+      T.dupNgramFractionOfTokens(col("ts"), 3),
+      T.topTokenFractionOfTokens(col("ts")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    native shouldBe hof // bit-equal: exact int counts, one division each
+  }
+
   test("redactPii scrubs email, ssn, phone (both forms), ipv4") {
     val in = "mail a.user+tag@mail.example.org ssn 123-45-6789 " +
       "call (415) 555-0123 or 415-555-0123 from 192.168.1.10 end"
