@@ -837,6 +837,15 @@ object SparkEntry {
       // recipe makes the assignment exactly engine-replicable
       graft.operators.Embeddings.kmeans(Tables.embeddings(s, dir),
         "vec_id", "embedding", dim = 64, k = 4, iters = 2)),
+    "embed_kmeans_incremental" -> ((s, dir) => {
+      // persisted-centroid assignment: train once, assign a NEW batch
+      // (ids >= 250) — must equal the one-shot run restricted to it
+      val embeds = Tables.embeddings(s, dir)
+      val model = graft.operators.Embeddings.kmeansTrain(
+        embeds, "vec_id", "embedding", dim = 64, k = 4, iters = 2)
+      graft.operators.Embeddings.kmeansAssign(
+        embeds.filter(col("vec_id") >= 250), "vec_id", "embedding", model)
+    }),
 
     // ---- dedup (north star) ----
     "dedup_survivors" -> ((s, dir) =>
@@ -2154,38 +2163,19 @@ object SparkEntry {
     // argmax (ties → lowest cluster), same round-9 centroid components,
     // empty clusters keep their previous centroid via the left-join
     // coalesce
-    "embed_kmeans" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-           FROM embeddings WHERE embedding IS NOT NULL),
-         s0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
-                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
-         a1 AS (SELECT e.vec_id,
-             (SELECT s.c FROM s0 s
-              ORDER BY round(list_cosine_similarity(e.v, s.v), 6) DESC, s.c
-              LIMIT 1) AS c FROM e),
-         m1 AS (SELECT a1.c, js.j, round(avg(e.v[js.j]), 9) AS m
-                FROM a1 JOIN e USING (vec_id)
-                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
-                GROUP BY a1.c, js.j),
-         c1 AS (SELECT s0.c, coalesce(mm.v, s0.v) AS v FROM s0
-                LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
-                           FROM m1 GROUP BY c) mm USING (c)),
-         a2 AS (SELECT e.vec_id,
-             (SELECT s.c FROM c1 s
-              ORDER BY round(list_cosine_similarity(e.v, s.v), 6) DESC, s.c
-              LIMIT 1) AS c FROM e),
-         m2 AS (SELECT a2.c, js.j, round(avg(e.v[js.j]), 9) AS m
-                FROM a2 JOIN e USING (vec_id)
-                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
-                GROUP BY a2.c, js.j),
-         c2 AS (SELECT c1.c, coalesce(mm.v, c1.v) AS v FROM c1
-                LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
-                           FROM m2 GROUP BY c) mm USING (c))
-         SELECT e.vec_id,
+    "embed_kmeans" -> (kmeansReplaySql +
+      """ SELECT e.vec_id,
            (SELECT s.c FROM c2 s
             ORDER BY round(list_cosine_similarity(e.v, s.v), 6) DESC, s.c
             LIMIT 1)::INT AS cluster
-         FROM e""",
+         FROM e"""),
+    // persisted-centroid assignment ≡ the one-shot run on the batch
+    "embed_kmeans_incremental" -> (kmeansReplaySql +
+      """ SELECT e.vec_id,
+           (SELECT s.c FROM c2 s
+            ORDER BY round(list_cosine_similarity(e.v, s.v), 6) DESC, s.c
+            LIMIT 1)::INT AS cluster
+         FROM e WHERE e.vec_id >= 250"""),
     "dedup_survivors" ->
       """SELECT doc_id, source FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
@@ -2534,6 +2524,39 @@ object SparkEntry {
     * shared verbatim by pipeline_decontaminate and its bloom-prefiltered
     * scale path, whose outputs are defined to be identical.
     */
+  /** Shared CTE prefix for the k-means queries: non-null vectors (`e`),
+    * lowest-id seeds (`s0`), two Lloyd rounds of rounded-cosine
+    * assignment + round-9 centroid recompute (`a1`/`m1`/`c1`,
+    * `a2`/`m2`/`c2`).
+    */
+  private lazy val kmeansReplaySql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         FROM embeddings WHERE embedding IS NOT NULL),
+       s0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+       a1 AS (SELECT e.vec_id,
+           (SELECT s.c FROM s0 s
+            ORDER BY round(list_cosine_similarity(e.v, s.v), 6) DESC, s.c
+            LIMIT 1) AS c FROM e),
+       m1 AS (SELECT a1.c, js.j, round(avg(e.v[js.j]), 9) AS m
+              FROM a1 JOIN e USING (vec_id)
+              CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
+              GROUP BY a1.c, js.j),
+       c1 AS (SELECT s0.c, coalesce(mm.v, s0.v) AS v FROM s0
+              LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
+                         FROM m1 GROUP BY c) mm USING (c)),
+       a2 AS (SELECT e.vec_id,
+           (SELECT s.c FROM c1 s
+            ORDER BY round(list_cosine_similarity(e.v, s.v), 6) DESC, s.c
+            LIMIT 1) AS c FROM e),
+       m2 AS (SELECT a2.c, js.j, round(avg(e.v[js.j]), 9) AS m
+              FROM a2 JOIN e USING (vec_id)
+              CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
+              GROUP BY a2.c, js.j),
+       c2 AS (SELECT c1.c, coalesce(mm.v, c1.v) AS v FROM c1
+              LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
+                         FROM m2 GROUP BY c) mm USING (c))"""
+
   /** Shared CTE prefix for the DSIR queries: hashed word-bigram feature
     * table over documents (`b`), target/raw bucket distributions with
     * add-one smoothing over 256 buckets, per-bucket log ratios, and

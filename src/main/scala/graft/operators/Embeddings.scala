@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-column utilities beyond similarity search: storage-size
@@ -57,28 +57,40 @@ object Embeddings {
     * corpus is never collected; the seed read collects exactly k rows.
     */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int): DataFrame =
+    kmeansAssign(df, idCol, vecCol,
+      kmeansTrain(df, idCol, vecCol, dim, k, iters))
+
+  /** The greedy-first argmax over round-6 cosines: ties break to the
+    * lowest cluster index (a left fold keeps the FIRST max).
+    */
+  private def nearest(v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    import graft.functions.{VectorFunctions => V}
+    val scored = cents.map { case (i, c) =>
+      struct(round(V.cosine(v, typedLit(c)), 6).as("c"), lit(i).as("i"))
+    }
+    scored.reduceLeft((a, b) => when(b("c") > a("c"), b).otherwise(a))
+      .getField("i").as("cluster")
+  }
+
+  /** Training half of [[kmeans]]: the final (cluster, centroid) MODEL as
+    * a k-row DataFrame — persist it with `model.write.parquet(...)` and
+    * assign arbitrary future batches against it
+    * ([[kmeansAssign]]), the same train-offline / score-online split as
+    * the NB classifier and DSIR.
+    */
+  def kmeansTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
-    import graft.functions.{VectorFunctions => V}
     val base = df.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .localCheckpoint(true) // read once per round + once for seeds
 
-    def nearest(cents: Seq[Seq[Double]]) = {
-      val scored = cents.zipWithIndex.map { case (c, i) =>
-        struct(round(V.cosine(col("__v"), typedLit(c)), 6).as("c"),
-          lit(i).as("i"))
-      }
-      // left fold keeps the FIRST max → ties to the lowest cluster index
-      scored.reduceLeft((a, b) => when(b("c") > a("c"), b).otherwise(a))
-        .getField("i").as("cluster")
-    }
-
     // deterministic seeds: the k lowest-id vectors (bounded collect)
-    var cents: Seq[Seq[Double]] = base.orderBy(col(idCol)).limit(k)
-      .collect().map(_.getSeq[Double](1)).toSeq
+    var cents: Seq[(Int, Seq[Double])] = base.orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Double](1)).toSeq.zipWithIndex.map(_.swap)
     (1 to iters).foreach { _ =>
-      val updated = base.select(nearest(cents), col("__v"))
+      val updated = base.select(nearest(col("__v"), cents), col("__v"))
         .groupBy("cluster")
         .agg(graft.functions.Aggregators.vectorCentroid(col("__v"), dim).as("c"))
         .collect()
@@ -88,10 +100,29 @@ object Embeddings {
           BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
             .toDouble))
         .toMap
-      cents = cents.zipWithIndex.map { case (prev, i) =>
-        updated.getOrElse(i, prev) // empty cluster keeps its centroid
+      cents = cents.map { case (i, prev) =>
+        i -> updated.getOrElse(i, prev) // empty cluster keeps its centroid
       }
     }
-    base.select(col(idCol), nearest(cents))
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.toDF("cluster", "centroid")
+  }
+
+  /** Assignment half: nearest model centroid per vector (argmax of
+    * round-6 cosine, ties → lowest cluster) — one codegen'd projection
+    * against the collected k-row model, no shuffle. When the model was
+    * trained on a corpus containing these vectors this reproduces
+    * [[kmeans]] restricted to them exactly.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      model: DataFrame): DataFrame = {
+    // bounded collect: k rows
+    val cents = model.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).toSeq
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .select(col(idCol), nearest(col("__v"), cents))
   }
 }

@@ -75,6 +75,25 @@ class EmbeddingsSpec extends SparkSpec {
     run1.length shouldBe 50
   }
 
+  test("kmeansAssign against a persisted model equals the one-shot run") {
+    import spark.implicits._
+    val df = (0L until 60L)
+      .map(i => (i, Seq(math.sin(i * 0.9), math.cos(i * 0.4), 0.3, -0.6)))
+      .toDF("vec_id", "v")
+    val full = Embeddings.kmeans(df, "vec_id", "v", dim = 4, k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("km_model").toString
+    Embeddings.kmeansTrain(df, "vec_id", "v", dim = 4, k = 3, iters = 2)
+      .write.mode("overwrite").parquet(dir)
+    val model = spark.read.parquet(dir)
+    model.count() shouldBe 3
+    val got = Embeddings.kmeansAssign(
+      df.filter(col("vec_id") >= 40), "vec_id", "v", model)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.keySet shouldBe (40L until 60L).toSet
+    got.foreach { case (id, c) => c shouldBe full(id) }
+  }
+
   test("kmeans with iters=0 assigns against the raw seeds") {
     import spark.implicits._
     val df = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
