@@ -713,6 +713,12 @@ object SparkEntry {
       // ndv, numeric min/max — single aggregation, then stack-unpivot
       graft.operators.Profiling.profile(Tables.lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"))),
+    "q_zorder" -> ((s, dir) =>
+      // the Morton key behind writeZOrdered, checkable cross-engine:
+      // 16-bit min-max buckets of (l_partkey, l_suppkey) interleaved
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        Tables.zValue2(col("l_partkey"), 0.0, 20000.0,
+          col("l_suppkey"), 0.0, 1000.0).as("z"))),
     "q_histogram" -> ((s, dir) =>
       // the value-distribution primitive next to q_profile: 16 equi-width
       // bins over the price range, empty bins present; <= nBins groups
@@ -1794,6 +1800,19 @@ object SparkEntry {
     "pipeline_decontaminate" -> decontaminateOracle,
     // bloom prefilter + exact confirm ⇒ same answer as the exact path
     "pipeline_decontaminate_bloom" -> decontaminateOracle,
+    // same clamp-bucket-interleave integer arithmetic as Tables.zValue2
+    "q_zorder" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+           least(65535, greatest(0,
+             floor(l_partkey::DOUBLE / 20000.0 * 65536.0)::BIGINT)) AS ab,
+           least(65535, greatest(0,
+             floor(l_suppkey::DOUBLE / 1000.0 * 65536.0)::BIGINT)) AS bb
+         FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+           list_sum(list_transform(generate_series(0, 15), k ->
+             (((ab >> k) & 1) << (2 * k + 1)) +
+             (((bb >> k) & 1) << (2 * k))))::BIGINT AS z
+         FROM b""",
     "q_percentile_grouped" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price

@@ -1,6 +1,6 @@
 package graft.tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
@@ -77,6 +77,45 @@ object Tables {
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Morton (Z-order) key of two numeric columns: each is min-max
+    * bucketed to 16 bits over its declared [lo, hi) range (values
+    * outside clamp to the edge buckets), then the bits interleave —
+    * a bit of `a` above each bit of `b`. Nearby (a, b) pairs get nearby
+    * z-values, so range-clustering on z gives BALANCED file pruning on
+    * BOTH columns, where lexicographic `writeClustered(Seq(a, b))`
+    * prunes only on `a` (every file spans b's full range). Plain
+    * integer arithmetic — codegen'd here, byte-identical in any SQL
+    * engine. NULL in either column → NULL z (sorts first, one edge
+    * file).
+    */
+  def zValue2(a: Column, aLo: Double, aHi: Double,
+      b: Column, bLo: Double, bHi: Double): Column = {
+    require(aHi > aLo && bHi > bLo, "empty z-order range")
+    def bucket(x: Column, lo: Double, hi: Double): Column =
+      least(lit(65535L), greatest(lit(0L),
+        floor((x.cast("double") - lo) / (hi - lo) * 65536.0).cast("long")))
+    val ab = bucket(a, aLo, aHi)
+    val bb = bucket(b, bLo, bHi)
+    (0 until 16).map { k =>
+      shiftright(ab, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1)) +
+        shiftright(bb, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k))
+    }.reduce(_ + _)
+  }
+
+  /** [[writeClustered]] on the [[zValue2]] key: each output file covers
+    * a narrow z-range, i.e. a small tile of the (a, b) plane — parquet
+    * row-group min/max statistics then prune files for filters on
+    * EITHER column (Delta Z-ORDER / Iceberg z-sort write shape).
+    */
+  def writeZOrdered(df: DataFrame, path: String,
+      a: String, aLo: Double, aHi: Double,
+      b: String, bLo: Double, bHi: Double, numFiles: Int): Unit =
+    df.withColumn("__z", zValue2(col(a), aLo, aHi, col(b), bLo, bHi))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 
   /** Small-file compaction — the standard maintenance pass: streaming
     * sinks and fine-grained partitions accrete kilobyte files whose

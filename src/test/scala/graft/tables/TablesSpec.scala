@@ -2,7 +2,7 @@ package graft.tables
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions.{max, min}
+import org.apache.spark.sql.functions.{col, max, min}
 import org.apache.spark.sql.types._
 import graft.SparkSpec
 
@@ -68,6 +68,34 @@ class TablesSpec extends SparkSpec {
       case Array((_, hi), (lo2, _)) => hi should be < lo2
       case _ =>
     }
+  }
+
+  test("writeZOrdered bounds per-file ranges on BOTH columns; lex clustering only on the first") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    // a 64×64 grid visited in a scattered order
+    val df = (0 until 4096).map { i =>
+      val j = (i * 733) % 4096; (j / 64, j % 64, s"row$i")
+    }.toDF("a", "b", "payload")
+    def fileSpans(path: String, c: String): Seq[Int] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.getPath).toSeq
+        .map { p =>
+          val r = spark.read.parquet(p).agg(min(col(c)), max(col(c))).head()
+          r.getInt(1) - r.getInt(0)
+        }
+    Tables.writeClustered(df, s"$dir/lex", Seq("a", "b"), numFiles = 16)
+    Tables.writeZOrdered(df, s"$dir/z", "a", 0.0, 64.0, "b", 0.0, 64.0,
+      numFiles = 16)
+    // lexicographic: every non-boundary file spans b's whole 0..63 range
+    val lexB = fileSpans(s"$dir/lex", "b")
+    lexB.max should be >= 60
+    // z-order: each of the 16 files covers ONE 16×16 tile of the plane —
+    // both coordinates bounded at a quarter of their range
+    fileSpans(s"$dir/z", "a").max should be <= 16
+    fileSpans(s"$dir/z", "b").max should be <= 16
+    // and the data round-trips
+    spark.read.parquet(s"$dir/z").count() shouldBe 4096L
   }
 
   test("compact rewrites many small files into the computed file count") {
