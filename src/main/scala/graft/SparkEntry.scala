@@ -713,6 +713,13 @@ object SparkEntry {
       // ndv, numeric min/max — single aggregation, then stack-unpivot
       graft.operators.Profiling.profile(Tables.lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"))),
+    "q_histogram_equidepth" -> ((s, dir) =>
+      // skew-proof distribution view: 8 buckets of equal row count over
+      // price; rank-exact, no single-task window (two-pass range sort)
+      graft.operators.Profiling.equiDepthHistogram(Tables.lineitem(s, dir),
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"), k = 8)
+        .select(col("bucket"), col("n_rows"),
+          round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"))),
     "q_zorder" -> ((s, dir) =>
       // the Morton key behind writeZOrdered, checkable cross-engine:
       // 16-bit min-max buckets of (l_partkey, l_suppkey) interleaved
@@ -1800,6 +1807,18 @@ object SparkEntry {
     "pipeline_decontaminate" -> decontaminateOracle,
     // bloom prefilter + exact confirm ⇒ same answer as the exact path
     "pipeline_decontaminate_bloom" -> decontaminateOracle,
+    // same total order (value, orderkey, linenumber) and the same
+    // integer (rank−1)·k div N bucket rule
+    "q_histogram_equidepth" ->
+      """WITH r AS (SELECT l_extendedprice AS x,
+           row_number() OVER (
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS r,
+           count(*) OVER () AS tot
+         FROM lineitem WHERE l_extendedprice IS NOT NULL)
+         SELECT ((r - 1) * 8 // tot)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_rows,
+           round(min(x), 4) AS lo, round(max(x), 4) AS hi
+         FROM r GROUP BY 1""",
     // same clamp-bucket-interleave integer arithmetic as Tables.zValue2
     "q_zorder" ->
       """WITH b AS (SELECT l_orderkey, l_linenumber,

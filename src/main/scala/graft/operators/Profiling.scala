@@ -86,4 +86,58 @@ object Profiling {
         round(lit(lo) + (col("bin") + 1) * w, 6).as("bin_hi"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
+
+  /** Equi-DEPTH histogram — k buckets of (near-)equal ROW count, the
+    * value-distribution view [[histogram]]'s fixed-width bins miss on
+    * skewed columns (one hot bin, many empties). Bucket of a row =
+    * `((rank − 1) · k) div N` under the total order
+    * (value, tieCols...) — exact, deterministic, and engine-replicable
+    * (a SQL engine replays it with row_number; ties never straddle
+    * nondeterministically because the tie columns make the order total).
+    * NULL values are excluded (they have no rank in a value order).
+    *
+    * Scale shape: the global rank is the two-pass range-sort recipe
+    * (range-partition + in-partition sort, O(partitions) row counts to
+    * the driver, rank assigned over the reused shuffle — no single-task
+    * window), then ONE k-group aggregation. Returns
+    * (bucket, n_rows, lo, hi) sorted by construction.
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+      tieCols: Seq[String], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val keys = col("__x") +: tieCols.map(qcol)
+    val base = df
+      .select(qcol(valueCol).cast("double").as("__x") +: tieCols.map(qcol): _*)
+      .filter(col("__x").isNotNull)
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val sorted = base.repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*).rdd
+
+    val counts: Array[(Int, Long)] = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L; it.foreach(_ => c += 1); Iterator.single((pid, c))
+    }.collect()
+    val offsets = new Array[Long](sorted.getNumPartitions)
+    var acc = 0L
+    counts.sortBy(_._1).foreach { case (pid, c) => offsets(pid) = acc; acc += c }
+    val n = math.max(1L, acc)
+    val bOff = spark.sparkContext.broadcast(offsets)
+
+    val rows = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var r = bOff.value(pid)
+      it.map { row =>
+        val out = Row(row.getDouble(0), r * k / n) // (rank−1)·k div N
+        r += 1
+        out
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("__x", DoubleType, nullable = false),
+      StructField("bucket", LongType, nullable = false))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("__x").as("lo"), max("__x").as("hi"))
+  }
 }

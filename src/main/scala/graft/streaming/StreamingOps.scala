@@ -224,6 +224,30 @@ object StreamingOps {
         ()
       }
 
+  /** Continuous topic-shard assignment against a persisted k-means
+    * model ([[graft.operators.Embeddings.kmeansTrain]] output): each
+    * micro-batch labels via [[graft.operators.Embeddings.kmeansAssign]]
+    * — one shuffle-free projection per batch against the k-row model —
+    * and lands per-batch-id (dynamic overwrite — replays replace). Same
+    * train-offline / score-online split as NB and DSIR.
+    */
+  def continuousKmeansAssign(vecs: DataFrame, idCol: String, vecCol: String,
+      model: DataFrame, outPath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.Embeddings
+          .kmeansAssign(batch.toDF(), idCol, vecCol, model)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+
   /** Continuous-ingestion SPAN dedup — the exact-substring face of the
     * probe-and-append loop, completing the family symmetry (MinHash,
     * SimHash, embedding, and now spans all stream the same way): each

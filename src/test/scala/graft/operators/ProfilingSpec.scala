@@ -73,4 +73,39 @@ class ProfilingSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
     r shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L)
   }
+
+  test("equiDepthHistogram: equal-count buckets, skew lands where width bins fail") {
+    import spark.implicits._
+    // heavy skew: 900 copies of 1.0, 100 spread values
+    val df = ((1 to 900).map(i => (i.toLong, 1.0)) ++
+      (1 to 100).map(i => (i + 900L, i * 10.0))).toDF("id", "x")
+    val got = Profiling.equiDepthHistogram(df, "x", Seq("id"), k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    got.keySet shouldBe (0L until 10L).toSet
+    // every bucket holds exactly N/k = 100 rows regardless of skew
+    got.values.map(_._1).toSet shouldBe Set(100L)
+    // the hot value fills the low buckets; the spread tail its own
+    got(0L)._2 shouldBe 1.0
+    got(9L)._3 shouldBe 1000.0
+    // buckets are ordered and non-overlapping
+    (0L until 9L).foreach { b => got(b)._3 should be <= got(b + 1)._2 }
+  }
+
+  test("equiDepthHistogram matches the window formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 997).map(i => (i.toLong, (i * 37 % 100).toDouble))
+      .toDF("id", "x")
+    val got = Profiling.equiDepthHistogram(df, "x", Seq("id"), k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val viaWindow = df
+      .withColumn("r", row_number().over(Window.orderBy(col("x"), col("id"))))
+      .withColumn("bucket",
+        (((col("r") - 1) * 7) / lit(997)).cast("long"))
+      .groupBy("bucket").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    got shouldBe viaWindow
+  }
 }

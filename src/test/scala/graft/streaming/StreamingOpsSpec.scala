@@ -486,6 +486,39 @@ class StreamingOpsSpec extends SparkSpec {
     batchRun.foreach { case (id, w) => streamed(id) shouldBe w +- 1e-12 }
   }
 
+  test("continuousKmeansAssign labels a stream against persisted centroids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ckm").toString
+    val vecs = (0L until 30L).map { i =>
+      val base = if (i % 3 == 0) Seq(1.0, 0.0, 0.0)
+      else if (i % 3 == 1) Seq(0.0, 1.0, 0.0) else Seq(0.0, 0.0, 1.0)
+      (i, base.map(_ + 0.01 * (i % 5)))
+    }
+    val vecsDf = vecs.toDF("vec_id", "v")
+    graft.operators.Embeddings.kmeansTrain(vecsDf, "vec_id", "v",
+      dim = 3, k = 3, iters = 3)
+      .write.mode("overwrite").parquet(s"$dir/model")
+    val model = spark.read.parquet(s"$dir/model")
+
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.continuousKmeansAssign(
+      in.toDF().toDF("vec_id", "v"), "vec_id", "v",
+      model, s"$dir/labels", s"$dir/ckpt").start()
+    try {
+      in.addData(vecs.take(15): _*); q.processAllAvailable()
+      in.addData(vecs.drop(15): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/labels")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster"))
+      .toMap
+    val batchRun = graft.operators.Embeddings
+      .kmeans(vecsDf, "vec_id", "v", dim = 3, k = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    streamed shouldBe batchRun
+  }
+
   test("continuousSpanDedup strips cross-batch repeated spans, grows the block index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
