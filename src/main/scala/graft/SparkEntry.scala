@@ -381,6 +381,49 @@ object SparkEntry {
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("__approx") - col("exact_parts")).cast("double") /
             col("exact_parts") <= 0.05).as("approx_within_5pct"))),
+    "q_funnel" -> ((s, dir) => {
+      // strictly-ordered 3-step funnel (view → click → purchase): each
+      // step's timestamp must FOLLOW the previous step's first
+      // occurrence. Three user-keyed min-aggs + user-keyed joins — every
+      // agg map-side combined, no window, no self-join blowup
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("tv"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("tv"))
+        .groupBy("user_id").agg(min("ts").as("tc"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("tc"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      val nv = v.agg(count(lit(1)).as("n_view"))
+      val nc = c.agg(count(lit(1)).as("n_click_after_view"))
+      val np = p.agg(count(lit(1)).as("n_purchase_after_click"))
+      nv.crossJoin(broadcast(nc)).crossJoin(broadcast(np))
+        .select(col("n_view"), col("n_click_after_view"),
+          col("n_purchase_after_click"),
+          round(col("n_click_after_view").cast("double") /
+            col("n_view"), 6).as("view_to_click"),
+          round(col("n_purchase_after_click").cast("double") /
+            col("n_click_after_view"), 6).as("click_to_purchase"))
+    }),
+    "q_retention" -> ((s, dir) => {
+      // weekly cohort retention triangle: cohort = a user's first-event
+      // week, cell = distinct users active k weeks later. Epoch seconds
+      // (floored) so the week arithmetic is integer and engine-exact
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("long").as("sec"))
+      val first = ev.groupBy("user_id").agg(min("sec").as("first_sec"))
+      ev.join(first, Seq("user_id"))
+        .select(col("user_id"),
+          floor((col("first_sec") - lit(1704067200L)) / 604800L)
+            .as("cohort_week"),
+          floor((col("sec") - col("first_sec")) / 604800L).as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+    }),
     "q_sessionize" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
@@ -1411,6 +1454,34 @@ object SparkEntry {
          FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
          GROUP BY label, i""",
 
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+           JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+           JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1)
+         SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+           (SELECT count(*) FROM c)::BIGINT AS n_click_after_view,
+           (SELECT count(*) FROM p)::BIGINT AS n_purchase_after_click,
+           round((SELECT count(*) FROM c)::DOUBLE /
+             (SELECT count(*) FROM v), 6) AS view_to_click,
+           round((SELECT count(*) FROM p)::DOUBLE /
+             (SELECT count(*) FROM c), 6) AS click_to_purchase""",
+    // same floored epoch seconds and integer week arithmetic
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, floor(epoch(ts))::BIGINT AS sec
+           FROM events),
+         f AS (SELECT user_id, min(sec) AS first_sec FROM e GROUP BY 1),
+         cells AS (SELECT DISTINCT e.user_id,
+             ((f.first_sec - 1704067200) // 604800) AS cohort_week,
+             ((e.sec - f.first_sec) // 604800) AS week_offset
+           FROM e JOIN f USING (user_id))
+         SELECT cohort_week::BIGINT AS cohort_week,
+           week_offset::BIGINT AS week_offset, count(*)::BIGINT AS n_users
+         FROM cells GROUP BY 1, 2""",
     "q_sessionize" ->
       """WITH g AS (
            SELECT user_id, ts::TIMESTAMP AS ts,
