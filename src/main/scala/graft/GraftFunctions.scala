@@ -37,6 +37,20 @@ object GraftFunctions {
     }
   }
 
+  private def litDouble(e: Expression, what: String): Double = {
+    require(e.foldable, s"$what must be a literal number")
+    e.eval() match {
+      case d: Double => d
+      case f: Float  => f.toDouble
+      case i: Int    => i.toDouble
+      case l: Long   => l.toDouble
+      case d: java.math.BigDecimal => d.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal number, got $other")
+    }
+  }
+
   private def litStr(e: Expression, what: String): String = {
     require(e.foldable, s"$what must be a literal string")
     e.eval() match {
@@ -160,7 +174,17 @@ object GraftFunctions {
       { ch => arity(ch, 1)
         viaColumns(c => bindOnce(T.normTokens(c(0)),
           ts => T.topTokenFractionOfTokens(ts)))(ch) },
-      "share of tokens equal to the single most frequent token"))
+      "share of tokens equal to the single most frequent token"),
+    ("graft_repetition_stats",
+      { ch => arity(ch, 1)
+        viaColumns(c => T.repetitionStats(T.normTokens(c(0))))(ch) },
+      "struct(dup2_frac, dup3_frac, top_token_frac) in one O(tokens) pass"),
+    ("graft_zvalue2",
+      { ch => arity(ch, 6)
+        viaColumns(c => graft.tables.Tables.zValue2(
+          c(0), litDouble(ch(1), "aLo"), litDouble(ch(2), "aHi"),
+          c(3), litDouble(ch(4), "bLo"), litDouble(ch(5), "bHi")))(ch) },
+      "Morton (Z-order) key of two min-max-bucketed numeric columns"))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(GraftFunctions.getClass.getName, null, name, usage, "")

