@@ -37,20 +37,24 @@ object WordPieceTokenizer {
       : (Set[String], Set[String]) = {
     require(maxPieceLen >= 1, "maxPieceLen >= 1")
     require(vocabSize >= 0, "vocabSize >= 0")
-    val toks = docs.filter(col(textCol).isNotNull)
+    // substring counting runs over DISTINCT words weighted by their
+    // multiplicity (the BPE distinct-segment discipline) — identical
+    // counts to per-instance enumeration at a fraction of the explode
+    // volume; per distinct word, every substring of length
+    // 1..maxPieceLen, tagged 0 = word start (i == 1), 1 = continuation —
+    // lambdas touch only ATTRIBUTES, so nothing re-evaluates per element
+    val words = docs.filter(col(textCol).isNotNull)
       .select(explode(T.normTokens(col(textCol))).as("w"))
-    // per token instance, every substring of length 1..maxPieceLen,
-    // tagged 0 = word start (i == 1), 1 = continuation — lambdas touch
-    // only the `w` ATTRIBUTE, so nothing re-evaluates per element
-    val counts = toks
-      .select(explode(flatten(transform(
+      .groupBy("w").agg(count(lit(1)).as("__m"))
+    val counts = words
+      .select(col("__m"), explode(flatten(transform(
         sequence(lit(1), length(col("w"))),
         i => transform(
           sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i + 1)),
           l => struct(col("w").substr(i, l).as("p"),
             when(i === 1, 0).otherwise(1).as("k")))))).as("pk"))
-      .select(col("pk.p").as("p"), col("pk.k").as("k"))
-      .groupBy("p", "k").agg(count(lit(1)).as("cnt"))
+      .select(col("pk.p").as("p"), col("pk.k").as("k"), col("__m"))
+      .groupBy("p", "k").agg(sum("__m").as("cnt"))
     val singles = counts.filter(length(col("p")) === 1)
     val multi = counts.filter(length(col("p")) > 1)
       .orderBy((col("cnt") * (length(col("p")) - 1)).desc,
