@@ -61,12 +61,19 @@ object Graph {
       .localCheckpoint(true)
 
     val base = lit(1.0 - damping)
-    // round 0 stays a plain projection of the checkpointed node table —
-    // one less materialization; it must also never be "released" (that
-    // would free the NODES blocks it reads), hence the null sentinel
+    // UNLIKE connected components (whose round plan references `labels`
+    // twice and doubles per round), a PageRank round references the
+    // previous ranks ONCE — the plan grows linearly. So rounds compose
+    // lazily and the checkpoint (lineage cut + materialization job)
+    // lands only every `CheckpointEvery` rounds and at the end: a
+    // 3-round run is ONE job instead of three. Checkpointed rounds
+    // release their predecessor's blocks explicitly; the round-0 frame
+    // is a plain projection of the node table and must never be
+    // "released" (that would free the NODES blocks), hence the null
+    // sentinel.
     var ranks = nodes.select(col("id"), lit(1.0).as("rank"))
     var prev: DataFrame = null
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val contribs = linked
         .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
         .groupBy(col("dst").as("id"))
@@ -74,13 +81,19 @@ object Graph {
       ranks = nodes.join(contribs, Seq("id"), "left_outer")
         .select(col("id"),
           (base + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
-        .localCheckpoint(true) // eager: materialized here
-      // round k−1 is never read again (round 0 holds no blocks of its own)
-      if (prev != null) Bridge.releaseLocalCheckpoint(prev)
-      prev = ranks
+      if (i % CheckpointEvery == 0 || i == iters) {
+        // the final round always materializes: the returned frame must
+        // not re-read `linked` after its unpersist below
+        ranks = ranks.localCheckpoint(true)
+        if (prev != null) Bridge.releaseLocalCheckpoint(prev)
+        prev = ranks
+      }
     }
     linked.unpersist(blocking = false)
     Bridge.releaseLocalCheckpoint(nodes)
     ranks
   }
+
+  /** Lineage-cut cadence for [[pageRank]]'s lazy round composition. */
+  private val CheckpointEvery = 4
 }
