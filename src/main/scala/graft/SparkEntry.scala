@@ -381,6 +381,21 @@ object SparkEntry {
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("__approx") - col("exact_parts")).cast("double") /
             col("exact_parts") <= 0.05).as("approx_within_5pct"))),
+    "q_anomaly" -> ((s, dir) => {
+      // ops-analytics outlier scan: per (event_type, day) counts
+      // z-scored against that type's own daily mean/stddev — one
+      // day-grain agg (map-side combined), one type-grain agg (bounded
+      // by #types), broadcast back; no window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy("event_type")
+        .agg(avg("n").as("mu"), stddev_samp(col("n").cast("double")).as("sd"))
+      daily.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("n"),
+          round((col("n") - col("mu")) / col("sd"), 4).as("z"))
+        .filter(abs(col("n") - col("mu")) > col("sd") * 2)
+    }),
     "q_funnel" -> ((s, dir) => {
       // strictly-ordered 3-step funnel (view → click → purchase): each
       // step's timestamp must FOLLOW the previous step's first
@@ -1454,6 +1469,15 @@ object SparkEntry {
          FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
          GROUP BY label, i""",
 
+    "q_anomaly" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+           count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+         stats AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+           FROM daily GROUP BY 1)
+         SELECT d.event_type, d.day, d.n,
+           round((d.n - s.mu) / s.sd, 4) AS z
+         FROM daily d JOIN stats s USING (event_type)
+         WHERE abs(d.n - s.mu) > s.sd * 2""",
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
            WHERE event_type = 'view' GROUP BY 1),
