@@ -78,6 +78,41 @@ class TrainingDataSpec extends SparkSpec {
       Seq("1", "2", "3", "4", "5")
   }
 
+  test("packFoldedPairs matches a sequential reference on random corpora") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val n = 20 + rnd.nextInt(60)
+      val docs = (0 until n).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(30))("w").mkString(" "))
+      }
+      val maxLen = 10L + rnd.nextInt(30)
+      // sequential reference: sort desc by (count, then id asc), fold,
+      // fit-or-split
+      val byRank = docs.map { case (id, t) => (id, t.split(" ").length.toLong) }
+        .sortBy { case (id, c) => (-c, id) }
+      val nn = byRank.length
+      val expected = (1 to (nn + 1) / 2).flatMap { pair =>
+        val (idA, nA) = byRank(pair - 1)
+        val other = nn + 1 - pair
+        if (other == pair) Seq((pair * 2L, s"$idA", 1, nA))
+        else {
+          val (idB, nB) = byRank(other - 1)
+          if (nA + nB <= maxLen) Seq((pair * 2L, s"$idA,$idB", 2, nA + nB))
+          else Seq((pair * 2L, s"$idA", 1, nA), (pair * 2L + 1, s"$idB", 1, nB))
+        }
+      }.sortBy(_._1)
+      val got = TrainingData.packFoldedPairs(docs.toDF("doc_id", "text"),
+        "doc_id", T.tokenCount(col("text")), maxLen)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      withClue(s"trial $trial (n=$n, maxLen=$maxLen): ") {
+        got shouldBe expected
+      }
+    }
+  }
+
   test("packFoldedPairs padding beats naive one-doc-per-sequence packing") {
     import spark.implicits._
     val docs = (1L to 100L)
