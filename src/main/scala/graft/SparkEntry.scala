@@ -381,6 +381,20 @@ object SparkEntry {
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("__approx") - col("exact_parts")).cast("double") /
             col("exact_parts") <= 0.05).as("approx_within_5pct"))),
+    "pipeline_user_sequences" -> ((s, dir) =>
+      // behavioral-sequence training data: each user's event-type
+      // history in (ts, event_id) order — the per-user example builder
+      // for recsys / behavior models. ONE user-keyed aggregation with
+      // an in-row sort; per-user state is bounded by that user's
+      // activity (cap production histories with slice() post-sort)
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(
+          col("ts"), col("event_id"), col("event_type")))).as("__h"))
+        .select(col("user_id"), size(col("__h")).as("n_events"),
+          md5(concat_ws(",",
+            transform(col("__h"), e => e.getField("event_type"))))
+            .as("seq_fp"))),
     "q_anomaly" -> ((s, dir) => {
       // ops-analytics outlier scan: per (event_type, day) counts
       // z-scored against that type's own daily mean/stddev — one
@@ -1469,6 +1483,11 @@ object SparkEntry {
          FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
          GROUP BY label, i""",
 
+    // same (ts, event_id) total order inside string_agg
+    "pipeline_user_sequences" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+         md5(string_agg(event_type, ',' ORDER BY ts, event_id)) AS seq_fp
+         FROM events GROUP BY user_id""",
     "q_anomaly" ->
       """WITH daily AS (SELECT event_type, ts::DATE AS day,
            count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
