@@ -395,6 +395,27 @@ object SparkEntry {
           md5(concat_ws(",",
             transform(col("__h"), e => e.getField("event_type"))))
             .as("seq_fp"))),
+    "q_funnel_windowed" -> ((s, dir) => {
+      // conversion-window funnel: each step must land within 72 h of the
+      // previous step's first occurrence (the product-analytics form);
+      // timestamp + interval arithmetic is exact micros in any engine
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("tv"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("tv") &&
+          col("ts") <= col("tv") + expr("INTERVAL 72 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("tc"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("tc") &&
+          col("ts") <= col("tc") + expr("INTERVAL 72 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click_72h"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase_72h"))))
+    }),
     "q_anomaly" -> ((s, dir) => {
       // ops-analytics outlier scan: per (event_type, day) counts
       // z-scored against that type's own daily mean/stddev — one
@@ -1488,6 +1509,20 @@ object SparkEntry {
       """SELECT user_id, count(*)::BIGINT AS n_events,
          md5(string_agg(event_type, ',' ORDER BY ts, event_id)) AS seq_fp
          FROM events GROUP BY user_id""",
+    "q_funnel_windowed" ->
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+           JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > v.tv
+             AND e.ts <= v.tv + INTERVAL 72 HOUR GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+           JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > c.tc
+             AND e.ts <= c.tc + INTERVAL 72 HOUR GROUP BY 1)
+         SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+           (SELECT count(*) FROM c)::BIGINT AS n_click_72h,
+           (SELECT count(*) FROM p)::BIGINT AS n_purchase_72h""",
     "q_anomaly" ->
       """WITH daily AS (SELECT event_type, ts::DATE AS day,
            count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
