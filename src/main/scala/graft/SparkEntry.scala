@@ -387,7 +387,14 @@ object SparkEntry {
       // for recsys / behavior models. ONE user-keyed aggregation with
       // an in-row sort; per-user state is bounded by that user's
       // activity (cap production histories with slice() post-sort)
+      // non-null guard on the order keys + payload: sort_array puts NULL
+      // structs/fields FIRST while SQL ORDER BY defaults NULLS LAST, and
+      // concat_ws drops NULL elements while string_agg skips the row —
+      // filtering identically on both sides makes the query
+      // engine-equivalent even over a nullable events source
       Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("event_id").isNotNull)
         .groupBy("user_id")
         .agg(sort_array(collect_list(struct(
           col("ts"), col("event_id"), col("event_type")))).as("__h"))
@@ -426,10 +433,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
       val stats = daily.groupBy("event_type")
         .agg(avg("n").as("mu"), stddev_samp(col("n").cast("double")).as("sd"))
+      // gate on the ROUNDED z (not the raw aggregates): avg/stddev
+      // summation order differs between engines, so a row at the exact
+      // 2σ boundary could flip in/out if the filter saw unrounded values
       daily.join(broadcast(stats), Seq("event_type"))
         .select(col("event_type"), col("day"), col("n"),
           round((col("n") - col("mu")) / col("sd"), 4).as("z"))
-        .filter(abs(col("n") - col("mu")) > col("sd") * 2)
+        .filter(abs(col("z")) > 2)
     }),
     "q_funnel" -> ((s, dir) => {
       // strictly-ordered 3-step funnel (view → click → purchase): each
@@ -557,7 +567,10 @@ object SparkEntry {
       // WordPiece greedy longest-match tokenizer: position-split
       // corpus-seeded vocab (start vs continuation pieces), pure string
       // arithmetic — the oracle replays the greedy walk in a recursive
-      // CTE and checks the exact segmentation via the pieces digest
+      // CTE and checks the exact segmentation via the pieces digest.
+      // COUPLING: maxPieceLen = 4 here must equal the oracle's
+      // least(4, …) candidate bound — the engines agree only while the
+      // vocab's longest piece ≤ that replay bound
       val docs = Tables.documents(s, dir)
       val (sv, cv) = graft.operators.WordPieceTokenizer.seedVocab(
         docs, "text", maxPieceLen = 4, vocabSize = 200)
@@ -815,10 +828,21 @@ object SparkEntry {
           round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"))),
     "q_zorder" -> ((s, dir) =>
       // the Morton key behind writeZOrdered, checkable cross-engine:
-      // 16-bit min-max buckets of (l_partkey, l_suppkey) interleaved
+      // 16-bit min-max buckets of (l_partkey, l_suppkey) interleaved;
+      // NULL key → NULL z on both sides (lineitem keys are non-null —
+      // the NULL contract itself is asserted in TablesSpec)
       Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
         Tables.zValue2(col("l_partkey"), 0.0, 20000.0,
           col("l_suppkey"), 0.0, 1000.0).as("z"))),
+    "q_zorder3" -> ((s, dir) =>
+      // the N-column generalization (zValueN): 3 keys at ⌊48/3⌋ = 16
+      // bits each — the shape real tables cluster on (3-4 keys); the
+      // oracle replays the same clamp-bucket-interleave arithmetic
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        Tables.zValueN(Seq(
+          (col("l_partkey"), 0.0, 20000.0),
+          (col("l_suppkey"), 0.0, 1000.0),
+          (col("l_quantity"), 0.0, 64.0))).as("z"))),
     "q_histogram" -> ((s, dir) =>
       // the value-distribution primitive next to q_profile: 16 equi-width
       // bins over the price range, empty bins present; <= nBins groups
@@ -1508,7 +1532,10 @@ object SparkEntry {
     "pipeline_user_sequences" ->
       """SELECT user_id, count(*)::BIGINT AS n_events,
          md5(string_agg(event_type, ',' ORDER BY ts, event_id)) AS seq_fp
-         FROM events GROUP BY user_id""",
+         FROM events
+         WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           AND event_id IS NOT NULL
+         GROUP BY user_id""",
     "q_funnel_windowed" ->
       """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
            WHERE event_type = 'view' GROUP BY 1),
@@ -1531,7 +1558,7 @@ object SparkEntry {
          SELECT d.event_type, d.day, d.n,
            round((d.n - s.mu) / s.sd, 4) AS z
          FROM daily d JOIN stats s USING (event_type)
-         WHERE abs(d.n - s.mu) > s.sd * 2""",
+         WHERE abs(round((d.n - s.mu) / s.sd, 4)) > 2""",
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
            WHERE event_type = 'view' GROUP BY 1),
@@ -1817,7 +1844,10 @@ object SparkEntry {
     // iteration, longest matching length via list_max, single-char
     // fallback via coalesce(…, 1); pure string/integer arithmetic, so
     // the engines cannot drift and the pieces digest checks the exact
-    // segmentation
+    // segmentation. The two `least(4, …)` bounds below are COUPLED to
+    // the query's seedVocab(maxPieceLen = 4): a vocabulary with longer
+    // pieces would need this replay bound raised to its true max piece
+    // length (see WordPiece.Segmenter.segmentWord)
     "text_wordpiece" ->
       """WITH RECURSIVE tdocs AS (SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -1980,6 +2010,23 @@ object SparkEntry {
            list_sum(list_transform(generate_series(0, 15), k ->
              (((ab >> k) & 1) << (2 * k + 1)) +
              (((bb >> k) & 1) << (2 * k))))::BIGINT AS z
+         FROM b""",
+    // same arithmetic at 3 columns: 16-bit buckets, column j's bit k at
+    // output position 3k + (2 - j) — column order is significance order
+    "q_zorder3" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+           least(65535, greatest(0,
+             floor(l_partkey::DOUBLE / 20000.0 * 65536.0)::BIGINT)) AS ab,
+           least(65535, greatest(0,
+             floor(l_suppkey::DOUBLE / 1000.0 * 65536.0)::BIGINT)) AS bb,
+           least(65535, greatest(0,
+             floor(l_quantity::DOUBLE / 64.0 * 65536.0)::BIGINT)) AS cb
+         FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+           list_sum(list_transform(generate_series(0, 15), k ->
+             (((ab >> k) & 1) << (3 * k + 2)) +
+             (((bb >> k) & 1) << (3 * k + 1)) +
+             (((cb >> k) & 1) << (3 * k))))::BIGINT AS z
          FROM b""",
     "q_percentile_grouped" ->
       """SELECT l_returnflag,

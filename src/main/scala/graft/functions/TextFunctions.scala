@@ -262,7 +262,7 @@ object TextFunctions {
             sb.setLength(0)
             var k = 0
             while (k < g) {
-              if (k > 0) sb.append(' ')
+              if (k > 0) sb.append('\u0000')
               sb.append(toks(j + k))
               k += 1
             }

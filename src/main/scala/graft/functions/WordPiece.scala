@@ -38,7 +38,18 @@ object WordPiece {
     @transient private lazy val maxCont =
       if (contV.isEmpty) 1 else contV.iterator.map(_.length).max
 
-    /** (piece count, pieces joined by the U+001F separator) of the greedy segmentation. */
+    /** (piece count, pieces joined by the U+001F separator) of the greedy
+      * segmentation.
+      *
+      * The match length is bounded by the LONGEST PIECE IN THIS VOCAB
+      * (maxStart/maxCont above). Any fixed-length replay of the walk —
+      * like the `text_wordpiece` DuckDB oracle, which hardcodes
+      * `least(4, …)` to mirror `seedVocab(maxPieceLen = 4)` — is only
+      * equivalent when its bound ≥ the vocab's true max piece length; a
+      * trained or user-supplied vocabulary with longer pieces needs the
+      * replay bound derived from the same vocabulary, not the seed
+      * parameter.
+      */
     def segmentWord(w: String): (Long, String) = {
       val sb = new java.lang.StringBuilder
       var pos = 0

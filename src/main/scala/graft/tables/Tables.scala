@@ -78,35 +78,82 @@ object Tables {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Morton (Z-order) key of two numeric columns: each is min-max
-    * bucketed to 16 bits over its declared [lo, hi) range (values
-    * outside clamp to the edge buckets), then the bits interleave —
-    * a bit of `a` above each bit of `b`. Nearby (a, b) pairs get nearby
-    * z-values, so range-clustering on z gives BALANCED file pruning on
-    * BOTH columns, where lexicographic `writeClustered(Seq(a, b))`
-    * prunes only on `a` (every file spans b's full range). Plain
-    * integer arithmetic — codegen'd here, byte-identical in any SQL
-    * engine. NULL in either column → NULL z (sorts first, one edge
-    * file).
+  /** Shared Morton-key core: min-max bucket each key to `bitsPerCol`
+    * bits over its declared [lo, hi) range (values outside clamp to the
+    * edge buckets), then interleave — for bit k, column 0's bit lands
+    * ABOVE column 1's, etc., so earlier columns are the coarser
+    * dimension within each bit group. Plain integer arithmetic —
+    * codegen'd here, byte-identical in any SQL engine.
+    */
+  private def zInterleave(keys: Seq[(Column, Double, Double)],
+      bitsPerCol: Int): Column = {
+    val n = keys.size
+    val maxBucket = (1L << bitsPerCol) - 1
+    def bucket(x: Column, lo: Double, hi: Double): Column =
+      least(lit(maxBucket), greatest(lit(0L),
+        floor((x.cast("double") - lo) / (hi - lo) * (maxBucket + 1).toDouble)
+          .cast("long")))
+    keys.zipWithIndex.map { case ((c, lo, hi), j) =>
+      val bk = bucket(c, lo, hi)
+      (0 until bitsPerCol).map { k =>
+        shiftright(bk, k).bitwiseAND(lit(1L)) * lit(1L << (k * n + (n - 1 - j)))
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+  }
+
+  /** NULL in ANY key column → NULL z: NULL coordinates carry no
+    * position, so clamping them to bucket 0 (what raw floor/greatest
+    * would do) would silently co-locate NULL rows with genuine low-edge
+    * values. NULL z range-sorts into one edge file instead.
+    */
+  private def zNullGuard(keys: Seq[Column], z: Column): Column =
+    when(keys.map(_.isNull).reduce(_ || _), lit(null).cast("long")).otherwise(z)
+
+  /** Morton (Z-order) key of two numeric columns at 16 bits each (the
+    * `q_zorder` oracle replays exactly this shape). Nearby (a, b) pairs
+    * get nearby z-values, so range-clustering on z gives BALANCED file
+    * pruning on BOTH columns, where lexicographic
+    * `writeClustered(Seq(a, b))` prunes only on `a` (every file spans
+    * b's full range). NULL in either column → NULL z (sorts first, one
+    * edge file).
     */
   def zValue2(a: Column, aLo: Double, aHi: Double,
       b: Column, bLo: Double, bHi: Double): Column = {
     require(aHi > aLo && bHi > bLo, "empty z-order range")
-    def bucket(x: Column, lo: Double, hi: Double): Column =
-      least(lit(65535L), greatest(lit(0L),
-        floor((x.cast("double") - lo) / (hi - lo) * 65536.0).cast("long")))
-    val ab = bucket(a, aLo, aHi)
-    val bb = bucket(b, bLo, bHi)
-    (0 until 16).map { k =>
-      shiftright(ab, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1)) +
-        shiftright(bb, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k))
-    }.reduce(_ + _)
+    zNullGuard(Seq(a, b), zInterleave(Seq((a, aLo, aHi), (b, bLo, bHi)), 16))
   }
 
-  /** [[writeClustered]] on the [[zValue2]] key: each output file covers
-    * a narrow z-range, i.e. a small tile of the (a, b) plane — parquet
-    * row-group min/max statistics then prune files for filters on
-    * EITHER column (Delta Z-ORDER / Iceberg z-sort write shape).
+  /** N-column Morton key — real tables cluster on 3-4 keys, not 2.
+    * ⌊48/n⌋ bits per column (n=3 → 16 bits each, n=4 → 12), keeping the
+    * full key under 48 bits so it stays an exact Long AND an exact
+    * DOUBLE (oracle engines without 64-bit integer shifts replay it
+    * losslessly). Same clamp and NULL contract as [[zValue2]].
+    */
+  def zValueN(keys: Seq[(Column, Double, Double)]): Column = {
+    val n = keys.size
+    require(n >= 2, "zValueN needs at least 2 key columns")
+    val bits = 48 / n
+    require(bits >= 1, s"too many z-order columns ($n)")
+    keys.foreach { case (_, lo, hi) => require(hi > lo, "empty z-order range") }
+    zNullGuard(keys.map(_._1), zInterleave(keys, bits))
+  }
+
+  /** [[writeClustered]] on the [[zValueN]] key: each output file covers
+    * a narrow z-range, i.e. a small tile of the n-dimensional key space —
+    * parquet row-group min/max statistics then prune files for filters
+    * on ANY clustered column (Delta Z-ORDER / Iceberg z-sort write
+    * shape).
+    */
+  def writeZOrderedN(df: DataFrame, path: String,
+      keys: Seq[(String, Double, Double)], numFiles: Int): Unit =
+    df.withColumn("__z", zValueN(keys.map { case (c, lo, hi) => (col(c), lo, hi) }))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Two-column [[writeZOrderedN]] on the 16-bit [[zValue2]] key (kept
+    * for the established call shape and oracle).
     */
   def writeZOrdered(df: DataFrame, path: String,
       a: String, aLo: Double, aHi: Double,

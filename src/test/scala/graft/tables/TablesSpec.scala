@@ -98,6 +98,58 @@ class TablesSpec extends SparkSpec {
     spark.read.parquet(s"$dir/z").count() shouldBe 4096L
   }
 
+  test("zValueN tiles the 3-d cube; writeZOrderedN round-trips") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zorder3").toString
+    // a 16×16×16 cube visited in a scattered order
+    val df = (0 until 4096).map { i =>
+      val j = (i * 733) % 4096; (j / 256, (j / 16) % 16, j % 16, s"row$i")
+    }.toDF("a", "b", "c", "payload")
+    // Deterministic form of the clustering claim (file-level spans
+    // depend on RangePartitioner SAMPLING, whose boundaries wobble a few
+    // codes run-to-run): splitting the z range into 8 exact-count blocks
+    // must give 8 octants — every coordinate bounded at HALF its range.
+    // 16 values over [0,16) at 16 bits → bucket = v·4096, data bits at
+    // z positions 36..47, so 512-code blocks are z >> 45.
+    import org.apache.spark.sql.functions.{expr, max => smax, min => smin}
+    val z = df.select(col("a"), col("b"), col("c"),
+      Tables.zValueN(Seq((col("a"), 0.0, 16.0), (col("b"), 0.0, 16.0),
+        (col("c"), 0.0, 16.0))).as("z"))
+    val blocks = z.groupBy(expr("z div CAST(pow(2, 45) AS BIGINT)").as("blk"))
+      .agg(smax("a") - smin("a"), smax("b") - smin("b"),
+        smax("c") - smin("c"), org.apache.spark.sql.functions.count(col("*")))
+      .collect()
+    blocks.length shouldBe 8
+    blocks.foreach { r =>
+      r.getInt(1) should be <= 7; r.getInt(2) should be <= 7
+      r.getInt(3) should be <= 7; r.getLong(4) shouldBe 512L
+    }
+    // and the physical write round-trips through the same key
+    Tables.writeZOrderedN(df, s"$dir/z",
+      Seq(("a", 0.0, 16.0), ("b", 0.0, 16.0), ("c", 0.0, 16.0)),
+      numFiles = 8)
+    spark.read.parquet(s"$dir/z").count() shouldBe 4096L
+    new java.io.File(s"$dir/z").listFiles()
+      .count(_.getName.startsWith("part-")) shouldBe 8
+  }
+
+  test("z keys: NULL in any column yields NULL z; non-null values never collide with the edge") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(0), Some(0)),       // genuine lo-edge → z = 0
+      (None: Option[Int], Some(3)), // NULL a → NULL z, NOT bucket 0
+      (Some(3), None: Option[Int])  // NULL b → NULL z
+    ).toDF("a", "b")
+    val z2 = df.select(Tables.zValue2(col("a"), 0.0, 16.0,
+      col("b"), 0.0, 16.0).as("z")).collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    z2 shouldBe Array(Some(0L), None, None)
+    val zn = df.select(Tables.zValueN(Seq(
+      (col("a"), 0.0, 16.0), (col("b"), 0.0, 16.0))).as("z"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    zn shouldBe Array(Some(0L), None, None)
+  }
+
   test("compact rewrites many small files into the computed file count") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-compact").toString
