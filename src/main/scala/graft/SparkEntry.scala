@@ -441,6 +441,14 @@ object SparkEntry {
           round((col("n") - col("mu")) / col("sd"), 4).as("z"))
         .filter(abs(col("z")) > 2)
     }),
+    "q_funnel_n" -> ((s, dir) =>
+      // the N-step parameterized funnel operator (Funnel.counts) at 4
+      // steps — same chained strict-order semantics as q_funnel's
+      // unrolled form, each step one user-keyed min-agg + join, no
+      // windows; the oracle replays the chain as N CTEs
+      graft.operators.Funnel.counts(Tables.events(s, dir),
+        "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"))),
     "q_funnel" -> ((s, dir) => {
       // strictly-ordered 3-step funnel (view → click → purchase): each
       // step's timestamp must FOLLOW the previous step's first
@@ -1207,6 +1215,26 @@ object SparkEntry {
       ivf.join(exact, col("vec_id") === col("__evid"), "left")
         .agg(count(lit(1)).as("n_ivf"), count(col("__evid")).as("n_in_exact_top50"))
     }),
+    "sim_ivf_sq8" -> ((s, dir) => {
+      // the persisted-index IVF path with int8 scalar quantization
+      // (IVF-SQ8): build the ~4×-smaller index, probe it with inline
+      // dequantization, and hold the SAME recall contract as sim_ivf —
+      // all 10 results inside the exact top-50 (quantization error is
+      // ≤ scale/254 per component, far under this corpus's cosine gaps;
+      // verified at sf0.001/0.01/0.1). The 4× size ratio itself is
+      // spec-asserted (SimilaritySpec).
+      val q = queryVec(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivfsq8").toString
+      Similarity.ivfWriteIndexSQ8(emb, "vec_id", "embedding", dim = 64,
+        path = idx, nBits = 6, lloydIters = 1)
+      val ivf = Similarity.ivfTopKFromIndexSQ8(s, idx, "vec_id", q,
+        k = 10, nProbe = 3).select("vec_id")
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 50)
+        .select(col("vec_id").as("__evid"))
+      ivf.join(exact, col("vec_id") === col("__evid"), "left")
+        .agg(count(lit(1)).as("n_ivf_sq8"), count(col("__evid")).as("n_in_exact_top50"))
+    }),
     "sim_neighbors" -> ((s, dir) =>
       // md5-Rademacher planes — bucketing, cap, pairs, and per-id ranks
       // all replicated by the DuckDB oracle (full hash check)
@@ -1582,6 +1610,22 @@ object SparkEntry {
            round((d.n - s.mu) / s.sd, 4) AS z
          FROM daily d JOIN stats s USING (event_type)
          WHERE abs(round((d.n - s.mu) / s.sd, 4)) > 2""",
+    "q_funnel_n" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN s2 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1),
+         s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+           JOIN s3 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1)
+         SELECT (SELECT count(*) FROM s1)::BIGINT AS n_step_1,
+           (SELECT count(*) FROM s2)::BIGINT AS n_step_2,
+           (SELECT count(*) FROM s3)::BIGINT AS n_step_3,
+           (SELECT count(*) FROM s4)::BIGINT AS n_step_4""",
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
            WHERE event_type = 'view' GROUP BY 1),
@@ -2467,6 +2511,8 @@ object SparkEntry {
       "SELECT 10::BIGINT AS n_ann, 10::BIGINT AS n_in_exact_top50",
     "sim_ivf" ->
       "SELECT 10::BIGINT AS n_ivf, 10::BIGINT AS n_in_exact_top50",
+    "sim_ivf_sq8" ->
+      "SELECT 10::BIGINT AS n_ivf_sq8, 10::BIGINT AS n_in_exact_top50",
     // filter on RAW jaccard then round for output — the operator's order
     "dedup_minhash" ->
       s"""WITH $minhashPairsSql

@@ -98,6 +98,71 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** [[ivfWriteIndex]] with scalar int8 quantization of the stored
+    * vectors — the standard IVF-SQ8 shape (FAISS `IndexIVFScalarQuantizer`
+    * with QT_8bit): each cell row keeps the vector as `dim` signed bytes
+    * packed into ONE contiguous `binary` value plus one float32 scale,
+    * instead of `dim` float32 list components — 4× smaller vector
+    * payload (measured ~3.2× at the file level for dim=64: binary
+    * length prefix + scale + id; →4× as dim grows) for the identical
+    * probe plan (same cell partitioning, same partition pruning).
+    * Packing to binary (not `array<tinyint>`) matters: parquet stores
+    * list-of-int at INT32 width plus repetition levels, which gives
+    * back half the savings ([[graft.functions.Sq8.PackSQ8]]).
+    *
+    * Quantization is [[Embeddings.quantizeInt8]]'s symmetric per-row
+    * rule: scale = max |x_i|, q_i = floor(x_i/scale·127 + 0.5) — and the
+    * same two-projection discipline (`scale` must be a plain attribute
+    * before the packing lambda references it, else the max-abs pass
+    * re-evaluates per element).
+    */
+  def ivfWriteIndexSQ8(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, path: String, nBits: Int = 6, lloydIters: Int = 1): Unit = {
+    val (assigned, cents) = trainCells(df, idCol, vecCol, dim, nBits, lloydIters)
+    assigned
+      .select(col(idCol), col("cell"), col("v").cast("array<double>").as("__v"),
+        array_max(transform(col("v").cast("array<double>"), x => abs(x)))
+          .as("scale"))
+      .select(col(idCol), col("cell"),
+        col("scale").cast("float").as("scale"),
+        graft.functions.Sq8.packSq8(
+          transform(col("__v"), x =>
+            when(col("scale") === 0.0, lit(0))
+              .otherwise(floor(x / col("scale") * 127.0 + 0.5))
+              .cast("int"))).as("q"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.toSeq.toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a persisted [[ivfWriteIndexSQ8]] index: same driver-side
+    * centroid read and cell partition pruning as [[ivfTopKFromIndex]];
+    * the probe DEQUANTIZES INLINE in the scan projection (code·scale/127,
+    * [[graft.functions.Sq8.UnpackSQ8]] feeding the same CosineDouble as
+    * the flat path — one pass, nothing materialized at float width).
+    * Cosine is scale-invariant, so ranking error comes only from the
+    * ≤ scale/254 per-component rounding; the `sim_ivf_sq8` recall
+    * contract checks it against the exact top-50.
+    */
+  def ivfTopKFromIndexSQ8(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, queryVec: Seq[Double], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val probes = probeCells(cents, queryVec, nProbe)
+    val q = typedLit(queryVec)
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probes: _*))
+      .select(col(idCol), round(V.cosine(
+          graft.functions.Sq8.unpackSq8(col("q"), col("scale").cast("double")),
+          q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Query a persisted [[ivfWriteIndex]] index. */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, queryVec: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {

@@ -248,6 +248,82 @@ object StreamingOps {
         ()
       }
 
+  /** Continuous per-group quality cap — the streaming face of
+    * [[graft.operators.Sampling.capPerGroup]] ("keep at most `n` best
+    * docs per domain"), same persisted-state discipline as the dedup
+    * families: the best-so-far SELECTED SET (≤ n rows per group:
+    * group cols + id + score) persists in parquet; each micro-batch
+    * unions its candidates with the latest committed set, re-caps with
+    * the batch operator (bounded top-k aggregation — never a per-group
+    * window), and writes the new set at its own `batch_id` partition
+    * (dynamic overwrite — replays replace). The previous batch's
+    * partition is kept (a replay of batch B must find B−1's state);
+    * older ones are pruned, so state on disk is ≤ 2 × #groups × n rows.
+    *
+    * Invariant (spec-checked): after any prefix of batches, the
+    * selection equals `capPerGroup` over the union of those batches —
+    * holds because top-n-by-score is an associative fold: the best n of
+    * (best-so-far ∪ batch) = best n of all rows seen.
+    */
+  def continuousCapPerGroup(docs: DataFrame, groupCols: Seq[String],
+      idCol: String, scoreCol: String, n: Int, statePath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val cols = groupCols ++ Seq(idCol, scoreCol)
+        val cur = batch.toDF().select(cols.map(col): _*)
+        val prev =
+          try {
+            val all = spark.read.parquet(statePath)
+              .where(col("batch_id") =!= batchId)
+            val mb = all.agg(max(col("batch_id"))).head.get(0)
+            if (mb == null) cur.limit(0)
+            else all.where(col("batch_id") === mb.toString.toLong)
+              .select(cols.map(col): _*)
+          } catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => cur.limit(0)
+          }
+        // distinct: a row present in the carried state AND re-sent in
+        // this batch must occupy one top-k slot, not two
+        val best = graft.operators.Sampling.capPerGroup(
+          prev.union(cur).distinct(), groupCols, idCol, col(scoreCol), n)
+        best.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(statePath)
+        // prune everything older than the previous committed batch —
+        // written AFTER the new state, so a crash leaves extra (correct)
+        // partitions, never missing ones
+        val keep = Set(batchId, batchId - 1)
+        val root = new org.apache.hadoop.fs.Path(statePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(root).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory && name.startsWith("batch_id=")) {
+            val bid = scala.util.Try(name.stripPrefix("batch_id=").toLong)
+            if (bid.toOption.exists(b => !keep.contains(b)))
+              fs.delete(st.getPath, true)
+          }
+        }
+        ()
+      }
+
+  /** The current selection of a [[continuousCapPerGroup]] state table:
+    * the latest batch's partition (older partitions exist only as the
+    * replay safety margin).
+    */
+  def currentCapSelection(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame = {
+    val all = spark.read.parquet(statePath)
+    val mb = all.agg(max(col("batch_id"))).head.get(0).toString.toLong
+    all.where(col("batch_id") === mb).drop("batch_id")
+  }
+
   /** Continuous-ingestion SPAN dedup — the exact-substring face of the
     * probe-and-append loop, completing the family symmetry (MinHash,
     * SimHash, embedding, and now spans all stream the same way): each

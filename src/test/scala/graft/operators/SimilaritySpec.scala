@@ -152,6 +152,50 @@ class SimilaritySpec extends SparkSpec {
     narrow.collect().head.getLong(0) shouldBe 0L
   }
 
+  test("IVF-SQ8 index: same probe results as flat, ~4x smaller on real embeddings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq8-t").toString
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", dim = 4,
+      path = s"$dir/flat", nBits = 2, lloydIters = 1)
+    Similarity.ivfWriteIndexSQ8(vecs, "vec_id", "embedding", dim = 4,
+      path = s"$dir/sq8", nBits = 2, lloydIters = 1)
+    // identical probe plan and, on this corpus, identical results —
+    // quantization error is far below the fixture's cosine gaps
+    val sq = Similarity.ivfTopKFromIndexSQ8(spark, s"$dir/sq8", "vec_id", q,
+      k = 3, nProbe = 4)
+    sq.collect().map(_.getLong(0)).toSeq shouldBe
+      Similarity.ivfTopKFromIndex(spark, s"$dir/flat", "vec_id", q,
+        k = 3, nProbe = 4).collect().map(_.getLong(0)).toSeq
+    // partition pruning survives quantization
+    val scan = Similarity.ivfTopKFromIndexSQ8(spark, s"$dir/sq8", "vec_id", q,
+      k = 1, nProbe = 1).queryExecution.executedPlan.toString
+    scan should include("PartitionFilters")
+    scan should include("cell")
+    // the size claim needs real float32 vectors (the 6-row fixture is
+    // all parquet footer): 500 × 64-float rows from the test dataset.
+    // nBits=2 keeps 4 cells → ~125 rows per file, so per-file footer
+    // overhead (~1 KB, constant) doesn't mask the payload ratio the way
+    // it would at 16 tiny cells; at production file sizes footers vanish
+    // entirely and the ratio is the logical 4×.
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.ivfWriteIndex(emb, "vec_id", "embedding", dim = 64,
+      path = s"$dir/eflat", nBits = 2, lloydIters = 0)
+    Similarity.ivfWriteIndexSQ8(emb, "vec_id", "embedding", dim = 64,
+      path = s"$dir/esq8", nBits = 2, lloydIters = 0)
+    def cellBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.startsWith("part-")) f.length else 0L
+      walk(new java.io.File(s"$p/cells"))
+    }
+    val ratio = cellBytes(s"$dir/eflat").toDouble / cellBytes(s"$dir/esq8")
+    // the VECTOR payload is exactly 4× (256 B float32 → 64 B codes);
+    // parquet's per-row binary length prefix, the 4 B scale, and the
+    // shared id column cap the measured file-level ratio at ~3.2× for
+    // dim=64 (it approaches 4× as dim grows)
+    ratio should be >= 3.0
+  }
+
   test("knnJoinExact: per-id top-k equals bruteForceTopK per id") {
     val r = Similarity.knnJoinExact(vecs, "vec_id", "embedding", dim = 4, k = 2)
       .collect()

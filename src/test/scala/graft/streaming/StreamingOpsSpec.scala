@@ -274,6 +274,37 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("continuousCapPerGroup: streamed selection equals batch cap on the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccap").toString
+    val in = MemoryStream[(String, Long, Double)]
+    val q = StreamingOps.continuousCapPerGroup(
+      in.toDF().toDF("domain", "doc_id", "score"),
+      Seq("domain"), "doc_id", "score", n = 2,
+      s"$dir/state", s"$dir/ckpt").start()
+    val b1 = Seq(("a", 1L, 0.9), ("a", 2L, 0.5), ("a", 3L, 0.7), ("b", 10L, 0.1))
+    val b2 = Seq(("a", 4L, 0.8), ("b", 11L, 0.3), ("b", 12L, 0.2))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      // batch 2: a better doc displaces a's weakest; b fills its quota
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamingOps.currentCapSelection(spark, s"$dir/state")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = graft.operators.Sampling.capPerGroup(
+      (b1 ++ b2).toDF("domain", "doc_id", "score"),
+      Seq("domain"), "doc_id", col("score"), 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    got shouldBe expect
+    expect shouldBe Set(1L, 4L, 11L, 12L) // a keeps {1,4}; b keeps {11,12}
+    // state pruned to the replay margin: latest + previous partition only
+    spark.read.parquet(s"$dir/state")
+      .select("batch_id").distinct().count() should be <= 2L
+  }
+
   test("continuousNearDup: batches probe and grow the persisted index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
