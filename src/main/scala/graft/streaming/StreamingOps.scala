@@ -296,20 +296,9 @@ object StreamingOps {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(statePath)
-        // prune everything older than the previous committed batch —
-        // written AFTER the new state, so a crash leaves extra (correct)
-        // partitions, never missing ones
-        val keep = Set(batchId, batchId - 1)
-        val root = new org.apache.hadoop.fs.Path(statePath)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.listStatus(root).foreach { st =>
-          val name = st.getPath.getName
-          if (st.isDirectory && name.startsWith("batch_id=")) {
-            val bid = scala.util.Try(name.stripPrefix("batch_id=").toLong)
-            if (bid.toOption.exists(b => !keep.contains(b)))
-              fs.delete(st.getPath, true)
-          }
-        }
+        // prune everything older than the previous committed batch (the
+        // replay margin) — see pruneBatchPartitions for the crash story
+        pruneBatchPartitions(spark, statePath, keep = Set(batchId, batchId - 1))
         ()
       }
 
@@ -322,6 +311,95 @@ object StreamingOps {
     val all = spark.read.parquet(statePath)
     val mb = all.agg(max(col("batch_id"))).head.get(0).toString.toLong
     all.where(col("batch_id") === mb).drop("batch_id")
+  }
+
+  /** Continuous N-step funnel — the streaming face of
+    * [[graft.operators.Funnel]]: the per-user reach frame
+    * (user, t_1 .. t_N) persists per batch_id (same
+    * dynamic-overwrite/replay-margin/prune discipline as
+    * [[continuousCapPerGroup]]); each micro-batch REPLAYS the carried
+    * state as synthetic step events (one event of step i's type at t_i
+    * per reached user — exactly the information the chained min-agg
+    * needs) unioned with the batch's events, and recomputes
+    * [[graft.operators.Funnel.reach]] over that union. State is
+    * #reached-users × N timestamps — user-bounded, not event-bounded.
+    *
+    * CONTRACT (the standard event-time streaming assumption): each
+    * user's events arrive in non-decreasing `ts` order ACROSS batches
+    * (within a batch, any order — reach computes exactly). An event
+    * arriving after a later-ts event of the same user may be chained
+    * against already-frozen step times, like a closed window: e.g. a
+    * step-1 event arriving after the user's step-2 event was discarded
+    * cannot resurrect it. Under in-order arrival the spec-checked
+    * invariant holds: after any prefix of batches, the state equals
+    * `Funnel.reach` over the union of those batches.
+    */
+  def continuousFunnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], conversionWindow: Option[String],
+      statePath: String, checkpoint: String): DataStreamWriter[Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val cur = batch.toDF().select(col(userCol), col(typeCol), col(tsCol))
+        val emptyState = graft.operators.Funnel.reach(
+          cur.limit(0), userCol, typeCol, tsCol, steps, conversionWindow)
+        val prev =
+          try {
+            val all = spark.read.parquet(statePath)
+              .where(col("batch_id") =!= batchId)
+            val mb = all.agg(max(col("batch_id"))).head.get(0)
+            if (mb == null) emptyState
+            else all.where(col("batch_id") === mb.toString.toLong)
+              .select(emptyState.columns.map(col): _*)
+          } catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => emptyState
+          }
+        val synth = steps.indices.map { i =>
+          prev.filter(col(s"t_${i + 1}").isNotNull)
+            .select(col(userCol), lit(steps(i)).as(typeCol),
+              col(s"t_${i + 1}").as(tsCol))
+        }.reduce(_ union _)
+        val merged = graft.operators.Funnel.reach(
+          synth.union(cur), userCol, typeCol, tsCol, steps, conversionWindow)
+        merged.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(statePath)
+        pruneBatchPartitions(spark, statePath, keep = Set(batchId, batchId - 1))
+        ()
+      }
+
+  /** The current per-user reach frame of a [[continuousFunnel]] state
+    * table (latest batch partition).
+    */
+  def currentFunnelReach(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame = {
+    val all = spark.read.parquet(statePath)
+    val mb = all.agg(max(col("batch_id"))).head.get(0).toString.toLong
+    all.where(col("batch_id") === mb).drop("batch_id")
+  }
+
+  /** Delete `batch_id=` partition directories not in `keep` — the shared
+    * prune of the replace-per-batch state tables ([[continuousCapPerGroup]],
+    * [[continuousFunnel]]). Runs AFTER the new state commits, so a crash
+    * leaves extra (correct) partitions, never missing ones.
+    */
+  private def pruneBatchPartitions(spark: org.apache.spark.sql.SparkSession,
+      path: String, keep: Set[Long]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("batch_id=")) {
+        val bid = scala.util.Try(name.stripPrefix("batch_id=").toLong)
+        if (bid.toOption.exists(b => !keep.contains(b)))
+          fs.delete(st.getPath, true)
+      }
+    }
   }
 
   /** Continuous-ingestion SPAN dedup — the exact-substring face of the

@@ -305,6 +305,45 @@ class StreamingOpsSpec extends SparkSpec {
       .select("batch_id").distinct().count() should be <= 2L
   }
 
+  test("continuousFunnel: streamed reach state equals batch funnel on the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cfun").toString
+    def t(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingOps.continuousFunnel(
+      in.toDF().toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("A", "B", "C"), None,
+      s"$dir/state", s"$dir/ckpt").start()
+    // in-order arrival per user (the documented contract); u1 progresses
+    // across batches, u2 stalls (its C precedes its B overall), u3 starts
+    // in batch 2
+    val b1 = Seq((1L, "A", t(1)), (2L, "A", t(1)), (2L, "C", t(2)))
+    val b2 = Seq((1L, "B", t(3)), (1L, "C", t(4)), (2L, "B", t(3)),
+      (3L, "A", t(5)))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamingOps.currentFunnelReach(spark, s"$dir/state")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), (1 to 3).map(i =>
+        if (r.isNullAt(i)) null else r.getTimestamp(i)).toSeq)).toSeq
+    val expect = graft.operators.Funnel.reach(
+      (b1 ++ b2).toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("A", "B", "C"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), (1 to 3).map(i =>
+        if (r.isNullAt(i)) null else r.getTimestamp(i)).toSeq)).toSeq
+    got shouldBe expect
+    // sanity: u1 completed; u2 reached B (its earlier C can't count);
+    // u3 is at A
+    got.map { case (u, ts) => u -> ts.count(_ != null) } shouldBe
+      Seq(1L -> 3, 2L -> 2, 3L -> 1)
+  }
+
   test("continuousNearDup: batches probe and grow the persisted index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
