@@ -851,6 +851,20 @@ object SparkEntry {
           (col("l_partkey"), 0.0, 20000.0),
           (col("l_suppkey"), 0.0, 1000.0),
           (col("l_quantity"), 0.0, 64.0))).as("z"))),
+    "q_scd2" -> ((s, dir) =>
+      // SCD2 dimension history from the event change stream: one row per
+      // VERSION (consecutive identical attribute observations compress),
+      // [effective_from, effective_to) + is_current; both windows share
+      // one (user) partitioning — a single shuffle
+      graft.operators.Scd2.history(Tables.events(s, dir),
+        keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        attrCols = Seq("event_type"))),
+    "q_key_skew" -> ((s, dir) =>
+      // the pre-salting diagnostic: 10 heaviest join keys + global skew
+      // summary; per-key counts map-side combined (counting skew doesn't
+      // skew), top-N as TakeOrderedAndProject
+      graft.operators.Profiling.keySkew(Tables.events(s, dir),
+        Seq("user_id"), topN = 10)),
     "q_histogram" -> ((s, dir) =>
       // the value-distribution primitive next to q_profile: 16 equi-width
       // bins over the price range, empty bins present; <= nBins groups
@@ -2095,6 +2109,36 @@ object SparkEntry {
              (((bb >> k) & 1) << (3 * k + 1)) +
              (((cb >> k) & 1) << (3 * k))))::BIGINT AS z
          FROM b""",
+    // same (ts, event_id) per-key total order, IS DISTINCT FROM matching
+    // Spark's null-safe <=> change test, lead() for the validity end
+    "q_scd2" ->
+      """WITH base AS (SELECT user_id, event_id, event_type, ts,
+           lag(event_type) OVER w AS prev_attr,
+           lag(ts) OVER w AS prev_ts
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         v AS (SELECT user_id, event_id, event_type, ts FROM base
+           WHERE prev_ts IS NULL OR prev_attr IS DISTINCT FROM event_type),
+         h AS (SELECT user_id, event_id, event_type,
+           ts AS effective_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS effective_to
+         FROM v)
+         SELECT user_id, event_id, event_type, effective_from, effective_to,
+           (effective_to IS NULL) AS is_current
+         FROM h""",
+    // same count/summary arithmetic, same (n desc, string key) tiebreak
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+         s AS (SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS total_rows,
+           max(n)::BIGINT AS max_n FROM c)
+         SELECT key, n,
+           round(n::DOUBLE / total_rows * 100, 6) AS share_pct,
+           n_keys, total_rows, max_n,
+           round(max_n::DOUBLE * n_keys / total_rows, 6) AS skew_ratio
+         FROM c CROSS JOIN s
+         ORDER BY n DESC, key LIMIT 10""",
     "q_percentile_grouped" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price

@@ -140,4 +140,37 @@ object Profiling {
       .agg(count(lit(1)).as("n_rows"),
         min("__x").as("lo"), max("__x").as("hi"))
   }
+
+  /** Join/aggregation-key SKEW diagnostics — the number to read before
+    * deciding whether a key needs salting ([[Skew.saltedJoin]]) or AQE
+    * skew handling: the `topN` heaviest keys with their share of the
+    * table, plus the global distribution summary (key count, max group
+    * size, and `skew_ratio` = max/mean group size — 1.0 means perfectly
+    * even, 100 means the hottest key is 100× a typical one).
+    *
+    * Shape: per-key counts are ONE map-side-combined aggregation (a hot
+    * key contributes one partial row per partition — counting the skew
+    * does not itself skew); the summary is a second 1-row agg over the
+    * key-count frame; top-N lands as TakeOrderedAndProject (per-partition
+    * heap + driver merge of N rows, never a global sort). Keys join into
+    * one U+0001-separated string so any arity diagnoses uniformly.
+    */
+  def keySkew(df: DataFrame, keyCols: Seq[String], topN: Int): DataFrame = {
+    require(keyCols.nonEmpty && topN > 0, "keySkew needs keys and topN > 0")
+    val counts = df.groupBy(keyCols.map(qcol): _*).agg(count(lit(1)).as("n"))
+      .select(concat_ws("\u0001",
+        keyCols.map(c => qcol(c).cast("string")): _*).as("key"), col("n"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum("n").as("total_rows"), max("n").as("max_n"))
+    counts
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+      .crossJoin(broadcast(stats))
+      .select(col("key"), col("n"),
+        round(col("n").cast("double") / col("total_rows") * 100.0, 6)
+          .as("share_pct"),
+        col("n_keys"), col("total_rows"), col("max_n"),
+        round(col("max_n").cast("double") * col("n_keys") / col("total_rows"), 6)
+          .as("skew_ratio"))
+  }
 }

@@ -92,6 +92,33 @@ class ProfilingSpec extends SparkSpec {
     (0L until 9L).foreach { b => got(b)._3 should be <= got(b + 1)._2 }
   }
 
+  test("keySkew surfaces the hot key, exact shares, and max/mean ratio") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // key "hot" holds 60 of 100 rows; 40 singleton keys
+    val df = ((1 to 60).map(_ => "hot") ++ (1 to 40).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val r = Profiling.keySkew(df, Seq("k"), topN = 3).collect()
+    r.length shouldBe 3
+    val top = r.head
+    top.getAs[String]("key") shouldBe "hot"
+    top.getAs[Long]("n") shouldBe 60L
+    top.getAs[Double]("share_pct") shouldBe 60.0
+    top.getAs[Long]("n_keys") shouldBe 41L
+    top.getAs[Long]("total_rows") shouldBe 100L
+    top.getAs[Long]("max_n") shouldBe 60L
+    top.getAs[Double]("skew_ratio") shouldBe 24.6 // 60 / (100/41)
+    // remaining top-3 rows are singleton keys in string order
+    r.drop(1).map(_.getAs[String]("key")).toSeq shouldBe Seq("k1", "k10")
+    // top-N plans as TakeOrderedAndProject, not a global sort
+    Profiling.keySkew(df, Seq("k"), topN = 3)
+      .queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
+    // multi-column keys diagnose through the joined string form
+    val two = Profiling.keySkew(df.withColumn("k2", col("v") % 2), Seq("k", "k2"),
+      topN = 1).head()
+    two.getAs[Long]("n") shouldBe 30L // hot splits across k2 parity
+  }
+
   test("equiDepthHistogram matches the window formulation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+
+  // k1: gold → gold (compresses) → silver → gold; k2: one observation;
+  // k3: null → "x" → null (null-safe change detection)
+  private lazy val updates = Seq(
+    (1L, 1L, Some("gold"), ts(1)), (1L, 2L, Some("gold"), ts(2)),
+    (1L, 3L, Some("silver"), ts(3)), (1L, 4L, Some("gold"), ts(4)),
+    (2L, 5L, Some("bronze"), ts(1)),
+    (3L, 6L, None: Option[String], ts(1)), (3L, 7L, Some("x"), ts(2)),
+    (3L, 8L, None: Option[String], ts(3))
+  ).toDF("k", "id", "tier", "ts")
+
+  test("history compresses unchanged observations into versions with validity ranges") {
+    val h = Scd2.history(updates, Seq("k"), "ts", "id", Seq("tier"))
+      .orderBy("k", "effective_from").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("tier"),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+    h.toSeq shouldBe Seq(
+      (1L, "gold", ts(1), Some(ts(3)), false), // ts(2) repeat compressed
+      (1L, "silver", ts(3), Some(ts(4)), false),
+      (1L, "gold", ts(4), None, true),
+      (2L, "bronze", ts(1), None, true),
+      (3L, null, ts(1), Some(ts(2)), false), // null -> x is a change
+      (3L, "x", ts(2), Some(ts(3)), false),
+      (3L, null, ts(3), None, true)          // x -> null is a change
+    )
+  }
+
+  test("validity ranges tile each key's timeline without gaps") {
+    val h = Scd2.history(updates, Seq("k"), "ts", "id", Seq("tier"))
+      .orderBy("k", "effective_from").collect()
+    h.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      rows.sliding(2).foreach {
+        case Array(a, b) => a.getTimestamp(4) shouldBe b.getTimestamp(3)
+        case _ =>
+      }
+      rows.last.getBoolean(5) shouldBe true
+      rows.init.foreach(_.getBoolean(5) shouldBe false)
+    }
+  }
+
+  test("current() is the type-1 snapshot: exactly one row per key") {
+    val cur = Scd2.current(
+      Scd2.history(updates, Seq("k"), "ts", "id", Seq("tier")))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("tier")).toMap
+    cur shouldBe Map(1L -> "gold", 2L -> "bronze", 3L -> null)
+  }
+
+  test("both windows share one partitioning: a single Exchange in the plan") {
+    val plan = Scd2.history(updates, Seq("k"), "ts", "id", Seq("tier"))
+      .queryExecution.executedPlan.toString
+    "Exchange".r.findAllIn(plan).size shouldBe 1
+  }
+}
