@@ -184,7 +184,26 @@ object GraftFunctions {
         viaColumns(c => graft.tables.Tables.zValue2(
           c(0), litDouble(ch(1), "aLo"), litDouble(ch(2), "aHi"),
           c(3), litDouble(ch(4), "bLo"), litDouble(ch(5), "bHi")))(ch) },
-      "Morton (Z-order) key of two min-max-bucketed numeric columns"))
+      "Morton (Z-order) key of two min-max-bucketed numeric columns"),
+    ("graft_zvaluen",
+      { ch =>
+        if (ch.size < 6 || ch.size % 3 != 0)
+          throw new IllegalArgumentException(
+            "graft_zvaluen takes (col, lo, hi) triples — at least two")
+        viaColumns { c =>
+          graft.tables.Tables.zValueN(ch.indices.by(3).map(i =>
+            (c(i), litDouble(ch(i + 1), s"lo#${i / 3}"),
+              litDouble(ch(i + 2), s"hi#${i / 3}"))).toSeq)
+        }(ch)
+      },
+      "N-column Morton key from (col, lo, hi) triples (floor(48/n) bits each)"),
+    ("graft_pack_sq8",
+      { ch => arity(ch, 1); graft.functions.Sq8.PackSQ8(ch(0)) },
+      "pack int8 quantization codes (array<int> in [-128,127]) into binary"),
+    ("graft_unpack_sq8",
+      { ch => arity(ch, 2)
+        viaColumns(c => graft.functions.Sq8.unpackSq8(c(0), c(1).cast("double")))(ch) },
+      "dequantize packed SQ8 codes with a per-row scale to array<double>"))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(GraftFunctions.getClass.getName, null, name, usage, "")

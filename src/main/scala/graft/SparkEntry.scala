@@ -851,6 +851,24 @@ object SparkEntry {
           (col("l_partkey"), 0.0, 20000.0),
           (col("l_suppkey"), 0.0, 1000.0),
           (col("l_quantity"), 0.0, 64.0))).as("z"))),
+    "q_hll_merge" -> ((s, dir) => {
+      // MERGEABLE distinct sketches (DataSketches HLL) — the incremental
+      // 100 TB distinct-count story: shards/days sketch INDEPENDENTLY
+      // (here: odd/even order halves), the fixed-size binary sketches
+      // union, and the merged estimate must land within 5% of the exact
+      // global distinct — the property that lets a pipeline keep a
+      // per-partition sketch column and never re-scan history
+      val li = Tables.lineitem(s, dir)
+      val half = (p: Int) => li.filter(col("l_orderkey") % 2 === p)
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      val est = half(0).union(half(1))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+      val exact = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      exact.crossJoin(broadcast(est))
+        .select(col("exact_parts"),
+          (abs(col("__est") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.05).as("merged_within_5pct"))
+    }),
     "q_scd2" -> ((s, dir) =>
       // SCD2 dimension history from the event change stream: one row per
       // VERSION (consecutive identical attribute observations compress),
@@ -2109,6 +2127,11 @@ object SparkEntry {
              (((bb >> k) & 1) << (3 * k + 1)) +
              (((cb >> k) & 1) << (3 * k))))::BIGINT AS z
          FROM b""",
+    // accuracy contract like q_approx_distinct: the oracle checks the
+    // exact count and asserts the sketch-merge estimate stayed in band
+    "q_hll_merge" ->
+      """SELECT count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+         TRUE AS merged_within_5pct FROM lineitem""",
     // same (ts, event_id) per-key total order, IS DISTINCT FROM matching
     // Spark's null-safe <=> change test, lead() for the validity end
     "q_scd2" ->

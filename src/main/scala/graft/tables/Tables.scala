@@ -82,32 +82,23 @@ object Tables {
     * bits over its declared [lo, hi) range (values outside clamp to the
     * edge buckets), then interleave — for bit k, column 0's bit lands
     * ABOVE column 1's, etc., so earlier columns are the coarser
-    * dimension within each bit group. Plain integer arithmetic —
-    * codegen'd here, byte-identical in any SQL engine.
-    */
-  private def zInterleave(keys: Seq[(Column, Double, Double)],
-      bitsPerCol: Int): Column = {
-    val n = keys.size
-    val maxBucket = (1L << bitsPerCol) - 1
-    def bucket(x: Column, lo: Double, hi: Double): Column =
-      least(lit(maxBucket), greatest(lit(0L),
-        floor((x.cast("double") - lo) / (hi - lo) * (maxBucket + 1).toDouble)
-          .cast("long")))
-    keys.zipWithIndex.map { case ((c, lo, hi), j) =>
-      val bk = bucket(c, lo, hi)
-      (0 until bitsPerCol).map { k =>
-        shiftright(bk, k).bitwiseAND(lit(1L)) * lit(1L << (k * n + (n - 1 - j)))
-      }.reduce(_ + _)
-    }.reduce(_ + _)
-  }
-
-  /** NULL in ANY key column → NULL z: NULL coordinates carry no
+    * dimension within each bit group. ONE native expression
+    * ([[graft.functions.ZValueN]]): the pure-Column tree (bits×cols
+    * copies of the bucket subexpression under the NULL-contract `when`)
+    * overran codegen and interpreted the bucket per BIT — q_zorder
+    * measured 0.53 → 4.5 s at sf0.1 before this. Arithmetic is
+    * byte-identical to the Column form and the DuckDB oracle replay.
+    * NULL in ANY key column → NULL z: NULL coordinates carry no
     * position, so clamping them to bucket 0 (what raw floor/greatest
     * would do) would silently co-locate NULL rows with genuine low-edge
-    * values. NULL z range-sorts into one edge file instead.
+    * values; NULL z range-sorts into one edge file instead.
     */
-  private def zNullGuard(keys: Seq[Column], z: Column): Column =
-    when(keys.map(_.isNull).reduce(_ || _), lit(null).cast("long")).otherwise(z)
+  private def zInterleave(keys: Seq[(Column, Double, Double)],
+      bitsPerCol: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(graft.functions.ZValueN(
+      keys.map { case (c, _, _) =>
+        org.apache.spark.sql.graft.Bridge.expression(c.cast("double")) },
+      bitsPerCol, keys.map(_._2), keys.map(_._3)))
 
   /** Morton (Z-order) key of two numeric columns at 16 bits each (the
     * `q_zorder` oracle replays exactly this shape). Nearby (a, b) pairs
@@ -120,7 +111,7 @@ object Tables {
   def zValue2(a: Column, aLo: Double, aHi: Double,
       b: Column, bLo: Double, bHi: Double): Column = {
     require(aHi > aLo && bHi > bLo, "empty z-order range")
-    zNullGuard(Seq(a, b), zInterleave(Seq((a, aLo, aHi), (b, bLo, bHi)), 16))
+    zInterleave(Seq((a, aLo, aHi), (b, bLo, bHi)), 16)
   }
 
   /** N-column Morton key — real tables cluster on 3-4 keys, not 2.
@@ -135,7 +126,7 @@ object Tables {
     val bits = 48 / n
     require(bits >= 1, s"too many z-order columns ($n)")
     keys.foreach { case (_, lo, hi) => require(hi > lo, "empty z-order range") }
-    zNullGuard(keys.map(_._1), zInterleave(keys, bits))
+    zInterleave(keys, bits)
   }
 
   /** [[writeClustered]] on the [[zValueN]] key: each output file covers

@@ -91,6 +91,16 @@ class GraftFunctionsSpec extends SparkSpec {
     r.getLong(3) should be > 0L
   }
 
+  test("graft_zvaluen and SQ8 pack/unpack round-trip from SQL") {
+    val r = registered.sql(
+      """SELECT graft_zvaluen(0, 0.0, 16.0, 0, 0.0, 16.0, 0, 0.0, 16.0) AS z0,
+         graft_zvaluen(NULL, 0.0, 16.0, 3, 0.0, 16.0, 3, 0.0, 16.0) AS znull,
+         graft_unpack_sq8(graft_pack_sq8(array(127, -127, 0)), 2.0) AS v""").head()
+    r.getLong(0) shouldBe 0L
+    r.isNullAt(1) shouldBe true // NULL key -> NULL z, same as the column API
+    r.getSeq[Double](2) shouldBe Seq(2.0, -2.0, 0.0)
+  }
+
   test("literal-argument validation rejects non-literal widths") {
     // a foldable expression (length('xx')) is fine; a column reference is not
     registered.sql("SELECT size(graft_shingle_hashes('abc', length('xx')))")
