@@ -90,7 +90,11 @@ object Similarity {
   def ivfWriteIndex(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, path: String, nBits: Int = 6, lloydIters: Int = 1): Unit = {
     val (assigned, cents) = trainCells(df, idCol, vecCol, dim, nBits, lloydIters)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    // repartition on cell first: without it every task writes into every
+    // cell directory it touches (tasks × cells small files — the
+    // small-file problem at birth); one shuffle gives one file per cell
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     val spark = df.sparkSession
     import spark.implicits._
     cents.toSeq.toDF("cell", "centroid")
@@ -130,6 +134,7 @@ object Similarity {
             when(col("scale") === 0.0, lit(0))
               .otherwise(floor(x / col("scale") * 127.0 + 0.5))
               .cast("int"))).as("q"))
+      .repartition(col("cell")) // one file per cell — see ivfWriteIndex
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     val spark = df.sparkSession
     import spark.implicits._
