@@ -383,6 +383,89 @@ object StreamingOps {
     all.where(col("batch_id") === mb).drop("batch_id")
   }
 
+  /** Continuous SCD2 dimension maintenance — the CDC-stream face of
+    * [[graft.operators.Scd2]]: each micro-batch of attribute
+    * observations folds into a persisted version history WITHOUT
+    * rewriting it. Closed versions are immutable under the in-order
+    * contract (each key's observations arrive in non-decreasing ts
+    * order across batches — same contract as [[continuousFunnel]]), so
+    * a batch can only (a) CLOSE a key's current version and (b) open
+    * new versions. The batch therefore writes an append-only DELTA:
+    * for each key the batch touches, the current version row is
+    * replayed as a synthetic observation through `Scd2.history`
+    * together with the batch's updates, and the resulting rows land at
+    * this batch_id — the labels-delta discipline
+    * ([[continuousClusteredDedup]]): the live row of a (key,
+    * effective_from) version is its row in the LATEST batch that wrote
+    * it ([[currentScd2History]]); untouched keys' rows are never
+    * rewritten.
+    */
+  def continuousScd2(updates: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String, attrCols: Seq[String], statePath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val cols = keyCols ++ Seq(tsCol, tieCol) ++ attrCols
+        val cur = batch.toDF().select(cols.map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          cur.count()
+          val currentOfTouched =
+            try {
+              val hist = spark.read.parquet(statePath)
+                .where(col("batch_id") =!= batchId)
+              // live row per version — identity is (key, effective_from,
+              // tie): equal-ts observations may open two versions at one
+              // effective_from, and the synthetic replay carries the
+              // original tie so rewrites collide with their own version —
+              // then the open version per touched key
+              hist.groupBy((keyCols ++ Seq("effective_from", tieCol)).map(col): _*)
+                .agg(max_by(struct(hist.columns.map(col): _*), col("batch_id"))
+                  .as("__r"))
+                .select(col("__r.*"))
+                .where(col("is_current"))
+                .join(cur.select(keyCols.map(col): _*).distinct(),
+                  keyCols, "left_semi")
+            } catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition == "PATH_NOT_FOUND" =>
+                // first batch: empty frame with the history schema
+                graft.operators.Scd2.history(cur.limit(0),
+                  keyCols, tsCol, tieCol, attrCols)
+            }
+          // synthetic observation per touched key's open version: its
+          // effective_from + attrs re-enter the change-compression walk
+          val synth = currentOfTouched.select(
+            (keyCols.map(col) :+ col("effective_from").as(tsCol) :+
+              col(tieCol)) ++ attrCols.map(col): _*)
+          val delta = graft.operators.Scd2.history(
+            synth.union(cur), keyCols, tsCol, tieCol, attrCols)
+          delta.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(statePath)
+          ()
+        } finally cur.unpersist(blocking = false)
+      }
+
+  /** The live SCD2 history of a [[continuousScd2]] state table: the
+    * latest batch's row per (key, effective_from) version. Read cost
+    * scales with accumulated deltas; fold old batches periodically with
+    * the [[compactClusterLabels]] pattern if the stream runs for months.
+    */
+  def currentScd2History(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, keyCols: Seq[String], tieCol: String): DataFrame = {
+    val hist = spark.read.parquet(statePath)
+    hist.groupBy((keyCols ++ Seq("effective_from", tieCol)).map(col): _*)
+      .agg(max_by(struct(hist.columns.filter(_ != "batch_id").map(col): _*),
+        col("batch_id")).as("__r"))
+      .select(col("__r.*"))
+  }
+
   /** Delete `batch_id=` partition directories not in `keep` — the shared
     * prune of the replace-per-batch state tables ([[continuousCapPerGroup]],
     * [[continuousFunnel]]). Runs AFTER the new state commits, so a crash

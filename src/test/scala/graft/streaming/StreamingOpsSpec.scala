@@ -344,6 +344,44 @@ class StreamingOpsSpec extends SparkSpec {
       Seq(1L -> 3, 2L -> 2, 3L -> 1)
   }
 
+  test("continuousScd2: streamed version history equals the batch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cscd").toString
+    def t(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val in = MemoryStream[(Long, Long, String, Timestamp)]
+    val q = StreamingOps.continuousScd2(
+      in.toDF().toDF("k", "id", "tier", "ts"),
+      keyCols = Seq("k"), tsCol = "ts", tieCol = "id",
+      attrCols = Seq("tier"), s"$dir/state", s"$dir/ckpt").start()
+    // k1 changes across batches (b2's first obs repeats b1's last — must
+    // compress across the batch boundary); k2 appears once then never
+    // again (its rows must never be rewritten); k3 starts in b3
+    val b1 = Seq((1L, 1L, "gold", t(1)), (1L, 2L, "gold", t(2)),
+      (2L, 3L, "bronze", t(1)))
+    val b2 = Seq((1L, 4L, "gold", t(3)), (1L, 5L, "silver", t(4)))
+    val b3 = Seq((1L, 6L, "gold", t(5)), (3L, 7L, "new", t(5)))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "id", "tier", "effective_from", "effective_to",
+        "is_current")
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val got = canon(StreamingOps.currentScd2History(
+      spark, s"$dir/state", Seq("k"), "id"))
+    val expect = canon(graft.operators.Scd2.history(
+      (b1 ++ b2 ++ b3).toDF("k", "id", "tier", "ts"),
+      Seq("k"), "ts", "id", Seq("tier")))
+    got shouldBe expect
+    // k2's only version was written in batch 0 and never touched again
+    spark.read.parquet(s"$dir/state")
+      .where(col("k") === 2L).select("batch_id").distinct()
+      .collect().map(_.get(0).toString.toLong).toSeq shouldBe Seq(0L)
+  }
+
   test("continuousNearDup: batches probe and grow the persisted index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
