@@ -913,6 +913,37 @@ object SparkEntry {
       // phrases without marking everything
       graft.operators.TrainingData.boilerplateScore(
         Tables.documents(s, dir), "doc_id", "text", n = 3, minDf = 5)),
+    "text_html_extract" -> ((s, dir) => {
+      // deterministic HTML wrapped around each doc (the corpus is plain
+      // text): style/script with content that must vanish WHOLE (the
+      // script contains < and &&), a comment, attribute-bearing tags,
+      // and the entity set incl. the &amp;lt; ordering trap — the
+      // extractor chain is RE2-safe and the oracle replays it exactly
+      val html = concat(
+        lit("<html><head><title>T</title><style type=\"text/css\">body{color:red}</style>"),
+        lit("<script>if (1 < 2 && x) { alert('hi'); }</script></head><body>"),
+        lit("<!-- c1 --><h1 class=\"big\">Doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><br/>Tom &amp; Jerry &lt;3&nbsp;&quot;q&quot; &#39;s&#39; &amp;lt;keep</body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.WebFunctions.htmlToText(html).as("t"))
+        .select(col("doc_id"), length(col("t")).as("n_chars"),
+          md5(col("t")).as("text_fp"))
+    }),
+    "text_url_normalize" -> ((s, dir) => {
+      // URL hygiene on synthetic crawl URLs (mixed-case scheme+host,
+      // tracking params, fragment): canonical form + host + registered
+      // domain — the dedup/blocklist/per-site-cap keys
+      val url = concat(
+        lit("HTTPS://User@WWW.Example"), (col("doc_id") % 20).cast("string"),
+        lit(".COM/Path/"), col("doc_id").cast("string"),
+        lit("?id="), col("doc_id").cast("string"),
+        lit("&utm_source=news&Keep=Case&gclid=abc123&utm_campaign=x#Frag"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.WebFunctions.urlNormalize(url).as("url_norm"),
+        graft.functions.WebFunctions.urlHost(url).as("host"),
+        graft.functions.WebFunctions.urlDomain(url).as("domain"))
+    }),
     "text_pii" -> ((s, dir) => {
       // deterministic PII injected from doc_id (the synthetic corpus has
       // none), then the scrub chain — counts per type + redacted digest
@@ -2413,6 +2444,56 @@ object SparkEntry {
            round(coalesce(cnt.n_common, 0)::DOUBLE / len(gg.grams), 6)
              AS boilerplate_frac
          FROM gg LEFT JOIN cnt USING (doc_id)""",
+    // same injected wrapper, same RE2-subset extraction chain (DuckDB
+    // needs the explicit 'g' flag; Spark replaces globally by default)
+    "text_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><title>T</title><style type="text/css">body{color:red}</style>'
+           || '<script>if (1 < 2 && x) { alert(''hi''); }</script></head><body>'
+           || '<!-- c1 --><h1 class="big">Doc ' || doc_id
+           || '</h1><p>' || text
+           || '</p><br/>Tom &amp; Jerry &lt;3&nbsp;&quot;q&quot; &#39;s&#39; &amp;lt;keep</body></html>'
+           AS html FROM documents),
+         x AS (SELECT doc_id, trim(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(html,
+             '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+             '(?s)<[^>]*>', ' ', 'g'),
+             '&nbsp;', ' ', 'g'),
+             '&lt;', '<', 'g'),
+             '&gt;', '>', 'g'),
+             '&quot;', '"', 'g'),
+             '&#39;', '''', 'g'),
+             '&amp;', '&', 'g'),
+           '[ \t\r\n]+', ' ', 'g')) AS t FROM h)
+         SELECT doc_id, len(t)::BIGINT AS n_chars, md5(t) AS text_fp FROM x""",
+    // same synthetic URLs, same normalize/host/domain regex chain
+    "text_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+           'HTTPS://User@WWW.Example' || (doc_id % 20) || '.COM/Path/' || doc_id
+           || '?id=' || doc_id
+           || '&utm_source=news&Keep=Case&gclid=abc123&utm_campaign=x#Frag'
+           AS url FROM documents),
+         t AS (SELECT doc_id, url,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+             '#.*$', '', 'g'),
+             '(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*&?', '', 'g'),
+             '[?&]+$', '', 'g'),
+             '\?&', '?', 'g') AS tu FROM u),
+         hh AS (SELECT doc_id, tu,
+           lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+           FROM t)
+         SELECT doc_id,
+           lower(regexp_extract(tu, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+             || regexp_replace(tu, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')
+             AS url_norm,
+           host,
+           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+         FROM hh""",
     "text_pii" ->
       """WITH t0 AS (SELECT doc_id,
            text || ' contact user' || doc_id || '@example.com at 10.' ||
