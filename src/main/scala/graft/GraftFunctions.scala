@@ -197,6 +197,22 @@ object GraftFunctions {
         }(ch)
       },
       "N-column Morton key from (col, lo, hi) triples (floor(48/n) bits each)"),
+    ("graft_html_to_text",
+      { ch => arity(ch, 1)
+        viaColumns(c => graft.functions.WebFunctions.htmlToText(c(0)))(ch) },
+      "visible text of an HTML fragment (script/style/comment-aware, entity decode)"),
+    ("graft_url_normalize",
+      { ch => arity(ch, 1)
+        viaColumns(c => graft.functions.WebFunctions.urlNormalize(c(0)))(ch) },
+      "canonical URL: fragment + tracking params stripped, scheme/authority lowercased"),
+    ("graft_url_host",
+      { ch => arity(ch, 1)
+        viaColumns(c => graft.functions.WebFunctions.urlHost(c(0)))(ch) },
+      "lowercased host of a URL (credentials/port stripped)"),
+    ("graft_url_domain",
+      { ch => arity(ch, 1)
+        viaColumns(c => graft.functions.WebFunctions.urlDomain(c(0)))(ch) },
+      "registered domain (last two host labels)"),
     ("graft_pack_sq8",
       { ch => arity(ch, 1); graft.functions.Sq8.PackSQ8(ch(0)) },
       "pack int8 quantization codes (array<int> in [-128,127]) into binary"),

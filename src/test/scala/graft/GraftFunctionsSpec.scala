@@ -101,6 +101,16 @@ class GraftFunctionsSpec extends SparkSpec {
     r.getSeq[Double](2) shouldBe Seq(2.0, -2.0, 0.0)
   }
 
+  test("web functions from SQL") {
+    val r = registered.sql(
+      """SELECT graft_html_to_text('<p>Hi &amp; bye</p>') AS t,
+         graft_url_normalize('HTTP://A.COM/P?utm_x=1&id=2#f') AS u,
+         graft_url_domain('https://a.b.example.com/x') AS d""").head()
+    r.getString(0) shouldBe "Hi & bye"
+    r.getString(1) shouldBe "http://a.com/P?id=2"
+    r.getString(2) shouldBe "example.com"
+  }
+
   test("literal-argument validation rejects non-literal widths") {
     // a foldable expression (length('xx')) is fine; a column reference is not
     registered.sql("SELECT size(graft_shingle_hashes('abc', length('xx')))")

@@ -189,6 +189,21 @@ class PlanShapeSpec extends SparkSpec {
     p.split("SortMergeJoin").length should be <= 2
   }
 
+  test("N-step funnel: no Window, every step aggregate combines map-side") {
+    // the funnel is iterated user-keyed min-aggs + joins by design —
+    // a per-user window would sort every user's whole event history
+    val p = plan(SparkEntry.queries("q_funnel_n")(spark, dir))
+    p should not include "Window"
+    p should include("partial_min")
+  }
+
+  test("key-skew diagnostic: window-free, top-N as TakeOrderedAndProject, partial counts") {
+    val p = plan(SparkEntry.queries("q_key_skew")(spark, dir))
+    p should not include "Window"
+    p should include("TakeOrderedAndProject")
+    p should include("partial_count")
+  }
+
   test("wordpiece encode is one narrow projection over the scan — no shuffle") {
     val docs = Tables.documents(spark, dir)
     val (sv, cv) = graft.operators.WordPieceTokenizer.seedVocab(
