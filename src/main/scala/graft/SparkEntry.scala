@@ -28,6 +28,17 @@ object SparkEntry {
 
   private def msgs(s: SparkSession, dir: String): DataFrame = Tables.messages(s, dir)
 
+  /** The deterministic HTML wrapper injected around each document for
+    * text_html_extract / pipeline_crawl_prep (the corpus is plain text);
+    * `htmlInjectSql` is its oracle-side twin — keep them in sync.
+    */
+  private lazy val crawlHtml: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>T</title><style type=\"text/css\">body{color:red}</style>"),
+    lit("<script>if (1 < 2 && x) { alert('hi'); }</script></head><body>"),
+    lit("<!-- c1 --><h1 class=\"big\">Doc "), col("doc_id").cast("string"),
+    lit("</h1><p>"), col("text"),
+    lit("</p><br/>Tom &amp; Jerry &lt;3&nbsp;&quot;q&quot; &#39;s&#39; &amp;lt;keep</body></html>"))
+
   private def runPipe(p: Pipeline, in: DataFrame): DataFrame =
     p(in).df.select("topic", "key", "value", "num")
 
@@ -913,23 +924,30 @@ object SparkEntry {
       // phrases without marking everything
       graft.operators.TrainingData.boilerplateScore(
         Tables.documents(s, dir), "doc_id", "text", n = 3, minDf = 5)),
-    "text_html_extract" -> ((s, dir) => {
+    "pipeline_crawl_prep" -> ((s, dir) => {
+      // the crawl pipeline end-to-end: raw HTML records → visible text
+      // (WebFunctions.htmlToText) → quality/language/length gates →
+      // exact-dedup survivors (TrainingData.prepare) — one declarative
+      // chain; extraction and annotation fuse into the scan projection,
+      // the only shuffle is the dedup's digest aggregation
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.WebFunctions.htmlToText(crawlHtml).as("text"))
+        .transform(d => graft.operators.TrainingData.prepare(
+          d, "doc_id", "text", minQuality = 0.5, langs = Seq("en"),
+          minTokens = 10))
+    }),
+    "text_html_extract" -> ((s, dir) =>
       // deterministic HTML wrapped around each doc (the corpus is plain
       // text): style/script with content that must vanish WHOLE (the
       // script contains < and &&), a comment, attribute-bearing tags,
       // and the entity set incl. the &amp;lt; ordering trap — the
       // extractor chain is RE2-safe and the oracle replays it exactly
-      val html = concat(
-        lit("<html><head><title>T</title><style type=\"text/css\">body{color:red}</style>"),
-        lit("<script>if (1 < 2 && x) { alert('hi'); }</script></head><body>"),
-        lit("<!-- c1 --><h1 class=\"big\">Doc "), col("doc_id").cast("string"),
-        lit("</h1><p>"), col("text"),
-        lit("</p><br/>Tom &amp; Jerry &lt;3&nbsp;&quot;q&quot; &#39;s&#39; &amp;lt;keep</body></html>"))
       Tables.documents(s, dir)
-        .select(col("doc_id"), graft.functions.WebFunctions.htmlToText(html).as("t"))
+        .select(col("doc_id"),
+          graft.functions.WebFunctions.htmlToText(crawlHtml).as("t"))
         .select(col("doc_id"), length(col("t")).as("n_chars"),
-          md5(col("t")).as("text_fp"))
-    }),
+          md5(col("t")).as("text_fp"))),
     "text_url_normalize" -> ((s, dir) => {
       // URL hygiene on synthetic crawl URLs (mixed-case scheme+host,
       // tracking params, fragment): canonical form + host + registered
@@ -2447,29 +2465,15 @@ object SparkEntry {
     // same injected wrapper, same RE2-subset extraction chain (DuckDB
     // needs the explicit 'g' flag; Spark replaces globally by default)
     "text_html_extract" ->
-      """WITH h AS (SELECT doc_id,
-           '<html><head><title>T</title><style type="text/css">body{color:red}</style>'
-           || '<script>if (1 < 2 && x) { alert(''hi''); }</script></head><body>'
-           || '<!-- c1 --><h1 class="big">Doc ' || doc_id
-           || '</h1><p>' || text
-           || '</p><br/>Tom &amp; Jerry &lt;3&nbsp;&quot;q&quot; &#39;s&#39; &amp;lt;keep</body></html>'
-           AS html FROM documents),
-         x AS (SELECT doc_id, trim(regexp_replace(
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-           regexp_replace(regexp_replace(html,
-             '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-             '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-             '(?s)<!--.*?-->', ' ', 'g'),
-             '(?s)<[^>]*>', ' ', 'g'),
-             '&nbsp;', ' ', 'g'),
-             '&lt;', '<', 'g'),
-             '&gt;', '>', 'g'),
-             '&quot;', '"', 'g'),
-             '&#39;', '''', 'g'),
-             '&amp;', '&', 'g'),
-           '[ \t\r\n]+', ' ', 'g')) AS t FROM h)
+      s"""WITH h AS (SELECT doc_id, $htmlInjectSql AS html FROM documents),
+         x AS (SELECT doc_id, ${htmlExtractSql("html")} AS t FROM h)
          SELECT doc_id, len(t)::BIGINT AS n_chars, md5(t) AS text_fp FROM x""",
+    // html extraction feeding the SAME quality/lang/dedup replay as
+    // pipeline_training_data, via the parameterized source relation
+    "pipeline_crawl_prep" -> trainingDataOracleFrom("raw",
+      s"""raw AS (SELECT doc_id,
+            ${htmlExtractSql(s"($htmlInjectSql)")} AS text
+          FROM documents), """),
     // same synthetic URLs, same normalize/host/domain regex chain
     "text_url_normalize" ->
       """WITH u AS (SELECT doc_id,
@@ -3354,7 +3358,42 @@ object SparkEntry {
     * as the individual oracles, filters, then exact-dedup survivors
     * computed over the FILTERED set (min doc_id per identical text).
     */
-  private def trainingDataOracle: String = {
+  /** The synthetic HTML wrapper (text_html_extract / pipeline_crawl_prep
+    * injection) and the RE2-subset extraction chain as SQL fragments —
+    * single source for every oracle that replays WebFunctions.htmlToText.
+    */
+  private lazy val htmlInjectSql: String =
+    """'<html><head><title>T</title><style type="text/css">body{color:red}</style>'
+       || '<script>if (1 < 2 && x) { alert(''hi''); }</script></head><body>'
+       || '<!-- c1 --><h1 class="big">Doc ' || doc_id
+       || '</h1><p>' || text
+       || '</p><br/>Tom &amp; Jerry &lt;3&nbsp;&quot;q&quot; &#39;s&#39; &amp;lt;keep</body></html>'"""
+
+  private def htmlExtractSql(inner: String): String =
+    s"""trim(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace($inner,
+          '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '(?s)<[^>]*>', ' ', 'g'),
+          '&nbsp;', ' ', 'g'),
+          '&lt;', '<', 'g'),
+          '&gt;', '>', 'g'),
+          '&quot;', '"', 'g'),
+          '&#39;', '''', 'g'),
+          '&amp;', '&', 'g'),
+        '[ \\t\\r\\n]+', ' ', 'g'))"""
+
+  private def trainingDataOracle: String = trainingDataOracleFrom("documents", "")
+
+  /** [[trainingDataOracle]] parameterized over the (doc_id, text) source
+    * relation, with optional leading CTEs — lets pipeline_crawl_prep run
+    * the same quality/lang/dedup replay over EXTRACTED text.
+    */
+  private def trainingDataOracleFrom(sourceRel: String,
+      prefixCtes: String): String = {
     val stopRatio =
       s"""CASE WHEN len(toks) = 0 THEN 0.0 ELSE
           len(list_filter(toks, x -> list_contains($stopwordListSql, x)))::DOUBLE
@@ -3363,11 +3402,11 @@ object SparkEntry {
       """CASE WHEN length(text) = 0 THEN 0.0 ELSE
          (length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]-]', '', 'g')))::DOUBLE
          / length(text)::DOUBLE END"""
-    s"""WITH t AS (SELECT doc_id, text,
+    s"""WITH ${prefixCtes}t AS (SELECT doc_id, text,
           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks,
           ' ' || lower(text) || ' ' AS p
-        FROM documents),
+        FROM $sourceRel),
       sc AS (SELECT doc_id, text, toks,
           ${langScoreSql("en")} AS s_en, ${langScoreSql("de")} AS s_de,
           ${langScoreSql("fr")} AS s_fr, ${langScoreSql("es")} AS s_es FROM t),
