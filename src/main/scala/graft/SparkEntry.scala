@@ -888,6 +888,22 @@ object SparkEntry {
       graft.operators.Scd2.history(Tables.events(s, dir),
         keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
         attrCols = Seq("event_type"))),
+    "q_expectations" -> ((s, dir) => {
+      // the dbt-test-style contract gate: all four row-level rules fold
+      // into ONE aggregation pass; uniqueness is one partial-counted
+      // groupBy; the FK check one anti-join. Two rules are deliberately
+      // violated by the data (range capped at 30, flag set missing 'R')
+      // so nonzero counts are oracle-checked, not just zeros
+      import graft.operators.Expectations._
+      check(Tables.lineitem(s, dir), Seq(
+        NotNull("l_orderkey"),
+        InRange("l_quantity", 1.0, 30.0),
+        Accepted("l_returnflag", Seq("A", "N")),
+        Predicate("discount_le_price",
+          col("l_discount") > col("l_extendedprice")),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("l_orderkey", Tables.orders(s, dir), "o_orderkey")))
+    }),
     "q_key_skew" -> ((s, dir) =>
       // the pre-salting diagnostic: 10 heaviest join keys + global skew
       // summary; per-key counts map-side combined (counting skew doesn't
@@ -2199,6 +2215,32 @@ object SparkEntry {
          SELECT user_id, event_id, event_type, effective_from, effective_to,
            (effective_to IS NULL) AS is_current
          FROM h""",
+    // one FILTER-counted row per rule; same null semantics per rule kind
+    "q_expectations" ->
+      """SELECT rule, n_violations, (n_violations = 0) AS pass FROM (
+         SELECT 'l_orderkey_not_null' AS rule,
+           count(*) FILTER (WHERE l_orderkey IS NULL)::BIGINT AS n_violations
+         FROM lineitem
+         UNION ALL SELECT 'l_quantity_in_range',
+           count(*) FILTER (WHERE l_quantity IS NOT NULL AND
+             (l_quantity::DOUBLE < 1.0 OR l_quantity::DOUBLE > 30.0))::BIGINT
+         FROM lineitem
+         UNION ALL SELECT 'l_returnflag_accepted',
+           count(*) FILTER (WHERE l_returnflag IS NOT NULL AND
+             l_returnflag::VARCHAR NOT IN ('A', 'N'))::BIGINT
+         FROM lineitem
+         UNION ALL SELECT 'discount_le_price',
+           count(*) FILTER (WHERE l_discount > l_extendedprice)::BIGINT
+         FROM lineitem
+         UNION ALL SELECT 'l_orderkey_l_linenumber_unique',
+           coalesce((SELECT sum(c - 1) FROM (
+             SELECT count(*) AS c FROM lineitem
+             GROUP BY l_orderkey, l_linenumber) WHERE c > 1), 0)::BIGINT
+         UNION ALL SELECT 'l_orderkey_ref_integrity',
+           (SELECT count(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM orders o
+               WHERE o.o_orderkey = l.l_orderkey))::BIGINT)""",
     // same count/summary arithmetic, same (n desc, string key) tiebreak
     "q_key_skew" ->
       """WITH c AS (SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n
