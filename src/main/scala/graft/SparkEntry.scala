@@ -1061,6 +1061,18 @@ object SparkEntry {
       graft.operators.Graph.pageRank(e, "src", "dst", iters = 3)
         .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
+    "embed_random_projection" -> ((s, dir) =>
+      // JL/Achlioptas dimensionality reduction 64 → 16 dims with the
+      // md5-Rademacher sign matrix (SQL-replicable planes — the LSH
+      // kernel's values kept instead of thresholded); √16 = 4 makes the
+      // scaling an exact power of two, so the oracle match is pure
+      // dot-product replication
+      Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), posexplode(graft.functions.ArrayOps
+          .randomProjection(col("embedding").cast("array<double>"),
+            outDim = 16, dim = 64, kernel = "md5")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          (round(col("col"), 6) + 0.0).as("comp"))),
     "embed_quantize" -> ((s, dir) =>
       graft.operators.Embeddings.quantizeInt8(
         Tables.embeddings(s, dir), "vec_id", "embedding")
@@ -2647,6 +2659,16 @@ object SparkEntry {
          r3 AS (SELECT n.id, 0.15 + 0.85 * coalesce(c3.c, 0) AS r
                 FROM n LEFT JOIN c3 USING (id))
          SELECT id, round(r, 6) AS rank FROM r3""",
+    // same md5-Rademacher signs as lshBucketSql, values kept, /4 scaling
+    "embed_random_projection" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         p AS (SELECT vec_id, i,
+           round(list_dot_product(v, list_transform(generate_series(0, 63), j ->
+             CASE WHEN strpos('01234567', substr(md5(i || ':' || j), 1, 1)) > 0
+                  THEN 1.0 ELSE -1.0 END)) / 4.0, 6) + 0.0 AS comp
+           FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) ii)
+         SELECT vec_id, i::BIGINT AS dim, comp FROM p""",
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e)

@@ -393,6 +393,55 @@ object ArrayOps {
       kernel: String = "xxhash"): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(vec), nBits, dim, kernel))
 
+  /** Rademacher random-projection dimensionality reduction (Achlioptas
+    * 2003 / Johnson-Lindenstrauss): out_i = Σ_j v_j·sign(i,j) / √outDim
+    * over the SAME deterministic sign derivation as
+    * [[HyperplaneBucket]] — the signed projections LSH thresholds are
+    * here kept as values, so pairwise inner products are preserved in
+    * expectation (JL) at outDim/dim of the storage and compute. The
+    * sign matrix (outDim × dim doubles) materializes once per executor
+    * at expression init — nothing is broadcast, nothing per-row.
+    *
+    * `kernel = "md5"` makes the matrix SQL-replicable
+    * ([[Md5Kernel.sign]]) — the exact-oracle configuration; accumulation
+    * is component-order sequential, matching `list_dot_product`.
+    */
+  case class RandomProjection(child: Expression, outDim: Int, dim: Int,
+      kernel: String = "xxhash")
+      extends UnaryExpression with CodegenFallback {
+    require(outDim > 0 && dim > 0, "outDim and dim must be positive")
+    require(kernel == "xxhash" || kernel == "md5", s"unknown kernel $kernel")
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    @transient private lazy val signs: Array[Array[Double]] =
+      if (kernel == "md5") Array.tabulate(outDim, dim)(Md5Kernel.sign)
+      else Array.tabulate(outDim, dim) { (i, j) =>
+        val h = XXH64.hashInt(j, XXH64.hashInt(i, 42L))
+        if ((h & 1L) == 0L) 1.0 else -1.0
+      }
+    @transient private lazy val scale = math.sqrt(outDim.toDouble)
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = math.min(v.numElements(), dim)
+      val out = new Array[Double](outDim)
+      var i = 0
+      while (i < outDim) {
+        val row = signs(i)
+        var proj = 0.0
+        var j = 0
+        while (j < n) { proj += v.getDouble(j) * row(j); j += 1 }
+        out(i) = proj / scale
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def randomProjection(vec: Column, outDim: Int, dim: Int,
+      kernel: String = "xxhash"): Column =
+    Bridge.column(RandomProjection(Bridge.expression(vec), outDim, dim, kernel))
+
   /** Column-by-column bit shifts — the `functions.shiftleft/shiftright`
     * API only accepts a literal Int shift, but the underlying Catalyst
     * expressions take any expression (needed inside lambda bodies).

@@ -103,6 +103,39 @@ class VectorFunctionsSpec extends SparkSpec {
     (got >>> 60) shouldBe 0L // md5 kernel is 60-bit: top nibble always clear
   }
 
+  test("randomProjection matches an independent MD5-sign reference; JL preserves cosine approximately") {
+    import spark.implicits._
+    val v = Seq(0.3, -1.2, 0.8, 2.2, -0.5)
+    val outDim = 4
+    val expected = (0 until outDim).map { i =>
+      v.indices.foldLeft(0.0) { (p, j) =>
+        val sign = if ((md5Bytes(s"$i:$j")(0) & 0x80) == 0) 1.0 else -1.0
+        p + v(j) * sign
+      } / math.sqrt(outDim)
+    }
+    val got = Seq(v).toDF("v")
+      .select(graft.functions.ArrayOps.randomProjection(col("v"), outDim, 5, "md5"))
+      .head().getSeq[Double](0)
+    got shouldBe expected
+    // JL distortion: project 64-dim unit-ish vectors to 16 dims; mean
+    // absolute cosine error over pairs stays small (expectation-level
+    // check — individual pairs can deviate)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 30).map(i => i.toLong -> Seq.fill(64)(rnd.nextGaussian()))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val proj = vecs.toDF("id", "v")
+      .select(col("id"), graft.functions.ArrayOps.randomProjection(
+        col("v"), 16, 64, "md5").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val errs = for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+    } yield math.abs(cos(va, vb) - cos(proj(ia), proj(ib)))
+    (errs.sum / errs.size) should be < 0.25
+  }
+
   test("md5-kernel hyperplane bucket matches an independent MD5-sign reference") {
     import spark.implicits._
     val v = Seq(0.3, -1.2, 0.8, 2.2, -0.5)
