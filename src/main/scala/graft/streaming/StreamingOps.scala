@@ -454,8 +454,8 @@ object StreamingOps {
 
   /** The live SCD2 history of a [[continuousScd2]] state table: the
     * latest batch's row per (key, effective_from) version. Read cost
-    * scales with accumulated deltas; fold old batches periodically with
-    * the [[compactClusterLabels]] pattern if the stream runs for months.
+    * scales with accumulated deltas; [[compactScd2History]] folds them
+    * periodically if the stream runs for months.
     */
   def currentScd2History(spark: org.apache.spark.sql.SparkSession,
       statePath: String, keyCols: Seq[String], tieCol: String): DataFrame = {
@@ -464,6 +464,51 @@ object StreamingOps {
       .agg(max_by(struct(hist.columns.filter(_ != "batch_id").map(col): _*),
         col("batch_id")).as("__r"))
       .select(col("__r.*"))
+  }
+
+  /** Compact a [[continuousScd2]] state table — the
+    * [[compactClusterLabels]] discipline ported to version rows: fold
+    * every COMMITTED delta partition (all but the latest batch, plus any
+    * prior snapshot) into one live-row snapshot at `batch_id = -1`, then
+    * prune the folded deltas. Real batch ids are ≥ 0, so `max_by`
+    * always prefers a live delta over the snapshot; the latest delta is
+    * never folded, so Structured Streaming's replay of the one batch it
+    * ever replays stays safe; the snapshot lands BEFORE the prune, so a
+    * crash between the two leaves duplicate rows that agree in value.
+    */
+  def compactScd2History(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, keyCols: Seq[String], tieCol: String): Unit = {
+    val all =
+      try spark.read.parquet(statePath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => return
+      }
+    val maxB = all.agg(max(col("batch_id"))).head.get(0)
+    if (maxB == null) return
+    val maxBatch = maxB.toString.toLong
+    if (maxBatch <= 0) return
+    val folded = all.where(col("batch_id") < maxBatch)
+    val snapshot = folded
+      .groupBy((keyCols ++ Seq("effective_from", tieCol)).map(col): _*)
+      .agg(max_by(struct(folded.columns.filter(_ != "batch_id").map(col): _*),
+        col("batch_id")).as("__r"))
+      .select(col("__r.*"))
+      .withColumn("batch_id", lit(-1L))
+    snapshot.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(statePath)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("batch_id=")) {
+        val bid = scala.util.Try(name.stripPrefix("batch_id=").toLong)
+        if (bid.toOption.exists(b => b >= 0 && b < maxBatch))
+          fs.delete(st.getPath, true)
+      }
+    }
   }
 
   /** Delete `batch_id=` partition directories not in `keep` — the shared

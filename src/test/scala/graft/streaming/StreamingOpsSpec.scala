@@ -380,6 +380,13 @@ class StreamingOpsSpec extends SparkSpec {
     spark.read.parquet(s"$dir/state")
       .where(col("k") === 2L).select("batch_id").distinct()
       .collect().map(_.get(0).toString.toLong).toSeq shouldBe Seq(0L)
+    // compaction folds committed deltas into the -1 snapshot; the live
+    // view is unchanged and only {-1, latest} partitions remain
+    StreamingOps.compactScd2History(spark, s"$dir/state", Seq("k"), "id")
+    canon(StreamingOps.currentScd2History(
+      spark, s"$dir/state", Seq("k"), "id")) shouldBe expect
+    spark.read.parquet(s"$dir/state").select("batch_id").distinct()
+      .collect().map(_.get(0).toString.toLong).toSet shouldBe Set(-1L, 2L)
   }
 
   test("continuousNearDup: batches probe and grow the persisted index") {
