@@ -155,6 +155,67 @@ object Tables {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Targeted delete over a Hive-partitioned table (GDPR /
+    * right-to-be-forgotten maintenance): remove every row matching
+    * `predicate`, rewriting ONLY the partitions that contain matches —
+    * at 100 TB, deleting one user must not rewrite the table.
+    *
+    * Shape: one filtered scan finds the affected partition values
+    * (driver-bounded: ≤ #partitions touched); those partitions are
+    * re-written minus the matches via dynamic partition overwrite;
+    * partitions left EMPTY by the delete are removed explicitly
+    * (dynamic overwrite only replaces partitions present in the new
+    * output — an all-deleted partition would otherwise survive intact).
+    * Untouched partitions' files are never opened for write. Returns the
+    * number of rows deleted.
+    *
+    * Same non-atomicity note as [[compact]]: a table format's commit
+    * protocol fronts this in production; the rewrite shape is identical.
+    */
+  def deleteMatching(spark: SparkSession, path: String,
+      partitionCol: String, predicate: Column): Long = {
+    val df = spark.read.parquet(path)
+    val affected = df.filter(predicate)
+      .groupBy(partitionCol).agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__n"))
+      .collect()
+    if (affected.isEmpty) return 0L
+    val deleted = affected.map(_.getAs[Long]("__n")).sum
+    val partValues = affected.map(_.get(0))
+    val touched = df.filter(col(partitionCol).isin(partValues: _*))
+    // eager localCheckpoint BEFORE the overwrite: it materializes the
+    // kept rows and cuts the plan's lineage to `path`, so the write
+    // neither re-reads files mid-replacement nor trips Spark's
+    // cannot-overwrite-a-read-path analysis (the continuous-dedup delta
+    // discipline). Affected-partition data must fit the cluster's
+    // storage tier — at larger fractions stage to a side directory and
+    // swap like [[compact]].
+    val kept = touched.filter(!predicate).localCheckpoint(true)
+    val stillThere =
+      try {
+        kept.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol)
+          .parquet(path)
+        // partitions the delete emptied never appear in `kept`
+        kept.select(partitionCol).distinct().collect().map(_.get(0)).toSet
+      } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(kept)
+    val emptied = partValues.filterNot(stillThere.contains)
+    if (emptied.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith(s"$partitionCol=")) {
+          val v = name.stripPrefix(s"$partitionCol=")
+          if (emptied.exists(e => String.valueOf(e) == v))
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
+    deleted
+  }
+
   /** Small-file compaction — the standard maintenance pass: streaming
     * sinks and fine-grained partitions accrete kilobyte files whose
     * per-file open/footer cost eventually dominates scans. Rewrites the

@@ -150,6 +150,35 @@ class TablesSpec extends SparkSpec {
     zn shouldBe Array(Some(0L), None, None)
   }
 
+  test("deleteMatching rewrites only affected partitions; emptied ones vanish") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-del").toString
+    // p=a has user 7 among others; p=b has ONLY user 7; p=c is untouched
+    val df = Seq(
+      ("a", 7L, "x1"), ("a", 8L, "x2"), ("a", 9L, "x3"),
+      ("b", 7L, "y1"), ("b", 7L, "y2"),
+      ("c", 1L, "z1"), ("c", 2L, "z2")
+    ).toDF("p", "user_id", "payload")
+    Tables.writePartitioned(df, s"$dir/t", Seq("p"))
+    def files(part: String) = new java.io.File(s"$dir/t/p=$part").listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toSet
+    val cBefore = files("c")
+    val deleted = Tables.deleteMatching(spark, s"$dir/t", "p",
+      org.apache.spark.sql.functions.col("user_id") === 7L)
+    deleted shouldBe 3L
+    val left = spark.read.parquet(s"$dir/t")
+    left.filter(org.apache.spark.sql.functions.col("user_id") === 7L).count() shouldBe 0L
+    left.count() shouldBe 4L
+    // the all-deleted partition directory is gone
+    new java.io.File(s"$dir/t/p=b").exists() shouldBe false
+    // the untouched partition's files were never rewritten
+    files("c") shouldBe cBefore
+    // no-match delete is a no-op returning 0
+    Tables.deleteMatching(spark, s"$dir/t", "p",
+      org.apache.spark.sql.functions.col("user_id") === 999L) shouldBe 0L
+    spark.read.parquet(s"$dir/t").count() shouldBe 4L
+  }
+
   test("compact rewrites many small files into the computed file count") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-compact").toString
