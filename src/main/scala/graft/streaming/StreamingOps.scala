@@ -313,6 +313,62 @@ object StreamingOps {
     all.where(col("batch_id") === mb).drop("batch_id")
   }
 
+  /** Continuous per-group distinct counting via MERGEABLE sketches —
+    * the streaming face of `q_hll_merge`'s contract: the per-group
+    * DataSketches HLL sketch (a fixed-size binary) persists per
+    * batch_id; each micro-batch sketches its own rows
+    * (`hll_sketch_agg`) and unions them into the carried sketches
+    * (`hll_union_agg`) — state is #groups × sketch bytes FOREVER,
+    * independent of how many distinct values streamed through, and
+    * history is never re-scanned. Same replace-per-batch /
+    * replay-margin discipline as [[continuousCapPerGroup]].
+    */
+  def continuousDistinctSketch(rows: DataFrame, groupCols: Seq[String],
+      valueCol: String, statePath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val cur = batch.toDF().groupBy(groupCols.map(col): _*)
+          .agg(hll_sketch_agg(col(valueCol)).as("sk"))
+        val prev =
+          try {
+            val all = spark.read.parquet(statePath)
+              .where(col("batch_id") =!= batchId)
+            val mb = all.agg(max(col("batch_id"))).head.get(0)
+            if (mb == null) cur.limit(0)
+            else all.where(col("batch_id") === mb.toString.toLong)
+              .select((groupCols :+ "sk").map(col): _*)
+          } catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => cur.limit(0)
+          }
+        prev.union(cur)
+          .groupBy(groupCols.map(col): _*)
+          .agg(hll_union_agg(col("sk")).as("sk"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(statePath)
+        pruneBatchPartitions(spark, statePath, keep = Set(batchId, batchId - 1))
+        ()
+      }
+
+  /** Current per-group distinct estimates of a
+    * [[continuousDistinctSketch]] state table.
+    */
+  def currentDistinctEstimates(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, groupCols: Seq[String]): DataFrame = {
+    val all = spark.read.parquet(statePath)
+    val mb = all.agg(max(col("batch_id"))).head.get(0).toString.toLong
+    all.where(col("batch_id") === mb)
+      .select(groupCols.map(col) :+
+        hll_sketch_estimate(col("sk")).as("n_distinct_est"): _*)
+  }
+
   /** Continuous N-step funnel — the streaming face of
     * [[graft.operators.Funnel]]: the per-user reach frame
     * (user, t_1 .. t_N) persists per batch_id (same

@@ -344,6 +344,32 @@ class StreamingOpsSpec extends SparkSpec {
       Seq(1L -> 3, 2L -> 2, 3L -> 1)
   }
 
+  test("continuousDistinctSketch: streamed estimates equal the batch sketch on the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate}
+    val dir = java.nio.file.Files.createTempDirectory("cdsk").toString
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingOps.continuousDistinctSketch(
+      in.toDF().toDF("g", "v"), Seq("g"), "v",
+      s"$dir/state", s"$dir/ckpt").start()
+    // overlapping values across batches: distinct-union must not double
+    val b1 = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 10L))
+    val b2 = Seq(("a", 2L), ("a", 3L), ("b", 10L), ("b", 11L))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamingOps.currentDistinctEstimates(spark, s"$dir/state", Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = (b1 ++ b2).toDF("g", "v")
+      .groupBy("g").agg(hll_sketch_estimate(hll_sketch_agg($"v")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe expect
+    // at these cardinalities the sketch is exact
+    got shouldBe Map("a" -> 3L, "b" -> 2L)
+  }
+
   test("continuousScd2: streamed version history equals the batch rebuild") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
