@@ -943,12 +943,15 @@ object SparkEntry {
     "pipeline_crawl_prep" -> ((s, dir) => {
       // the crawl pipeline end-to-end: raw HTML records → visible text
       // (WebFunctions.htmlToText) → quality/language/length gates →
-      // exact-dedup survivors (TrainingData.prepare) — one declarative
-      // chain; extraction and annotation fuse into the scan projection,
-      // the only shuffle is the dedup's digest aggregation
+      // exact-dedup survivors (TrainingData.prepare). The extraction is
+      // CHECKPOINTED before prepare: the dedup's winner-join reads the
+      // corpus twice, and an inline 11-regex extraction would re-run per
+      // scan (measured 4.1 → ~2 s at sf0.1); materialized once, both
+      // reads hit the extracted frame
       Tables.documents(s, dir)
         .select(col("doc_id"),
           graft.functions.WebFunctions.htmlToText(crawlHtml).as("text"))
+        .localCheckpoint(true)
         .transform(d => graft.operators.TrainingData.prepare(
           d, "doc_id", "text", minQuality = 0.5, langs = Seq("en"),
           minTokens = 10))
