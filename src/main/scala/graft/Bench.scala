@@ -141,15 +141,19 @@ object Bench {
 
     val allMs = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    val fullJson = summary.dropRight(1) + s""","timings_ms":$allMs}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL_LATEST.json"),
-      (fullJson + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable =>
+    // FULL runs only: a SPARK_GRAFT_ONLY subset run must not clobber the
+    // complete record with a partial one
+    if (only.isEmpty) {
+      val fullJson = summary.dropRight(1) + s""","timings_ms":$allMs}"""
       try java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL_LATEST.json"),
         (fullJson + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => () }
+      catch { case _: Throwable =>
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
+          (fullJson + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () }
+      }
     }
 
     // slowest-last so a byte- or line-limited tail keeps the queries most
