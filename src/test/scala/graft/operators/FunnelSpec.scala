@@ -51,6 +51,51 @@ class FunnelSpec extends SparkSpec {
     loose.getLong(3) shouldBe 1L
   }
 
+  test("property: counts equal a sequential reference on random event streams") {
+    val rnd = new scala.util.Random(42)
+    val types = Vector("A", "B", "C", "D")
+    (1 to 5).foreach { trial =>
+      val events = (1 to 300).map { i =>
+        (rnd.nextInt(20).toLong, types(rnd.nextInt(types.size)),
+          ts(1 + rnd.nextInt(20)), i.toLong)
+      }
+      val steps = Seq("A", "B", "C", "D").take(2 + rnd.nextInt(3))
+      // sequential reference: chained first-qualifying occurrence per
+      // user under the (ts, id) total order
+      def reachOf(evs: Seq[(Long, String, Timestamp, Long)]): Seq[Int] = {
+        val byUser = evs.groupBy(_._1)
+        val perUser = byUser.values.map { us =>
+          var reached = 0
+          var lastT = Long.MinValue
+          var stalled = false
+          steps.foreach { st =>
+            if (!stalled) {
+              // first qualifying: min ts among events of this type with
+              // ts strictly after the previous step's chained time (no
+              // constraint for step 1)
+              val cand = us.filter(e => e._2 == st &&
+                (reached == 0 || e._3.getTime > lastT))
+              if (cand.nonEmpty) {
+                lastT = cand.map(_._3.getTime).min
+                reached += 1
+              } else stalled = true
+            }
+          }
+          reached
+        }
+        steps.indices.map(i => perUser.count(_ > i)).toSeq
+      }
+      val expect = reachOf(events)
+      val df = events.toDF("user_id", "event_type", "ts", "event_id")
+      val got = Funnel.counts(df, "user_id", "event_type", "ts", steps).head()
+      steps.indices.foreach { i =>
+        withClue(s"trial $trial steps $steps step ${i + 1}: ") {
+          got.getLong(i) shouldBe expect(i).toLong
+        }
+      }
+    }
+  }
+
   test("3-step counts equal the hand-unrolled q_funnel composition") {
     val ops = Funnel.counts(ev, "user_id", "event_type", "ts",
       Seq("A", "B", "C")).head()

@@ -55,6 +55,37 @@ class Scd2Spec extends SparkSpec {
     cur shouldBe Map(1L -> "gold", 2L -> "bronze", 3L -> null)
   }
 
+  test("property: history equals a sequential reference on random change streams") {
+    val rnd = new scala.util.Random(11)
+    val tiers = Vector("g", "s", "b", null)
+    (1 to 5).foreach { trial =>
+      val obs = (1 to 200).map { i =>
+        (rnd.nextInt(15).toLong, i.toLong, tiers(rnd.nextInt(tiers.size)),
+          ts(1 + rnd.nextInt(18)))
+      }
+      // sequential reference: per key, order by (ts, id), keep rows where
+      // the attr differs (null-safe) from the previous KEPT-OR-NOT row's
+      // attr (lag over ALL observations, as the operator filters before
+      // versioning), then lead() over the kept rows
+      val expect = obs.groupBy(_._1).toSeq.flatMap { case (k, us) =>
+        val sorted = us.sortBy(e => (e._4.getTime, e._2))
+        val changed = sorted.zipWithIndex.filter { case (e, i) =>
+          i == 0 || sorted(i - 1)._3 != e._3
+        }.map(_._1)
+        changed.zipWithIndex.map { case (e, i) =>
+          val to = if (i + 1 < changed.size) Some(changed(i + 1)._4) else None
+          (k, e._2, e._3, e._4, to, to.isEmpty)
+        }
+      }.toSet
+      val got = Scd2.history(
+        obs.toDF("k", "id", "tier", "ts"), Seq("k"), "ts", "id", Seq("tier"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[String]("tier"), r.getTimestamp(3),
+          Option(r.getTimestamp(4)), r.getBoolean(5))).toSet
+      withClue(s"trial $trial: ") { got shouldBe expect }
+    }
+  }
+
   test("both windows share one partitioning: a single Exchange in the plan") {
     val plan = Scd2.history(updates, Seq("k"), "ts", "id", Seq("tier"))
       .queryExecution.executedPlan.toString

@@ -179,6 +179,40 @@ class TablesSpec extends SparkSpec {
     spark.read.parquet(s"$dir/t").count() shouldBe 4L
   }
 
+  test("property: zValueN matches a sequential Morton reference incl. clamp and NULLs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // values straddle the declared ranges so clamping paths execute;
+    // ~10% NULLs exercise the contract
+    val rows = (1 to 400).map { i =>
+      def v(): Option[Double] =
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble() * 30 - 5)
+      (i.toLong, v(), v(), v())
+    }
+    val ranges = Seq((0.0, 16.0), (2.0, 18.0), (-4.0, 12.0))
+    val bits = 16
+    def ref(vs: Seq[Option[Double]]): Option[Long] =
+      if (vs.exists(_.isEmpty)) None
+      else Some {
+        val n = vs.size
+        vs.zipWithIndex.map { case (Some(x), j) =>
+          val (lo, hi) = ranges(j)
+          val raw = math.floor((x - lo) / (hi - lo) * (1L << bits).toDouble).toLong
+          val bk = math.min((1L << bits) - 1, math.max(0L, raw))
+          (0 until bits).map(k => ((bk >> k) & 1L) << (k * n + (n - 1 - j))).sum
+        }.sum
+      }
+    val got = rows.toDF("id", "a", "b", "c")
+      .select(col("id"), Tables.zValueN(Seq(
+        (col("a"), 0.0, 16.0), (col("b"), 2.0, 18.0), (col("c"), -4.0, 12.0)))
+        .as("z"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    rows.foreach { case (id, a, b, c) =>
+      got(id) shouldBe ref(Seq(a, b, c))
+    }
+  }
+
   test("compact rewrites many small files into the computed file count") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-compact").toString
