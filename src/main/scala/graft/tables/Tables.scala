@@ -204,13 +204,17 @@ object Tables {
     if (emptied.nonEmpty) {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // compare via Spark's own partition-path escaping — directory
+      // names are percent-escaped for special characters, so a raw
+      // string compare would silently skip (and leave) such partitions
+      val emptiedDirs = emptied.map(e =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(String.valueOf(e))).toSet
       fs.listStatus(root).foreach { st =>
         val name = st.getPath.getName
-        if (st.isDirectory && name.startsWith(s"$partitionCol=")) {
-          val v = name.stripPrefix(s"$partitionCol=")
-          if (emptied.exists(e => String.valueOf(e) == v))
-            fs.delete(st.getPath, true)
-        }
+        if (st.isDirectory && name.startsWith(s"$partitionCol=") &&
+            emptiedDirs.contains(name.stripPrefix(s"$partitionCol=")))
+          fs.delete(st.getPath, true)
       }
     }
     deleted

@@ -177,6 +177,14 @@ class TablesSpec extends SparkSpec {
     Tables.deleteMatching(spark, s"$dir/t", "p",
       org.apache.spark.sql.functions.col("user_id") === 999L) shouldBe 0L
     spark.read.parquet(s"$dir/t").count() shouldBe 4L
+    // partition values with path-escaped characters still empty cleanly
+    val df2 = Seq(("x y:z", 7L, "e1"), ("plain", 1L, "e2")).toDF("p", "user_id", "payload")
+    Tables.writePartitioned(df2, s"$dir/t2", Seq("p"))
+    Tables.deleteMatching(spark, s"$dir/t2", "p",
+      org.apache.spark.sql.functions.col("user_id") === 7L) shouldBe 1L
+    spark.read.parquet(s"$dir/t2").count() shouldBe 1L
+    new java.io.File(s"$dir/t2").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("p=")) shouldBe 1
   }
 
   test("property: zValueN matches a sequential Morton reference incl. clamp and NULLs") {
