@@ -30,6 +30,11 @@ object Sq8 {
       val out = new Array[Byte](n)
       var i = 0
       while (i < n) {
+        // reachable via the SQL surface: ArrayData.getInt on a null slot
+        // would silently read 0 — fail loudly instead
+        if (arr.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"PackSQ8: null code at index $i")
         val v = arr.getInt(i)
         if (v < Byte.MinValue || v > Byte.MaxValue)
           throw new IllegalArgumentException(

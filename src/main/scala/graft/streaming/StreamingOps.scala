@@ -439,6 +439,18 @@ object StreamingOps {
     all.where(col("batch_id") === mb).drop("batch_id")
   }
 
+  /** The funnel headline over the current stream state — the same
+    * one-row (n_step_1 .. n_step_N) shape as
+    * [[graft.operators.Funnel.counts]], read from [[currentFunnelReach]].
+    */
+  def currentFunnelCounts(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, nSteps: Int): DataFrame = {
+    require(nSteps >= 1, "nSteps must be positive")
+    currentFunnelReach(spark, statePath).agg(
+      count(col("t_1")).as("n_step_1"),
+      (2 to nSteps).map(i => count(col(s"t_$i")).as(s"n_step_$i")): _*)
+  }
+
   /** Continuous SCD2 dimension maintenance — the CDC-stream face of
     * [[graft.operators.Scd2]]: each micro-batch of attribute
     * observations folds into a persisted version history WITHOUT

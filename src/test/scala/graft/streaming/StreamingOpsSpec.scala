@@ -342,6 +342,9 @@ class StreamingOpsSpec extends SparkSpec {
     // u3 is at A
     got.map { case (u, ts) => u -> ts.count(_ != null) } shouldBe
       Seq(1L -> 3, 2L -> 2, 3L -> 1)
+    // the headline view matches Funnel.counts' shape over the state
+    val counts = StreamingOps.currentFunnelCounts(spark, s"$dir/state", 3).head()
+    (counts.getLong(0), counts.getLong(1), counts.getLong(2)) shouldBe ((3L, 2L, 1L))
   }
 
   test("continuousDistinctSketch: streamed estimates equal the batch sketch on the union") {
