@@ -904,6 +904,22 @@ object SparkEntry {
         Unique(Seq("l_orderkey", "l_linenumber")),
         RefIntegrity("l_orderkey", Tables.orders(s, dir), "o_orderkey")))
     }),
+    "q_scd2_lookup" -> ((s, dir) => {
+      // the point-in-time dimension lookup SCD2 exists for: each event
+      // joined to the version of its user's attribute history valid at
+      // the event's own timestamp (equi-join on the key + validity-range
+      // filters; ranges tile, so no fan-out — one row per fact)
+      val ev = Tables.events(s, dir)
+      val hist = graft.operators.Scd2.history(ev,
+        keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        attrCols = Seq("event_type"))
+      graft.operators.Scd2.pointInTime(
+        ev.select(col("user_id"), col("event_id"), col("ts")),
+        hist, Seq("user_id"), "ts")
+        .select(col("event_id"), col("user_id"),
+          col("dim_event_type").as("active_type"),
+          col("dim_event_id").as("version_id"))
+    }),
     "q_key_skew" -> ((s, dir) =>
       // the pre-salting diagnostic: 10 heaviest join keys + global skew
       // summary; per-key counts map-side combined (counting skew doesn't
@@ -2230,6 +2246,27 @@ object SparkEntry {
          SELECT user_id, event_id, event_type, effective_from, effective_to,
            (effective_to IS NULL) AS is_current
          FROM h""",
+    // same history CTEs as q_scd2 + the validity-range left join; a
+    // same-ts attribute flip yields an empty [t, t) version no fact can
+    // land in, so each event still matches at most one version
+    "q_scd2_lookup" ->
+      """WITH base AS (SELECT user_id, event_id, event_type, ts,
+           lag(event_type) OVER w AS prev_attr,
+           lag(ts) OVER w AS prev_ts
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         v AS (SELECT user_id, event_id, event_type, ts FROM base
+           WHERE prev_ts IS NULL OR prev_attr IS DISTINCT FROM event_type),
+         h AS (SELECT user_id, event_id, event_type,
+           ts AS effective_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS effective_to
+         FROM v)
+         SELECT e.event_id, e.user_id,
+           h.event_type AS active_type, h.event_id AS version_id
+         FROM events e LEFT JOIN h ON e.user_id = h.user_id
+           AND e.ts >= h.effective_from
+           AND (h.effective_to IS NULL OR e.ts < h.effective_to)""",
     // one FILTER-counted row per rule; same null semantics per rule kind
     "q_expectations" ->
       """SELECT rule, n_violations, (n_violations = 0) AS pass FROM (

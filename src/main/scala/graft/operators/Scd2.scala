@@ -54,4 +54,30 @@ object Scd2 {
   /** The current snapshot of a [[history]] frame (the type-1 view). */
   def current(history: DataFrame): DataFrame =
     history.filter(col("is_current"))
+
+  /** Point-in-time dimension lookup — the reason SCD2 history exists:
+    * join each fact row to the version VALID AT its timestamp
+    * (`effective_from <= fact.ts < effective_to`, open-ended current
+    * version included; facts before the key's first version, or with no
+    * key match, keep NULL dimension columns via the left join).
+    *
+    * History columns arrive prefixed with `dimPrefix` so fact columns
+    * never collide. Each fact matches at most one version (validity
+    * ranges tile the timeline), so the join cannot fan out. Scale shape:
+    * an equi-join on the key carries the range predicates as join-level
+    * filters — per-key histories are short, so the matched candidates
+    * per fact are few; broadcast the history when it is
+    * dimension-sized.
+    */
+  def pointInTime(facts: DataFrame, history: DataFrame, keyCols: Seq[String],
+      factTsCol: String, dimPrefix: String = "dim_"): DataFrame = {
+    val dim = history.columns.foldLeft(history)((d, c) =>
+      d.withColumnRenamed(c, s"$dimPrefix$c"))
+    val cond = keyCols.map(c => facts(c) === dim(s"$dimPrefix$c")).reduce(_ && _) &&
+      facts(factTsCol) >= dim(s"${dimPrefix}effective_from") &&
+      (dim(s"${dimPrefix}effective_to").isNull ||
+        facts(factTsCol) < dim(s"${dimPrefix}effective_to"))
+    facts.join(dim, cond, "left")
+      .drop(keyCols.map(c => s"$dimPrefix$c"): _*)
+  }
 }

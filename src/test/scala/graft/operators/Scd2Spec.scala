@@ -86,6 +86,32 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("pointInTime joins each fact to the version valid at its timestamp") {
+    import org.apache.spark.sql.functions.col
+    val hist = Scd2.history(updates, Seq("k"), "ts", "id", Seq("tier"))
+    // facts straddling k1's versions: before any version, inside each,
+    // exactly on a boundary (belongs to the STARTING version), and a
+    // key with no history
+    val facts = Seq(
+      (1L, 100L, ts(0)), // before k1's first version -> null dim
+      (1L, 101L, ts(2)), // inside gold [1,3)
+      (1L, 102L, ts(3)), // boundary: silver starts at 3
+      (1L, 103L, ts(9)), // open-ended current gold
+      (9L, 104L, ts(5))  // no history for k=9
+    ).toDF("k", "fact_id", "ts")
+    val r = Scd2.pointInTime(facts, hist, Seq("k"), "ts")
+      .select(col("fact_id"), col("dim_tier"), col("dim_is_current"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[String]("dim_tier"), Option(x.get(2)))).toMap
+    r(100L) shouldBe ((null, None))
+    r(101L) shouldBe (("gold", Some(false)))
+    r(102L) shouldBe (("silver", Some(false)))
+    r(103L) shouldBe (("gold", Some(true)))
+    r(104L) shouldBe ((null, None))
+    // tiling ⇒ no fan-out: one output row per fact
+    Scd2.pointInTime(facts, hist, Seq("k"), "ts").count() shouldBe 5L
+  }
+
   test("both windows share one partitioning: a single Exchange in the plan") {
     val plan = Scd2.history(updates, Seq("k"), "ts", "id", Seq("tier"))
       .queryExecution.executedPlan.toString
