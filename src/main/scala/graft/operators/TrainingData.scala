@@ -52,7 +52,7 @@ object TrainingData {
       minQuality: Double, langs: Seq[String], minTokens: Int): DataFrame = {
     val annotated = docs.select(
       col(idCol), col(tsCol),
-      md5(coalesce(col(textCol), lit(""))).as("__digest"),
+      md5(coalesce(col(textCol), lit("\u0001"))).as("__digest"),
       T.qualityScore(col(textCol)).as("quality"),
       T.langId(col(textCol)).as("lang"),
       T.tokenCount(col(textCol)).cast("long").as("n_tokens"))
