@@ -214,7 +214,12 @@ object GraftFunctions {
         viaColumns(c => graft.functions.WebFunctions.urlDomain(c(0)))(ch) },
       "registered domain (last two host labels)"),
     ("graft_pack_sq8",
-      { ch => arity(ch, 1); graft.functions.Sq8.PackSQ8(ch(0)) },
+      // integral arrays coerce via the cast; non-array / non-castable
+      // input fails analysis (PackSQ8.checkInputDataTypes), never
+      // reaching ArrayData.getInt at the wrong element width
+      { ch => arity(ch, 1)
+        viaColumns(c => graft.functions.Sq8.packSq8(
+          c(0).cast("array<int>")))(ch) },
       "pack int8 quantization codes (array<int> in [-128,127]) into binary"),
     ("graft_unpack_sq8",
       { ch => arity(ch, 2)

@@ -986,12 +986,16 @@ object SparkEntry {
     "text_url_normalize" -> ((s, dir) => {
       // URL hygiene on synthetic crawl URLs (mixed-case scheme+host,
       // tracking params, fragment): canonical form + host + registered
-      // domain — the dedup/blocklist/per-site-cap keys
+      // domain — the dedup/blocklist/per-site-cap keys. `href=Keep.Me`
+      // must SURVIVE while `ref=sr_1` is stripped — the anchored-
+      // delimiter contract (an unanchored `ref=` would eat `href=`'s
+      // tail; r8 verdict finding #1)
       val url = concat(
         lit("HTTPS://User@WWW.Example"), (col("doc_id") % 20).cast("string"),
         lit(".COM/Path/"), col("doc_id").cast("string"),
         lit("?id="), col("doc_id").cast("string"),
-        lit("&utm_source=news&Keep=Case&gclid=abc123&utm_campaign=x#Frag"))
+        lit("&utm_source=news&Keep=Case&href=Keep.Me&gclid=abc123" +
+          "&ref=sr_1&utm_campaign=x#Frag"))
       Tables.documents(s, dir).select(col("doc_id"),
         graft.functions.WebFunctions.urlNormalize(url).as("url_norm"),
         graft.functions.WebFunctions.urlHost(url).as("host"),
@@ -2295,7 +2299,8 @@ object SparkEntry {
                WHERE o.o_orderkey = l.l_orderkey))::BIGINT)""",
     // same count/summary arithmetic, same (n desc, string key) tiebreak
     "q_key_skew" ->
-      """WITH c AS (SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n
+      """WITH c AS (SELECT coalesce(user_id::VARCHAR, chr(0) || 'NULL')
+             AS key, count(*)::BIGINT AS n
            FROM events GROUP BY 1),
          s AS (SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS total_rows,
            max(n)::BIGINT AS max_n FROM c)
@@ -2573,14 +2578,17 @@ object SparkEntry {
       """WITH u AS (SELECT doc_id,
            'HTTPS://User@WWW.Example' || (doc_id % 20) || '.COM/Path/' || doc_id
            || '?id=' || doc_id
-           || '&utm_source=news&Keep=Case&gclid=abc123&utm_campaign=x#Frag'
+           || '&utm_source=news&Keep=Case&href=Keep.Me&gclid=abc123'
+           || '&ref=sr_1&utm_campaign=x#Frag'
            AS url FROM documents),
          t AS (SELECT doc_id, url,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(url,
              '#.*$', '', 'g'),
-             '(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*&?', '', 'g'),
-             '[?&]+$', '', 'g'),
-             '\?&', '?', 'g') AS tu FROM u),
+             '([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*', '\1', 'g'),
+             '&&+', '&', 'g'),
+             '\?&', '?', 'g'),
+             '[?&]+$', '', 'g') AS tu FROM u),
          hh AS (SELECT doc_id, tu,
            lower(regexp_extract(url,
              '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType}
 
 /** Byte-packing for int8-scalar-quantized vectors (the storage half of
   * the IVF-SQ8 index shape, FAISS `ScalarQuantizer` QT_8bit): quantized
@@ -23,6 +24,18 @@ object Sq8 {
     */
   case class PackSQ8(child: Expression)
       extends UnaryExpression with CodegenFallback {
+    // declared input check: via the SQL surface (`graft_pack_sq8`) an
+    // array<bigint>/array<smallint> argument would otherwise reach
+    // ArrayData.getInt at the wrong element width (ClassCastException
+    // or garbage bytes) — reject at analysis time instead. The SQL
+    // registration casts its argument to array<int> first, so ordinary
+    // integral inputs coerce rather than fail.
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"graft_pack_sq8 expects array<int>, got ${other.catalogString}")
+      }
     override def dataType: DataType = BinaryType
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -55,6 +68,13 @@ object Sq8 {
     */
   case class UnpackSQ8(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_unpack_sq8 expects (binary, double), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+      }
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullSafeEval(codes: Any, scale: Any): Any = {
       val bytes = codes.asInstanceOf[Array[Byte]]

@@ -51,10 +51,15 @@ object WebFunctions {
     */
   def urlNormalize(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
+    // anchored on a CAPTURED [?&] delimiter (kept via $1): an unanchored
+    // `ref=` would also match inside longer parameter names (`href=`,
+    // `xref=`) and path segments (`/ref=sr_1_1`), silently mangling the
+    // very URLs this canonicalizes for dedup/blocklist keys. Consecutive
+    // stripped params leave `&&`/`?&`/trailing debris — tidied next.
     val noTrack = regexp_replace(noFrag,
-      "(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*&?", "")
-    val tidied = regexp_replace(regexp_replace(noTrack,
-      "[?&]+$", ""), "\\?&", "?")
+      "([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*", "$1")
+    val tidied = regexp_replace(regexp_replace(regexp_replace(noTrack,
+      "&&+", "&"), "\\?&", "?"), "[?&]+$", "")
     val head = regexp_extract(tidied, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val tail = regexp_replace(tidied, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     concat(lower(head), tail)

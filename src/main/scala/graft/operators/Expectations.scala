@@ -68,12 +68,14 @@ object Expectations {
     case _ => None
   }
 
-  /** Run the contract: one (rule, n_violations, pass) row per rule, in
-    * the given rule order.
+  /** Run the contract: one (rule, n_violations, pass) row per rule.
+    * Row-level rules (NotNull/InRange/Accepted/Predicate) come first —
+    * fused into ONE aggregation pass, in their relative order — then
+    * Unique and RefIntegrity rules in theirs; an interleaved rule list
+    * is re-grouped by kind, not emitted in the literal input order.
     */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules to check")
-    val spark = df.sparkSession
     val rowRules = rules.flatMap(r => rowViolation(df, r).map(r.name -> _))
     val rowReport: Option[DataFrame] =
       if (rowRules.isEmpty) None

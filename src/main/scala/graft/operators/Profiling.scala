@@ -158,8 +158,15 @@ object Profiling {
   def keySkew(df: DataFrame, keyCols: Seq[String], topN: Int): DataFrame = {
     require(keyCols.nonEmpty && topN > 0, "keySkew needs keys and topN > 0")
     val counts = df.groupBy(keyCols.map(qcol): _*).agg(count(lit(1)).as("n"))
+      // NULL key components map to a sentinel, not concat_ws's silent
+      // empty-string elision: '' and NULL would otherwise collide into
+      // one diagnosed key (and diverge from a SQL replay, where a NULL
+      // component nulls the whole cast). U+0000-prefixed so no real
+      // string value collides with it.
       .select(concat_ws("\u0001",
-        keyCols.map(c => qcol(c).cast("string")): _*).as("key"), col("n"))
+        keyCols.map(c =>
+          coalesce(qcol(c).cast("string"), lit("\u0000NULL"))): _*)
+          .as("key"), col("n"))
     val stats = counts.agg(count(lit(1)).as("n_keys"),
       sum("n").as("total_rows"), max("n").as("max_n"))
     counts

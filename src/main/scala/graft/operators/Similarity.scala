@@ -168,6 +168,133 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched ANN join: the top-`k` index neighbors of EVERY row of a
+    * query DataFrame against a persisted [[ivfWriteIndexSQ8]] index —
+    * the production shape at 100 TB ("dedup this new batch against the
+    * vector index"), where [[ivfTopKFromIndexSQ8]]'s single-literal
+    * probe would mean one job per query row.
+    *
+    * Scale shape, stage by stage:
+    *   1. per-query cell assignment is ONE codegen'd projection against
+    *      the BROADCAST centroid literal (≤2^nBits × dim doubles) —
+    *      score every cell, `array_sort` the ≤2^nBits (−cos, cell)
+    *      structs, slice `nProbe`; queries are never collected;
+    *   2. the probed-cell set (driver read bounded by the CELL COUNT,
+    *      ≤2^nBits longs, independent of query count) becomes a literal
+    *      `isin` filter, so the cell scan prunes whole partition
+    *      directories BEFORE the join — a join on the partition column
+    *      alone cannot guarantee static pruning;
+    *   3. query×cell rows join candidates cell-to-cell (broadcast when
+    *      the exploded query side is small — the common case; pass
+    *      `broadcastQueries = false` for huge query batches and the join
+    *      shuffles both sides on `cell` instead);
+    *   4. per-query top-k is the bounded [[graft.functions.Aggregators
+    *      .topKByScore]] AGGREGATION (≤k entries per query per partition
+    *      in the shuffle), not a window — no query's candidate set ever
+    *      funnels through one task-sized sort.
+    *
+    * Dequantization (code·scale/127) happens inline in the candidate
+    * projection, same as the point-probe path. Ranking: (round-6 cosine
+    * desc, id asc); cell-assignment ties: (cosine desc, cell asc).
+    * Returns (q_id, id, cosine, rank), rank 1..≤k per query.
+    * `excludeSelf` drops candidates whose index id equals the query id —
+    * for the self-join shape where queries are corpus members.
+    */
+  def ivfTopKJoinSQ8(queries: DataFrame, qIdCol: String, qVecCol: String,
+      indexPath: String, idCol: String, k: Int, nProbe: Int = 4,
+      excludeSelf: Boolean = false, broadcastQueries: Boolean = true): DataFrame =
+    ivfJoinImpl(queries, qIdCol, qVecCol, indexPath, idCol, k, nProbe,
+      excludeSelf, broadcastQueries, sq8 = true)
+
+  /** [[ivfTopKJoinSQ8]] against a flat (unquantized) [[ivfWriteIndex]]
+    * index — identical plan, no dequantize step.
+    */
+  def ivfTopKJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+      indexPath: String, idCol: String, k: Int, nProbe: Int = 4,
+      excludeSelf: Boolean = false, broadcastQueries: Boolean = true): DataFrame =
+    ivfJoinImpl(queries, qIdCol, qVecCol, indexPath, idCol, k, nProbe,
+      excludeSelf, broadcastQueries, sq8 = false)
+
+  private def ivfJoinImpl(queries: DataFrame, qIdCol: String, qVecCol: String,
+      indexPath: String, idCol: String, k: Int, nProbe: Int,
+      excludeSelf: Boolean, broadcastQueries: Boolean, sq8: Boolean): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be >= 1")
+    val spark = queries.sparkSession
+    // driver-bounded: ≤2^nBits centroid rows
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val nCells = cents.length
+    val centVecs = typedLit(cents.map(_._2).toSeq)
+    val cellIds = typedLit(cents.map(_._1).toSeq)
+    val qv = col(qVecCol).cast("array<double>")
+    // (−cosine, cell) structs sort lexicographically = cosine desc,
+    // cell asc on ties — deterministic probe order
+    val scoredCells = transform(sequence(lit(1), lit(nCells)), i =>
+      struct((-V.cosine(qv, element_at(centVecs, i))).as("negcos"),
+        element_at(cellIds, i).as("cell")))
+    val probeList = transform(
+      slice(array_sort(scoredCells), 1, math.min(nProbe, nCells)),
+      s => s("cell"))
+    val exploded = queries
+      .filter(col(qVecCol).isNotNull)
+      .select(col(qIdCol).cast("long").as("q_id"), qv.as("__qv"),
+        explode(probeList).as("cell"))
+    // bounded driver read (≤2^nBits longs, NOT query-count-sized): the
+    // distinct probed cells as a literal filter = static partition
+    // pruning on the cell scan
+    val probed = exploded.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cellsDf = spark.read.parquet(s"$indexPath/cells")
+      .filter(col("cell").isin(probed: _*))
+    val qSide = if (broadcastQueries) broadcast(exploded) else exploded
+    val joined = qSide.join(cellsDf, Seq("cell"))
+    val candVec =
+      if (sq8)
+        graft.functions.Sq8.unpackSq8(col("q"), col("scale").cast("double"))
+      else col("v").cast("array<double>")
+    val cand0 = joined.select(col("q_id"),
+      col(idCol).cast("long").as("id"),
+      round(V.cosine(candVec, col("__qv")), 6).as("cosine"))
+    val cand = if (excludeSelf) cand0.filter(col("q_id") =!= col("id")) else cand0
+    cand.groupBy("q_id")
+      .agg(graft.functions.Aggregators.topKByScore(
+        col("id"), col("cosine"), k).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")))
+      .select(col("q_id"), col("col._1").as("id"), col("col._2").as("cosine"),
+        (col("pos") + 1).as("rank"))
+  }
+
+  /** Batch-append new vectors to a persisted [[ivfWriteIndex]] index
+    * WITHOUT retraining: each new row is assigned to its nearest
+    * existing centroid (the frozen coarse quantizer — the same rule a
+    * Lloyd reassignment round applies) and appended to that cell's
+    * partition. One shuffle on `cell` keeps one new file per touched
+    * cell per append. The incremental half of the probe-and-append
+    * discipline; retrain via [[ivfWriteIndex]] when drift accumulates
+    * (or on a trigger — [[graft.streaming.StreamingOps
+    * .continuousIvfAppend]]).
+    */
+  def ivfAppend(df: DataFrame, idCol: String, vecCol: String,
+      indexPath: String): Unit = {
+    val spark = df.sparkSession
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids at $indexPath/centroids")
+    // frozen-quantizer assignment must agree with nearestCell's
+    // 0-based-index rule: cell ids from ivfWriteIndex are exactly the
+    // positions Lloyd assigned, so index-by-sorted-position is identity
+    val byPos = cents.map(_._2).toSeq
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("v"),
+        nearestCell(col("v").cast("array<double>"), byPos).as("__pos"))
+      .select(col(idCol), col("v"),
+        element_at(typedLit(cents.map(_._1).toSeq), col("__pos").cast("int") + 1)
+          .as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/cells")
+  }
+
   /** Query a persisted [[ivfWriteIndex]] index. */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, queryVec: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {

@@ -190,7 +190,13 @@ object Tables {
     // discipline). Affected-partition data must fit the cluster's
     // storage tier — at larger fractions stage to a side directory and
     // swap like [[compact]].
-    val kept = touched.filter(!predicate).localCheckpoint(true)
+    // keep every row where the predicate is NOT TRUE: a bare
+    // `!predicate` drops NULL-evaluating rows too (three-valued logic) —
+    // rows neither counted as deleted nor kept, silent data loss in a
+    // GDPR utility. coalesce(p, false) makes "delete" mean strictly
+    // "predicate is true".
+    val kept = touched.filter(!coalesce(predicate, lit(false)))
+      .localCheckpoint(true)
     val stillThere =
       try {
         kept.write.mode("overwrite")

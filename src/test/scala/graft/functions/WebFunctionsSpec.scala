@@ -38,6 +38,24 @@ class WebFunctionsSpec extends SparkSpec {
     norm("http://A.com/CaseKept") shouldBe "http://a.com/CaseKept"
   }
 
+  test("urlNormalize is anchored: href/xref params and path segments survive, ref= is stripped") {
+    def norm(u: String): String =
+      Seq(u).toDF("u").select(WebFunctions.urlNormalize(col("u"))).head().getString(0)
+    // the r8 verdict defect: unanchored `ref=` ate the tail of `href=`
+    norm("http://a.com/p?href=https://x.com&a=1") shouldBe
+      "http://a.com/p?href=https://x.com&a=1"
+    norm("http://a.com/p?href=KeepMe&ref=sr_1&Keep=1") shouldBe
+      "http://a.com/p?href=KeepMe&Keep=1"
+    norm("http://a.com/p?xref=7&ref=x") shouldBe "http://a.com/p?xref=7"
+    norm("http://a.com/p?ref=x&b=2") shouldBe "http://a.com/p?b=2"
+    // amazon-style path segment: not a query param, untouched
+    norm("http://a.com/dp/B01/ref=sr_1_1?a=1") shouldBe
+      "http://a.com/dp/B01/ref=sr_1_1?a=1"
+    // consecutive stripped params collapse their separators
+    norm("http://a.com/p?utm_a=1&ref=x&utm_b=2&Keep=1") shouldBe
+      "http://a.com/p?Keep=1"
+  }
+
   test("urlHost and urlDomain strip credentials/port and take the last two labels") {
     val r = Seq("HTTPS://user:pw@Sub.Shop.Example.COM:8443/x?y=1")
       .toDF("u")

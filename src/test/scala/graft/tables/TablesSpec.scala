@@ -187,6 +187,27 @@ class TablesSpec extends SparkSpec {
       .count(f => f.isDirectory && f.getName.startsWith("p=")) shouldBe 1
   }
 
+  test("deleteMatching keeps NULL-predicate rows (delete means strictly TRUE)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-delnull").toString
+    // partition a holds a row whose email is NULL: `email = 'gone'` is
+    // NULL there, not false — a bare !predicate filter would silently
+    // drop it alongside the real match (the r8 ADVICE data-loss finding)
+    val df = Seq(
+      ("a", Some("gone"), 1L), ("a", None, 2L), ("a", Some("stay"), 3L),
+      ("b", Some("other"), 4L)
+    ).toDF("p", "email", "id")
+    Tables.writePartitioned(df, s"$dir/t", Seq("p"))
+    val deleted = Tables.deleteMatching(spark, s"$dir/t", "p",
+      org.apache.spark.sql.functions.col("email") === "gone")
+    deleted shouldBe 1L
+    val left = spark.read.parquet(s"$dir/t")
+    left.count() shouldBe 3L
+    // the NULL-email row survived the rewrite of its partition
+    left.filter(org.apache.spark.sql.functions.col("email").isNull)
+      .count() shouldBe 1L
+  }
+
   test("property: zValueN matches a sequential Morton reference incl. clamp and NULLs") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
