@@ -1367,6 +1367,32 @@ object SparkEntry {
       ivf.join(exact, col("vec_id") === col("__evid"), "left")
         .agg(count(lit(1)).as("n_ivf_sq8"), count(col("__evid")).as("n_in_exact_top50"))
     }),
+    "sim_ivf_join" -> ((s, dir) => {
+      // the batched ANN join ("dedup this batch against the vector
+      // index"): every row of the corpus queries the persisted SQ8 index
+      // at once — one join, queries never collected — under the same
+      // recall contract as the point probes: every returned neighbor is
+      // inside that query's EXACT top-50 (knnJoinExact ground truth),
+      // every query returns exactly k rows, and every query answers.
+      // nProbe=6 (of 64 cells): the ALL-queries contract is stricter
+      // than sim_ivf's single query — at nProbe=3 the worst boundary
+      // queries reach 98.1% — and 6 probed cells hold 100% at
+      // sf0.001/0.01/0.1 while still scanning <10% of the index
+      val emb = Tables.embeddings(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivfjoin").toString
+      Similarity.ivfWriteIndexSQ8(emb, "vec_id", "embedding", dim = 64,
+        path = idx, nBits = 6, lloydIters = 1)
+      val joined = Similarity.ivfTopKJoinSQ8(emb, "vec_id", "embedding",
+        idx, "vec_id", k = 5, nProbe = 6, excludeSelf = true)
+      val exact = Similarity.knnJoinExact(emb, "vec_id", "embedding",
+        dim = 64, k = 50)
+        .select(col("id_a").as("__qa"), col("id_b").as("__qb"))
+      joined.join(exact,
+          col("q_id") === col("__qa") && col("id") === col("__qb"), "left")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_results"),
+          count(col("__qa")).as("n_in_exact_top50"))
+    }),
     "sim_neighbors" -> ((s, dir) =>
       // md5-Rademacher planes — bucketing, cap, pairs, and per-id ranks
       // all replicated by the DuckDB oracle (full hash check)
@@ -2777,6 +2803,15 @@ object SparkEntry {
       "SELECT 10::BIGINT AS n_ivf, 10::BIGINT AS n_in_exact_top50",
     "sim_ivf_sq8" ->
       "SELECT 10::BIGINT AS n_ivf_sq8, 10::BIGINT AS n_in_exact_top50",
+    // batched-join recall contract: all N queries answer, each with
+    // exactly 5 neighbors, all inside that query's exact top-50
+    // (verified empirically at sf0.001/0.01/0.1; a recall or coverage
+    // regression breaks the hash)
+    "sim_ivf_join" ->
+      """SELECT count(*)::BIGINT AS n_queries,
+         (count(*) * 5)::BIGINT AS n_results,
+         (count(*) * 5)::BIGINT AS n_in_exact_top50
+         FROM embeddings""",
     // filter on RAW jaccard then round for output — the operator's order
     "dedup_minhash" ->
       s"""WITH $minhashPairsSql

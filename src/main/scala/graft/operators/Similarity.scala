@@ -223,6 +223,7 @@ object Similarity {
     // driver-bounded: ≤2^nBits centroid rows
     val cents = spark.read.parquet(s"$indexPath/centroids")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    require(cents.nonEmpty, s"no centroids at $indexPath/centroids")
     val nCells = cents.length
     val centVecs = typedLit(cents.map(_._2).toSeq)
     val cellIds = typedLit(cents.map(_._1).toSeq)
@@ -235,10 +236,16 @@ object Similarity {
     val probeList = transform(
       slice(array_sort(scoredCells), 1, math.min(nProbe, nCells)),
       s => s("cell"))
+    // checkpointed (the trainCells / deleteMatching discipline): the
+    // exploded frame feeds BOTH the probed-cell collect and the join —
+    // without it the query plan evaluates twice, and a non-deterministic
+    // query source could probe cells in the join that the collected
+    // `isin` filter already pruned, silently dropping candidates
     val exploded = queries
       .filter(col(qVecCol).isNotNull)
       .select(col(qIdCol).cast("long").as("q_id"), qv.as("__qv"),
         explode(probeList).as("cell"))
+      .localCheckpoint(true)
     // bounded driver read (≤2^nBits longs, NOT query-count-sized): the
     // distinct probed cells as a literal filter = static partition
     // pruning on the cell scan
@@ -276,23 +283,45 @@ object Similarity {
     */
   def ivfAppend(df: DataFrame, idCol: String, vecCol: String,
       indexPath: String): Unit = {
-    val spark = df.sparkSession
+    val cents = readCentroids(df.sparkSession, indexPath)
+    assignToCells(df, idCol, vecCol, cents)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/cells")
+  }
+
+  /** Driver-side read of a persisted index's coarse quantizer — ≤2^nBits
+    * rows, sorted by cell id. Fails loudly on an empty/corrupt table.
+    */
+  private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Array[(Long, Seq[Double])] = {
     val cents = spark.read.parquet(s"$indexPath/centroids")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
       .sortBy(_._1)
     require(cents.nonEmpty, s"no centroids at $indexPath/centroids")
+    cents
+  }
+
+  /** Frozen-quantizer assignment: (id, v, cell) with cell = the id of the
+    * nearest centroid. Shared by [[ivfAppend]] and the streaming
+    * [[graft.streaming.StreamingOps.continuousIvfAppend]] so batch and
+    * stream apply the identical rule.
+    */
+  private[graft] def assignToCells(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Seq[Double])]): DataFrame = {
     // frozen-quantizer assignment must agree with nearestCell's
     // 0-based-index rule: cell ids from ivfWriteIndex are exactly the
     // positions Lloyd assigned, so index-by-sorted-position is identity
     val byPos = cents.map(_._2).toSeq
+    // nearestCell reads the INPUT column directly, not the sibling "v"
+    // alias — lateral-column-alias resolution precedence is version- and
+    // config-sensitive, and an input column already named "v" must not
+    // win over the vector being assigned
     df.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).as("v"),
-        nearestCell(col("v").cast("array<double>"), byPos).as("__pos"))
+        nearestCell(col(vecCol).cast("array<double>"), byPos).as("__pos"))
       .select(col(idCol), col("v"),
         element_at(typedLit(cents.map(_._1).toSeq), col("__pos").cast("int") + 1)
           .as("cell"))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/cells")
   }
 
   /** Query a persisted [[ivfWriteIndex]] index. */
@@ -346,7 +375,7 @@ object Similarity {
   /** The `nProbe` cell ids whose centroids are most cosine-similar to
     * the query (driver-side over ≤2^nBits centroids).
     */
-  private def probeCells(cents: Array[(Long, Seq[Double])],
+  private[graft] def probeCells(cents: Array[(Long, Seq[Double])],
       queryVec: Seq[Double], nProbe: Int): Seq[Long] = {
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0

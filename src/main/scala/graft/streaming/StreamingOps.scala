@@ -890,6 +890,155 @@ object StreamingOps {
       b => graft.operators.Dedup.simhashIndex(b, idCol, textCol, maxHamming, kernel),
       idCol, indexPath, pairsPath, checkpoint, maxHamming, maxBucketSize)
 
+  /** Continuous maintenance of a persisted IVF ANN index
+    * ([[graft.operators.Similarity.ivfWriteIndex]] layout): each
+    * micro-batch of new vectors is assigned to its nearest FROZEN
+    * centroid ([[graft.operators.Similarity.ivfAppend]]'s rule, shared
+    * code — batch and stream apply the identical quantizer) and lands as
+    * a per-batch-id DELTA partition under `<indexPath>/deltas` with
+    * dynamic partition overwrite, so an at-least-once replay replaces its
+    * own partition instead of duplicating vectors (`ivfAppend`'s
+    * `mode("append")` is NOT replay-safe — that is exactly why the
+    * streaming face writes deltas, the [[continuousNearDup]] discipline).
+    *
+    * Probe with [[ivfTopKFromStreamIndex]] (base cells ∪ deltas, both
+    * cell-pruned). `compactEveryBatches > 0` folds committed deltas into
+    * the cell-partitioned base every Nth batch ([[compactIvfDeltas]]), so
+    * a long-running stream's probe cost stays one base read + ≤N small
+    * deltas. Retraining the coarse quantizer itself (centroid drift) is a
+    * REBUILD — `ivfWriteIndex` over the union to a fresh path and a
+    * stream restart, the same train-offline / score-online split as
+    * [[continuousKmeansAssign]]: frozen assignment is what makes batch
+    * and stream indexes interchangeable.
+    */
+  def continuousIvfAppend(vecs: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, checkpoint: String,
+      compactEveryBatches: Int = 0): DataStreamWriter[Row] = {
+    import graft.operators.Similarity
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // the frozen quantizer: ≤2^nBits rows, read per batch so an
+        // offline rebuild that swaps the centroids table is picked up at
+        // the next batch boundary
+        val cents = Similarity.readCentroids(spark, indexPath)
+        Similarity.assignToCells(batch.toDF(), idCol, vecCol, cents)
+          .withColumn("batch_id", lit(batchId))
+          // cluster by cell: each task writes one cell-coherent file, so
+          // the delta read's cell predicate prunes via row-group stats
+          // even though the delta tree partitions on batch_id
+          .repartition(col("cell"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$indexPath/deltas")
+        if (compactEveryBatches > 0 && batchId > 0 &&
+            batchId % compactEveryBatches == 0)
+          compactIvfDeltas(spark, indexPath)
+        ()
+      }
+  }
+
+  /** Fold a [[continuousIvfAppend]] stream's COMMITTED delta partitions
+    * (all but the latest batch) into the cell-partitioned base at
+    * `<indexPath>/cells`, then prune the folded delta directories —
+    * the [[compactClusterLabels]] discipline on vector rows.
+    *
+    * Cost is bounded by delta locality, not corpus size: only the cell
+    * partitions the deltas TOUCH are rewritten (read cell-pruned via an
+    * `isin` literal over the delta's distinct cells — ≤2^nBits longs on
+    * the driver — then dynamic-partition-overwritten). Crash safety: the
+    * fold de-duplicates on id, so a crash between the base write and the
+    * delta prune leaves duplicate rows that agree in value and a re-run
+    * completes the prune; the latest delta is never folded, so the
+    * streaming replay contract (a replayed batch overwrites its own
+    * partition) is untouched.
+    */
+  def compactIvfDeltas(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    val deltas =
+      try spark.read.parquet(s"$indexPath/deltas")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => return
+      }
+    val maxB = deltas.agg(max(col("batch_id"))).head.get(0)
+    if (maxB == null) return
+    val maxBatch = maxB.toString.toLong
+    if (maxBatch <= 0) return // nothing strictly below the latest batch
+    val committed = deltas.where(col("batch_id") < maxBatch).drop("batch_id")
+    // driver-bounded: ≤2^nBits distinct cells — the literal prunes the
+    // base read to the touched partitions only
+    val touched = committed.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    val idCol = committed.columns.head // (id, v, cell) — id leads
+    val existing =
+      try spark.read.parquet(s"$indexPath/cells")
+        .filter(col("cell").isin(touched: _*))
+        .select(committed.columns.map(col): _*)
+      catch {
+        // stream-only index: no base yet — first compaction creates it
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => committed.limit(0)
+      }
+    existing.unionByName(committed)
+      .dropDuplicates(idCol)
+      .repartition(col("cell")) // one file per touched cell
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell")
+      .parquet(s"$indexPath/cells")
+    // prune the folded delta partitions at the directory granularity the
+    // dynamic-overwrite writes use
+    val root = new org.apache.hadoop.fs.Path(s"$indexPath/deltas")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("batch_id=")) {
+        val bid = scala.util.Try(name.stripPrefix("batch_id=").toLong)
+        if (bid.toOption.exists(_ < maxBatch)) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** Probe a [[continuousIvfAppend]]-maintained index: nearest-centroid
+    * cell selection on the driver (≤2^nBits rows), then base cells
+    * (partition-pruned directories) ∪ un-compacted deltas (row-group
+    * pruned on the same cell predicate), de-duplicated on id (crash-window
+    * duplicates agree in value), scored and top-k'd exactly like
+    * [[graft.operators.Similarity.ivfTopKFromIndex]] — a stream-built
+    * index answers identically to a batch-built one over the same rows.
+    */
+  def ivfTopKFromStreamIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String, queryVec: Seq[Double], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import graft.operators.Similarity
+    import graft.functions.{VectorFunctions => V}
+    val cents = Similarity.readCentroids(spark, indexPath)
+    val probes = Similarity.probeCells(cents, queryVec, nProbe)
+    def readOrEmpty(path: String): Option[DataFrame] =
+      try Some(spark.read.parquet(path))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+      }
+    val base = readOrEmpty(s"$indexPath/cells")
+      .map(_.filter(col("cell").isin(probes: _*)).select(col(idCol), col("v")))
+    val delta = readOrEmpty(s"$indexPath/deltas")
+      .map(_.filter(col("cell").isin(probes: _*)).select(col(idCol), col("v")))
+    val parts = base.toSeq ++ delta.toSeq
+    require(parts.nonEmpty, s"no cells or deltas under $indexPath")
+    val q = typedLit(queryVec)
+    parts.reduce(_ unionByName _)
+      .dropDuplicates(idCol)
+      .select(col(idCol), round(V.cosine(col("v"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Stream-stream inner join with watermark-bounded state (SURVEY §2.3
     * joins row): both sides buffer only rows newer than their watermark,
     * and the time-range condition lets Spark evict state as the

@@ -196,6 +196,186 @@ class SimilaritySpec extends SparkSpec {
     ratio should be >= 3.0
   }
 
+  test("ivfTopKJoin: per-query results equal per-query ivfTopKFromIndex probes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfjoin").toString
+    Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    // the corpus itself as the query batch — every row probed at once
+    val joined = Similarity.ivfTopKJoin(vecs, "vec_id", "embedding", dir,
+      "vec_id", k = 3, nProbe = 4)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("id"), r.getAs[Double]("cosine"))).toSeq)
+      .toMap
+    joined.keySet shouldBe (0L to 5L).toSet
+    vecs.collect().foreach { row =>
+      val id = row.getLong(0)
+      val q = row.getSeq[Double](1)
+      val point = Similarity.ivfTopKFromIndex(spark, dir, "vec_id", q,
+        k = 3, nProbe = 4).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      joined(id) shouldBe point
+    }
+  }
+
+  test("ivfTopKJoin shuffle branch (broadcastQueries=false) matches broadcast branch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfjoin-sh").toString
+    Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    def run(bcast: Boolean) =
+      Similarity.ivfTopKJoin(vecs, "vec_id", "embedding", dir, "vec_id",
+        k = 3, nProbe = 4, broadcastQueries = bcast)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    run(false) shouldBe run(true)
+    // at scale (auto-broadcast off — the 100 TB regime where neither side
+    // fits a broadcast) the false branch really does shuffle on cell
+    // while the true branch's explicit hint still broadcasts
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      run(false) shouldBe run(true)
+      val shufflePlan = Similarity.ivfTopKJoin(vecs, "vec_id", "embedding",
+        dir, "vec_id", k = 3, nProbe = 4, broadcastQueries = false)
+        .queryExecution.executedPlan.toString
+      shufflePlan should not include "BroadcastHashJoin"
+      val bcastPlan = Similarity.ivfTopKJoin(vecs, "vec_id", "embedding",
+        dir, "vec_id", k = 3, nProbe = 4, broadcastQueries = true)
+        .queryExecution.executedPlan.toString
+      bcastPlan should include("BroadcastHashJoin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ivfTopKJoin excludeSelf drops the query's own corpus row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfjoin-xs").toString
+    Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    val r = Similarity.ivfTopKJoin(vecs, "vec_id", "embedding", dir,
+      "vec_id", k = 3, nProbe = 4, excludeSelf = true).collect()
+    r should not be empty
+    r.foreach { row =>
+      row.getAs[Long]("id") should not be row.getAs[Long]("q_id")
+    }
+    // rank-1 neighbor of id 0 is its nearest OTHER vector (id 1)
+    r.filter(w => w.getAs[Long]("q_id") == 0L && w.getAs[Int]("rank") == 1)
+      .head.getAs[Long]("id") shouldBe 1L
+  }
+
+  test("ivfTopKJoinSQ8 matches the flat join on this corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfjoin-sq").toString
+    Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", dim = 4,
+      path = s"$dir/flat", nBits = 2, lloydIters = 1)
+    Similarity.ivfWriteIndexSQ8(vecs, "vec_id", "embedding", dim = 4,
+      path = s"$dir/sq8", nBits = 2, lloydIters = 1)
+    // quantization error is far below the fixture's cosine gaps, so the
+    // returned id sets and ranks agree (cosines differ in late decimals)
+    def ids(r: org.apache.spark.sql.DataFrame) =
+      r.orderBy("q_id", "rank").collect()
+        .map(w => (w.getAs[Long]("q_id"), w.getAs[Long]("id"),
+          w.getAs[Int]("rank"))).toSeq
+    ids(Similarity.ivfTopKJoinSQ8(vecs, "vec_id", "embedding", s"$dir/sq8",
+      "vec_id", k = 3, nProbe = 4)) shouldBe
+      ids(Similarity.ivfTopKJoin(vecs, "vec_id", "embedding", s"$dir/flat",
+        "vec_id", k = 3, nProbe = 4))
+  }
+
+  test("ivfTopKJoin narrow probe prunes cell partitions before any file read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfjoin-pr").toString
+    Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    import spark.implicits._
+    val oneQ = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val narrow = Similarity.ivfTopKJoin(oneQ, "vec_id", "embedding", dir,
+      "vec_id", k = 1, nProbe = 1)
+    val scan = narrow.queryExecution.executedPlan.toString
+    scan should include("PartitionFilters")
+    scan should include("cell")
+    narrow.collect().head.getAs[Long]("id") shouldBe 0L
+  }
+
+  test("ivfAppend: appended rows are findable and assignments match a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString
+    import spark.implicits._
+    val base = vecs.filter(col("vec_id") <= 3L)
+    val extra = Seq(
+      (6L, Seq(1.0, 0.01, 0.0, 0.0)),   // hugs e1 — lands in 0's cell
+      (7L, Seq(0.01, 1.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndex(base, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    Similarity.ivfAppend(extra, "vec_id", "embedding", dir)
+    // appended vector findable under the narrowest probe: its cell is the
+    // one whose centroid is nearest e1 — the same cell the e1 query probes
+    val r = Similarity.ivfTopKFromIndex(spark, dir,
+      "vec_id", Seq(1.0, 0.005, 0.0, 0.0), k = 2, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    r should contain(6L)
+    // frozen-quantizer assignment = nearest-centroid rule: every appended
+    // row's stored cell is the argmax-cosine centroid of the ORIGINAL index
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().map(w => w.getLong(0) -> w.getSeq[Double](1))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val stored = spark.read.parquet(s"$dir/cells")
+      .filter(col("vec_id") >= 6L)
+      // partition-column discovery infers cell as int — cast for getLong
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(w => w.getLong(0) -> w.getLong(1)).toMap
+    stored.keySet shouldBe Set(6L, 7L)
+    extra.collect().foreach { row =>
+      val expect = cents.maxBy { case (_, c) => cos(c, row.getSeq[Double](1)) }._1
+      stored(row.getLong(0)) shouldBe expect
+    }
+  }
+
+  test("ivfAppend then probe equals full rebuild then probe (exhaustive probe)") {
+    // append freezes the quantizer while a rebuild retrains it, so cell
+    // BOUNDARIES differ — but an exhaustive probe is assignment-blind:
+    // both index states must rank the identical row set identically
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfapp-rb").toString
+    import spark.implicits._
+    val base = vecs.filter(col("vec_id") <= 3L)
+    val extra = Seq(
+      (6L, Seq(1.0, 0.01, 0.0, 0.0)),
+      (7L, Seq(0.01, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndex(base, "vec_id", "embedding", dim = 4,
+      path = s"$dir/app", nBits = 2, lloydIters = 1)
+    Similarity.ivfAppend(extra, "vec_id", "embedding", s"$dir/app")
+    Similarity.ivfWriteIndex(base.unionByName(extra), "vec_id", "embedding",
+      dim = 4, path = s"$dir/rebuild", nBits = 2, lloydIters = 1)
+    val q = Seq(1.0, 0.005, 0.0, 0.0)
+    Similarity.ivfTopKFromIndex(spark, s"$dir/app", "vec_id", q,
+      k = 6, nProbe = 4).collect().map(_.toSeq).toSeq shouldBe
+      Similarity.ivfTopKFromIndex(spark, s"$dir/rebuild", "vec_id", q,
+        k = 6, nProbe = 4).collect().map(_.toSeq).toSeq
+  }
+
+  test("ivfAppend is not confused by an unrelated input column named v") {
+    // the ADVICE-flagged lateral-alias hazard: assignment must read the
+    // embedding column, never an input column that happens to be named "v"
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfapp-v").toString
+    import spark.implicits._
+    val base = vecs.filter(col("vec_id") <= 3L)
+    Similarity.ivfWriteIndex(base, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    val decoy = Seq((8L, Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0)))
+      .toDF("vec_id", "embedding", "v")
+    Similarity.ivfAppend(decoy, "vec_id", "embedding", dir)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().map(w => w.getLong(0) -> w.getSeq[Double](1))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val expect = cents.maxBy { case (_, c) => cos(c, Seq(1.0, 0.0, 0.0, 0.0)) }._1
+    spark.read.parquet(s"$dir/cells").filter(col("vec_id") === 8L)
+      .head().getAs[Long]("cell") shouldBe expect
+  }
+
   test("knnJoinExact: per-id top-k equals bruteForceTopK per id") {
     val r = Similarity.knnJoinExact(vecs, "vec_id", "embedding", dim = 4, k = 2)
       .collect()

@@ -446,6 +446,92 @@ class StreamingOpsSpec extends SparkSpec {
     spark.read.parquet(s"$dir/index").select("batch_id").distinct().count() shouldBe 2
   }
 
+  test("continuousIvfAppend: stream-built index answers like a batch-built one") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("civf").toString
+    val base = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.99, 0.14, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(-1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    // seed both indexes with the same frozen quantizer + base cells
+    Similarity.ivfWriteIndex(base, "vec_id", "embedding", dim = 4,
+      path = s"$dir/stream", nBits = 2, lloydIters = 1)
+    Similarity.ivfWriteIndex(base, "vec_id", "embedding", dim = 4,
+      path = s"$dir/batch", nBits = 2, lloydIters = 1)
+    val extra1 = Seq((6L, Seq(1.0, 0.01, 0.0, 0.0)), (7L, Seq(0.01, 1.0, 0.0, 0.0)))
+    val extra2 = Seq((8L, Seq(0.98, 0.2, 0.0, 0.0)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.continuousIvfAppend(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/stream", s"$dir/ckpt").start()
+    try {
+      in.addData(extra1: _*)
+      q.processAllAvailable()
+      in.addData(extra2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // same rows appended to the batch index through ivfAppend
+    Similarity.ivfAppend((extra1 ++ extra2).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/batch")
+    val probe = Seq(1.0, 0.05, 0.0, 0.0)
+    // identical frozen quantizer + identical rows ⇒ identical answers,
+    // at the widest probe AND at the narrowest
+    for (np <- Seq(4, 1)) {
+      StreamingOps.ivfTopKFromStreamIndex(spark, s"$dir/stream", "vec_id",
+        probe, k = 3, nProbe = np).collect().map(_.toSeq).toSeq shouldBe
+        Similarity.ivfTopKFromIndex(spark, s"$dir/batch", "vec_id",
+          probe, k = 3, nProbe = np).collect().map(_.toSeq).toSeq
+    }
+    // deltas partition per batch — a replayed batch would replace its own
+    spark.read.parquet(s"$dir/stream/deltas")
+      .select("batch_id").distinct().count() shouldBe 2
+  }
+
+  test("compactIvfDeltas folds committed deltas into cells, probe unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("civfc").toString
+    val base = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(-1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndex(base, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    val in = MemoryStream[(Long, Seq[Double])]
+    // compact inline after every 2nd batch (batch id 2 folds 0 and 1)
+    val q = StreamingOps.continuousIvfAppend(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, s"$dir-ckpt", compactEveryBatches = 2).start()
+    try {
+      in.addData((6L, Seq(1.0, 0.01, 0.0, 0.0)))
+      q.processAllAvailable()
+      in.addData((7L, Seq(0.01, 1.0, 0.0, 0.0)))
+      q.processAllAvailable()
+      in.addData((8L, Seq(0.98, 0.2, 0.0, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // batches 0 and 1 folded into the base; only the latest delta remains
+    spark.read.parquet(s"$dir/deltas")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    val folded = spark.read.parquet(s"$dir/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    folded shouldBe Set(0L, 2L, 3L, 6L, 7L)
+    // probe sees every vector exactly once, base ∪ remaining delta
+    val all = StreamingOps.ivfTopKFromStreamIndex(spark, dir, "vec_id",
+      Seq(1.0, 0.05, 0.0, 0.0), k = 6, nProbe = 4).collect()
+    all.map(_.getLong(0)).toSet shouldBe Set(0L, 2L, 3L, 6L, 7L, 8L)
+    all.length shouldBe 6
+    // re-running compaction is a safe no-op shape (idempotent on id)
+    StreamingOps.compactIvfDeltas(spark, dir)
+    StreamingOps.ivfTopKFromStreamIndex(spark, dir, "vec_id",
+      Seq(1.0, 0.05, 0.0, 0.0), k = 6, nProbe = 4).count() shouldBe 6
+  }
+
   test("continuousClusteredDedup maintains labels matching a batch rebuild") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
