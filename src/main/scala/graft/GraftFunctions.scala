@@ -224,7 +224,15 @@ object GraftFunctions {
     ("graft_unpack_sq8",
       { ch => arity(ch, 2)
         viaColumns(c => graft.functions.Sq8.unpackSq8(c(0), c(1).cast("double")))(ch) },
-      "dequantize packed SQ8 codes with a per-row scale to array<double>"))
+      "dequantize packed SQ8 codes with a per-row scale to array<double>"),
+    // the sketch AGGREGATES (QuantileSketch.sketchAgg/sketchMerge) are
+    // Aggregators, exposed through the Column API like topKByScore /
+    // vectorCentroid; the scalar extraction is registrable here
+    ("graft_sketch_quantile",
+      { ch => arity(ch, 2)
+        viaColumns(c => graft.functions.QuantileSketch.sketchQuantile(
+          c(0), litDouble(ch(1), "q")))(ch) },
+      "quantile estimate from a mergeable quantile-sketch struct"))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(GraftFunctions.getClass.getName, null, name, usage, "")

@@ -880,6 +880,40 @@ object SparkEntry {
           (abs(col("__est") - col("exact_parts")).cast("double") /
             col("exact_parts") <= 0.05).as("merged_within_5pct"))
     }),
+    "q_quantile_merge" -> ((s, dir) => {
+      // MERGEABLE quantile sketches — the quantile sibling of
+      // q_hll_merge: the two order-parity halves of lineitem sketch
+      // INDEPENDENTLY, the bounded sketches merge, and p50/p90 come off
+      // the merged sketch with no re-scan. The sketch's canonical form
+      // (deterministic power-of-two histogram, QuantileSketch scaladoc)
+      // makes merge(sketch(A), sketch(B)) == sketch(A ∪ B) EXACTLY, so
+      // the DuckDB oracle replays the merged estimates bit-for-bit from
+      // the raw column; accuracy contract: both estimates within
+      // spread/64 of the EXACT interpolated quantiles (distributed
+      // range-sort path, not the value-buffering percentile aggregate)
+      import graft.functions.{QuantileSketch => QS}
+      val li = Tables.lineitem(s, dir)
+      val halves = li
+        .select((col("l_orderkey") % 2).as("half"),
+          col("l_extendedprice").cast("double").as("v"))
+        .groupBy("half").agg(QS.sketchAgg(col("v")).as("sk"))
+      val merged = halves.agg(QS.sketchMerge(col("sk")).as("sk"))
+        .select(col("sk.n").as("n_values"),
+          round(QS.sketchQuantile(col("sk"), 0.5), 6).as("p50_sketch"),
+          round(QS.sketchQuantile(col("sk"), 0.9), 6).as("p90_sketch"))
+      val exact = graft.operators.Quantiles.exactQuantiles(
+        li, "l_extendedprice", Seq(0.5, 0.9))
+        .agg(max(when(col("q") === 0, col("value"))).as("__e50"),
+          max(when(col("q") === 1, col("value"))).as("__e90"))
+      val spread = li.agg((max(col("l_extendedprice")) -
+        min(col("l_extendedprice"))).cast("double").as("__spread"))
+      merged.crossJoin(broadcast(exact)).crossJoin(broadcast(spread))
+        .select(col("n_values"), col("p50_sketch"), col("p90_sketch"),
+          (abs(col("p50_sketch") - col("__e50")) <= col("__spread") / 64)
+            .as("p50_within"),
+          (abs(col("p90_sketch") - col("__e90")) <= col("__spread") / 64)
+            .as("p90_within"))
+    }),
     "q_scd2" -> ((s, dir) =>
       // SCD2 dimension history from the event change stream: one row per
       // VERSION (consecutive identical attribute observations compress),
@@ -1025,6 +1059,22 @@ object SparkEntry {
     "sample_hash" -> ((s, dir) =>
       graft.operators.Sampling.hashSample(Tables.documents(s, dir), "doc_id", 0.25)
         .select(col("doc_id"), col("source"), col("n_chars"))),
+    "sample_mixture_epochs" -> ((s, dir) => {
+      // the plan MATERIALIZED: pipeline_mixture_plan's rates realized as
+      // actual repeats — floor(rate) full epochs per doc plus the
+      // md5-deterministic fractional remainder, epoch_idx per copy;
+      // src0's 2.0-capped rate exercises the multi-epoch path, the
+      // sub-1 rates the fractional path, rate-0 sources emit nothing
+      val docs = Tables.documents(s, dir)
+      val plan = graft.operators.Sampling.mixturePlan(
+        docs, "source", T.tokenCount(col("text")),
+        weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.15,
+          "src3" -> 0.05, "src99" -> 1.0),
+        tokenBudget = 100000L, maxEpochs = 2.0)
+      graft.operators.Sampling.applyMixturePlan(docs, "source", "doc_id", plan)
+        .select(col("doc_id"), col("source"),
+          col("epoch_idx").cast("long").as("epoch_idx"))
+    }),
     "sample_temperature" -> ((s, dir) =>
       // α=0.5 mixing: sample shares follow sqrt(domain count) — small
       // languages upweighted relative to their raw share; half the
@@ -2258,6 +2308,33 @@ object SparkEntry {
     "q_hll_merge" ->
       """SELECT count(DISTINCT l_partkey)::BIGINT AS exact_parts,
          TRUE AS merged_within_5pct FROM lineitem""",
+    // full replay of the DETERMINISTIC sketch (unlike HLL's library-
+    // specific registers): k = smallest granularity ≥ 2^-20 whose
+    // occupied power-of-two buckets fit 256, estimates = midpoint of the
+    // first bucket whose cumulative count reaches q·n — merge order is
+    // invisible by the sketch's canonical form, so the whole-column
+    // replay equals Spark's merged-halves result bit-for-bit
+    "q_quantile_merge" ->
+      """WITH v AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+                    WHERE l_extendedprice IS NOT NULL),
+         ks AS (SELECT k FROM generate_series(-20, 40) t(k)
+                WHERE (SELECT count(DISTINCT floor(x / pow(2, k))) FROM v) <= 256
+                ORDER BY k LIMIT 1),
+         b AS (SELECT floor(x / pow(2, (SELECT k FROM ks))) AS i,
+                      count(*)::DOUBLE AS c FROM v GROUP BY 1),
+         cum AS (SELECT i, sum(c) OVER (ORDER BY i) AS cs FROM b),
+         n AS (SELECT count(*)::BIGINT AS n FROM v),
+         est AS (SELECT
+             round(((SELECT min(i) FROM cum, n WHERE cs >= 0.5 * n.n) + 0.5)
+               * pow(2, (SELECT k FROM ks)), 6) AS p50,
+             round(((SELECT min(i) FROM cum, n WHERE cs >= 0.9 * n.n) + 0.5)
+               * pow(2, (SELECT k FROM ks)), 6) AS p90)
+         SELECT n.n AS n_values, est.p50 AS p50_sketch, est.p90 AS p90_sketch,
+           abs(est.p50 - (SELECT quantile_cont(x, 0.50) FROM v))
+             <= (SELECT (max(x) - min(x)) / 64 FROM v) AS p50_within,
+           abs(est.p90 - (SELECT quantile_cont(x, 0.90) FROM v))
+             <= (SELECT (max(x) - min(x)) / 64 FROM v) AS p90_within
+         FROM est, n""",
     // same (ts, event_id) per-key total order, IS DISTINCT FROM matching
     // Spark's null-safe <=> change test, lead() for the validity end
     "q_scd2" ->
@@ -2666,6 +2743,35 @@ object SparkEntry {
          WHERE list_sum(list_transform(generate_series(1, 4),
            k -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)::BIGINT
                 << (4 * (4 - k)))) < 16384""",
+    // pipeline_mixture_plan's rate chain replayed, then materialized:
+    // floor(rate) full epochs per doc + one fractional copy when the
+    // doc's md5 bucket clears floor(frac * 65536)
+    "sample_mixture_epochs" ->
+      """WITH tok AS (SELECT source, sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT
+               AS n_tokens
+           FROM documents GROUP BY source),
+         w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3),
+           ('src2', 0.15), ('src3', 0.05), ('src99', 1.0)),
+         norm AS (SELECT sum(wt) AS nw FROM w
+                  WHERE source IN (SELECT source FROM tok)),
+         rates AS (SELECT t.source,
+             round(least(2.0,
+               floor(round(coalesce(w.wt, 0) / nw, 6) * 100000)::DOUBLE /
+               greatest(n_tokens::DOUBLE, 1.0)), 6) AS rate
+           FROM tok t LEFT JOIN w USING (source) CROSS JOIN norm),
+         j AS (SELECT d.doc_id, d.source,
+             floor(r.rate)::BIGINT AS nfull,
+             floor((r.rate - floor(r.rate)) * 65536)::BIGINT AS thr,
+             list_sum(list_transform(generate_series(1, 4),
+               k -> (strpos('0123456789abcdef',
+                      substr(md5(d.doc_id::VARCHAR), k, 1)) - 1)::BIGINT
+                    << (4 * (4 - k)))) AS b
+           FROM documents d JOIN rates r USING (source))
+         SELECT doc_id, source, unnest(list_concat(
+             CASE WHEN nfull >= 1 THEN range(0, nfull) ELSE [] END,
+             CASE WHEN b < thr THEN [nfull] ELSE [] END)) AS epoch_idx
+         FROM j""",
     // exact replay of temperatureMixture(alpha=0.5, target=0.5): sqrt is
     // IEEE-correctly-rounded (unlike pow), the weight sum runs in key
     // order like the Scala fold, and the same expression order keeps the

@@ -146,6 +146,52 @@ object Sampling {
         greatest(col("target_tokens") - col("planned_tokens"), lit(0L)))
   }
 
+  /** Materialize a [[mixturePlan]]: emit each document `rate` times —
+    * `floor(rate)` full epoch repeats plus one more copy for the
+    * deterministic md5 fraction of ids covering the remainder — so the
+    * trainer consumes the REALIZED mixture, not the plan table. Output
+    * carries every input column plus `epoch_idx` (0-based repeat
+    * counter): a resumable consumer can restart at a given epoch of a
+    * given source, and shuffling downstream ([[graft.operators
+    * .TrainingData]] shard shuffle) interleaves the repeats.
+    *
+    * The fractional remainder reuses [[hashSample]]'s md5-bucket rule —
+    * `md5Bucket(id) < (rate − floor(rate)) · 65536` — so rates ≤ 1
+    * reproduce [[mixtureSample]]'s selection EXACTLY (same rows, epoch 0)
+    * and the materialization stays layout-independent: the same id gets
+    * the same epoch count on every run at any cluster size. Sources
+    * absent from the plan (and NULL-source rows) emit nothing.
+    *
+    * Scale shape: one broadcast join against the distinct-source-sized
+    * plan, then one projection + one generator — no shuffle, the corpus
+    * is scanned once, and output volume is Σ_s rate_s · N_s rows (what a
+    * repeat-respecting epoch loop would read anyway, here materialized
+    * with the dedup/shard machinery able to run over it).
+    */
+  def applyMixturePlan(docs: DataFrame, sourceCol: String, idCol: String,
+      plan: DataFrame): DataFrame = {
+    require(plan.columns.contains("rate"),
+      "plan must carry a rate column (mixturePlan output)")
+    val rates = broadcast(plan.select(
+      col(sourceCol).cast("string").as("__src"),
+      col("rate").cast("double").as("__rate")))
+    val emptyInts = array().cast("array<int>")
+    docs
+      .join(rates, col(sourceCol).cast("string") === col("__src"))
+      .withColumn("__full", floor(col("__rate")).cast("int"))
+      .withColumn("__thr",
+        floor((col("__rate") - floor(col("__rate"))) * 65536).cast("long"))
+      // epochs array first, the generator alone in the next projection
+      // (generator-adjacency discipline)
+      .withColumn("__epochs", concat(
+        when(col("__full") >= 1, sequence(lit(0), col("__full") - 1))
+          .otherwise(emptyInts),
+        when(md5Bucket(col(idCol)) < col("__thr"), array(col("__full")))
+          .otherwise(emptyInts)))
+      .withColumn("epoch_idx", explode(col("__epochs")))
+      .drop("__src", "__rate", "__full", "__thr", "__epochs")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169): score
     * each raw document by how much more likely its hashed word-bigram

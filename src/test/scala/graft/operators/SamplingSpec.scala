@@ -74,6 +74,56 @@ class SamplingSpec extends SparkSpec {
     plan.keySet shouldBe Set("web", "books", "junk")
   }
 
+  test("applyMixturePlan: full epochs + deterministic fractional remainder") {
+    import spark.implicits._
+    val docs = ((0L until 100L).map(i => (i, "web")) ++
+      (100L until 200L).map(i => (i, "books")) ++
+      (200L until 210L).map(i => (i, "junk")) ++
+      Seq((210L, null.asInstanceOf[String]))).toDF("doc_id", "source")
+    val plan = Seq(("web", 2.5), ("books", 0.25), ("junk", 0.0))
+      .toDF("source", "rate")
+    val out = Sampling.applyMixturePlan(docs, "source", "doc_id", plan)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // web: 2 full epochs × 100 + ~25% fractional third copies
+    bySrc("web").toDouble should be(250.0 +- 30.0)
+    bySrc("web") should be >= 200L
+    // books: pure fractional — and EXACTLY mixtureSample's selection
+    val frac = out.filter(col("source") === "books")
+    frac.collect().map(_.getAs[Int]("epoch_idx")).toSet shouldBe Set(0)
+    frac.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Sampling.mixtureSample(docs.filter(col("source") === "books"),
+        "source", "doc_id", Map("books" -> 0.25), 0.0)
+        .collect().map(_.getLong(0)).toSet
+    // rate 0 and plan-absent (NULL source) emit nothing
+    bySrc.keySet shouldBe Set("web", "books")
+    // web epoch indexes: every doc has epochs 0 and 1; 2 only fractionally
+    val webEpochs = out.filter(col("source") === "web")
+      .groupBy("doc_id").agg(collect_set("epoch_idx").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    webEpochs.values.foreach { e =>
+      e should contain allOf (0, 1)
+      e.subsetOf(Set(0, 1, 2)) shouldBe true
+    }
+    // determinism: layout-independent materialization
+    val again = Sampling.applyMixturePlan(docs.repartition(7), "source",
+      "doc_id", plan).groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe again
+  }
+
+  test("applyMixturePlan is shuffle-free — broadcast plan join + generator") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, "web")).toDF("doc_id", "source")
+    val plan = Seq(("web", 1.5)).toDF("source", "rate")
+    val exec = Sampling.applyMixturePlan(docs, "source", "doc_id", plan)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the broadcast of the plan side
+    exec should not include "ShuffleExchange"
+    exec should include("Generate")
+  }
+
   test("hashSample is deterministic and layout-independent") {
     val a = Sampling.hashSample(rows, "id", 0.25).collect().map(_.getLong(0)).toSet
     val b = Sampling.hashSample(rows.repartition(7), "id", 0.25)
