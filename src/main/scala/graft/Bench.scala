@@ -111,9 +111,43 @@ object Bench {
       }.toMap
     val passA = runPass(names)
     val passB = runPass(names.reverse)
-    val results = names.map { name =>
+    val twoPass = names.map { name =>
       val (a, b) = (passA(name), passB(name))
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
+
+    // Drift guard: min-of-two-passes-in-one-JVM-session does not defend
+    // against a CORRELATED slow window (r9 committed text_wordpiece at
+    // 12.78 s; the same query re-measured at 0.92 s — both passes hit
+    // the same swell). Any query whose two-pass min exceeds 2× its value
+    // in the PREVIOUS round's record (same SF only) gets one more fresh
+    // run; the committed value is the min of three, and the retried
+    // names land in the record so the regression story is auditable.
+    val prevTimings: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/root/repo/BENCH_FULL_LATEST.json")), "UTF-8")
+        val sameSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sameSf) Map.empty
+        else "\"timings_ms\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+          .map(_.group(1).split(",").toSeq.flatMap { kv =>
+            kv.split(":") match {
+              case Array(k, v) =>
+                scala.util.Try(
+                  k.replaceAll("[\"\\s]", "") -> v.trim.toDouble / 1000.0)
+                  .toOption.filter(_._2 > 0)
+              case _ => None
+            }
+          }.toMap).getOrElse(Map.empty)
+      } catch { case _: Throwable => Map.empty }
+    val retried = twoPass.collect { case (name, v)
+      if v >= 0 && prevTimings.get(name).exists(p => v > 2 * p) => name }
+    if (retried.nonEmpty)
+      System.err.println(s"[bench] drift-guard retries: ${retried.mkString(", ")}")
+    val passC = runPass(retried)
+    val results = twoPass.map { case (name, v) =>
+      name -> (if (passC.get(name).exists(_ >= 0)) math.min(v, passC(name)) else v)
     }
     // every sample lands in the full record (r8 verdict nit: the round
     // was quoted from a builder sample, not the committed record — one
@@ -151,8 +185,9 @@ object Bench {
     if (only.isEmpty) {
       val samplesJson = throughputSamples
         .map(s => math.round(s).toString).mkString("[", ",", "]")
+      val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
       val fullJson = summary.dropRight(1) +
-        s""","throughput_samples":$samplesJson,"timings_ms":$allMs}"""
+        s""","throughput_samples":$samplesJson,"drift_retried":$retriedJson,"timings_ms":$allMs}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL_LATEST.json"),
         (fullJson + "\n").getBytes("UTF-8"))

@@ -1344,6 +1344,15 @@ object SparkEntry {
         dim = 64, nBits = 6, threshold = 0.4, kernel = "md5")
         .select(col("id").as("vec_id"), col("cluster_id"),
           round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))),
+    "dedup_semantic_kmeans" -> ((s, dir) =>
+      // SemDeDup with the paper's actual clustering: trained spherical
+      // k-means cells (same k=4/iters=2 recipe the embed_kmeans oracle
+      // replays) instead of LSH buckets; keep rule and threshold match
+      // dedup_semantic so the two variants differ ONLY in the partition
+      Dedup.semanticDedupKmeans(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, k = 4, iters = 2, threshold = 0.4)
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))),
     "dedup_incremental_embedding_lsh" -> ((s, dir) => {
       // continuous-ingestion embedding near-dup: new batch (ids >= 250)
       // probes the persisted hyperplane index of the existing corpus +
@@ -3064,6 +3073,40 @@ object SparkEntry {
          SELECT vec_id, cluster_id::BIGINT AS cluster_id,
            round(cc, 6) AS centroid_cos, (rk = 1) AS keep
          FROM r""",
+    // the k-means replay (identical CTE chain to embed_kmeans) feeding
+    // the dedup_semantic pair/closure/keep machinery: assignment by
+    // round-6 argmax, capped within-cell pairs, recursive closure,
+    // farthest-from-MODEL-centroid keep
+    "dedup_semantic_kmeans" ->
+      (kmeansReplaySql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, a3 AS MATERIALIZED (SELECT e.vec_id, e.v,
+           (SELECT s.c FROM c2 s
+            ORDER BY round(list_cosine_similarity(e.v, s.v), 6) DESC, s.c
+            LIMIT 1) AS cluster FROM e),
+         keepc AS (SELECT cluster FROM a3 GROUP BY cluster
+                   HAVING count(*) <= 1000),
+         sz AS MATERIALIZED (SELECT a3.* FROM a3 JOIN keepc USING (cluster)),
+         pr AS MATERIALIZED (
+           SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+           FROM sz a JOIN sz bb
+             ON a.cluster = bb.cluster AND a.vec_id < bb.vec_id
+           WHERE list_cosine_similarity(a.v, bb.v) >= 0.4),
+         edges AS (SELECT id_a AS ea, id_b AS eb FROM pr
+                   UNION SELECT id_b, id_a FROM pr),
+         reach(ea, eb) AS (
+           SELECT ea, eb FROM edges
+           UNION
+           SELECT r.ea, e2.eb FROM reach r JOIN edges e2 ON r.eb = e2.ea),
+         lab AS (SELECT ea AS vec_id, least(ea, min(eb)) AS cluster_id
+                 FROM reach GROUP BY ea),
+         m AS (SELECT lab.vec_id, lab.cluster_id,
+             list_cosine_similarity(sz.v, c2.v) AS cc
+           FROM lab JOIN sz USING (vec_id) JOIN c2 ON sz.cluster = c2.c),
+         r AS (SELECT vec_id, cluster_id, cc, row_number() OVER (
+             PARTITION BY cluster_id ORDER BY cc, vec_id) AS rk FROM m)
+         SELECT vec_id, cluster_id::BIGINT AS cluster_id,
+           round(cc, 6) AS centroid_cos, (rk = 1) AS keep
+         FROM r"""),
     // same exact bucket rebuild; any pair involving the new batch
     // (ids >= 250) has id_b >= 250 because id_a < id_b
     "dedup_incremental_embedding_lsh" ->

@@ -618,6 +618,73 @@ object Dedup {
         (struct(col("centroid_cos"), col("id")) === col("__best")).as("keep"))
   }
 
+  /** [[semanticDedup]] with the paper's ACTUAL clustering stage: a
+    * trained spherical k-means partition ([[Embeddings.kmeansTrain]],
+    * Lloyd 1982 — Abbas et al. 2023 §3 cluster with k-means on GPU)
+    * instead of the hyperplane-LSH approximation. Data-adaptive cells
+    * hug the corpus's real semantic clusters, so duplicate groups that
+    * straddle a random hyperplane (invisible to the LSH variant) land in
+    * ONE cell here — the same recall argument as [[Similarity.ivfTopK]]'s
+    * Lloyd refinement. The LSH variant stays as the cheap
+    * training-free path.
+    *
+    * Same contract as [[semanticDedup]]: rows only for docs in a
+    * ≥`threshold` pair, keep = member FARTHEST from its k-means cell
+    * centroid (lowest cosine, ties → lowest id; the paper's
+    * diversity-preserving survivor rule), with `centroid_cos` measured
+    * against the TRAINED model centroid (round-9 components — the
+    * engine-replicable kmeansTrain recipe). Pairs never cross cells, so
+    * every duplicate component lives in exactly one cell and the keep
+    * rule is well-defined.
+    *
+    * Scale shape: training is [[Embeddings.kmeansTrain]]'s k-centroid
+    * driver loop (corpus never collected); assignment is one codegen'd
+    * projection; the pair search is the capped within-cell self-join of
+    * the other dedup paths (size k so that N/k ≈ 10³: the paper's
+    * 50k-cluster regime at web scale); `maxClusterSize` drops degenerate
+    * cells outright.
+    */
+  def semanticDedupKmeans(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, iters: Int, threshold: Double = 0.9,
+      maxClusterSize: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val model = Embeddings.kmeansTrain(df, idCol, vecCol, dim, k, iters)
+    val cents = model.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    // one checkpointed (id, v, cluster) frame feeds the cap count, both
+    // pair sides, and the member join-back (the semanticDedup discipline)
+    val assigned = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .select(col(idCol), col("v"), Embeddings.nearest(col("v"), cents))
+      .localCheckpoint(true)
+    val keep = assigned.groupBy("cluster").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxClusterSize).select("cluster")
+    val sized = assigned.join(keep, Seq("cluster"))
+    val a = sized.select(col("cluster"), col(idCol).as("id_a"), col("v").as("v_a"))
+    val b = sized.select(col("cluster"), col(idCol).as("id_b"), col("v").as("v_b"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b") &&
+        V.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select("id_a", "id_b")
+    val labels = connectedComponents(pairs, "id_a", "id_b")
+    // the trained centroids as a broadcast k-row table — centroid_cos is
+    // against the MODEL, not a recomputed group mean, so persisted-model
+    // reruns score identically
+    val centDf = broadcast(cents.toDF("cluster", "__c"))
+    val members = labels
+      .join(sized.select(col(idCol).cast("long").as("id"), col("v"),
+        col("cluster")), Seq("id"))
+      .join(centDf, Seq("cluster"))
+      .select(col("id"), col("cluster_id"),
+        V.cosine(col("v"), col("__c")).as("centroid_cos"))
+    val best = members.groupBy("cluster_id")
+      .agg(min(struct(col("centroid_cos"), col("id"))).as("__best"))
+    members.join(best, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("centroid_cos"),
+        (struct(col("centroid_cos"), col("id")) === col("__best")).as("keep"))
+  }
+
   /** Connected components over a near-dup PAIR relation — the step that
     * turns pairwise matches into dedup decisions: docs A-B and B-C are
     * one duplicate CLUSTER even though A-C was never compared, and a

@@ -64,7 +64,7 @@ object Embeddings {
   /** The greedy-first argmax over round-6 cosines: ties break to the
     * lowest cluster index (a left fold keeps the FIRST max).
     */
-  private def nearest(v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+  private[operators] def nearest(v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
     import graft.functions.{VectorFunctions => V}
     val scored = cents.map { case (i, c) =>
       struct(round(V.cosine(v, typedLit(c)), 6).as("c"), lit(i).as("i"))

@@ -94,4 +94,79 @@ class SemanticDedupSpec extends SparkSpec {
       nBits = 3, threshold = 0.999, kernel = "md5")
       .count() shouldBe 0L
   }
+
+  test("semanticDedupKmeans: keep-farthest survivor per component in trained cells") {
+    import spark.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val threshold = 0.95
+    val k = 3; val iters = 2
+    // sequential reference from the (already spec-covered) kmeans pieces:
+    // model-centroid assignment, within-cell pairs, union-find, keep rule
+    val model = Embeddings.kmeansTrain(df, "vec_id", "embedding", dim = 4,
+      k = k, iters = iters).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val assign = vecs.map { case (id, v) =>
+      id -> model.map { case (c, cv) =>
+        (BigDecimal(cos(v, cv)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, c)
+      }.maxBy { case (cc, c) => (cc, -c) }._2
+    }.toMap
+    val byId = vecs.toMap
+    val pairs = for {
+      (a, va) <- vecs; (b, vb) <- vecs
+      if a < b && assign(a) == assign(b) && cos(va, vb) >= threshold
+    } yield (a, b)
+    val parent = collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val clusterOf = inPairs.map(id => id ->
+      inPairs.filter(o => find(o) == find(id)).min).toMap
+    val centById = model.toMap
+    val expected = inPairs.map { id =>
+      id -> ((clusterOf(id), cos(byId(id), centById(assign(id)))))
+    }.toMap
+    val keepOf = expected.groupBy(_._2._1).map { case (c, ms) =>
+      c -> ms.toSeq.map { case (id, (_, cc)) => (cc, id) }.min._2
+    }
+
+    val out = Dedup.semanticDedupKmeans(df, "vec_id", "embedding", dim = 4,
+      k = k, iters = iters, threshold = threshold)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    out.keySet shouldBe expected.keySet
+    expected.foreach { case (id, (cid, cc)) =>
+      val (ocid, occ, okeep) = out(id)
+      ocid shouldBe cid
+      occ shouldBe cc +- 1e-9
+      okeep shouldBe (keepOf(cid) == id)
+    }
+    val clusters = out.values.groupBy(_._1)
+    clusters.foreach { case (_, ms) => ms.count(_._3) shouldBe 1 }
+    assert(clusters.exists(_._2.size > 1), "fixture must form a real cluster")
+  }
+
+  test("semanticDedupKmeans: trained cells reunite a group raw LSH splits") {
+    import spark.implicits._
+    // two tight duplicate groups straddling random hyperplanes: k-means
+    // with k=2 must put each group in one cell, so the pair search finds
+    // EVERY over-threshold pair (recall-complete on this fixture)
+    val g1 = (0L until 10L).map(i => (i, Seq(1.0, 0.001 * i, 0.0005 * i, 0.0)))
+    val g2 = (10L until 20L).map(i =>
+      (i, Seq(0.001 * (i - 10), 1.0, 0.0, 0.0005 * (i - 10))))
+    val df = (g1 ++ g2).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupKmeans(df, "vec_id", "embedding", dim = 4,
+      k = 2, iters = 2, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every vector is in some >=0.999 pair within its own group; the two
+    // components are exactly the groups
+    out.keySet shouldBe (0L until 20L).toSet
+    (0L until 10L).map(out) shouldBe Seq.fill(10)(0L)
+    (10L until 20L).map(out) shouldBe Seq.fill(10)(10L)
+  }
 }
