@@ -123,6 +123,22 @@ object Similarity {
   def ivfWriteIndexSQ8(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, path: String, nBits: Int = 6, lloydIters: Int = 1): Unit = {
     val (assigned, cents) = trainCells(df, idCol, vecCol, dim, nBits, lloydIters)
+    sq8Rows(assigned, idCol)
+      .repartition(col("cell")) // one file per cell — see ivfWriteIndex
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.toSeq.toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** The SQ8 storage projection over an assigned (id, v, cell) frame —
+    * shared by [[ivfWriteIndexSQ8]] and [[ivfAppendSQ8]] so a full build
+    * and an append quantize identically (same symmetric per-row rule,
+    * same two-projection `scale`-as-attribute discipline).
+    */
+  private def sq8Rows(assigned: DataFrame, idCol: String): DataFrame =
     assigned
       .select(col(idCol), col("cell"), col("v").cast("array<double>").as("__v"),
         array_max(transform(col("v").cast("array<double>"), x => abs(x)))
@@ -134,14 +150,6 @@ object Similarity {
             when(col("scale") === 0.0, lit(0))
               .otherwise(floor(x / col("scale") * 127.0 + 0.5))
               .cast("int"))).as("q"))
-      .repartition(col("cell")) // one file per cell — see ivfWriteIndex
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-    val spark = df.sparkSession
-    import spark.implicits._
-    cents.toSeq.toDF("cell", "centroid")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-  }
 
   /** Query a persisted [[ivfWriteIndexSQ8]] index: same driver-side
     * centroid read and cell partition pruning as [[ivfTopKFromIndex]];
@@ -285,6 +293,19 @@ object Similarity {
       indexPath: String): Unit = {
     val cents = readCentroids(df.sparkSession, indexPath)
     assignToCells(df, idCol, vecCol, cents)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/cells")
+  }
+
+  /** [[ivfAppend]] against an [[ivfWriteIndexSQ8]] index: the same
+    * frozen-quantizer cell assignment, with the appended vectors stored
+    * through the identical SQ8 projection the full build uses — so a
+    * probe cannot tell appended rows from built rows.
+    */
+  def ivfAppendSQ8(df: DataFrame, idCol: String, vecCol: String,
+      indexPath: String): Unit = {
+    val cents = readCentroids(df.sparkSession, indexPath)
+    sq8Rows(assignToCells(df, idCol, vecCol, cents), idCol)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/cells")
   }

@@ -369,6 +369,71 @@ object StreamingOps {
         hll_sketch_estimate(col("sk")).as("n_distinct_est"): _*)
   }
 
+  /** Continuous per-group QUANTILE tracking via the engine's mergeable
+    * quantile sketch ([[graft.functions.QuantileSketch]]) — the quantile
+    * sibling of [[continuousDistinctSketch]], same replace-per-batch /
+    * replay-margin discipline: each micro-batch sketches its own rows
+    * and merges them into the carried per-group sketches; state is
+    * #groups × ≤bins buckets FOREVER, history never re-scanned. The
+    * sketch's canonical form means the carried state after N batches is
+    * EXACTLY the sketch of the union of all N batches — restart, replay,
+    * and batch/stream parity are all byte-identical, not approximately
+    * equal.
+    */
+  def continuousQuantileSketch(rows: DataFrame, groupCols: Seq[String],
+      valueCol: String, statePath: String, checkpoint: String,
+      bins: Int = 256): DataStreamWriter[Row] = {
+    import graft.functions.{QuantileSketch => QS}
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val cur = batch.toDF().groupBy(groupCols.map(col): _*)
+          .agg(QS.sketchAgg(col(valueCol).cast("double"), bins).as("sk"))
+        val prev =
+          try {
+            val all = spark.read.parquet(statePath)
+              .where(col("batch_id") =!= batchId)
+            val mb = all.agg(max(col("batch_id"))).head.get(0)
+            if (mb == null) cur.limit(0)
+            else all.where(col("batch_id") === mb.toString.toLong)
+              .select((groupCols :+ "sk").map(col): _*)
+          } catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => cur.limit(0)
+          }
+        prev.union(cur)
+          .groupBy(groupCols.map(col): _*)
+          .agg(QS.sketchMerge(col("sk"), bins).as("sk"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(statePath)
+        pruneBatchPartitions(spark, statePath, keep = Set(batchId, batchId - 1))
+        ()
+      }
+  }
+
+  /** Current per-group quantile estimates of a
+    * [[continuousQuantileSketch]] state table, one output column per
+    * requested probability (`p50`-style names from the rounded
+    * percentage).
+    */
+  def currentQuantileEstimates(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, groupCols: Seq[String],
+      probs: Seq[Double]): DataFrame = {
+    import graft.functions.{QuantileSketch => QS}
+    val all = spark.read.parquet(statePath)
+    val mb = all.agg(max(col("batch_id"))).head.get(0).toString.toLong
+    all.where(col("batch_id") === mb)
+      .select(groupCols.map(col) :+ col("sk") :+ col("sk.n").as("n_values"): _*)
+      .select(groupCols.map(col) ++ Seq(col("n_values")) ++ probs.map(p =>
+        QS.sketchQuantile(col("sk"), p)
+          .as(s"p${math.round(p * 100)}")): _*)
+  }
+
   /** Continuous N-step funnel — the streaming face of
     * [[graft.operators.Funnel]]: the per-user reach frame
     * (user, t_1 .. t_N) persists per batch_id (same

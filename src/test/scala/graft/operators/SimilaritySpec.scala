@@ -353,6 +353,35 @@ class SimilaritySpec extends SparkSpec {
         k = 6, nProbe = 4).collect().map(_.toSeq).toSeq
   }
 
+  test("ivfAppendSQ8: appended rows probe identically to a built SQ8 index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfapp-sq").toString
+    import spark.implicits._
+    val base = vecs.filter(col("vec_id") <= 3L)
+    val extra = Seq(
+      (6L, Seq(1.0, 0.01, 0.0, 0.0)),
+      (7L, Seq(0.01, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndexSQ8(base, "vec_id", "embedding", dim = 4,
+      path = s"$dir/app", nBits = 2, lloydIters = 1)
+    Similarity.ivfAppendSQ8(extra, "vec_id", "embedding", s"$dir/app")
+    // flat twin with the same frozen quantizer and the same rows
+    Similarity.ivfWriteIndex(base, "vec_id", "embedding", dim = 4,
+      path = s"$dir/flat", nBits = 2, lloydIters = 1)
+    Similarity.ivfAppend(extra, "vec_id", "embedding", s"$dir/flat")
+    // query near the APPENDED vector 6, far from everything else — its
+    // cosine gaps dwarf quantization error (a query equidistant from 0
+    // and 6 would legitimately reorder that near-tie under int8)
+    val q = Seq(1.0, 0.012, 0.0, 0.0)
+    Similarity.ivfTopKFromIndexSQ8(spark, s"$dir/app", "vec_id", q,
+      k = 6, nProbe = 4).collect().map(_.getLong(0)).toSeq shouldBe
+      Similarity.ivfTopKFromIndex(spark, s"$dir/flat", "vec_id", q,
+        k = 6, nProbe = 4).collect().map(_.getLong(0)).toSeq
+    // schema parity: appended rows carry the same (scale, q) shape the
+    // build writes — a probe cannot tell them apart
+    val cells = spark.read.parquet(s"$dir/app/cells")
+    cells.columns.toSet shouldBe Set("vec_id", "scale", "q", "cell")
+    cells.count() shouldBe 6
+  }
+
   test("ivfAppend is not confused by an unrelated input column named v") {
     // the ADVICE-flagged lateral-alias hazard: assignment must read the
     // embedding column, never an input column that happens to be named "v"

@@ -532,6 +532,46 @@ class StreamingOpsSpec extends SparkSpec {
       Seq(1.0, 0.05, 0.0, 0.0), k = 6, nProbe = 4).count() shouldBe 6
   }
 
+  test("continuousQuantileSketch: carried state equals the batch sketch of the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.{QuantileSketch => QS}
+    val dir = java.nio.file.Files.createTempDirectory("cqs").toString
+    val in = MemoryStream[(String, Double)]
+    val q = StreamingOps.continuousQuantileSketch(
+      in.toDF().toDF("g", "v"), Seq("g"), "v",
+      s"$dir/state", s"$dir/ckpt", bins = 32).start()
+    val b1 = (1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 30).map(i => ("b", i * 10.0))
+    val b2 = (51 to 100).map(i => ("a", i.toDouble))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // canonical form: the carried per-group sketch is EXACTLY the batch
+    // sketch of all streamed rows — not approximately
+    val streamed = spark.read.parquet(s"$dir/state")
+    val mb = streamed.agg(max(col("batch_id"))).head.get(0).toString.toLong
+    val carried = streamed.where(col("batch_id") === mb)
+      .select(col("g"), col("sk")).collect()
+      .map(r => r.getString(0) -> r.getStruct(1)).toMap
+    val direct = (b1 ++ b2).toDF("g", "v").groupBy("g")
+      .agg(QS.sketchAgg(col("v"), 32).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getStruct(1)).toMap
+    carried shouldBe direct
+    // and the view extracts sane quantiles per group
+    val est = StreamingOps.currentQuantileEstimates(spark, s"$dir/state",
+      Seq("g"), Seq(0.5)).collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n_values"), r.getAs[Double]("p50"))).toMap
+    est("a")._1 shouldBe 100L
+    est("b")._1 shouldBe 30L
+    math.abs(est("a")._2 - 50.0) should be <= 8.0  // within a 32-bin bucket
+    math.abs(est("b")._2 - 150.0) should be <= 16.0
+  }
+
   test("continuousClusteredDedup maintains labels matching a batch rebuild") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
