@@ -1344,6 +1344,19 @@ object SparkEntry {
         dim = 64, nBits = 6, threshold = 0.4, kernel = "md5")
         .select(col("id").as("vec_id"), col("cluster_id"),
           round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))),
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      // EXACT similarity self-join (prefix filtering, recall 1.0 BY
+      // CONSTRUCTION — no banding recall floor). Threshold 0.7, the
+      // near-dup regime the exact path exists for: this synthetic corpus
+      // is maximally adversarial to prefix selectivity (2,041 distinct
+      // shingles across 5,000 sf0.1 docs, avg df 500 — no rare tokens),
+      // so a t=0.4 run degenerates toward all-pairs for ANY exact method
+      // (DuckDB brute force takes minutes on it); at 0.7 the prefix +
+      // positional filters bite and the join stays suite-priced
+      Dedup.jaccardJoinPrefix(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 5, threshold = 0.7)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))),
     "dedup_semantic_kmeans" -> ((s, dir) =>
       // SemDeDup with the paper's actual clustering: trained spherical
       // k-means cells (same k=4/iters=2 recipe the embed_kmeans oracle
@@ -2931,6 +2944,13 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $minhashPairsSql
          SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.4""",
+    // the prefix-filter join is EXACT, so its oracle is the minhash pair
+    // CTE at its own 0.7 threshold — equality IS the recall-1.0 claim,
+    // hash-checked (the CTE's 0.4 length filter is a candidate superset
+    // of 0.7's, so reusing it stays correct)
+    "dedup_jaccard_prefix" ->
+      s"""WITH $minhashPairsSql
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.7""",
     // every new-involving exact pair: id_a < id_b, so any pair touching
     // the new batch (ids >= 250) has id_b >= 250
     "dedup_incremental_lsh" ->

@@ -62,6 +62,37 @@ class DedupSpec extends SparkSpec {
     pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L || a == 5L } shouldBe false
   }
 
+  test("jaccardJoinPrefix equals the brute-force exact pair set (recall 1.0)") {
+    import graft.functions.ArrayOps
+    // brute-force truth: every pair's merge-walk Jaccard over the SAME
+    // shingle space, no pruning at all
+    val sh = docs.select(col("doc_id"),
+      ArrayOps.shingleHashes(
+        regexp_replace(trim(lower(col("text"))), "\\s+", " "), 5).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    def pairsAt(t: Double) = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ArrayOps.jaccardSortedLong(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // a LOW threshold stresses recall (long prefixes, many candidates)
+    // and a high one stresses the pruning arithmetic (short prefixes)
+    for (t <- Seq(0.2, 0.5, 0.9)) {
+      Dedup.jaccardJoinPrefix(docs, "doc_id", "text",
+        shingleN = 5, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet shouldBe pairsAt(t)
+    }
+    // and the expected semantic content at 0.5: exact dup + near dup
+    val got = Dedup.jaccardJoinPrefix(docs, "doc_id", "text", 5, 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got should contain((1L, 2L))
+    got should contain((1L, 3L))
+  }
+
   test("simhash finds near duplicates within hamming bound") {
     val pairs = Dedup.simhash(docs, "doc_id", "text", maxHamming = 8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
