@@ -642,6 +642,13 @@ object SparkEntry {
           round(col("tf") * log(col("__n") / col("df")), 6).as("tfidf"))
     }),
 
+    "text_bm25" -> ((s, dir) =>
+      // Okapi BM25 against a topic probe (one absent term exercises the
+      // df=0 no-hit path): the retrieval-grade ranking the frequency-only
+      // tfidf surface lacks; per-doc sums in exact integer micro-units
+      // so distributed and sequential summation agree bit-for-bit
+      graft.operators.TrainingData.bm25(Tables.documents(s, dir),
+        "doc_id", "text", query = Seq("spark", "vector", "hash", "zeppelin"))),
     "pipeline_training_data" -> ((s, dir) =>
       // the composed product use-case: quality + language + length
       // filters, then exact-dedup survivors — one declarative chain
@@ -2279,6 +2286,33 @@ object SparkEntry {
          SELECT doc_id, term, tf,
            round(tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf
          FROM tf JOIN df USING (term) CROSS JOIN n""",
+    // same tokenization, same non-negative idf, same k1=1.2/b=0.75, and
+    // the same integer micro-unit sum — bit-for-bit replay
+    "text_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL
+                  WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+           FROM documents),
+         dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tok WHERE t IS NOT NULL),
+         stats AS (SELECT (SELECT count(*) FROM tok)::DOUBLE AS n,
+                          coalesce((SELECT avg(dl) FROM dl), 1.0) AS avgdl),
+         hits AS (SELECT doc_id, unnest(t) AS term FROM tok),
+         tf AS (SELECT h.doc_id, term, dl.dl, count(*)::DOUBLE AS tf
+                FROM hits h JOIN dl USING (doc_id)
+                WHERE term IN ('spark', 'vector', 'hash', 'zeppelin')
+                GROUP BY 1, 2, 3),
+         dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         sc AS (SELECT doc_id,
+             -- ::DOUBLE on 1.2: DuckDB's DECIMAL literal route would
+             -- yield the 2.2-double, one ulp off Spark's double(1.2)+1.0
+             ln(1.0 + (s.n - df + 0.5) / (df + 0.5)) * tf
+               * (1.2::DOUBLE + 1.0) /
+               (tf + 1.2::DOUBLE * (1.0 - 0.75 + 0.75 * dl / s.avgdl)) AS sv
+           FROM tf JOIN dfx USING (term) CROSS JOIN stats s)
+         SELECT doc_id, count(*)::BIGINT AS n_query_terms_hit,
+           round(sum(round(sv * 1e6)::BIGINT)::DOUBLE / 1e6, 6) AS bm25
+         FROM sc GROUP BY doc_id""",
     "pipeline_training_data" -> trainingDataOracle,
     "pipeline_decontaminate" -> decontaminateOracle,
     // bloom prefilter + exact confirm ⇒ same answer as the exact path

@@ -990,4 +990,62 @@ object TrainingData {
       .agg(avg(col("__lp")).as("avg_logprob2"),
         count(lit(1)).as("n_bigrams_scored"))
   }
+
+  /** BM25 relevance of every document against one query (Robertson &
+    * Spärck Jones probabilistic model, the Okapi BM25 form — the scoring
+    * function behind Lucene/Elasticsearch defaults): per matched term,
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with the
+    * non-negative idf `ln(1 + (N − df + 0.5)/(df + 0.5))`. The curation
+    * use: retrieve corpus documents most relevant to a topic probe
+    * (targeted inspection, topic-coverage audits, retrieval-based
+    * decontamination against a benchmark's questions) — the ranking
+    * sibling of the frequency-only tf·idf surface.
+    *
+    * Engine-replicable: the per-doc sum runs in exact integer
+    * micro-units (`Σ round(score·10⁶)` as longs — order-free, so
+    * distributed summation and any replaying engine agree bit-for-bit;
+    * the curation-report discipline). Returns (id, n_query_terms_hit,
+    * bm25) for docs matching ≥ 1 query term.
+    *
+    * Scale shape: one tokenize pass (checkpointed — corpus stats and the
+    * term stream both read it); only QUERY-TERM occurrences survive the
+    * explode filter (the `isin` literal prunes before any shuffle), so
+    * the tf aggregation is query-hits-sized, not corpus-token-sized; df
+    * and the (N, avgdl) stats fold in as broadcasts; nothing collects.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must be non-empty")
+    require(k1 >= 0 && b >= 0 && b <= 1, "k1 >= 0, b in [0, 1]")
+    val qTerms = query.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    val toks = docs
+      .select(col(idCol), T.normTokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        size(col("__t")).cast("double").as("__dl"))
+      .localCheckpoint(true)
+    // N counts every doc (null-text docs score nothing but still shape
+    // idf); avgdl averages real token counts (null text → null dl,
+    // excluded — empty text contributes 0)
+    val stats = toks.agg(count(lit(1)).cast("double").as("__n"),
+      coalesce(avg(col("__dl")), lit(1.0)).as("__avgdl"))
+    val hits = toks
+      .select(col(idCol), col("__dl"), explode(col("__t")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+    val tf = hits.groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("__df"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          col("__tf") * lit(k1 + 1.0) /
+          (col("__tf") +
+            lit(k1) * (lit(1.0 - b) + col("__dl") * lit(b) / col("__avgdl"))))
+          .as("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_query_terms_hit"),
+        // exact integer micro-units: order-free, bit-reproducible
+        round(sum(round(col("__s") * 1e6).cast("long")).cast("double") / 1e6, 6)
+          .as("bm25"))
+  }
 }

@@ -224,6 +224,36 @@ object StreamingOps {
         ()
       }
 
+  /** Continuous realization of a static mixture plan
+    * ([[graft.operators.Sampling.mixturePlan]] output, read back from
+    * parquet): each micro-batch of raw docs is materialized through
+    * [[graft.operators.Sampling.applyMixturePlan]] — floor-epochs full
+    * repeats + the md5-deterministic fractional remainder, `epoch_idx`
+    * per copy — and lands per-batch-id (dynamic overwrite — replays
+    * replace). Because the emission rule is a pure per-row function of
+    * (id, source, plan), the union of the per-batch outputs EQUALS the
+    * batch materialization of the union: ingestion batching is
+    * invisible to the realized mixture. Same train-offline /
+    * apply-online split as NB / DSIR / k-means scoring; re-planning is a
+    * new plan path and a stream restart.
+    */
+  def continuousApplyMixturePlan(docs: DataFrame, sourceCol: String,
+      idCol: String, plan: DataFrame, outPath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.Sampling
+          .applyMixturePlan(batch.toDF(), sourceCol, idCol, plan)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+
   /** Continuous topic-shard assignment against a persisted k-means
     * model ([[graft.operators.Embeddings.kmeansTrain]] output): each
     * micro-batch labels via [[graft.operators.Embeddings.kmeansAssign]]

@@ -371,6 +371,35 @@ class TrainingDataSpec extends SparkSpec {
     out.foreach(w => w._3 shouldBe w._2.length.toLong)
   }
 
+  test("bm25: by-hand score, rarity ordering, absent terms ignored") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark common common common common"),
+      (2L, "vector common common common common common common"),
+      (3L, "common common common common common common common"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TrainingData.bm25(docs, "doc_id", "text",
+      query = Seq("spark", "vector", "absentterm"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // only docs hitting a query term appear; the empty and common-only
+    // docs do not
+    got.keySet shouldBe Set(1L, 2L)
+    got(1L)._1 shouldBe 1L
+    got(2L)._1 shouldBe 1L
+    // by hand: N=4, avgdl=(7+7+7+0)/4=5.25, df(spark)=df(vector)=1,
+    // idf=ln(1+(4-1+0.5)/1.5); tf(spark@1)=3, tf(vector@2)=1, dl=7
+    def s(tf: Double): Double = {
+      val idf = math.log(1 + (4 - 1 + 0.5) / 1.5)
+      val raw = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * 7 / 5.25))
+      math.rint(raw * 1e6) / 1e6
+    }
+    got(1L)._2 shouldBe s(3) +- 1e-6
+    got(2L)._2 shouldBe s(1) +- 1e-6
+    // higher tf at equal idf/dl ranks higher
+    got(1L)._2 should be > got(2L)._2
+  }
+
   test("bigramLogProb: interpolated transition probabilities, by hand") {
     import spark.implicits._
     // corpus: uni a=3 b=3 c=1 (N=7); bigrams (a,b)=3, (b,a)=1

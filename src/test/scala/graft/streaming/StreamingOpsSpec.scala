@@ -532,6 +532,36 @@ class StreamingOpsSpec extends SparkSpec {
       Seq(1.0, 0.05, 0.0, 0.0), k = 6, nProbe = 4).count() shouldBe 6
   }
 
+  test("continuousApplyMixturePlan: streamed epochs equal the batch materialization") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("camp").toString
+    val plan = Seq(("web", 2.5), ("books", 0.25)).toDF("source", "rate")
+    val b1 = (0L until 60L).map(i => (i, if (i < 40) "web" else "books"))
+    val b2 = (60L until 120L).map(i => (i, if (i % 2 == 0) "web" else "books"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.continuousApplyMixturePlan(
+      in.toDF().toDF("doc_id", "source"), "source", "doc_id", plan,
+      s"$dir/out", s"$dir/ckpt").start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // emission is a pure per-row function of (id, source, plan), so
+    // ingestion batching is invisible: streamed union == batch run
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "source", "epoch_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    val direct = graft.operators.Sampling.applyMixturePlan(
+      (b1 ++ b2).toDF("doc_id", "source"), "source", "doc_id", plan)
+      .select("doc_id", "source", "epoch_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    streamed shouldBe direct
+    streamed should not be empty
+  }
+
   test("continuousQuantileSketch: carried state equals the batch sketch of the union") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
