@@ -642,6 +642,12 @@ object SparkEntry {
           round(col("tf") * log(col("__n") / col("df")), 6).as("tfidf"))
     }),
 
+    "text_cdc_chunks" -> ((s, dir) =>
+      // content-defined chunking (LBFS Rabin-boundary rule): boundaries
+      // anchor to CONTENT, so chunk dedup survives insertions/shifts
+      // that re-align every fixed block; pure scan-side HOFs, no shuffle
+      graft.operators.TrainingData.cdcChunks(Tables.documents(s, dir),
+        "doc_id", "text", w = 8, maskBits = 6)),
     "text_bm25" -> ((s, dir) =>
       // Okapi BM25 against a topic probe (one absent term exercises the
       // df=0 no-hit path): the retrieval-grade ranking the frequency-only
@@ -920,6 +926,21 @@ object SparkEntry {
             .as("p50_within"),
           (abs(col("p90_sketch") - col("__e90")) <= col("__spread") / 64)
             .as("p90_within"))
+    }),
+    "q_quantile_rollup" -> ((s, dir) => {
+      // the rollup face of q_quantile_merge: sketches built at the FINE
+      // grain (returnflag × linestatus) merge UP to per-returnflag
+      // quantiles — the per-day→per-month telemetry shape; canonical
+      // form makes the rolled-up sketch equal a direct per-returnflag
+      // sketch, which is what the oracle replays per group
+      import graft.functions.{QuantileSketch => QS}
+      val li = Tables.lineitem(s, dir)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(QS.sketchAgg(col("l_extendedprice").cast("double")).as("sk"))
+        .groupBy("l_returnflag")
+        .agg(QS.sketchMerge(col("sk")).as("sk"))
+        .select(col("l_returnflag"), col("sk.n").as("n_values"),
+          round(QS.sketchQuantile(col("sk"), 0.5), 6).as("p50"))
     }),
     "q_scd2" -> ((s, dir) =>
       // SCD2 dimension history from the event change stream: one row per
@@ -2286,6 +2307,32 @@ object SparkEntry {
          SELECT doc_id, term, tf,
            round(tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf
          FROM tf JOIN df USING (term) CROSS JOIN n""",
+    // exact integer replay of the rolling boundary rule: codepoint
+    // polynomial Σ code·31^(8−j) over the 8-char window ending at i,
+    // boundary when ≡ 0 (mod 64); chunks from consecutive boundary
+    // spans, the final (n+1, n) pair degenerate when a boundary lands
+    // exactly at n (both engines drop it)
+    "text_cdc_chunks" ->
+      """WITH base AS (SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+           FROM documents
+           WHERE text IS NOT NULL
+             AND length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) > 0),
+         b AS (SELECT doc_id, t, length(t)::INT AS n,
+             list_filter(generate_series(8, length(t)::INT), i ->
+               list_sum(list_transform(generate_series(1, 8), j ->
+                 ascii(substr(t, i - 8 + j, 1))::BIGINT
+                   * ((31 ** (8 - j))::BIGINT))) % 64 = 0) AS bd
+           FROM base),
+         c AS (SELECT doc_id, t,
+             list_concat([1], list_transform(bd, x -> x + 1)) AS ss,
+             list_concat(bd, [n]) AS ee
+           FROM b)
+         SELECT doc_id, (k - 1)::INT AS chunk_idx,
+           (ee[k] - ss[k] + 1)::INT AS chunk_len,
+           md5(substr(t, ss[k], ee[k] - ss[k] + 1)) AS chunk_md5
+         FROM c, unnest(generate_series(1, len(ss))) AS u(k)
+         WHERE ee[k] >= ss[k]""",
     // same tokenization, same non-negative idf, same k1=1.2/b=0.75, and
     // the same integer micro-unit sum — bit-for-bit replay
     "text_bm25" ->
@@ -2391,6 +2438,29 @@ object SparkEntry {
            abs(est.p90 - (SELECT quantile_cont(x, 0.90) FROM v))
              <= (SELECT (max(x) - min(x)) / 64 FROM v) AS p90_within
          FROM est, n""",
+    // per-group replay of the deterministic sketch: each returnflag gets
+    // its OWN canonical k (smallest fitting its occupied buckets), then
+    // the same midpoint-at-cumulative rule as q_quantile_merge
+    "q_quantile_rollup" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS x
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         occ AS (SELECT g, ks.k, count(DISTINCT floor(x / pow(2, ks.k))) AS c
+                 FROM v CROSS JOIN
+                   (SELECT unnest(generate_series(-20, 40)) AS k) ks
+                 GROUP BY g, ks.k),
+         kg AS (SELECT g, min(k) AS k FROM occ WHERE c <= 256 GROUP BY g),
+         b AS (SELECT v.g, kg.k, floor(x / pow(2, kg.k)) AS i,
+                      count(*)::DOUBLE AS c
+               FROM v JOIN kg USING (g) GROUP BY v.g, kg.k, i),
+         cum AS (SELECT g, k, i,
+                   sum(c) OVER (PARTITION BY g ORDER BY i) AS cs FROM b),
+         n AS (SELECT g, count(*)::BIGINT AS n FROM v GROUP BY g)
+         SELECT n.g AS l_returnflag, n.n AS n_values,
+           round(((SELECT min(i) FROM cum
+                   WHERE cum.g = n.g AND cs >= 0.5 * n.n) + 0.5)
+             * pow(2, (SELECT any_value(k) FROM kg WHERE kg.g = n.g)), 6)
+             AS p50
+         FROM n""",
     // same (ts, event_id) per-key total order, IS DISTINCT FROM matching
     // Spark's null-safe <=> change test, lead() for the validity end
     "q_scd2" ->

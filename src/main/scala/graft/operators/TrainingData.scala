@@ -991,6 +991,68 @@ object TrainingData {
         count(lit(1)).as("n_bigrams_scored"))
   }
 
+  /** Content-defined chunking (CDC — the Rabin-fingerprint boundary
+    * rule of LBFS, Muthitacharoen et al. SOSP 2001; the storage-dedup
+    * standard): split each document at positions where a w-char rolling
+    * polynomial hash lands on a zero residue (`H & (2^maskBits − 1) ==
+    * 0`), giving content-anchored chunks of ~2^maskBits chars. The
+    * property block tiling ([[dedupSpans]]) lacks: boundaries are
+    * functions of local CONTENT, not position, so inserting one
+    * character early in a document re-synchronizes at the next boundary
+    * and every later chunk is byte-identical — cross-doc chunk dedup
+    * survives shifts/insertions that re-align every fixed-size block.
+    *
+    * Returns one row per chunk: (id, chunk_idx 0-based, chunk_len,
+    * chunk_md5) — feed the md5 keys to the existing first-occurrence /
+    * survivor machinery for chunk-level dedup. Deterministic and
+    * engine-replicable: codepoint polynomial `Σ code·31^(w−j) (mod 2^20)`
+    * over exact 64-bit integers (max term 31^7·code — no overflow, no
+    * FP), text normalized to lowercase + collapsed whitespace first.
+    *
+    * Scale shape: one scan-side projection + one generator — the hash
+    * is O(chars·w) inside codegen'd HOFs, boundaries/chunks never leave
+    * the row, NO shuffle anywhere; the md5 keys are what downstream
+    * aggregations move.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, maskBits: Int = 6): DataFrame = {
+    require(w >= 2 && w <= 16, "window w in [2, 16]")
+    require(maskBits >= 1 && maskBits <= 20, "maskBits in [1, 20]")
+    val mask = (1L << maskBits) - 1L
+    // normalized text and its codepoint array as ATTRIBUTES before any
+    // lambda references them (outer-expression re-evaluation trap)
+    val base = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__t"))
+      .filter(length(col("__t")) > 0) // empty docs have no chunks
+      .select(col(idCol), col("__t"),
+        transform(split(col("__t"), ""), ch => ascii(ch).cast("long"))
+          .as("__codes"))
+      .select(col(idCol), col("__t"), col("__codes"),
+        size(col("__codes")).as("__n"))
+    // boundary positions: i in [w, n] where the w-window hash ending at
+    // i has a zero masked residue; fold is mod-free (max Σ code·31^j at
+    // w=16 still < 2^63) with one mod at the end — identical to the
+    // closed-form Σ code·31^(w−j) mod 2^20 any engine replays
+    val bounds = base.select(col(idCol), col("__t"), col("__n"),
+      when(col("__n") >= w,
+        filter(sequence(lit(w), col("__n")), i =>
+          (aggregate(slice(col("__codes"), i - (w - 1), lit(w)), lit(0L),
+            (acc, c) => acc * 31L + c) % 1048576L).bitwiseAND(mask) === 0L))
+        .otherwise(array().cast("array<int>")).as("__b"))
+    // chunk [start, end] pairs: starts = 1 :: bounds+1, ends = bounds :: n
+    val chunks = bounds.select(col(idCol),
+      posexplode(zip_with(
+        concat(array(lit(1)), transform(col("__b"), b => b + 1)),
+        concat(col("__b"), array(col("__n"))),
+        (s, e) => when(e >= s, col("__t").substr(s, e - s + 1)))))
+      .filter(col("col").isNotNull)
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        length(col("col")).as("chunk_len"), md5(col("col")).as("chunk_md5"))
+    chunks
+  }
+
   /** BM25 relevance of every document against one query (Robertson &
     * Spärck Jones probabilistic model, the Okapi BM25 form — the scoring
     * function behind Lucene/Elasticsearch defaults): per matched term,

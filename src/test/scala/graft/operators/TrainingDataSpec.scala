@@ -371,6 +371,48 @@ class TrainingDataSpec extends SparkSpec {
     out.foreach(w => w._3 shouldBe w._2.length.toLong)
   }
 
+  test("cdcChunks: chunks reassemble the doc and boundaries anchor to content") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight while owls watch " +
+      "silently from the tall old trees near the cold riverbank"
+    val docs = Seq(
+      (1L, body),
+      (2L, "XX " + body),   // 3-char prefix insertion
+      (3L, "")).toDF("doc_id", "text")
+    val out = TrainingData.cdcChunks(docs, "doc_id", "text",
+      w = 8, maskBits = 4)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // empty docs emit nothing
+    rows.map(_._1).toSet shouldBe Set(1L, 2L)
+    // per-doc: contiguous 0-based chunk_idx and lengths summing to the
+    // normalized doc length (chunks partition the text exactly)
+    Seq(1L, 2L).foreach { id =>
+      val cs = rows.filter(_._1 == id).sortBy(_._2)
+      cs.map(_._2).toSeq shouldBe cs.indices.toSeq
+      val normLen = id match { case 1L => body.length; case _ => body.length + 3 }
+      cs.map(_._3).sum shouldBe normLen
+    }
+    // the CDC property: after a PREFIX insertion the boundary stream
+    // re-synchronizes, so all but the first chunk(s) are byte-identical —
+    // block tiling at any fixed size would re-align every block
+    val md1 = rows.filter(_._1 == 1L).map(_._4).toSet
+    val md2 = rows.filter(_._1 == 2L).map(_._4).toSet
+    val shared = md1.intersect(md2).size
+    shared should be >= md1.size - 1
+    assert(md1.size > 2, "fixture must produce several chunks")
+  }
+
+  test("cdcChunks plan is scan-side only — no shuffle") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"some text $i " * 10)).toDF("doc_id", "text")
+    val plan = TrainingData.cdcChunks(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should include("Generate")
+  }
+
   test("bm25: by-hand score, rarity ordering, absent terms ignored") {
     import spark.implicits._
     val docs = Seq(
