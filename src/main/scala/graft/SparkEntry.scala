@@ -648,6 +648,12 @@ object SparkEntry {
       // that re-align every fixed block; pure scan-side HOFs, no shuffle
       graft.operators.TrainingData.cdcChunks(Tables.documents(s, dir),
         "doc_id", "text", w = 8, maskBits = 6)),
+    "text_cdc_dedup" -> ((s, dir) =>
+      // cross-doc chunk dedup over CDC boundaries: every distinct chunk
+      // survives at its globally first (doc, idx) occurrence, docs
+      // reassembled from survivors — byte-level storage-style dedup
+      graft.operators.TrainingData.cdcDedup(Tables.documents(s, dir),
+        "doc_id", "text", w = 8, maskBits = 6)),
     "text_bm25" -> ((s, dir) =>
       // Okapi BM25 against a topic probe (one absent term exercises the
       // df=0 no-hit path): the retrieval-grade ranking the frequency-only
@@ -2333,6 +2339,46 @@ object SparkEntry {
            md5(substr(t, ss[k], ee[k] - ss[k] + 1)) AS chunk_md5
          FROM c, unnest(generate_series(1, len(ss))) AS u(k)
          WHERE ee[k] >= ss[k]""",
+    // the CDC chunk stream feeding first-occurrence min-(doc, idx)
+    // winners and an in-order reassembly digest per doc; docs whose
+    // every chunk lost reassemble to md5('')
+    "text_cdc_dedup" ->
+      """WITH base AS (SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+           FROM documents
+           WHERE text IS NOT NULL
+             AND length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) > 0),
+         b AS (SELECT doc_id, t, length(t)::INT AS n,
+             list_filter(generate_series(8, length(t)::INT), i ->
+               list_sum(list_transform(generate_series(1, 8), j ->
+                 ascii(substr(t, i - 8 + j, 1))::BIGINT
+                   * ((31 ** (8 - j))::BIGINT))) % 64 = 0) AS bd
+           FROM base),
+         c AS (SELECT doc_id, t,
+             list_concat([1], list_transform(bd, x -> x + 1)) AS ss,
+             list_concat(bd, [n]) AS ee
+           FROM b),
+         ch AS (SELECT doc_id, (k - 1)::INT AS idx,
+             substr(t, ss[k], ee[k] - ss[k] + 1) AS chunk
+           FROM c, unnest(generate_series(1, len(ss))) AS u(k)
+           WHERE ee[k] >= ss[k]),
+         -- lexicographic min(doc_id, idx) packed into one BIGINT
+         -- (idx < 2^31), replicating Spark's min(struct(id, idx))
+         w AS (SELECT md5(chunk) AS d,
+             min(doc_id * 2147483648 + idx) // 2147483648 AS wid,
+             min(doc_id * 2147483648 + idx) % 2147483648 AS widx
+           FROM ch GROUP BY md5(chunk)),
+         keep AS (SELECT ch.* FROM ch JOIN w
+           ON md5(ch.chunk) = w.d AND ch.doc_id = w.wid AND ch.idx = w.widx),
+         re AS (SELECT doc_id, count(*)::BIGINT AS n_chunks_kept,
+             md5(string_agg(chunk, '' ORDER BY idx)) AS dedup_md5
+           FROM keep GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*)::BIGINT AS n_chunks
+                 FROM ch GROUP BY doc_id)
+         SELECT tot.doc_id, tot.n_chunks,
+           coalesce(re.n_chunks_kept, 0) AS n_chunks_kept,
+           coalesce(re.dedup_md5, md5('')) AS dedup_md5
+         FROM tot LEFT JOIN re USING (doc_id)""",
     // same tokenization, same non-negative idf, same k1=1.2/b=0.75, and
     // the same integer micro-unit sum — bit-for-bit replay
     "text_bm25" ->

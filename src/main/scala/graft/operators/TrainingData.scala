@@ -1015,7 +1015,18 @@ object TrainingData {
     * aggregations move.
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
-      w: Int = 8, maskBits: Int = 6): DataFrame = {
+      w: Int = 8, maskBits: Int = 6): DataFrame =
+    cdcChunkRows(docs, idCol, textCol, w, maskBits)
+      .select(col(idCol), col("chunk_idx"),
+        length(col("__chunk")).as("chunk_len"),
+        md5(col("__chunk")).as("chunk_md5"))
+
+  /** Chunk rows with the chunk TEXT retained — the internal face
+    * [[cdcDedup]] reassembles from; [[cdcChunks]] projects it down to
+    * (len, md5) so chunk bodies never reach the public row.
+    */
+  private def cdcChunkRows(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, maskBits: Int): DataFrame = {
     require(w >= 2 && w <= 16, "window w in [2, 16]")
     require(maskBits >= 1 && maskBits <= 20, "maskBits in [1, 20]")
     val mask = (1L << maskBits) - 1L
@@ -1042,15 +1053,60 @@ object TrainingData {
             (acc, c) => acc * 31L + c) % 1048576L).bitwiseAND(mask) === 0L))
         .otherwise(array().cast("array<int>")).as("__b"))
     // chunk [start, end] pairs: starts = 1 :: bounds+1, ends = bounds :: n
-    val chunks = bounds.select(col(idCol),
+    bounds.select(col(idCol),
       posexplode(zip_with(
         concat(array(lit(1)), transform(col("__b"), b => b + 1)),
         concat(col("__b"), array(col("__n"))),
         (s, e) => when(e >= s, col("__t").substr(s, e - s + 1)))))
       .filter(col("col").isNotNull)
-      .select(col(idCol), col("pos").as("chunk_idx"),
-        length(col("col")).as("chunk_len"), md5(col("col")).as("chunk_md5"))
-    chunks
+      .select(col(idCol), col("pos").as("chunk_idx"), col("col").as("__chunk"))
+  }
+
+  /** Cross-doc CHUNK dedup over [[cdcChunks]] boundaries — storage-style
+    * dedup for text: each distinct chunk survives only at its globally
+    * first (doc, chunk_idx) occurrence (in-doc repeats drop too), and
+    * every doc is reassembled from its surviving chunks in order. The
+    * content-anchored boundaries make this robust to insertions/shifts
+    * ([[cdcChunks]] scaladoc) — the byte-level sibling of [[dedupLines]]
+    * (line granularity) and [[dedupSpans]] (token blocks).
+    *
+    * Returns (id, n_chunks, n_chunks_kept, dedup_md5) — the digest of
+    * the reassembled doc, the same hash-checkable contract as the other
+    * reassembly dedups.
+    *
+    * Scale shape: the first-occurrence choice is a partial-aggregatable
+    * min(struct(id, idx)) on the 16-byte chunk digest (a chunk repeated
+    * a billion times shuffles one row per partition — the dedupLines
+    * discipline), the join back is a broadcast-eligible semi join on
+    * unique winners, and the reassembly is one doc-keyed agg whose state
+    * is bounded by the doc's own size.
+    */
+  def cdcDedup(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, maskBits: Int = 6): DataFrame = {
+    val rows = cdcChunkRows(docs, idCol, textCol, w, maskBits)
+      .select(col(idCol).cast("long").as("__id"), col("chunk_idx"),
+        col("__chunk"), md5(col("__chunk")).as("__d"))
+      .localCheckpoint(true) // winners + join-back both read it
+    val winners = rows.groupBy("__d")
+      .agg(min(struct(col("__id"), col("chunk_idx"))).as("__w"))
+      .select(col("__d").as("__wd"), col("__w.__id").as("__wid"),
+        col("__w.chunk_idx").as("__widx"))
+    val kept = rows.join(winners,
+      col("__d") === col("__wd") && col("__id") === col("__wid") &&
+        col("chunk_idx") === col("__widx"),
+      "left_semi")
+    kept.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_chunks_kept"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("chunk_idx"), col("__chunk")))),
+          x => x("__chunk")), "")).as("dedup_md5"))
+      .join(rows.groupBy(col("__id"))
+        .agg(count(lit(1)).as("n_chunks")), Seq("__id"), "right_outer")
+      .na.fill(0L, Seq("n_chunks_kept"))
+      .select(col("__id").as(idCol), col("n_chunks"), col("n_chunks_kept"),
+        // a fully-deduplicated doc reassembles to the empty string, not
+        // to a NULL digest
+        coalesce(col("dedup_md5"), md5(lit(""))).as("dedup_md5"))
   }
 
   /** BM25 relevance of every document against one query (Robertson &

@@ -404,6 +404,39 @@ class TrainingDataSpec extends SparkSpec {
     assert(md1.size > 2, "fixture must produce several chunks")
   }
 
+  test("cdcDedup: first doc keeps everything, an exact dup keeps nothing") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight while owls watch"
+    val docs = Seq(
+      (1L, body),
+      (2L, body),            // exact dup: every chunk first-seen in doc 1
+      (3L, "entirely different content with zero overlap whatsoever here " +
+        "nothing shared between documents at all in any chunk"))
+      .toDF("doc_id", "text")
+    val r = TrainingData.cdcDedup(docs, "doc_id", "text",
+      w = 8, maskBits = 4)
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    r.keySet shouldBe Set(1L, 2L, 3L)
+    // doc 1 keeps all chunks and reassembles to its own normalized text
+    val (n1, k1, m1) = r(1L)
+    k1 shouldBe n1
+    val norm = body // already lowercase single-spaced
+    m1 shouldBe java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 2 loses every chunk to doc 1 → empty reassembly
+    val (n2, k2, m2) = r(2L)
+    n2 shouldBe n1
+    k2 shouldBe 0L
+    m2 shouldBe java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString
+    // unrelated doc untouched
+    val (n3, k3, _) = r(3L)
+    k3 shouldBe n3
+  }
+
   test("cdcChunks plan is scan-side only — no shuffle") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, s"some text $i " * 10)).toDF("doc_id", "text")
