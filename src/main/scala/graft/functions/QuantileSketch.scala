@@ -126,13 +126,19 @@ object QuantileSketch {
     var idxs = srcIdxs
     var cnts = srcCnts
     while (dst.k > k) {
-      val folded = idxs.zip(cnts).map { case (i, c) => (Math.floorDiv(i, 2L), c) }
-        .foldLeft(Vector.empty[(Long, Long)]) {
-          case (acc, (i, c)) if acc.nonEmpty && acc.last._1 == i =>
-            acc.init :+ ((i, acc.last._2 + c))
-          case (acc, e) => acc :+ e
-        }
-      idxs = folded.map(_._1); cnts = folded.map(_._2); k += 1
+      // single linear pass (sorted input: folded neighbors are adjacent)
+      val bi = IndexedSeq.newBuilder[Long]
+      val bc = IndexedSeq.newBuilder[Long]
+      var last = 0L; var acc = 0L; var has = false
+      var r = 0
+      while (r < idxs.length) {
+        val ni = Math.floorDiv(idxs(r), 2L)
+        if (has && ni == last) acc += cnts(r)
+        else { if (has) { bi += last; bc += acc }; last = ni; acc = cnts(r); has = true }
+        r += 1
+      }
+      if (has) { bi += last; bc += acc }
+      idxs = bi.result(); cnts = bc.result(); k += 1
     }
     while (k > dst.k) grow(dst)
     var i = 0
@@ -211,8 +217,17 @@ object QuantileSketch {
     */
   def sketchQuantile(sketch: Column, q: Double): Column = {
     require(q >= 0.0 && q <= 1.0, "q must be within [0, 1]")
-    val target = lit(q) * sketch("n").cast("double")
-    val z = zip_with(sketch("idxs"), sketch("cnts"),
+    // bind the sketch expression ONCE as a lambda variable: a HOF body
+    // referencing an outer non-attribute expression re-evaluates it per
+    // element (the codebase's documented trap) — with an arbitrary
+    // `sketch` argument (the SQL surface hands raw expressions) the fold
+    // below would otherwise recompute it per bucket
+    element_at(transform(array(sketch), sk => quantileOf(sk, q)), 1)
+  }
+
+  private def quantileOf(sk: Column, q: Double): Column = {
+    val target = lit(q) * sk("n").cast("double")
+    val z = zip_with(sk("idxs"), sk("cnts"),
       (i, c) => struct(i.as("i"), c.as("c")))
     val folded = aggregate(z,
       struct(lit(0.0).as("cum"), lit(null).cast("bigint").as("pick")),
@@ -220,7 +235,7 @@ object QuantileSketch {
         (acc("cum") + x("c")).as("cum"),
         when(acc("pick").isNull && (acc("cum") + x("c")) >= target, x("i"))
           .otherwise(acc("pick")).as("pick")))
-    when(sketch("n") > 0,
-      (folded("pick").cast("double") + 0.5) * pow(lit(2.0), sketch("k")))
+    when(sk("n") > 0,
+      (folded("pick").cast("double") + 0.5) * pow(lit(2.0), sk("k")))
   }
 }

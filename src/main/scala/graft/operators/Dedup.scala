@@ -618,6 +618,9 @@ object Dedup {
           (col("s") - ceil(lit(threshold) * col("s") - lit(1e-9)) + 1)
             .cast("int"))))
       .withColumnRenamed("col", "tok").withColumnRenamed("pos", "p")
+      // BOTH candidate-join sides read this frame: without the
+      // checkpoint the df-count join + per-doc sort would run twice
+      .localCheckpoint(true)
     val a = prefixes.select(col("tok"), col("__pid").as("id_a"),
       col("s").as("sa"), col("p").as("pa"))
     val b = prefixes.select(col("tok"), col("__pid").as("id_b"),

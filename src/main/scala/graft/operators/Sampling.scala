@@ -172,6 +172,13 @@ object Sampling {
       plan: DataFrame): DataFrame = {
     require(plan.columns.contains("rate"),
       "plan must carry a rate column (mixturePlan output)")
+    // a duplicated source row would silently multiply that source's
+    // docs through the join — fail loudly (one job on the
+    // distinct-source-sized plan, the mixturePlan collect discipline)
+    val dup = plan.groupBy(col(sourceCol)).count()
+      .filter(col("count") > 1).take(1)
+    require(dup.isEmpty,
+      s"plan has duplicate rows for source ${dup.headOption.map(_.get(0))}")
     val rates = broadcast(plan.select(
       col(sourceCol).cast("string").as("__src"),
       col("rate").cast("double").as("__rate")))

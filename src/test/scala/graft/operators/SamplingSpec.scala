@@ -113,6 +113,16 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe again
   }
 
+  test("applyMixturePlan rejects a plan with duplicate source rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "web")).toDF("doc_id", "source")
+    val plan = Seq(("web", 1.0), ("web", 2.0)).toDF("source", "rate")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.applyMixturePlan(docs, "source", "doc_id", plan)
+    }
+    e.getMessage should include("duplicate")
+  }
+
   test("applyMixturePlan is shuffle-free — broadcast plan join + generator") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, "web")).toDF("doc_id", "source")
