@@ -232,7 +232,13 @@ object GraftFunctions {
       { ch => arity(ch, 2)
         viaColumns(c => graft.functions.QuantileSketch.sketchQuantile(
           c(0), litDouble(ch(1), "q")))(ch) },
-      "quantile estimate from a mergeable quantile-sketch struct"))
+      "quantile estimate from a mergeable quantile-sketch struct"),
+    ("graft_nfc",
+      { ch => arity(ch, 1); graft.functions.UnicodeNorm.NfcNormalize(ch(0)) },
+      "Unicode NFC canonical composition (crawl-ingest canonicalization)"),
+    ("graft_strip_accents",
+      { ch => arity(ch, 1); graft.functions.UnicodeNorm.StripAccents(ch(0)) },
+      "accent folding: NFD-decompose then drop combining marks"))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(GraftFunctions.getClass.getName, null, name, usage, "")

@@ -642,6 +642,22 @@ object SparkEntry {
           round(col("tf") * log(col("__n") / col("df")), 6).as("tfidf"))
     }),
 
+    "text_unicode_norm" -> ((s, dir) => {
+      // Unicode hygiene: inject decomposed sequences (e+COMBINING ACUTE,
+      // u+COMBINING DIAERESIS) and precomposed chars next to the ASCII
+      // corpus text — NFC must collapse the decomposed forms and
+      // strip_accents must fold all of them; char counts prove the
+      // compositions actually happened (not a no-op pass-through)
+      import graft.functions.{UnicodeNorm => U}
+      val injected = concat(coalesce(col("text"), lit("")), lit(unicodeTail))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          length(col("t")).as("len_raw"),
+          length(U.nfc(col("t"))).as("len_nfc"),
+          md5(U.nfc(col("t"))).as("nfc_md5"),
+          md5(U.stripAccents(col("t"))).as("folded_md5"))
+    }),
     "text_cdc_chunks" -> ((s, dir) =>
       // content-defined chunking (LBFS Rabin-boundary rule): boundaries
       // anchor to CONTENT, so chunk dedup survives insertions/shifts
@@ -2313,6 +2329,18 @@ object SparkEntry {
          SELECT doc_id, term, tf,
            round(tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf
          FROM tf JOIN df USING (term) CROSS JOIN n""",
+    // DuckDB's utf8proc-backed twins of the JDK Normalizer: same TR-15
+    // canonical algorithm, so digests replay exactly; the injected tail
+    // carries the IDENTICAL codepoints (decomposed e+U+0301, u+U+0308;
+    // precomposed ß, ë)
+    "text_unicode_norm" ->
+      (s"""WITH t AS (SELECT doc_id,
+             coalesce(text, '') || '$unicodeTail' AS t FROM documents)
+         SELECT doc_id, length(t)::INT AS len_raw,
+           length(nfc_normalize(t))::INT AS len_nfc,
+           md5(nfc_normalize(t)) AS nfc_md5,
+           md5(strip_accents(t)) AS folded_md5
+         FROM t"""),
     // exact integer replay of the rolling boundary rule: codepoint
     // polynomial Σ code·31^(8−j) over the 8-char window ending at i,
     // boundary when ≡ 0 (mod 64); chunks from consecutive boundary
@@ -3370,6 +3398,14 @@ object SparkEntry {
     * j ≤ min/max; such pairs are below every consumer's threshold) —
     * together ~4× faster per consumer, bit-identical j on survivors.
     */
+  /** Unicode fixture tail shared by the text_unicode_norm query and its
+    * oracle, built from explicit escapes so both sides carry the
+    * IDENTICAL codepoints: decomposed e+U+0301 and u+U+0308 (NFC must
+    * compose them), precomposed ß (U+00DF) and ë (U+00EB).
+    */
+  private val unicodeTail: String =
+    " cafe\u0301 u\u0308ber stra\u00dfe no\u00ebl"
+
   private val minhashPairsSql: String =
     """t AS (SELECT doc_id, list_distinct(list_transform(
            generate_series(1, length(n)-4), i -> n[i:i+4])) AS g
