@@ -734,6 +734,19 @@ object SparkEntry {
         weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.15,
           "src3" -> 0.05, "src99" -> 1.0),
         tokenBudget = 100000L, maxEpochs = 2.0)),
+    "pipeline_decontaminate_containment" -> ((s, dir) => {
+      // ASYMMETRIC decontamination: training docs CONTAINING an eval
+      // doc's shingles (containment |E∩D|/|E| ≥ 0.8 — a quoted short
+      // passage scores ~1 here but near 0 on Jaccard); eval side =
+      // every 10th id, broadcast; noise floor on this corpus is ~0.53
+      // (measured p99), so 0.8 isolates the true contamination pairs
+      val docs = Tables.documents(s, dir)
+      graft.operators.TrainingData.decontaminateContainment(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("eval_id"), col("text")),
+        "eval_id", "text", shingleN = 5, threshold = 0.8)
+    }),
     "pipeline_decontaminate_fuzzy" -> ((s, dir) => {
       // near-dup decontamination: corpus docs whose shingle sets
       // near-duplicate an "eval set" doc (every 10th id) — catches the
@@ -2112,6 +2125,22 @@ object SparkEntry {
            greatest(target_tokens - planned_tokens, 0)::BIGINT
              AS shortfall_tokens
          FROM b4""",
+    // exact asymmetric containment |E∩D|/|E| over the same distinct
+    // 5-char shingle space; filter on the raw ratio, round for output
+    "pipeline_decontaminate_containment" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, length(n)-4), i -> n[i:i+4])) AS g
+           FROM (SELECT doc_id,
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+                 FROM documents WHERE text IS NOT NULL)),
+         ev AS (SELECT doc_id AS eval_id, g AS eg FROM t
+                WHERE doc_id % 10 = 0 AND len(g) > 0),
+         co AS (SELECT doc_id, g AS cg FROM t WHERE doc_id % 10 <> 0),
+         p AS (SELECT doc_id, eval_id,
+             len(list_intersect(cg, eg))::DOUBLE / len(eg) AS c
+           FROM co, ev)
+         SELECT doc_id, eval_id, round(c, 6) AS containment
+         FROM p WHERE c >= 0.8""",
     // exact bipartite shingle-jaccard: corpus (id % 10 != 0) vs eval set
     // (id % 10 = 0); the LSH path's banding is recall-complete here
     // (matches at j >= 0.93), so LSH output == the exact pair set

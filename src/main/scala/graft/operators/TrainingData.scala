@@ -172,6 +172,50 @@ object TrainingData {
     * shingle arrays through the bucket-join shuffle — and ran 9× slower
     * than the self-LSH at the same SF.)
     */
+  /** Containment decontamination — the ASYMMETRIC overlap the Jaccard
+    * paths structurally miss: a short benchmark passage quoted inside a
+    * long training document has containment |E ∩ D| / |E| ≈ 1 but
+    * Jaccard |E ∩ D| / |E ∪ D| ≈ |E|/|D| ≈ 0, so a symmetric threshold
+    * can never fire (Broder 1997 separates resemblance from containment
+    * for exactly this reason). Returns every (corpus doc, eval doc) pair
+    * whose distinct-shingle containment of the EVAL side meets
+    * `threshold` — the "training doc contains the eval answer" detector.
+    *
+    * Scale shape: the benchmark side is eval-set-sized and rides a
+    * BROADCAST of its exploded shingles; the corpus is ONE streamed
+    * pass — the broadcast join keeps only shingles the eval set
+    * contains (nothing corpus-sized shuffles), and the per-pair match
+    * count is a map-side-combined aggregation on (corpus, eval) keys.
+    * Shared shingles count once per pair: both sides' shingle sets are
+    * DISTINCT by construction, so the token join emits exactly one row
+    * per shared shingle.
+    */
+  def decontaminateContainment(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      shingleN: Int = 5, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    import graft.functions.ArrayOps
+    def norm(c: Column) = regexp_replace(trim(lower(c)), "\\s+", " ")
+    val evalToks = benchmark.filter(col(benchTextCol).isNotNull)
+      .select(col(benchIdCol).as("__eid"),
+        ArrayOps.shingleHashes(norm(col(benchTextCol)), shingleN).as("__eg"))
+      .filter(size(col("__eg")) > 0)
+      .select(col("__eid"), size(col("__eg")).as("__se"),
+        explode(col("__eg")).as("__tok"))
+    val corpusToks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__cid"),
+        ArrayOps.shingleHashes(norm(col(textCol)), shingleN).as("__cg"))
+      .select(col("__cid"), explode(col("__cg")).as("__tok"))
+    corpusToks.join(broadcast(evalToks), Seq("__tok"))
+      .groupBy("__cid", "__eid", "__se")
+      .agg(count(lit(1)).as("__m"))
+      // filter on the RAW ratio, round for output (the operator-order
+      // convention every thresholded query follows)
+      .filter(col("__m").cast("double") / col("__se") >= threshold)
+      .select(col("__cid").as(idCol), col("__eid").as(benchIdCol),
+        round(col("__m").cast("double") / col("__se"), 6).as("containment"))
+  }
+
   def decontaminateFuzzy(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
       numHashes: Int = 16, bands: Int = 8, shingleN: Int = 5,

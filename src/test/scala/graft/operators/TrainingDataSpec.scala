@@ -404,6 +404,31 @@ class TrainingDataSpec extends SparkSpec {
     assert(md1.size > 2, "fixture must produce several chunks")
   }
 
+  test("decontaminateContainment catches a quoted passage Jaccard cannot") {
+    import spark.implicits._
+    import graft.functions.ArrayOps
+    val passage = "what is the capital of france the answer is paris"
+    val filler = (1 to 40).map(i => s"unrelated training sentence number $i").mkString(" ")
+    val corpus = Seq(
+      (1L, filler + " " + passage + " " + filler), // quotes the eval doc
+      (2L, filler)).toDF("doc_id", "text")
+    val evalSet = Seq((100L, passage)).toDF("eval_id", "text")
+    val r = TrainingData.decontaminateContainment(corpus, "doc_id", "text",
+      evalSet, "eval_id", "text", shingleN = 5, threshold = 0.9)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    r.map(t => (t._1, t._2)).toSeq shouldBe Seq((1L, 100L))
+    r.head._3 should be >= 0.9
+    // the SAME pair under symmetric Jaccard sits far below any usable
+    // threshold — the asymmetric measure is the point
+    def sh(s: String) = Seq(s).toDF("t")
+      .select(ArrayOps.shingleHashes(
+        regexp_replace(trim(lower(col("t"))), "\\s+", " "), 5))
+      .head().getSeq[Long](0).toSet
+    val e = sh(passage); val d = sh(filler + " " + passage + " " + filler)
+    val jac = e.intersect(d).size.toDouble / e.union(d).size
+    jac should be < 0.25
+  }
+
   test("cdcDedup: first doc keeps everything, an exact dup keeps nothing") {
     import spark.implicits._
     val body = "the quick brown fox jumps over the lazy dog and then " +
