@@ -738,14 +738,17 @@ object SparkEntry {
       // ASYMMETRIC decontamination: training docs CONTAINING an eval
       // doc's shingles (containment |E∩D|/|E| ≥ 0.8 — a quoted short
       // passage scores ~1 here but near 0 on Jaccard); eval side =
-      // every 10th id, broadcast; noise floor on this corpus is ~0.53
-      // (measured p99), so 0.8 isolates the true contamination pairs
+      // every 10th id, broadcast. shingleN=12 (~2 words), NOT the dedup
+      // paths' 5: this corpus's 5-char vocabulary is ~2k tokens, so
+      // 5-shingles match everything (noise p99 0.53, and the candidate
+      // join degenerates — measured 19.6s); 12-shingles give a 60k
+      // vocabulary, noise p99 0.076, same true pairs, selective join
       val docs = Tables.documents(s, dir)
       graft.operators.TrainingData.decontaminateContainment(
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 10 === 0)
           .select(col("doc_id").as("eval_id"), col("text")),
-        "eval_id", "text", shingleN = 5, threshold = 0.8)
+        "eval_id", "text", shingleN = 12, threshold = 0.8)
     }),
     "pipeline_decontaminate_fuzzy" -> ((s, dir) => {
       // near-dup decontamination: corpus docs whose shingle sets
@@ -2129,7 +2132,7 @@ object SparkEntry {
     // 5-char shingle space; filter on the raw ratio, round for output
     "pipeline_decontaminate_containment" ->
       """WITH t AS (SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, length(n)-4), i -> n[i:i+4])) AS g
+             generate_series(1, length(n)-11), i -> n[i:i+11])) AS g
            FROM (SELECT doc_id,
                    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
                  FROM documents WHERE text IS NOT NULL)),
