@@ -125,8 +125,14 @@ object Bench {
     // names land in the record so the regression story is auditable.
     val prevTimings: Map[String, Double] =
       try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/root/repo/BENCH_FULL_LATEST.json")), "UTF-8")
+        // same primary-path + cwd fallback the WRITER uses below — a
+        // repo-path-only read silently disables the guard anywhere else
+        val path = Seq(
+          java.nio.file.Paths.get("/root/repo/BENCH_FULL_LATEST.json"),
+          java.nio.file.Paths.get("BENCH_FULL_LATEST.json"))
+          .find(java.nio.file.Files.isReadable)
+          .getOrElse(java.nio.file.Paths.get("/root/repo/BENCH_FULL_LATEST.json"))
+        val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
         val sameSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
           .exists(_.group(1) == sfDir)
         if (!sameSf) Map.empty
@@ -152,10 +158,21 @@ object Bench {
     // every sample lands in the full record (r8 verdict nit: the round
     // was quoted from a builder sample, not the committed record — one
     // citable set ends that); the max stays the headline gate number
-    val throughputSamples: Seq[Double] =
+    val throughputSamples: Seq[Double] = {
       if (only.exists(!_.contains("throughput"))) Seq.empty
-      else Seq(
-        pipelineThroughput(spark, 2000000L), pipelineThroughput(spark, 2000000L))
+      else {
+        val two = Seq(
+          pipelineThroughput(spark, 2000000L), pipelineThroughput(spark, 2000000L))
+        // same drift rule as the queries: a >2× intra-session spread
+        // (r10's committed record carried [3.74 M, 0.62 M] — one sample
+        // hit a slow window) earns ONE more fresh sample; all samples
+        // land in the record so the spread stays auditable
+        if (two.max > 2 * two.min) {
+          System.err.println("[bench] throughput drift-guard retry")
+          two :+ pipelineThroughput(spark, 2000000L)
+        } else two
+      }
+    }
     val throughput =
       if (throughputSamples.isEmpty) 0.0 else throughputSamples.max
 

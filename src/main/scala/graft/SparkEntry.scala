@@ -1495,7 +1495,10 @@ object SparkEntry {
       // spec-asserted (SimilaritySpec).
       val q = queryVec(s, dir)
       val emb = Tables.embeddings(s, dir)
-      val idx = java.nio.file.Files.createTempDirectory("graft-ivfsq8").toString
+      // fixed per-JVM path, overwritten on every invocation — a fresh
+      // createTempDirectory here leaked one full index copy per bench
+      // pass / verify run (plan construction was side-effectful)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ivfsq8"
       Similarity.ivfWriteIndexSQ8(emb, "vec_id", "embedding", dim = 64,
         path = idx, nBits = 6, lloydIters = 1)
       val ivf = Similarity.ivfTopKFromIndexSQ8(s, idx, "vec_id", q,
@@ -1517,7 +1520,8 @@ object SparkEntry {
       // queries reach 98.1% — and 6 probed cells hold 100% at
       // sf0.001/0.01/0.1 while still scanning <10% of the index
       val emb = Tables.embeddings(s, dir)
-      val idx = java.nio.file.Files.createTempDirectory("graft-ivfjoin").toString
+      // fixed per-JVM path (see sim_ivf_sq8) — no per-invocation leak
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ivfjoin"
       Similarity.ivfWriteIndexSQ8(emb, "vec_id", "embedding", dim = 64,
         path = idx, nBits = 6, lloydIters = 1)
       val joined = Similarity.ivfTopKJoinSQ8(emb, "vec_id", "embedding",

@@ -115,17 +115,26 @@ object QuantileSketch {
   }
 
   /** Fold `src` into `dst`: align granularities first (fold the finer
-    * side — exact), insert EVERYTHING, then re-fit the bins budget. The
-    * budget check must come after the full insert pass: growing dst
-    * mid-merge would leave the remaining src entries at a stale (finer)
+    * side — exact), insert, then re-fit the bins budget. The budget
+    * check must come after the full insert pass: growing dst mid-merge
+    * would leave the remaining src entries at a stale (finer)
     * granularity and corrupt their indexes.
+    *
+    * Capacity: dst holds ≤ bins entries on entry (every reduce/merge
+    * re-fits before returning) in a 2×bins array, so the insert pass is
+    * safe only if the source contributes ≤ bins entries. A source can
+    * be larger — a persisted sketch built with a bigger bins budget, or
+    * `sketchMerge` called with smaller bins than `sketchAgg` — so the
+    * source is PRE-folded until it fits `bins`. Canonical-preserving:
+    * > bins occupied buckets at k in the source means the union has
+    * > bins at k too, so the canonical k of the union is past k anyway.
     */
   private def mergeInto(dst: QSBuf, srcK: Int, srcIdxs: IndexedSeq[Long],
       srcCnts: IndexedSeq[Long], srcN: Long, bins: Int): Unit = {
     var k = srcK
     var idxs = srcIdxs
     var cnts = srcCnts
-    while (dst.k > k) {
+    def foldSrc(): Unit = {
       // single linear pass (sorted input: folded neighbors are adjacent)
       val bi = IndexedSeq.newBuilder[Long]
       val bc = IndexedSeq.newBuilder[Long]
@@ -140,6 +149,8 @@ object QuantileSketch {
       if (has) { bi += last; bc += acc }
       idxs = bi.result(); cnts = bc.result(); k += 1
     }
+    while (dst.k > k) foldSrc()
+    while (idxs.length > bins) foldSrc()
     while (k > dst.k) grow(dst)
     var i = 0
     while (i < idxs.length) { addBucket(dst, idxs(i), cnts(i)); i += 1 }

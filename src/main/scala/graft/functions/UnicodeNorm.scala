@@ -26,6 +26,18 @@ import org.apache.spark.sql.graft.Bridge
   *    (`\p{Mn}`): the lossy fold (`é` → `e`) used for accent-insensitive
   *    matching keys, never for stored text.
   *
+  * Scope of the DuckDB-equivalence claim: NFC agreement is exact (both
+  * sides implement UAX #15 canonical composition). StripAccents
+  * equivalence is oracle-verified for ASCII plus Latin precomposed /
+  * combining-mark sequences (the crawl-text classes the corpus and the
+  * `text_unicode_norm` fixture exercise); for codepoints whose canonical
+  * decompositions are NOT mark sequences — Hangul syllables (Jamo
+  * expansion), canonical singletons — the JDK path leaves the output
+  * DECOMPOSED and utf8proc's `strip_accents` may differ byte-wise. When
+  * a fold key must replay bit-for-bit across engines on such corpora,
+  * compose `nfc(stripAccents(x))` (and `nfc_normalize(strip_accents(x))`
+  * on the oracle side) so both outputs land in one canonical form.
+  *
   * Scale shape: per-row scalar expressions in the scan projection — no
   * shuffle, no driver state; normalization cost is linear in the string
   * and only non-ASCII rows pay more than a scan (both forms fast-path

@@ -1071,7 +1071,12 @@ object TrainingData {
     */
   private def cdcChunkRows(docs: DataFrame, idCol: String, textCol: String,
       w: Int, maskBits: Int): DataFrame = {
-    require(w >= 2 && w <= 16, "window w in [2, 16]")
+    // w ≤ 9 is the exact-arithmetic bound: worst-case fold value
+    // Σ_{j<w} 0x10FFFF·31^j ≈ 9.8e17 < 2^63 at w=9 and ≈ 3e19 at w=10 —
+    // larger windows would stay "correct" only via two's-complement
+    // congruence mod 2^maskBits, breaking the documented exact-64-bit
+    // replay contract (and DuckDB's double 31**(w-1) past 2^53)
+    require(w >= 2 && w <= 9, "window w in [2, 9] (exact 64-bit fold bound)")
     require(maskBits >= 1 && maskBits <= 20, "maskBits in [1, 20]")
     val mask = (1L << maskBits) - 1L
     // normalized text and its codepoint array as ATTRIBUTES before any
@@ -1088,8 +1093,9 @@ object TrainingData {
         size(col("__codes")).as("__n"))
     // boundary positions: i in [w, n] where the w-window hash ending at
     // i has a zero masked residue; fold is mod-free (max Σ code·31^j at
-    // w=16 still < 2^63) with one mod at the end — identical to the
-    // closed-form Σ code·31^(w−j) mod 2^20 any engine replays
+    // w=9 still < 2^63 even for U+10FFFF codepoints — hence the w ≤ 9
+    // require) with one mod at the end — identical to the closed-form
+    // Σ code·31^(w−j) mod 2^20 any engine replays
     val bounds = base.select(col(idCol), col("__t"), col("__n"),
       when(col("__n") >= w,
         filter(sequence(lit(w), col("__n")), i =>

@@ -1044,12 +1044,19 @@ object StreamingOps {
     * Cost is bounded by delta locality, not corpus size: only the cell
     * partitions the deltas TOUCH are rewritten (read cell-pruned via an
     * `isin` literal over the delta's distinct cells — ≤2^nBits longs on
-    * the driver — then dynamic-partition-overwritten). Crash safety: the
-    * fold de-duplicates on id, so a crash between the base write and the
-    * delta prune leaves duplicate rows that agree in value and a re-run
-    * completes the prune; the latest delta is never folded, so the
-    * streaming replay contract (a replayed batch overwrites its own
-    * partition) is untouched.
+    * the driver — then dynamic-partition-overwritten), plus one
+    * column-pruned (id, cell) pass over the base to find the PRIOR cell
+    * of any re-ingested id (so an id whose vector changed — and with it
+    * its nearest centroid — has its stale row rewritten away, not left
+    * behind in an untouched cell). Duplicate ids resolve by RECENCY, not
+    * arbitrarily: the highest delta batch_id wins, and any delta beats
+    * the base — deterministic for updates, and a no-op for crash-window
+    * replays whose duplicates agree in value. Crash safety: a crash
+    * between the base write and the delta prune leaves winner rows in
+    * both; the re-run's anti-join removes the base copies and completes
+    * the prune; the latest delta is never folded, so the streaming
+    * replay contract (a replayed batch overwrites its own partition) is
+    * untouched.
     */
   def compactIvfDeltas(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Unit = {
@@ -1063,33 +1070,67 @@ object StreamingOps {
     if (maxB == null) return
     val maxBatch = maxB.toString.toLong
     if (maxBatch <= 0) return // nothing strictly below the latest batch
-    val committed = deltas.where(col("batch_id") < maxBatch).drop("batch_id")
+    val committedAll = deltas.where(col("batch_id") < maxBatch)
+    val idCol = committedAll.drop("batch_id").columns.head // (id, v, cell)
+    // recency dedup WITHIN the committed deltas: the max-batch_id row per
+    // id wins (max_by is deterministic here — equal batch_ids only arise
+    // from replays whose rows agree in value)
+    val committed = committedAll
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("v"), col("cell")), col("batch_id")).as("__w"))
+      .select(col(idCol), col("__w.v").as("v"), col("__w.cell").as("cell"))
+      .localCheckpoint(true) // read by touched-cells, prior-cells, and fold
     // driver-bounded: ≤2^nBits distinct cells — the literal prunes the
     // base read to the touched partitions only
-    val touched = committed.select("cell").distinct()
-      .collect().map(_.getLong(0)).sorted
-    if (touched.isEmpty) return
-    val idCol = committed.columns.head // (id, v, cell) — id leads
-    val existing =
-      try spark.read.parquet(s"$indexPath/cells")
-        .filter(col("cell").isin(touched: _*))
-        .select(committed.columns.map(col): _*)
+    val newCells = committed.select("cell").distinct()
+      .collect().map(_.getLong(0))
+    if (newCells.isEmpty) return
+    val baseOpt =
+      try Some(spark.read.parquet(s"$indexPath/cells"))
       catch {
         // stream-only index: no base yet — first compaction creates it
         case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" => committed.limit(0)
+            if e.getCondition == "PATH_NOT_FOUND" => None
       }
-    existing.unionByName(committed)
-      .dropDuplicates(idCol)
+    // a re-ingested id may have MOVED cells (changed vector → different
+    // nearest centroid): its stale base row lives in a cell the deltas
+    // never touch. Find those prior cells with one column-pruned
+    // (id, cell) pass so the dynamic overwrite rewrites them too.
+    val priorCells = baseOpt.toSeq.flatMap { base =>
+      // cast: a partition column read back from parquet may infer as int
+      base.select(col(idCol), col("cell").cast("long").as("cell"))
+        .join(committed.select(col(idCol)), Seq(idCol), "left_semi")
+        .select("cell").distinct().collect().map(_.getLong(0))
+    }
+    val touched = (newCells ++ priorCells).distinct.sorted
+    val existing = baseOpt match {
+      case Some(base) =>
+        base.filter(col("cell").isin(touched: _*))
+          .select(committed.columns.map(col): _*)
+          // any delta beats the base — deterministic update semantics
+          .join(committed.select(col(idCol)), Seq(idCol), "left_anti")
+      case None => committed.limit(0)
+    }
+    val folded = existing.unionByName(committed).localCheckpoint(true)
+    folded
       .repartition(col("cell")) // one file per touched cell
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell")
       .parquet(s"$indexPath/cells")
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // dynamic overwrite only rewrites partitions PRESENT in the output:
+    // a prior cell emptied by an update (its only rows were re-ingested
+    // ids) keeps its stale directory — delete those explicitly
+    val outCells = folded.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    touched.filterNot(outCells).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/cells/cell=$c"), true)
+    }
     // prune the folded delta partitions at the directory granularity the
     // dynamic-overwrite writes use
     val root = new org.apache.hadoop.fs.Path(s"$indexPath/deltas")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith("batch_id=")) {
@@ -1102,8 +1143,11 @@ object StreamingOps {
   /** Probe a [[continuousIvfAppend]]-maintained index: nearest-centroid
     * cell selection on the driver (≤2^nBits rows), then base cells
     * (partition-pruned directories) ∪ un-compacted deltas (row-group
-    * pruned on the same cell predicate), de-duplicated on id (crash-window
-    * duplicates agree in value), scored and top-k'd exactly like
+    * pruned on the same cell predicate), de-duplicated on id by RECENCY
+    * (max delta batch_id wins; any delta beats the base, which ranks as
+    * batch −1 — deterministic under re-ingested-id updates, a no-op for
+    * crash-window duplicates that agree in value), scored and top-k'd
+    * exactly like
     * [[graft.operators.Similarity.ivfTopKFromIndex]] — a stream-built
     * index answers identically to a batch-built one over the same rows.
     */
@@ -1121,14 +1165,17 @@ object StreamingOps {
             if e.getCondition == "PATH_NOT_FOUND" => None
       }
     val base = readOrEmpty(s"$indexPath/cells")
-      .map(_.filter(col("cell").isin(probes: _*)).select(col(idCol), col("v")))
+      .map(_.filter(col("cell").isin(probes: _*))
+        .select(col(idCol), col("v"), lit(-1L).as("__b")))
     val delta = readOrEmpty(s"$indexPath/deltas")
-      .map(_.filter(col("cell").isin(probes: _*)).select(col(idCol), col("v")))
+      .map(_.filter(col("cell").isin(probes: _*))
+        .select(col(idCol), col("v"), col("batch_id").cast("long").as("__b")))
     val parts = base.toSeq ++ delta.toSeq
     require(parts.nonEmpty, s"no cells or deltas under $indexPath")
     val q = typedLit(queryVec)
     parts.reduce(_ unionByName _)
-      .dropDuplicates(idCol)
+      .groupBy(col(idCol))
+      .agg(max_by(col("v"), col("__b")).as("v"))
       .select(col(idCol), round(V.cosine(col("v"), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

@@ -113,6 +113,28 @@ class QuantileSketchSpec extends SparkSpec {
     "ObjectHashAggregate".r.findAllIn(plan).size should be >= 2
   }
 
+  test("merging a sketch built with a LARGER bins budget pre-folds safely") {
+    import spark.implicits._
+    // 1000 integer values stay in 1000 distinct fine buckets under a
+    // 1024-bin budget; feeding that sketch to sketchMerge(bins = 256)
+    // used to blow the 2×256 buffer capacity (ArrayIndexOutOfBounds).
+    // The pre-fold must land on the SAME canonical struct a direct
+    // 256-bin sketch of the raw values produces.
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val wide = sketchOf(df, bins = 1024).select(col("sk").as("s"))
+    val folded = wide.agg(sketchMerge(col("s"), bins = 256).as("sk"))
+      .select("sk").head()
+    folded shouldBe sketchOf(df, bins = 256).select("sk").head()
+    // and two wide sketches merged under the narrow budget still equal
+    // the direct narrow sketch of the union
+    val a = (1 to 1000).map(_.toDouble).toDF("v")
+    val b = (2000 to 2750).map(_.toDouble).toDF("v")
+    val both = sketchOf(a, 1024).select(col("sk").as("s"))
+      .union(sketchOf(b, 1024).select(col("sk").as("s")))
+    both.agg(sketchMerge(col("s"), bins = 256).as("sk")).select("sk").head() shouldBe
+      sketchOf(a.union(b), 256).select("sk").head()
+  }
+
   test("graft_sketch_quantile SQL surface extracts from a sketch struct") {
     import spark.implicits._
     graft.GraftFunctions.register(spark)

@@ -371,6 +371,19 @@ class TrainingDataSpec extends SparkSpec {
     out.foreach(w => w._3 shouldBe w._2.length.toLong)
   }
 
+  test("cdcChunks rejects windows past the exact-64-bit fold bound") {
+    import spark.implicits._
+    val docs = Seq((1L, "some text")).toDF("doc_id", "text")
+    // w = 10 would overflow the mod-free Long fold for U+10FFFF input
+    // (Σ code·31^j ≈ 3e19 > 2^63), silently downgrading the documented
+    // exact-replay contract to two's-complement congruence
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.cdcChunks(docs, "doc_id", "text", w = 10)
+    }
+    e.getMessage should include("[2, 9]")
+    TrainingData.cdcChunks(docs, "doc_id", "text", w = 9).collect() // boundary ok
+  }
+
   test("cdcChunks: chunks reassemble the doc and boundaries anchor to content") {
     import spark.implicits._
     val body = "the quick brown fox jumps over the lazy dog and then " +

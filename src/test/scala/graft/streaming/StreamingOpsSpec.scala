@@ -532,6 +532,59 @@ class StreamingOpsSpec extends SparkSpec {
       Seq(1.0, 0.05, 0.0, 0.0), k = 6, nProbe = 4).count() shouldBe 6
   }
 
+  test("IVF re-ingested id resolves by recency; compaction rewrites its stale cell") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("civfu").toString
+    val vOld = Seq(-1.0, 0.0, 0.0, 0.0)
+    val vNew = Seq(0.999, 0.05, 0.0, 0.0)
+    val base = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (3L, vOld))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndex(base, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    val cents = Similarity.readCentroids(spark, dir)
+    def cellOf(v: Seq[Double]): Long =
+      Similarity.assignToCells(Seq((99L, v)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents)
+        .select(col("cell").cast("long")).head().getLong(0)
+    val oldCell = cellOf(vOld)
+    val newCell = cellOf(vNew)
+    // precondition for the stale-cell claim: the update MOVES cells,
+    // and id 3 was alone in its old cell
+    oldCell should not be newCell
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.continuousIvfAppend(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, s"$dir-ckpt").start()
+    try {
+      in.addData((3L, vNew)) // batch 0: UPDATE of an existing id
+      q.processAllAvailable()
+      in.addData((9L, Seq(0.0, 1.0, 0.0, 0.0))) // batch 1 commits batch 0
+      q.processAllAvailable()
+    } finally q.stop()
+    // probe-time recency: BEFORE compaction, the delta row beats the
+    // stale base row deterministically (not an arbitrary dropDuplicates)
+    val pre = StreamingOps.ivfTopKFromStreamIndex(spark, dir, "vec_id",
+      Seq(1.0, 0.0, 0.0, 0.0), k = 3, nProbe = 4).collect()
+    pre.count(_.getLong(0) == 3L) shouldBe 1
+    pre.find(_.getLong(0) == 3L).get.getDouble(1) should be > 0.99 // vNew, not vOld's -1
+    StreamingOps.compactIvfDeltas(spark, dir)
+    val cells = spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    // exactly one surviving row for id 3, in the NEW cell
+    val r3 = cells.filter(col("vec_id") === 3L).collect()
+    r3.map(_.getLong(1)).toSeq shouldBe Seq(newCell)
+    // the old cell held only id 3: its directory is deleted outright
+    // (dynamic overwrite alone would have left the stale file behind)
+    cells.filter(col("cell") === oldCell).count() shouldBe 0L
+    // post-compaction probe: every id once, id 3 scored on vNew
+    val post = StreamingOps.ivfTopKFromStreamIndex(spark, dir, "vec_id",
+      Seq(1.0, 0.0, 0.0, 0.0), k = 4, nProbe = 4).collect()
+    post.map(_.getLong(0)).toSet shouldBe Set(0L, 3L, 9L)
+    post.find(_.getLong(0) == 3L).get.getDouble(1) should be > 0.99
+  }
+
   test("continuousApplyMixturePlan: streamed epochs equal the batch materialization") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
