@@ -670,6 +670,20 @@ object SparkEntry {
       // reassembled from survivors — byte-level storage-style dedup
       graft.operators.TrainingData.cdcDedup(Tables.documents(s, dir),
         "doc_id", "text", w = 8, maskBits = 6)),
+    "text_cdc_dedup_incremental" -> ((s, dir) => {
+      // continuous-ingestion chunk dedup: the new batch (ids >= 250)
+      // probes the persisted first-occurrence chunk index of the
+      // already-ingested corpus — existing text is never re-chunked —
+      // and must equal the full-corpus rebuild restricted to the new
+      // ids (oracle runs exactly that)
+      val docs = Tables.documents(s, dir)
+      val index = graft.operators.TrainingData.cdcIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        w = 8, maskBits = 6)
+      graft.operators.TrainingData.cdcDedupIncremental(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        w = 8, maskBits = 6, index)
+    }),
     "text_bm25" -> ((s, dir) =>
       // Okapi BM25 against a topic probe (one absent term exercises the
       // df=0 no-hit path): the retrieval-grade ranking the frequency-only
@@ -1423,6 +1437,32 @@ object SparkEntry {
         shingleN = 5, threshold = 0.7)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))),
+    "dedup_jaccard_prefix_bipartite" -> ((s, dir) => {
+      // EXACT cross-frame pairs (new batch vs corpus) — the
+      // decontaminateFuzzy shape at recall 1.0: every (corpus, new) pair
+      // with J >= 0.7, none of either side's internal pairs
+      val docs = Tables.documents(s, dir)
+      Dedup.jaccardJoinPrefixBipartite(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", shingleN = 5, threshold = 0.7)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+    "dedup_jaccard_prefix_incremental" -> ((s, dir) => {
+      // continuous-ingestion EXACT near-dup: persist the prefix index of
+      // the existing corpus (ids < 250), probe with the new batch — all
+      // new-involving pairs under the index's FROZEN token order, equal
+      // to the full self-join's new-involving subset (recall 1.0: order
+      // is a selectivity heuristic, verify is exact)
+      val docs = Tables.documents(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-jpidx"
+      Dedup.jaccardPrefixIndexWrite(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", idx, shingleN = 5, threshold = 0.7)
+      Dedup.jaccardJoinPrefixIncremental(docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", idx, threshold = 0.7)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
     "dedup_semantic_kmeans" -> ((s, dir) =>
       // SemDeDup with the paper's actual clustering: trained spherical
       // k-means cells (same k=4/iters=2 recipe the embed_kmeans oracle
@@ -2443,6 +2483,46 @@ object SparkEntry {
            coalesce(re.n_chunks_kept, 0) AS n_chunks_kept,
            coalesce(re.dedup_md5, md5('')) AS dedup_md5
          FROM tot LEFT JOIN re USING (doc_id)""",
+    // the incremental contract: index over ids < 250, dedup the new
+    // batch against it == the FULL-corpus rebuild restricted to the new
+    // ids (existing ids sort before new ids, so global winners among
+    // new docs are exactly the batch winners not already indexed)
+    "text_cdc_dedup_incremental" ->
+      """WITH base AS (SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+           FROM documents
+           WHERE text IS NOT NULL
+             AND length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) > 0),
+         b AS (SELECT doc_id, t, length(t)::INT AS n,
+             list_filter(generate_series(8, length(t)::INT), i ->
+               list_sum(list_transform(generate_series(1, 8), j ->
+                 ascii(substr(t, i - 8 + j, 1))::BIGINT
+                   * ((31 ** (8 - j))::BIGINT))) % 64 = 0) AS bd
+           FROM base),
+         c AS (SELECT doc_id, t,
+             list_concat([1], list_transform(bd, x -> x + 1)) AS ss,
+             list_concat(bd, [n]) AS ee
+           FROM b),
+         ch AS (SELECT doc_id, (k - 1)::INT AS idx,
+             substr(t, ss[k], ee[k] - ss[k] + 1) AS chunk
+           FROM c, unnest(generate_series(1, len(ss))) AS u(k)
+           WHERE ee[k] >= ss[k]),
+         w AS (SELECT md5(chunk) AS d,
+             min(doc_id * 2147483648 + idx) // 2147483648 AS wid,
+             min(doc_id * 2147483648 + idx) % 2147483648 AS widx
+           FROM ch GROUP BY md5(chunk)),
+         keep AS (SELECT ch.* FROM ch JOIN w
+           ON md5(ch.chunk) = w.d AND ch.doc_id = w.wid AND ch.idx = w.widx),
+         re AS (SELECT doc_id, count(*)::BIGINT AS n_chunks_kept,
+             md5(string_agg(chunk, '' ORDER BY idx)) AS dedup_md5
+           FROM keep GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*)::BIGINT AS n_chunks
+                 FROM ch GROUP BY doc_id)
+         SELECT tot.doc_id, tot.n_chunks,
+           coalesce(re.n_chunks_kept, 0) AS n_chunks_kept,
+           coalesce(re.dedup_md5, md5('')) AS dedup_md5
+         FROM tot LEFT JOIN re USING (doc_id)
+         WHERE tot.doc_id >= 250""",
     // same tokenization, same non-negative idf, same k1=1.2/b=0.75, and
     // the same integer micro-unit sum — bit-for-bit replay
     "text_bm25" ->
@@ -3165,6 +3245,19 @@ object SparkEntry {
     "dedup_jaccard_prefix" ->
       s"""WITH $minhashPairsSql
          SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.7""",
+    // exact cross-frame pairs only: corpus side id < 250, batch side
+    // id >= 250 (id_a < id_b in the CTE, so the split is the filter)
+    "dedup_jaccard_prefix_bipartite" ->
+      s"""WITH $minhashPairsSql
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
+         WHERE j >= 0.7 AND id_a < 250 AND id_b >= 250""",
+    // every new-involving exact pair — the frozen-order incremental probe
+    // must equal the full self-join's new-involving subset (id_a < id_b,
+    // so any pair touching ids >= 250 has id_b >= 250)
+    "dedup_jaccard_prefix_incremental" ->
+      s"""WITH $minhashPairsSql
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
+         WHERE j >= 0.7 AND id_b >= 250""",
     // every new-involving exact pair: id_a < id_b, so any pair touching
     // the new batch (ids >= 250) has id_b >= 250
     "dedup_incremental_lsh" ->

@@ -590,26 +590,52 @@ object Dedup {
   def jaccardJoinPrefix(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    requireIntegralId(df, idCol, "jaccardJoinPrefix")
+    val shingled = prefixShingled(df, idCol, textCol, shingleN)
+      .localCheckpoint(true)
+    val toks = shingled.select(col(idCol), explode(col("sh")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val prefixes = prefixRows(toks, idCol, freq, threshold)
+      // BOTH candidate-join sides read this frame: without the
+      // checkpoint the df-count join + per-doc sort would run twice
+      .localCheckpoint(true)
+    val cands = prefixCandidates(prefixes, prefixes, threshold,
+      col("id_a") < col("id_b"))
+    val shById = shingled.select(col(idCol).cast("long").as("__id"), col("sh"))
+    verifyJaccard(cands, shById, shById, threshold)
+  }
+
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit =
     require(Set("ByteType", "ShortType", "IntegerType", "LongType")
       .contains(df.schema(idCol).dataType.toString),
-      "jaccardJoinPrefix needs an integral id column; hash string ids " +
+      s"$op needs an integral id column; hash string ids " +
         "to 64-bit (xxhash64) upstream first")
-    val shingled = df.filter(col(textCol).isNotNull)
+
+  /** (id, sh) shingle-set rows for the prefix-join family — empty sets
+    * dropped up front (an empty set can only pair with another empty at
+    * J = 0/0 := 0, below any positive threshold).
+    */
+  private def prefixShingled(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol),
         ArrayOps.shingleHashes(
           regexp_replace(trim(lower(col(textCol))), "\\s+", " "), shingleN)
           .as("sh"))
-      // an empty set can only pair with another empty at J = 0/0 := 0,
-      // below any positive threshold — drop up front
       .filter(size(col("sh")) > 0)
-      .localCheckpoint(true)
-    val toks = shingled.select(col(idCol), explode(col("sh")).as("tok"))
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
-    // per-doc (df asc, tok asc) order; prefix length s − ceil(t·s) + 1
-    // (the 1e-9 guards ceil against FP noise at exact multiples);
-    // posexplode keeps each prefix token's 0-based POSITION for the
-    // positional filter below
-    val prefixes = toks.join(freq, Seq("tok"))
+
+  /** Per-doc prefix rows (__pid, s, tok, p) under the (`__df` asc, tok
+    * asc) global order carried by `freq`; prefix length s − ⌈t·s⌉ + 1
+    * (the 1e-9 guards ceil against FP noise at exact multiples);
+    * posexplode keeps each prefix token's 0-based POSITION for the
+    * positional filter. Tokens missing from `freq` order FIRST (df 0 —
+    * rarest): any consistent total order keeps the theorem, and a
+    * frozen-index probe meets exactly that case.
+    */
+  private def prefixRows(toks: DataFrame, idCol: String, freq: DataFrame,
+      threshold: Double): DataFrame =
+    toks.join(freq, Seq("tok"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__df"), col("tok")))).as("__r"),
         count(lit(1)).as("s"))
@@ -618,38 +644,229 @@ object Dedup {
           (col("s") - ceil(lit(threshold) * col("s") - lit(1e-9)) + 1)
             .cast("int"))))
       .withColumnRenamed("col", "tok").withColumnRenamed("pos", "p")
-      // BOTH candidate-join sides read this frame: without the
-      // checkpoint the df-count join + per-doc sort would run twice
-      .localCheckpoint(true)
-    val a = prefixes.select(col("tok"), col("__pid").as("id_a"),
+
+  /** Prefix-token candidate join with the length and PPJoin positional
+    * filters. J ≥ t needs overlap α = ⌈t/(1+t)·(sa+sb)⌉, and at a true
+    * pair's FIRST shared token (positions pa, pb) no earlier token is
+    * shared, so overlap ≤ 1 + min(sa−pa−1, sb−pb−1) — collisions whose
+    * bound can't reach α prune before the distinct. Honest measurement
+    * note: on the synthetic bench corpus (2k-token shingle vocabulary,
+    * NO rare tokens — the adversarial case for any prefix scheme) this
+    * trims ~15%; on Zipfian real-corpus vocabularies the
+    * prefix+positional pair is the classic order-of-magnitude filter
+    * (Xiao et al. 2008 §4).
+    */
+  private def prefixCandidates(prefA: DataFrame, prefB: DataFrame,
+      threshold: Double, pairPred: Column): DataFrame = {
+    val a = prefA.select(col("tok"), col("__pid").as("id_a"),
       col("s").as("sa"), col("p").as("pa"))
-    val b = prefixes.select(col("tok"), col("__pid").as("id_b"),
+    val b = prefB.select(col("tok"), col("__pid").as("id_b"),
       col("s").as("sb"), col("p").as("pb"))
-    // PPJoin positional filter: J ≥ t needs overlap α = ⌈t/(1+t)·(sa+sb)⌉,
-    // and at a true pair's FIRST shared token (positions pa, pb) no
-    // earlier token is shared, so overlap ≤ 1 + min(sa−pa−1, sb−pb−1) —
-    // collisions whose bound can't reach α prune before the distinct.
-    // Honest measurement note: on the synthetic bench corpus (2k-token
-    // shingle vocabulary, NO rare tokens — the adversarial case for any
-    // prefix scheme) this trims ~15%; on Zipfian real-corpus
-    // vocabularies the prefix+positional pair is the classic
-    // order-of-magnitude filter (Xiao et al. 2008 §4)
     val alpha = ceil(lit(threshold / (1 + threshold)) *
       (col("sa") + col("sb")).cast("double") - lit(1e-9))
-    val cands = a.join(b, Seq("tok"))
-      .filter(col("id_a") < col("id_b") &&
+    a.join(b, Seq("tok"))
+      .filter(pairPred &&
         least(col("sa"), col("sb")).cast("double") >=
           lit(threshold) * greatest(col("sa"), col("sb")).cast("double") &&
         (lit(1) + least(col("sa") - col("pa") - 1, col("sb") - col("pb") - 1))
           .cast("double") >= alpha)
       .select("id_a", "id_b").distinct()
-    val shById = shingled.select(col(idCol).cast("long").as("__id"), col("sh"))
+  }
+
+  /** Exact merge-walk Jaccard verify over deduplicated candidate pairs:
+    * full arrays attach here ONLY — the candidate join itself ships
+    * prefix tokens. `shA`/`shB` are (__id long, sh) frames.
+    */
+  private def verifyJaccard(cands: DataFrame, shA: DataFrame, shB: DataFrame,
+      threshold: Double): DataFrame =
     cands
-      .join(shById.select(col("__id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shById.select(col("__id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(shA.select(col("__id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shB.select(col("__id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         ArrayOps.jaccardSortedLong(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /** EXACT bipartite set-similarity join — every (left, right) pair with
+    * shingle Jaccard ≥ `threshold`, recall 1.0 by construction: the
+    * [[jaccardJoinPrefix]] machinery in the
+    * [[graft.operators.TrainingData.decontaminateFuzzy]] shape (a new
+    * batch, an eval set, or any probe frame vs a corpus) without
+    * banding's probabilistic recall. Returns (id_a = left id, id_b =
+    * right id, jaccard); ids are NOT compared across frames (the two
+    * sides are distinct tables — same-id rows in both still pair).
+    *
+    * The global token order is document frequency over the UNION of both
+    * sides (ascending, ties by hash) — one combined map-side count; any
+    * consistent total order preserves the theorem, and the union df is
+    * the most selective one available without an index. For repeated
+    * probes against the same corpus, build [[jaccardPrefixIndexWrite]]
+    * once and probe with [[jaccardJoinPrefixIncremental]] instead.
+    *
+    * Scale shape: identical to the self-join — one shingle pass per side
+    * (each checkpointed: df count + prefix + verify all read it), the
+    * candidate join ships prefix tokens only, the exact verify touches
+    * deduplicated cross-side candidates.
+    */
+  def jaccardJoinPrefixBipartite(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    requireIntegralId(left, idCol, "jaccardJoinPrefixBipartite")
+    requireIntegralId(right, idCol, "jaccardJoinPrefixBipartite")
+    val shL = prefixShingled(left, idCol, textCol, shingleN).localCheckpoint(true)
+    val shR = prefixShingled(right, idCol, textCol, shingleN).localCheckpoint(true)
+    val toksL = shL.select(col(idCol), explode(col("sh")).as("tok"))
+    val toksR = shR.select(col(idCol), explode(col("sh")).as("tok"))
+    val freq = toksL.unionByName(toksR)
+      .groupBy("tok").agg(count(lit(1)).as("__df"))
+      .localCheckpoint(true) // both sides' prefix builds read it
+    val prefL = prefixRows(toksL, idCol, freq, threshold)
+    val prefR = prefixRows(toksR, idCol, freq, threshold)
+    val cands = prefixCandidates(prefL, prefR, threshold, lit(true))
+    verifyJaccard(cands,
+      shL.select(col(idCol).cast("long").as("__id"), col("sh")),
+      shR.select(col(idCol).cast("long").as("__id"), col("sh")), threshold)
+  }
+
+  /** Persist the exact prefix-join index of a corpus under `path`:
+    *
+    *  - `docs`    — (id, sh): full sorted shingle sets (the verify side)
+    *  - `prefix`  — (__pid, s, tok, p): prefix tokens with positions
+    *                under the order FROZEN at build time
+    *  - `df`      — (tok, __df): the frozen global order itself
+    *  - `dfdelta` — (tok, __df): append-only batch counts (drift
+    *                accounting for the rebuild decision; NEVER read for
+    *                ordering)
+    *  - `meta`    — (shingle_n, threshold): the build parameters probes
+    *                must honor
+    *
+    * The FROZEN-ORDER contract: correctness of the exact join needs only
+    * that every side orders tokens by the SAME total order — the df-asc
+    * order is a selectivity heuristic, not a correctness input (verify
+    * is exact). Freezing it at build means [[jaccardPrefixIndexAppend]]
+    * never recomputes existing docs' prefixes (the whole point of an
+    * index at 100 TB); the cost is that pruning power drifts as the true
+    * df distribution moves away from the frozen one — `dfdelta` holds
+    * the evidence, and a rebuild (re-run this) re-freezes. Tokens never
+    * seen at build order FIRST (df 0, "rarest"): maximally selective for
+    * genuinely-new vocabulary, and consistent on every side.
+    */
+  def jaccardPrefixIndexWrite(df: DataFrame, idCol: String, textCol: String,
+      path: String, shingleN: Int = 5, threshold: Double = 0.5): Unit = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    requireIntegralId(df, idCol, "jaccardPrefixIndexWrite")
+    val spark = df.sparkSession
+    val shingled = prefixShingled(df, idCol, textCol, shingleN)
+      .select(col(idCol).cast("long").as("__id"), col("sh"))
+      .localCheckpoint(true) // docs write + df count + prefix all read it
+    shingled.write.mode("overwrite").parquet(s"$path/docs")
+    val toks = shingled.select(col("__id"), explode(col("sh")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+      .localCheckpoint(true) // df write + prefix build read it
+    freq.write.mode("overwrite").parquet(s"$path/df")
+    prefixRows(toks, "__id", freq, threshold)
+      .write.mode("overwrite").parquet(s"$path/prefix")
+    import spark.implicits._
+    Seq((shingleN, threshold)).toDF("shingle_n", "threshold")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def readPrefixMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Double) = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    (m.getAs[Int]("shingle_n"), m.getAs[Double]("threshold"))
+  }
+
+  /** Append a new batch to a [[jaccardPrefixIndexWrite]] index: shingle
+    * sets to `docs`, prefix rows UNDER THE FROZEN ORDER to `prefix`, and
+    * the batch's token counts to `dfdelta` (drift accounting only). The
+    * frozen `df` table is never touched, so existing prefixes stay
+    * valid — see the frozen-order contract on the writer.
+    */
+  def jaccardPrefixIndexAppend(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    requireIntegralId(newDocs, idCol, "jaccardPrefixIndexAppend")
+    val spark = newDocs.sparkSession
+    val (shingleN, threshold) = readPrefixMeta(spark, path)
+    val shingled = prefixShingled(newDocs, idCol, textCol, shingleN)
+      .select(col(idCol).cast("long").as("__id"), col("sh"))
+      .localCheckpoint(true)
+    shingled.write.mode("append").parquet(s"$path/docs")
+    val toks = shingled.select(col("__id"), explode(col("sh")).as("tok"))
+    val frozen = spark.read.parquet(s"$path/df")
+    prefixRows(toks, "__id", frozen, threshold)
+      .write.mode("append").parquet(s"$path/prefix")
+    toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+      .write.mode("append").parquet(s"$path/dfdelta")
+  }
+
+  /** Incremental EXACT near-dup: every pair with Jaccard ≥ `threshold`
+    * involving at least one NEW doc — new×corpus and new×new in one
+    * pass against a persisted [[jaccardPrefixIndexWrite]] index;
+    * existing×existing pairs are not re-derived (prior runs own them),
+    * and the corpus text is never re-read. The exact-compliance sibling
+    * of [[minhashLshIncremental]]: candidate generation under the
+    * index's frozen order, recall 1.0 by the prefix theorem + exact
+    * verify. `threshold` must be ≥ the index's build threshold (stored
+    * prefixes are long enough exactly for t ≥ t_build; probing below
+    * would silently lose pairs, so it fails loudly instead).
+    *
+    * A re-ingested id (already in the index) pairs by its NEW content:
+    * the verify side prefers the new batch's shingle set, the
+    * [[minhashLshIncrementalFromIndex]] determinism rule.
+    */
+  def jaccardJoinPrefixIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String, threshold: Double): DataFrame = {
+    requireIntegralId(newDocs, idCol, "jaccardJoinPrefixIncremental")
+    val spark = newDocs.sparkSession
+    val (shingleN, buildT) = readPrefixMeta(spark, path)
+    require(threshold >= buildT && threshold <= 1.0,
+      s"probe threshold $threshold must be in [index build threshold " +
+        s"$buildT, 1] — stored prefixes are too short below it")
+    val shNew = prefixShingled(newDocs, idCol, textCol, shingleN)
+      .select(col(idCol).cast("long").as("__id"), col("sh"))
+      .localCheckpoint(true) // prefix build + verify read it
+    val toksNew = shNew.select(col("__id"), explode(col("sh")).as("tok"))
+    val frozen = spark.read.parquet(s"$path/df")
+    // new-batch prefixes at the BUILD threshold (not the probe one): the
+    // index side's stored prefixes have build-threshold length, and the
+    // prefix theorem needs the SHARED token to fall in both prefixes —
+    // probing with shorter (probe-t) prefixes on one side only is safe,
+    // but symmetric build-length prefixes keep the candidate logic one
+    // code path; the length/positional filters prune at the probe t
+    val prefNew = prefixRows(toksNew, "__id", frozen, buildT)
+      .localCheckpoint(true) // both candidate branches read it
+    val prefOld = spark.read.parquet(s"$path/prefix")
+    // new×corpus (both orientations — corpus ids can sit on either side
+    // of the id order) ∪ new×new, one union of prefix rows with a flag
+    val all = prefOld.withColumn("__new", lit(false))
+      .unionByName(prefNew.withColumn("__new", lit(true)))
+    val cands = {
+      val a = all.select(col("tok"), col("__pid").as("id_a"),
+        col("s").as("sa"), col("p").as("pa"), col("__new").as("__na"))
+      val b = all.select(col("tok"), col("__pid").as("id_b"),
+        col("s").as("sb"), col("p").as("pb"), col("__new").as("__nb"))
+      val alpha = ceil(lit(threshold / (1 + threshold)) *
+        (col("sa") + col("sb")).cast("double") - lit(1e-9))
+      a.join(b, Seq("tok"))
+        .filter(col("id_a") < col("id_b") && (col("__na") || col("__nb")) &&
+          least(col("sa"), col("sb")).cast("double") >=
+            lit(threshold) * greatest(col("sa"), col("sb")).cast("double") &&
+          (lit(1) + least(col("sa") - col("pa") - 1, col("sb") - col("pb") - 1))
+            .cast("double") >= alpha)
+        .select("id_a", "id_b").distinct()
+    }
+    // verify side: corpus sets from the index ∪ new sets, new preferred
+    // for a re-ingested id (deterministic — same rule as minhash)
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+      .orderBy(col("__new").desc, xxhash64(col("sh")))
+    val shById = spark.read.parquet(s"$path/docs")
+      .withColumn("__new", lit(false))
+      .unionByName(shNew.withColumn("__new", lit(true)))
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1).select(col("__id"), col("sh"))
+    verifyJaccard(cands, shById, shById, threshold)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

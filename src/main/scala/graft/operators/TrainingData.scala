@@ -1137,10 +1137,23 @@ object TrainingData {
       .select(col(idCol).cast("long").as("__id"), col("chunk_idx"),
         col("__chunk"), md5(col("__chunk")).as("__d"))
       .localCheckpoint(true) // winners + join-back both read it
-    val winners = rows.groupBy("__d")
+    val winners = cdcWinners(rows)
+    cdcAssemble(rows, winners, idCol)
+  }
+
+  // (__d, __id, chunk_idx) digest rows → first-occurrence winners
+  // (__wd, __wid, __widx): partial-aggregatable min-struct on the
+  // 16-byte digest (the dedupLines skew discipline)
+  private def cdcWinners(rows: DataFrame): DataFrame =
+    rows.groupBy("__d")
       .agg(min(struct(col("__id"), col("chunk_idx"))).as("__w"))
       .select(col("__d").as("__wd"), col("__w.__id").as("__wid"),
         col("__w.chunk_idx").as("__widx"))
+
+  // keep each doc's winning chunks, reassemble in order, digest — one
+  // doc-keyed agg whose state is bounded by the doc's own size
+  private def cdcAssemble(rows: DataFrame, winners: DataFrame,
+      idCol: String): DataFrame = {
     val kept = rows.join(winners,
       col("__d") === col("__wd") && col("__id") === col("__wid") &&
         col("chunk_idx") === col("__widx"),
@@ -1157,6 +1170,55 @@ object TrainingData {
         // a fully-deduplicated doc reassembles to the empty string, not
         // to a NULL digest
         coalesce(col("dedup_md5"), md5(lit(""))).as("dedup_md5"))
+  }
+
+  /** Persisted first-occurrence CHUNK index of a corpus: one row per
+    * distinct CDC chunk — `(chunk_md5, id, chunk_idx)` of its globally
+    * first occurrence. The state [[cdcDedupIncremental]] probes against
+    * and appends ([[cdcIndexDelta]]) — the CDC face of the
+    * [[spanIndex]] / [[Dedup.incrementalExact]] probe-and-append index
+    * discipline. At 100 TB this is the whole point of chunk dedup:
+    * checking a new delta without re-chunking the corpus; the index is
+    * one fixed-width row per distinct chunk ever seen, never text.
+    */
+  def cdcIndex(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, maskBits: Int = 6): DataFrame =
+    cdcWinners(cdcChunkRows(docs, idCol, textCol, w, maskBits)
+      .select(col(idCol).cast("long").as("__id"), col("chunk_idx"),
+        md5(col("__chunk")).as("__d")))
+      .select(col("__wd").as("chunk_md5"), col("__wid").as(idCol),
+        col("__widx").as("chunk_idx"))
+
+  /** The index rows a new batch ADDS: its batch-local first occurrences
+    * whose chunk digest is absent from `existingIndex`. Append these to
+    * the persisted index after processing the batch.
+    */
+  def cdcIndexDelta(newDocs: DataFrame, idCol: String, textCol: String,
+      w: Int, maskBits: Int, existingIndex: DataFrame): DataFrame =
+    cdcIndex(newDocs, idCol, textCol, w, maskBits)
+      .join(existingIndex.select("chunk_md5"), Seq("chunk_md5"), "left_anti")
+
+  /** [[cdcDedup]] for continuous ingestion: dedup only the NEW batch,
+    * dropping chunks already owned by the ingested corpus (present in
+    * `existingIndex`, built/maintained via [[cdcIndex]] /
+    * [[cdcIndexDelta]]) as well as later in-batch copies. Equals the
+    * full-corpus [[cdcDedup]] restricted to the new ids whenever
+    * ingestion order matches id order (existing ids sort before new
+    * ids) — the invariant every incremental dedup in this engine
+    * states. The existing corpus's TEXT is never re-chunked, only its
+    * fixed-width digest index is anti-joined.
+    */
+  def cdcDedupIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, w: Int, maskBits: Int,
+      existingIndex: DataFrame): DataFrame = {
+    val rows = cdcChunkRows(newDocs, idCol, textCol, w, maskBits)
+      .select(col(idCol).cast("long").as("__id"), col("chunk_idx"),
+        col("__chunk"), md5(col("__chunk")).as("__d"))
+      .localCheckpoint(true) // winners + join-back both read it
+    val winners = cdcWinners(rows)
+      .join(existingIndex.select(col("chunk_md5").as("__wd")),
+        Seq("__wd"), "left_anti")
+    cdcAssemble(rows, winners, idCol)
   }
 
   /** BM25 relevance of every document against one query (Robertson &

@@ -757,6 +757,72 @@ object StreamingOps {
       }
   }
 
+  /** Continuous-ingestion CDC chunk dedup — the content-defined-boundary
+    * face of the same probe-and-append loop as [[continuousSpanDedup]]:
+    * each micro-batch is deduped against the persisted first-occurrence
+    * chunk index ([[graft.operators.TrainingData.cdcDedupIncremental]]) —
+    * chunks already owned by the ingested corpus, or by an earlier doc
+    * in the batch, are dropped — and the per-doc dedup summary
+    * (n_chunks, n_chunks_kept, dedup_md5) is written to `outPath`; then
+    * the batch's NEW first-occurrence chunks
+    * ([[graft.operators.TrainingData.cdcIndexDelta]]) append to the
+    * index so later batches match against them.
+    *
+    * Accumulated state is the fixed-width chunk-digest index on disk
+    * (one row per distinct chunk ever seen), never text; both writes
+    * are per-batch-id dynamic-partition overwrites, so replays replace
+    * rather than duplicate (the index read excludes the replaying
+    * batch's own failed rows). The output equals the batch restriction
+    * of a full-corpus [[graft.operators.TrainingData.cdcDedup]]
+    * whenever ingestion order matches id order — the invariant the
+    * other incremental dedups state.
+    */
+  def continuousCdcDedup(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, outPath: String, checkpoint: String,
+      w: Int = 8, maskBits: Int = 6): DataStreamWriter[Row] = {
+    import graft.operators.TrainingData
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // the batch feeds two chunking passes (dedup + index delta) —
+        // persist the raw batch once, release deterministically
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          b.count()
+          val existing =
+            try spark.read.parquet(indexPath)
+              .where(col("batch_id") =!= batchId).drop("batch_id")
+            catch {
+              // ONLY path-not-found means "first batch" — see
+              // continuousNearDup
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition == "PATH_NOT_FOUND" =>
+                TrainingData.cdcIndex(b.limit(0), idCol, textCol, w, maskBits)
+            }
+          def writeBatch(df: DataFrame, path: String): Unit = df
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+          // output first, index second: a crash between the two replays
+          // the batch with the index still excluding its own rows
+          writeBatch(
+            TrainingData.cdcDedupIncremental(b, idCol, textCol, w, maskBits,
+              existing),
+            outPath)
+          writeBatch(
+            TrainingData.cdcIndexDelta(b, idCol, textCol, w, maskBits,
+              existing),
+            indexPath)
+        } finally b.unpersist(blocking = false)
+        ()
+      }
+  }
+
   /** Continuous-ingestion near-dup for the HAMMING family — the chunk-
     * blocked analog of [[continuousNearDup]]: each micro-batch builds its
     * (id, sig, bucket) chunk index rows via `indexOf` (text SimHash, image

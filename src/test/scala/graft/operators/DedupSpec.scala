@@ -93,6 +93,95 @@ class DedupSpec extends SparkSpec {
     got should contain((1L, 3L))
   }
 
+  test("jaccardJoinPrefixBipartite equals the brute-force cross-frame pair set") {
+    import spark.implicits._
+    import graft.functions.ArrayOps
+    val left = docs.filter(col("doc_id") <= 2 || col("doc_id") === 4)
+    val right = docs.filter(col("doc_id") === 3 || col("doc_id") === 5)
+    def shOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      ArrayOps.shingleHashes(
+        regexp_replace(trim(lower(col("text"))), "\\s+", " "), 5).as("sh"))
+    def cross(t: Double) = shOf(left)
+      .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(shOf(right)
+        .select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .select(col("id_a"), col("id_b"),
+        ArrayOps.jaccardSortedLong(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (t <- Seq(0.2, 0.5, 0.9)) {
+      Dedup.jaccardJoinPrefixBipartite(left, right, "doc_id", "text",
+        shingleN = 5, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet shouldBe cross(t)
+    }
+    // cross pairs ONLY: the near-dup (1, 3) crosses the split and must
+    // appear; the exact dup (1, 2) is internal to the left frame and
+    // must NOT
+    val got = Dedup.jaccardJoinPrefixBipartite(left, right, "doc_id",
+      "text", 5, 0.5).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got should contain((1L, 3L))
+    got.exists { case (a, b) => a == 1L && b == 2L } shouldBe false
+  }
+
+  test("prefix index: incremental probe equals the full join's new-involving subset") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the morning sun"),
+      (2L, "completely unrelated text about databases and distributed query engines"),
+      (3L, "another unique document mentioning spark catalyst and tungsten internals"))
+      .toDF("doc_id", "text")
+    // batch 1 carries a near-dup of the corpus AND a doc of entirely
+    // NEW vocabulary (exercises the unseen-token df=0 frozen-order path)
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog in the evening sun"),
+      (11L, "zebras gallop across windy plains chasing golden butterflies at dawn"))
+      .toDF("doc_id", "text")
+    // batch 2 duplicates the corpus exactly and near-dups batch 1's
+    // new-vocabulary doc — both must surface through the frozen index
+    val batch2 = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog in the morning sun"),
+      (21L, "zebras gallop across windy plains chasing golden butterflies at dusk"))
+      .toDF("doc_id", "text")
+    val t = 0.3
+    def fullNewInvolving(union: org.apache.spark.sql.DataFrame,
+        newMin: Long) =
+      Dedup.jaccardJoinPrefix(union, "doc_id", "text", 5, t)
+        .filter(col("id_b") >= newMin) // id_a < id_b: new-involving ⇔ id_b new
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("jpidx").toString
+    Dedup.jaccardPrefixIndexWrite(corpus, "doc_id", "text", dir,
+      shingleN = 5, threshold = t)
+    val inc1 = Dedup.jaccardJoinPrefixIncremental(batch1, "doc_id", "text",
+        dir, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    inc1 shouldBe fullNewInvolving(corpus.union(batch1), 10L)
+    inc1.map(p => (p._1, p._2)) should contain((1L, 10L))
+    // append batch 1 (frozen order — the df table is untouched), then
+    // batch 2 must see corpus AND batch-1 docs, including the pair
+    // between two docs of post-freeze vocabulary
+    Dedup.jaccardPrefixIndexAppend(batch1, "doc_id", "text", dir)
+    val inc2 = Dedup.jaccardJoinPrefixIncremental(batch2, "doc_id", "text",
+        dir, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    inc2 shouldBe fullNewInvolving(corpus.union(batch1).union(batch2), 20L)
+    inc2.map(p => (p._1, p._2)) should contain((1L, 20L))   // exact dup of corpus
+    inc2.map(p => (p._1, p._2)) should contain((11L, 21L))  // both post-freeze vocab
+    // probing below the build threshold would silently lose pairs
+    // (stored prefixes too short) — it must fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardJoinPrefixIncremental(batch2, "doc_id", "text", dir, 0.2)
+    }
+    e.getMessage should include("build threshold")
+    // probing ABOVE the build threshold is safe (longer-than-needed
+    // prefixes only add candidates; verify is exact)
+    Dedup.jaccardJoinPrefixIncremental(batch2, "doc_id", "text", dir, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet shouldBe fullNewInvolving(
+        corpus.union(batch1).union(batch2), 20L).filter(_._3 >= 0.9)
+  }
+
   test("simhash finds near duplicates within hamming bound") {
     val pairs = Dedup.simhash(docs, "doc_id", "text", maxHamming = 8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

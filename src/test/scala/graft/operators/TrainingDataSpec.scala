@@ -475,6 +475,51 @@ class TrainingDataSpec extends SparkSpec {
     k3 shouldBe n3
   }
 
+  test("cdcDedupIncremental equals the full rebuild restricted to the new batch") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight while owls watch"
+    val corpus = Seq(
+      (1L, body),
+      (2L, "entirely different content with zero overlap whatsoever here " +
+        "nothing shared between documents at all in any chunk"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, body),                       // every chunk owned by doc 1
+      (11L, "XX " + body),               // re-syncs to mostly-owned chunks
+      (12L, "fresh never seen prose about sailing boats across quiet lakes " +
+        "under pale morning light with gulls overhead"),
+      (13L, "fresh never seen prose about sailing boats across quiet lakes " +
+        "under pale morning light with gulls overhead")) // in-batch dup of 12
+      .toDF("doc_id", "text")
+    val index = TrainingData.cdcIndex(corpus, "doc_id", "text",
+      w = 8, maskBits = 4)
+    val inc = TrainingData.cdcDedupIncremental(batch, "doc_id", "text",
+        w = 8, maskBits = 4, index)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+      .toSet
+    // the incremental contract: batch result == full-corpus rebuild
+    // restricted to the new ids (existing ids sort before new ids)
+    val full = TrainingData.cdcDedup(corpus.union(batch), "doc_id", "text",
+        w = 8, maskBits = 4)
+      .filter(col("doc_id") >= 10)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+      .toSet
+    inc shouldBe full
+    val byId = inc.map(r => r._1 -> ((r._2, r._3))).toMap
+    byId(10L)._2 shouldBe 0L                 // exact dup loses everything
+    byId(12L)._2 shouldBe byId(12L)._1       // fresh doc keeps all chunks
+    byId(13L)._2 shouldBe 0L                 // in-batch dup loses to 12
+    // the delta holds exactly the batch's new-vocabulary winners: no
+    // digest already in the corpus index, every kept chunk present
+    val delta = TrainingData.cdcIndexDelta(batch, "doc_id", "text",
+      w = 8, maskBits = 4, existingIndex = index)
+    delta.join(index, Seq("chunk_md5"), "left_semi").count() shouldBe 0L
+    delta.filter(col("doc_id") === 13L).count() shouldBe 0L // 12 owns them
+  }
+
   test("cdcChunks plan is scan-side only — no shuffle") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, s"some text $i " * 10)).toDF("doc_id", "text")

@@ -909,6 +909,51 @@ class StreamingOpsSpec extends SparkSpec {
     idx.count(_ == 10L) shouldBe 1 // doc 10 owns only its fresh block
   }
 
+  test("continuousCdcDedup strips cross-batch repeated chunks, grows the chunk index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccdc").toString
+    val body = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight while owls watch"
+    val fresh = "fresh never seen prose about sailing boats across quiet " +
+      "lakes under pale morning light with gulls overhead"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.continuousCdcDedup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/index", s"$dir/out", s"$dir/ckpt", w = 8, maskBits = 4).start()
+    try {
+      in.addData((0L, body), (1L, fresh))
+      q.processAllAvailable()
+      // batch 2: doc 10 repeats doc 0 exactly (every chunk stripped via
+      // the persisted index); doc 11 is a prefix-insertion variant that
+      // re-syncs to doc 0's chunks after its first boundary
+      in.addData((10L, body), (11L, "XX " + body))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "n_chunks", "n_chunks_kept", "dedup_md5")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    // equals the full-corpus rebuild (ingestion order == id order)
+    val full = graft.operators.TrainingData.cdcDedup(
+      Seq((0L, body), (1L, fresh), (10L, body), (11L, "XX " + body))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", w = 8, maskBits = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    out shouldBe full
+    val byId = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    byId(0L)._2 shouldBe byId(0L)._1  // first doc keeps everything
+    byId(10L)._2 shouldBe 0L          // cross-batch exact dup keeps nothing
+    byId(11L)._2 should be < byId(11L)._1 // re-syncs to mostly-owned chunks
+    // index holds one row per distinct chunk ever seen, first-doc owned
+    val idx = spark.read.parquet(s"$dir/index")
+    idx.groupBy("chunk_md5").count().filter(col("count") > 1).count() shouldBe 0L
+    idx.filter(col("doc_id") === 10L).count() shouldBe 0L // 10 owns nothing
+  }
+
   test("continuousSimhashDedup: hamming family probes and grows its chunk index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
