@@ -691,6 +691,17 @@ object SparkEntry {
       // so distributed and sequential summation agree bit-for-bit
       graft.operators.TrainingData.bm25(Tables.documents(s, dir),
         "doc_id", "text", query = Seq("spark", "vector", "hash", "zeppelin"))),
+    "text_bm25_indexed" -> ((s, dir) => {
+      // the persisted-inverted-index probe: build once (postings
+      // hash-partitioned on a term bucket, df + stats as exact-integer
+      // batch rows), then score the SAME probe without a corpus scan —
+      // bit-identical to direct bm25, which is the shared oracle
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-bm25idx"
+      graft.operators.TrainingData.bm25IndexWrite(
+        Tables.documents(s, dir), "doc_id", "text", idx)
+      graft.operators.TrainingData.bm25FromIndex(s, idx, "doc_id",
+        query = Seq("spark", "vector", "hash", "zeppelin"))
+    }),
     "pipeline_training_data" -> ((s, dir) =>
       // the composed product use-case: quality + language + length
       // filters, then exact-dedup survivors — one declarative chain
@@ -1472,6 +1483,26 @@ object SparkEntry {
         "embedding", dim = 64, k = 4, iters = 2, threshold = 0.4)
         .select(col("id").as("vec_id"), col("cluster_id"),
           round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))),
+    "dedup_incremental_semantic_kmeans" -> ((s, dir) => {
+      // continuous-ingestion SemDeDup: the new batch (ids >= 250) scores
+      // against the model TRAINED ON THE EXISTING CORPUS (frozen cells,
+      // never retrained) and the persisted assigned-vector index; every
+      // component touched by a new doc is re-decided whole (a new doc
+      // can bridge two existing components or displace a survivor) —
+      // must equal the frozen-model rebuild over the union restricted
+      // to new-involving components (oracle runs exactly that)
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.operators.Embeddings.kmeansTrain(
+        emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+        dim = 64, k = 4, iters = 2)
+      val index = Dedup.semanticKmeansIndex(
+        emb.filter(col("vec_id") < 250), "vec_id", "embedding", model)
+      Dedup.semanticDedupKmeansIncremental(
+        emb.filter(col("vec_id") >= 250), "vec_id", "embedding",
+        model, index, threshold = 0.4)
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))
+    }),
     "dedup_incremental_embedding_lsh" -> ((s, dir) => {
       // continuous-ingestion embedding near-dup: new batch (ids >= 250)
       // probes the persisted hyperplane index of the existing corpus +
@@ -2178,7 +2209,7 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, list_distinct(list_transform(
              generate_series(1, length(n)-11), i -> n[i:i+11])) AS g
            FROM (SELECT doc_id,
-                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+                   regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g') AS n
                  FROM documents WHERE text IS NOT NULL)),
          ev AS (SELECT doc_id AS eval_id, g AS eg FROM t
                 WHERE doc_id % 10 = 0 AND len(g) > 0),
@@ -2195,7 +2226,7 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, list_distinct(list_transform(
              generate_series(1, length(n)-4), i -> n[i:i+4])) AS g
            FROM (SELECT doc_id,
-                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+                   regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g') AS n
                  FROM documents WHERE text IS NOT NULL)),
          p AS (SELECT a.doc_id AS doc_id,
                  len(list_intersect(a.g, b.g)) AS i,
@@ -2525,31 +2556,11 @@ object SparkEntry {
          WHERE tot.doc_id >= 250""",
     // same tokenization, same non-negative idf, same k1=1.2/b=0.75, and
     // the same integer micro-unit sum — bit-for-bit replay
-    "text_bm25" ->
-      """WITH tok AS (SELECT doc_id,
-             CASE WHEN text IS NULL THEN NULL
-                  WHEN trim(text) = '' THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
-           FROM documents),
-         dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tok WHERE t IS NOT NULL),
-         stats AS (SELECT (SELECT count(*) FROM tok)::DOUBLE AS n,
-                          coalesce((SELECT avg(dl) FROM dl), 1.0) AS avgdl),
-         hits AS (SELECT doc_id, unnest(t) AS term FROM tok),
-         tf AS (SELECT h.doc_id, term, dl.dl, count(*)::DOUBLE AS tf
-                FROM hits h JOIN dl USING (doc_id)
-                WHERE term IN ('spark', 'vector', 'hash', 'zeppelin')
-                GROUP BY 1, 2, 3),
-         dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-         sc AS (SELECT doc_id,
-             -- ::DOUBLE on 1.2: DuckDB's DECIMAL literal route would
-             -- yield the 2.2-double, one ulp off Spark's double(1.2)+1.0
-             ln(1.0 + (s.n - df + 0.5) / (df + 0.5)) * tf
-               * (1.2::DOUBLE + 1.0) /
-               (tf + 1.2::DOUBLE * (1.0 - 0.75 + 0.75 * dl / s.avgdl)) AS sv
-           FROM tf JOIN dfx USING (term) CROSS JOIN stats s)
-         SELECT doc_id, count(*)::BIGINT AS n_query_terms_hit,
-           round(sum(round(sv * 1e6)::BIGINT)::DOUBLE / 1e6, 6) AS bm25
-         FROM sc GROUP BY doc_id""",
+    "text_bm25" -> bm25Oracle,
+    // the indexed probe holds BIT-IDENTICAL scores to the direct scan
+    // (shared scoring tail, exact-integer df/stats folds), so the two
+    // queries share one oracle — equality IS the index's contract
+    "text_bm25_indexed" -> bm25Oracle,
     "pipeline_training_data" -> trainingDataOracle,
     "pipeline_decontaminate" -> decontaminateOracle,
     // bloom prefilter + exact confirm ⇒ same answer as the exact path
@@ -3434,6 +3445,48 @@ object SparkEntry {
          SELECT vec_id, cluster_id::BIGINT AS cluster_id,
            round(cc, 6) AS centroid_cos, (rk = 1) AS keep
          FROM r"""),
+    // the frozen-model incremental SemDeDup: train the k-means chain on
+    // ids < 250 ONLY, assign ALL vectors to those frozen cells, run the
+    // full pair/closure/keep machinery over the union, and keep only
+    // components containing a new id — the whole-component re-decision
+    // the incremental operator must reproduce
+    "dedup_incremental_semantic_kmeans" ->
+      (kmeansReplaySql
+        .replaceFirst("WITH ", "WITH RECURSIVE ")
+        .replace("FROM embeddings WHERE embedding IS NOT NULL",
+          "FROM embeddings WHERE embedding IS NOT NULL AND vec_id < 250")
+      + """, eall AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         a3 AS MATERIALIZED (SELECT eall.vec_id, eall.v,
+           (SELECT s.c FROM c2 s
+            ORDER BY round(list_cosine_similarity(eall.v, s.v), 6) DESC, s.c
+            LIMIT 1) AS cluster FROM eall),
+         keepc AS (SELECT cluster FROM a3 GROUP BY cluster
+                   HAVING count(*) <= 1000),
+         sz AS MATERIALIZED (SELECT a3.* FROM a3 JOIN keepc USING (cluster)),
+         pr AS MATERIALIZED (
+           SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+           FROM sz a JOIN sz bb
+             ON a.cluster = bb.cluster AND a.vec_id < bb.vec_id
+           WHERE list_cosine_similarity(a.v, bb.v) >= 0.4),
+         edges AS (SELECT id_a AS ea, id_b AS eb FROM pr
+                   UNION SELECT id_b, id_a FROM pr),
+         reach(ea, eb) AS (
+           SELECT ea, eb FROM edges
+           UNION
+           SELECT r.ea, e2.eb FROM reach r JOIN edges e2 ON r.eb = e2.ea),
+         lab AS (SELECT ea AS vec_id, least(ea, min(eb)) AS cluster_id
+                 FROM reach GROUP BY ea),
+         newcomp AS (SELECT DISTINCT cluster_id FROM lab WHERE vec_id >= 250),
+         m AS (SELECT lab.vec_id, lab.cluster_id,
+             list_cosine_similarity(sz.v, c2.v) AS cc
+           FROM lab JOIN sz USING (vec_id) JOIN c2 ON sz.cluster = c2.c
+           WHERE lab.cluster_id IN (SELECT cluster_id FROM newcomp)),
+         r AS (SELECT vec_id, cluster_id, cc, row_number() OVER (
+             PARTITION BY cluster_id ORDER BY cc, vec_id) AS rk FROM m)
+         SELECT vec_id, cluster_id::BIGINT AS cluster_id,
+           round(cc, 6) AS centroid_cos, (rk = 1) AS keep
+         FROM r"""),
     // same exact bucket rebuild; any pair involving the new batch
     // (ids >= 250) has id_b >= 250 because id_a < id_b
     "dedup_incremental_embedding_lsh" ->
@@ -3691,11 +3744,40 @@ object SparkEntry {
        s AS (SELECT doc_id, count(*)::BIGINT AS n_feats, sum(lr.lr) AS logw
              FROM b JOIN lr USING (b) GROUP BY 1)"""
 
+  /** Okapi BM25 replay (shared by text_bm25 and text_bm25_indexed — the
+    * indexed probe is contractually bit-identical to the direct scan).
+    */
+  private lazy val bm25Oracle: String =
+    """WITH tok AS (SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL
+                WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+         FROM documents),
+       dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tok WHERE t IS NOT NULL),
+       stats AS (SELECT (SELECT count(*) FROM tok)::DOUBLE AS n,
+                        coalesce((SELECT avg(dl) FROM dl), 1.0) AS avgdl),
+       hits AS (SELECT doc_id, unnest(t) AS term FROM tok),
+       tf AS (SELECT h.doc_id, term, dl.dl, count(*)::DOUBLE AS tf
+              FROM hits h JOIN dl USING (doc_id)
+              WHERE term IN ('spark', 'vector', 'hash', 'zeppelin')
+              GROUP BY 1, 2, 3),
+       dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+       sc AS (SELECT doc_id,
+           -- ::DOUBLE on 1.2: DuckDB's DECIMAL literal route would
+           -- yield the 2.2-double, one ulp off Spark's double(1.2)+1.0
+           ln(1.0 + (s.n - df + 0.5) / (df + 0.5)) * tf
+             * (1.2::DOUBLE + 1.0) /
+             (tf + 1.2::DOUBLE * (1.0 - 0.75 + 0.75 * dl / s.avgdl)) AS sv
+         FROM tf JOIN dfx USING (term) CROSS JOIN stats s)
+       SELECT doc_id, count(*)::BIGINT AS n_query_terms_hit,
+         round(sum(round(sv * 1e6)::BIGINT)::DOUBLE / 1e6, 6) AS bm25
+       FROM sc GROUP BY doc_id"""
+
   private lazy val decontaminateOracle: String =
     """WITH t AS (SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
               ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
-       FROM documents),
+       FROM (SELECT doc_id, nfc_normalize(text) AS text FROM documents)),
        g AS (SELECT doc_id, list_distinct(list_transform(
            generate_series(1, greatest(len(toks) - 3, 0)),
            i -> array_to_string(toks[i:i+3], ' '))) AS grams FROM t),
@@ -4037,7 +4119,7 @@ object SparkEntry {
           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks,
           ' ' || lower(text) || ' ' AS p
-        FROM $sourceRel),
+        FROM (SELECT doc_id, nfc_normalize(text) AS text FROM $sourceRel)),
       sc AS (SELECT doc_id, text, toks,
           ${langScoreSql("en")} AS s_en, ${langScoreSql("de")} AS s_de,
           ${langScoreSql("fr")} AS s_fr, ${langScoreSql("es")} AS s_es FROM t),

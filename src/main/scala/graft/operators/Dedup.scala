@@ -995,6 +995,96 @@ object Dedup {
         (struct(col("centroid_cos"), col("id")) === col("__best")).as("keep"))
   }
 
+  /** Assigned-vector index of a corpus under a TRAINED k-means model
+    * ([[Embeddings.kmeansTrain]]): one row per non-null vector —
+    * (id, v, cluster). The persistable state
+    * [[semanticDedupKmeansIncremental]] probes: write it once, append
+    * each accepted batch's rows, and future batches dedup against the
+    * corpus without re-reading source vectors or retraining — the
+    * train-offline / score-online split of `continuousKmeansAssign`,
+    * applied to SemDeDup.
+    */
+  def semanticKmeansIndex(df: DataFrame, idCol: String, vecCol: String,
+      model: DataFrame): DataFrame = {
+    val cents = model.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .select(col(idCol), col("v"), Embeddings.nearest(col("v"), cents))
+  }
+
+  /** [[semanticDedupKmeans]] for continuous ingestion: score a NEW batch
+    * against the FROZEN model and the persisted corpus index
+    * ([[semanticKmeansIndex]]) instead of retraining — corpus vectors
+    * come from the index, never the source table, and the Lloyd loop
+    * never re-runs. Emits (id, cluster_id, centroid_cos, keep) for every
+    * member — new OR existing — of a duplicate component that contains
+    * at least one new doc: a new doc can bridge two existing components
+    * or displace an existing survivor (it sits farther from the cell
+    * centroid), so touched components are re-decided whole; untouched
+    * components keep their prior decisions (prior runs own them).
+    * Equals the frozen-model rebuild over (corpus ∪ batch) restricted to
+    * new-involving components — the oracle contract. Ids must be
+    * disjoint from the corpus (a changed re-ingested vector is a
+    * rebuild, the [[graft.streaming.StreamingOps.continuousIvfAppend]]
+    * stance).
+    *
+    * Scale shape: pairs never cross cells, so every stage prunes to the
+    * ≤k cells the BATCH touches (a broadcast semi join on the cell id) —
+    * compaction-style delta locality: the corpus-sized index is read
+    * once cell-pruned, the capped self-join runs only in touched cells,
+    * and the closure touches only their pair members. Centroid distance
+    * is against the MODEL (k-row broadcast), so decisions replay
+    * identically from a persisted model.
+    */
+  def semanticDedupKmeansIncremental(newDocs: DataFrame, idCol: String,
+      vecCol: String, model: DataFrame, corpusIndex: DataFrame,
+      threshold: Double = 0.9, maxClusterSize: Int = 1000): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val cents = model.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    val all = corpusIndex
+      .select(col(idCol), col("v"), col("cluster"), lit(false).as("__new"))
+      .unionByName(semanticKmeansIndex(newDocs, idCol, vecCol, model)
+        .withColumn("__new", lit(true)))
+      .localCheckpoint(true) // touched cells + cap + both pair sides + members
+    // only cells the batch touches can host a new-involving component
+    // (pairs never cross cells) — ≤k rows, broadcast
+    val touchedCells = all.filter(col("__new")).select("cluster").distinct()
+    val inTouched = all.join(broadcast(touchedCells), Seq("cluster"))
+    // cap on the UNION size of each cell — identical to the rebuild's
+    // cap (every row of a touched cell is in `inTouched`)
+    val keep = inTouched.groupBy("cluster").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxClusterSize).select("cluster")
+    val sized = inTouched.join(keep, Seq("cluster"))
+    val a = sized.select(col("cluster"), col(idCol).as("id_a"), col("v").as("v_a"))
+    val b = sized.select(col("cluster"), col(idCol).as("id_b"), col("v").as("v_b"))
+    // ALL within-cell pairs, old-old included: an old-old edge can be
+    // the path that joins an old doc into a new-involving component
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b") &&
+        V.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select("id_a", "id_b")
+    val labels = connectedComponents(pairs, "id_a", "id_b")
+    val newIds = all.filter(col("__new"))
+      .select(col(idCol).cast("long").as("id"))
+    val newComps = labels.join(newIds, Seq("id"), "left_semi")
+      .select("cluster_id").distinct()
+    val centDf = broadcast(cents.toDF("cluster", "__c"))
+    val members = labels.join(newComps, Seq("cluster_id"), "left_semi")
+      .join(sized.select(col(idCol).cast("long").as("id"), col("v"),
+        col("cluster")), Seq("id"))
+      .join(centDf, Seq("cluster"))
+      .select(col("id"), col("cluster_id"),
+        V.cosine(col("v"), col("__c")).as("centroid_cos"))
+    val best = members.groupBy("cluster_id")
+      .agg(min(struct(col("centroid_cos"), col("id"))).as("__best"))
+    members.join(best, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("centroid_cos"),
+        (struct(col("centroid_cos"), col("id")) === col("__best")).as("keep"))
+  }
+
   /** Connected components over a near-dup PAIR relation — the step that
     * turns pairwise matches into dedup decisions: docs A-B and B-C are
     * one duplicate CLUSTER even though A-C was never compared, and a

@@ -16,17 +16,33 @@ import graft.functions.{TextFunctions => T}
   */
 object TrainingData {
 
+  /** Unicode NFC at every text entry of the composed pipelines: the same
+    * visible text can arrive precomposed or decomposed, and byte-keyed
+    * dedup digests / shingle hashes / n-gram hashes silently treat the
+    * two forms as different documents ([[graft.functions.UnicodeNorm]]).
+    * Normalizing INSIDE the operators (not as a caller convention) is
+    * what makes the guarantee hold: a decomposed-form duplicate dedups,
+    * and a decomposed-form benchmark quote still decontaminates.
+    * Null-propagating; a no-op (with an ASCII fast path) on the
+    * overwhelming majority of crawl bytes.
+    */
+  private def nfc(c: Column): Column = graft.functions.UnicodeNorm.nfc(c)
+
   /** Deterministic preparation chain:
-    *  1. annotate quality / language / token count,
-    *  2. keep docs meeting the quality floor in accepted languages with
+    *  1. Unicode-NFC the text (see [[nfc]] — the dedup digest must not
+    *     split canonical-equivalent duplicates),
+    *  2. annotate quality / language / token count,
+    *  3. keep docs meeting the quality floor in accepted languages with
     *     at least `minTokens` tokens,
-    *  3. exact-dedup survivors (min doc id per identical text).
+    *  4. exact-dedup survivors (min doc id per identical text).
     *
     * Returns the surviving docs with their annotations.
     */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double, langs: Seq[String], minTokens: Int): DataFrame = {
-    val annotated = docs.select(
+    val annotated = docs
+      .select(col(idCol), nfc(col(textCol)).as(textCol))
+      .select(
       col(idCol),
       col(textCol),
       T.qualityScore(col(textCol)).as("quality"),
@@ -50,7 +66,11 @@ object TrainingData {
   def prepareStream(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String,
       minQuality: Double, langs: Seq[String], minTokens: Int): DataFrame = {
-    val annotated = docs.select(
+    val annotated = docs
+      // same NFC-before-digest rule as the batch path — the two faces
+      // must produce one digest for one canonical text
+      .select(col(idCol), col(tsCol), nfc(col(textCol)).as(textCol))
+      .select(
       col(idCol), col(tsCol),
       md5(coalesce(col(textCol), lit("\u0001"))).as("__digest"),
       T.qualityScore(col(textCol)).as("quality"),
@@ -80,10 +100,12 @@ object TrainingData {
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
     import graft.functions.ArrayOps
+    // NFC on BOTH sides (see [[nfc]]): a decomposed-form crawl copy of a
+    // precomposed benchmark passage must still hash to the same grams
     val docGrams = docs.select(col(idCol),
-      explode(ArrayOps.wordNgramHashes(T.normTokens(col(textCol)), n)).as("g"))
+      explode(ArrayOps.wordNgramHashes(T.normTokens(nfc(col(textCol))), n)).as("g"))
     val benchGrams = benchmark.select(
-      explode(ArrayOps.wordNgramHashes(T.normTokens(col(benchTextCol)), n)).as("g"))
+      explode(ArrayOps.wordNgramHashes(T.normTokens(nfc(col(benchTextCol))), n)).as("g"))
       .distinct()
     // per-doc gram hashes are already distinct (wordNgramHashes dedups),
     // so the join emits each overlapping gram once and count == distinct
@@ -127,14 +149,14 @@ object TrainingData {
     import graft.functions.{ArrayOps, Bloom}
     require(bitsPerElem >= 2, "bitsPerElem >= 2")
     val benchGrams = benchmark.select(
-      explode(ArrayOps.wordNgramHashes(T.normTokens(col(benchTextCol)), n)).as("g"))
+      explode(ArrayOps.wordNgramHashes(T.normTokens(nfc(col(benchTextCol))), n)).as("g"))
       .distinct()
       .localCheckpoint(true) // feeds the size count, the build, the confirm
     val nGrams = benchGrams.count()
     val numWords = math.max(1L, (nGrams * bitsPerElem + 63L) / 64L).toInt
     val words = Bloom.build(benchGrams, "g", numWords, k)
     val docGrams = docs.select(col(idCol),
-      explode(ArrayOps.wordNgramHashes(T.normTokens(col(textCol)), n)).as("g"))
+      explode(ArrayOps.wordNgramHashes(T.normTokens(nfc(col(textCol))), n)).as("g"))
     // ~32 bytes per broadcast hash-relation row of one long; only hint
     // the broadcast when the whole gram set provably fits
     val threshold = docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
@@ -195,7 +217,10 @@ object TrainingData {
       shingleN: Int = 5, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     import graft.functions.ArrayOps
-    def norm(c: Column) = regexp_replace(trim(lower(c)), "\\s+", " ")
+    // NFC before the byte-level shingles (see [[nfc]]) — containment is
+    // exactly the quoted-benchmark-passage check canonical-form drift
+    // would blind
+    def norm(c: Column) = regexp_replace(trim(lower(nfc(c))), "\\s+", " ")
     val evalToks = benchmark.filter(col(benchTextCol).isNotNull)
       .select(col(benchIdCol).as("__eid"),
         ArrayOps.shingleHashes(norm(col(benchTextCol)), shingleN).as("__eg"))
@@ -224,7 +249,8 @@ object TrainingData {
     def shingled(df: DataFrame, id: String, text: String): DataFrame = df
       .filter(col(text).isNotNull)
       .select(col(id), ArrayOps.shingleHashes(
-        regexp_replace(trim(lower(col(text))), "\\s+", " "), shingleN).as("sh"))
+        regexp_replace(trim(lower(nfc(col(text)))), "\\s+", " "), shingleN)
+        .as("sh")) // NFC before shingle hashes — see [[nfc]]
       .localCheckpoint(true)
     def buckets(sh: DataFrame, id: String): DataFrame = sh
       .select(col(id), V.minhashSignatureOfHashes(col("sh"), numHashes).as("sig"))
@@ -1264,6 +1290,14 @@ object TrainingData {
     val tf = hits.groupBy(col(idCol), col("__dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("__tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("__df"))
+    bm25Score(tf, dfT, stats, idCol, k1, b)
+  }
+
+  // the ONE scoring tail ([[bm25]] and [[bm25FromIndex]] must stay
+  // bit-identical): non-negative idf, tf saturation, per-doc sum in
+  // exact integer micro-units (order-free, bit-reproducible)
+  private def bm25Score(tf: DataFrame, dfT: DataFrame, stats: DataFrame,
+      idCol: String, k1: Double, b: Double): DataFrame =
     tf.join(broadcast(dfT), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col(idCol),
@@ -1274,8 +1308,110 @@ object TrainingData {
           .as("__s"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_query_terms_hit"),
-        // exact integer micro-units: order-free, bit-reproducible
         round(sum(round(col("__s") * 1e6).cast("long")).cast("double") / 1e6, 6)
           .as("bm25"))
+
+  /** Persist the BM25 inverted index of a corpus under `path` — the
+    * retrieval face of the probe-and-append index discipline
+    * ([[Dedup.minhashIndex]], [[cdcIndex]]): [[bm25]] is one full
+    * corpus pass per probe, right for one-off audits but wasteful for
+    * REPEATED retrieval / decontamination probes against the same
+    * corpus. Three tables:
+    *
+    *  - `postings` — (term, id, tf, dl), hash-partitioned on
+    *    `tb = pmod(xxhash64(term), nBuckets)`: a probe reads ONLY its
+    *    query terms' buckets (static partition pruning) and the `term`
+    *    predicate prunes row groups within them — probe cost scales
+    *    with the terms' posting lists, never the corpus. dl rides
+    *    denormalized on the posting row so scoring joins nothing
+    *    corpus-sized.
+    *  - `df` — (term, df) per build/append batch, same partitioning;
+    *    effective df = sum over batch rows (exact longs).
+    *  - `stats` — one (n_docs, n_dl, sum_dl) row per build/append
+    *    batch; N and avgdl fold by exact-integer sums (dl is a token
+    *    COUNT, so `sum_dl` is a long — append order can never move a
+    *    ulp, which is what keeps indexed scores bit-identical to
+    *    direct [[bm25]]).
+    *
+    * Append new docs with [[bm25IndexAppend]] (ids must be new — a
+    * changed re-ingested doc is a rebuild); probe with
+    * [[bm25FromIndex]].
+    */
+  def bm25IndexWrite(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit =
+    bm25IndexOut(docs, idCol, textCol, path, nBuckets, overwrite = true)
+
+  /** Append a new batch to a [[bm25IndexWrite]] index: postings + df
+    * batch counts + one stats row. Ids must be disjoint from the
+    * indexed corpus.
+    */
+  def bm25IndexAppend(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit =
+    bm25IndexOut(newDocs, idCol, textCol, path, nBuckets, overwrite = false)
+
+  private def bm25IndexOut(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int, overwrite: Boolean): Unit = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    val mode = if (overwrite) "overwrite" else "append"
+    val toks = docs
+      .select(col(idCol), T.normTokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"), size(col("__t")).as("__dli"))
+      .localCheckpoint(true) // stats + postings read it
+    val postings = toks
+      .select(col(idCol), col("__dli"), explode(col("__t")).as("term"))
+      .groupBy(col(idCol), col("__dli"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col(idCol), col("tf"), col("__dli").as("dl"),
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("tb"))
+      .localCheckpoint(true) // postings write + df derive read it
+    postings
+      .repartition(col("tb")) // one file per bucket, not files × tasks
+      .write.mode(mode).partitionBy("tb").parquet(s"$path/postings")
+    postings.groupBy(col("term"), col("tb"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(col("tb"))
+      .write.mode(mode).partitionBy("tb").parquet(s"$path/df")
+    toks.agg(count(lit(1)).as("n_docs"),
+        count(col("__dli")).as("n_dl"),
+        coalesce(sum(col("__dli").cast("long")), lit(0L)).as("sum_dl"))
+      .repartition(1)
+      .write.mode(mode).parquet(s"$path/stats")
+  }
+
+  /** Probe a [[bm25IndexWrite]] index: identical scores to running
+    * [[bm25]] over the indexed corpus (same non-negative idf, same
+    * integer micro-unit sums — the shared scoring tail), WITHOUT a
+    * corpus scan. Reads: the query terms' posting-list buckets
+    * (partition-pruned), the same buckets of the df table, and the
+    * O(batches) stats rows — a probe against 100 TB touches megabytes.
+    */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, query: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, nBuckets: Int = 64): DataFrame = {
+    require(query.nonEmpty, "query must be non-empty")
+    require(k1 >= 0 && b >= 0 && b <= 1, "k1 >= 0, b in [0, 1]")
+    import spark.implicits._
+    val qTerms = query.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    // the buckets through the SAME expression the writer used — the
+    // hash definition lives in one place; ≤|query| driver rows
+    val buckets = qTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .distinct().collect().map(_.getLong(0))
+    def pruned(sub: String): DataFrame =
+      spark.read.parquet(s"$path/$sub")
+        .filter(col("tb").isin(buckets: _*) && col("term").isin(qTerms: _*))
+    val tf = pruned("postings")
+      .select(col(idCol), col("term"), col("tf").cast("double").as("__tf"),
+        col("dl").cast("double").as("__dl"))
+    val dfT = pruned("df").groupBy("term")
+      .agg(sum(col("df")).cast("double").as("__df"))
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).cast("double").as("__n"),
+        // exact long sums ⇒ avgdl is append-order-invariant; the
+        // coalesce mirrors bm25's all-null-dl fallback
+        when(sum(col("n_dl")) > 0,
+          sum(col("sum_dl")).cast("double") / sum(col("n_dl")).cast("double"))
+          .otherwise(lit(1.0)).as("__avgdl"))
+    bm25Score(tf, dfT, stats, idCol, k1, b)
   }
 }

@@ -151,6 +151,60 @@ class SemanticDedupSpec extends SparkSpec {
     assert(clusters.exists(_._2.size > 1), "fixture must form a real cluster")
   }
 
+  test("semanticDedupKmeansIncremental: whole-component re-decision from the frozen model") {
+    import spark.implicits._
+    // corpus: a +x chain (1–3–4 mutually near) and a +y pair (2, 5);
+    // ids 1 and 2 lead so the k=2 seeds straddle both groups
+    val corpus = Seq(
+      1L -> Seq(1.0, 0.0, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0, 0.0),
+      3L -> Seq(0.99, 0.141, 0.0, 0.0),
+      4L -> Seq(0.96, 0.28, 0.0, 0.0),
+      5L -> Seq(0.0, 0.99, 0.1, 0.0)).toDF("vec_id", "embedding")
+    // the new doc pairs with 3 and 4 but NOT with 1 (cos(100, 1) = 0.9
+    // < 0.95): doc 1 joins the re-decided component only through its
+    // OLD-OLD edges — the path a new-pairs-only incremental would lose
+    val batch = Seq(100L -> Seq(0.9, 0.436, 0.0, 0.0))
+      .toDF("vec_id", "embedding")
+    val t = 0.95
+    val model = Embeddings.kmeansTrain(corpus, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 2)
+    val index = Dedup.semanticKmeansIndex(corpus, "vec_id", "embedding", model)
+    val inc = Dedup.semanticDedupKmeansIncremental(batch, "vec_id",
+        "embedding", model, index, threshold = t)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    // the touched component is re-decided WHOLE: old members included
+    inc.keySet shouldBe Set(1L, 3L, 4L, 100L)
+    inc.values.map(_._1).toSet shouldBe Set(1L) // cluster_id = min id
+    // the untouched +y component (2, 5) keeps its prior decisions —
+    // absent here even though it is a real duplicate pair in the corpus
+    Dedup.semanticDedupKmeans(corpus, "vec_id", "embedding", dim = 4,
+      k = 2, iters = 2, threshold = t)
+      .filter(col("id").isin(2L, 5L)).count() shouldBe 2L
+    // the new doc sits farthest from the trained centroid: it DISPLACES
+    // the previous survivor (the SemDeDup diversity-edge keep rule)
+    inc(100L)._3 shouldBe true
+    Seq(1L, 3L, 4L).foreach(id => inc(id)._3 shouldBe false)
+    inc(100L)._2 shouldBe Seq(1L, 3L, 4L, 100L).map(inc(_)._2).min
+    // contract: equals the frozen-model rebuild over the union (same
+    // model, empty index = everything is "new") restricted to
+    // components containing a new id
+    val rebuild = Dedup.semanticDedupKmeansIncremental(
+        corpus.union(batch), "vec_id", "embedding", model,
+        Dedup.semanticKmeansIndex(corpus.limit(0), "vec_id", "embedding",
+          model), threshold = t)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    val newComps = rebuild.collect { case (id, (cid, _, _)) if id >= 100L => cid }.toSet
+    rebuild.filter { case (_, (cid, _, _)) => newComps(cid) } shouldBe inc
+    // and the all-new rebuild itself matches the one-shot operator run
+    // with the same frozen model parameters on the union's +y component
+    rebuild.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L, 100L)
+  }
+
   test("semanticDedupKmeans: trained cells reunite a group raw LSH splits") {
     import spark.implicits._
     // two tight duplicate groups straddling random hyperplanes: k-means

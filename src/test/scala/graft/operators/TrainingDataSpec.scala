@@ -35,6 +35,38 @@ class TrainingDataSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("prepare and decontaminate catch decomposed-form duplicates raw bytes miss") {
+    import spark.implicits._
+    // same visible text, different codepoints: U+00E9 vs e + U+0301
+    val pre = "caf\u00e9"
+    val dec = "cafe\u0301"
+    val body = " society often gathers where people meet and talk for " +
+      "hours about the day"
+    val docs = Seq((1L, "the " + pre + body), (2L, "the " + dec + body))
+      .toDF("doc_id", "text")
+    // raw bytes differ — a byte-keyed dedup would keep both
+    docs.select(md5(col("text"))).distinct().count() shouldBe 2L
+    // prepare's NFC-before-digest keeps exactly one survivor
+    val out = TrainingData.prepare(docs, "doc_id", "text",
+      minQuality = 0.0, langs = Seq("en", "de", "fr", "es"), minTokens = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    out shouldBe Seq(1L)
+    // decontamination: the benchmark quotes the passage in DECOMPOSED
+    // form, the corpus carries precomposed bytes — n-gram hashes must
+    // still collide (NFC on both sides), shingles likewise
+    val corpus1 = docs.filter(col("doc_id") === 1)
+    val benchD = Seq((100L, "the " + dec + body)).toDF("doc_id", "text")
+    val overlap = TrainingData.decontaminate(corpus1, "doc_id", "text",
+      benchD, "text", n = 4).collect()
+    overlap.length shouldBe 1
+    overlap.head.getLong(1) should be > 0L
+    val contain = TrainingData.decontaminateContainment(corpus1, "doc_id",
+      "text", benchD, "doc_id", "text", shingleN = 5, threshold = 0.8)
+      .collect()
+    contain.length shouldBe 1
+    contain.head.getDouble(2) shouldBe 1.0 +- 1e-9
+  }
+
   test("packShards cuts by cumulative tokens; oversized doc claims its own shard") {
     import spark.implicits._
     val docs = Seq(
@@ -518,6 +550,38 @@ class TrainingDataSpec extends SparkSpec {
       w = 8, maskBits = 4, existingIndex = index)
     delta.join(index, Seq("chunk_md5"), "left_semi").count() shouldBe 0L
     delta.filter(col("doc_id") === 13L).count() shouldBe 0L // 12 owns them
+  }
+
+  test("bm25FromIndex: bit-identical to direct bm25, appends fold exactly, probe prunes") {
+    import spark.implicits._
+    val mk = (id: Long, t: String) => (id, t)
+    val base = Seq(
+      mk(1L, "spark spark spark common common common common"),
+      mk(2L, "vector common common common common common common"),
+      mk(3L, "common common common common common common common"),
+      mk(4L, "")).toDF("doc_id", "text")
+    val extra = Seq(
+      mk(10L, "spark vector spark common words appear here too"),
+      mk(11L, "nothing relevant in this one at all")).toDF("doc_id", "text")
+    val q = Seq("spark", "vector", "absentterm")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    TrainingData.bm25IndexWrite(base, "doc_id", "text", dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // probe == direct scan, bit-for-bit (same scoring tail, exact folds)
+    rows(TrainingData.bm25FromIndex(spark, dir, "doc_id", q)) shouldBe
+      rows(TrainingData.bm25(base, "doc_id", "text", q))
+    // append: df sums across batch rows, stats fold by exact longs —
+    // the probe must now equal the direct scan over the UNION (doc 10
+    // changes 'spark'/'vector' df AND avgdl, so every score moves)
+    TrainingData.bm25IndexAppend(extra, "doc_id", "text", dir)
+    rows(TrainingData.bm25FromIndex(spark, dir, "doc_id", q)) shouldBe
+      rows(TrainingData.bm25(base.union(extra), "doc_id", "text", q))
+    // the probe partition-prunes the postings tree to its terms' buckets
+    val plan = TrainingData.bm25FromIndex(spark, dir, "doc_id", Seq("spark"))
+      .queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("tb")
   }
 
   test("cdcChunks plan is scan-side only — no shuffle") {
