@@ -233,6 +233,29 @@ object GraftFunctions {
         viaColumns(c => graft.functions.QuantileSketch.sketchQuantile(
           c(0), litDouble(ch(1), "q")))(ch) },
       "quantile estimate from a mergeable quantile-sketch struct"),
+    // the KMV theta-sketch AGGREGATES (ThetaSketch.thetaSketch /
+    // thetaUnion) are Aggregators, exposed through the Column API; the
+    // scalar set-algebra estimators are registrable here
+    ("graft_theta_estimate",
+      { ch => arity(ch, 2)
+        viaColumns(c => graft.functions.ThetaSketch.thetaEstimate(
+          c(0), litInt(ch(1), "k")))(ch) },
+      "distinct-count estimate of a KMV theta sketch (exact below k)"),
+    ("graft_theta_jaccard",
+      { ch => arity(ch, 3)
+        viaColumns(c => graft.functions.ThetaSketch.thetaJaccard(
+          c(0), c(1), litInt(ch(2), "k")))(ch) },
+      "Jaccard estimate of two KMV theta sketches"),
+    ("graft_theta_intersect",
+      { ch => arity(ch, 3)
+        viaColumns(c => graft.functions.ThetaSketch.thetaIntersect(
+          c(0), c(1), litInt(ch(2), "k")))(ch) },
+      "|A ∩ B| estimate of two KMV theta sketches"),
+    ("graft_theta_anotb",
+      { ch => arity(ch, 3)
+        viaColumns(c => graft.functions.ThetaSketch.thetaANotB(
+          c(0), c(1), litInt(ch(2), "k")))(ch) },
+      "|A \\ B| estimate of two KMV theta sketches (clamped at 0)"),
     ("graft_nfc",
       { ch => arity(ch, 1); graft.functions.UnicodeNorm.NfcNormalize(ch(0)) },
       "Unicode NFC canonical composition (crawl-ingest canonicalization)"),

@@ -1005,6 +1005,55 @@ object SparkEntry {
         .select(col("l_returnflag"), col("sk.n").as("n_values"),
           round(QS.sketchQuantile(col("sk"), 0.5), 6).as("p50"))
     }),
+    "q_theta_sets" -> ((s, dir) => {
+      // KMV theta sketches — distinct counting WITH SET ALGEBRA, the
+      // capability HLL lacks (registers are maxima; max(A) ∧ max(B) says
+      // nothing about |A ∩ B|): 1995 vs 1996 active customers sketch in
+      // ONE scan/aggregation pass (null-skip conditional sketches, like
+      // the conditional countDistincts beside them), then union /
+      // intersect / Jaccard / difference estimates are pure column HOFs
+      // over the two ≤k arrays. The 60-bit md5 kernel + canonical
+      // k-smallest form make every estimate a bit-for-bit DuckDB replay
+      import graft.functions.{ThetaSketch => TS}
+      val k = 64
+      Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("y"), col("o_custkey").as("c"))
+        .agg(
+          TS.thetaSketch(when(col("y") === 1995, col("c")), k).as("sa"),
+          TS.thetaSketch(when(col("y") === 1996, col("c")), k).as("sb"),
+          countDistinct(when(col("y") === 1995, col("c"))).as("exact_a"),
+          countDistinct(when(col("y") === 1996, col("c"))).as("exact_b"))
+        .select(col("exact_a"), col("exact_b"),
+          round(TS.thetaEstimate(col("sa"), k), 6).as("est_a"),
+          round(TS.thetaEstimate(col("sb"), k), 6).as("est_b"),
+          round(TS.thetaEstimate(TS.thetaUnion2(col("sa"), col("sb"), k), k), 6)
+            .as("est_union"),
+          round(TS.thetaIntersect(col("sa"), col("sb"), k), 6)
+            .as("est_intersect"),
+          round(TS.thetaJaccard(col("sa"), col("sb"), k), 6).as("jaccard_est"),
+          round(TS.thetaANotB(col("sa"), col("sb"), k), 6).as("est_a_not_b"))
+    }),
+    "q_theta_rollup" -> ((s, dir) => {
+      // the rollup face: per-(nation, year) sketches union-merge UP to
+      // per-nation distinct-active-customer estimates with no re-scan —
+      // and because the KMV form is canonical (k smallest distinct
+      // hashes of the value SET), the merged sketch EQUALS a direct
+      // per-nation sketch, which is exactly what the oracle replays
+      import graft.functions.{ThetaSketch => TS}
+      val k = 64
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).as("y"),
+          col("o_custkey"))
+        .groupBy("n_name", "y")
+        .agg(TS.thetaSketch(col("o_custkey"), k).as("sk"))
+        .groupBy("n_name")
+        .agg(TS.thetaUnion(col("sk"), k).as("sk"))
+        .select(col("n_name"),
+          round(TS.thetaEstimate(col("sk"), k), 6).as("est_active_customers"))
+    }),
     "q_scd2" -> ((s, dir) =>
       // SCD2 dimension history from the event change stream: one row per
       // VERSION (consecutive identical attribute observations compress),
@@ -2662,6 +2711,64 @@ object SparkEntry {
              * pow(2, (SELECT any_value(k) FROM kg WHERE kg.g = n.g)), 6)
              AS p50
          FROM n""",
+    // full replay of the KMV theta sketch: 60-bit md5 hashes (the
+    // engine's SQL-replicable kernel), k smallest distinct per set, and
+    // the same IEEE-double estimator chain — set algebra included
+    "q_theta_sets" ->
+      s"""WITH d AS (SELECT DISTINCT year(o_orderdate) AS y, o_custkey AS c
+           FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+         hh AS (SELECT y, ${md5Hash60Sql("c::VARCHAR")} AS h FROM d),
+         sa AS (SELECT coalesce(list_sort(list(DISTINCT h))[1:64],
+                  []::BIGINT[]) AS s FROM hh WHERE y = 1995),
+         sb AS (SELECT coalesce(list_sort(list(DISTINCT h))[1:64],
+                  []::BIGINT[]) AS s FROM hh WHERE y = 1996),
+         ex AS (SELECT
+             count(DISTINCT CASE WHEN y = 1995 THEN c END)::BIGINT AS exact_a,
+             count(DISTINCT CASE WHEN y = 1996 THEN c END)::BIGINT AS exact_b
+           FROM d),
+         u AS (SELECT list_sort(list_distinct(sa.s || sb.s))[1:64] AS s
+               FROM sa, sb),
+         est AS (SELECT
+             CASE WHEN len(sa.s) < 64 THEN len(sa.s)::DOUBLE
+                  ELSE 63.0 / (sa.s[64]::DOUBLE / 1152921504606846976.0)
+             END AS ea,
+             CASE WHEN len(sb.s) < 64 THEN len(sb.s)::DOUBLE
+                  ELSE 63.0 / (sb.s[64]::DOUBLE / 1152921504606846976.0)
+             END AS eb,
+             CASE WHEN len(u.s) < 64 THEN len(u.s)::DOUBLE
+                  ELSE 63.0 / (u.s[64]::DOUBLE / 1152921504606846976.0)
+             END AS eu,
+             len(list_filter(u.s, x -> list_contains(sa.s, x)
+               AND list_contains(sb.s, x))) AS cc,
+             len(u.s) AS ul
+           FROM sa, sb, u),
+         fin AS (SELECT ea, eb, eu,
+             CASE WHEN ul = 0 THEN NULL
+                  ELSE cc::DOUBLE / ul::DOUBLE END AS jac,
+             CASE WHEN ul = 0 THEN 0.0
+                  ELSE (cc::DOUBLE / ul::DOUBLE) * eu END AS inter
+           FROM est)
+         SELECT ex.exact_a, ex.exact_b,
+           round(ea, 6) AS est_a, round(eb, 6) AS est_b,
+           round(eu, 6) AS est_union, round(inter, 6) AS est_intersect,
+           round(jac, 6) AS jaccard_est,
+           round(greatest(0.0, ea - inter), 6) AS est_a_not_b
+         FROM fin, ex""",
+    // the mergeability contract IS the oracle: Spark merges per-year
+    // sketches, the replay sketches each nation's union set directly —
+    // equality holds only because the KMV form is canonical
+    "q_theta_rollup" ->
+      s"""WITH d AS (SELECT DISTINCT n_name, o_custkey AS c
+           FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey),
+         hh AS (SELECT n_name, ${md5Hash60Sql("c::VARCHAR")} AS h FROM d),
+         sk AS (SELECT n_name, list_sort(list(DISTINCT h))[1:64] AS s
+                FROM hh GROUP BY n_name)
+         SELECT n_name,
+           round(CASE WHEN len(s) < 64 THEN len(s)::DOUBLE
+               ELSE 63.0 / (s[64]::DOUBLE / 1152921504606846976.0) END, 6)
+             AS est_active_customers
+         FROM sk""",
     // same (ts, event_id) per-key total order, IS DISTINCT FROM matching
     // Spark's null-safe <=> change test, lead() for the validity end
     "q_scd2" ->
@@ -3743,6 +3850,16 @@ object SparkEntry {
          FROM rc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN rt),
        s AS (SELECT doc_id, count(*)::BIGINT AS n_feats, sum(lr.lr) AS logw
              FROM b JOIN lr USING (b) GROUP BY 1)"""
+
+  /** DuckDB twin of [[graft.functions.ArrayOps.Md5Kernel]].hash60: the
+    * first 15 hex nibbles of md5(x) parsed as a 60-bit BIGINT — the
+    * engine's SQL-replicable hash kernel (theta sketches here; the LSH
+    * oracles inline the same strpos-parse idiom).
+    */
+  private def md5Hash60Sql(x: String): String =
+    s"""list_sum(list_transform(generate_series(1, 15),
+        k -> (strpos('0123456789abcdef', substr(md5($x), k, 1)) - 1)::BIGINT
+             << (4 * (15 - k))))"""
 
   /** Okapi BM25 replay (shared by text_bm25 and text_bm25_indexed — the
     * indexed probe is contractually bit-identical to the direct scan).

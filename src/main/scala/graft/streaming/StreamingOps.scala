@@ -399,6 +399,56 @@ object StreamingOps {
         hll_sketch_estimate(col("sk")).as("n_distinct_est"): _*)
   }
 
+  /** Continuous per-group DISTINCT-WITH-SET-ALGEBRA tracking via the
+    * KMV theta sketch ([[graft.functions.ThetaSketch]]) — the
+    * set-algebra sibling of [[continuousDistinctSketch]] (HLL can union
+    * but never intersect), same replace-per-batch / replay-margin
+    * discipline: each micro-batch sketches its own rows and union-merges
+    * them into the carried per-group sketches; state is #groups × ≤k
+    * longs FOREVER. The KMV canonical form (k smallest distinct hashes
+    * of the value SET) means the carried state after N batches is
+    * EXACTLY the sketch of the union of all N batches — so persisted
+    * per-group sketches answer cross-group overlap questions
+    * ([[graft.functions.ThetaSketch.thetaIntersect]] / `thetaJaccard`)
+    * at any point in the stream's life, byte-identical to a batch
+    * rebuild.
+    */
+  def continuousThetaSketch(rows: DataFrame, groupCols: Seq[String],
+      valueCol: String, statePath: String, checkpoint: String,
+      k: Int = 256): DataStreamWriter[Row] = {
+    import graft.functions.{ThetaSketch => TS}
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val cur = batch.toDF().groupBy(groupCols.map(col): _*)
+          .agg(TS.thetaSketch(col(valueCol), k).as("sk"))
+        val prev =
+          try {
+            val all = spark.read.parquet(statePath)
+              .where(col("batch_id") =!= batchId)
+            val mb = all.agg(max(col("batch_id"))).head.get(0)
+            if (mb == null) cur.limit(0)
+            else all.where(col("batch_id") === mb.toString.toLong)
+              .select((groupCols :+ "sk").map(col): _*)
+          } catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => cur.limit(0)
+          }
+        prev.union(cur)
+          .groupBy(groupCols.map(col): _*)
+          .agg(TS.thetaUnion(col("sk"), k).as("sk"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(statePath)
+        pruneBatchPartitions(spark, statePath, keep = Set(batchId, batchId - 1))
+        ()
+      }
+  }
+
   /** Continuous per-group QUANTILE tracking via the engine's mergeable
     * quantile sketch ([[graft.functions.QuantileSketch]]) — the quantile
     * sibling of [[continuousDistinctSketch]], same replace-per-batch /

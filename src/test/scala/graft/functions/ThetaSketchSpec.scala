@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ThetaSketchSpec extends SparkSpec {
+  import ThetaSketch._
+
+  private def hash60(s: String): Long =
+    ArrayOps.Md5Kernel.hash60(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  test("sketch below k is the exact sorted distinct hash set") {
+    import spark.implicits._
+    val vals = Seq("a", "b", "c", "b", "a", null)
+    val sk = vals.toDF("v").agg(thetaSketch(col("v"), 16).as("sk"))
+      .head().getSeq[Long](0)
+    sk shouldBe Seq("a", "b", "c").map(hash60).sorted
+    // duplicates and nulls are invisible: multiplicity never changes a
+    // distinct sketch
+    val dup = (vals ++ vals ++ vals).toDF("v")
+      .agg(thetaSketch(col("v"), 16).as("sk")).head().getSeq[Long](0)
+    dup shouldBe sk
+  }
+
+  test("canonical form: merged parts equal the whole-set sketch exactly, any layout") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => (i % 3, s"val-$i")).toDF("p", "v")
+    val whole = df.agg(thetaSketch(col("v"), 64).as("sk")).head().getSeq[Long](0)
+    whole.length shouldBe 64
+    whole shouldBe whole.sorted
+    // per-part sketches union-merge to the identical array
+    val merged = df.groupBy("p").agg(thetaSketch(col("v"), 64).as("sk"))
+      .agg(thetaUnion(col("sk"), 64).as("sk")).head().getSeq[Long](0)
+    merged shouldBe whole
+    // and partition layout is invisible
+    df.repartition(13).agg(thetaSketch(col("v"), 64).as("sk"))
+      .head().getSeq[Long](0) shouldBe whole
+  }
+
+  test("estimate: exact below k, within ~3/sqrt(k) relative error above") {
+    import spark.implicits._
+    val small = (1 to 40).map(i => s"s$i").toDF("v")
+      .agg(thetaEstimate(thetaSketch(col("v"), 64), 64)).head().getDouble(0)
+    small shouldBe 40.0
+    val n = 20000
+    val est = (1 to n).map(i => s"item-$i").toDF("v")
+      .agg(thetaEstimate(thetaSketch(col("v"), 256), 256)).head().getDouble(0)
+    math.abs(est - n) / n should be <= 3.0 / math.sqrt(256.0)
+  }
+
+  test("set algebra: exact in the small regime, accurate in the estimated one") {
+    import spark.implicits._
+    // A = 1..30, B = 21..50: all three sets below k=64 ⇒ everything exact
+    val a = (1 to 30).map(i => s"x$i").toDF("v")
+      .agg(thetaSketch(col("v"), 64).as("s")).select(col("s").as("sa"))
+    val b = (21 to 50).map(i => s"x$i").toDF("v")
+      .agg(thetaSketch(col("v"), 64).as("s")).select(col("s").as("sb"))
+    val r = a.crossJoin(b).select(
+      thetaEstimate(thetaUnion2(col("sa"), col("sb"), 64), 64).as("u"),
+      thetaIntersect(col("sa"), col("sb"), 64).as("i"),
+      thetaJaccard(col("sa"), col("sb"), 64).as("j"),
+      thetaANotB(col("sa"), col("sb"), 64).as("d")).head()
+    r.getDouble(0) shouldBe 50.0
+    r.getDouble(1) shouldBe 10.0
+    r.getDouble(2) shouldBe (10.0 / 50.0) +- 1e-12
+    r.getDouble(3) shouldBe 20.0
+    // estimated regime: |A| = |B| = 8000 with 4000 shared (J = 1/3)
+    val bigA = (1 to 8000).map(i => s"m$i").toDF("v")
+      .agg(thetaSketch(col("v"), 256).as("s")).select(col("s").as("sa"))
+    val bigB = (4001 to 12000).map(i => s"m$i").toDF("v")
+      .agg(thetaSketch(col("v"), 256).as("s")).select(col("s").as("sb"))
+    val e = bigA.crossJoin(bigB).select(
+      thetaEstimate(thetaUnion2(col("sa"), col("sb"), 256), 256).as("u"),
+      thetaIntersect(col("sa"), col("sb"), 256).as("i"),
+      thetaJaccard(col("sa"), col("sb"), 256).as("j")).head()
+    math.abs(e.getDouble(0) - 12000.0) / 12000.0 should be <= 0.2
+    math.abs(e.getDouble(1) - 4000.0) / 4000.0 should be <= 0.3
+    math.abs(e.getDouble(2) - 1.0 / 3.0) should be <= 0.1
+  }
+
+  test("edge cases: empty sketches, disjoint sets, null propagation") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("v")
+      .agg(thetaSketch(col("v"), 16).as("s"))
+    val e = empty.select(
+      org.apache.spark.sql.functions.size(col("s")).as("n"),
+      thetaEstimate(col("s"), 16).as("est")).head()
+    e.getInt(0) shouldBe 0
+    e.getDouble(1) shouldBe 0.0
+    // empty vs empty: intersect 0, jaccard NULL (undefined)
+    val two = empty.select(col("s").as("sa"), col("s").as("sb"))
+    val r = two.select(thetaIntersect(col("sa"), col("sb"), 16).as("i"),
+      thetaJaccard(col("sa"), col("sb"), 16).as("j")).head()
+    r.getDouble(0) shouldBe 0.0
+    r.isNullAt(1) shouldBe true
+    // disjoint non-empty sets: intersect and jaccard exactly 0
+    val a = Seq("p1", "p2").toDF("v").agg(thetaSketch(col("v"), 16).as("s"))
+      .select(col("s").as("sa"))
+    val b = Seq("q1", "q2").toDF("v").agg(thetaSketch(col("v"), 16).as("s"))
+      .select(col("s").as("sb"))
+    val d = a.crossJoin(b).select(
+      thetaIntersect(col("sa"), col("sb"), 16).as("i"),
+      thetaJaccard(col("sa"), col("sb"), 16).as("j"),
+      thetaANotB(col("sa"), col("sb"), 16).as("d")).head()
+    d.getDouble(0) shouldBe 0.0
+    d.getDouble(1) shouldBe 0.0
+    d.getDouble(2) shouldBe 2.0
+  }
+
+  test("union-merging a sketch built with a larger k caps canonically") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => s"w$i").toDF("v")
+    val wide = df.agg(thetaSketch(col("v"), 512).as("s"))
+    val capped = wide.agg(thetaUnion(col("s"), 64).as("s"))
+      .head().getSeq[Long](0)
+    capped shouldBe df.agg(thetaSketch(col("v"), 64).as("s"))
+      .head().getSeq[Long](0)
+  }
+
+  test("sketch aggregation uses partial aggregation (map-side combine)") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i % 7, s"v$i")).toDF("g", "v")
+    val plan = df.groupBy("g").agg(thetaSketch(col("v"), 64).as("sk"))
+      .queryExecution.executedPlan.toString
+    "ObjectHashAggregate".r.findAllIn(plan).size should be >= 2
+  }
+
+  test("graft_theta_* SQL surface matches the Column API") {
+    import spark.implicits._
+    graft.GraftFunctions.register(spark)
+    val a = (1 to 30).map(i => s"x$i").toDF("v")
+      .agg(thetaSketch(col("v"), 64).as("s")).select(col("s").as("sa"))
+    val b = (21 to 50).map(i => s"x$i").toDF("v")
+      .agg(thetaSketch(col("v"), 64).as("s")).select(col("s").as("sb"))
+    a.crossJoin(b).createOrReplaceTempView("theta_two")
+    val r = spark.sql(
+      """SELECT graft_theta_estimate(sa, 64) AS ea,
+           graft_theta_intersect(sa, sb, 64) AS i,
+           graft_theta_jaccard(sa, sb, 64) AS j,
+           graft_theta_anotb(sa, sb, 64) AS d
+         FROM theta_two""").head()
+    r.getDouble(0) shouldBe 30.0
+    r.getDouble(1) shouldBe 10.0
+    r.getDouble(2) shouldBe (10.0 / 50.0) +- 1e-12
+    r.getDouble(3) shouldBe 20.0
+  }
+}
