@@ -715,6 +715,18 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 5), "doc_id", "text",
         docs.filter(col("doc_id") < 5), "text", n = 4)
     }),
+    "pipeline_decontaminate_indexed" -> ((s, dir) => {
+      // the repeated-probe face: corpus grams persisted once (bucket-
+      // partitioned, g-sorted), the benchmark probes the narrow index
+      // without re-tokenizing corpus text — output contractually
+      // IDENTICAL to pipeline_decontaminate, which is the shared oracle
+      val docs = Tables.documents(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-dcidx"
+      graft.operators.TrainingData.decontamIndexWrite(
+        docs.filter(col("doc_id") >= 5), "doc_id", "text", idx, n = 4)
+      graft.operators.TrainingData.decontaminateFromIndex(
+        docs.filter(col("doc_id") < 5), "text", idx, "doc_id")
+    }),
     "pipeline_decontaminate_bloom" -> ((s, dir) => {
       // the scale path for big eval unions: bloom prefilter in the scan
       // projection + exact confirm join — answer IDENTICAL to
@@ -774,6 +786,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0)
           .select(col("doc_id").as("eval_id"), col("text")),
         "eval_id", "text", shingleN = 12, threshold = 0.8)
+    }),
+    "pipeline_decontaminate_containment_indexed" -> ((s, dir) => {
+      // the repeated-probe face of containment screening: corpus
+      // shingles persisted once (bucket-partitioned, tok-sorted), the
+      // eval set probes the narrow index — output contractually
+      // IDENTICAL to pipeline_decontaminate_containment (shared oracle)
+      val docs = Tables.documents(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ctidx"
+      graft.operators.TrainingData.containmentIndexWrite(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", idx,
+        shingleN = 12)
+      graft.operators.TrainingData.decontaminateContainmentFromIndex(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("eval_id"), col("text")),
+        "eval_id", "text", idx, "doc_id", threshold = 0.8)
     }),
     "pipeline_decontaminate_fuzzy" -> ((s, dir) => {
       // near-dup decontamination: corpus docs whose shingle sets
@@ -2254,20 +2281,10 @@ object SparkEntry {
          FROM b4""",
     // exact asymmetric containment |E∩D|/|E| over the same distinct
     // 5-char shingle space; filter on the raw ratio, round for output
-    "pipeline_decontaminate_containment" ->
-      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, length(n)-11), i -> n[i:i+11])) AS g
-           FROM (SELECT doc_id,
-                   regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g') AS n
-                 FROM documents WHERE text IS NOT NULL)),
-         ev AS (SELECT doc_id AS eval_id, g AS eg FROM t
-                WHERE doc_id % 10 = 0 AND len(g) > 0),
-         co AS (SELECT doc_id, g AS cg FROM t WHERE doc_id % 10 <> 0),
-         p AS (SELECT doc_id, eval_id,
-             len(list_intersect(cg, eg))::DOUBLE / len(eg) AS c
-           FROM co, ev)
-         SELECT doc_id, eval_id, round(c, 6) AS containment
-         FROM p WHERE c >= 0.8""",
+    "pipeline_decontaminate_containment" -> containmentOracle,
+    // persisted-shingle-index probe ⇒ same answer as the direct scan —
+    // equality IS the index's contract
+    "pipeline_decontaminate_containment_indexed" -> containmentOracle,
     // exact bipartite shingle-jaccard: corpus (id % 10 != 0) vs eval set
     // (id % 10 = 0); the LSH path's banding is recall-complete here
     // (matches at j >= 0.93), so LSH output == the exact pair set
@@ -2614,6 +2631,9 @@ object SparkEntry {
     "pipeline_decontaminate" -> decontaminateOracle,
     // bloom prefilter + exact confirm ⇒ same answer as the exact path
     "pipeline_decontaminate_bloom" -> decontaminateOracle,
+    // persisted-gram-index probe ⇒ same answer as the direct scan —
+    // equality IS the index's contract
+    "pipeline_decontaminate_indexed" -> decontaminateOracle,
     // same total order (value, orderkey, linenumber) and the same
     // integer (rank−1)·k div N bucket rule
     "q_histogram_equidepth" ->
@@ -3850,6 +3870,25 @@ object SparkEntry {
          FROM rc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN rt),
        s AS (SELECT doc_id, count(*)::BIGINT AS n_feats, sum(lr.lr) AS logw
              FROM b JOIN lr USING (b) GROUP BY 1)"""
+
+  /** Asymmetric containment replay (shared by
+    * pipeline_decontaminate_containment and its persisted-index face —
+    * the index probe is contractually identical to the direct scan).
+    */
+  private lazy val containmentOracle: String =
+    """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, length(n)-11), i -> n[i:i+11])) AS g
+         FROM (SELECT doc_id,
+                 regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g') AS n
+               FROM documents WHERE text IS NOT NULL)),
+       ev AS (SELECT doc_id AS eval_id, g AS eg FROM t
+              WHERE doc_id % 10 = 0 AND len(g) > 0),
+       co AS (SELECT doc_id, g AS cg FROM t WHERE doc_id % 10 <> 0),
+       p AS (SELECT doc_id, eval_id,
+           len(list_intersect(cg, eg))::DOUBLE / len(eg) AS c
+         FROM co, ev)
+       SELECT doc_id, eval_id, round(c, 6) AS containment
+       FROM p WHERE c >= 0.8"""
 
   /** DuckDB twin of [[graft.functions.ArrayOps.Md5Kernel]].hash60: the
     * first 15 hex nibbles of md5(x) parsed as a 60-bit BIGINT — the

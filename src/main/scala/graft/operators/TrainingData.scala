@@ -241,6 +241,186 @@ object TrainingData {
         round(col("__m").cast("double") / col("__se"), 6).as("containment"))
   }
 
+  /** Persist the decontamination gram index of a corpus under `path` —
+    * the probe-and-append discipline ([[bm25IndexWrite]],
+    * [[Dedup.minhashIndex]]) applied to benchmark screening:
+    * [[decontaminate]] re-tokenizes and re-shingles the WHOLE corpus on
+    * every probe, right for a one-off audit but wasteful for the real
+    * cadence — new benchmarks arrive monthly, the corpus barely changes.
+    * Two tables:
+    *
+    *  - `grams` — (doc_id, g) for every distinct word-n-gram hash of
+    *    every doc, hash-partitioned on `gb = pmod(g, nBuckets)` and
+    *    sorted by `g` within partitions: a probe prunes to its grams'
+    *    bucket partitions statically, and the sort gives parquet
+    *    row-group min/max skipping on `g` within them — probe cost
+    *    scales with the BENCHMARK's gram footprint, not the corpus.
+    *  - `meta` — one (n, n_buckets) row: the gram width is a BUILD-time
+    *    property (grams of a different n can never match), so the probe
+    *    reads it from the index instead of trusting a caller argument.
+    *
+    * Text is NFC-normalized before hashing on both build and probe
+    * sides (see [[nfc]]), matching [[decontaminate]]. Append new corpus
+    * docs with [[decontamIndexAppend]] (ids must be new — a changed
+    * re-ingested doc is a rebuild); probe with
+    * [[decontaminateFromIndex]], whose output is IDENTICAL to running
+    * [[decontaminate]] against the indexed corpus — equality is the
+    * index's contract and the shared oracle.
+    */
+  def decontamIndexWrite(docs: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 8, nBuckets: Int = 64): Unit = {
+    require(n >= 1, "n >= 1")
+    require(nBuckets >= 1, "nBuckets >= 1")
+    decontamGramsOut(docs, idCol, textCol, path, n, nBuckets, overwrite = true)
+    docs.sparkSession.range(1)
+      .select(lit(n).as("n"), lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append a new corpus batch to a [[decontamIndexWrite]] index under
+    * its frozen gram width. Ids must be disjoint from the indexed
+    * corpus.
+    */
+  def decontamIndexAppend(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    val meta = newDocs.sparkSession.read.parquet(s"$path/meta").head()
+    decontamGramsOut(newDocs, idCol, textCol, path,
+      meta.getAs[Int]("n"), meta.getAs[Int]("n_buckets"), overwrite = false)
+  }
+
+  private def decontamGramsOut(docs: DataFrame, idCol: String,
+      textCol: String, path: String, n: Int, nBuckets: Int,
+      overwrite: Boolean): Unit = {
+    import graft.functions.ArrayOps
+    docs
+      .select(col(idCol),
+        explode(ArrayOps.wordNgramHashes(T.normTokens(nfc(col(textCol))), n))
+          .as("g"))
+      .withColumn("gb", pmod(col("g"), lit(nBuckets.toLong)))
+      .repartition(col("gb")) // one file per bucket, not files × tasks
+      .sortWithinPartitions("g") // row-group min/max skipping on probes
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("gb").parquet(s"$path/grams")
+  }
+
+  /** Probe a [[decontamIndexWrite]] index with a benchmark set:
+    * identical output to [[decontaminate]] over the indexed corpus
+    * (doc_id, n_overlap_grams), WITHOUT re-scanning corpus text. Reads:
+    * the benchmark grams' bucket partitions of the narrow (doc_id, g)
+    * index — statically pruned via the collected ≤nBuckets bucket list —
+    * with the broadcast-hash join's `g` filter reaching the sorted
+    * row groups. A monthly benchmark probe against 100 TB of indexed
+    * text touches gigabytes of longs, not the text.
+    */
+  def decontaminateFromIndex(benchmark: DataFrame, benchTextCol: String,
+      path: String, idCol: String): DataFrame = {
+    import graft.functions.ArrayOps
+    val spark = benchmark.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val n = meta.getAs[Int]("n")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val benchGrams = benchmark.select(
+      explode(ArrayOps.wordNgramHashes(T.normTokens(nfc(col(benchTextCol))), n))
+        .as("g"))
+      .distinct()
+      .localCheckpoint(true) // bucket-list collect + join both read it
+    // ≤nBuckets driver rows through the SAME pmod the writer used
+    val buckets = benchGrams
+      .select(pmod(col("g"), lit(nBuckets.toLong)))
+      .distinct().collect().map(_.getLong(0))
+    spark.read.parquet(s"$path/grams")
+      .filter(col("gb").isin(buckets: _*))
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap_grams"))
+  }
+
+  /** [[decontamIndexWrite]]'s sibling for CONTAINMENT screening: the
+    * persisted distinct-shingle index of a corpus. Same layout
+    * discipline — `shingles` (doc_id, tok) hash-partitioned on
+    * `sb = pmod(tok, nBuckets)`, tok-sorted within partitions; `meta`
+    * freezes (shingle_n, n_buckets) at build time (shingles of a
+    * different width can never match). Probe with
+    * [[decontaminateContainmentFromIndex]] — identical output to
+    * [[decontaminateContainment]] over the indexed corpus; append with
+    * [[containmentIndexAppend]] (new ids only).
+    */
+  def containmentIndexWrite(docs: DataFrame, idCol: String, textCol: String,
+      path: String, shingleN: Int = 5, nBuckets: Int = 64): Unit = {
+    require(shingleN >= 1, "shingleN >= 1")
+    require(nBuckets >= 1, "nBuckets >= 1")
+    containmentShinglesOut(docs, idCol, textCol, path, shingleN, nBuckets,
+      overwrite = true)
+    docs.sparkSession.range(1)
+      .select(lit(shingleN).as("shingle_n"), lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append a new corpus batch under the index's frozen shingle width.
+    * Ids must be disjoint from the indexed corpus.
+    */
+  def containmentIndexAppend(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    val meta = newDocs.sparkSession.read.parquet(s"$path/meta").head()
+    containmentShinglesOut(newDocs, idCol, textCol, path,
+      meta.getAs[Int]("shingle_n"), meta.getAs[Int]("n_buckets"),
+      overwrite = false)
+  }
+
+  private def containmentShinglesOut(docs: DataFrame, idCol: String,
+      textCol: String, path: String, shingleN: Int, nBuckets: Int,
+      overwrite: Boolean): Unit = {
+    import graft.functions.ArrayOps
+    def norm(c: Column) = regexp_replace(trim(lower(nfc(c))), "\\s+", " ")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(ArrayOps.shingleHashes(norm(col(textCol)), shingleN))
+          .as("tok"))
+      .withColumn("sb", pmod(col("tok"), lit(nBuckets.toLong)))
+      .repartition(col("sb"))
+      .sortWithinPartitions("tok")
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("sb").parquet(s"$path/shingles")
+  }
+
+  /** Probe a [[containmentIndexWrite]] index with a benchmark set:
+    * identical output to [[decontaminateContainment]] over the indexed
+    * corpus — every (corpus doc, eval doc) pair whose eval-side
+    * containment meets `threshold` — WITHOUT re-shingling corpus text.
+    * The eval side broadcasts its exploded shingles exactly like the
+    * direct operator; the corpus side is the statically bucket-pruned
+    * narrow (doc_id, tok) index instead of a full text scan.
+    */
+  def decontaminateContainmentFromIndex(benchmark: DataFrame,
+      benchIdCol: String, benchTextCol: String, path: String,
+      idCol: String, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    import graft.functions.ArrayOps
+    val spark = benchmark.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val shingleN = meta.getAs[Int]("shingle_n")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    def norm(c: Column) = regexp_replace(trim(lower(nfc(c))), "\\s+", " ")
+    val evalToks = benchmark.filter(col(benchTextCol).isNotNull)
+      .select(col(benchIdCol).as("__eid"),
+        ArrayOps.shingleHashes(norm(col(benchTextCol)), shingleN).as("__eg"))
+      .filter(size(col("__eg")) > 0)
+      .select(col("__eid"), size(col("__eg")).as("__se"),
+        explode(col("__eg")).as("tok"))
+      .localCheckpoint(true) // bucket-list collect + join both read it
+    val buckets = evalToks
+      .select(pmod(col("tok"), lit(nBuckets.toLong)))
+      .distinct().collect().map(_.getLong(0))
+    spark.read.parquet(s"$path/shingles")
+      .filter(col("sb").isin(buckets: _*))
+      .join(broadcast(evalToks), Seq("tok"))
+      .groupBy(col(idCol), col("__eid"), col("__se"))
+      .agg(count(lit(1)).as("__m"))
+      // raw-ratio filter, rounded output — the direct operator's order
+      .filter(col("__m").cast("double") / col("__se") >= threshold)
+      .select(col(idCol), col("__eid").as(benchIdCol),
+        round(col("__m").cast("double") / col("__se"), 6).as("containment"))
+  }
+
   def decontaminateFuzzy(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
       numHashes: Int = 16, bands: Int = 8, shingleN: Int = 5,

@@ -584,6 +584,73 @@ class TrainingDataSpec extends SparkSpec {
     plan should include("tb")
   }
 
+  test("decontaminateFromIndex: identical to direct, appends fold, probe prunes") {
+    import spark.implicits._
+    val evalDoc = "the quick brown fox jumps over the lazy dog today"
+    val base = Seq(
+      (10L, "something about the quick brown fox jumps over fences"),
+      (11L, "entirely unrelated content with no shared phrases here at all"),
+      (12L, "")).toDF("doc_id", "text")
+    val extra = Seq(
+      (20L, "another doc where the quick brown fox jumps over the lazy dog"),
+      (21L, "more unrelated filler text nothing matches this one"))
+      .toDF("doc_id", "text")
+    val bench = Seq((0L, evalDoc)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dcidx").toString
+    TrainingData.decontamIndexWrite(base, "doc_id", "text", dir, n = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probe == direct scan over the indexed corpus
+    rows(TrainingData.decontaminateFromIndex(bench, "text", dir, "doc_id")) shouldBe
+      rows(TrainingData.decontaminate(base, "doc_id", "text", bench, "text", n = 4))
+    // append folds: the probe now equals the direct scan over the union
+    TrainingData.decontamIndexAppend(extra, "doc_id", "text", dir)
+    val afterAppend =
+      rows(TrainingData.decontaminateFromIndex(bench, "text", dir, "doc_id"))
+    afterAppend shouldBe rows(TrainingData.decontaminate(
+      base.union(extra), "doc_id", "text", bench, "text", n = 4))
+    afterAppend.map(_._1) should contain(20L) // the appended overlap doc
+    // the gram width is frozen in the index meta, not a caller argument:
+    // the probe reuses n = 4 even though the default is 8
+    spark.read.parquet(s"$dir/meta").head().getAs[Int]("n") shouldBe 4
+    // the probe statically prunes the grams tree to its buckets
+    val plan = TrainingData.decontaminateFromIndex(bench, "text", dir, "doc_id")
+      .queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("gb")
+  }
+
+  test("decontaminateContainmentFromIndex: identical to direct, appends fold") {
+    import spark.implicits._
+    val passage = "the secret benchmark answer is forty two exactly"
+    val base = Seq(
+      (10L, s"a very long training document that quotes $passage inside " +
+        "a much larger body of unrelated prose about many other topics"),
+      (11L, "nothing in common with the benchmark in this one at all"))
+      .toDF("doc_id", "text")
+    val extra = Seq(
+      (20L, s"another later crawl document containing $passage verbatim"))
+      .toDF("doc_id", "text")
+    val bench = Seq((0L, passage)).toDF("eval_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ctidx").toString
+    TrainingData.containmentIndexWrite(base, "doc_id", "text", dir, shingleN = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    rows(TrainingData.decontaminateContainmentFromIndex(
+      bench, "eval_id", "text", dir, "doc_id", threshold = 0.8)) shouldBe
+      rows(TrainingData.decontaminateContainment(base, "doc_id", "text",
+        bench, "eval_id", "text", shingleN = 8, threshold = 0.8))
+    // append folds: the probe equals the direct scan over the union and
+    // picks up the appended containing doc
+    TrainingData.containmentIndexAppend(extra, "doc_id", "text", dir)
+    val after = rows(TrainingData.decontaminateContainmentFromIndex(
+      bench, "eval_id", "text", dir, "doc_id", threshold = 0.8))
+    after shouldBe rows(TrainingData.decontaminateContainment(
+      base.union(extra), "doc_id", "text", bench, "eval_id", "text",
+      shingleN = 8, threshold = 0.8))
+    after.map(_._1) should contain allOf (10L, 20L)
+  }
+
   test("cdcChunks plan is scan-side only — no shuffle") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, s"some text $i " * 10)).toDF("doc_id", "text")
