@@ -1301,6 +1301,25 @@ object SparkEntry {
       graft.operators.Graph.pageRank(e, "src", "dst", iters = 3)
         .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
+    "graph_triangles" -> ((s, dir) => {
+      // local clustering prior: exact per-part triangle counts over the
+      // co-purchase projection (parts sharing an order are linked) —
+      // near-clique neighborhoods (catalog bundles / link farms) score
+      // high, organic ones low. The per-order self-join is bounded by
+      // TPC-H's ≤7 lines per order; the count itself is the
+      // degree-ordered O(m^{3/2}) orientation, not Σ deg²
+      // even orders only: the full sf0.1 projection is 1.2M edges /
+      // 41M wedges / 1.9M triangles (DuckDB needs 12s for the same
+      // count) — the half-graph keeps the workload triangle-rich at a
+      // quarter of the wedge volume
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey").as("k"), col("l_partkey").cast("long").as("p"))
+      val e = li.join(li.select(col("k"), col("p").as("q")), Seq("k"))
+        .filter(col("p") =!= col("q"))
+        .select(col("p").as("src"), col("q").as("dst"))
+      graft.operators.Graph.triangles(e, "src", "dst")
+    }),
     "embed_random_projection" -> ((s, dir) =>
       // JL/Achlioptas dimensionality reduction 64 → 16 dims with the
       // md5-Rademacher sign matrix (SQL-replicable planes — the LSH
@@ -3273,6 +3292,36 @@ object SparkEntry {
           ORDER BY round(coalesce(s.logw, 0), 6) DESC, d.doc_id LIMIT 50"""),
     // 3 PageRank rounds unrolled; same unnormalized (1−d) + d·Σ r/deg
     // arithmetic as the operator, UNION dedups the node set
+    // exact replay of the degree-ordered orientation: same canonical
+    // edge set, same (deg, id) total order, one row per triangle
+    "graph_triangles" ->
+      """WITH e0 AS (SELECT DISTINCT
+             least(a.l_partkey, b.l_partkey)::BIGINT AS a,
+             greatest(a.l_partkey, b.l_partkey)::BIGINT AS b
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+           WHERE a.l_orderkey % 2 = 0),
+         deg AS (SELECT id, count(*)::BIGINT AS deg FROM (
+               SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)
+             GROUP BY id),
+         o AS (SELECT
+             CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+                  THEN e0.a ELSE e0.b END AS s,
+             CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+                  THEN e0.b ELSE e0.a END AS t,
+             CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+                  THEN db.deg ELSE da.deg END AS dt
+           FROM e0 JOIN deg da ON e0.a = da.id JOIN deg db ON e0.b = db.id),
+         tr AS (SELECT x.s AS u, x.t AS v, y.t AS w
+                FROM o x JOIN o y ON x.s = y.s
+                  AND (x.dt, x.t) < (y.dt, y.t)
+                  JOIN o z ON z.s = x.t AND z.t = y.t),
+         cnt AS (SELECT id, count(*)::BIGINT AS triangles FROM (
+               SELECT u AS id FROM tr UNION ALL SELECT v FROM tr
+               UNION ALL SELECT w FROM tr)
+             GROUP BY id)
+         SELECT deg.id, coalesce(cnt.triangles, 0)::BIGINT AS triangles
+         FROM deg LEFT JOIN cnt USING (id)""",
     "graph_pagerank" ->
       """WITH pe AS (SELECT DISTINCT l_partkey::BIGINT AS src,
              (l_suppkey + 1000000)::BIGINT AS dst FROM lineitem),

@@ -96,4 +96,64 @@ object Graph {
 
   /** Lineage-cut cadence for [[pageRank]]'s lazy round composition. */
   private val CheckpointEvery = 4
+
+  /** Exact per-vertex triangle counts of an undirected simple graph —
+    * the local-clustering signal (spam link farms are near-cliques;
+    * organic link neighborhoods are sparse) and the second classic
+    * graph prior for corpus curation after [[pageRank]].
+    *
+    * Input edges are canonicalized first: self-loops dropped, (a, b) /
+    * (b, a) / duplicate rows collapse to one undirected edge. Returns
+    * (id, triangles) for EVERY vertex of the edge set, zeros included.
+    *
+    * Scale shape — the node-iterator++ orientation (Suri &
+    * Vassilvitskii 2011; Schank & Wagner 2005): each edge is directed
+    * from its (degree, id)-smaller endpoint to the larger, a total
+    * order, so the oriented graph is a DAG whose out-degrees are
+    * O(√m) — wedges are enumerated ONLY at each triangle's
+    * lowest-degree vertex, bounding the wedge join at O(m^{3/2}) total
+    * work instead of Σ deg² (the difference between a star hub
+    * generating deg² wedges and generating none). Every triangle is
+    * produced exactly once as (u → v, u → w, v → w) with v before w in
+    * the orientation order, so counts need no dedup. The oriented
+    * frame is localCheckpointed once (wedge build reads it twice, the
+    * closure join a third time); the closure is an equi-join on the
+    * (v, w) pair — all shuffles are edge- or wedge-sized, nothing
+    * quadratic in a vertex's neighborhood beyond the bounded wedge set.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // degree pass + orientation both read it
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // orientation (twice) + zero-fill read it
+    val ed = e0
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    // (s → t, with t's degree carried so wedge pairs order WITHOUT a
+    // further degree join)
+    val o = ed.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("s"),
+        when(aFirst, col("b")).otherwise(col("a")).as("t"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dt"))
+      .localCheckpoint(true)
+    val x = o.select(col("s"), col("t").as("v"), col("dt").as("dv"))
+    val y = o.select(col("s"), col("t").as("w"), col("dt").as("dw"))
+    val wedges = x.join(y, Seq("s"))
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      .select(col("s").as("u"), col("v"), col("w"))
+    val closed = wedges.join(
+      o.select(col("s").as("v"), col("t").as("w")), Seq("v", "w"))
+    val cnt = closed
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.select("id").join(cnt, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

@@ -45,6 +45,40 @@ class GraphSpec extends SparkSpec {
     got(3L) shouldBe (0.15 + 0.85 * (1.0 / 3.0) +- 1e-9)
   }
 
+  test("triangles: exact per-vertex counts, canonicalization, zeros included") {
+    import spark.implicits._
+    // K4 on 1..4 (every vertex in C(3,2)=3 triangles), a pendant 5, an
+    // isolated edge 6-7; edges arrive messy: reversed, duplicated,
+    // self-looped
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 4L),
+      (2L, 4L), (4L, 2L), (4L, 5L), (6L, 7L), (3L, 3L))
+    val got = Graph.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L)
+  }
+
+  test("triangles matches a brute-force count on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // brute force: all id-ordered vertex triples with all three edges
+    val und = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (a <- 0L until n; b <- a + 1 until n; c <- b + 1 until n)
+      if (und((a, b)) && und((a, c)) && und((b, c))) {
+        brute(a) += 1; brute(b) += 1; brute(c) += 1
+      }
+    val got = Graph.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val verts = und.flatMap(e => Seq(e._1, e._2))
+    got shouldBe verts.map(v => v -> brute(v)).toMap
+  }
+
   test("pageRank is deterministic across runs") {
     import spark.implicits._
     val edges = (0L until 200L).map(i => (i, (i * 7 + 3) % 200)) ++
