@@ -1632,6 +1632,25 @@ object SparkEntry {
       ann.join(exact, col("vec_id") === col("__evid"), "left")
         .agg(count(lit(1)).as("n_ann"), count(col("__evid")).as("n_in_exact_top50"))
     }),
+    "sim_pq" -> ((s, dir) => {
+      // product quantization (Jégou et al. 2011): 8 subspaces × 16
+      // centroids — 8 nibbles per vector, 64× smaller than the raw
+      // embedding — trained/encoded with the engine's deterministic
+      // k-means recipe, then compressed-domain top-5 for three query
+      // vectors by normalized asymmetric distance (raw query vs
+      // reconstructed doc). FULL replay: the oracle retrains all 8
+      // codebooks, re-encodes, reconstructs, and re-ranks — bit-for-bit
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.operators.Embeddings.pqTrain(
+        emb, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 2)
+      val enc = graft.operators.Embeddings.pqEncode(
+        emb, "vec_id", "embedding", model)
+      graft.operators.Embeddings.pqTopK(enc, "vec_id",
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", model,
+        k = 5, excludeSelf = true)
+        .select(col("q_id"), col("id"), col("pq_cos"),
+          col("rank").cast("long").as("rank"))
+    }),
     "sim_ivf" -> ((s, dir) => {
       // same recall contract for the IVF probe path
       val q = queryVec(s, dir)
@@ -3408,6 +3427,10 @@ object SparkEntry {
     // regression breaks the hash)
     "sim_ann_lsh" ->
       "SELECT 10::BIGINT AS n_ann, 10::BIGINT AS n_in_exact_top50",
+    // FULL product-quantization replay: every subspace codebook's Lloyd
+    // chain, the encode argmax, the centroid-concat reconstruction, and
+    // the final rank — generated per subspace by pqReplaySql
+    "sim_pq" -> pqReplaySql(m = 8, k = 16, subDim = 8),
     "sim_ivf" ->
       "SELECT 10::BIGINT AS n_ivf, 10::BIGINT AS n_in_exact_top50",
     "sim_ivf_sq8" ->
@@ -3888,6 +3911,69 @@ object SparkEntry {
        c2 AS (SELECT c1.c, coalesce(mm.v, c1.v) AS v FROM c1
               LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
                          FROM m2 GROUP BY c) mm USING (c))"""
+
+  /** Full DuckDB replay of the product-quantization chain
+    * ([[graft.operators.Embeddings.pqTrain]]/`pqEncode`/`pqTopK`):
+    * per SUBSPACE, the same Lloyd recipe kmeansReplaySql replays
+    * (lowest-id seeds, argmax of round-6 cosine with ties to the lowest
+    * cluster, round-9 centroid means, empty cells keep their previous
+    * centroid) over the subspace SLICE, two iterations; then the encode
+    * argmax against the final codebook, reconstruction by concatenating
+    * the chosen centroids in subspace order, and the top-5 per query
+    * vector by (round-6 cosine desc, id). Generated per subspace —
+    * the SQL is mechanical, the generator keeps it honest.
+    */
+  private def pqReplaySql(m: Int, k: Int, subDim: Int): String = {
+    def chain(s: Int): String = {
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+         s0_$s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                FROM (SELECT vec_id, v FROM e$s ORDER BY vec_id LIMIT $k)),
+         a1_$s AS (SELECT t.vec_id,
+             (SELECT s.c FROM s0_$s s
+              ORDER BY round(list_cosine_similarity(t.v, s.v), 6) DESC, s.c
+              LIMIT 1) AS c FROM e$s t),
+         m1_$s AS (SELECT a.c, js.j, round(avg(t.v[js.j]), 9) AS m
+                FROM a1_$s a JOIN e$s t USING (vec_id)
+                CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS j) js
+                GROUP BY a.c, js.j),
+         c1_$s AS (SELECT s0_$s.c, coalesce(mm.v, s0_$s.v) AS v FROM s0_$s
+                LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
+                           FROM m1_$s GROUP BY c) mm USING (c)),
+         a2_$s AS (SELECT t.vec_id,
+             (SELECT s.c FROM c1_$s s
+              ORDER BY round(list_cosine_similarity(t.v, s.v), 6) DESC, s.c
+              LIMIT 1) AS c FROM e$s t),
+         m2_$s AS (SELECT a.c, js.j, round(avg(t.v[js.j]), 9) AS m
+                FROM a2_$s a JOIN e$s t USING (vec_id)
+                CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS j) js
+                GROUP BY a.c, js.j),
+         c2_$s AS (SELECT c1_$s.c, coalesce(mm.v, c1_$s.v) AS v FROM c1_$s
+                LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
+                           FROM m2_$s GROUP BY c) mm USING (c)),
+         dec$s AS (SELECT t.vec_id, cb.v
+                FROM (SELECT t.vec_id,
+                        (SELECT s.c FROM c2_$s s
+                         ORDER BY round(list_cosine_similarity(t.v, s.v), 6)
+                           DESC, s.c
+                         LIMIT 1) AS c FROM e$s t) t
+                JOIN c2_$s cb USING (c))"""
+    }
+    val joins = (1 until m).map(s => s"JOIN dec$s USING (vec_id)").mkString(" ")
+    val concat = (0 until m).map(s => s"dec$s.v").mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         FROM embeddings WHERE embedding IS NOT NULL),
+       ${(0 until m).map(chain).mkString(",\n")},
+       d AS (SELECT dec0.vec_id, $concat AS dv FROM dec0 $joins),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+       sc AS (SELECT q.q_id::BIGINT AS q_id, d.vec_id::BIGINT AS id,
+           round(list_cosine_similarity(q.qv, d.dv), 6) AS pq_cos
+         FROM q, d WHERE d.vec_id <> q.q_id),
+       r AS (SELECT q_id, id, pq_cos, row_number() OVER (
+           PARTITION BY q_id ORDER BY pq_cos DESC, id) AS rk FROM sc)
+       SELECT q_id, id, pq_cos, rk::BIGINT AS rank FROM r WHERE rk <= 5"""
+  }
 
   /** Shared CTE prefix for the DSIR queries: hashed word-bigram feature
     * table over documents (`b`), target/raw bucket distributions with

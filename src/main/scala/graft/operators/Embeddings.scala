@@ -66,10 +66,21 @@ object Embeddings {
     */
   private[operators] def nearest(v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
     import graft.functions.{VectorFunctions => V}
-    val scored = cents.map { case (i, c) =>
+    val scored = array(cents.map { case (i, c) =>
       struct(round(V.cosine(v, typedLit(c)), 6).as("c"), lit(i).as("i"))
-    }
-    scored.reduceLeft((a, b) => when(b("c") > a("c"), b).otherwise(a))
+    }: _*)
+    // left fold via aggregate(): the accumulator is a lambda VARIABLE,
+    // so the plan stays linear in k. The previous reduceLeft of
+    // when(b.c > a.c, b).otherwise(a) DUPLICATED the accumulator
+    // subtree in both branches — exponential 2^k expression growth,
+    // invisible at the k ≤ 4 call sites but a multi-minute analysis
+    // stall at PQ's k = 16. Same keep-first-max semantics: strict `>`
+    // keeps the earlier (lowest-index) struct on round-6 ties, and the
+    // sentinel (-2 < any round-6 cosine ≥ -1) loses to the first
+    // scored entry.
+    val zero = struct(lit(-2.0).as("c"), lit(-1).as("i"))
+    aggregate(scored, zero,
+      (acc, x) => when(x("c") > acc("c"), x).otherwise(acc))
       .getField("i").as("cluster")
   }
 
@@ -124,5 +135,157 @@ object Embeddings {
     df.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .select(col(idCol), nearest(col("__v"), cents))
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"): the vector splits into
+    * `m` contiguous subspaces of `dim / m` components and each subspace
+    * trains its OWN [[kmeansTrain]] codebook — k^m composite cells from
+    * only m·k stored centroids, the compression regime beyond
+    * [[quantizeInt8]]'s 8-bit-per-COMPONENT scalar quantization (PQ at
+    * m = 8, k = 16 stores 8 nibbles per vector: 64× smaller than the
+    * raw 64-double embedding, 16× smaller than SQ8). Same determinism
+    * recipe as every k-means in this engine — lowest-id seeds, rounded
+    * cosine assignment, round-9 centroids — so an independent engine
+    * replays the codebooks exactly.
+    *
+    * Returns the model as (sub, cluster, centroid) — m·k rows; persist
+    * with `model.write.parquet(...)`.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, k: Int, iters: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, "m must divide dim")
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    val sub = dim / m
+    val v = col(vecCol).cast("array<double>")
+    // ALL m codebooks train from one sliced frame in ONE aggregation
+    // pass per Lloyd iteration (explode to (sub, cluster, slice) rows,
+    // group on the compound key): a per-subspace kmeansTrain loop would
+    // scan the corpus m times per iteration — the difference between 2
+    // and 16 corpus passes at m = 8
+    val base = df.filter(v.isNotNull)
+      .select(col(idCol).as("__id") +:
+        (0 until m).map(s => slice(v, s * sub + 1, sub).as(s"__s$s")): _*)
+      .localCheckpoint(true) // seeds + every iteration read it
+    // deterministic seeds: the k lowest-id vectors' slices (one bounded
+    // collect serves all m subspaces)
+    val seedRows = base.orderBy(col("__id")).limit(k).collect()
+    var cents: Map[Int, Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
+      s -> seedRows.map(_.getSeq[Double](s + 1)).toSeq.zipWithIndex.map(_.swap)
+    }.toMap
+    (1 to iters).foreach { _ =>
+      val perSub = (0 until m).map { s =>
+        struct(lit(s).as("sub"),
+          nearest(col(s"__s$s"), cents(s)).as("cluster"),
+          col(s"__s$s").as("sv"))
+      }
+      val updated = base.select(explode(array(perSub: _*)).as("a"))
+        .select(col("a.sub"), col("a.cluster"), col("a.sv"))
+        .groupBy("sub", "cluster")
+        .agg(graft.functions.Aggregators.vectorCentroid(col("sv"), sub).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).map(x =>
+          // SQL round() semantics (half away from zero), 9 decimals —
+          // engine-stable centroid components (the kmeansTrain recipe)
+          BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+        .toMap
+      cents = cents.map { case (s, cs) =>
+        s -> cs.map { case (i, prev) =>
+          i -> updated.getOrElse((s, i), prev) // empty cell keeps centroid
+        }
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.toSeq.flatMap { case (s, cs) =>
+      cs.map { case (i, c) => (s, i, c) }
+    }.sortBy(t => (t._1, t._2)).toDF("sub", "cluster", "centroid")
+  }
+
+  /** Collected [[pqTrain]] model: per-sub centroid tables in cluster
+    * order. Bounded: m·k rows.
+    */
+  private def pqModel(model: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
+    val rows = model.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(rows.nonEmpty, "empty PQ model")
+    (0 until rows.map(_._1).max + 1).map(s =>
+      rows.filter(_._1 == s).map(t => t._2 -> t._3).sortBy(_._1).toSeq)
+  }
+
+  /** Encode vectors against a [[pqTrain]] model: per subspace the
+    * [[nearest]] codebook entry (argmax round-6 cosine, ties → lowest
+    * cluster). One codegen'd projection against the broadcast m·k-row
+    * model — no shuffle, no join. Returns (id, codes: array<int>).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      model: DataFrame): DataFrame = {
+    val bySub = pqModel(model)
+    val m = bySub.length
+    val sub = bySub.head.head._2.length
+    val v = col(vecCol).cast("array<double>")
+    // slices projected to attributes FIRST: nearest() references its
+    // input k times, and re-slicing per centroid would be the
+    // documented outer-expression-in-lambda trap
+    df.filter(v.isNotNull)
+      .select(col(idCol) +:
+        (0 until m).map(s => slice(v, s * sub + 1, sub).as(s"__s$s")): _*)
+      .select(col(idCol),
+        array((0 until m).map(s => nearest(col(s"__s$s"), bySub(s))): _*)
+          .as("codes"))
+  }
+
+  /** Reconstruction column: codes → the concatenation of their
+    * subspace centroids (the PQ decode). Pure column expression over
+    * the model literal.
+    */
+  def pqDecode(codes: Column, model: DataFrame): Column = {
+    val bySub = pqModel(model)
+    flatten(array(bySub.indices.map { s =>
+      val cents: Seq[Seq[Double]] = bySub(s).map(_._2)
+      element_at(typedLit(cents), element_at(codes, s + 1) + 1)
+    }: _*))
+  }
+
+  /** Compressed-domain top-k (FAISS `IndexPQ` shape): score every code
+    * row by the cosine between the RAW query vector and the document's
+    * reconstructed centroid concatenation — the normalized asymmetric
+    * distance (query side exact, document side quantized; Jégou et al.
+    * 2011 §III.B's ADC, with cosine's normalization replacing the inner
+    * product since this engine's vectors are similarity-scored).
+    * Deterministic: round-6 scores, ties → lowest id.
+    *
+    * Scale shape: the scan is EXHAUSTIVE but over codes (m ints per
+    * doc), not raw vectors — the point of PQ is that the compressed
+    * corpus fits where the raw one cannot; queries broadcast
+    * (query-set-bounded), reconstruction is a projection against the
+    * m·k-row model literal, and per-query top-k is the bounded
+    * [[graft.functions.Aggregators.topKByScore]] aggregation (map-side
+    * combine, ≤k entries per query per partition — never a group-sized
+    * window sort). Compose with the IVF cell pruning
+    * ([[graft.operators.Similarity.ivfTopKJoin]]) when even the code
+    * scan must shrink.
+    */
+  def pqTopK(encoded: DataFrame, idCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      model: DataFrame, k: Int, excludeSelf: Boolean = false): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
+    val q = queries.filter(col(qVecCol).isNotNull)
+      .select(col(qIdCol).cast("long").as("q_id"),
+        col(qVecCol).cast("array<double>").as("__qv"))
+    val dec = encoded.select(col(idCol).cast("long").as("id"),
+      pqDecode(col("codes"), model).as("__dv"))
+    val cand0 = dec.crossJoin(broadcast(q))
+      .select(col("q_id"), col("id"),
+        round(V.cosine(col("__qv"), col("__dv")), 6).as("pq_cos"))
+    val cand = if (excludeSelf) cand0.filter(col("q_id") =!= col("id"))
+      else cand0
+    cand.groupBy("q_id")
+      .agg(graft.functions.Aggregators.topKByScore(
+        col("id"), col("pq_cos"), k).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")))
+      .select(col("q_id"), col("col._1").as("id"), col("col._2").as("pq_cos"),
+        (col("pos") + 1).as("rank"))
   }
 }

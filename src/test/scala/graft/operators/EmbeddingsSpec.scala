@@ -94,6 +94,57 @@ class EmbeddingsSpec extends SparkSpec {
     got.foreach { case (id, c) => c shouldBe full(id) }
   }
 
+  test("pq: codes bounded, decode reconstructs cluster structure, model persists") {
+    import spark.implicits._
+    // two tight direction clusters per subspace half: ids 0-19 point
+    // +x in both halves, 20-39 point +y — PQ must give each group one
+    // dominant code word per subspace and reconstruct directions that
+    // cosine-match group members far better than cross-group
+    val rnd = new scala.util.Random(3)
+    def jig(base: Seq[Double]) = base.map(_ + rnd.nextDouble() * 0.05)
+    val df = ((0L until 20L).map(i => i -> jig(Seq(1.0, 0.0, 1.0, 0.0))) ++
+      (20L until 40L).map(i => i -> jig(Seq(0.0, 1.0, 0.0, 1.0))))
+      .toDF("vec_id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("pq_model").toString
+    Embeddings.pqTrain(df, "vec_id", "v", dim = 4, m = 2, k = 2, iters = 2)
+      .write.mode("overwrite").parquet(dir)
+    val model = spark.read.parquet(dir)
+    model.count() shouldBe 4 // m × k codebook rows
+    val enc = Embeddings.pqEncode(df, "vec_id", "v", model)
+    val codes = enc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes.size shouldBe 40
+    codes.values.foreach { cs =>
+      cs.length shouldBe 2
+      cs.foreach(c => c should (be >= 0 and be < 2))
+    }
+    // one code word per group (the clusters are separable): all of
+    // group A share a codes vector, all of B share a different one
+    codes.filterKeys(_ < 20).values.toSet.size shouldBe 1
+    codes.filterKeys(_ >= 20).values.toSet.size shouldBe 1
+    codes(0L) should not be codes(20L)
+    // reconstruction: decoded vectors cosine-match own-group members
+    // (> 0.99) and mismatch the other group (< 0.1)
+    import graft.functions.{VectorFunctions => V}
+    val dec = enc.select(col("vec_id"),
+      Embeddings.pqDecode(col("codes"), model).as("dv"))
+      .join(df, Seq("vec_id"))
+      .select(col("vec_id"), round(V.cosine(col("dv"), col("v")), 6).as("self"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    dec.values.foreach(_ should be > 0.99)
+    // compressed-domain top-k: a group-A query ranks only group-A ids
+    val top = Embeddings.pqTopK(enc, "vec_id",
+      df.filter(col("vec_id") === 0L), "vec_id", "v", model,
+      k = 5, excludeSelf = true).collect()
+    top.length shouldBe 5
+    top.foreach { r =>
+      r.getLong(0) shouldBe 0L
+      r.getLong(1) should be < 20L
+    }
+    // ranks are 1..5 by (score desc, id)
+    top.map(_.getAs[Int]("rank")).sorted shouldBe Seq(1, 2, 3, 4, 5)
+  }
+
   test("kmeans with iters=0 assigns against the raw seeds") {
     import spark.implicits._
     val df = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
