@@ -1320,6 +1320,20 @@ object SparkEntry {
         .select(col("p").as("src"), col("q").as("dst"))
       graft.operators.Graph.triangles(e, "src", "dst")
     }),
+    "graph_kcore" -> ((s, dir) => {
+      // dense-community prior: the 35-core of the SAME canonical
+      // co-purchase graph graph_triangles counts over — synchronous
+      // peel to fixpoint (≤7 rounds observed at sf0.001-0.1; the query
+      // bounds it at 12 LOUDLY so the unrolled oracle's round count is
+      // a checked contract, not an assumption)
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey").as("k"), col("l_partkey").cast("long").as("p"))
+      val e = li.join(li.select(col("k"), col("p").as("q")), Seq("k"))
+        .filter(col("p") =!= col("q"))
+        .select(col("p").as("src"), col("q").as("dst"))
+      graft.operators.Graph.kCore(e, "src", "dst", k = 35, maxRounds = 12)
+    }),
     "embed_random_projection" -> ((s, dir) =>
       // JL/Achlioptas dimensionality reduction 64 → 16 dims with the
       // md5-Rademacher sign matrix (SQL-replicable planes — the LSH
@@ -1650,6 +1664,48 @@ object SparkEntry {
         k = 5, excludeSelf = true)
         .select(col("q_id"), col("id"), col("pq_cos"),
           col("rank").cast("long").as("rank"))
+    }),
+    "sim_ivfpq" -> ((s, dir) => {
+      // IVF-PQ, FULL bit-for-bit replay (no recall contract needed):
+      // md5-kernel LSH cells + lloydIters=0 make the coarse quantizer a
+      // pure function of the corpus, round-9 written centroids + round-6
+      // probe ranking derandomize the probe selection, and the m=32
+      // sub=2 L2 codebooks replay through the same chain as sim_pq. The
+      // oracle rebuilds the ENTIRE index (cells, centroids, 32
+      // codebooks, codes) and re-ranks the probe — every stored byte
+      // and every ranking decision is checked. (On this near-uniform
+      // corpus a recall-vs-exact contract cannot hold constant across
+      // SFs: quantized ranking noise exceeds the vanishing cosine gaps
+      // past rank ~20 — measured in20 5-8/10 at every config — so the
+      // replay is BOTH stronger and the only stable check.)
+      val q = queryVec(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ivfpq"
+      Similarity.ivfWriteIndexPQ(emb, "vec_id", "embedding", dim = 64,
+        path = idx, nBits = 6, lloydIters = 0, m = 32, codebookK = 32,
+        pqIters = 2, kernel = "md5")
+      Similarity.ivfTopKFromIndexPQ(s, idx, "vec_id", q, k = 10, nProbe = 3)
+        .select(col("vec_id"), col("cosine").as("pq_cos"))
+    }),
+    "sim_ivfpq_append" -> ((s, dir) => {
+      // the IVF-PQ append history, fully replayed: build on the even
+      // vec_ids (frozen centroids + codebooks), append the odds against
+      // the frozen index, probe the union. The index dir is DELETED
+      // first — the append write is mode("append"), so reusing a fixed
+      // path across invocations would double rows
+      val q = queryVec(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ivfpq-app"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Similarity.ivfWriteIndexPQ(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", dim = 64, path = idx, nBits = 6,
+        lloydIters = 0, m = 32, codebookK = 32, pqIters = 2, kernel = "md5")
+      Similarity.ivfAppendPQ(emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", idx)
+      Similarity.ivfTopKFromIndexPQ(s, idx, "vec_id", q, k = 10, nProbe = 3)
+        .select(col("vec_id"), col("cosine").as("pq_cos"))
     }),
     "sim_ivf" -> ((s, dir) => {
       // same recall contract for the IVF probe path
@@ -3341,6 +3397,10 @@ object SparkEntry {
              GROUP BY id)
          SELECT deg.id, coalesce(cnt.triangles, 0)::BIGINT AS triangles
          FROM deg LEFT JOIN cnt USING (id)""",
+    // synchronous peel unrolled to 12 rounds (the Spark side's LOUD
+    // maxRounds bound): extra rounds past the fixpoint are no-ops, so
+    // the unroll replays the converged core exactly
+    "graph_kcore" -> kCoreReplaySql(k = 35, rounds = 12),
     "graph_pagerank" ->
       """WITH pe AS (SELECT DISTINCT l_partkey::BIGINT AS src,
              (l_suppkey + 1000000)::BIGINT AS dst FROM lineitem),
@@ -3431,6 +3491,15 @@ object SparkEntry {
     // chain, the encode argmax, the centroid-concat reconstruction, and
     // the final rank — generated per subspace by pqReplaySql
     "sim_pq" -> pqReplaySql(m = 8, k = 16, subDim = 8),
+    // FULL IVF-PQ replay: md5 LSH cells, round-9 centroids, round-6
+    // probe ranking, 32 L2 codebook chains, ADC re-rank of the probed
+    // cells — the strongest possible check (see ivfPqReplaySql)
+    "sim_ivfpq" -> ivfPqReplaySql(m = 32, k = 32, subDim = 2, nBits = 6,
+      nProbe = 3, topK = 10),
+    // append-history replay: frozen-index append of the odd half,
+    // re-ranked over the union (see ivfPqAppendReplaySql)
+    "sim_ivfpq_append" -> ivfPqAppendReplaySql(m = 32, k = 32, subDim = 2,
+      nBits = 6, nProbe = 3, topK = 10),
     "sim_ivf" ->
       "SELECT 10::BIGINT AS n_ivf, 10::BIGINT AS n_in_exact_top50",
     "sim_ivf_sq8" ->
@@ -3912,60 +3981,112 @@ object SparkEntry {
               LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
                          FROM m2 GROUP BY c) mm USING (c))"""
 
+  /** Unrolled DuckDB replay of [[graft.operators.Graph.kCore]]'s
+    * synchronous peel over the canonical co-purchase graph: each round
+    * recomputes degrees and keeps only edges whose BOTH endpoints still
+    * have degree ≥ k. Rounds past the fixpoint are identity transforms,
+    * so any unroll ≥ the Spark side's converged round count (which its
+    * `maxRounds` bound guarantees loudly) replays the core exactly.
+    */
+  private def kCoreReplaySql(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT id, count(*) AS c FROM (
+             SELECT a AS id FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+           GROUP BY id),
+         e$r AS MATERIALIZED (SELECT e${r - 1}.a, e${r - 1}.b FROM e${r - 1}
+           JOIN d$r da ON e${r - 1}.a = da.id AND da.c >= $k
+           JOIN d$r db ON e${r - 1}.b = db.id AND db.c >= $k)"""
+    }.mkString(",\n")
+    // MATERIALIZED is load-bearing: each round reads its predecessor
+    // three times, and DuckDB's default CTE inlining would expand the
+    // 12-round chain into 3^12 scans of e0
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT
+           least(a.l_partkey, b.l_partkey)::BIGINT AS a,
+           greatest(a.l_partkey, b.l_partkey)::BIGINT AS b
+         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey
+         WHERE a.l_orderkey % 2 = 0),
+       $peels
+       SELECT id, count(*)::BIGINT AS core_deg FROM (
+         SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       GROUP BY id"""
+  }
+
   /** Full DuckDB replay of the product-quantization chain
     * ([[graft.operators.Embeddings.pqTrain]]/`pqEncode`/`pqTopK`):
-    * per SUBSPACE, the same Lloyd recipe kmeansReplaySql replays
-    * (lowest-id seeds, argmax of round-6 cosine with ties to the lowest
-    * cluster, round-9 centroid means, empty cells keep their previous
-    * centroid) over the subspace SLICE, two iterations; then the encode
-    * argmax against the final codebook, reconstruction by concatenating
-    * the chosen centroids in subspace order, and the top-5 per query
-    * vector by (round-6 cosine desc, id). Generated per subspace —
-    * the SQL is mechanical, the generator keeps it honest.
+    * per SUBSPACE, the kmeansReplaySql Lloyd recipe in PQ's L2 metric
+    * (lowest-id seeds, argmin of round-6 SQUARED distance with ties to
+    * the lowest cluster, round-9 centroid means, empty cells keep their
+    * previous centroid) over the subspace SLICE, two iterations; then
+    * the encode argmin against the final codebook, reconstruction by
+    * concatenating the chosen centroids in subspace order, and the
+    * top-5 per query vector by (round-6 cosine desc, id) — scoring
+    * stays cosine (the normalized ADC). Generated per subspace — the
+    * SQL is mechanical, the generator keeps it honest.
     */
-  private def pqReplaySql(m: Int, k: Int, subDim: Int): String = {
-    def chain(s: Int): String = {
-      val lo = s * subDim + 1
-      val hi = (s + 1) * subDim
-      s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
-         s0_$s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
-                FROM (SELECT vec_id, v FROM e$s ORDER BY vec_id LIMIT $k)),
-         a1_$s AS (SELECT t.vec_id,
-             (SELECT s.c FROM s0_$s s
-              ORDER BY round(list_cosine_similarity(t.v, s.v), 6) DESC, s.c
-              LIMIT 1) AS c FROM e$s t),
-         m1_$s AS (SELECT a.c, js.j, round(avg(t.v[js.j]), 9) AS m
-                FROM a1_$s a JOIN e$s t USING (vec_id)
-                CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS j) js
-                GROUP BY a.c, js.j),
-         c1_$s AS (SELECT s0_$s.c, coalesce(mm.v, s0_$s.v) AS v FROM s0_$s
-                LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
-                           FROM m1_$s GROUP BY c) mm USING (c)),
-         a2_$s AS (SELECT t.vec_id,
-             (SELECT s.c FROM c1_$s s
-              ORDER BY round(list_cosine_similarity(t.v, s.v), 6) DESC, s.c
-              LIMIT 1) AS c FROM e$s t),
-         m2_$s AS (SELECT a.c, js.j, round(avg(t.v[js.j]), 9) AS m
-                FROM a2_$s a JOIN e$s t USING (vec_id)
-                CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS j) js
-                GROUP BY a.c, js.j),
-         c2_$s AS (SELECT c1_$s.c, coalesce(mm.v, c1_$s.v) AS v FROM c1_$s
-                LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
-                           FROM m2_$s GROUP BY c) mm USING (c)),
-         dec$s AS (SELECT t.vec_id, cb.v
-                FROM (SELECT t.vec_id,
-                        (SELECT s.c FROM c2_$s s
-                         ORDER BY round(list_cosine_similarity(t.v, s.v), 6)
-                           DESC, s.c
-                         LIMIT 1) AS c FROM e$s t) t
-                JOIN c2_$s cb USING (c))"""
-    }
+  /** One per-subspace codebook chain of the PQ replay (see
+    * [[pqReplaySql]]): slice → lowest-id seeds → two Lloyd iterations in
+    * PQ's L2 metric → per-vector decode row. The L2 argmin (the
+    * nearestL2 rule) is round-6 SQUARED distance ASC, ties to the
+    * lowest cluster; the sum is UNROLLED term by term —
+    * left-associative `+` is the exact fold order of the Spark-side
+    * sqDist, and a lambda can't be used here anyway (DuckDB's binder
+    * rejects correlated outer columns inside list_transform lambdas).
+    * MATERIALIZED on the multiply-read CTEs: DuckDB's default inlining
+    * would re-expand the slice scan per reference.
+    */
+  private def pqChainSql(s: Int, k: Int, subDim: Int,
+      trainFrom: String = "e"): String = {
+    val d2 = (1 to subDim)
+      .map(j => s"(t.v[$j] - s.v[$j]) * (t.v[$j] - s.v[$j])")
+      .mkString(" + ")
+    def argmin(tbl: String): String =
+      s"""(SELECT s.c FROM $tbl s
+           ORDER BY round($d2, 6) ASC, s.c
+           LIMIT 1)"""
+    val lo = s * subDim + 1
+    val hi = (s + 1) * subDim
+    // t$s: the TRAIN slice (the codebooks' corpus); e$s: the ENCODE
+    // slice — identical for the full-build replay, a subset for the
+    // append replay (codebooks frozen at build time over the base)
+    s"""e$s AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+       t$s AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM $trainFrom),
+       s0_$s AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+              FROM (SELECT vec_id, v FROM t$s ORDER BY vec_id LIMIT $k)),
+       a1_$s AS (SELECT t.vec_id, ${argmin(s"s0_$s")} AS c FROM t$s t),
+       m1_$s AS (SELECT a.c, js.j, round(avg(t.v[js.j]), 9) AS m
+              FROM a1_$s a JOIN t$s t USING (vec_id)
+              CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS j) js
+              GROUP BY a.c, js.j),
+       c1_$s AS MATERIALIZED (SELECT s0_$s.c, coalesce(mm.v, s0_$s.v) AS v FROM s0_$s
+              LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
+                         FROM m1_$s GROUP BY c) mm USING (c)),
+       a2_$s AS (SELECT t.vec_id, ${argmin(s"c1_$s")} AS c FROM t$s t),
+       m2_$s AS (SELECT a.c, js.j, round(avg(t.v[js.j]), 9) AS m
+              FROM a2_$s a JOIN t$s t USING (vec_id)
+              CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS j) js
+              GROUP BY a.c, js.j),
+       c2_$s AS MATERIALIZED (SELECT c1_$s.c, coalesce(mm.v, c1_$s.v) AS v FROM c1_$s
+              LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
+                         FROM m2_$s GROUP BY c) mm USING (c)),
+       dec$s AS (SELECT t.vec_id, cb.v
+              FROM (SELECT t.vec_id, ${argmin(s"c2_$s")} AS c FROM e$s t) t
+              JOIN c2_$s cb USING (c))"""
+  }
+
+  /** The m chains plus the reconstruction table `d` (vec_id, dv). */
+  private def pqDecodeSql(m: Int, k: Int, subDim: Int,
+      trainFrom: String = "e"): String = {
     val joins = (1 until m).map(s => s"JOIN dec$s USING (vec_id)").mkString(" ")
     val concat = (0 until m).map(s => s"dec$s.v").mkString(" || ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+    s"""${(0 until m).map(pqChainSql(_, k, subDim, trainFrom)).mkString(",\n")},
+       d AS (SELECT dec0.vec_id, $concat AS dv FROM dec0 $joins)"""
+  }
+
+  private def pqReplaySql(m: Int, k: Int, subDim: Int): String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
          FROM embeddings WHERE embedding IS NOT NULL),
-       ${(0 until m).map(chain).mkString(",\n")},
-       d AS (SELECT dec0.vec_id, $concat AS dv FROM dec0 $joins),
+       ${pqDecodeSql(m, k, subDim)},
        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
        sc AS (SELECT q.q_id::BIGINT AS q_id, d.vec_id::BIGINT AS id,
            round(list_cosine_similarity(q.qv, d.dv), 6) AS pq_cos
@@ -3973,7 +4094,83 @@ object SparkEntry {
        r AS (SELECT q_id, id, pq_cos, row_number() OVER (
            PARTITION BY q_id ORDER BY pq_cos DESC, id) AS rk FROM sc)
        SELECT q_id, id, pq_cos, rk::BIGINT AS rank FROM r WHERE rk <= 5"""
-  }
+
+  /** Full DuckDB replay of the IVF-PQ index + probe
+    * ([[graft.operators.Similarity.ivfWriteIndexPQ]] at kernel="md5",
+    * lloydIters=0 / [[graft.operators.Similarity.ivfTopKFromIndexPQ]]):
+    * coarse cells are the md5-Rademacher LSH buckets (lshBucketSql —
+    * the same plane construction every LSH oracle here replays),
+    * centroids are per-cell round-9 component means, the probe keeps
+    * the nProbe cells by (round-6 centroid cosine DESC, cell ASC), the
+    * codebooks/codes replay through [[pqChainSql]], and the final
+    * ranking is (round-6 ADC cosine DESC, id ASC) over the probed
+    * cells only. Every stored byte of the index and every ranking
+    * decision of the probe is recomputed independently.
+    */
+  private def ivfPqReplaySql(m: Int, k: Int, subDim: Int, nBits: Int,
+      nProbe: Int, topK: Int): String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         FROM embeddings WHERE embedding IS NOT NULL),
+       cells AS MATERIALIZED (SELECT vec_id, ${lshBucketSql("v", nBits)} AS cell
+         FROM e),
+       cents AS MATERIALIZED (SELECT cell, list(m ORDER BY j) AS cv FROM (
+           SELECT c.cell, js.j, round(avg(e.v[js.j]), 9) AS m
+           FROM cells c JOIN e USING (vec_id)
+           CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
+           GROUP BY c.cell, js.j)
+         GROUP BY cell),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       probe AS (SELECT cell FROM cents, q
+         ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, cell
+         LIMIT $nProbe),
+       ${pqDecodeSql(m, k, subDim)}
+       SELECT d.vec_id, round(list_cosine_similarity(q.qv, d.dv), 6) AS pq_cos
+       FROM d JOIN cells USING (vec_id), q
+       WHERE cells.cell IN (SELECT cell FROM probe)
+       ORDER BY pq_cos DESC, d.vec_id
+       LIMIT $topK"""
+
+  /** [[ivfPqReplaySql]]'s APPEND-HISTORY twin
+    * ([[graft.operators.Similarity.ivfAppendPQ]]): the index was BUILT
+    * on the even vec_ids (md5 LSH cells, round-9 centroids over evens
+    * only, codebooks trained on evens only) and the odds were APPENDED
+    * against the frozen index — each odd row's cell is the argmax of
+    * round-6 cosine against the FROZEN centroids (ties → lowest cell),
+    * its codes the frozen codebooks' L2 argmins. The replay recomputes
+    * both phases and re-ranks the probe over the union — checking that
+    * appended rows are stored and ranked indistinguishably from built
+    * rows, byte for byte.
+    */
+  private def ivfPqAppendReplaySql(m: Int, k: Int, subDim: Int, nBits: Int,
+      nProbe: Int, topK: Int): String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         FROM embeddings WHERE embedding IS NOT NULL),
+       eb AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+       cellsb AS MATERIALIZED (SELECT vec_id, ${lshBucketSql("v", nBits)} AS cell
+         FROM eb),
+       cents AS MATERIALIZED (SELECT cell, list(m ORDER BY j) AS cv FROM (
+           SELECT c.cell, js.j, round(avg(eb.v[js.j]), 9) AS m
+           FROM cellsb c JOIN eb USING (vec_id)
+           CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
+           GROUP BY c.cell, js.j)
+         GROUP BY cell),
+       cellsd AS MATERIALIZED (SELECT t.vec_id,
+           (SELECT s.cell FROM cents s
+            ORDER BY round(list_cosine_similarity(t.v, s.cv), 6) DESC, s.cell
+            LIMIT 1) AS cell
+         FROM e t WHERE t.vec_id % 2 <> 0),
+       cells AS MATERIALIZED (SELECT * FROM cellsb UNION ALL
+         SELECT * FROM cellsd),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       probe AS (SELECT cell FROM cents, q
+         ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, cell
+         LIMIT $nProbe),
+       ${pqDecodeSql(m, k, subDim, trainFrom = "eb")}
+       SELECT d.vec_id, round(list_cosine_similarity(q.qv, d.dv), 6) AS pq_cos
+       FROM d JOIN cells USING (vec_id), q
+       WHERE cells.cell IN (SELECT cell FROM probe)
+       ORDER BY pq_cos DESC, d.vec_id
+       LIMIT $topK"""
 
   /** Shared CTE prefix for the DSIR queries: hashed word-bigram feature
     * table over documents (`b`), target/raw bucket distributions with

@@ -23,6 +23,19 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Squared Euclidean distance — the PQ codebook metric ([[graft
+    * .operators.Embeddings.pqTrain]]; Jégou et al. 2011 train and
+    * encode in L2, which quantizes magnitude as well as direction —
+    * an angle-only cosine assignment discards the slice magnitudes
+    * and measurably degrades asymmetric-distance ranking). Same
+    * left-to-right fold as [[dot]]: Σ (aᵢ−bᵢ)², sequential adds, so
+    * an independent engine replaying the order reproduces it
+    * bit-for-bit.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Single-pass custom expression; bit-identical to the HOF
     * dot/norm/norm formulation but without three array allocations per
     * pair — see [[ArrayOps.CosineDouble]].

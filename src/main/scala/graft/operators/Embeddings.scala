@@ -84,6 +84,30 @@ object Embeddings {
       .getField("i").as("cluster")
   }
 
+  /** [[nearest]]'s L2 twin — greedy-first argmin over round-6 SQUARED
+    * Euclidean distances, ties to the lowest cluster index. The PQ
+    * codebook assignment rule (Jégou et al. 2011 train/encode in L2):
+    * unlike cosine, it quantizes slice MAGNITUDE as well as direction,
+    * which is what makes the centroid-concat reconstruction track the
+    * full-vector dot product (measured at sf0.1/m=32/k=32: cosine
+    * assignment left 2 of an IVF-PQ probe's top-10 outside the exact
+    * top-50 and 1 outside the top-100; L2 assignment pulls all 10
+    * inside the top-50).
+    */
+  private[operators] def nearestL2(v: Column,
+      cents: Seq[(Int, Seq[Double])]): Column = {
+    import graft.functions.{VectorFunctions => V}
+    val scored = array(cents.map { case (i, c) =>
+      struct(round(V.sqDist(v, typedLit(c)), 6).as("d"), lit(i).as("i"))
+    }: _*)
+    // same linear-fold discipline as nearest(); the MaxValue sentinel
+    // loses to every real distance, strict `<` keeps the first min
+    val zero = struct(lit(Double.MaxValue).as("d"), lit(-1).as("i"))
+    aggregate(scored, zero,
+      (acc, x) => when(x("d") < acc("d"), x).otherwise(acc))
+      .getField("i").as("cluster")
+  }
+
   /** Training half of [[kmeans]]: the final (cluster, centroid) MODEL as
     * a k-row DataFrame — persist it with `model.write.parquet(...)` and
     * assign arbitrary future batches against it
@@ -144,10 +168,12 @@ object Embeddings {
     * only m·k stored centroids, the compression regime beyond
     * [[quantizeInt8]]'s 8-bit-per-COMPONENT scalar quantization (PQ at
     * m = 8, k = 16 stores 8 nibbles per vector: 64× smaller than the
-    * raw 64-double embedding, 16× smaller than SQ8). Same determinism
-    * recipe as every k-means in this engine — lowest-id seeds, rounded
-    * cosine assignment, round-9 centroids — so an independent engine
-    * replays the codebooks exactly.
+    * raw 64-double embedding, 16× smaller than SQ8). Codebooks train
+    * and encode in L2 ([[nearestL2]] — Jégou's metric; cosine stays the
+    * SCORING metric in [[pqTopK]]), with the engine's determinism
+    * recipe — lowest-id seeds, round-6 argmin with ties to the lowest
+    * cluster, round-9 centroids — so an independent engine replays the
+    * codebooks exactly.
     *
     * Returns the model as (sub, cluster, centroid) — m·k rows; persist
     * with `model.write.parquet(...)`.
@@ -176,7 +202,7 @@ object Embeddings {
     (1 to iters).foreach { _ =>
       val perSub = (0 until m).map { s =>
         struct(lit(s).as("sub"),
-          nearest(col(s"__s$s"), cents(s)).as("cluster"),
+          nearestL2(col(s"__s$s"), cents(s)).as("cluster"),
           col(s"__s$s").as("sv"))
       }
       val updated = base.select(explode(array(perSub: _*)).as("a"))
@@ -206,7 +232,7 @@ object Embeddings {
   /** Collected [[pqTrain]] model: per-sub centroid tables in cluster
     * order. Bounded: m·k rows.
     */
-  private def pqModel(model: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
+  private[operators] def pqModel(model: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
     val rows = model.collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
     require(rows.nonEmpty, "empty PQ model")
@@ -232,7 +258,7 @@ object Embeddings {
       .select(col(idCol) +:
         (0 until m).map(s => slice(v, s * sub + 1, sub).as(s"__s$s")): _*)
       .select(col(idCol),
-        array((0 until m).map(s => nearest(col(s"__s$s"), bySub(s))): _*)
+        array((0 until m).map(s => nearestL2(col(s"__s$s"), bySub(s))): _*)
           .as("codes"))
   }
 

@@ -97,6 +97,77 @@ object Graph {
   /** Lineage-cut cadence for [[pageRank]]'s lazy round composition. */
   private val CheckpointEvery = 4
 
+  /** The `k`-core of an undirected simple graph — the maximal subgraph
+    * in which every vertex has degree ≥ `k` (Seidman 1983; the
+    * linear-time peel is Matula & Beck 1983 / Batagelj & Zaveršnik
+    * 2003) — the third classic curation prior after [[pageRank]] and
+    * [[triangles]]: core membership separates densely-embedded pages
+    * (the stable "core" of a link community) from peripheral ones, and
+    * is the standard cheap proxy for graph denoising before the more
+    * expensive priors run.
+    *
+    * Input edges are canonicalized like [[triangles]] (self-loops
+    * dropped, direction/duplicates collapsed). Returns (id, core_deg) —
+    * every vertex of the k-core with its degree WITHIN the core
+    * (≥ `k` by definition); vertices peeled away are absent. An empty
+    * result means the graph has no k-core.
+    *
+    * Algorithm: synchronous peeling to fixpoint — drop every vertex of
+    * degree < `k`, recompute degrees, repeat (the distributed
+    * formulation of Montresor, De Pellegrini & Miorandi 2013). Each
+    * round is one map-side-combined degree aggregation plus two
+    * left-semi joins of the edge frame against the surviving node set —
+    * all shuffles edge-sized, nothing quadratic. Rounds truncate
+    * lineage with an eager localCheckpoint and release the previous
+    * round's blocks ([[Dedup.connectedComponents]]'s discipline), so
+    * the loop holds one edge-sized frame at a time; the fixpoint test
+    * rides the edge count the checkpoint already materializes (no extra
+    * job per round).
+    *
+    * `maxRounds` bounds the peel LOUDLY: synchronous peeling needs as
+    * many rounds as the longest chain of cascading removals (O(n) on a
+    * path), and an engine replaying this result (the `graph_kcore`
+    * oracle unrolls the rounds) must know a bound held. Raise it for
+    * chain-shaped graphs.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    import org.apache.spark.sql.graft.Bridge
+    var e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var edgeCount = e.count()
+    var rounds = 0
+    var done = edgeCount == 0L
+    while (!done) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"k-core peel did not converge within $maxRounds rounds")
+      val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("id")
+      val next = e
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      Bridge.releaseLocalCheckpoint(e)
+      e = next
+      // no edge left the graph ⇒ no degree changed ⇒ fixpoint
+      done = nextCount == edgeCount || nextCount == 0L
+      edgeCount = nextCount
+    }
+    e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Exact per-vertex triangle counts of an undirected simple graph —
     * the local-clustering signal (spam link farms are near-cliques;
     * organic link neighborhoods are sparse) and the second classic

@@ -151,6 +151,175 @@ object Similarity {
               .otherwise(floor(x / col("scale") * 127.0 + 0.5))
               .cast("int"))).as("q"))
 
+  /** [[ivfWriteIndex]] with PRODUCT-quantized storage — the IVF-PQ
+    * composition (FAISS `IndexIVFPQ` shape; Jégou et al. 2011 §IV):
+    * the coarse quantizer prunes WHICH cells are scanned, the
+    * [[Embeddings.pqTrain]] codebooks shrink WHAT each scanned row
+    * costs. Each cell row stores the vector as `m` code nibbles packed
+    * into ONE `m`-byte binary ([[graft.functions.Sq8.PackSQ8]] — codes
+    * are 0..codebookK−1, so `codebookK ≤ 128` keeps them signed-byte
+    * clean) — 64× smaller than the raw 64-double payload, 16× smaller
+    * than SQ8, which is the regime where a 100 TB corpus's index fits
+    * on a cluster that the raw vectors never could.
+    *
+    * Codebooks train over the FULL corpus (not per cell): one model
+    * serves every cell, appends never retrain it, and the probe decodes
+    * against one broadcast m·k-row literal. (True IVFPQ encodes
+    * residuals against the coarse centroid; with cosine scoring the
+    * residual trick loses its meaning — normalization is not additive —
+    * so this is the IVFFlat-style composition: PQ over raw vectors,
+    * cells purely for pruning.)
+    *
+    * Layout: `<path>/cells` (id, codes) partitioned by `cell`,
+    * `<path>/centroids` (coarse), `<path>/pqmodel` (sub, cluster,
+    * centroid).
+    *
+    * DERANDOMIZED index metadata, unlike the flat/SQ8 faces: coarse
+    * centroids are written with round-9 components (the
+    * [[Embeddings.kmeansTrain]] discipline) and [[ivfTopKFromIndexPQ]]
+    * ranks probe cells by ROUND-6 centroid cosine with ties to the
+    * lowest cell id. With `kernel = "md5"` and `lloydIters = 0` the
+    * whole index — cells, centroids, codebooks, codes — is a pure
+    * function of the corpus that an independent engine replays
+    * bit-for-bit; that is what lets the `sim_ivfpq` oracle replay the
+    * FULL probe (cell assignment, probe selection, ADC ranking) in SQL
+    * rather than settling for a recall contract.
+    */
+  def ivfWriteIndexPQ(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, path: String, nBits: Int = 6, lloydIters: Int = 1,
+      m: Int = 8, codebookK: Int = 16, pqIters: Int = 2,
+      kernel: String = "xxhash"): Unit = {
+    require(codebookK >= 1 && codebookK <= 128,
+      "PQ codes are stored as signed bytes - codebookK in [1, 128]")
+    val (assigned, cents0) = trainCells(df, idCol, vecCol, dim, nBits,
+      lloydIters, kernel)
+    // engine-stable centroid components (see scaladoc)
+    val cents = cents0.map { case (id, c) =>
+      id -> c.map(x =>
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val model = Embeddings.pqTrain(assigned, idCol, "v", dim, m, codebookK,
+      pqIters)
+    model.repartition(1).write.mode("overwrite").parquet(s"$path/pqmodel")
+    pqRows(assigned, idCol, model)
+      .repartition(col("cell")) // one file per cell — see ivfWriteIndex
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.toSeq.toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** The PQ storage projection over an assigned (id, v, cell) frame —
+    * shared by [[ivfWriteIndexPQ]] and [[ivfAppendPQ]] (the sq8Rows
+    * discipline): slices projected to attributes FIRST (nearestL2
+    * references its input once per centroid), then the m per-subspace
+    * argmins packed into one m-byte binary.
+    */
+  private def pqRows(assigned: DataFrame, idCol: String,
+      model: DataFrame): DataFrame = {
+    val bySub = Embeddings.pqModel(model)
+    val m = bySub.length
+    val sub = bySub.head.head._2.length
+    val v = col("v").cast("array<double>")
+    assigned
+      .select(col(idCol) +: col("cell") +:
+        (0 until m).map(s => slice(v, s * sub + 1, sub).as(s"__s$s")): _*)
+      .select(col(idCol), col("cell"),
+        graft.functions.Sq8.packSq8(array((0 until m).map(s =>
+          Embeddings.nearestL2(col(s"__s$s"), bySub(s))): _*)).as("codes"))
+  }
+
+  /** [[ivfAppend]] against an [[ivfWriteIndexPQ]] index: frozen
+    * everything — new vectors are assigned to the nearest EXISTING
+    * coarse centroid and encoded against the persisted codebooks, so a
+    * probe cannot tell appended rows from built rows and the model
+    * never drifts under ingestion (retrain via [[ivfWriteIndexPQ]] on a
+    * drift trigger, as with the other index faces).
+    *
+    * The cell assignment here is the derandomized frozen-quantizer
+    * rule — argmax of ROUND-6 centroid cosine, ties to the lowest cell
+    * id (the [[probeCellsRounded]] twin, distributed) — so the
+    * `sim_ivfpq_append` oracle replays the append history exactly.
+    * NOTE for `lloydIters = 0`-built indexes: built rows sit in their
+    * raw LSH bucket while appended rows go to the nearest centroid —
+    * cells are pruning buckets, not semantics, so probes are unaffected;
+    * a full rebuild may place appended rows differently.
+    */
+  def ivfAppendPQ(df: DataFrame, idCol: String, vecCol: String,
+      indexPath: String): Unit = {
+    val spark = df.sparkSession
+    val cents = readCentroids(spark, indexPath)
+    val model = spark.read.parquet(s"$indexPath/pqmodel")
+    pqRows(assignToCellsRounded(df, idCol, vecCol, cents), idCol, model)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/cells")
+  }
+
+  /** [[assignToCells]] derandomized for the PQ faces: (id, v, cell)
+    * with cell = argmax of ROUND-6 cosine against the frozen centroids,
+    * ties to the lowest cell id (`cents` arrives id-sorted from
+    * [[readCentroids]], and the strict `>` fold keeps the first max).
+    */
+  private def assignToCellsRounded(df: DataFrame, idCol: String,
+      vecCol: String, cents: Array[(Long, Seq[Double])]): DataFrame = {
+    val centVecs = typedLit(cents.map(_._2).toSeq)
+    val cellIds = typedLit(cents.map(_._1).toSeq)
+    val n = cents.length
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .select(col(idCol), col("v"), {
+        val scored = transform(sequence(lit(1), lit(n)), i =>
+          struct(round(V.cosine(col("v"), element_at(centVecs, i)), 6).as("c"),
+            element_at(cellIds, i).as("cell")))
+        val zero = struct(lit(-2.0).as("c"), lit(-1L).as("cell"))
+        aggregate(scored, zero,
+          (acc, x) => when(x("c") > acc("c"), x).otherwise(acc))
+          .getField("cell").as("cell")
+      })
+  }
+
+  /** The packed-codes → reconstructed-vector projection over a
+    * persisted [[ivfWriteIndexPQ]] index: unpack the m bytes (scale 127
+    * makes [[graft.functions.Sq8.UnpackSQ8]] an identity — code·127/127)
+    * and concatenate the chosen codebook centroids
+    * ([[Embeddings.pqDecode]] against the driver-read m·k-row model).
+    */
+  private def pqReconstruct(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Column = {
+    val model = spark.read.parquet(s"$indexPath/pqmodel")
+    val codesInt = transform(
+      graft.functions.Sq8.unpackSq8(col("codes"), lit(127.0)),
+      x => x.cast("int"))
+    Embeddings.pqDecode(codesInt, model)
+  }
+
+  /** Query a persisted [[ivfWriteIndexPQ]] index: the [[ivfTopKFromIndex]]
+    * probe plan (driver-side centroid read, cell partition pruning) with
+    * the candidate cosine computed against the PQ RECONSTRUCTION —
+    * Jégou et al.'s asymmetric distance (exact query side, quantized
+    * document side), cosine-normalized as in [[Embeddings.pqTopK]].
+    * Probe-cell ranking is round-6 cosine with ties to the lowest cell
+    * id — deterministic against the round-9 centroids the PQ face
+    * writes, so the `sim_ivfpq` oracle replays the probe selection
+    * exactly (see [[ivfWriteIndexPQ]]).
+    */
+  def ivfTopKFromIndexPQ(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, queryVec: Seq[Double], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val probes = probeCellsRounded(cents, queryVec, nProbe)
+    val q = typedLit(queryVec)
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probes: _*))
+      .select(col(idCol),
+        round(V.cosine(pqReconstruct(spark, path), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Query a persisted [[ivfWriteIndexSQ8]] index: same driver-side
     * centroid read and cell partition pruning as [[ivfTopKFromIndex]];
     * the probe DEQUANTIZES INLINE in the scan projection (code·scale/127,
@@ -212,7 +381,7 @@ object Similarity {
       indexPath: String, idCol: String, k: Int, nProbe: Int = 4,
       excludeSelf: Boolean = false, broadcastQueries: Boolean = true): DataFrame =
     ivfJoinImpl(queries, qIdCol, qVecCol, indexPath, idCol, k, nProbe,
-      excludeSelf, broadcastQueries, sq8 = true)
+      excludeSelf, broadcastQueries, storage = "sq8")
 
   /** [[ivfTopKJoinSQ8]] against a flat (unquantized) [[ivfWriteIndex]]
     * index — identical plan, no dequantize step.
@@ -221,11 +390,24 @@ object Similarity {
       indexPath: String, idCol: String, k: Int, nProbe: Int = 4,
       excludeSelf: Boolean = false, broadcastQueries: Boolean = true): DataFrame =
     ivfJoinImpl(queries, qIdCol, qVecCol, indexPath, idCol, k, nProbe,
-      excludeSelf, broadcastQueries, sq8 = false)
+      excludeSelf, broadcastQueries, storage = "flat")
+
+  /** [[ivfTopKJoinSQ8]] against a product-quantized [[ivfWriteIndexPQ]]
+    * index — identical plan, candidates scored against the PQ
+    * reconstruction ([[ivfTopKFromIndexPQ]]'s asymmetric distance).
+    * The batched probe over the 64×-compressed index: at 100 TB this is
+    * the shape where the scanned cells' payload is small enough to
+    * broadcast-join against a large query batch.
+    */
+  def ivfPqTopKJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+      indexPath: String, idCol: String, k: Int, nProbe: Int = 4,
+      excludeSelf: Boolean = false, broadcastQueries: Boolean = true): DataFrame =
+    ivfJoinImpl(queries, qIdCol, qVecCol, indexPath, idCol, k, nProbe,
+      excludeSelf, broadcastQueries, storage = "pq")
 
   private def ivfJoinImpl(queries: DataFrame, qIdCol: String, qVecCol: String,
       indexPath: String, idCol: String, k: Int, nProbe: Int,
-      excludeSelf: Boolean, broadcastQueries: Boolean, sq8: Boolean): DataFrame = {
+      excludeSelf: Boolean, broadcastQueries: Boolean, storage: String): DataFrame = {
     require(k >= 1 && nProbe >= 1, "k and nProbe must be >= 1")
     val spark = queries.sparkSession
     // driver-bounded: ≤2^nBits centroid rows
@@ -263,10 +445,12 @@ object Similarity {
       .filter(col("cell").isin(probed: _*))
     val qSide = if (broadcastQueries) broadcast(exploded) else exploded
     val joined = qSide.join(cellsDf, Seq("cell"))
-    val candVec =
-      if (sq8)
+    val candVec = storage match {
+      case "sq8" =>
         graft.functions.Sq8.unpackSq8(col("q"), col("scale").cast("double"))
-      else col("v").cast("array<double>")
+      case "pq" => pqReconstruct(spark, indexPath)
+      case _ => col("v").cast("array<double>")
+    }
     val cand0 = joined.select(col("q_id"),
       col(idCol).cast("long").as("id"),
       round(V.cosine(candVec, col("__qv")), 6).as("cosine"))
@@ -364,7 +548,7 @@ object Similarity {
     * driver-held centroids.
     */
   private def trainCells(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nBits: Int, lloydIters: Int)
+      dim: Int, nBits: Int, lloydIters: Int, kernel: String = "xxhash")
       : (DataFrame, Array[(Long, Seq[Double])]) = {
     // checkpointed: the centroid collect(s) and the probe filter all read
     // this — without it the scan + bucket projection runs per consumer.
@@ -373,7 +557,7 @@ object Similarity {
     val base = df
       .filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).as("v"),
-        V.hyperplaneLshBucket(col(vecCol), nBits, dim).as("cell"))
+        V.hyperplaneLshBucket(col(vecCol), nBits, dim, kernel).as("cell"))
       .localCheckpoint(true)
 
     def centroidsOf(assigned: DataFrame): Array[(Long, Seq[Double])] = assigned
@@ -408,6 +592,30 @@ object Similarity {
       if (d == 0.0) 0.0 else dot / d
     }
     cents.sortBy { case (_, c) => -cos(c, queryVec) }
+      .take(nProbe).map(_._1).toSeq
+  }
+
+  /** [[probeCells]] derandomized for the PQ index face: ROUND-6 cosine
+    * (SQL `round` semantics — half away from zero), ties to the lowest
+    * cell id. Same bounded driver-side work; the rounding absorbs
+    * last-ulp arithmetic differences so an independent engine selects
+    * the identical probe set.
+    */
+  private def probeCellsRounded(cents: Array[(Long, Seq[Double])],
+      queryVec: Seq[Double], nProbe: Int): Seq[Long] = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    cents.map { case (id, c) =>
+      id -> BigDecimal(cos(c, queryVec))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sortBy { case (id, r) => (-r, id) }
       .take(nProbe).map(_._1).toSeq
   }
 

@@ -79,6 +79,68 @@ class GraphSpec extends SparkSpec {
     got shouldBe verts.map(v => v -> brute(v)).toMap
   }
 
+  test("kCore peels pendants and chains, keeps the dense core") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + path 4-5-6 + pendant 1-7; reversed and
+    // duplicate rows must collapse to one undirected edge
+    val clique = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val edges = clique ++ Seq((4L, 5L), (5L, 6L), (1L, 7L),
+      (2L, 1L), (3L, 1L)) // reversed duplicates of clique edges
+    val df = edges.toDF("src", "dst")
+    // 2-core: the path/pendant peel away (6 and 7 have degree 1, then
+    // 5 drops to 1) — only the clique survives, each with core_deg 3
+    val core2 = Graph.kCore(df, "src", "dst", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    core2 shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    // 3-core: same (clique degrees are exactly 3)
+    Graph.kCore(df, "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe core2
+    // 4-core: empty (max degree in the canonical graph is 5 for nodes
+    // 1 and 4, but removing the others cascades everything away)
+    Graph.kCore(df, "src", "dst", k = 4).count() shouldBe 0L
+  }
+
+  test("kCore cascade: a long chain needs one round per link and maxRounds is loud") {
+    import spark.implicits._
+    // triangle {0,1,2} with a 6-link tail off node 2: k=2 peels the
+    // tail one link per synchronous round (the worst-case cascade)
+    val tail = (2L until 8L).map(i => (i, i + 1))
+    val df = (Seq((0L, 1L), (1L, 2L), (0L, 2L)) ++ tail).toDF("src", "dst")
+    val got = Graph.kCore(df, "src", "dst", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(0L -> 2L, 1L -> 2L, 2L -> 2L)
+    // the same peel under an insufficient bound fails LOUDLY rather
+    // than returning a half-peeled graph
+    an[Exception] should be thrownBy
+      Graph.kCore(df, "src", "dst", k = 2, maxRounds = 2).count()
+  }
+
+  test("kCore matches a sequential peel on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 60
+    val edges = (0 until 240).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val df = edges.toDF("src", "dst")
+    // sequential reference peel
+    var und = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val k = 3
+    var changed = true
+    while (changed) {
+      val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, xs) => v -> xs.size }
+      val next = und.filter(e => deg(e._1) >= k && deg(e._2) >= k)
+      changed = next != und
+      und = next
+    }
+    val wantDeg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val got = Graph.kCore(df, "src", "dst", k = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe wantDeg
+  }
+
   test("pageRank is deterministic across runs") {
     import spark.implicits._
     val edges = (0L until 200L).map(i => (i, (i * 7 + 3) % 200)) ++
