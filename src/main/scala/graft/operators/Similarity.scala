@@ -248,13 +248,23 @@ object Similarity {
     * a full rebuild may place appended rows differently.
     */
   def ivfAppendPQ(df: DataFrame, idCol: String, vecCol: String,
-      indexPath: String): Unit = {
+      indexPath: String): Unit =
+    pqDeltaRows(df, idCol, vecCol, indexPath)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/cells")
+
+  /** A new batch's (id, cell, codes) rows against a FROZEN
+    * [[ivfWriteIndexPQ]] index — the shared assignment+encode behind
+    * [[ivfAppendPQ]] and the streaming
+    * [[graft.streaming.StreamingOps.continuousPqAppend]], so batch and
+    * stream produce byte-identical rows for the same input.
+    */
+  private[graft] def pqDeltaRows(df: DataFrame, idCol: String,
+      vecCol: String, indexPath: String): DataFrame = {
     val spark = df.sparkSession
     val cents = readCentroids(spark, indexPath)
     val model = spark.read.parquet(s"$indexPath/pqmodel")
     pqRows(assignToCellsRounded(df, idCol, vecCol, cents), idCol, model)
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/cells")
   }
 
   /** [[assignToCells]] derandomized for the PQ faces: (id, v, cell)
@@ -286,7 +296,7 @@ object Similarity {
     * and concatenate the chosen codebook centroids
     * ([[Embeddings.pqDecode]] against the driver-read m·k-row model).
     */
-  private def pqReconstruct(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def pqReconstruct(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Column = {
     val model = spark.read.parquet(s"$indexPath/pqmodel")
     val codesInt = transform(
@@ -601,7 +611,7 @@ object Similarity {
     * last-ulp arithmetic differences so an independent engine selects
     * the identical probe set.
     */
-  private def probeCellsRounded(cents: Array[(Long, Seq[Double])],
+  private[graft] def probeCellsRounded(cents: Array[(Long, Seq[Double])],
       queryVec: Seq[Double], nProbe: Int): Seq[Long] = {
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -1152,10 +1152,12 @@ object StreamingOps {
       }
   }
 
-  /** Fold a [[continuousIvfAppend]] stream's COMMITTED delta partitions
-    * (all but the latest batch) into the cell-partitioned base at
-    * `<indexPath>/cells`, then prune the folded delta directories —
-    * the [[compactClusterLabels]] discipline on vector rows.
+  /** Fold a [[continuousIvfAppend]] (or [[continuousPqAppend]] — the
+    * fold is layout-generic over the columns between id and `cell`)
+    * stream's COMMITTED delta partitions (all but the latest batch)
+    * into the cell-partitioned base at `<indexPath>/cells`, then prune
+    * the folded delta directories — the [[compactClusterLabels]]
+    * discipline on vector rows.
     *
     * Cost is bounded by delta locality, not corpus size: only the cell
     * partitions the deltas TOUCH are rewritten (read cell-pruned via an
@@ -1187,14 +1189,20 @@ object StreamingOps {
     val maxBatch = maxB.toString.toLong
     if (maxBatch <= 0) return // nothing strictly below the latest batch
     val committedAll = deltas.where(col("batch_id") < maxBatch)
-    val idCol = committedAll.drop("batch_id").columns.head // (id, v, cell)
+    // layout-generic: (id, <payload...>, cell) — v for the flat index,
+    // codes for the PQ index ([[continuousPqAppend]] deltas)
+    val dataCols = committedAll.drop("batch_id").columns
+    val idCol = dataCols.head
+    val payload = dataCols.filter(c => c != idCol && c != "cell")
     // recency dedup WITHIN the committed deltas: the max-batch_id row per
     // id wins (max_by is deterministic here — equal batch_ids only arise
     // from replays whose rows agree in value)
     val committed = committedAll
       .groupBy(col(idCol))
-      .agg(max_by(struct(col("v"), col("cell")), col("batch_id")).as("__w"))
-      .select(col(idCol), col("__w.v").as("v"), col("__w.cell").as("cell"))
+      .agg(max_by(struct((payload :+ "cell").map(col): _*), col("batch_id"))
+        .as("__w"))
+      .select(col(idCol) +:
+        (payload :+ "cell").map(c => col(s"__w.$c").as(c)): _*)
       .localCheckpoint(true) // read by touched-cells, prior-cells, and fold
     // driver-bounded: ≤2^nBits distinct cells — the literal prunes the
     // base read to the touched partitions only
@@ -1293,6 +1301,85 @@ object StreamingOps {
       .groupBy(col(idCol))
       .agg(max_by(col("v"), col("__b")).as("v"))
       .select(col(idCol), round(V.cosine(col("v"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** [[continuousIvfAppend]] for a product-quantized index
+    * ([[graft.operators.Similarity.ivfWriteIndexPQ]] layout): each
+    * micro-batch is assigned to its nearest FROZEN coarse centroid and
+    * encoded against the FROZEN codebooks
+    * ([[graft.operators.Similarity.ivfAppendPQ]]'s exact rules, shared
+    * code), landing as per-batch-id delta partitions with dynamic
+    * overwrite — replay-safe, like every streaming face here. Deltas
+    * carry (id, cell, codes): m bytes per vector in flight, which at
+    * ingest volume is the difference between shipping the stream and
+    * shipping 64× the stream. Compact with [[compactIvfDeltas]] (the
+    * fold is layout-generic); probe with [[ivfPqTopKFromStreamIndex]];
+    * codebook/centroid drift → offline [[graft.operators.Similarity
+    * .ivfWriteIndexPQ]] rebuild + stream restart (the frozen
+    * train-offline / score-online split).
+    */
+  def continuousPqAppend(vecs: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, checkpoint: String,
+      compactEveryBatches: Int = 0): DataStreamWriter[Row] = {
+    import graft.operators.Similarity
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // frozen quantizer + codebooks re-read per batch, so an offline
+        // rebuild that swaps them is picked up at the next batch boundary
+        Similarity.pqDeltaRows(batch.toDF(), idCol, vecCol, indexPath)
+          .withColumn("batch_id", lit(batchId))
+          .repartition(col("cell")) // cell-coherent files — see above
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$indexPath/deltas")
+        if (compactEveryBatches > 0 && batchId > 0 &&
+            batchId % compactEveryBatches == 0)
+          compactIvfDeltas(spark, indexPath)
+        ()
+      }
+  }
+
+  /** [[ivfTopKFromStreamIndex]] for a [[continuousPqAppend]]-maintained
+    * PQ index: same base ∪ deltas read (both cell-pruned), same
+    * recency dedup (max delta batch_id wins, base ranks as batch −1),
+    * with the candidate cosine computed against the PQ reconstruction
+    * ([[graft.operators.Similarity.ivfTopKFromIndexPQ]]'s asymmetric
+    * distance) and the probe-cell selection the PQ faces' round-6 rule.
+    */
+  def ivfPqTopKFromStreamIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String, queryVec: Seq[Double], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import graft.operators.Similarity
+    import graft.functions.{VectorFunctions => V}
+    val cents = Similarity.readCentroids(spark, indexPath)
+    val probes = Similarity.probeCellsRounded(cents, queryVec, nProbe)
+    def readOrEmpty(path: String): Option[DataFrame] =
+      try Some(spark.read.parquet(path))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+      }
+    val base = readOrEmpty(s"$indexPath/cells")
+      .map(_.filter(col("cell").isin(probes: _*))
+        .select(col(idCol), col("codes"), lit(-1L).as("__b")))
+    val delta = readOrEmpty(s"$indexPath/deltas")
+      .map(_.filter(col("cell").isin(probes: _*))
+        .select(col(idCol), col("codes"), col("batch_id").cast("long").as("__b")))
+    val parts = base.toSeq ++ delta.toSeq
+    require(parts.nonEmpty, s"no cells or deltas under $indexPath")
+    val q = typedLit(queryVec)
+    parts.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(max_by(col("codes"), col("__b")).as("codes"))
+      .select(col(idCol), round(
+        V.cosine(Similarity.pqReconstruct(spark, indexPath), q), 6)
+        .as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }

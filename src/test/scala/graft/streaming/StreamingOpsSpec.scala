@@ -490,6 +490,83 @@ class StreamingOpsSpec extends SparkSpec {
       .select("batch_id").distinct().count() shouldBe 2
   }
 
+  test("continuousPqAppend: stream-built PQ index answers like a batch-built one") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("cpq").toString
+    val base = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.99, 0.14, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(-1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    // same frozen quantizer + codebooks on both sides
+    for (p <- Seq("stream", "batch"))
+      Similarity.ivfWriteIndexPQ(base, "vec_id", "embedding", dim = 4,
+        path = s"$dir/$p", nBits = 2, lloydIters = 1, m = 2, codebookK = 3,
+        pqIters = 2)
+    val extra1 = Seq((6L, Seq(1.0, 0.01, 0.0, 0.0)), (7L, Seq(0.01, 1.0, 0.0, 0.0)))
+    val extra2 = Seq((8L, Seq(0.98, 0.2, 0.0, 0.0)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.continuousPqAppend(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/stream", s"$dir/ckpt").start()
+    try {
+      in.addData(extra1: _*)
+      q.processAllAvailable()
+      in.addData(extra2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    Similarity.ivfAppendPQ((extra1 ++ extra2).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/batch")
+    val probe = Seq(1.0, 0.05, 0.0, 0.0)
+    // identical frozen quantizer + codebooks + rows ⇒ identical answers
+    for (np <- Seq(4, 1)) {
+      StreamingOps.ivfPqTopKFromStreamIndex(spark, s"$dir/stream", "vec_id",
+        probe, k = 3, nProbe = np).collect().map(_.toSeq).toSeq shouldBe
+        Similarity.ivfTopKFromIndexPQ(spark, s"$dir/batch", "vec_id",
+          probe, k = 3, nProbe = np).collect().map(_.toSeq).toSeq
+    }
+    spark.read.parquet(s"$dir/stream/deltas")
+      .select("batch_id").distinct().count() shouldBe 2
+  }
+
+  test("compactIvfDeltas is layout-generic: folds PQ code deltas, probe unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("cpqc").toString
+    val base = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(-1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndexPQ(base, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1, m = 2, codebookK = 3,
+      pqIters = 2)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.continuousPqAppend(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, s"$dir-ckpt", compactEveryBatches = 2).start()
+    try {
+      in.addData((6L, Seq(1.0, 0.01, 0.0, 0.0)))
+      q.processAllAvailable()
+      in.addData((7L, Seq(0.01, 1.0, 0.0, 0.0)))
+      q.processAllAvailable()
+      in.addData((8L, Seq(0.98, 0.2, 0.0, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(s"$dir/deltas")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    spark.read.parquet(s"$dir/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(0L, 2L, 3L, 6L, 7L)
+    val all = StreamingOps.ivfPqTopKFromStreamIndex(spark, dir, "vec_id",
+      Seq(1.0, 0.05, 0.0, 0.0), k = 6, nProbe = 4).collect()
+    all.map(_.getLong(0)).toSet shouldBe Set(0L, 2L, 3L, 6L, 7L, 8L)
+    all.length shouldBe 6
+  }
+
   test("compactIvfDeltas folds committed deltas into cells, probe unchanged") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
