@@ -1226,6 +1226,14 @@ object SparkEntry {
     "sample_hash" -> ((s, dir) =>
       graft.operators.Sampling.hashSample(Tables.documents(s, dir), "doc_id", 0.25)
         .select(col("doc_id"), col("source"), col("n_chars"))),
+    "sample_kcenter" -> ((s, dir) =>
+      // greedy k-center coreset (farthest-point traversal) over the
+      // embeddings: 8 spread-maximizing representatives + every vector's
+      // assignment — the DIVERSITY sampler (dedup keeps one per
+      // near-dup group; this keeps one per REGION). FULL replay: the
+      // oracle unrolls all 7 farthest-point rounds and the final argmin
+      graft.operators.Sampling.kCenterSelect(
+        Tables.embeddings(s, dir), "vec_id", "embedding", t = 8)),
     "sample_mixture_epochs" -> ((s, dir) => {
       // the plan MATERIALIZED: pipeline_mixture_plan's rates realized as
       // actual repeats — floor(rate) full epochs per doc plus the
@@ -1669,9 +1677,15 @@ object SparkEntry {
       // IVF-PQ, FULL bit-for-bit replay (no recall contract needed):
       // md5-kernel LSH cells + lloydIters=0 make the coarse quantizer a
       // pure function of the corpus, round-9 written centroids + round-6
-      // probe ranking derandomize the probe selection, and the m=32
-      // sub=2 L2 codebooks replay through the same chain as sim_pq. The
-      // oracle rebuilds the ENTIRE index (cells, centroids, 32
+      // probe ranking derandomize the probe selection, and the m=16
+      // sub=4 L2 codebooks (16 bytes/vector — 32× compression) replay
+      // through the same chain as sim_pq. m=16/k=32 over m=32/k=32:
+      // identical correctness strength (the replay checks bytes, not
+      // recall), half the encode's HOF expression count — the m=32
+      // variant's 1024-subexpression projections cost ~7 s of
+      // CONSTANT codegen/analysis per run (13.8 s at sf0.01, roughly
+      // flat across sf0.001-0.1 — compile time, not data). The oracle
+      // rebuilds the ENTIRE index (cells, centroids, 16
       // codebooks, codes) and re-ranks the probe — every stored byte
       // and every ranking decision is checked. (On this near-uniform
       // corpus a recall-vs-exact contract cannot hold constant across
@@ -1682,7 +1696,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ivfpq"
       Similarity.ivfWriteIndexPQ(emb, "vec_id", "embedding", dim = 64,
-        path = idx, nBits = 6, lloydIters = 0, m = 32, codebookK = 32,
+        path = idx, nBits = 6, lloydIters = 0, m = 16, codebookK = 32,
         pqIters = 2, kernel = "md5")
       Similarity.ivfTopKFromIndexPQ(s, idx, "vec_id", q, k = 10, nProbe = 3)
         .select(col("vec_id"), col("cosine").as("pq_cos"))
@@ -1701,7 +1715,7 @@ object SparkEntry {
       if (fs.exists(p)) fs.delete(p, true)
       Similarity.ivfWriteIndexPQ(emb.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", dim = 64, path = idx, nBits = 6,
-        lloydIters = 0, m = 32, codebookK = 32, pqIters = 2, kernel = "md5")
+        lloydIters = 0, m = 16, codebookK = 32, pqIters = 2, kernel = "md5")
       Similarity.ivfAppendPQ(emb.filter(col("vec_id") % 2 =!= 0),
         "vec_id", "embedding", idx)
       Similarity.ivfTopKFromIndexPQ(s, idx, "vec_id", q, k = 10, nProbe = 3)
@@ -3286,6 +3300,8 @@ object SparkEntry {
            k -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)::BIGINT
                 << (4 * (4 - k))))
            < CASE WHEN lang = 'en' THEN 65536 ELSE 16384 END""",
+    // full farthest-point-traversal replay (see kCenterReplaySql)
+    "sample_kcenter" -> kCenterReplaySql(t = 8),
     "sample_hash" ->
       """SELECT doc_id, source, n_chars FROM documents
          WHERE list_sum(list_transform(generate_series(1, 4),
@@ -3494,11 +3510,11 @@ object SparkEntry {
     // FULL IVF-PQ replay: md5 LSH cells, round-9 centroids, round-6
     // probe ranking, 32 L2 codebook chains, ADC re-rank of the probed
     // cells — the strongest possible check (see ivfPqReplaySql)
-    "sim_ivfpq" -> ivfPqReplaySql(m = 32, k = 32, subDim = 2, nBits = 6,
+    "sim_ivfpq" -> ivfPqReplaySql(m = 16, k = 32, subDim = 4, nBits = 6,
       nProbe = 3, topK = 10),
     // append-history replay: frozen-index append of the odd half,
     // re-ranked over the union (see ivfPqAppendReplaySql)
-    "sim_ivfpq_append" -> ivfPqAppendReplaySql(m = 32, k = 32, subDim = 2,
+    "sim_ivfpq_append" -> ivfPqAppendReplaySql(m = 16, k = 32, subDim = 4,
       nBits = 6, nProbe = 3, topK = 10),
     "sim_ivf" ->
       "SELECT 10::BIGINT AS n_ivf, 10::BIGINT AS n_in_exact_top50",
@@ -3981,6 +3997,46 @@ object SparkEntry {
               LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
                          FROM m2 GROUP BY c) mm USING (c))"""
 
+  /** Unrolled DuckDB replay of
+    * [[graft.operators.Sampling.kCenterSelect]]: seed = lowest vec_id;
+    * each round keeps a RUNNING min of round-6 squared distances to the
+    * chosen centers (min of round-6 values — associative, so the
+    * running form equals the operator's all-centers least()) and the
+    * next center is its (distance DESC, vec_id ASC) argmax; the final
+    * assignment row_numbers (round-6 distance ASC, chosen order) over
+    * the vector × center cross join. The squared distance is
+    * list_dot_product(diff, diff) — the same ordered fold as the
+    * Spark-side sqDist.
+    */
+  private def kCenterReplaySql(t: Int): String = {
+    def d2(a: String, b: String): String = {
+      val diff = s"list_transform(generate_series(1, 64), j -> $a[j] - $b[j])"
+      s"round(list_dot_product($diff, $diff), 6)"
+    }
+    val rounds = (2 to t).map { r =>
+      s"""s${r - 1} AS MATERIALIZED (SELECT p.vec_id, p.v,
+             ${if (r == 2) d2("p.v", "c.v")
+               else s"least(p.d, ${d2("p.v", "c.v")})"} AS d
+           FROM ${if (r == 2) "e" else s"s${r - 2}"} p, c${r - 1} c),
+         c$r AS (SELECT vec_id, v FROM s${r - 1}
+           ORDER BY d DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n")
+    val ctr = (1 to t)
+      .map(r => s"SELECT $r AS ord, vec_id AS center_id, v FROM c$r")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         FROM embeddings WHERE embedding IS NOT NULL),
+       c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       $rounds,
+       ctr AS MATERIALIZED ($ctr),
+       a0 AS (SELECT e.vec_id, ctr.ord, ctr.center_id,
+           ${d2("e.v", "ctr.v")} AS d2
+         FROM e CROSS JOIN ctr),
+       a AS (SELECT vec_id, center_id, d2, row_number() OVER (
+           PARTITION BY vec_id ORDER BY d2 ASC, ord) AS rn FROM a0)
+       SELECT vec_id, center_id, d2 FROM a WHERE rn = 1"""
+  }
+
   /** Unrolled DuckDB replay of [[graft.operators.Graph.kCore]]'s
     * synchronous peel over the canonical co-purchase graph: each round
     * recomputes degrees and keeps only edges whose BOTH endpoints still
@@ -4027,7 +4083,7 @@ object SparkEntry {
   /** One per-subspace codebook chain of the PQ replay (see
     * [[pqReplaySql]]): slice → lowest-id seeds → two Lloyd iterations in
     * PQ's L2 metric → per-vector decode row. The L2 argmin (the
-    * nearestL2 rule) is round-6 SQUARED distance ASC, ties to the
+    * PqEncode rule) is round-6 SQUARED distance ASC, ties to the
     * lowest cluster; the sum is UNROLLED term by term —
     * left-associative `+` is the exact fold order of the Spark-side
     * sqDist, and a lambda can't be used here anyway (DuckDB's binder

@@ -84,29 +84,16 @@ object Embeddings {
       .getField("i").as("cluster")
   }
 
-  /** [[nearest]]'s L2 twin — greedy-first argmin over round-6 SQUARED
-    * Euclidean distances, ties to the lowest cluster index. The PQ
-    * codebook assignment rule (Jégou et al. 2011 train/encode in L2):
-    * unlike cosine, it quantizes slice MAGNITUDE as well as direction,
-    * which is what makes the centroid-concat reconstruction track the
-    * full-vector dot product (measured at sf0.1/m=32/k=32: cosine
-    * assignment left 2 of an IVF-PQ probe's top-10 outside the exact
-    * top-50 and 1 outside the top-100; L2 assignment pulls all 10
-    * inside the top-50).
-    */
-  private[operators] def nearestL2(v: Column,
-      cents: Seq[(Int, Seq[Double])]): Column = {
-    import graft.functions.{VectorFunctions => V}
-    val scored = array(cents.map { case (i, c) =>
-      struct(round(V.sqDist(v, typedLit(c)), 6).as("d"), lit(i).as("i"))
-    }: _*)
-    // same linear-fold discipline as nearest(); the MaxValue sentinel
-    // loses to every real distance, strict `<` keeps the first min
-    val zero = struct(lit(Double.MaxValue).as("d"), lit(-1).as("i"))
-    aggregate(scored, zero,
-      (acc, x) => when(x("d") < acc("d"), x).otherwise(acc))
-      .getField("i").as("cluster")
-  }
+  // The PQ codebook assignment rule is L2, not cosine (Jégou et al.
+  // 2011 train/encode in L2): unlike cosine, it quantizes slice
+  // MAGNITUDE as well as direction, which is what makes the
+  // centroid-concat reconstruction track the full-vector dot product
+  // (measured at sf0.1/m=32/k=32: cosine assignment left 2 of an
+  // IVF-PQ probe's top-10 outside the exact top-50 and 1 outside the
+  // top-100; L2 assignment pulls all 10 inside the top-50). The
+  // argmin itself — round-6 squared distance, ties to the lowest
+  // cluster — lives in the native
+  // [[graft.functions.PqEncodeFn.PqEncode]] expression.
 
   /** Training half of [[kmeans]]: the final (cluster, centroid) MODEL as
     * a k-row DataFrame — persist it with `model.write.parquet(...)` and
@@ -169,7 +156,8 @@ object Embeddings {
     * [[quantizeInt8]]'s 8-bit-per-COMPONENT scalar quantization (PQ at
     * m = 8, k = 16 stores 8 nibbles per vector: 64× smaller than the
     * raw 64-double embedding, 16× smaller than SQ8). Codebooks train
-    * and encode in L2 ([[nearestL2]] — Jégou's metric; cosine stays the
+    * and encode in L2 ([[graft.functions.PqEncodeFn.PqEncode]] —
+    * Jégou's metric; cosine stays the
     * SCORING metric in [[pqTopK]]), with the engine's determinism
     * recipe — lowest-id seeds, round-6 argmin with ties to the lowest
     * cluster, round-9 centroids — so an independent engine replays the
@@ -184,29 +172,29 @@ object Embeddings {
     require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
     val sub = dim / m
     val v = col(vecCol).cast("array<double>")
-    // ALL m codebooks train from one sliced frame in ONE aggregation
-    // pass per Lloyd iteration (explode to (sub, cluster, slice) rows,
-    // group on the compound key): a per-subspace kmeansTrain loop would
-    // scan the corpus m times per iteration — the difference between 2
-    // and 16 corpus passes at m = 8
+    // ALL m codebooks train from one frame in ONE aggregation pass per
+    // Lloyd iteration (the native PqEncode expression computes every
+    // subspace's argmin in one tight loop, posexplode fans the codes out
+    // to (sub, cluster, slice) rows, group on the compound key): a
+    // per-subspace kmeansTrain loop would scan the corpus m times per
+    // iteration — the difference between 2 and 16 corpus passes at m=8
     val base = df.filter(v.isNotNull)
-      .select(col(idCol).as("__id") +:
-        (0 until m).map(s => slice(v, s * sub + 1, sub).as(s"__s$s")): _*)
+      .select(col(idCol).as("__id"), v.as("__v"))
       .localCheckpoint(true) // seeds + every iteration read it
     // deterministic seeds: the k lowest-id vectors' slices (one bounded
     // collect serves all m subspaces)
     val seedRows = base.orderBy(col("__id")).limit(k).collect()
     var cents: Map[Int, Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
-      s -> seedRows.map(_.getSeq[Double](s + 1)).toSeq.zipWithIndex.map(_.swap)
+      s -> seedRows.map(_.getSeq[Double](1).slice(s * sub, (s + 1) * sub))
+        .toSeq.zipWithIndex.map(_.swap)
     }.toMap
     (1 to iters).foreach { _ =>
-      val perSub = (0 until m).map { s =>
-        struct(lit(s).as("sub"),
-          nearestL2(col(s"__s$s"), cents(s)).as("cluster"),
-          col(s"__s$s").as("sv"))
-      }
-      val updated = base.select(explode(array(perSub: _*)).as("a"))
-        .select(col("a.sub"), col("a.cluster"), col("a.sv"))
+      val codes = graft.functions.PqEncodeFn.pqEncode(col("__v"),
+        (0 until m).map(s => cents(s).map(_._2)))
+      val updated = base
+        .select(col("__v"), posexplode(codes).as(Seq("sub", "cluster")))
+        .select(col("sub"), col("cluster"),
+          slice(col("__v"), col("sub") * sub + 1, lit(sub)).as("sv"))
         .groupBy("sub", "cluster")
         .agg(graft.functions.Aggregators.vectorCentroid(col("sv"), sub).as("c"))
         .collect()
@@ -240,25 +228,20 @@ object Embeddings {
       rows.filter(_._1 == s).map(t => t._2 -> t._3).sortBy(_._1).toSeq)
   }
 
-  /** Encode vectors against a [[pqTrain]] model: per subspace the
-    * [[nearest]] codebook entry (argmax round-6 cosine, ties → lowest
-    * cluster). One codegen'd projection against the broadcast m·k-row
-    * model — no shuffle, no join. Returns (id, codes: array<int>).
+  /** Encode vectors against a [[pqTrain]] model: per subspace the L2
+    * codebook argmin (round-6 squared distance, ties → lowest cluster),
+    * all m subspaces in the single native
+    * [[graft.functions.PqEncodeFn.PqEncode]] expression — one
+    * projection, no shuffle, no join, and no m·k-subtree expression
+    * blowup. Returns (id, codes: array<int>).
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       model: DataFrame): DataFrame = {
     val bySub = pqModel(model)
-    val m = bySub.length
-    val sub = bySub.head.head._2.length
     val v = col(vecCol).cast("array<double>")
-    // slices projected to attributes FIRST: nearest() references its
-    // input k times, and re-slicing per centroid would be the
-    // documented outer-expression-in-lambda trap
     df.filter(v.isNotNull)
-      .select(col(idCol) +:
-        (0 until m).map(s => slice(v, s * sub + 1, sub).as(s"__s$s")): _*)
       .select(col(idCol),
-        array((0 until m).map(s => nearestL2(col(s"__s$s"), bySub(s))): _*)
+        graft.functions.PqEncodeFn.pqEncode(v, bySub.map(_.map(_._2)))
           .as("codes"))
   }
 

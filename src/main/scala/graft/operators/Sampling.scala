@@ -411,4 +411,68 @@ object Sampling {
         .reduce(_ && _) && col(idCol).cast("long") === col("__id"),
       "left_semi")
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal; the core-set active-learning selector of Sener &
+    * Savarese 2018) — the DIVERSITY sampler this file's hash/stratified/
+    * temperature/mixture samplers don't cover: pick `t` rows whose
+    * embeddings spread over the corpus (each new center is the point
+    * farthest from every already-chosen center — a 2-approximation of
+    * the optimal k-center cover), then assign every row to its nearest
+    * center. Dedup keeps one of each near-duplicate group; k-center
+    * keeps one of each REGION — the "small but representative subset"
+    * selector for expensive downstream passes (human eval, distillation
+    * seeds, embedding-space audits).
+    *
+    * Deterministic and engine-replayable: the seed is the lowest id;
+    * each round scores every row by its ROUND-6 squared distance
+    * ([[graft.functions.VectorFunctions.sqDist]]) to its nearest chosen
+    * center and takes the (distance DESC, id ASC) maximum; the final
+    * assignment argmins round-6 distance with ties to the EARLIEST-
+    * chosen center. The `sample_kcenter` oracle unrolls the rounds.
+    *
+    * Scale shape: each round is ONE codegen'd projection over the
+    * corpus (≤t sqDists per row against center literals) into a
+    * TakeOrderedAndProject of a single row — t bounded driver reads of
+    * one row each, the corpus never collected, no shuffle anywhere; the
+    * input frame is checkpointed once and re-read per round. O(t·N)
+    * distance evaluations total, the textbook greedy cost.
+    *
+    * Returns (id, center_id, d2): every non-null-vector row, its
+    * assigned center's id, and the round-6 squared distance to it.
+    * Rows of the returned frame with `id == center_id` ARE the coreset.
+    */
+  def kCenterSelect(df: DataFrame, idCol: String, vecCol: String,
+      t: Int): DataFrame = {
+    require(t >= 1, "t must be >= 1")
+    import graft.functions.{VectorFunctions => V}
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .localCheckpoint(true) // re-read once per round + for assignment
+    val first = base.orderBy(col("__id")).limit(1).collect()
+    require(first.nonEmpty, "kCenterSelect: no rows with a non-null vector")
+    var centers = Vector(first(0).getLong(0) -> first(0).getSeq[Double](1))
+    (2 to t).foreach { _ =>
+      val minD = centers
+        .map(c => round(V.sqDist(col("__v"), typedLit(c._2)), 6))
+        .reduce(least(_, _))
+      val next = base
+        .select(col("__id"), col("__v"), minD.as("__d"))
+        .orderBy(col("__d").desc, col("__id"))
+        .limit(1).collect()(0)
+      centers = centers :+ (next.getLong(0) -> next.getSeq[Double](1))
+    }
+    // assignment: linear fold in CHOSEN order — strict < keeps the
+    // earliest center on round-6 ties (the PQ-argmin discipline)
+    val scored = array(centers.map { case (cid, cv) =>
+      struct(round(V.sqDist(col("__v"), typedLit(cv)), 6).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val zero = struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid"))
+    val best = aggregate(scored, zero,
+      (acc, x) => when(x("d") < acc("d"), x).otherwise(acc))
+    base.select(col("__id").as(idCol), best.getField("cid").as("center_id"),
+      best.getField("d").as("d2"))
+  }
 }

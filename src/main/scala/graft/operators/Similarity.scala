@@ -213,22 +213,16 @@ object Similarity {
 
   /** The PQ storage projection over an assigned (id, v, cell) frame —
     * shared by [[ivfWriteIndexPQ]] and [[ivfAppendPQ]] (the sq8Rows
-    * discipline): slices projected to attributes FIRST (nearestL2
-    * references its input once per centroid), then the m per-subspace
-    * argmins packed into one m-byte binary.
+    * discipline): the m per-subspace L2 argmins computed by the single
+    * native [[graft.functions.PqEncodeFn.PqEncode]] expression, packed
+    * into one m-byte binary.
     */
   private def pqRows(assigned: DataFrame, idCol: String,
       model: DataFrame): DataFrame = {
     val bySub = Embeddings.pqModel(model)
-    val m = bySub.length
-    val sub = bySub.head.head._2.length
-    val v = col("v").cast("array<double>")
-    assigned
-      .select(col(idCol) +: col("cell") +:
-        (0 until m).map(s => slice(v, s * sub + 1, sub).as(s"__s$s")): _*)
-      .select(col(idCol), col("cell"),
-        graft.functions.Sq8.packSq8(array((0 until m).map(s =>
-          Embeddings.nearestL2(col(s"__s$s"), bySub(s))): _*)).as("codes"))
+    assigned.select(col(idCol), col("cell"),
+      graft.functions.Sq8.packSq8(graft.functions.PqEncodeFn.pqEncode(
+        col("v").cast("array<double>"), bySub.map(_.map(_._2)))).as("codes"))
   }
 
   /** [[ivfAppend]] against an [[ivfWriteIndexPQ]] index: frozen

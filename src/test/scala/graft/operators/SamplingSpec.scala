@@ -354,4 +354,61 @@ class SamplingSpec extends SparkSpec {
       got(id) shouldBe (lw(id) +- 1e-9)
     }
   }
+
+  test("kCenterSelect covers every cluster before densifying any") {
+    import spark.implicits._
+    // three tight clusters far apart; greedy farthest-point must pick
+    // one representative per cluster for t=3, regardless of sizes
+    val rnd = new scala.util.Random(7)
+    def around(c: Seq[Double]) = c.map(_ + rnd.nextDouble() * 0.01)
+    val a = (0L until 5L).map(i => i -> around(Seq(10.0, 0.0, 0.0, 0.0)))
+    val b = (10L until 14L).map(i => i -> around(Seq(0.0, 10.0, 0.0, 0.0)))
+    val c = (20L until 23L).map(i => i -> around(Seq(0.0, 0.0, 10.0, 0.0)))
+    val df = (a ++ b ++ c).toDF("vec_id", "v")
+    val got = Sampling.kCenterSelect(df, "vec_id", "v", t = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.length shouldBe 12
+    // the coreset: rows assigned to themselves at distance 0
+    val centers = got.filter(t => t._1 == t._2)
+    centers.length shouldBe 3
+    centers.foreach(_._3 shouldBe 0.0)
+    // one center per cluster, and every row assigned within its cluster
+    def cluster(id: Long) = id / 10
+    centers.map(t => cluster(t._1)).toSet shouldBe Set(0L, 1L, 2L)
+    got.foreach { case (id, cid, d) =>
+      cluster(cid) shouldBe cluster(id)
+      d should be < 0.01 // within-cluster jitter only
+    }
+    // seed is the lowest id
+    centers.map(_._1) should contain(0L)
+  }
+
+  test("kCenterSelect matches a sequential farthest-point reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pts = (0L until 40L).map(i => i -> Seq.fill(4)(rnd.nextDouble()))
+    val df = pts.toDF("vec_id", "v")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      r6(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val all = pts.toMap
+    var chosen = Vector(0L)
+    (2 to 5).foreach { _ =>
+      val next = pts
+        .map { case (id, v) => (chosen.map(c => d2(v, all(c))).min, id) }
+        .maxBy { case (d, id) => (d, -id) }._2
+      chosen = chosen :+ next
+    }
+    val want = pts.map { case (id, v) =>
+      val (d, ci) = chosen.zipWithIndex
+        .map { case (c, i) => (d2(v, all(c)), i) }
+        .minBy { case (d, i) => (d, i) }
+      id -> (chosen(ci), d)
+    }.toMap
+    val got = Sampling.kCenterSelect(df, "vec_id", "v", t = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    got shouldBe want
+  }
 }
