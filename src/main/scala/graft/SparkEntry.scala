@@ -1234,6 +1234,28 @@ object SparkEntry {
       // oracle unrolls all 7 farthest-point rounds and the final argmin
       graft.operators.Sampling.kCenterSelect(
         Tables.embeddings(s, dir), "vec_id", "embedding", t = 8)),
+    "sample_kcenter_incremental" -> ((s, dir) => {
+      // the frozen-coreset face: traverse on the even half, persist the
+      // ordered coreset, score the FULL corpus against it — new rows
+      // route into frozen regions with no re-traversal. Full replay:
+      // the oracle re-runs the even-half traversal and the all-rows
+      // argmin
+      val emb = Tables.embeddings(s, dir)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft-bench-kcenter"
+      graft.operators.Sampling.kCenterCenters(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", t = 8)
+        .write.mode("overwrite").parquet(path)
+      graft.operators.Sampling.kCenterAssign(emb, "vec_id", "embedding",
+        s.read.parquet(path))
+    }),
+    "embed_outliers" -> ((s, dir) =>
+      // kth-NN outlier scores (Ramaswamy et al. 2000): each vector's
+      // round-6 cosine to its 3rd-nearest neighbor — sparse-region rows
+      // rank first ascending. Exact yardstick composition; the ANN-join
+      // faces give the approximate version at corpus scale
+      graft.operators.Similarity.knnOutlierScores(
+        Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64, k = 3)),
     "sample_mixture_epochs" -> ((s, dir) => {
       // the plan MATERIALIZED: pipeline_mixture_plan's rates realized as
       // actual repeats — floor(rate) full epochs per doc plus the
@@ -3302,6 +3324,19 @@ object SparkEntry {
            < CASE WHEN lang = 'en' THEN 65536 ELSE 16384 END""",
     // full farthest-point-traversal replay (see kCenterReplaySql)
     "sample_kcenter" -> kCenterReplaySql(t = 8),
+    // frozen-coreset replay: traversal over the even half, assignment
+    // over the full corpus
+    "sample_kcenter_incremental" -> kCenterReplaySql(t = 8, trainFrom = "eb"),
+    // kth-NN outlier: the sim_knn_exact replay with rank = k kept
+    "embed_outliers" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS c
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         r AS (SELECT id_a, c, row_number() OVER (
+             PARTITION BY id_a ORDER BY c DESC, id_b) AS rank FROM p)
+         SELECT id_a AS vec_id, round(c, 6) AS knn_cos
+         FROM r WHERE rank = 3""",
     "sample_hash" ->
       """SELECT doc_id, source, n_chars FROM documents
          WHERE list_sum(list_transform(generate_series(1, 4),
@@ -4008,7 +4043,7 @@ object SparkEntry {
     * list_dot_product(diff, diff) — the same ordered fold as the
     * Spark-side sqDist.
     */
-  private def kCenterReplaySql(t: Int): String = {
+  private def kCenterReplaySql(t: Int, trainFrom: String = "e"): String = {
     def d2(a: String, b: String): String = {
       val diff = s"list_transform(generate_series(1, 64), j -> $a[j] - $b[j])"
       s"round(list_dot_product($diff, $diff), 6)"
@@ -4017,16 +4052,22 @@ object SparkEntry {
       s"""s${r - 1} AS MATERIALIZED (SELECT p.vec_id, p.v,
              ${if (r == 2) d2("p.v", "c.v")
                else s"least(p.d, ${d2("p.v", "c.v")})"} AS d
-           FROM ${if (r == 2) "e" else s"s${r - 2}"} p, c${r - 1} c),
+           FROM ${if (r == 2) trainFrom else s"s${r - 2}"} p, c${r - 1} c),
          c$r AS (SELECT vec_id, v FROM s${r - 1}
            ORDER BY d DESC, vec_id LIMIT 1)"""
     }.mkString(",\n")
     val ctr = (1 to t)
       .map(r => s"SELECT $r AS ord, vec_id AS center_id, v FROM c$r")
       .mkString(" UNION ALL ")
+    // the traversal runs over `trainFrom` (the frozen-coreset case
+    // trains on a subset), the assignment always over the full corpus
+    val ebCte = if (trainFrom == "e") ""
+      else s"""$trainFrom AS MATERIALIZED (SELECT vec_id, v FROM e
+             WHERE vec_id % 2 = 0),
+           """
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
          FROM embeddings WHERE embedding IS NOT NULL),
-       c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       ${ebCte}c1 AS (SELECT vec_id, v FROM $trainFrom ORDER BY vec_id LIMIT 1),
        $rounds,
        ctr AS MATERIALIZED ($ctr),
        a0 AS (SELECT e.vec_id, ctr.ord, ctr.center_id,

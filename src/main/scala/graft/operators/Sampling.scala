@@ -444,14 +444,60 @@ object Sampling {
     */
   def kCenterSelect(df: DataFrame, idCol: String, vecCol: String,
       t: Int): DataFrame = {
-    require(t >= 1, "t must be >= 1")
-    import graft.functions.{VectorFunctions => V}
-    val base = df.filter(col(vecCol).isNotNull)
+    val base = kCenterBase(df, idCol, vecCol)
+    kCenterAssignImpl(base, kCenterTraverse(base, t))
+      .toDF(idCol, "center_id", "d2")
+  }
+
+  /** The coreset itself, with its traversal order: (ord, center_id,
+    * centroid) — persist this table and score future batches against
+    * the FROZEN coreset with [[kCenterAssign]] (the train-offline /
+    * score-online split every model-carrying operator here uses). `ord`
+    * matters: assignment ties break to the earliest-CHOSEN center, so
+    * the order is part of the model, not presentation.
+    */
+  def kCenterCenters(df: DataFrame, idCol: String, vecCol: String,
+      t: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    kCenterTraverse(kCenterBase(df, idCol, vecCol), t).zipWithIndex
+      .map { case ((cid, cv), i) => (i + 1, cid, cv) }
+      .toDF("ord", "center_id", "centroid")
+  }
+
+  /** Score a batch against a persisted [[kCenterCenters]] coreset: the
+    * same (id, center_id, d2) shape and the same round-6 argmin with
+    * ties to the earliest-chosen center as [[kCenterSelect]]'s own
+    * assignment — new rows route into the FROZEN regions without
+    * re-running the traversal. Bounded driver read: t coreset rows.
+    */
+  def kCenterAssign(df: DataFrame, idCol: String, vecCol: String,
+      centers: DataFrame): DataFrame = {
+    val ctr = centers.select("ord", "center_id", "centroid").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .sortBy(_._1)
+      .map { case (_, cid, cv) => cid -> cv }.toVector
+    require(ctr.nonEmpty, "kCenterAssign: empty coreset")
+    kCenterAssignImpl(kCenterBase(df, idCol, vecCol), ctr)
+      .toDF(idCol, "center_id", "d2")
+  }
+
+  private def kCenterBase(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
       .localCheckpoint(true) // re-read once per round + for assignment
+
+  /** The greedy farthest-point traversal over a prepared (__id, __v)
+    * frame: t (center_id, centroid) pairs in CHOSEN order.
+    */
+  private def kCenterTraverse(base: DataFrame,
+      t: Int): Vector[(Long, Seq[Double])] = {
+    require(t >= 1, "t must be >= 1")
+    import graft.functions.{VectorFunctions => V}
     val first = base.orderBy(col("__id")).limit(1).collect()
-    require(first.nonEmpty, "kCenterSelect: no rows with a non-null vector")
+    require(first.nonEmpty, "kCenter: no rows with a non-null vector")
     var centers = Vector(first(0).getLong(0) -> first(0).getSeq[Double](1))
     (2 to t).foreach { _ =>
       val minD = centers
@@ -463,8 +509,16 @@ object Sampling {
         .limit(1).collect()(0)
       centers = centers :+ (next.getLong(0) -> next.getSeq[Double](1))
     }
-    // assignment: linear fold in CHOSEN order — strict < keeps the
-    // earliest center on round-6 ties (the PQ-argmin discipline)
+    centers
+  }
+
+  /** Round-6 argmin assignment against centers in chosen order — a
+    * linear fold; strict < keeps the earliest center on ties (the
+    * PQ-argmin discipline). Returns (__id, center_id, d2).
+    */
+  private def kCenterAssignImpl(base: DataFrame,
+      centers: Vector[(Long, Seq[Double])]): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
     val scored = array(centers.map { case (cid, cv) =>
       struct(round(V.sqDist(col("__v"), typedLit(cv)), 6).as("d"),
         lit(cid).as("cid"))
@@ -472,7 +526,7 @@ object Sampling {
     val zero = struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid"))
     val best = aggregate(scored, zero,
       (acc, x) => when(x("d") < acc("d"), x).otherwise(acc))
-    base.select(col("__id").as(idCol), best.getField("cid").as("center_id"),
+    base.select(col("__id"), best.getField("cid").as("center_id"),
       best.getField("d").as("d2"))
   }
 }

@@ -510,6 +510,26 @@ object Similarity {
     cents
   }
 
+  /** Per-row kth-nearest-neighbor outlier scores (Ramaswamy, Rastogi &
+    * Shim 2000, "Efficient algorithms for mining outliers"): a row
+    * whose kth neighbor is already far (low cosine) sits in a sparse
+    * region of embedding space — mislabeled content, encoding garbage,
+    * or genuinely novel data. Returns (id, knn_cos): each row's ROUND-6
+    * cosine to its kth-nearest neighbor, ascending knn_cos = most
+    * outlying first when sorted.
+    *
+    * This face composes the exact [[knnJoinExact]] yardstick (quadratic
+    * — the audit-scale tool). At corpus scale swap the neighbor source:
+    * `ivfTopKJoin(SQ8/PQ)` emits the same (q_id, id, cosine, rank)
+    * shape from the cell-pruned index, and `rank = k` over it gives the
+    * approximate score with the index's recall.
+    */
+  def knnOutlierScores(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int): DataFrame =
+    knnJoinExact(df, idCol, vecCol, dim, k)
+      .filter(col("rank") === k)
+      .select(col("id_a").as(idCol), round(col("cosine"), 6).as("knn_cos"))
+
   /** Frozen-quantizer assignment: (id, v, cell) with cell = the id of the
     * nearest centroid. Shared by [[ivfAppend]] and the streaming
     * [[graft.streaming.StreamingOps.continuousIvfAppend]] so batch and

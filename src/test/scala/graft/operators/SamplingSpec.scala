@@ -383,6 +383,30 @@ class SamplingSpec extends SparkSpec {
     centers.map(_._1) should contain(0L)
   }
 
+  test("kCenterAssign against a persisted coreset equals kCenterSelect's own assignment") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val pts = (0L until 30L).map(i => i -> Seq.fill(4)(rnd.nextDouble()))
+    val df = pts.toDF("vec_id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("kcenter").toString
+    Sampling.kCenterCenters(df, "vec_id", "v", t = 4)
+      .write.mode("overwrite").parquet(dir)
+    val centers = spark.read.parquet(dir)
+    // ord is part of the model: 1..t, center 1 is the lowest id
+    centers.collect().map(_.getInt(0)).sorted shouldBe (1 to 4)
+    val fromModel = Sampling.kCenterAssign(df, "vec_id", "v", centers)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val direct = Sampling.kCenterSelect(df, "vec_id", "v", t = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    fromModel shouldBe direct
+    // a batch the traversal never saw routes into the frozen regions
+    val extra = Seq((100L, pts(3)._2.map(_ + 0.001))).toDF("vec_id", "v")
+    val routed = Sampling.kCenterAssign(extra, "vec_id", "v", centers)
+      .collect()
+    routed.length shouldBe 1
+    routed(0).getLong(1) shouldBe direct.find(_._1 == 3L).get._2
+  }
+
   test("kCenterSelect matches a sequential farthest-point reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

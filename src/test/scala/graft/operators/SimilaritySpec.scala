@@ -496,6 +496,24 @@ class SimilaritySpec extends SparkSpec {
       .head().getAs[Long]("cell") shouldBe expect
   }
 
+  test("knnOutlierScores: the isolated vector scores most outlying") {
+    import spark.implicits._
+    // a tight cluster around e1 plus one isolated vector near -e1: its
+    // 2nd neighbor is far (low cosine), the cluster's are close
+    val rnd = new scala.util.Random(17)
+    val cluster = (0L until 6L).map(i =>
+      i -> Seq(1.0 + rnd.nextDouble() * 0.01, rnd.nextDouble() * 0.01, 0.0, 0.0))
+    val df = (cluster :+ (9L -> Seq(-1.0, 0.05, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnOutlierScores(df, "vec_id", "embedding",
+      dim = 4, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.size shouldBe 7
+    val worst = got.minBy(_._2)
+    worst._1 shouldBe 9L
+    cluster.foreach { case (id, _) => got(id) should be > 0.99 }
+  }
+
   test("knnJoinExact: per-id top-k equals bruteForceTopK per id") {
     val r = Similarity.knnJoinExact(vecs, "vec_id", "embedding", dim = 4, k = 2)
       .collect()
