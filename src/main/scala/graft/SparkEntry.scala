@@ -1350,6 +1350,18 @@ object SparkEntry {
         .select(col("p").as("src"), col("q").as("dst"))
       graft.operators.Graph.triangles(e, "src", "dst")
     }),
+    "graph_clustering_coef" -> ((s, dir) => {
+      // Watts-Strogatz local clustering: triangles normalized by the
+      // vertex's neighbor-pair count — the near-clique score, on the
+      // same canonical co-purchase graph as graph_triangles
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey").as("k"), col("l_partkey").cast("long").as("p"))
+      val e = li.join(li.select(col("k"), col("p").as("q")), Seq("k"))
+        .filter(col("p") =!= col("q"))
+        .select(col("p").as("src"), col("q").as("dst"))
+      graft.operators.Graph.clusteringCoefficients(e, "src", "dst")
+    }),
     "graph_kcore" -> ((s, dir) => {
       // dense-community prior: the 35-core of the SAME canonical
       // co-purchase graph graph_triangles counts over — synchronous
@@ -3447,6 +3459,42 @@ object SparkEntry {
                UNION ALL SELECT w FROM tr)
              GROUP BY id)
          SELECT deg.id, coalesce(cnt.triangles, 0)::BIGINT AS triangles
+         FROM deg LEFT JOIN cnt USING (id)""",
+    // the triangle replay + the Watts-Strogatz normalization (integer
+    // neighbor-pair count, double division, round-6 — same arithmetic
+    // order as the operator)
+    "graph_clustering_coef" ->
+      """WITH e0 AS (SELECT DISTINCT
+             least(a.l_partkey, b.l_partkey)::BIGINT AS a,
+             greatest(a.l_partkey, b.l_partkey)::BIGINT AS b
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+           WHERE a.l_orderkey % 2 = 0),
+         deg AS (SELECT id, count(*)::BIGINT AS deg FROM (
+               SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)
+             GROUP BY id),
+         o AS (SELECT
+             CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+                  THEN e0.a ELSE e0.b END AS s,
+             CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+                  THEN e0.b ELSE e0.a END AS t,
+             CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+                  THEN db.deg ELSE da.deg END AS dt
+           FROM e0 JOIN deg da ON e0.a = da.id JOIN deg db ON e0.b = db.id),
+         tr AS (SELECT x.s AS u, x.t AS v, y.t AS w
+                FROM o x JOIN o y ON x.s = y.s
+                  AND (x.dt, x.t) < (y.dt, y.t)
+                  JOIN o z ON z.s = x.t AND z.t = y.t),
+         cnt AS (SELECT id, count(*)::BIGINT AS triangles FROM (
+               SELECT u AS id FROM tr UNION ALL SELECT v FROM tr
+               UNION ALL SELECT w FROM tr)
+             GROUP BY id)
+         SELECT deg.id, coalesce(cnt.triangles, 0)::BIGINT AS triangles,
+           deg.deg,
+           round(CASE WHEN deg.deg >= 2
+             THEN 2.0 * coalesce(cnt.triangles, 0) /
+               (deg.deg * (deg.deg - 1))::DOUBLE
+             ELSE 0.0 END, 6) AS coef
          FROM deg LEFT JOIN cnt USING (id)""",
     // synchronous peel unrolled to 12 rounds (the Spark side's LOUD
     // maxRounds bound): extra rounds past the fixpoint are no-ops, so

@@ -79,6 +79,28 @@ class GraphSpec extends SparkSpec {
     got shouldBe verts.map(v => v -> brute(v)).toMap
   }
 
+  test("clusteringCoefficients: clique interiors score 1, bridges score low") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + path 4-5-6 + pendant 1-7 (the kCore fixture)
+    val clique = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val df = (clique ++ Seq((4L, 5L), (5L, 6L), (1L, 7L))).toDF("src", "dst")
+    val got = Graph.clusteringCoefficients(df, "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // pure clique interiors: all 3 neighbor pairs linked
+    got(2L) shouldBe ((3L, 3L, 1.0))
+    got(3L) shouldBe ((3L, 3L, 1.0))
+    // clique members carrying an extra bridge: 3 of C(4,2)=6 pairs
+    got(1L) shouldBe ((3L, 4L, 0.5))
+    got(4L) shouldBe ((3L, 4L, 0.5))
+    // path interior: two unlinked neighbors
+    got(5L) shouldBe ((0L, 2L, 0.0))
+    // leaves: degree < 2 defines coefficient 0
+    got(6L) shouldBe ((0L, 1L, 0.0))
+    got(7L) shouldBe ((0L, 1L, 0.0))
+  }
+
   test("kCore peels pendants and chains, keeps the dense core") {
     import spark.implicits._
     // 4-clique {1,2,3,4} + path 4-5-6 + pendant 1-7; reversed and
