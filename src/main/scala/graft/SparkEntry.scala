@@ -1350,6 +1350,19 @@ object SparkEntry {
         .select(col("p").as("src"), col("q").as("dst"))
       graft.operators.Graph.triangles(e, "src", "dst")
     }),
+    "graph_ppr" -> ((s, dir) => {
+      // personalized PageRank (TrustRank): random walk with restart to
+      // the seed parts {1,2,3} over the SAME co-supply graph as
+      // graph_pagerank — proximity-to-trusted-seeds instead of global
+      // popularity; unreachable nodes score exactly 0
+      val li = Tables.lineitem(s, dir)
+      val ps = li.select(col("l_partkey").cast("long").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst")).distinct()
+      val e = ps.union(ps.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.personalizedPageRank(e, "src", "dst",
+        seeds = Seq(1L, 2L, 3L), iters = 3)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
     "graph_clustering_coef" -> ((s, dir) => {
       // Watts-Strogatz local clustering: triangles normalized by the
       // vertex's neighbor-pair count — the near-clique score, on the
@@ -3518,6 +3531,32 @@ object SparkEntry {
          c3 AS (SELECT e.dst AS id, sum(r2.r / d.deg) AS c FROM e
                 JOIN r2 ON r2.id = e.src JOIN d ON d.src = e.src GROUP BY 1),
          r3 AS (SELECT n.id, 0.15 + 0.85 * coalesce(c3.c, 0) AS r
+                FROM n LEFT JOIN c3 USING (id))
+         SELECT id, round(r, 6) AS rank FROM r3""",
+    // the pagerank replay with seeded init and restart: mass starts at
+    // and teleports back to parts {1,2,3}
+    "graph_ppr" ->
+      """WITH pe AS (SELECT DISTINCT l_partkey::BIGINT AS src,
+             (l_suppkey + 1000000)::BIGINT AS dst FROM lineitem),
+         e AS (SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe),
+         n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         d AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT id, (CASE WHEN id IN (1, 2, 3) THEN 1.0
+             ELSE 0.0 END)::DOUBLE AS r FROM n),
+         c1 AS (SELECT e.dst AS id, sum(r0.r / d.deg) AS c FROM e
+                JOIN r0 ON r0.id = e.src JOIN d ON d.src = e.src GROUP BY 1),
+         r1 AS (SELECT n.id, (CASE WHEN n.id IN (1, 2, 3) THEN 0.15
+             ELSE 0.0 END)::DOUBLE + 0.85 * coalesce(c1.c, 0) AS r
+                FROM n LEFT JOIN c1 USING (id)),
+         c2 AS (SELECT e.dst AS id, sum(r1.r / d.deg) AS c FROM e
+                JOIN r1 ON r1.id = e.src JOIN d ON d.src = e.src GROUP BY 1),
+         r2 AS (SELECT n.id, (CASE WHEN n.id IN (1, 2, 3) THEN 0.15
+             ELSE 0.0 END)::DOUBLE + 0.85 * coalesce(c2.c, 0) AS r
+                FROM n LEFT JOIN c2 USING (id)),
+         c3 AS (SELECT e.dst AS id, sum(r2.r / d.deg) AS c FROM e
+                JOIN r2 ON r2.id = e.src JOIN d ON d.src = e.src GROUP BY 1),
+         r3 AS (SELECT n.id, (CASE WHEN n.id IN (1, 2, 3) THEN 0.15
+             ELSE 0.0 END)::DOUBLE + 0.85 * coalesce(c3.c, 0) AS r
                 FROM n LEFT JOIN c3 USING (id))
          SELECT id, round(r, 6) AS rank FROM r3""",
     // same md5-Rademacher signs as lshBucketSql, values kept, /4 scaling

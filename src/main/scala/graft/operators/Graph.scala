@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics for corpus curation. PageRank over a crawl's
@@ -43,7 +43,38 @@ object Graph {
     * Returns (id, rank) for every node appearing as a src or dst.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double = 0.85): DataFrame = {
+      iters: Int, damping: Double = 0.85): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iters, damping,
+      init = _ => lit(1.0), base = (_, d) => lit(1.0 - d))
+
+  /** Personalized PageRank (random walk with restart to a SEED set —
+    * the TrustRank construction, Gyöngyi, Garcia-Molina & Pedersen
+    * 2004): `rank⁰(v) = [v ∈ S]; rankᵏ(v) = (1−d)·[v ∈ S] + d · Σ
+    * rankᵏ⁻¹(u)/outdeg(u)`. Mass starts at and teleports back to the
+    * seeds, so scores measure proximity to TRUSTED pages — the classic
+    * seed-expansion prior for corpus curation ("crawl outward from
+    * curated domains, weight by walk distance"), where global
+    * [[pageRank]] measures popularity regardless of provenance. Nodes
+    * unreachable from the seed set score exactly 0.
+    *
+    * Seeds absent from the graph contribute nothing (they are not
+    * nodes); same unnormalized fixed-iteration formulation, identical
+    * per-round scale shape and checkpoint discipline as [[pageRank]]
+    * (shared loop). The seed literal is an `isin` over a driver-held
+    * Seq — seed sets are curated and small by construction.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], iters: Int, damping: Double = 0.85): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    def seeded(v: Double): Column => Column =
+      id => when(id.isin(seeds: _*), lit(v)).otherwise(lit(0.0))
+    pageRankImpl(edges, srcCol, dstCol, iters, damping,
+      init = seeded(1.0), base = (id, d) => seeded(1.0 - d)(id))
+  }
+
+  private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double, init: Column => Column,
+      base: (Column, Double) => Column): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0.0 && damping < 1.0, "damping in (0, 1)")
     import org.apache.spark.sql.graft.Bridge
@@ -60,7 +91,6 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
 
-    val base = lit(1.0 - damping)
     // UNLIKE connected components (whose round plan references `labels`
     // twice and doubles per round), a PageRank round references the
     // previous ranks ONCE — the plan grows linearly. So rounds compose
@@ -71,7 +101,7 @@ object Graph {
     // is a plain projection of the node table and must never be
     // "released" (that would free the NODES blocks), hence the null
     // sentinel.
-    var ranks = nodes.select(col("id"), lit(1.0).as("rank"))
+    var ranks = nodes.select(col("id"), init(col("id")).as("rank"))
     var prev: DataFrame = null
     (1 to iters).foreach { i =>
       val contribs = linked
@@ -80,7 +110,8 @@ object Graph {
         .agg(sum(col("rank") / col("deg")).as("c"))
       ranks = nodes.join(contribs, Seq("id"), "left_outer")
         .select(col("id"),
-          (base + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+          (base(col("id"), damping) +
+            lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
       if (i % CheckpointEvery == 0 || i == iters) {
         // the final round always materializes: the returned frame must
         // not re-read `linked` after its unpersist below

@@ -79,6 +79,44 @@ class GraphSpec extends SparkSpec {
     got shouldBe verts.map(v => v -> brute(v)).toMap
   }
 
+  /** Sequential PPR reference: same seeded recurrence. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    var r = nodes.map(v => v -> (if (seeds(v)) 1.0 else 0.0)).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = edges.groupBy(_._2).map { case (v, in) =>
+        v -> in.map { case (u, _) => r(u) / outdeg(u) }.sum
+      }
+      r = nodes.map(v => v ->
+        ((if (seeds(v)) 1 - d else 0.0) + d * contrib.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank: mass stays near seeds, unreachable nodes score 0") {
+    import spark.implicits._
+    // seed component (cycle 1→2→3→1 with an offshoot 3→4) plus a
+    // disconnected cycle 10↔11 the walk can never reach
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (10L, 11L), (11L, 10L))
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+      "src", "dst", seeds = Seq(1L), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPpr(edges, Set(1L), iters = 4)
+    got.keySet shouldBe want.keySet
+    want.foreach { case (id, r) => got(id) shouldBe (r +- 1e-9) }
+    // unreachable component: exactly zero, not merely small
+    got(10L) shouldBe 0.0
+    got(11L) shouldBe 0.0
+    // every node the walk can reach carries positive mass (note the
+    // seed itself need NOT outrank its successors: with outdeg(1)=1 the
+    // whole rank flows to node 2 each round and only the 0.15 restart
+    // stays home — mass measures walk proximity, not the seed label)
+    Seq(1L, 2L, 3L, 4L).foreach(id => got(id) should be > 0.0)
+  }
+
   test("clusteringCoefficients: clique interiors score 1, bridges score low") {
     import spark.implicits._
     // 4-clique {1,2,3,4} + path 4-5-6 + pendant 1-7 (the kCore fixture)
