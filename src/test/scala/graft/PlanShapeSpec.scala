@@ -225,6 +225,26 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange"
   }
 
+  test("k-center assignment is a pure projection over the checkpointed base — no shuffle") {
+    val assigned = graft.operators.Sampling.kCenterSelect(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", t = 4)
+    // the traversal's per-round farthest-point reads are
+    // TakeOrderedAndProject jobs (driver reads of ONE row each); the
+    // returned assignment itself must not shuffle anything
+    plan(assigned) should not include "Exchange"
+  }
+
+  test("PQ encode is one projection — no shuffle, no join in the encode plan") {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.operators.Embeddings.pqTrain(
+      emb, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 1)
+    val enc = graft.operators.Embeddings.pqEncode(
+      emb, "vec_id", "embedding", model)
+    val p = plan(enc)
+    p should not include "Exchange"
+    p should not include "Join"
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the joined plan") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val s2 = spark.newSession()
