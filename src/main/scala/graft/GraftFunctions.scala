@@ -89,6 +89,9 @@ object GraftFunctions {
     ("graft_cosine",
       { ch => arity(ch, 2); viaColumns(c => V.cosine(c(0), c(1)))(ch) },
       "cosine similarity of two numeric arrays (double math)"),
+    ("graft_sq_dist",
+      { ch => arity(ch, 2); viaColumns(c => V.sqDist(c(0), c(1)))(ch) },
+      "squared Euclidean distance of two numeric arrays (the PQ/k-center metric)"),
     ("graft_hamming64",
       { ch => arity(ch, 2); viaColumns(c => V.hamming64(c(0), c(1)))(ch) },
       "Hamming distance between two 64-bit signatures"),

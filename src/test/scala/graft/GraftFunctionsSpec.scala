@@ -16,6 +16,12 @@ class GraftFunctionsSpec extends SparkSpec {
     r.getInt(1) shouldBe 2
   }
 
+  test("graft_sq_dist from SQL") {
+    registered.sql(
+      """SELECT graft_sq_dist(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS d""")
+      .head().getDouble(0) shouldBe 25.0 +- 1e-12
+  }
+
   test("graft_simhash64 SQL matches the column API, both kernels") {
     import spark.implicits._
     val toks = Seq("alpha", "beta", "gamma")
