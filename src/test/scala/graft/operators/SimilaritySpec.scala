@@ -370,6 +370,21 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", k = 3, nProbe = 4))
   }
 
+  test("ivfPqTopKJoin narrow probe prunes cell partitions before any file read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-pr").toString
+    Similarity.ivfWriteIndexPQ(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1, m = 2, codebookK = 3,
+      pqIters = 2)
+    import spark.implicits._
+    val oneQ = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val narrow = Similarity.ivfPqTopKJoin(oneQ, "vec_id", "embedding", dir,
+      "vec_id", k = 1, nProbe = 1)
+    val scan = narrow.queryExecution.executedPlan.toString
+    scan should include("PartitionFilters")
+    scan should include("cell")
+    narrow.collect().head.getAs[Long]("id") shouldBe 0L
+  }
+
   test("ivfTopKJoin narrow probe prunes cell partitions before any file read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfjoin-pr").toString
     Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", dim = 4,
