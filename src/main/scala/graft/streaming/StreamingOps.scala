@@ -278,6 +278,34 @@ object StreamingOps {
         ()
       }
 
+  /** [[continuousKmeansAssign]] for a persisted
+    * [[graft.operators.Sampling.kCenterCenters]] coreset: each
+    * micro-batch routes into the FROZEN k-center regions
+    * ([[graft.operators.Sampling.kCenterAssign]]'s exact argmin, shared
+    * code — ties to the earliest-chosen center), landing per-batch-id
+    * with dynamic overwrite (replay-safe). The streaming half of the
+    * diversity sampler's train-offline / score-online split: the
+    * traversal is inherently sequential and runs offline, the stream
+    * only ever scores. Coreset drift → re-traverse offline, swap the
+    * centers table, restart.
+    */
+  def continuousKCenterAssign(vecs: DataFrame, idCol: String,
+      vecCol: String, centers: DataFrame, outPath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.Sampling
+          .kCenterAssign(batch.toDF(), idCol, vecCol, centers)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+
   /** Continuous per-group quality cap — the streaming face of
     * [[graft.operators.Sampling.capPerGroup]] ("keep at most `n` best
     * docs per domain"), same persisted-state discipline as the dedup

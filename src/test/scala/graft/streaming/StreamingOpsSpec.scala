@@ -990,6 +990,40 @@ class StreamingOpsSpec extends SparkSpec {
     streamed shouldBe batchRun
   }
 
+  test("continuousKCenterAssign routes a stream into the frozen coreset regions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ckc").toString
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 24L).map(i => i -> Seq.fill(4)(rnd.nextDouble()))
+    val vecsDf = vecs.toDF("vec_id", "v")
+    graft.operators.Sampling.kCenterCenters(vecsDf, "vec_id", "v", t = 3)
+      .write.mode("overwrite").parquet(s"$dir/coreset")
+    val centers = spark.read.parquet(s"$dir/coreset")
+
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.continuousKCenterAssign(
+      in.toDF().toDF("vec_id", "v"), "vec_id", "v",
+      centers, s"$dir/assigned", s"$dir/ckpt").start()
+    try {
+      in.addData(vecs.take(12): _*); q.processAllAvailable()
+      in.addData(vecs.drop(12): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/assigned")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("center_id"), r.getAs[Double]("d2"))))
+      .toMap
+    // stream scoring against the frozen coreset equals the one-shot
+    // traversal's own assignment (same corpus, same centers)
+    val batchRun = graft.operators.Sampling
+      .kCenterSelect(vecsDf, "vec_id", "v", t = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    streamed shouldBe batchRun
+  }
+
   test("continuousSpanDedup strips cross-batch repeated spans, grows the block index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
