@@ -135,11 +135,21 @@ object ThetaSketch {
     udaf(new UnionAgg(k)).apply(sketch)
 
   /** Distinct-count estimate of a sketch: exact below k, else
-    * `(k-1) / (h_(k) / 2^60)`. NULL in → NULL out.
+    * `(k-1) / (h_(k) / 2^60)`. NULL in → NULL out (guarded explicitly:
+    * under `spark.sql.legacy.sizeOfNull`, `size(NULL)` is -1, which
+    * would take the "< k exact" branch and report -1.0).
+    *
+    * HAZARD — `k` must equal the k the sketch was BUILT with: the
+    * arrays don't carry k, so probing a sketch capped at k'=64 with the
+    * default k=256 silently takes the size<k "exact" branch and reports
+    * 64.0 for an arbitrarily large set. Keep one k per sketch family
+    * (the [[UnionAgg]] rule); the same contract applies to every
+    * estimator below.
     */
   def thetaEstimate(sketch: Column, k: Int = 256): Column = {
     require(k >= 2, "k must be >= 2")
-    when(size(sketch) < k, size(sketch).cast("double"))
+    when(sketch.isNull, lit(null).cast("double"))
+      .when(size(sketch) < k, size(sketch).cast("double"))
       .otherwise(lit((k - 1).toDouble) /
         (element_at(sketch, k).cast("double") / lit(Two60)))
   }
@@ -152,11 +162,15 @@ object ThetaSketch {
     slice(array_sort(array_union(a, b)), 1, k)
 
   /** Jaccard estimate ρ = |K ∩ S_A ∩ S_B| / |K| (K = the union
-    * sketch). Exact when both sets retained whole. NULL when both sets
-    * are empty (Jaccard of two empty sets is undefined).
+    * sketch). Exact when both sets retained whole. NULL when either
+    * sketch is NULL (outer joins over sketch tables produce null
+    * sketches; without the guard, legacy `size(NULL) = -1` would make
+    * this evaluate to -1/-1 = 1.0) and NULL when both sets are empty
+    * (Jaccard of two empty sets is undefined).
     */
   def thetaJaccard(a: Column, b: Column, k: Int = 256): Column =
-    jaccardOf(thetaUnion2(a, b, k), a, b)
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .otherwise(jaccardOf(thetaUnion2(a, b, k), a, b))
 
   private def jaccardOf(u: Column, a: Column, b: Column): Column =
     when(size(u) === 0, lit(null).cast("double"))
@@ -164,16 +178,24 @@ object ThetaSketch {
         size(filter(u, x => array_contains(a, x) && array_contains(b, x)))
           .cast("double") / size(u).cast("double"))
 
-  /** |A ∩ B| estimate = ρ × |A ∪ B|-estimate; 0 for two empty sets. */
+  /** |A ∩ B| estimate = ρ × |A ∪ B|-estimate; 0 for two empty sets;
+    * NULL when either sketch is NULL (same legacy-sizeOfNull guard as
+    * [[thetaJaccard]]).
+    */
   def thetaIntersect(a: Column, b: Column, k: Int = 256): Column = {
     val u = thetaUnion2(a, b, k)
-    when(size(u) === 0, lit(0.0))
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .when(size(u) === 0, lit(0.0))
       .otherwise(jaccardOf(u, a, b) * thetaEstimate(u, k))
   }
 
   /** |A \ B| estimate = max(0, |A|-est − |A ∩ B|-est) — clamped, the
-    * two estimates are correlated but not jointly consistent.
+    * two estimates are correlated but not jointly consistent. NULL when
+    * either sketch is NULL (guarded: `greatest` skips nulls, so an
+    * unguarded null input would surface as 0.0, not NULL).
     */
   def thetaANotB(a: Column, b: Column, k: Int = 256): Column =
-    greatest(lit(0.0), thetaEstimate(a, k) - thetaIntersect(a, b, k))
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .otherwise(
+        greatest(lit(0.0), thetaEstimate(a, k) - thetaIntersect(a, b, k)))
 }

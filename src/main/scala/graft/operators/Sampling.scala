@@ -431,12 +431,22 @@ object Sampling {
     * assignment argmins round-6 distance with ties to the EARLIEST-
     * chosen center. The `sample_kcenter` oracle unrolls the rounds.
     *
-    * Scale shape: each round is ONE codegen'd projection over the
-    * corpus (≤t sqDists per row against center literals) into a
-    * TakeOrderedAndProject of a single row — t bounded driver reads of
-    * one row each, the corpus never collected, no shuffle anywhere; the
-    * input frame is checkpointed once and re-read per round. O(t·N)
-    * distance evaluations total, the textbook greedy cost.
+    * Scale shape: the running min distance `__dmin` is CARRIED as a
+    * checkpointed column, so each round scores every row against ONLY
+    * the one new center (`least(__dmin, sqDist(v, new))`) — one
+    * codegen'd projection into a TakeOrderedAndProject of a single
+    * row — t bounded driver reads of one row each, the corpus never
+    * collected, no shuffle anywhere; each round's checkpoint releases
+    * its predecessor's blocks (the pageRank discipline), so one frame
+    * is held at a time. O(t·N) distance evaluations total, the
+    * textbook greedy cost. The traversal stops early when the farthest
+    * remaining distance is 0 — every row already coincides with a
+    * chosen center, so further rounds could only re-pick duplicates
+    * (the t > distinct-vectors case). Assignment against the finished
+    * coreset is one projection: a linear fold of round-6 argmins for
+    * small t, one native [[graft.functions.NearestCenterFn]] expression
+    * node above [[NativeAssignAbove]] centers (the PqEncode precedent —
+    * t HOF subtrees in one projection cost linear plan-analysis time).
     *
     * Returns (id, center_id, d2): every non-null-vector row, its
     * assigned center's id, and the round-6 squared distance to it.
@@ -489,28 +499,67 @@ object Sampling {
         col(vecCol).cast("array<double>").as("__v"))
       .localCheckpoint(true) // re-read once per round + for assignment
 
+  /** One traversal round's fold-in: the running min against the single
+    * NEW centroid. `round(·, 6)` is applied per-distance before the
+    * `least`, so the carried `__dmin` recurrence is algebraically
+    * identical to folding `least` over all chosen centers' round-6
+    * distances (min is associative) — the cached-min rewrite cannot
+    * change which point is farthest. `private[graft]` so the plan-shape
+    * spec can assert the round plan contains exactly ONE sqDist.
+    */
+  private[graft] def kCenterRound(scored: DataFrame,
+      centroid: Seq[Double]): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
+    scored.select(col("__id"), col("__v"),
+      least(col("__dmin"),
+        round(V.sqDist(col("__v"), typedLit(centroid)), 6)).as("__dmin"))
+  }
+
   /** The greedy farthest-point traversal over a prepared (__id, __v)
-    * frame: t (center_id, centroid) pairs in CHOSEN order.
+    * frame: up to t (center_id, centroid) pairs in CHOSEN order (fewer
+    * when the farthest remaining distance hits 0 — all rows coincide
+    * with chosen centers and more rounds would only duplicate them).
     */
   private def kCenterTraverse(base: DataFrame,
       t: Int): Vector[(Long, Seq[Double])] = {
     require(t >= 1, "t must be >= 1")
     import graft.functions.{VectorFunctions => V}
+    import org.apache.spark.sql.graft.Bridge
     val first = base.orderBy(col("__id")).limit(1).collect()
     require(first.nonEmpty, "kCenter: no rows with a non-null vector")
     var centers = Vector(first(0).getLong(0) -> first(0).getSeq[Double](1))
-    (2 to t).foreach { _ =>
-      val minD = centers
-        .map(c => round(V.sqDist(col("__v"), typedLit(c._2)), 6))
-        .reduce(least(_, _))
-      val next = base
-        .select(col("__id"), col("__v"), minD.as("__d"))
-        .orderBy(col("__d").desc, col("__id"))
+    // __dmin carried and checkpointed: each round's plan contains ONE
+    // new sqDist (the new center's), the collect reads the cached
+    // blocks, and the predecessor's blocks are released eagerly
+    var scored = base.select(col("__id"), col("__v"),
+      round(V.sqDist(col("__v"), typedLit(centers.head._2)), 6).as("__dmin"))
+      .localCheckpoint(true)
+    var exhausted = false
+    while (centers.length < t && !exhausted) {
+      val next = scored.orderBy(col("__dmin").desc, col("__id"))
         .limit(1).collect()(0)
-      centers = centers :+ (next.getLong(0) -> next.getSeq[Double](1))
+      if (next.getDouble(2) <= 0.0) exhausted = true
+      else {
+        val cv = next.getSeq[Double](1)
+        centers = centers :+ (next.getLong(0) -> cv)
+        val prev = scored
+        scored = kCenterRound(scored, cv).localCheckpoint(true)
+        Bridge.releaseLocalCheckpoint(prev)
+      }
     }
+    Bridge.releaseLocalCheckpoint(scored)
     centers
   }
+
+  /** Above this many centers, [[kCenterAssignImpl]] switches from the
+    * per-center HOF fold (t `aggregate(zip_with(...))` subtrees in one
+    * projection — linear plan-analysis cost) to the single native
+    * [[graft.functions.NearestCenterFn]] expression node. The two are
+    * bit-exact (lazy exact rounding inside the 1e-6 granule, ascending
+    * scan = earliest-center ties); the fold stays the default below the
+    * bar because it is whole-stage-codegen'd.
+    */
+  private[graft] val NativeAssignAbove = 100
 
   /** Round-6 argmin assignment against centers in chosen order — a
     * linear fold; strict < keeps the earliest center on ties (the
@@ -519,13 +568,19 @@ object Sampling {
   private def kCenterAssignImpl(base: DataFrame,
       centers: Vector[(Long, Seq[Double])]): DataFrame = {
     import graft.functions.{VectorFunctions => V}
-    val scored = array(centers.map { case (cid, cv) =>
-      struct(round(V.sqDist(col("__v"), typedLit(cv)), 6).as("d"),
-        lit(cid).as("cid"))
-    }: _*)
-    val zero = struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid"))
-    val best = aggregate(scored, zero,
-      (acc, x) => when(x("d") < acc("d"), x).otherwise(acc))
+    val best =
+      if (centers.length > NativeAssignAbove)
+        graft.functions.NearestCenterFn.nearestCenter(
+          col("__v"), centers.map(_._1), centers.map(_._2))
+      else {
+        val scored = array(centers.map { case (cid, cv) =>
+          struct(round(V.sqDist(col("__v"), typedLit(cv)), 6).as("d"),
+            lit(cid).as("cid"))
+        }: _*)
+        val zero = struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid"))
+        aggregate(scored, zero,
+          (acc, x) => when(x("d") < acc("d"), x).otherwise(acc))
+      }
     base.select(col("__id"), best.getField("cid").as("center_id"),
       best.getField("d").as("d2"))
   }

@@ -1512,22 +1512,40 @@ object TrainingData {
     *    COUNT, so `sum_dl` is a long — append order can never move a
     *    ulp, which is what keeps indexed scores bit-identical to
     *    direct [[bm25]]).
+    *  - `meta` — one (n_buckets) row: the bucket count is a BUILD-time
+    *    property (a probe or append hashing into a different count
+    *    silently drops postings), so the readers take it from the
+    *    index, never from a caller argument.
     *
     * Append new docs with [[bm25IndexAppend]] (ids must be new — a
     * changed re-ingested doc is a rebuild); probe with
     * [[bm25FromIndex]].
     */
   def bm25IndexWrite(docs: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64): Unit =
+      path: String, nBuckets: Int = 64): Unit = {
     bm25IndexOut(docs, idCol, textCol, path, nBuckets, overwrite = true)
+    // n_buckets is a BUILD-time property: an append or probe with a
+    // different bucket count would compute wrong partitions — silently
+    // dropped postings, wrong scores. Persist it (the decontamIndexWrite
+    // pattern) so the readers never trust a caller argument.
+    docs.sparkSession.range(1)
+      .select(lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
 
   /** Append a new batch to a [[bm25IndexWrite]] index: postings + df
-    * batch counts + one stats row. Ids must be disjoint from the
-    * indexed corpus.
+    * batch counts + one stats row, under the index's frozen bucket
+    * count. Ids must be disjoint from the indexed corpus.
     */
-  def bm25IndexAppend(newDocs: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64): Unit =
-    bm25IndexOut(newDocs, idCol, textCol, path, nBuckets, overwrite = false)
+  def bm25IndexAppend(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String): Unit =
+    bm25IndexOut(newDocs, idCol, textCol, path,
+      bm25IndexBuckets(newDocs.sparkSession, path), overwrite = false)
+
+  /** The frozen bucket count of a [[bm25IndexWrite]] index. */
+  private def bm25IndexBuckets(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/meta").head().getAs[Int]("n_buckets")
 
   private def bm25IndexOut(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int, overwrite: Boolean): Unit = {
@@ -1567,10 +1585,11 @@ object TrainingData {
     */
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, query: Seq[String], k1: Double = 1.2,
-      b: Double = 0.75, nBuckets: Int = 64): DataFrame = {
+      b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "query must be non-empty")
     require(k1 >= 0 && b >= 0 && b <= 1, "k1 >= 0, b in [0, 1]")
     import spark.implicits._
+    val nBuckets = bm25IndexBuckets(spark, path)
     val qTerms = query.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
     // the buckets through the SAME expression the writer used — the
     // hash definition lives in one place; ≤|query| driver rows

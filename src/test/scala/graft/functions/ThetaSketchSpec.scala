@@ -107,6 +107,24 @@ class ThetaSketchSpec extends SparkSpec {
     d.getDouble(2) shouldBe 2.0
   }
 
+  test("NULL sketches estimate to NULL, not legacy size(NULL)=-1 artifacts") {
+    import spark.implicits._
+    // outer joins over sketch tables produce null sketches; under
+    // spark.sql.legacy.sizeOfNull an unguarded estimator would return
+    // -1.0, jaccard(null, x) would be 1.0 (-1/-1), and aNotB would
+    // surface 0.0 (greatest skips nulls) — all actively wrong
+    val b = Seq("q1", "q2").toDF("v").agg(thetaSketch(col("v"), 16).as("sb"))
+      .select(lit(null).cast("array<bigint>").as("sa"), col("sb"))
+    val r = b.select(
+      thetaEstimate(col("sa"), 16).as("e"),
+      thetaJaccard(col("sa"), col("sb"), 16).as("j"),
+      thetaJaccard(col("sb"), col("sa"), 16).as("j2"),
+      thetaIntersect(col("sa"), col("sb"), 16).as("i"),
+      thetaANotB(col("sa"), col("sb"), 16).as("d"),
+      thetaANotB(col("sb"), col("sa"), 16).as("d2")).head()
+    (0 until 6).foreach(i => r.isNullAt(i) shouldBe true)
+  }
+
   test("union-merging a sketch built with a larger k caps canonically") {
     import spark.implicits._
     val df = (1 to 1000).map(i => s"w$i").toDF("v")

@@ -407,6 +407,59 @@ class SamplingSpec extends SparkSpec {
     routed(0).getLong(1) shouldBe direct.find(_._1 == 3L).get._2
   }
 
+  test("kCenter traversal stops when every row coincides with a chosen center") {
+    import spark.implicits._
+    // 3 distinct vectors, t = 5: rounds past the third would only re-pick
+    // already-chosen points (farthest min-distance 0) — the persisted
+    // coreset must stay distinct (r11 ADVICE)
+    val df = Seq(
+      0L -> Seq(0.0, 0.0), 1L -> Seq(10.0, 0.0), 2L -> Seq(0.0, 10.0),
+      3L -> Seq(0.0, 0.0) // duplicate vector of id 0
+    ).toDF("vec_id", "v")
+    val centers = Sampling.kCenterCenters(df, "vec_id", "v", t = 5).collect()
+    centers.length shouldBe 3
+    centers.map(_.getLong(1)).distinct.length shouldBe 3
+    centers.map(_.getInt(0)).sorted shouldBe (1 to 3)
+    // assignment still covers every row, duplicates at distance 0
+    val got = Sampling.kCenterSelect(df, "vec_id", "v", t = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.keySet shouldBe Set(0L, 1L, 2L, 3L)
+    got(3L) shouldBe 0.0
+  }
+
+  test("native nearest-center assignment (>100 centers) equals the scalar argmin rule") {
+    import spark.implicits._
+    // above NativeAssignAbove the assignment goes through the single
+    // NearestCenter expression node instead of t HOF subtrees — must be
+    // bit-exact with the round-6 earliest-tie fold
+    val t = Sampling.NativeAssignAbove + 20
+    val rnd = new scala.util.Random(41)
+    val ctrs = (0 until t).map { i =>
+      (i + 1, (1000L + i), Seq.fill(4)(rnd.nextDouble()))
+    }
+    val centersDf = ctrs.toDF("ord", "center_id", "centroid")
+    val pts = (0L until 50L).map(i => i -> Seq.fill(4)(rnd.nextDouble()))
+    // two rows exactly on a centroid (force 0-distance + tie discipline)
+    val df = (pts :+ (900L -> ctrs(7)._3) :+ (901L -> ctrs(42)._3))
+      .toDF("vec_id", "v")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      r6(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val want = (pts :+ (900L -> ctrs(7)._3) :+ (901L -> ctrs(42)._3))
+      .map { case (id, v) =>
+        val (d, i) = ctrs.map(c => d2(v, c._3)).zipWithIndex
+          .minBy { case (d, i) => (d, i) } // earliest center on ties
+        id -> ((ctrs(i)._2, d))
+      }.toMap
+    val got = Sampling.kCenterAssign(df, "vec_id", "v", centersDf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    got shouldBe want
+    got(900L) shouldBe ((ctrs(7)._2, 0.0))
+    got(901L) shouldBe ((ctrs(42)._2, 0.0))
+  }
+
   test("kCenterSelect matches a sequential farthest-point reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

@@ -565,7 +565,10 @@ class TrainingDataSpec extends SparkSpec {
       mk(11L, "nothing relevant in this one at all")).toDF("doc_id", "text")
     val q = Seq("spark", "vector", "absentterm")
     val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
-    TrainingData.bm25IndexWrite(base, "doc_id", "text", dir)
+    TrainingData.bm25IndexWrite(base, "doc_id", "text", dir, nBuckets = 16)
+    // n_buckets is frozen in the index meta: probe and append read it
+    // from there (a caller-supplied mismatch would silently drop postings)
+    spark.read.parquet(s"$dir/meta").head().getAs[Int]("n_buckets") shouldBe 16
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // probe == direct scan, bit-for-bit (same scoring tail, exact folds)
