@@ -256,6 +256,109 @@ object Graph {
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     trianglesCanonical(canonicalUndirected(edges, srcCol, dstCol))
 
+  /** Persist a triangle-count index: the canonical edge set under
+    * `<path>/edges` and per-vertex counts under `<path>/counts` — the
+    * batch-zero half of the incremental discipline every dedup/sketch
+    * family here follows. `counts` is APPEND-ONLY per-batch deltas
+    * (the BM25 stats-table rule): [[trianglesIndexAppend]] never
+    * rewrites history, and [[trianglesFromIndex]] folds by exact
+    * integer sums, so the probe is append-order-invariant.
+    */
+  def trianglesIndexWrite(edges: DataFrame, srcCol: String, dstCol: String,
+      path: String): Unit = {
+    val e0 = canonicalUndirected(edges, srcCol, dstCol)
+    e0.write.mode("overwrite").parquet(s"$path/edges")
+    trianglesCanonical(e0).filter(col("triangles") > 0)
+      .select(col("id"), col("triangles").as("d_triangles"))
+      .write.mode("overwrite").parquet(s"$path/counts")
+  }
+
+  /** Append an edge batch to a [[trianglesIndexWrite]] index WITHOUT
+    * recounting the corpus: only triangles CONTAINING a genuinely new
+    * edge are enumerated — the touched-neighborhood locality the
+    * incremental dedup faces use, applied to graphs.
+    *
+    * Correctness: new edges are canonicalized and anti-joined against
+    * the stored edge set (a re-sent edge creates no triangles); each
+    * new triangle has 1–3 new edges and is attributed to its LARGEST
+    * new edge in canonical (a, b) order — the wedge through that edge
+    * survives only if the other two edges are old or strictly smaller
+    * new, so every new triangle is counted exactly once. The result of
+    * [[trianglesFromIndex]] afterwards equals a full rebuild over the
+    * union (the `graph_triangles_incremental` oracle).
+    *
+    * Scale shape: wedges are enumerated from each new edge's
+    * (degree, id)-SMALLER endpoint only (the edge-iterator bound,
+    * Chiba & Nishizeki 1985) — Σ min(deg a, deg b) candidate rows over
+    * the batch, never the corpus's wedge set; closure is one edge-sized
+    * equi-join against the stored (plus delta) edge table; the counts
+    * update appends one vertex-delta row per touched vertex. Degrees
+    * are recomputed over the union in one edge-sized aggregation —
+    * cheaper to rebuild than to version, and used only to pick the
+    * enumeration side (any side is CORRECT; the small one is fast).
+    */
+  def trianglesIndexAppend(newEdges: DataFrame, srcCol: String,
+      dstCol: String, path: String): Unit = {
+    val spark = newEdges.sparkSession
+    val old = spark.read.parquet(s"$path/edges")
+    val delta = canonicalUndirected(newEdges, srcCol, dstCol)
+      .join(old, Seq("a", "b"), "left_anti")
+      .localCheckpoint(true) // edge write + union + wedge build read it
+    val union = old.select(col("a"), col("b"), lit(false).as("is_new"))
+      .union(delta.select(col("a"), col("b"), lit(true).as("is_new")))
+      .localCheckpoint(true)
+    val deg = union.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // delta edges with endpoint degrees: s = (deg, id)-smaller endpoint
+    val dk = delta
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("s"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("t"))
+    // neighbors of s in the union, carrying the underlying edge's
+    // identity so the once-per-triangle attribution can compare keys
+    val adj = union.select(col("a").as("u"), col("b").as("z"),
+        col("is_new").as("e1_new"), struct(col("a"), col("b")).as("e1k"))
+      .union(union.select(col("b").as("u"), col("a").as("z"),
+        col("is_new").as("e1_new"), struct(col("a"), col("b")).as("e1k")))
+    val cand = dk.join(adj, col("u") === col("s"))
+      .filter(col("z") =!= col("t"))
+      .select(col("a"), col("b"), col("t"), col("z"), col("e1_new"),
+        col("e1k"))
+    // close the wedge: does (z, t) exist? (inner join = existence +
+    // carries that edge's identity)
+    val e2 = union.select(col("a").as("__a2"), col("b").as("__b2"),
+      col("is_new").as("e2_new"), struct(col("a"), col("b")).as("e2k"))
+    val dkey = struct(col("a"), col("b"))
+    val closed = cand.join(e2,
+        least(col("z"), col("t")) === col("__a2") &&
+          greatest(col("z"), col("t")) === col("__b2"))
+      .filter(!(col("e1_new") && col("e1k") > dkey) &&
+        !(col("e2_new") && col("e2k") > dkey))
+    closed
+      .select(explode(array(col("a"), col("b"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("d_triangles"))
+      .write.mode("append").parquet(s"$path/counts")
+    delta.select("a", "b").write.mode("append").parquet(s"$path/edges")
+  }
+
+  /** Per-vertex triangle counts from a persisted index: every vertex of
+    * the stored edge set, zeros included — the same contract as
+    * [[triangles]], without a recount.
+    */
+  def trianglesFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val e = spark.read.parquet(s"$path/edges")
+    val cnt = spark.read.parquet(s"$path/counts")
+      .groupBy("id").agg(sum(col("d_triangles")).as("triangles"))
+    e.select(explode(array(col("a"), col("b"))).as("id")).distinct()
+      .join(cnt, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
   private def trianglesCanonical(e0: DataFrame): DataFrame = {
     val deg = e0.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))

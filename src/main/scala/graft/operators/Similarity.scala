@@ -188,7 +188,7 @@ object Similarity {
   def ivfWriteIndexPQ(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, path: String, nBits: Int = 6, lloydIters: Int = 1,
       m: Int = 8, codebookK: Int = 16, pqIters: Int = 2,
-      kernel: String = "xxhash"): Unit = {
+      kernel: String = "xxhash", withRefine: Boolean = false): Unit = {
     require(codebookK >= 1 && codebookK <= 128,
       "PQ codes are stored as signed bytes - codebookK in [1, 128]")
     val (assigned, cents0) = trainCells(df, idCol, vecCol, dim, nBits,
@@ -201,7 +201,7 @@ object Similarity {
     val model = Embeddings.pqTrain(assigned, idCol, "v", dim, m, codebookK,
       pqIters)
     model.repartition(1).write.mode("overwrite").parquet(s"$path/pqmodel")
-    pqRows(assigned, idCol, model)
+    pqRows(assigned, idCol, model, withRefine)
       .repartition(col("cell")) // one file per cell — see ivfWriteIndex
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     val spark = df.sparkSession
@@ -215,14 +215,35 @@ object Similarity {
     * shared by [[ivfWriteIndexPQ]] and [[ivfAppendPQ]] (the sq8Rows
     * discipline): the m per-subspace L2 argmins computed by the single
     * native [[graft.functions.PqEncodeFn.PqEncode]] expression, packed
-    * into one m-byte binary.
+    * into one m-byte binary. With `withRefine`, each row ALSO carries
+    * the SQ8 payload (scale, q) — [[sq8Rows]]'s exact projection — the
+    * refinement tier [[ivfTopKFromIndexPQRefine]] re-ranks against
+    * (FAISS `IndexIVFPQR`'s two-tier idea with SQ8 as the fine code:
+    * m + dim + 4 bytes/vector instead of m — still 6× under raw
+    * float32 at dim=64/m=16).
     */
   private def pqRows(assigned: DataFrame, idCol: String,
-      model: DataFrame): DataFrame = {
+      model: DataFrame, withRefine: Boolean = false): DataFrame = {
     val bySub = Embeddings.pqModel(model)
-    assigned.select(col(idCol), col("cell"),
-      graft.functions.Sq8.packSq8(graft.functions.PqEncodeFn.pqEncode(
-        col("v").cast("array<double>"), bySub.map(_.map(_._2)))).as("codes"))
+    val codes = graft.functions.Sq8.packSq8(graft.functions.PqEncodeFn.pqEncode(
+      col("v").cast("array<double>"), bySub.map(_.map(_._2)))).as("codes")
+    if (!withRefine) assigned.select(col(idCol), col("cell"), codes)
+    else {
+      // same two-projection discipline as sq8Rows: `scale` must be a
+      // plain attribute before the packing lambda references it
+      assigned
+        .select(col(idCol), col("cell"), codes,
+          col("v").cast("array<double>").as("__v"),
+          array_max(transform(col("v").cast("array<double>"), x => abs(x)))
+            .as("scale"))
+        .select(col(idCol), col("cell"), col("codes"),
+          col("scale").cast("float").as("scale"),
+          graft.functions.Sq8.packSq8(
+            transform(col("__v"), x =>
+              when(col("scale") === 0.0, lit(0))
+                .otherwise(floor(x / col("scale") * 127.0 + 0.5))
+                .cast("int"))).as("q"))
+    }
   }
 
   /** [[ivfAppend]] against an [[ivfWriteIndexPQ]] index: frozen
@@ -258,7 +279,15 @@ object Similarity {
     val spark = df.sparkSession
     val cents = readCentroids(spark, indexPath)
     val model = spark.read.parquet(s"$indexPath/pqmodel")
-    pqRows(assignToCellsRounded(df, idCol, vecCol, cents), idCol, model)
+    // withRefine is a BUILD-time property — sniff it from the existing
+    // cells schema (footer read, no data scan) so appends to a refine
+    // index keep carrying the SQ8 tier and appends to a plain index
+    // don't grow one
+    val withRefine = scala.util.Try(
+      spark.read.parquet(s"$indexPath/cells").schema.fieldNames
+        .contains("q")).getOrElse(false)
+    pqRows(assignToCellsRounded(df, idCol, vecCol, cents), idCol, model,
+      withRefine)
   }
 
   /** [[assignToCells]] derandomized for the PQ faces: (id, v, cell)
@@ -311,15 +340,59 @@ object Similarity {
     */
   def ivfTopKFromIndexPQ(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, queryVec: Seq[Double], k: Int,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      rowFilter: DataFrame => DataFrame = identity): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
     val probes = probeCellsRounded(cents, queryVec, nProbe)
     val q = typedLit(queryVec)
-    spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(probes: _*))
+    rowFilter(spark.read.parquet(s"$path/cells")
+        .filter(col("cell").isin(probes: _*)))
       .select(col(idCol),
         round(V.cosine(pqReconstruct(spark, path), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The PQ REFINE probe (FAISS refine step; `IndexIVFPQR` two-tier
+    * shape): ADC-rank the probed cells as [[ivfTopKFromIndexPQ]] does,
+    * keep a SHORTLIST of `refineFactor · k` candidates
+    * (TakeOrderedAndProject — per-partition heap, bounded), then
+    * re-rank the shortlist by cosine against the SQ8 refinement payload
+    * and return the top k. Requires an index built with
+    * `ivfWriteIndexPQ(..., withRefine = true)`.
+    *
+    * Why: raw ADC ranking carries the full m-subspace quantization
+    * error — on this corpus its top-10 needs an exact-top-50 contract.
+    * The refine pass spends one bounded re-rank (refineFactor·k rows,
+    * ≤ scale/254 per-component error — the [[ivfTopKFromIndexSQ8]]
+    * fidelity) to tighten that to exact-top-10: ADC only has to get
+    * the true neighbors INTO the shortlist, not ORDER them. At 100 TB
+    * the economics are the point — the ADC scan touches m bytes/row
+    * over the probed cells, the SQ8 payload is read for just
+    * refineFactor·k rows.
+    */
+  def ivfTopKFromIndexPQRefine(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, queryVec: Seq[Double], k: Int,
+      nProbe: Int = 4, refineFactor: Int = 4,
+      rowFilter: DataFrame => DataFrame = identity): DataFrame = {
+    require(k >= 1 && refineFactor >= 1, "k and refineFactor must be >= 1")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val probes = probeCellsRounded(cents, queryVec, nProbe)
+    val cells = spark.read.parquet(s"$path/cells")
+    require(cells.schema.fieldNames.contains("q"),
+      s"$path was not built with withRefine = true - no SQ8 tier to re-rank")
+    val q = typedLit(queryVec)
+    val shortlist = rowFilter(cells.filter(col("cell").isin(probes: _*)))
+      .select(col(idCol), col("q"), col("scale"),
+        round(V.cosine(pqReconstruct(spark, path), q), 6).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(refineFactor * k)
+    shortlist
+      .select(col(idCol), round(V.cosine(
+          graft.functions.Sq8.unpackSq8(col("q"), col("scale").cast("double")),
+          q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -335,13 +408,14 @@ object Similarity {
     */
   def ivfTopKFromIndexSQ8(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, queryVec: Seq[Double], k: Int,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      rowFilter: DataFrame => DataFrame = identity): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
     val probes = probeCells(cents, queryVec, nProbe)
     val q = typedLit(queryVec)
-    spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(probes: _*))
+    rowFilter(spark.read.parquet(s"$path/cells")
+        .filter(col("cell").isin(probes: _*)))
       .select(col(idCol), round(V.cosine(
           graft.functions.Sq8.unpackSq8(col("q"), col("scale").cast("double")),
           q), 6).as("cosine"))
@@ -380,21 +454,40 @@ object Similarity {
     * Returns (q_id, id, cosine, rank), rank 1..≤k per query.
     * `excludeSelf` drops candidates whose index id equals the query id —
     * for the self-join shape where queries are corpus members.
+    *
+    * FILTERED (predicated) probe — `rowFilter`, here and on every
+    * point-probe face: the single most common real ANN query is top-k
+    * AMONG ROWS SATISFYING A PREDICATE ("nearest docs WHERE lang='en'",
+    * "dedup within source X"). `rowFilter` transforms the pruned cell
+    * scan BEFORE scoring and the top-k, so each query still returns k
+    * rows from the FILTERED candidate set (not a post-filtered, shorter
+    * list). Two shapes: a column predicate over the index rows
+    * (`_.filter(col("id") % 2 === 0)` — Catalyst pushes it into the
+    * scan), or an allowed-id frame
+    * (`_.join(broadcast(allowed), Seq("id"), "left_semi")` — the
+    * metadata-predicate route when the predicate lives in another
+    * table). The recall contract then holds PER FILTERED SUBSET; as
+    * selectivity drops, raise `nProbe` so the probed cells still hold
+    * ≥k matching rows (the filter thins every cell uniformly in
+    * expectation — cells are geometric, predicates usually aren't
+    * geometric, so selectivity composes multiplicatively).
     */
   def ivfTopKJoinSQ8(queries: DataFrame, qIdCol: String, qVecCol: String,
       indexPath: String, idCol: String, k: Int, nProbe: Int = 4,
-      excludeSelf: Boolean = false, broadcastQueries: Boolean = true): DataFrame =
+      excludeSelf: Boolean = false, broadcastQueries: Boolean = true,
+      rowFilter: DataFrame => DataFrame = identity): DataFrame =
     ivfJoinImpl(queries, qIdCol, qVecCol, indexPath, idCol, k, nProbe,
-      excludeSelf, broadcastQueries, storage = "sq8")
+      excludeSelf, broadcastQueries, storage = "sq8", rowFilter)
 
   /** [[ivfTopKJoinSQ8]] against a flat (unquantized) [[ivfWriteIndex]]
     * index — identical plan, no dequantize step.
     */
   def ivfTopKJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
       indexPath: String, idCol: String, k: Int, nProbe: Int = 4,
-      excludeSelf: Boolean = false, broadcastQueries: Boolean = true): DataFrame =
+      excludeSelf: Boolean = false, broadcastQueries: Boolean = true,
+      rowFilter: DataFrame => DataFrame = identity): DataFrame =
     ivfJoinImpl(queries, qIdCol, qVecCol, indexPath, idCol, k, nProbe,
-      excludeSelf, broadcastQueries, storage = "flat")
+      excludeSelf, broadcastQueries, storage = "flat", rowFilter)
 
   /** [[ivfTopKJoinSQ8]] against a product-quantized [[ivfWriteIndexPQ]]
     * index — identical plan, candidates scored against the PQ
@@ -405,13 +498,15 @@ object Similarity {
     */
   def ivfPqTopKJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
       indexPath: String, idCol: String, k: Int, nProbe: Int = 4,
-      excludeSelf: Boolean = false, broadcastQueries: Boolean = true): DataFrame =
+      excludeSelf: Boolean = false, broadcastQueries: Boolean = true,
+      rowFilter: DataFrame => DataFrame = identity): DataFrame =
     ivfJoinImpl(queries, qIdCol, qVecCol, indexPath, idCol, k, nProbe,
-      excludeSelf, broadcastQueries, storage = "pq")
+      excludeSelf, broadcastQueries, storage = "pq", rowFilter)
 
   private def ivfJoinImpl(queries: DataFrame, qIdCol: String, qVecCol: String,
       indexPath: String, idCol: String, k: Int, nProbe: Int,
-      excludeSelf: Boolean, broadcastQueries: Boolean, storage: String): DataFrame = {
+      excludeSelf: Boolean, broadcastQueries: Boolean, storage: String,
+      rowFilter: DataFrame => DataFrame = identity): DataFrame = {
     require(k >= 1 && nProbe >= 1, "k and nProbe must be >= 1")
     val spark = queries.sparkSession
     // driver-bounded: ≤2^nBits centroid rows
@@ -445,8 +540,8 @@ object Similarity {
     // pruning on the cell scan
     val probed = exploded.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
-    val cellsDf = spark.read.parquet(s"$indexPath/cells")
-      .filter(col("cell").isin(probed: _*))
+    val cellsDf = rowFilter(spark.read.parquet(s"$indexPath/cells")
+      .filter(col("cell").isin(probed: _*)))
     val qSide = if (broadcastQueries) broadcast(exploded) else exploded
     val joined = qSide.join(cellsDf, Seq("cell"))
     val candVec = storage match {
@@ -555,13 +650,14 @@ object Similarity {
 
   /** Query a persisted [[ivfWriteIndex]] index. */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      idCol: String, queryVec: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
+      idCol: String, queryVec: Seq[Double], k: Int, nProbe: Int = 4,
+      rowFilter: DataFrame => DataFrame = identity): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
     val probes = probeCells(cents, queryVec, nProbe)
     val q = typedLit(queryVec)
-    spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(probes: _*))
+    rowFilter(spark.read.parquet(s"$path/cells")
+        .filter(col("cell").isin(probes: _*)))
       .select(col(idCol), round(V.cosine(col("v"), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

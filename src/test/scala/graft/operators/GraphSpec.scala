@@ -79,6 +79,34 @@ class GraphSpec extends SparkSpec {
     got shouldBe verts.map(v => v -> brute(v)).toMap
   }
 
+  test("incremental triangle index equals a full rebuild over the union") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val n = 40
+    val all = (0 until 400).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // overlapping halves: the append must anti-join re-sent edges away
+    val (base, extra) = (all.take(260), all.drop(220))
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri").toString
+    Graph.trianglesIndexWrite(base.toDF("src", "dst"), "src", "dst", dir)
+    // before the append, the index replays the base-only counts
+    Graph.trianglesFromIndex(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Graph.triangles(base.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Graph.trianglesIndexAppend(extra.toDF("src", "dst"), "src", "dst", dir)
+    val got = Graph.trianglesFromIndex(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Graph.triangles(all.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe want
+    // a second append of ONLY already-known edges is a no-op
+    Graph.trianglesIndexAppend(extra.take(50).toDF("src", "dst"),
+      "src", "dst", dir)
+    Graph.trianglesFromIndex(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe want
+  }
+
   /** Sequential PPR reference: same seeded recurrence. */
   private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
       d: Double = 0.85): Map[Long, Double] = {

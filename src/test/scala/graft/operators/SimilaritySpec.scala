@@ -238,6 +238,47 @@ class SimilaritySpec extends SparkSpec {
     ratio should be >= 8.0
   }
 
+  test("filtered probe: in-cell predicate returns k rows from the FILTERED subset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivffilt").toString
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    Similarity.ivfWriteIndexSQ8(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    // predicate keeps the odd ids only; the unfiltered top-1 (id 0, the
+    // query itself) is excluded, so a POST-filter of the unfiltered
+    // top-2 would return fewer than 2 rows — the in-cell filter must
+    // still return exactly k=2, equal to brute force over the subset
+    val got = Similarity.ivfTopKFromIndexSQ8(spark, dir, "vec_id", q,
+      k = 2, nProbe = 4, rowFilter = _.filter(col("vec_id") % 2 === 1))
+      .collect().map(_.getLong(0)).toSeq
+    got shouldBe Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", q, 2)
+      .collect().map(_.getLong(0)).toSeq
+    got.length shouldBe 2
+    all(got.map(_ % 2)) shouldBe 1L
+    // allowed-id frame shape (metadata predicate route): semi-join
+    // against a broadcast id list gives the same result
+    import spark.implicits._
+    val allowed = Seq(1L, 3L, 5L).toDF("vec_id")
+    Similarity.ivfTopKFromIndexSQ8(spark, dir, "vec_id", q, k = 2,
+      nProbe = 4, rowFilter =
+        _.join(broadcast(allowed), Seq("vec_id"), "left_semi"))
+      .collect().map(_.getLong(0)).toSeq shouldBe got
+    // the join face honors the same filter: per-query results equal the
+    // filtered point probes
+    val queries = vecs.filter(col("vec_id") < 2)
+    val joined = Similarity.ivfTopKJoinSQ8(queries, "vec_id", "embedding",
+      dir, "vec_id", k = 2, nProbe = 4,
+      rowFilter = _.filter(col("vec_id") % 2 === 1))
+      .collect().groupBy(_.getLong(0))
+    queries.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).foreach {
+      case (qid, qv) =>
+        joined(qid).sortBy(_.getInt(3)).map(_.getLong(1)).toSeq shouldBe
+          Similarity.ivfTopKFromIndexSQ8(spark, dir, "vec_id", qv, k = 2,
+            nProbe = 4, rowFilter = _.filter(col("vec_id") % 2 === 1))
+            .collect().map(_.getLong(0)).toSeq
+    }
+  }
+
   test("ivfAppendPQ: frozen-model encode, appended rows visible to probes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
     val base = vecs.filter(col("vec_id") < 4)
@@ -262,6 +303,55 @@ class SimilaritySpec extends SparkSpec {
       Seq(1.0, 0.0, 0.0, 0.0), k = 6, nProbe = 4)
       .collect().map(_.getLong(0)).toSet
     ids should contain allOf (4L, 5L)
+  }
+
+  test("PQ refine tier: SQ8 re-rank of the ADC shortlist, appends keep the tier") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqr").toString
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    Similarity.ivfWriteIndexPQ(emb, "vec_id", "embedding", dim = 64,
+      path = s"$dir/r", nBits = 4, lloydIters = 0, m = 16, codebookK = 32,
+      pqIters = 1, kernel = "md5", withRefine = true)
+    // the cells carry BOTH tiers: m-byte codes + SQ8 payload
+    val cells = spark.read.parquet(s"$dir/r/cells")
+    cells.schema.fieldNames should contain allOf ("codes", "q", "scale")
+    // with every cell probed and the whole corpus shortlisted, the
+    // refine probe degenerates to the SQ8 rank — which on this corpus
+    // matches the exact brute-force order (the ivfTopKFromIndexSQ8
+    // fidelity)
+    val n = emb.count().toInt
+    val refined = Similarity.ivfTopKFromIndexPQRefine(spark, s"$dir/r",
+      "vec_id", q, k = 5, nProbe = 16, refineFactor = n)
+      .collect().map(_.getLong(0)).toSeq
+    refined shouldBe Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, 5).collect().map(_.getLong(0)).toSeq
+    // a NARROW shortlist can only contain ADC-ranked survivors: the
+    // refine output is always a subset of the shortlist
+    val shortIds = Similarity.ivfTopKFromIndexPQ(spark, s"$dir/r",
+      "vec_id", q, k = 10, nProbe = 2).collect().map(_.getLong(0)).toSet
+    val narrow = Similarity.ivfTopKFromIndexPQRefine(spark, s"$dir/r",
+      "vec_id", q, k = 5, nProbe = 2, refineFactor = 2)
+      .collect().map(_.getLong(0)).toSet
+    narrow.subsetOf(shortIds) shouldBe true
+    // append sniffs the refine tier from the cells schema and keeps it
+    Similarity.ivfAppendPQ(
+      emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .limit(3), "vec_id", "embedding", s"$dir/r")
+    val appended = spark.read.parquet(s"$dir/r/cells")
+      .filter(col("vec_id") >= 100000)
+    appended.count() shouldBe 3
+    appended.schema.fieldNames should contain allOf ("codes", "q", "scale")
+    appended.filter(col("q").isNull || col("scale").isNull).count() shouldBe 0
+    // a plain (no-refine) index refuses the refine probe loudly
+    Similarity.ivfWriteIndexPQ(emb.limit(50), "vec_id", "embedding",
+      dim = 64, path = s"$dir/plain", nBits = 4, lloydIters = 0, m = 16,
+      codebookK = 32, pqIters = 1, kernel = "md5")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromIndexPQRefine(spark, s"$dir/plain", "vec_id",
+        q, k = 5)
+    }
+    err.getMessage should include("withRefine")
   }
 
   test("ivfPqTopKJoin: per-query results equal per-query point probes") {
