@@ -99,12 +99,15 @@ object Bench {
     // every time). Running pass 2 in reverse means every query gets one
     // early-position and one late-position sample; min() keeps whichever
     // escaped the warm-up/pressure tax.
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // oracle-gated queries plus the bench-only scale entries (contracts
+    // checked small in Verify, cost shape measured large here)
+    val allQueries = SparkEntry.queries ++ SparkEntry.benchQueries
+    val names = allQueries.keys.toSeq.sorted
       .filter(name => only.forall(_.contains(name)))
     def runPass(order: Seq[String]): Map[String, Double] =
       order.map { name =>
         val sec =
-          try time(force(SparkEntry.queries(name)(spark, sfDir)))
+          try time(force(allQueries(name)(spark, sfDir)))
           catch { case _: Throwable => -1.0 }
           finally clearState()
         name -> sec
@@ -123,30 +126,47 @@ object Bench {
     // in the PREVIOUS round's record (same SF only) gets one more fresh
     // run; the committed value is the min of three, and the retried
     // names land in the record so the regression story is auditable.
-    val prevTimings: Map[String, Double] =
-      try {
-        // same primary-path + cwd fallback the WRITER uses below — a
-        // repo-path-only read silently disables the guard anywhere else
-        val path = Seq(
-          java.nio.file.Paths.get("/root/repo/BENCH_FULL_LATEST.json"),
-          java.nio.file.Paths.get("BENCH_FULL_LATEST.json"))
-          .find(java.nio.file.Files.isReadable)
-          .getOrElse(java.nio.file.Paths.get("/root/repo/BENCH_FULL_LATEST.json"))
-        val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-        val sameSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
-          .exists(_.group(1) == sfDir)
-        if (!sameSf) Map.empty
-        else "\"timings_ms\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt)
-          .map(_.group(1).split(",").toSeq.flatMap { kv =>
-            kv.split(":") match {
-              case Array(k, v) =>
-                scala.util.Try(
-                  k.replaceAll("[\"\\s]", "") -> v.trim.toDouble / 1000.0)
-                  .toOption.filter(_._2 > 0)
-              case _ => None
-            }
-          }.toMap).getOrElse(Map.empty)
-      } catch { case _: Throwable => Map.empty }
+    //
+    // History is PER-SF (BENCH_FULL_<sf>.json): r11's record shipped
+    // four unretried >2× swings because the single LATEST slot held an
+    // sf0.01 record when the sf0.1 run started — the SF check correctly
+    // rejected it, but that left the guard with NO history and it
+    // silently disabled itself. A cross-SF run must never wipe (or
+    // shadow) same-SF history, so each SF keeps its own record file;
+    // LATEST stays the shipping record and doubles as a fallback for
+    // pre-split history.
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val prevTimings: Map[String, Double] = {
+      def parseSameSf(path: java.nio.file.Path): Option[Map[String, Double]] =
+        try {
+          if (!java.nio.file.Files.isReadable(path)) None
+          else {
+            val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+            val sameSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
+              .exists(_.group(1) == sfDir)
+            if (!sameSf) None
+            else "\"timings_ms\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+              .map(_.group(1).split(",").toSeq.flatMap { kv =>
+                kv.split(":") match {
+                  case Array(k, v) =>
+                    scala.util.Try(
+                      k.replaceAll("[\"\\s]", "") -> v.trim.toDouble / 1000.0)
+                      .toOption.filter(_._2 > 0)
+                  case _ => None
+                }
+              }.toMap)
+          }
+        } catch { case _: Throwable => None }
+      // per-SF file first, then LATEST (still SF-checked) — with the same
+      // repo-path + cwd fallback the WRITER uses, so the guard works
+      // anywhere the writer does
+      Seq(s"/root/repo/BENCH_FULL_$sfName.json", s"BENCH_FULL_$sfName.json",
+        "/root/repo/BENCH_FULL_LATEST.json", "BENCH_FULL_LATEST.json")
+        .iterator
+        .flatMap(p => parseSameSf(java.nio.file.Paths.get(p)))
+        .nextOption()
+        .getOrElse(Map.empty)
+    }
     val retried = twoPass.collect { case (name, v)
       if v >= 0 && prevTimings.get(name).exists(p => v > 2 * p) => name }
     if (retried.nonEmpty)
@@ -205,14 +225,17 @@ object Bench {
       val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
       val fullJson = summary.dropRight(1) +
         s""","throughput_samples":$samplesJson,"drift_retried":$retriedJson,"timings_ms":$allMs}"""
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_FULL_LATEST.json"),
-        (fullJson + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable =>
+      // LATEST = the shipping record; BENCH_FULL_<sf>.json = this SF's
+      // drift-guard history, immune to runs at other SFs
+      Seq("BENCH_FULL_LATEST.json", s"BENCH_FULL_$sfName.json").foreach { f =>
         try java.nio.file.Files.write(
-          java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
+          java.nio.file.Paths.get(s"/root/repo/$f"),
           (fullJson + "\n").getBytes("UTF-8"))
-        catch { case _: Throwable => () }
+        catch { case _: Throwable =>
+          try java.nio.file.Files.write(
+            java.nio.file.Paths.get(f), (fullJson + "\n").getBytes("UTF-8"))
+          catch { case _: Throwable => () }
+        }
       }
     }
 
