@@ -90,6 +90,43 @@ object ArrayOps {
   def cosineDouble(a: Column, b: Column): Column =
     Bridge.column(CosineDouble(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Squared Euclidean distance in one native pass — the [[CosineDouble]]
+    * sibling for the PQ/k-center metric. Bit-identical to the
+    * `aggregate(zip_with(a, b, (x,y) => (x−y)²), 0.0, _+_)` HOF
+    * formulation it replaces (same left-to-right `0.0 + t₀² + t₁² + …`
+    * accumulation), but a single CodegenFallback node: the HOF form
+    * compiles a fresh whole-stage-codegen body per distinct plan, which
+    * dominated the k-center traversal's per-round driver time (each
+    * round's plan embeds a new centroid literal, so nothing is reused).
+    * Mismatched lengths yield NULL (the zip_with null-padding poisoned
+    * the aggregate to NULL — a silent prefix distance would be a wrong
+    * answer).
+    */
+  case class SqDistDouble(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      if (x.numElements() != y.numElements()) return null
+      val n = x.numElements()
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val t = x.getDouble(i) - y.getDouble(i)
+        d += t * t
+        i += 1
+      }
+      d
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
+  def sqDistDouble(a: Column, b: Column): Column =
+    Bridge.column(SqDistDouble(Bridge.expression(a), Bridge.expression(b)))
+
   /** Sorted distinct xxhash64 values of every n-char window of a string —
     * the whole MinHash shingling stage as ONE native pass. Equivalent to
     * `array_sort(array_distinct(transform(<n-char windows>, xxhash64)))`

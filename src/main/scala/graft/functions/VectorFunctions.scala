@@ -30,11 +30,14 @@ object VectorFunctions {
     * and measurably degrades asymmetric-distance ranking). Same
     * left-to-right fold as [[dot]]: Σ (aᵢ−bᵢ)², sequential adds, so
     * an independent engine replaying the order reproduces it
-    * bit-for-bit.
+    * bit-for-bit. Single-pass custom expression, bit-identical to the
+    * HOF `aggregate(zip_with(...))` formulation it replaces — see
+    * [[ArrayOps.SqDistDouble]] (the [[cosine]] precedent; the HOF form
+    * paid a fresh whole-stage-codegen compile per distinct plan, which
+    * dominated the k-center traversal's per-round driver time).
     */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    ArrayOps.sqDistDouble(asDouble(a), asDouble(b))
 
   /** Single-pass custom expression; bit-identical to the HOF
     * dot/norm/norm formulation but without three array allocations per

@@ -432,13 +432,14 @@ object Sampling {
     * chosen center. The `sample_kcenter` oracle unrolls the rounds.
     *
     * Scale shape: the running min distance `__dmin` is CARRIED as a
-    * checkpointed column, so each round scores every row against ONLY
-    * the one new center (`least(__dmin, sqDist(v, new))`) — one
-    * codegen'd projection into a TakeOrderedAndProject of a single
-    * row — t bounded driver reads of one row each, the corpus never
-    * collected, no shuffle anywhere; each round's checkpoint releases
-    * its predecessor's blocks (the pageRank discipline), so one frame
-    * is held at a time. O(t·N) distance evaluations total, the
+    * column, so each round scores every row against ONLY the one new
+    * center (`least(__dmin, sqDist(v, new))`) — one codegen'd
+    * projection into a TakeOrderedAndProject of a single row — t
+    * bounded driver reads of one row each, the corpus never collected,
+    * no shuffle anywhere; rounds compose lazily with a lineage cut
+    * (checkpoint + predecessor block release, the pageRank discipline)
+    * every few rounds, so one cut frame is held at a time. O(t·N)
+    * distance evaluations total up to a bounded re-fold constant, the
     * textbook greedy cost. The traversal stops early when the farthest
     * remaining distance is 0 — every row already coincides with a
     * chosen center, so further rounds could only re-pick duplicates
@@ -528,12 +529,19 @@ object Sampling {
     val first = base.orderBy(col("__id")).limit(1).collect()
     require(first.nonEmpty, "kCenter: no rows with a non-null vector")
     var centers = Vector(first(0).getLong(0) -> first(0).getSeq[Double](1))
-    // __dmin carried and checkpointed: each round's plan contains ONE
-    // new sqDist (the new center's), the collect reads the cached
-    // blocks, and the predecessor's blocks are released eagerly
+    // __dmin carried as a column, the pageRankImpl composition: a round
+    // references the previous frame ONCE, so rounds compose LAZILY and
+    // the lineage cut (eager checkpoint + predecessor block release)
+    // lands only every TraverseCheckpointEvery rounds — one full-scan
+    // job per cut instead of one per round (a per-round eager
+    // checkpoint measured 2.3× the wall-clock at t=256; between cuts a
+    // round's farthest-point job re-folds ≤TraverseCheckpointEvery
+    // sqDists from the cached cut, trivial compute). Each round's OWN
+    // plan still folds exactly ONE new sqDist.
     var scored = base.select(col("__id"), col("__v"),
       round(V.sqDist(col("__v"), typedLit(centers.head._2)), 6).as("__dmin"))
-      .localCheckpoint(true)
+    var cp: DataFrame = null
+    var sinceCp = 0
     var exhausted = false
     while (centers.length < t && !exhausted) {
       val next = scored.orderBy(col("__dmin").desc, col("__id"))
@@ -542,14 +550,25 @@ object Sampling {
       else {
         val cv = next.getSeq[Double](1)
         centers = centers :+ (next.getLong(0) -> cv)
-        val prev = scored
-        scored = kCenterRound(scored, cv).localCheckpoint(true)
-        Bridge.releaseLocalCheckpoint(prev)
+        scored = kCenterRound(scored, cv)
+        sinceCp += 1
+        if (sinceCp >= TraverseCheckpointEvery) {
+          val cut = scored.localCheckpoint(true) // eager: materialized NOW,
+          if (cp != null) Bridge.releaseLocalCheckpoint(cp) // so this is safe
+          cp = cut
+          scored = cut
+          sinceCp = 0
+        }
       }
     }
-    Bridge.releaseLocalCheckpoint(scored)
+    if (cp != null) Bridge.releaseLocalCheckpoint(cp)
     centers
   }
+
+  /** Lineage-cut cadence for [[kCenterTraverse]]'s lazy round
+    * composition (the pageRank discipline).
+    */
+  private val TraverseCheckpointEvery = 16
 
   /** Above this many centers, [[kCenterAssignImpl]] switches from the
     * per-center HOF fold (t `aggregate(zip_with(...))` subtrees in one

@@ -228,15 +228,15 @@ class PlanShapeSpec extends SparkSpec {
   test("k-center traversal round folds ONE new sqDist into the carried __dmin") {
     // O(t·N) contract: round r scores the single NEW center against the
     // carried running min, never re-scores the r-1 prior centers. One
-    // sqDist = one zip_with in the plan; and the round is a pure
-    // projection (the farthest-point read on top is a
+    // sqDist = ONE native SqDistDouble node in the plan; and the round
+    // is a pure projection (the farthest-point read on top is a
     // TakeOrderedAndProject of one row).
     val scored = Tables.embeddings(spark, dir)
       .select(col("vec_id").cast("long").as("__id"),
         col("embedding").cast("array<double>").as("__v"),
         lit(0.0).as("__dmin"))
     val p = plan(graft.operators.Sampling.kCenterRound(scored, Seq.fill(64)(0.5)))
-    "zip_with".r.findAllMatchIn(p).size shouldBe 1
+    "(?i)sqdistdouble".r.findAllMatchIn(p).size shouldBe 1
     p should not include "Exchange"
   }
 
