@@ -1426,6 +1426,27 @@ object SparkEntry {
       graft.operators.Graph.trianglesIndexAppend(coPurchase(2), "src", "dst", idx)
       graft.operators.Graph.trianglesFromIndex(s, idx)
     }),
+    "graph_clustering_coef_incremental" -> ((s, dir) => {
+      // the coefficient face of the SAME maintained triangle index
+      // (graph_triangles_incremental builds it; this probes it with the
+      // Watts-Strogatz normalization) — equals the direct batch
+      // operator over the union, which is graph_clustering_coef's own
+      // replay. Degrees are one edge-sized agg over the stored edges;
+      // nothing is recounted.
+      val li = Tables.lineitem(s, dir)
+      def coPurchase(m: Int) = {
+        val half = li.filter(col("l_orderkey") % 4 === m)
+          .select(col("l_orderkey").as("k"),
+            col("l_partkey").cast("long").as("p"))
+        half.join(half.select(col("k"), col("p").as("q")), Seq("k"))
+          .filter(col("p") =!= col("q"))
+          .select(col("p").as("src"), col("q").as("dst"))
+      }
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-tric"
+      graft.operators.Graph.trianglesIndexWrite(coPurchase(0), "src", "dst", idx)
+      graft.operators.Graph.trianglesIndexAppend(coPurchase(2), "src", "dst", idx)
+      graft.operators.Graph.clusteringCoefFromIndex(s, idx)
+    }),
     "graph_ppr" -> ((s, dir) => {
       // personalized PageRank (TrustRank): random walk with restart to
       // the seed parts {1,2,3} over the SAME co-supply graph as
@@ -3675,39 +3696,10 @@ object SparkEntry {
     // the triangle replay + the Watts-Strogatz normalization (integer
     // neighbor-pair count, double division, round-6 — same arithmetic
     // order as the operator)
-    "graph_clustering_coef" ->
-      """WITH e0 AS (SELECT DISTINCT
-             least(a.l_partkey, b.l_partkey)::BIGINT AS a,
-             greatest(a.l_partkey, b.l_partkey)::BIGINT AS b
-           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-             AND a.l_partkey <> b.l_partkey
-           WHERE a.l_orderkey % 2 = 0),
-         deg AS (SELECT id, count(*)::BIGINT AS deg FROM (
-               SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)
-             GROUP BY id),
-         o AS (SELECT
-             CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
-                  THEN e0.a ELSE e0.b END AS s,
-             CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
-                  THEN e0.b ELSE e0.a END AS t,
-             CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
-                  THEN db.deg ELSE da.deg END AS dt
-           FROM e0 JOIN deg da ON e0.a = da.id JOIN deg db ON e0.b = db.id),
-         tr AS (SELECT x.s AS u, x.t AS v, y.t AS w
-                FROM o x JOIN o y ON x.s = y.s
-                  AND (x.dt, x.t) < (y.dt, y.t)
-                  JOIN o z ON z.s = x.t AND z.t = y.t),
-         cnt AS (SELECT id, count(*)::BIGINT AS triangles FROM (
-               SELECT u AS id FROM tr UNION ALL SELECT v FROM tr
-               UNION ALL SELECT w FROM tr)
-             GROUP BY id)
-         SELECT deg.id, coalesce(cnt.triangles, 0)::BIGINT AS triangles,
-           deg.deg,
-           round(CASE WHEN deg.deg >= 2
-             THEN 2.0 * coalesce(cnt.triangles, 0) /
-               (deg.deg * (deg.deg - 1))::DOUBLE
-             ELSE 0.0 END, 6) AS coef
-         FROM deg LEFT JOIN cnt USING (id)""",
+    "graph_clustering_coef" -> clusteringCoefReplaySql,
+    // the maintained-index coefficient face must EQUAL the direct batch
+    // operator over the union (%4∈{0,2} ≡ %2=0) — the same replay
+    "graph_clustering_coef_incremental" -> clusteringCoefReplaySql,
     // synchronous peel unrolled to 12 rounds (the Spark side's LOUD
     // maxRounds bound): extra rounds past the fixpoint are no-ops, so
     // the unroll replays the converged core exactly
@@ -4377,6 +4369,45 @@ object SparkEntry {
            PARTITION BY vec_id ORDER BY d2 ASC, ord) AS rn FROM a0)
        SELECT vec_id, center_id, d2 FROM a WHERE rn = 1"""
   }
+
+  /** The graph_clustering_coef replay (triangle orientation replay +
+    * the Watts-Strogatz normalization) — shared verbatim by the direct
+    * and maintained-index faces: their equality IS the incremental
+    * contract.
+    */
+  private val clusteringCoefReplaySql: String =
+    """WITH e0 AS (SELECT DISTINCT
+           least(a.l_partkey, b.l_partkey)::BIGINT AS a,
+           greatest(a.l_partkey, b.l_partkey)::BIGINT AS b
+         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey
+         WHERE a.l_orderkey % 2 = 0),
+       deg AS (SELECT id, count(*)::BIGINT AS deg FROM (
+             SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)
+           GROUP BY id),
+       o AS (SELECT
+           CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+                THEN e0.a ELSE e0.b END AS s,
+           CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+                THEN e0.b ELSE e0.a END AS t,
+           CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+                THEN db.deg ELSE da.deg END AS dt
+         FROM e0 JOIN deg da ON e0.a = da.id JOIN deg db ON e0.b = db.id),
+       tr AS (SELECT x.s AS u, x.t AS v, y.t AS w
+              FROM o x JOIN o y ON x.s = y.s
+                AND (x.dt, x.t) < (y.dt, y.t)
+                JOIN o z ON z.s = x.t AND z.t = y.t),
+       cnt AS (SELECT id, count(*)::BIGINT AS triangles FROM (
+             SELECT u AS id FROM tr UNION ALL SELECT v FROM tr
+             UNION ALL SELECT w FROM tr)
+           GROUP BY id)
+       SELECT deg.id, coalesce(cnt.triangles, 0)::BIGINT AS triangles,
+         deg.deg,
+         round(CASE WHEN deg.deg >= 2
+           THEN 2.0 * coalesce(cnt.triangles, 0) /
+             (deg.deg * (deg.deg - 1))::DOUBLE
+           ELSE 0.0 END, 6) AS coef
+       FROM deg LEFT JOIN cnt USING (id)"""
 
   /** Unrolled DuckDB replay of [[graft.operators.Graph.kCore]]'s
     * synchronous peel over the canonical co-purchase graph: each round

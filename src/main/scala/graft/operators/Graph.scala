@@ -137,6 +137,14 @@ object Graph {
     * is the standard cheap proxy for graph denoising before the more
     * expensive priors run.
     *
+    * Incremental stance: REBUILD. The peel fixpoint cascades globally
+    * under edge appends (one new edge can raise a vertex over the bar,
+    * whose survival re-qualifies neighbors, transitively) — there is no
+    * touched-neighborhood locality like [[trianglesIndexAppend]]'s, so
+    * a maintained k-core would re-peel in the worst case anyway; run
+    * the peel per curation pass (it is edge-sized per round and
+    * converges in a handful of rounds on web-shaped graphs).
+    *
     * Input edges are canonicalized like [[triangles]] (self-loops
     * dropped, direction/duplicates collapsed). Returns (id, core_deg) —
     * every vertex of the k-core with its degree WITHIN the core
@@ -357,6 +365,34 @@ object Graph {
     e.select(explode(array(col("a"), col("b"))).as("id")).distinct()
       .join(cnt, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Local clustering coefficients from a persisted
+    * [[trianglesIndexWrite]] index — [[clusteringCoefficients]]' exact
+    * output (same normalization, same round-6) with the triangle counts
+    * folded from the index instead of recounted: the maintained-index
+    * face of the second graph prior for free, since the coefficient is
+    * pure per-vertex arithmetic over (triangles, degree) and the degree
+    * is one edge-sized aggregation over the stored edge table.
+    *
+    * The remaining graph priors keep a REBUILD stance, documented at
+    * [[kCore]]/[[pageRank]]: peel and walk fixpoints cascade globally
+    * under edge appends (one new edge can shift every coreness /
+    * every rank), so there is no touched-neighborhood locality to
+    * exploit — unlike triangles, where a new edge's effect is exactly
+    * the wedges through it.
+    */
+  def clusteringCoefFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val e = spark.read.parquet(s"$path/edges")
+    val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    trianglesFromIndex(spark, path).join(deg, Seq("id"))
+      .select(col("id"), col("triangles"), col("deg"),
+        round(when(col("deg") >= 2,
+          lit(2.0) * col("triangles") /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)), 6).as("coef"))
   }
 
   private def trianglesCanonical(e0: DataFrame): DataFrame = {

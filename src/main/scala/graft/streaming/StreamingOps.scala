@@ -1302,10 +1302,18 @@ object StreamingOps {
     * exactly like
     * [[graft.operators.Similarity.ivfTopKFromIndex]] — a stream-built
     * index answers identically to a batch-built one over the same rows.
+    *
+    * `rowFilter` is the batch faces' filtered-probe hook
+    * ([[graft.operators.Similarity.ivfTopKJoinSQ8]] doc), applied AFTER
+    * the recency dedup — the predicate sees the index's CURRENT row per
+    * id, so a payload predicate can never resurrect a superseded
+    * version — and before the top-k, so the probe still returns k rows
+    * from the filtered candidate set.
     */
   def ivfTopKFromStreamIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, idCol: String, queryVec: Seq[Double], k: Int,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      rowFilter: DataFrame => DataFrame = identity): DataFrame = {
     import graft.operators.Similarity
     import graft.functions.{VectorFunctions => V}
     val cents = Similarity.readCentroids(spark, indexPath)
@@ -1325,9 +1333,9 @@ object StreamingOps {
     val parts = base.toSeq ++ delta.toSeq
     require(parts.nonEmpty, s"no cells or deltas under $indexPath")
     val q = typedLit(queryVec)
-    parts.reduce(_ unionByName _)
-      .groupBy(col(idCol))
-      .agg(max_by(col("v"), col("__b")).as("v"))
+    rowFilter(parts.reduce(_ unionByName _)
+        .groupBy(col(idCol))
+        .agg(max_by(col("v"), col("__b")).as("v")))
       .select(col(idCol), round(V.cosine(col("v"), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -1379,10 +1387,13 @@ object StreamingOps {
     * with the candidate cosine computed against the PQ reconstruction
     * ([[graft.operators.Similarity.ivfTopKFromIndexPQ]]'s asymmetric
     * distance) and the probe-cell selection the PQ faces' round-6 rule.
+    * `rowFilter` as on [[ivfTopKFromStreamIndex]]: applied after the
+    * recency dedup, before the top-k.
     */
   def ivfPqTopKFromStreamIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, idCol: String, queryVec: Seq[Double], k: Int,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      rowFilter: DataFrame => DataFrame = identity): DataFrame = {
     import graft.operators.Similarity
     import graft.functions.{VectorFunctions => V}
     val cents = Similarity.readCentroids(spark, indexPath)
@@ -1402,9 +1413,9 @@ object StreamingOps {
     val parts = base.toSeq ++ delta.toSeq
     require(parts.nonEmpty, s"no cells or deltas under $indexPath")
     val q = typedLit(queryVec)
-    parts.reduce(_ unionByName _)
-      .groupBy(col(idCol))
-      .agg(max_by(col("codes"), col("__b")).as("codes"))
+    rowFilter(parts.reduce(_ unionByName _)
+        .groupBy(col(idCol))
+        .agg(max_by(col("codes"), col("__b")).as("codes")))
       .select(col(idCol), round(
         V.cosine(Similarity.pqReconstruct(spark, indexPath), q), 6)
         .as("cosine"))

@@ -105,6 +105,14 @@ class GraphSpec extends SparkSpec {
       "src", "dst", dir)
     Graph.trianglesFromIndex(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe want
+    // the coefficient face folds from the same index: equals the direct
+    // batch operator over the union
+    Graph.clusteringCoefFromIndex(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet shouldBe
+      Graph.clusteringCoefficients(all.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
   }
 
   /** Sequential PPR reference: same seeded recurrence. */

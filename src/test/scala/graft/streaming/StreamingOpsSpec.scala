@@ -603,6 +603,12 @@ class StreamingOpsSpec extends SparkSpec {
       Seq(1.0, 0.05, 0.0, 0.0), k = 6, nProbe = 4).collect()
     all.map(_.getLong(0)).toSet shouldBe Set(0L, 2L, 3L, 6L, 7L, 8L)
     all.length shouldBe 6
+    // filtered stream probe (the batch faces' rowFilter hook): k rows
+    // from the FILTERED candidate set, base ∪ delta both visible
+    val even = StreamingOps.ivfTopKFromStreamIndex(spark, dir, "vec_id",
+      Seq(1.0, 0.05, 0.0, 0.0), k = 3, nProbe = 4,
+      rowFilter = _.filter(col("vec_id") % 2 === 0)).collect()
+    even.map(_.getLong(0)).toSet shouldBe Set(0L, 6L, 8L)
     // re-running compaction is a safe no-op shape (idempotent on id)
     StreamingOps.compactIvfDeltas(spark, dir)
     StreamingOps.ivfTopKFromStreamIndex(spark, dir, "vec_id",
@@ -646,6 +652,12 @@ class StreamingOpsSpec extends SparkSpec {
       Seq(1.0, 0.0, 0.0, 0.0), k = 3, nProbe = 4).collect()
     pre.count(_.getLong(0) == 3L) shouldBe 1
     pre.find(_.getLong(0) == 3L).get.getDouble(1) should be > 0.99 // vNew, not vOld's -1
+    // rowFilter runs AFTER the recency dedup: a predicate matching only
+    // the SUPERSEDED version (vOld points along -e1) must not resurrect
+    // it — the filter sees the index's CURRENT row per id, nothing here
+    StreamingOps.ivfTopKFromStreamIndex(spark, dir, "vec_id",
+      Seq(1.0, 0.0, 0.0, 0.0), k = 3, nProbe = 4,
+      rowFilter = _.filter(col("v").getItem(0) < 0.0)).count() shouldBe 0L
     StreamingOps.compactIvfDeltas(spark, dir)
     val cells = spark.read.parquet(s"$dir/cells")
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
