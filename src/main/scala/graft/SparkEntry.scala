@@ -1301,6 +1301,27 @@ object SparkEntry {
       graft.operators.Sampling.kCenterAssign(emb, "vec_id", "embedding",
         s.read.parquet(path))
     }),
+    "sample_kcenter_extend" -> ((s, dir) => {
+      // coreset GROWTH (the ingestion half; sample_kcenter_incremental
+      // is the score-only half): the even-half coreset (t=8) is FROZEN,
+      // the odd half arrives as a new batch and the traversal continues
+      // over it ONLY — each batch row's initial running min is its
+      // distance to the nearest frozen center (one projection), then 4
+      // greedy rounds add centers where the frozen regions under-cover
+      // most; the full corpus assigns against the extended coreset.
+      // FULL replay: the oracle unrolls the frozen rounds, the
+      // batch-side extension rounds, and the final argmin.
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-bench-kcext"
+      graft.operators.Sampling.kCenterCenters(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", t = 8)
+        .write.mode("overwrite").parquet(path)
+      val extended = graft.operators.Sampling.kCenterExtend(
+        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+        s.read.parquet(path), tExtra = 4)
+      graft.operators.Sampling.kCenterAssign(emb, "vec_id", "embedding",
+        extended)
+    }),
     "embed_outliers" -> ((s, dir) =>
       // kth-NN outlier scores (Ramaswamy et al. 2000): each vector's
       // round-6 cosine to its 3rd-nearest neighbor — sparse-region rows
@@ -3541,6 +3562,11 @@ object SparkEntry {
     // frozen-coreset replay: traversal over the even half, assignment
     // over the full corpus
     "sample_kcenter_incremental" -> kCenterReplaySql(t = 8, trainFrom = "eb"),
+    // coreset-growth replay: frozen even-half rounds, batch-side
+    // extension rounds seeded by the min distance to the frozen
+    // centers, assignment over the union (see kCenterExtendReplaySql)
+    "sample_kcenter_extend" -> kCenterExtendReplaySql(tFrozen = 8,
+      tExtra = 4),
     // kth-NN outlier: the sim_knn_exact replay with rank = k kept
     "embed_outliers" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -4362,6 +4388,62 @@ object SparkEntry {
        ${ebCte}c1 AS (SELECT vec_id, v FROM $trainFrom ORDER BY vec_id LIMIT 1),
        $rounds,
        ctr AS MATERIALIZED ($ctr),
+       a0 AS (SELECT e.vec_id, ctr.ord, ctr.center_id,
+           ${d2("e.v", "ctr.v")} AS d2
+         FROM e CROSS JOIN ctr),
+       a AS (SELECT vec_id, center_id, d2, row_number() OVER (
+           PARTITION BY vec_id ORDER BY d2 ASC, ord) AS rn FROM a0)
+       SELECT vec_id, center_id, d2 FROM a WHERE rn = 1"""
+  }
+
+  /** [[kCenterReplaySql]]'s GROWTH twin
+    * ([[graft.operators.Sampling.kCenterExtend]]): the frozen even-half
+    * traversal (tFrozen rounds), then the batch-side extension — each
+    * odd row's starting running min is the MIN of its round-6 squared
+    * distances to the frozen centers (a grouped min over the
+    * batch × coreset cross join, ≡ the operator's bestCenter fold:
+    * min of round-6 values is order-free), then tExtra farthest-point
+    * rounds over the batch only — and the final argmin over the union
+    * against all tFrozen + tExtra centers in their combined order.
+    */
+  private def kCenterExtendReplaySql(tFrozen: Int, tExtra: Int): String = {
+    def d2(a: String, b: String): String = {
+      val diff = s"list_transform(generate_series(1, 64), j -> $a[j] - $b[j])"
+      s"round(list_dot_product($diff, $diff), 6)"
+    }
+    val frozenRounds = (2 to tFrozen).map { r =>
+      s"""s${r - 1} AS MATERIALIZED (SELECT p.vec_id, p.v,
+             ${if (r == 2) d2("p.v", "c.v")
+               else s"least(p.d, ${d2("p.v", "c.v")})"} AS d
+           FROM ${if (r == 2) "eb" else s"s${r - 2}"} p, c${r - 1} c),
+         c$r AS (SELECT vec_id, v FROM s${r - 1}
+           ORDER BY d DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n")
+    val ctrF = (1 to tFrozen)
+      .map(r => s"SELECT $r AS ord, vec_id AS center_id, v FROM c$r")
+      .mkString(" UNION ALL ")
+    val extRounds = (1 to tExtra).map { r =>
+      s"""g$r AS (SELECT vec_id, v FROM x${r - 1}
+           ORDER BY d DESC, vec_id LIMIT 1),
+         x$r AS MATERIALIZED (SELECT p.vec_id, p.v,
+             least(p.d, ${d2("p.v", "c.v")}) AS d
+           FROM x${r - 1} p, g$r c)"""
+    }.mkString(",\n")
+    val ctrE = (1 to tExtra)
+      .map(r => s"SELECT $tFrozen + $r AS ord, vec_id AS center_id, v FROM g$r")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         FROM embeddings WHERE embedding IS NOT NULL),
+       eb AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+       eo AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id % 2 <> 0),
+       c1 AS (SELECT vec_id, v FROM eb ORDER BY vec_id LIMIT 1),
+       $frozenRounds,
+       ctrf AS MATERIALIZED ($ctrF),
+       x0 AS MATERIALIZED (SELECT p.vec_id, any_value(p.v) AS v,
+           min(${d2("p.v", "c.v")}) AS d
+         FROM eo p CROSS JOIN ctrf c GROUP BY p.vec_id),
+       $extRounds,
+       ctr AS MATERIALIZED (SELECT * FROM ctrf UNION ALL $ctrE),
        a0 AS (SELECT e.vec_id, ctr.ord, ctr.center_id,
            ${d2("e.v", "ctr.v")} AS d2
          FROM e CROSS JOIN ctr),

@@ -493,6 +493,43 @@ object Sampling {
       .toDF(idCol, "center_id", "d2")
   }
 
+  /** GROW a frozen [[kCenterCenters]] coreset from a NEW batch — the
+    * ingestion half of the coreset discipline (frozen regions never
+    * re-traverse; [[kCenterAssign]] is the score-only half): each new
+    * row's initial running min is its round-6 distance to the nearest
+    * FROZEN center (one projection — [[bestCenter]], native above the
+    * [[NativeAssignAbove]] bar — never |coreset| scoring rounds), then
+    * the usual farthest-point rounds run over the BATCH only, adding up
+    * to `tExtra` centers where the frozen coreset under-covers most
+    * (greedy fills the worst-covered batch region first; a batch whose
+    * rows all coincide with existing centers adds none — the early stop
+    * on farthest distance 0). Returns the extended
+    * (ord, center_id, centroid) table: frozen rows first in their
+    * original order (ties still break to the earliest-chosen center),
+    * new centers after in chosen order — persist it back and the next
+    * batch extends THAT.
+    */
+  def kCenterExtend(df: DataFrame, idCol: String, vecCol: String,
+      centers: DataFrame, tExtra: Int): DataFrame = {
+    require(tExtra >= 0, "tExtra must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val frozen = centers.select("ord", "center_id", "centroid").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .sortBy(_._1)
+    require(frozen.nonEmpty, "kCenterExtend: empty coreset")
+    val base = kCenterBase(df, idCol, vecCol)
+    val dmin0 = bestCenter(frozen.map(c => (c._2, c._3)).toVector)
+      .getField("d")
+    val added = kCenterGreedy(
+      base.select(col("__id"), col("__v"), dmin0.as("__dmin")), tExtra)
+    val maxOrd = frozen.map(_._1).max
+    (frozen.toSeq.map { case (ord, cid, cv) => (ord, cid, cv) } ++
+      added.zipWithIndex.map { case ((cid, cv), i) =>
+        (maxOrd + i + 1, cid, cv)
+      }).toDF("ord", "center_id", "centroid")
+  }
+
   private def kCenterBase(df: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     df.filter(col(vecCol).isNotNull)
@@ -538,18 +575,33 @@ object Sampling {
     // round's farthest-point job re-folds ≤TraverseCheckpointEvery
     // sqDists from the cached cut, trivial compute). Each round's OWN
     // plan still folds exactly ONE new sqDist.
-    var scored = base.select(col("__id"), col("__v"),
+    val scored0 = base.select(col("__id"), col("__v"),
       round(V.sqDist(col("__v"), typedLit(centers.head._2)), 6).as("__dmin"))
+    centers ++ kCenterGreedy(scored0, t - 1)
+  }
+
+  /** The greedy farthest-point continuation over a scored
+    * (__id, __v, __dmin) frame — shared by [[kCenterTraverse]] (seeded
+    * by the lowest id) and [[kCenterExtend]] (seeded by the frozen
+    * coreset's running min): up to `tMore` additional
+    * (center_id, centroid) pairs in chosen order, stopping early when
+    * the farthest remaining distance hits 0.
+    */
+  private def kCenterGreedy(scored0: DataFrame,
+      tMore: Int): Vector[(Long, Seq[Double])] = {
+    import org.apache.spark.sql.graft.Bridge
+    var added = Vector.empty[(Long, Seq[Double])]
+    var scored = scored0
     var cp: DataFrame = null
     var sinceCp = 0
     var exhausted = false
-    while (centers.length < t && !exhausted) {
+    while (added.length < tMore && !exhausted) {
       val next = scored.orderBy(col("__dmin").desc, col("__id"))
         .limit(1).collect()(0)
       if (next.getDouble(2) <= 0.0) exhausted = true
       else {
         val cv = next.getSeq[Double](1)
-        centers = centers :+ (next.getLong(0) -> cv)
+        added = added :+ (next.getLong(0) -> cv)
         scored = kCenterRound(scored, cv)
         sinceCp += 1
         if (sinceCp >= TraverseCheckpointEvery) {
@@ -562,7 +614,7 @@ object Sampling {
       }
     }
     if (cp != null) Bridge.releaseLocalCheckpoint(cp)
-    centers
+    added
   }
 
   /** Lineage-cut cadence for [[kCenterTraverse]]'s lazy round
@@ -580,26 +632,35 @@ object Sampling {
     */
   private[graft] val NativeAssignAbove = 100
 
+  /** struct(d: round-6 min squared distance, cid: nearest center,
+    * earliest on ties) of `__v` against centers in chosen order — the
+    * fold below the [[NativeAssignAbove]] bar, one native
+    * [[graft.functions.NearestCenterFn]] node above it (bit-exact, see
+    * the bar's doc).
+    */
+  private def bestCenter(centers: Vector[(Long, Seq[Double])]): Column = {
+    import graft.functions.{VectorFunctions => V}
+    if (centers.length > NativeAssignAbove)
+      graft.functions.NearestCenterFn.nearestCenter(
+        col("__v"), centers.map(_._1), centers.map(_._2))
+    else {
+      val scored = array(centers.map { case (cid, cv) =>
+        struct(round(V.sqDist(col("__v"), typedLit(cv)), 6).as("d"),
+          lit(cid).as("cid"))
+      }: _*)
+      val zero = struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid"))
+      aggregate(scored, zero,
+        (acc, x) => when(x("d") < acc("d"), x).otherwise(acc))
+    }
+  }
+
   /** Round-6 argmin assignment against centers in chosen order — a
     * linear fold; strict < keeps the earliest center on ties (the
     * PQ-argmin discipline). Returns (__id, center_id, d2).
     */
   private def kCenterAssignImpl(base: DataFrame,
       centers: Vector[(Long, Seq[Double])]): DataFrame = {
-    import graft.functions.{VectorFunctions => V}
-    val best =
-      if (centers.length > NativeAssignAbove)
-        graft.functions.NearestCenterFn.nearestCenter(
-          col("__v"), centers.map(_._1), centers.map(_._2))
-      else {
-        val scored = array(centers.map { case (cid, cv) =>
-          struct(round(V.sqDist(col("__v"), typedLit(cv)), 6).as("d"),
-            lit(cid).as("cid"))
-        }: _*)
-        val zero = struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid"))
-        aggregate(scored, zero,
-          (acc, x) => when(x("d") < acc("d"), x).otherwise(acc))
-      }
+    val best = bestCenter(centers)
     base.select(col("__id"), best.getField("cid").as("center_id"),
       best.getField("d").as("d2"))
   }

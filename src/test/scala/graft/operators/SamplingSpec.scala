@@ -407,6 +407,45 @@ class SamplingSpec extends SparkSpec {
     routed(0).getLong(1) shouldBe direct.find(_._1 == 3L).get._2
   }
 
+  test("kCenterExtend grows a frozen coreset only where the batch under-covers") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def around(c: Seq[Double]) = c.map(_ + rnd.nextDouble() * 0.01)
+    // frozen coreset over two clusters
+    val a = (0L until 5L).map(i => i -> around(Seq(10.0, 0.0, 0.0, 0.0)))
+    val b = (10L until 14L).map(i => i -> around(Seq(0.0, 10.0, 0.0, 0.0)))
+    val frozen = Sampling.kCenterCenters(
+      (a ++ b).toDF("vec_id", "v"), "vec_id", "v", t = 2)
+    frozen.collect().length shouldBe 2
+    // the batch: a NEW far cluster + more points inside cluster a
+    val c = (20L until 23L).map(i => i -> around(Seq(0.0, 0.0, 10.0, 0.0)))
+    val near = (30L until 33L).map(i => i -> around(Seq(10.0, 0.0, 0.0, 0.0)))
+    val ext = Sampling.kCenterExtend(
+      (c ++ near).toDF("vec_id", "v"), "vec_id", "v", frozen, tExtra = 1)
+    val rows = ext.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    rows.length shouldBe 3
+    // frozen rows pass through byte-identical, in their original order
+    rows.take(2).map(r => (r._1, r._2)).toSeq shouldBe
+      frozen.collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    // the one added center is from the UNCOVERED cluster (greedy fills
+    // the worst-covered region first), with the next ord
+    rows(2)._1 shouldBe 3
+    (rows(2)._2 / 10) shouldBe 2L
+    // assignment routes every corpus row within its geometric cluster
+    // (ids 30+ sit in cluster a's region)
+    def cluster(id: Long): Long = if (id >= 30) 0L else id / 10
+    val all = (a ++ b ++ c ++ near).toDF("vec_id", "v")
+    Sampling.kCenterAssign(all, "vec_id", "v", ext).collect().foreach { r =>
+      cluster(r.getLong(1)) shouldBe cluster(r.getLong(0))
+    }
+    // a batch that coincides exactly with existing centers adds nothing
+    val dup = frozen.select(col("center_id").as("vec_id"),
+      col("centroid").as("v"))
+    Sampling.kCenterExtend(dup, "vec_id", "v", frozen, tExtra = 3)
+      .count() shouldBe 2
+  }
+
   test("kCenter traversal stops when every row coincides with a chosen center") {
     import spark.implicits._
     // 3 distinct vectors, t = 5: rounds past the third would only re-pick
