@@ -795,9 +795,14 @@ object SparkEntry {
       val k = 64
       // fixed per-JVM path (see sim_ivf_sq8) — no per-invocation leak
       val skPath = s"${System.getProperty("java.io.tmpdir")}/graft-bench-srcsk"
+      // normChars in its OWN projection (the TextFunctions discipline):
+      // the shingle builder references its input n+1 times, and an
+      // attribute is free while re-running the regex chain per slice
+      // is the scan's dominant cost
       Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), T.normChars(col("text")).as("__chars"))
         .select(col("source"),
-          explode(T.charShingles(col("text"), 5)).as("sh"))
+          explode(T.charShinglesOfChars(col("__chars"), 5)).as("sh"))
         .groupBy("source").agg(TS.thetaSketch(col("sh"), k).as("sk"))
         .write.mode("overwrite").parquet(skPath)
       val sk = s.read.parquet(skPath)
@@ -1415,13 +1420,8 @@ object SparkEntry {
       // 41M wedges / 1.9M triangles (DuckDB needs 12s for the same
       // count) — the half-graph keeps the workload triangle-rich at a
       // quarter of the wedge volume
-      val li = Tables.lineitem(s, dir)
-        .filter(col("l_orderkey") % 2 === 0)
-        .select(col("l_orderkey").as("k"), col("l_partkey").cast("long").as("p"))
-      val e = li.join(li.select(col("k"), col("p").as("q")), Seq("k"))
-        .filter(col("p") =!= col("q"))
-        .select(col("p").as("src"), col("q").as("dst"))
-      graft.operators.Graph.triangles(e, "src", "dst")
+      graft.operators.Graph.triangles(
+        coPurchaseEdges(s, dir, 2, 0), "src", "dst")
     }),
     "graph_triangles_incremental" -> ((s, dir) => {
       // the graph family's incremental face: build the triangle index
@@ -1431,20 +1431,13 @@ object SparkEntry {
       // edge's lower-degree endpoint. The oracle is the FULL REBUILD
       // over the union (== graph_triangles' own SQL: %4∈{0,2} ≡ %2=0),
       // so equality IS the incremental contract
-      val li = Tables.lineitem(s, dir)
-      def coPurchase(m: Int) = {
-        val half = li.filter(col("l_orderkey") % 4 === m)
-          .select(col("l_orderkey").as("k"),
-            col("l_partkey").cast("long").as("p"))
-        half.join(half.select(col("k"), col("p").as("q")), Seq("k"))
-          .filter(col("p") =!= col("q"))
-          .select(col("p").as("src"), col("q").as("dst"))
-      }
       // fixed per-JVM path (see sim_ivf_sq8); Write overwrites both
       // tables, so the once-per-invocation Append never double-counts
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-tri"
-      graft.operators.Graph.trianglesIndexWrite(coPurchase(0), "src", "dst", idx)
-      graft.operators.Graph.trianglesIndexAppend(coPurchase(2), "src", "dst", idx)
+      graft.operators.Graph.trianglesIndexWrite(
+        coPurchaseEdges(s, dir, 4, 0), "src", "dst", idx)
+      graft.operators.Graph.trianglesIndexAppend(
+        coPurchaseEdges(s, dir, 4, 2), "src", "dst", idx)
       graft.operators.Graph.trianglesFromIndex(s, idx)
     }),
     "graph_clustering_coef_incremental" -> ((s, dir) => {
@@ -1454,18 +1447,11 @@ object SparkEntry {
       // operator over the union, which is graph_clustering_coef's own
       // replay. Degrees are one edge-sized agg over the stored edges;
       // nothing is recounted.
-      val li = Tables.lineitem(s, dir)
-      def coPurchase(m: Int) = {
-        val half = li.filter(col("l_orderkey") % 4 === m)
-          .select(col("l_orderkey").as("k"),
-            col("l_partkey").cast("long").as("p"))
-        half.join(half.select(col("k"), col("p").as("q")), Seq("k"))
-          .filter(col("p") =!= col("q"))
-          .select(col("p").as("src"), col("q").as("dst"))
-      }
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-tric"
-      graft.operators.Graph.trianglesIndexWrite(coPurchase(0), "src", "dst", idx)
-      graft.operators.Graph.trianglesIndexAppend(coPurchase(2), "src", "dst", idx)
+      graft.operators.Graph.trianglesIndexWrite(
+        coPurchaseEdges(s, dir, 4, 0), "src", "dst", idx)
+      graft.operators.Graph.trianglesIndexAppend(
+        coPurchaseEdges(s, dir, 4, 2), "src", "dst", idx)
       graft.operators.Graph.clusteringCoefFromIndex(s, idx)
     }),
     "graph_ppr" -> ((s, dir) => {
@@ -1485,13 +1471,8 @@ object SparkEntry {
       // Watts-Strogatz local clustering: triangles normalized by the
       // vertex's neighbor-pair count — the near-clique score, on the
       // same canonical co-purchase graph as graph_triangles
-      val li = Tables.lineitem(s, dir)
-        .filter(col("l_orderkey") % 2 === 0)
-        .select(col("l_orderkey").as("k"), col("l_partkey").cast("long").as("p"))
-      val e = li.join(li.select(col("k"), col("p").as("q")), Seq("k"))
-        .filter(col("p") =!= col("q"))
-        .select(col("p").as("src"), col("q").as("dst"))
-      graft.operators.Graph.clusteringCoefficients(e, "src", "dst")
+      graft.operators.Graph.clusteringCoefficients(
+        coPurchaseEdges(s, dir, 2, 0), "src", "dst")
     }),
     "graph_kcore" -> ((s, dir) => {
       // dense-community prior: the 35-core of the SAME canonical
@@ -1499,13 +1480,8 @@ object SparkEntry {
       // peel to fixpoint (≤7 rounds observed at sf0.001-0.1; the query
       // bounds it at 12 LOUDLY so the unrolled oracle's round count is
       // a checked contract, not an assumption)
-      val li = Tables.lineitem(s, dir)
-        .filter(col("l_orderkey") % 2 === 0)
-        .select(col("l_orderkey").as("k"), col("l_partkey").cast("long").as("p"))
-      val e = li.join(li.select(col("k"), col("p").as("q")), Seq("k"))
-        .filter(col("p") =!= col("q"))
-        .select(col("p").as("src"), col("q").as("dst"))
-      graft.operators.Graph.kCore(e, "src", "dst", k = 35, maxRounds = 12)
+      graft.operators.Graph.kCore(
+        coPurchaseEdges(s, dir, 2, 0), "src", "dst", k = 35, maxRounds = 12)
     }),
     "embed_random_projection" -> ((s, dir) =>
       // JL/Achlioptas dimensionality reduction 64 → 16 dims with the
@@ -2110,6 +2086,22 @@ object SparkEntry {
     * once on the driver (config-read, like the reference's startup schema
     * resolution).
     */
+  /** The co-purchase projection (parts sharing an order are linked) the
+    * graph queries share: undirected-raw edges from orders with
+    * `l_orderkey % modulus == residue`. The per-order self-join is
+    * bounded by TPC-H's ≤7 lines per order.
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String,
+      modulus: Int, residue: Int): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % modulus === residue)
+      .select(col("l_orderkey").as("k"),
+        col("l_partkey").cast("long").as("p"))
+    li.join(li.select(col("k"), col("p").as("q")), Seq("k"))
+      .filter(col("p") =!= col("q"))
+      .select(col("p").as("src"), col("q").as("dst"))
+  }
+
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
     Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head()

@@ -93,7 +93,12 @@ object NearestCenterFn {
         }
         i += 1
       }
-      InternalRow(best, cids(bi))
+      // all-NaN distances (a NaN vector component) fail every `<`
+      // comparison on BOTH paths — return the fold's zero element
+      // (MaxValue, -1) so the native node stays behavior-equivalent
+      // instead of indexing cids(-1)
+      if (bi < 0) InternalRow(Double.MaxValue, -1L)
+      else InternalRow(best, cids(bi))
     }
 
     override protected def withNewChildInternal(c: Expression): Expression =

@@ -274,11 +274,13 @@ object Graph {
     */
   def trianglesIndexWrite(edges: DataFrame, srcCol: String, dstCol: String,
       path: String): Unit = {
+    import org.apache.spark.sql.graft.Bridge
     val e0 = canonicalUndirected(edges, srcCol, dstCol)
     e0.write.mode("overwrite").parquet(s"$path/edges")
     trianglesCanonical(e0).filter(col("triangles") > 0)
       .select(col("id"), col("triangles").as("d_triangles"))
       .write.mode("overwrite").parquet(s"$path/counts")
+    Bridge.releaseLocalCheckpoint(e0) // both writes done — drop the blocks
   }
 
   /** Append an edge batch to a [[trianglesIndexWrite]] index WITHOUT
@@ -307,11 +309,14 @@ object Graph {
     */
   def trianglesIndexAppend(newEdges: DataFrame, srcCol: String,
       dstCol: String, path: String): Unit = {
+    import org.apache.spark.sql.graft.Bridge
     val spark = newEdges.sparkSession
     val old = spark.read.parquet(s"$path/edges")
-    val delta = canonicalUndirected(newEdges, srcCol, dstCol)
+    val canon = canonicalUndirected(newEdges, srcCol, dstCol)
+    val delta = canon
       .join(old, Seq("a", "b"), "left_anti")
       .localCheckpoint(true) // edge write + union + wedge build read it
+    Bridge.releaseLocalCheckpoint(canon) // folded into delta's blocks
     val union = old.select(col("a"), col("b"), lit(false).as("is_new"))
       .union(delta.select(col("a"), col("b"), lit(true).as("is_new")))
       .localCheckpoint(true)
@@ -351,6 +356,11 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("d_triangles"))
       .write.mode("append").parquet(s"$path/counts")
     delta.select("a", "b").write.mode("append").parquet(s"$path/edges")
+    // the append face is the REPEATEDLY-CALLED ingestion path: release
+    // this call's pinned blocks so N appends don't hold N edge-table
+    // copies (the kCenterGreedy / pageRank discipline)
+    Bridge.releaseLocalCheckpoint(union)
+    Bridge.releaseLocalCheckpoint(delta)
   }
 
   /** Per-vertex triangle counts from a persisted index: every vertex of

@@ -596,10 +596,18 @@ object Sampling {
     var sinceCp = 0
     var exhausted = false
     while (added.length < tMore && !exhausted) {
-      val next = scored.orderBy(col("__dmin").desc, col("__id"))
-        .limit(1).collect()(0)
-      if (next.getDouble(2) <= 0.0) exhausted = true
+      val top = scored.orderBy(col("__dmin").desc, col("__id"))
+        .limit(1).collect()
+      // an EMPTY frame is a legitimate no-op batch for kCenterExtend
+      // (all-null vectors filter to nothing) — stop, don't crash.
+      // The distance stop is on the ROUND-6 running min: a row within
+      // one rounding granule (raw d² < 5e-7) of a center counts as
+      // covered — adding it would create a center round-6-indistinct
+      // from an existing one (never observed on real embeddings; exact
+      // duplicates are the case this guards, per the t > distinct rule)
+      if (top.isEmpty || top(0).getDouble(2) <= 0.0) exhausted = true
       else {
+        val next = top(0)
         val cv = next.getSeq[Double](1)
         added = added :+ (next.getLong(0) -> cv)
         scored = kCenterRound(scored, cv)

@@ -282,10 +282,12 @@ object Similarity {
     // withRefine is a BUILD-time property — sniff it from the existing
     // cells schema (footer read, no data scan) so appends to a refine
     // index keep carrying the SQ8 tier and appends to a plain index
-    // don't grow one
-    val withRefine = scala.util.Try(
-      spark.read.parquet(s"$indexPath/cells").schema.fieldNames
-        .contains("q")).getOrElse(false)
+    // don't grow one. NOT exception-guarded: a built index always has
+    // a cells table, and swallowing a transient read failure here would
+    // silently downgrade the append to refine-less rows that the refine
+    // probe ranks last on NULL cosine — fail loudly instead
+    val withRefine = spark.read.parquet(s"$indexPath/cells")
+      .schema.fieldNames.contains("q")
     pqRows(assignToCellsRounded(df, idCol, vecCol, cents), idCol, model,
       withRefine)
   }

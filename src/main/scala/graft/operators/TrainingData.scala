@@ -1542,10 +1542,21 @@ object TrainingData {
     bm25IndexOut(newDocs, idCol, textCol, path,
       bm25IndexBuckets(newDocs.sparkSession, path), overwrite = false)
 
-  /** The frozen bucket count of a [[bm25IndexWrite]] index. */
+  /** The frozen bucket count of a [[bm25IndexWrite]] index. A missing
+    * meta table fails with a rebuild instruction rather than a bare
+    * path error — an index written before the meta table existed has no
+    * trustworthy bucket count (guessing one silently drops postings).
+    */
   private def bm25IndexBuckets(
       spark: org.apache.spark.sql.SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/meta").head().getAs[Int]("n_buckets")
+    try spark.read.parquet(s"$path/meta").head().getAs[Int]("n_buckets")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$path has no meta table - the index predates the frozen " +
+            "n_buckets meta (or the path is not a bm25 index); rebuild " +
+            "with bm25IndexWrite", e)
+    }
 
   private def bm25IndexOut(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int, overwrite: Boolean): Unit = {
