@@ -1996,6 +1996,23 @@ object SparkEntry {
       Similarity.neighborsWithinBuckets(Tables.embeddings(s, dir), "vec_id",
         "embedding", dim = 64, k = 3, nBits = 12, kernel = "md5")
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"), col("rank"))),
+    "sim_bitext_margin" -> ((s, dir) => {
+      // margin-based pair mining (Artetxe & Schwenk 2019 — the
+      // LASER/CCMatrix aligner): evens vs odds as the two embedded
+      // corpora, exact directional top-4 lists, cosines normalized by
+      // each side's neighborhood average, MUTUAL-best pairs above
+      // margin 1.0. FULL replay: the oracle recomputes both top-k
+      // lists, the micro-unit denominators, the margins, and the
+      // two-sided argmax.
+      val emb = Tables.embeddings(s, dir)
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val dst = emb.filter(col("vec_id") % 2 =!= 0)
+      val fwd = Similarity.knnJoinExactBipartite(src, "vec_id", "embedding",
+        dst, "vec_id", "embedding", dim = 64, k = 4)
+      val bwd = Similarity.knnJoinExactBipartite(dst, "vec_id", "embedding",
+        src, "vec_id", "embedding", dim = 64, k = 4)
+      Similarity.marginMine(fwd, bwd, threshold = 1.0)
+    }),
     "sim_knn_exact" -> ((s, dir) =>
       // exact quadratic ground truth (broadcast nested-loop + per-id
       // window) — the recall yardstick for the LSH paths
@@ -4140,6 +4157,44 @@ object SparkEntry {
              PARTITION BY bucket, id_a ORDER BY c DESC, id_b) AS rank FROM p)
          SELECT id_a, id_b, round(c, 6) AS cosine, rank::INT AS rank
          FROM r WHERE rank <= 3""",
+    // full margin-mining replay: both directional top-4 lists (raw-
+    // cosine ranking, the sim_knn_exact convention), candidate union,
+    // micro-unit neighborhood denominators, round-6 margins, two-sided
+    // mutual argmax at threshold 1.0
+    "sim_bitext_margin" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         sa AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+         sb AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id % 2 <> 0),
+         pf AS MATERIALIZED (SELECT sa.vec_id AS x, sb.vec_id AS y,
+             list_cosine_similarity(sa.v, sb.v) AS c
+           FROM sa, sb),
+         fw AS (SELECT x, y, c, row_number() OVER (
+             PARTITION BY x ORDER BY c DESC, y) AS rk FROM pf),
+         fwd AS MATERIALIZED (SELECT x, y, round(c, 6) AS c FROM fw
+           WHERE rk <= 4),
+         bw AS (SELECT x, y, c, row_number() OVER (
+             PARTITION BY y ORDER BY c DESC, x) AS rk FROM pf),
+         bwd AS MATERIALIZED (SELECT x, y, round(c, 6) AS c FROM bw
+           WHERE rk <= 4),
+         cand AS (SELECT DISTINCT x, y, c FROM (
+             SELECT * FROM fwd UNION ALL SELECT * FROM bwd)),
+         df AS (SELECT x, sum(round(c * 1e6)::BIGINT) AS micro,
+             count(*) AS n FROM fwd GROUP BY x),
+         db AS (SELECT y, sum(round(c * 1e6)::BIGINT) AS micro,
+             count(*) AS n FROM bwd GROUP BY y),
+         m AS (SELECT cand.x, cand.y, cand.c,
+             round(cand.c / (((df.micro::DOUBLE / 1e6) / df.n
+               + (db.micro::DOUBLE / 1e6) / db.n) / 2.0), 6) AS margin
+           FROM cand JOIN df USING (x) JOIN db USING (y)),
+         r AS (SELECT x, y, c, margin,
+             row_number() OVER (PARTITION BY x
+               ORDER BY margin DESC, y) AS rx,
+             row_number() OVER (PARTITION BY y
+               ORDER BY margin DESC, x) AS ry
+           FROM m)
+         SELECT x AS src_id, y AS dst_id, c AS cosine, margin
+         FROM r WHERE rx = 1 AND ry = 1 AND margin >= 1.0""",
     "sim_knn_exact" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

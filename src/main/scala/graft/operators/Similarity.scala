@@ -627,6 +627,73 @@ object Similarity {
       .filter(col("rank") === k)
       .select(col("id_a").as(idCol), round(col("cosine"), 6).as("knn_cos"))
 
+  /** Margin-based pair mining (Artetxe & Schwenk 2019, "Margin-based
+    * parallel corpus mining with multilingual sentence embeddings" —
+    * the LASER/CCMatrix recipe): raw cosine over-fires in dense regions
+    * of embedding space, so each candidate pair (x, y) is scored by its
+    * cosine NORMALIZED by the average similarity of each side's own
+    * k-neighborhood — margin = cos(x, y) / ((avgₖ(x) + avgₖ(y)) / 2) —
+    * and only MUTUAL-best pairs above the threshold survive. THE
+    * standard aligner for parallel-corpus mining, and the same
+    * machinery aligns any two embedded corpora (near-dup pairing across
+    * crawl snapshots, image-caption linking).
+    *
+    * Inputs are the two DIRECTIONAL top-k frames in the
+    * (q_id, id, cosine, rank) shape every kNN face here emits —
+    * [[knnJoinExactBipartite]] at audit scale, [[ivfTopKJoinSQ8]] /
+    * [[ivfPqTopKJoin]] against a persisted index at corpus scale. The
+    * candidate set is the UNION of both directions (a pair ranked only
+    * from one side still competes); each side's denominator averages
+    * its own k list.
+    *
+    * Deterministic and engine-replayable: cosines enter as round-6;
+    * neighborhood averages sum exact integer micro-units (order-free,
+    * the curation-report discipline) and divide by the side's ACTUAL
+    * list length; margins are round-6; mutual-best ranks by
+    * (margin DESC, partner id ASC) on each side.
+    *
+    * Scale shape: pure composition over k-bounded frames — the
+    * group-bys carry ≤k rows per id, the mutual-best windows partition
+    * by id over ≤2k candidate rows, nothing corpus-sized moves. Returns
+    * (src_id, dst_id, cosine, margin).
+    */
+  def marginMine(fwd: DataFrame, bwd: DataFrame,
+      threshold: Double = 1.0): DataFrame = {
+    def micro(c: Column): Column = round(c * 1e6).cast("long")
+    val dF = fwd.groupBy(col("q_id").cast("long").as("__x"))
+      .agg(((sum(micro(round(col("cosine"), 6))).cast("double") / 1e6) /
+        count(lit(1))).as("__dF"))
+    val dB = bwd.groupBy(col("q_id").cast("long").as("__y"))
+      .agg(((sum(micro(round(col("cosine"), 6))).cast("double") / 1e6) /
+        count(lit(1))).as("__dB"))
+    // union of both directions, swapped into (src, dst); cosine is
+    // symmetric bit-for-bit (commutative-exact multiplies), so the
+    // distinct collapses pairs seen from both sides
+    val cand = fwd.select(col("q_id").cast("long").as("src_id"),
+        col("id").cast("long").as("dst_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .union(bwd.select(col("id").cast("long").as("src_id"),
+        col("q_id").cast("long").as("dst_id"),
+        round(col("cosine"), 6).as("cosine")))
+      .distinct()
+    val scored = cand
+      .join(dF, col("src_id") === col("__x"))
+      .join(dB, col("dst_id") === col("__y"))
+      .select(col("src_id"), col("dst_id"), col("cosine"),
+        round(col("cosine") / ((col("__dF") + col("__dB")) / 2.0), 6)
+          .as("margin"))
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(col("margin").desc, col("dst_id"))
+    val wy = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst_id").orderBy(col("margin").desc, col("src_id"))
+    scored
+      .withColumn("__rx", row_number().over(wx))
+      .withColumn("__ry", row_number().over(wy))
+      .filter(col("__rx") === 1 && col("__ry") === 1 &&
+        col("margin") >= threshold)
+      .select("src_id", "dst_id", "cosine", "margin")
+  }
+
   /** Frozen-quantizer assignment: (id, v, cell) with cell = the id of the
     * nearest centroid. Shared by [[ivfAppend]] and the streaming
     * [[graft.streaming.StreamingOps.continuousIvfAppend]] so batch and
@@ -814,23 +881,51 @@ object Similarity {
     * `idCol` must be integral (same contract as `Dedup.minhashLsh`).
     */
   def knnJoinExact(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, k: Int): DataFrame = {
+      dim: Int, k: Int): DataFrame =
+    knnJoinExactImpl(df, idCol, vecCol, df, idCol, vecCol, dim, k,
+      excludeSameId = true)
+
+  /** [[knnJoinExact]]'s BIPARTITE generalization: for every row of
+    * `queries`, its k most cosine-similar rows of `corpus` (a different
+    * frame — the cross-lingual / cross-snapshot shape [[marginMine]]
+    * consumes). Same scale stance: the CORPUS side broadcasts (the
+    * documented bound), queries stream against it — at corpus scale
+    * swap in [[ivfTopKJoinSQ8]]/[[ivfPqTopKJoin]] against a persisted
+    * index of the corpus side, which emits the same
+    * (id_a, id_b, cosine, rank) shape.
+    */
+  def knnJoinExactBipartite(queries: DataFrame, qIdCol: String,
+      qVecCol: String, corpus: DataFrame, cIdCol: String, cVecCol: String,
+      dim: Int, k: Int): DataFrame =
+    knnJoinExactImpl(queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol,
+      dim, k, excludeSameId = false)
+      .toDF("q_id", "id", "cosine", "rank") // the ivf-join-face shape
+
+  private def knnJoinExactImpl(queries: DataFrame, qIdCol: String,
+      qVecCol: String, corpusDf: DataFrame, cIdCol: String, cVecCol: String,
+      dim: Int, k: Int, excludeSameId: Boolean): DataFrame = {
     require(k >= 1, "k must be >= 1")
     // enforce the documented contract (same reason as Dedup.minhashLsh:
     // a silent string cast would null out or collapse distinct ids)
-    require(Set("ByteType", "ShortType", "IntegerType", "LongType")
-      .contains(df.schema(idCol).dataType.toString),
-      "knnJoinExact needs an integral id column")
-    val spark = df.sparkSession
+    Seq(queries.schema(qIdCol), corpusDf.schema(cIdCol)).foreach { f =>
+      require(Set("ByteType", "ShortType", "IntegerType", "LongType")
+        .contains(f.dataType.toString),
+        "knnJoinExact needs an integral id column")
+    }
+    val spark = queries.sparkSession
     import spark.implicits._
-    val typed = df
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
+    val typed = queries
+      .select(col(qIdCol).cast("long").as("id"),
+        col(qVecCol).cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
     // validate corpus vectors ONCE at broadcast build: a mismatched
     // vector must fail here, not only when its own row streams (and the
     // dot product below can then trust both lengths — no silent min())
-    val corpus = typed.collect().sortBy(_._1)
+    val corpus = corpusDf
+      .select(col(cIdCol).cast("long").as("id"),
+        col(cVecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
     corpus.foreach { case (id, v) =>
       require(v == null || v.length == dim,
         s"corpus vector for id $id has length ${v.length}, expected $dim")
@@ -852,7 +947,7 @@ object Similarity {
           var ci = 0
           while (ci < corp.length) {
             val (idb, vb) = corp(ci)
-            if (idb != ida && vb != null) {
+            if ((!excludeSameId || idb != ida) && vb != null) {
               var dot = 0.0; var na = 0.0; var nb = 0.0
               val m = dim // both sides validated against dim
               var j = 0

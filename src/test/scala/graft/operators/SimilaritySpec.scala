@@ -601,6 +601,43 @@ class SimilaritySpec extends SparkSpec {
       .head().getAs[Long]("cell") shouldBe expect
   }
 
+  test("marginMine pairs matched vectors and deflates dense-region impostors") {
+    import spark.implicits._
+    // three src vectors, each with one true match in dst; dst also has
+    // a dense decoy cluster near src 0 — raw cosine alone would pair
+    // src 0 with any decoy, the margin normalizes it away
+    val src = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "v")
+    val dst = Seq(
+      (101L, Seq(0.99, 0.14, 0.0, 0.0)),   // match for 0
+      (103L, Seq(0.14, 0.99, 0.0, 0.0)),   // match for 2
+      (105L, Seq(0.0, 0.14, 0.99, 0.0)),   // match for 4
+      (107L, Seq(0.97, 0.24, 0.0, 0.0)),   // decoys crowding src 0's
+      (109L, Seq(0.97, 0.23, 0.01, 0.0))   // region
+    ).toDF("vec_id", "v")
+    val fwd = Similarity.knnJoinExactBipartite(src, "vec_id", "v",
+      dst, "vec_id", "v", dim = 4, k = 3)
+    // the bipartite face emits the ivf-join shape
+    fwd.columns.toSeq shouldBe Seq("q_id", "id", "cosine", "rank")
+    val bwd = Similarity.knnJoinExactBipartite(dst, "vec_id", "v",
+      src, "vec_id", "v", dim = 4, k = 3)
+    val mined = Similarity.marginMine(fwd, bwd, threshold = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // mutual-best: each src pairs with its true match, decoys lose —
+    // src 0's neighborhood is dense (101/107/109 all close), so the
+    // margin denominator discounts the crowd
+    mined(0L) shouldBe 101L
+    mined(2L) shouldBe 103L
+    mined(4L) shouldBe 105L
+    mined.size shouldBe 3
+    // margins of matched isolated pairs exceed the crowded pair's
+    val margins = Similarity.marginMine(fwd, bwd, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    margins(2L) should be > margins(0L)
+  }
+
   test("knnOutlierScores: the isolated vector scores most outlying") {
     import spark.implicits._
     // a tight cluster around e1 plus one isolated vector near -e1: its
