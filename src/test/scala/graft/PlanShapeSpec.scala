@@ -260,6 +260,27 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Join"
   }
 
+  test("filtered ANN probe: the row predicate reaches the pruned cell scan") {
+    // rowFilter must not be a post-top-k afterthought: a plain column
+    // predicate lands in the parquet scan's pushed filters, UNDER the
+    // partition-pruned cell directories — the probe reads only matching
+    // rows of probed cells, then top-k's the survivors
+    val idx = java.nio.file.Files.createTempDirectory("graft-filtplan").toString
+    val emb = Tables.embeddings(spark, dir)
+    graft.operators.Similarity.ivfWriteIndexSQ8(
+      emb, "vec_id", "embedding", dim = 64, path = idx, nBits = 2,
+      lloydIters = 0)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val p = plan(graft.operators.Similarity.ivfTopKFromIndexSQ8(
+      spark, idx, "vec_id", q, k = 2, nProbe = 1,
+      rowFilter = _.filter(col("vec_id") < 100)))
+    p should include("PartitionFilters")
+    p should include("PushedFilters")
+    p should include("LessThan(vec_id,100)")
+    p should include("TakeOrderedAndProject")
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the joined plan") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val s2 = spark.newSession()
