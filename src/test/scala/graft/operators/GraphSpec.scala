@@ -115,6 +115,31 @@ class GraphSpec extends SparkSpec {
           r.getDouble(3))).toSet
   }
 
+  test("incremental triangle index equals rebuild across random split ratios") {
+    import spark.implicits._
+    // the once-per-triangle attribution must hold whatever mix of
+    // 1/2/3-new-edge triangles a split produces — sweep three seeds and
+    // three base/batch ratios, including a batch LARGER than the base
+    for ((seed, cut) <- Seq((3, 40), (23, 150), (47, 260))) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val all = (0 until 300).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-tri-$seed").toString
+      Graph.trianglesIndexWrite(
+        all.take(cut).toDF("src", "dst"), "src", "dst", dir)
+      Graph.trianglesIndexAppend(
+        all.drop(cut).toDF("src", "dst"), "src", "dst", dir)
+      withClue(s"seed=$seed cut=$cut: ") {
+        Graph.trianglesFromIndex(spark, dir)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+          Graph.triangles(all.toDF("src", "dst"), "src", "dst")
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+    }
+  }
+
   /** Sequential PPR reference: same seeded recurrence. */
   private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
       d: Double = 0.85): Map[Long, Double] = {
