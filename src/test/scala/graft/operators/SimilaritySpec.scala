@@ -638,6 +638,46 @@ class SimilaritySpec extends SparkSpec {
     margins(2L) should be > margins(0L)
   }
 
+  test("marginMine composes with the persisted-index joins (the corpus-scale path)") {
+    import spark.implicits._
+    // the documented scale composition: directional top-k lists from
+    // ivfTopKJoinSQ8 against each side's persisted index — at wide
+    // probes on this corpus the lists equal the exact ones, so the
+    // mined pairs must match the exact-face output bit-for-bit
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(120).localCheckpoint(true)
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val dst = emb.filter(col("vec_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-btm").toString
+    Similarity.ivfWriteIndexSQ8(src, "vec_id", "embedding", dim = 64,
+      path = s"$dir/src", nBits = 2, lloydIters = 1)
+    Similarity.ivfWriteIndexSQ8(dst, "vec_id", "embedding", dim = 64,
+      path = s"$dir/dst", nBits = 2, lloydIters = 1)
+    val fwd = Similarity.ivfTopKJoinSQ8(src, "vec_id", "embedding",
+      s"$dir/dst", "vec_id", k = 4, nProbe = 4)
+    val bwd = Similarity.ivfTopKJoinSQ8(dst, "vec_id", "embedding",
+      s"$dir/src", "vec_id", k = 4, nProbe = 4)
+    def mined(f: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      Similarity.marginMine(f, b, threshold = 1.0)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val viaIndex = mined(fwd, bwd)
+    val exact = mined(
+      Similarity.knnJoinExactBipartite(src, "vec_id", "embedding",
+        dst, "vec_id", "embedding", dim = 64, k = 4),
+      Similarity.knnJoinExactBipartite(dst, "vec_id", "embedding",
+        src, "vec_id", "embedding", dim = 64, k = 4))
+    viaIndex should not be empty
+    // identical PAIRS; margins agree to the SQ8 fidelity (cosines are
+    // computed on dequantized vectors, ≤ scale/254 per component, so
+    // values drift in the 4th decimal while the ranking holds)
+    viaIndex.keySet shouldBe exact.keySet
+    exact.foreach { case (pair, m) =>
+      viaIndex(pair) shouldBe (m +- 0.01)
+    }
+  }
+
   test("knnOutlierScores: the isolated vector scores most outlying") {
     import spark.implicits._
     // a tight cluster around e1 plus one isolated vector near -e1: its
