@@ -121,8 +121,18 @@ object Similarity {
     * re-evaluates per element).
     */
   def ivfWriteIndexSQ8(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, path: String, nBits: Int = 6, lloydIters: Int = 1): Unit = {
-    val (assigned, cents) = trainCells(df, idCol, vecCol, dim, nBits, lloydIters)
+      dim: Int, path: String, nBits: Int = 6, lloydIters: Int = 1,
+      kernel: String = "xxhash", roundedCentroids: Boolean = false): Unit = {
+    val (assigned, cents0) = trainCells(df, idCol, vecCol, dim, nBits,
+      lloydIters, kernel)
+    // roundedCentroids: the PQ faces' round-9 discipline, opt-in here so
+    // the original SQ8 faces' recall-contract hashes are untouched —
+    // with kernel = "md5" and lloydIters = 0 the whole index becomes a
+    // pure function of the corpus (the sim_bitext_margin_indexed replay)
+    val cents = if (!roundedCentroids) cents0 else cents0.map { case (id, c) =>
+      id -> c.map(x =>
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
     sq8Rows(assigned, idCol)
       .repartition(col("cell")) // one file per cell — see ivfWriteIndex
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
@@ -348,8 +358,7 @@ object Similarity {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
     val probes = probeCellsRounded(cents, queryVec, nProbe)
     val q = typedLit(queryVec)
-    rowFilter(spark.read.parquet(s"$path/cells")
-        .filter(col("cell").isin(probes: _*)))
+    rowFilter(cellsCurrent(spark, path, idCol, col("cell").isin(probes: _*)))
       .select(col(idCol),
         round(V.cosine(pqReconstruct(spark, path), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
@@ -386,7 +395,8 @@ object Similarity {
     require(cells.schema.fieldNames.contains("q"),
       s"$path was not built with withRefine = true - no SQ8 tier to re-rank")
     val q = typedLit(queryVec)
-    val shortlist = rowFilter(cells.filter(col("cell").isin(probes: _*)))
+    val shortlist = rowFilter(
+        cellsCurrent(spark, path, idCol, col("cell").isin(probes: _*)))
       .select(col(idCol), col("q"), col("scale"),
         round(V.cosine(pqReconstruct(spark, path), q), 6).as("__adc"))
       .orderBy(col("__adc").desc, col(idCol))
@@ -416,8 +426,7 @@ object Similarity {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
     val probes = probeCells(cents, queryVec, nProbe)
     val q = typedLit(queryVec)
-    rowFilter(spark.read.parquet(s"$path/cells")
-        .filter(col("cell").isin(probes: _*)))
+    rowFilter(cellsCurrent(spark, path, idCol, col("cell").isin(probes: _*)))
       .select(col(idCol), round(V.cosine(
           graft.functions.Sq8.unpackSq8(col("q"), col("scale").cast("double")),
           q), 6).as("cosine"))
@@ -477,9 +486,11 @@ object Similarity {
   def ivfTopKJoinSQ8(queries: DataFrame, qIdCol: String, qVecCol: String,
       indexPath: String, idCol: String, k: Int, nProbe: Int = 4,
       excludeSelf: Boolean = false, broadcastQueries: Boolean = true,
-      rowFilter: DataFrame => DataFrame = identity): DataFrame =
+      rowFilter: DataFrame => DataFrame = identity,
+      roundedProbe: Boolean = false): DataFrame =
     ivfJoinImpl(queries, qIdCol, qVecCol, indexPath, idCol, k, nProbe,
-      excludeSelf, broadcastQueries, storage = "sq8", rowFilter)
+      excludeSelf, broadcastQueries, storage = "sq8", rowFilter,
+      roundedProbe)
 
   /** [[ivfTopKJoinSQ8]] against a flat (unquantized) [[ivfWriteIndex]]
     * index — identical plan, no dequantize step.
@@ -505,11 +516,95 @@ object Similarity {
     ivfJoinImpl(queries, qIdCol, qVecCol, indexPath, idCol, k, nProbe,
       excludeSelf, broadcastQueries, storage = "pq", rowFilter)
 
-  private def ivfJoinImpl(queries: DataFrame, qIdCol: String, qVecCol: String,
-      indexPath: String, idCol: String, k: Int, nProbe: Int,
-      excludeSelf: Boolean, broadcastQueries: Boolean, storage: String,
+  /** The REFINE tier on the batched join face —
+    * [[ivfTopKFromIndexPQRefine]]'s two-tier discipline applied per
+    * query of a batch, against an `ivfWriteIndexPQ(..., withRefine =
+    * true)` index (fails loudly otherwise). The batched join is the
+    * production dedup shape ("dedup this batch against the index"), so
+    * it is where the exact-top-k contract matters most:
+    *
+    *   1. ADC stage: [[ivfPqTopKJoin]]'s plan — probe cells per query
+    *      (ROUND-6 centroid cosine, ties to the lowest cell: the PQ
+    *      faces' derandomized rule, so the `sim_ivfpq_join_refine`
+    *      oracle replays the probe selection), candidates scored
+    *      against the PQ reconstruction, and a per-query SHORTLIST of
+    *      `refineFactor · k` ids kept by the bounded
+    *      [[graft.functions.Aggregators.topKByScore]] aggregation
+    *      (map-side combine — no query's candidates funnel through one
+    *      sort).
+    *   2. Refine stage: the shortlist joins BACK to the pruned cell
+    *      frame for its SQ8 payload (a second column-pruned read that
+    *      touches the `q` bytes for shortlist rows' files only — the
+    *      ADC scan never reads them) and to the query vectors, re-ranks
+    *      by (round-6 SQ8 cosine desc, id asc), keeps k.
+    *
+    * Returns (q_id, id, cosine, rank) like every join face — `cosine`
+    * is the REFINED (SQ8) score. Scale shape: the only frames beyond
+    * stage 1's are shortlist-sized (|queries| · refineFactor · k rows).
+    */
+  def ivfPqTopKJoinRefine(queries: DataFrame, qIdCol: String,
+      qVecCol: String, indexPath: String, idCol: String, k: Int,
+      nProbe: Int = 4, refineFactor: Int = 4, excludeSelf: Boolean = false,
+      broadcastQueries: Boolean = true,
       rowFilter: DataFrame => DataFrame = identity): DataFrame = {
-    require(k >= 1 && nProbe >= 1, "k and nProbe must be >= 1")
+    require(k >= 1 && nProbe >= 1 && refineFactor >= 1,
+      "k, nProbe and refineFactor must be >= 1")
+    val spark = queries.sparkSession
+    require(spark.read.parquet(s"$indexPath/cells")
+        .schema.fieldNames.contains("q"),
+      s"$indexPath was not built with withRefine = true - no SQ8 tier to re-rank")
+    val (qSide, cellsDf) = ivfJoinPrelude(queries, qIdCol, qVecCol,
+      indexPath, idCol, nProbe, broadcastQueries, rowFilter,
+      roundedProbe = true)
+    val cand0 = qSide.join(cellsDf, Seq("cell"))
+      .select(col("q_id"), col(idCol).cast("long").as("id"),
+        round(V.cosine(pqReconstruct(spark, indexPath), col("__qv")), 6)
+          .as("__adc"))
+    val cand = if (excludeSelf) cand0.filter(col("q_id") =!= col("id"))
+      else cand0
+    val shortlist = cand.groupBy("q_id")
+      .agg(graft.functions.Aggregators.topKByScore(
+        col("id"), col("__adc"), refineFactor * k).as("__top"))
+      .select(col("q_id"), explode(col("__top")).as("__e"))
+      .select(col("q_id"), col("__e._1").as("id"))
+    // the SQ8 payload, read for shortlist rows only; cellsCurrent
+    // already deduped ids, so this join cannot fan out
+    val payload = cellsDf.select(col(idCol).cast("long").as("id"),
+      col("q"), col("scale"))
+    val qVecs = qSide.select(col("q_id"), col("__qv")).dropDuplicates("q_id")
+    shortlist
+      .join(payload, Seq("id"))
+      .join(qVecs, Seq("q_id"))
+      .select(col("q_id"), col("id"), round(V.cosine(
+        graft.functions.Sq8.unpackSq8(col("q"), col("scale").cast("double")),
+        col("__qv")), 6).as("cosine"))
+      .groupBy("q_id")
+      .agg(graft.functions.Aggregators.topKByScore(
+        col("id"), col("cosine"), k).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")))
+      .select(col("q_id"), col("col._1").as("id"), col("col._2").as("cosine"),
+        (col("pos") + 1).as("rank"))
+  }
+
+  /** Shared prelude of the batched join faces: per-query probe-cell
+    * assignment against the broadcast centroid literal, the bounded
+    * probed-cell collect (≤2^nBits longs — static partition pruning on
+    * the cell scan), and the tombstone-aware pruned candidate read.
+    * Returns (query side ready to join on `cell` — broadcast-wrapped
+    * when asked — and the filtered candidate frame).
+    *
+    * `roundedProbe` ranks probe cells by ROUND-6 centroid cosine with
+    * ties to the lowest cell id — [[probeCellsRounded]]'s derandomized
+    * rule, per query — so a face that needs a bit-for-bit oracle
+    * replay (the PQ-refine join, the indexed margin miner) selects the
+    * identical probe set in any engine; the default raw-cosine ranking
+    * is kept on the recall-contract faces so their hashes are
+    * untouched.
+    */
+  private def ivfJoinPrelude(queries: DataFrame, qIdCol: String,
+      qVecCol: String, indexPath: String, idCol: String, nProbe: Int,
+      broadcastQueries: Boolean, rowFilter: DataFrame => DataFrame,
+      roundedProbe: Boolean): (DataFrame, DataFrame) = {
     val spark = queries.sparkSession
     // driver-bounded: ≤2^nBits centroid rows
     val cents = spark.read.parquet(s"$indexPath/centroids")
@@ -521,9 +616,11 @@ object Similarity {
     val qv = col(qVecCol).cast("array<double>")
     // (−cosine, cell) structs sort lexicographically = cosine desc,
     // cell asc on ties — deterministic probe order
-    val scoredCells = transform(sequence(lit(1), lit(nCells)), i =>
-      struct((-V.cosine(qv, element_at(centVecs, i))).as("negcos"),
-        element_at(cellIds, i).as("cell")))
+    val scoredCells = transform(sequence(lit(1), lit(nCells)), i => {
+      val c = V.cosine(qv, element_at(centVecs, i))
+      struct((-(if (roundedProbe) round(c, 6) else c)).as("negcos"),
+        element_at(cellIds, i).as("cell"))
+    })
     val probeList = transform(
       slice(array_sort(scoredCells), 1, math.min(nProbe, nCells)),
       s => s("cell"))
@@ -542,9 +639,21 @@ object Similarity {
     // pruning on the cell scan
     val probed = exploded.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
-    val cellsDf = rowFilter(spark.read.parquet(s"$indexPath/cells")
-      .filter(col("cell").isin(probed: _*)))
+    val cellsDf = rowFilter(cellsCurrent(spark, indexPath, idCol,
+      col("cell").isin(probed: _*)))
     val qSide = if (broadcastQueries) broadcast(exploded) else exploded
+    (qSide, cellsDf)
+  }
+
+  private def ivfJoinImpl(queries: DataFrame, qIdCol: String, qVecCol: String,
+      indexPath: String, idCol: String, k: Int, nProbe: Int,
+      excludeSelf: Boolean, broadcastQueries: Boolean, storage: String,
+      rowFilter: DataFrame => DataFrame = identity,
+      roundedProbe: Boolean = false): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be >= 1")
+    val spark = queries.sparkSession
+    val (qSide, cellsDf) = ivfJoinPrelude(queries, qIdCol, qVecCol,
+      indexPath, idCol, nProbe, broadcastQueries, rowFilter, roundedProbe)
     val joined = qSide.join(cellsDf, Seq("cell"))
     val candVec = storage match {
       case "sq8" =>
@@ -593,6 +702,134 @@ object Similarity {
     sq8Rows(assignToCells(df, idCol, vecCol, cents), idCol)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/cells")
+  }
+
+  /** DELETE (takedown) face for every persisted index layout — flat
+    * [[ivfWriteIndex]], SQ8 [[ivfWriteIndexSQ8]], PQ [[ivfWriteIndexPQ]]
+    * (with or without the refine tier) — and their stream-maintained
+    * twins: writes TOMBSTONE rows into the index's delta channel
+    * (`<indexPath>/deltas`, the [[graft.streaming.StreamingOps
+    * .continuousIvfAppend]] layout, created here if the index has never
+    * streamed). A tombstone is a delta row whose PAYLOAD columns are all
+    * NULL — representable in the existing schema (no live row has a null
+    * vector: every append face filters `isNotNull` up front), carried in
+    * the victim's CURRENT cell(s) so the cell-pruned probe reads see it,
+    * stamped with `batch_id` = 1 + the highest existing delta batch so
+    * the recency fold (`max_by(__b)`, any delta beats the base at −1)
+    * picks it and [[cellsCurrent]] then DROPS the id.
+    *
+    * Why tombstones and not rewrite-on-delete: at 100 TB a takedown
+    * request must not rewrite cell partitions synchronously — the
+    * tombstone is one k-row delta write; the physical removal is
+    * deferred to [[graft.streaming.StreamingOps.compactIvfDeltas]]
+    * (tombstone-aware: folds the delete into the base, drops the rows,
+    * prunes the delta). Every probe/join face — point, batched join,
+    * refine, stream — honors tombstones BEFORE its `rowFilter`, so no
+    * predicate can resurrect a deleted row.
+    *
+    * Ordering contract: tombstones share the stream delta channel's
+    * batch_id sequence, so issue deletes at a batch boundary (writer
+    * quiesced) — the same discipline as an offline rebuild. To
+    * RE-INSERT a deleted id, write it through the delta channel (a
+    * later batch_id beats the tombstone) or compact first; the batch
+    * [[ivfAppend]] faces write straight into the base, which ranks
+    * BELOW any tombstone.
+    *
+    * `ids` is a one-column-relevant frame holding `idCol` (extra
+    * columns ignored); ids absent from the index are a no-op. Victim
+    * cells are found with one column-pruned (id, cell) pass over base ∪
+    * deltas — never a full-payload scan.
+    */
+  def ivfDelete(ids: DataFrame, idCol: String, indexPath: String): Unit = {
+    val spark = ids.sparkSession
+    val base = readParquetIfAny(spark, s"$indexPath/cells")
+    val deltas = readParquetIfAny(spark, s"$indexPath/deltas")
+    require(base.nonEmpty || deltas.nonEmpty, s"no index at $indexPath")
+    val ref = base.getOrElse(deltas.get.drop("batch_id"))
+    val payload = ref.columns.filterNot(c => c == idCol || c == "cell")
+    require(payload.nonEmpty, s"unrecognized index layout at $indexPath")
+    val occ = (base.toSeq ++ deltas.toSeq.map(_.drop("batch_id")))
+      .map(_.select(col(idCol), col("cell").cast("long").as("cell")))
+      .reduce(_ unionByName _)
+    val victims = occ
+      .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .distinct()
+    val nextB = deltas
+      .map(_.agg(max(col("batch_id"))).head.get(0))
+      .flatMap(Option(_)).map(_.toString.toLong + 1L).getOrElse(0L)
+    victims.persist()
+    try {
+      // no victims (ids the index never held) → write nothing: an empty
+      // batch directory would be pure noise in the channel
+      if (!victims.isEmpty)
+        victims
+          .select(col(idCol) +:
+            payload.map(c => lit(null).cast(ref.schema(c).dataType).as(c)) :+
+            col("cell"): _*)
+          .withColumn("batch_id", lit(nextB))
+          .repartition(col("cell")) // cell-coherent files, like every delta
+          .write.mode("append").partitionBy("batch_id")
+          .parquet(s"$indexPath/deltas")
+    } finally victims.unpersist(blocking = false)
+  }
+
+  /** Read a parquet table that may legitimately not exist yet — or
+    * exist as an EMPTY directory: compaction with `includeLatest`
+    * prunes every `batch_id=` partition but leaves the `deltas` root,
+    * and schema inference over zero files throws, not returns empty.
+    * Both conditions mean "no rows here".
+    */
+  private[graft] def readParquetIfAny(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+             e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+    }
+
+  /** The CURRENT rows of a persisted index, cell-pruned: base cells
+    * under `cellPred` ∪ un-compacted deltas (same predicate — row-group
+    * pruned), de-duplicated on id by RECENCY (max delta `batch_id`
+    * wins, the base ranks as −1), with tombstone winners ([[ivfDelete]]
+    * — null payload) DROPPED. When no delta channel exists the base
+    * scan is returned VERBATIM — the pure-batch probe plan (partition
+    * pruning, predicate pushdown into the scan) is untouched; the fold
+    * only appears once deltas exist, and then only over the pruned
+    * candidate rows, never the corpus.
+    *
+    * Shared by every batch probe/join face so all of them honor stream
+    * appends and tombstones identically; the stream faces
+    * ([[graft.streaming.StreamingOps.ivfTopKFromStreamIndex]]) apply
+    * the same fold.
+    */
+  private[graft] def cellsCurrent(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String, cellPred: Column): DataFrame = {
+    val base = readParquetIfAny(spark, s"$indexPath/cells").map(_.filter(cellPred))
+    val deltas = readParquetIfAny(spark, s"$indexPath/deltas")
+    (base, deltas) match {
+      case (Some(b), None) => b
+      case (b, d) =>
+        require(b.nonEmpty || d.nonEmpty, s"no cells or deltas under $indexPath")
+        val ref = b.getOrElse(d.get.drop("batch_id"))
+        val payload = ref.columns.filterNot(c => c == idCol || c == "cell")
+        // tombstone marker: the leading payload column (v | q | codes) —
+        // null only on tombstone rows (appends filter isNotNull up front)
+        val marker = payload.head
+        def shape(df: DataFrame, bCol: Column): DataFrame =
+          df.select(col(idCol) +: payload.map(col) :+
+            col("cell").cast("long").as("cell") :+ bCol.as("__b"): _*)
+        val parts = b.map(shape(_, lit(-1L))).toSeq ++
+          d.map(x => shape(x.filter(cellPred), col("batch_id").cast("long")))
+        parts.reduce(_ unionByName _)
+          .groupBy(col(idCol))
+          .agg(max_by(struct((payload :+ "cell").map(col): _*), col("__b"))
+            .as("__w"))
+          .select(col(idCol) +:
+            (payload :+ "cell").map(c => col(s"__w.$c").as(c)): _*)
+          .filter(col(marker).isNotNull)
+    }
   }
 
   /** Driver-side read of a persisted index's coarse quantizer — ≤2^nBits
@@ -666,16 +903,20 @@ object Similarity {
     val dB = bwd.groupBy(col("q_id").cast("long").as("__y"))
       .agg(((sum(micro(round(col("cosine"), 6))).cast("double") / 1e6) /
         count(lit(1))).as("__dB"))
-    // union of both directions, swapped into (src, dst); cosine is
-    // symmetric bit-for-bit (commutative-exact multiplies), so the
-    // distinct collapses pairs seen from both sides
+    // union of both directions, swapped into (src, dst). On exact
+    // frames cosine is symmetric bit-for-bit (commutative-exact
+    // multiplies) and the two sightings agree; on ASYMMETRIC frames —
+    // the quantized-index joins, where each direction scores against
+    // the OTHER side's quantization — they can differ, so pairs
+    // canonicalize to their HIGHER score (deterministic, and equal to
+    // the old distinct() when the sightings agree)
     val cand = fwd.select(col("q_id").cast("long").as("src_id"),
         col("id").cast("long").as("dst_id"),
         round(col("cosine"), 6).as("cosine"))
       .union(bwd.select(col("id").cast("long").as("src_id"),
         col("q_id").cast("long").as("dst_id"),
         round(col("cosine"), 6).as("cosine")))
-      .distinct()
+      .groupBy("src_id", "dst_id").agg(max(col("cosine")).as("cosine"))
     val scored = cand
       .join(dF, col("src_id") === col("__x"))
       .join(dB, col("dst_id") === col("__y"))
@@ -725,8 +966,7 @@ object Similarity {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
     val probes = probeCells(cents, queryVec, nProbe)
     val q = typedLit(queryVec)
-    rowFilter(spark.read.parquet(s"$path/cells")
-        .filter(col("cell").isin(probes: _*)))
+    rowFilter(cellsCurrent(spark, path, idCol, col("cell").isin(probes: _*)))
       .select(col(idCol), round(V.cosine(col("v"), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

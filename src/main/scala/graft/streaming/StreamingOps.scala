@@ -1203,20 +1203,32 @@ object StreamingOps {
     * the prune; the latest delta is never folded, so the streaming
     * replay contract (a replayed batch overwrites its own partition) is
     * untouched.
+    *
+    * TOMBSTONE-AWARE ([[graft.operators.Similarity.ivfDelete]]): a
+    * committed delta winner with a null payload removes the id's base
+    * row (the existing anti-join) and is itself dropped from the fold —
+    * the physical removal the delete face defers here. Deleted rows'
+    * bytes are gone from `cells` after compaction; a cell emptied by
+    * deletes has its directory removed like any emptied prior cell.
+    *
+    * `includeLatest = true` folds EVERY delta batch including the
+    * newest — for batch-maintained indexes (delete-then-compact with no
+    * stream running). It trades away the replay-safety margin above, so
+    * only call it with the writer quiesced; a stream's own periodic
+    * compaction must keep the default.
     */
   def compactIvfDeltas(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Unit = {
-    val deltas =
-      try spark.read.parquet(s"$indexPath/deltas")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" => return
-      }
+      indexPath: String, includeLatest: Boolean = false): Unit = {
+    val deltas = graft.operators.Similarity
+      .readParquetIfAny(spark, s"$indexPath/deltas")
+      .getOrElse(return)
     val maxB = deltas.agg(max(col("batch_id"))).head.get(0)
     if (maxB == null) return
     val maxBatch = maxB.toString.toLong
-    if (maxBatch <= 0) return // nothing strictly below the latest batch
-    val committedAll = deltas.where(col("batch_id") < maxBatch)
+    // nothing strictly below the latest batch
+    if (!includeLatest && maxBatch <= 0) return
+    val committedAll =
+      if (includeLatest) deltas else deltas.where(col("batch_id") < maxBatch)
     // layout-generic: (id, <payload...>, cell) — v for the flat index,
     // codes for the PQ index ([[continuousPqAppend]] deltas)
     val dataCols = committedAll.drop("batch_id").columns
@@ -1232,6 +1244,10 @@ object StreamingOps {
       .select(col(idCol) +:
         (payload :+ "cell").map(c => col(s"__w.$c").as(c)): _*)
       .localCheckpoint(true) // read by touched-cells, prior-cells, and fold
+    // tombstone winners (ivfDelete — null payload) participate in the
+    // cell-touch set and the base anti-join (that is what removes the
+    // victim's base row) but are NOT written back
+    val live = committed.filter(col(payload.head).isNotNull)
     // driver-bounded: ≤2^nBits distinct cells — the literal prunes the
     // base read to the touched partitions only
     val newCells = committed.select("cell").distinct()
@@ -1263,7 +1279,7 @@ object StreamingOps {
           .join(committed.select(col(idCol)), Seq(idCol), "left_anti")
       case None => committed.limit(0)
     }
-    val folded = existing.unionByName(committed).localCheckpoint(true)
+    val folded = existing.unionByName(live).localCheckpoint(true)
     folded
       .repartition(col("cell")) // one file per touched cell
       .write.mode("overwrite")
@@ -1287,7 +1303,8 @@ object StreamingOps {
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith("batch_id=")) {
         val bid = scala.util.Try(name.stripPrefix("batch_id=").toLong)
-        if (bid.toOption.exists(_ < maxBatch)) fs.delete(st.getPath, true)
+        if (bid.toOption.exists(b => b < maxBatch || includeLatest))
+          fs.delete(st.getPath, true)
       }
     }
   }
@@ -1319,11 +1336,7 @@ object StreamingOps {
     val cents = Similarity.readCentroids(spark, indexPath)
     val probes = Similarity.probeCells(cents, queryVec, nProbe)
     def readOrEmpty(path: String): Option[DataFrame] =
-      try Some(spark.read.parquet(path))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" => None
-      }
+      graft.operators.Similarity.readParquetIfAny(spark, path)
     val base = readOrEmpty(s"$indexPath/cells")
       .map(_.filter(col("cell").isin(probes: _*))
         .select(col(idCol), col("v"), lit(-1L).as("__b")))
@@ -1333,9 +1346,14 @@ object StreamingOps {
     val parts = base.toSeq ++ delta.toSeq
     require(parts.nonEmpty, s"no cells or deltas under $indexPath")
     val q = typedLit(queryVec)
+    // struct-fold, then drop null-v winners: a tombstone (ivfDelete —
+    // null payload at the max batch) must win the recency fold and then
+    // DELETE the id, before rowFilter so no predicate can resurrect it
     rowFilter(parts.reduce(_ unionByName _)
         .groupBy(col(idCol))
-        .agg(max_by(col("v"), col("__b")).as("v")))
+        .agg(max_by(struct(col("v")), col("__b")).as("__w"))
+        .select(col(idCol), col("__w.v").as("v"))
+        .filter(col("v").isNotNull))
       .select(col(idCol), round(V.cosine(col("v"), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -1399,11 +1417,7 @@ object StreamingOps {
     val cents = Similarity.readCentroids(spark, indexPath)
     val probes = Similarity.probeCellsRounded(cents, queryVec, nProbe)
     def readOrEmpty(path: String): Option[DataFrame] =
-      try Some(spark.read.parquet(path))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" => None
-      }
+      graft.operators.Similarity.readParquetIfAny(spark, path)
     val base = readOrEmpty(s"$indexPath/cells")
       .map(_.filter(col("cell").isin(probes: _*))
         .select(col(idCol), col("codes"), lit(-1L).as("__b")))
@@ -1413,9 +1427,12 @@ object StreamingOps {
     val parts = base.toSeq ++ delta.toSeq
     require(parts.nonEmpty, s"no cells or deltas under $indexPath")
     val q = typedLit(queryVec)
+    // struct-fold + tombstone drop — see ivfTopKFromStreamIndex
     rowFilter(parts.reduce(_ unionByName _)
         .groupBy(col(idCol))
-        .agg(max_by(col("codes"), col("__b")).as("codes")))
+        .agg(max_by(struct(col("codes")), col("__b")).as("__w"))
+        .select(col(idCol), col("__w.codes").as("codes"))
+        .filter(col("codes").isNotNull))
       .select(col(idCol), round(
         V.cosine(Similarity.pqReconstruct(spark, indexPath), q), 6)
         .as("cosine"))
