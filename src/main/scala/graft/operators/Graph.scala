@@ -270,11 +270,22 @@ object Graph {
     * family here follows. `counts` is APPEND-ONLY per-batch deltas
     * (the BM25 stats-table rule): [[trianglesIndexAppend]] never
     * rewrites history, and [[trianglesFromIndex]] folds by exact
-    * integer sums, so the probe is append-order-invariant.
+    * integer sums, so the probe is append-order-invariant. Appended
+    * batches live under `<path>/batches/<n>/{edges,counts}` and become
+    * visible atomically via their `_COMMIT` marker (crash-safety — see
+    * [[trianglesIndexAppend]]).
     */
   def trianglesIndexWrite(edges: DataFrame, srcCol: String, dstCol: String,
       path: String): Unit = {
     import org.apache.spark.sql.graft.Bridge
+    // a REBUILD invalidates every appended batch: the overwrite below
+    // only replaces edges/ and counts/, so a stale batches/ channel
+    // from a previous index at this path would otherwise keep folding
+    // into the fresh base
+    val spark = edges.sparkSession
+    val batchesRoot = new org.apache.hadoop.fs.Path(s"$path/batches")
+    val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(batchesRoot)) fs.delete(batchesRoot, true)
     val e0 = canonicalUndirected(edges, srcCol, dstCol)
     e0.write.mode("overwrite").parquet(s"$path/edges")
     trianglesCanonical(e0).filter(col("triangles") > 0)
@@ -311,7 +322,21 @@ object Graph {
       dstCol: String, path: String): Unit = {
     import org.apache.spark.sql.graft.Bridge
     val spark = newEdges.sparkSession
-    val old = spark.read.parquet(s"$path/edges")
+    // crash-safe append: both deltas land under one batch directory and
+    // become visible ATOMICALLY via its _COMMIT marker — a crash
+    // between the counts and edges writes can neither double-count (a
+    // re-sent batch's edges are still invisible, so the anti-join keeps
+    // them and the crashed uncommitted directory is swept here) nor
+    // under-count (readers never see a half-written batch)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchesRoot = new org.apache.hadoop.fs.Path(s"$path/batches")
+    if (fs.exists(batchesRoot)) fs.listStatus(batchesRoot).foreach { st =>
+      if (st.isDirectory &&
+          !fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMIT")))
+        fs.delete(st.getPath, true) // crashed attempt — invisible garbage
+    }
+    val old = indexEdges(spark, path)
     val canon = canonicalUndirected(newEdges, srcCol, dstCol)
     val delta = canon
       .join(old, Seq("a", "b"), "left_anti")
@@ -351,11 +376,18 @@ object Graph {
           greatest(col("z"), col("t")) === col("__b2"))
       .filter(!(col("e1_new") && col("e1k") > dkey) &&
         !(col("e2_new") && col("e2k") > dkey))
+    val nextBatch = (Seq(-1L) ++ (if (fs.exists(batchesRoot))
+      fs.listStatus(batchesRoot).toSeq.flatMap(st =>
+        scala.util.Try(st.getPath.getName.toLong).toOption)
+      else Seq.empty)).max + 1
+    val bdir = s"$path/batches/$nextBatch"
     closed
       .select(explode(array(col("a"), col("b"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("d_triangles"))
-      .write.mode("append").parquet(s"$path/counts")
-    delta.select("a", "b").write.mode("append").parquet(s"$path/edges")
+      .write.mode("overwrite").parquet(s"$bdir/counts")
+    delta.select("a", "b").write.mode("overwrite").parquet(s"$bdir/edges")
+    // the atomic commit point: one zero-byte file create
+    fs.create(new org.apache.hadoop.fs.Path(s"$bdir/_COMMIT"), true).close()
     // the append face is the REPEATEDLY-CALLED ingestion path: release
     // this call's pinned blocks so N appends don't hold N edge-table
     // copies (the kCenterGreedy / pageRank discipline)
@@ -363,14 +395,46 @@ object Graph {
     Bridge.releaseLocalCheckpoint(delta)
   }
 
+  /** The batch directories of a triangle index that are COMMITTED —
+    * their `_COMMIT` marker exists. Uncommitted directories are crashed
+    * append attempts: invisible to every reader, swept by the next
+    * append.
+    */
+  private def committedBatchDirs(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/batches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMIT")))
+      .map(_.getPath.toString)
+  }
+
+  /** The index's full edge set: the base table ∪ every committed
+    * batch's edge delta.
+    */
+  private def indexEdges(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/edges" +:
+      committedBatchDirs(spark, path).map(d => s"$d/edges"): _*)
+
+  /** The index's per-batch count deltas, folded by the readers with
+    * exact integer sums (order-invariant): base ∪ committed batches.
+    */
+  private def indexCounts(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/counts" +:
+      committedBatchDirs(spark, path).map(d => s"$d/counts"): _*)
+
   /** Per-vertex triangle counts from a persisted index: every vertex of
     * the stored edge set, zeros included — the same contract as
     * [[triangles]], without a recount.
     */
   def trianglesFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val e = spark.read.parquet(s"$path/edges")
-    val cnt = spark.read.parquet(s"$path/counts")
+    val e = indexEdges(spark, path)
+    val cnt = indexCounts(spark, path)
       .groupBy("id").agg(sum(col("d_triangles")).as("triangles"))
     e.select(explode(array(col("a"), col("b"))).as("id")).distinct()
       .join(cnt, Seq("id"), "left_outer")
@@ -394,7 +458,7 @@ object Graph {
     */
   def clusteringCoefFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val e = spark.read.parquet(s"$path/edges")
+    val e = indexEdges(spark, path)
     val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     trianglesFromIndex(spark, path).join(deg, Seq("id"))

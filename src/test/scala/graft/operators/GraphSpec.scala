@@ -113,6 +113,14 @@ class GraphSpec extends SparkSpec {
       Graph.clusteringCoefficients(all.toDF("src", "dst"), "src", "dst")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getDouble(3))).toSet
+    // REBUILD at the same path: the stale batch channel from the
+    // appends above must not fold into the fresh base (the reused-path
+    // accumulation bug the sf0.01 gate caught in round 13)
+    Graph.trianglesIndexWrite(base.toDF("src", "dst"), "src", "dst", dir)
+    Graph.trianglesFromIndex(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Graph.triangles(base.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
   test("incremental triangle index equals rebuild across random split ratios") {
