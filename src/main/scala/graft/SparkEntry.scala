@@ -1884,6 +1884,81 @@ object SparkEntry {
       Similarity.ivfTopKFromIndexPQRefine(s, idx, "vec_id", q,
         k = 10, nProbe = 3, refineFactor = 5)
     }),
+    "sim_ivfpq_join_refine" -> ((s, dir) => {
+      // the refine tier on the BATCHED join face (the production dedup
+      // shape): per-query ADC shortlist of refineFactor·k over the
+      // probed cells, SQ8 re-rank, top k — Similarity.ivfPqTopKJoinRefine
+      // against a withRefine index. FULL bit-for-bit replay per query:
+      // round-6 probe-cell ranking (ties to the lowest cell), the ADC
+      // shortlist cut, the SQ8 quantization asymmetry, and the re-rank
+      // are all recomputed by the oracle for every query.
+      val emb = Tables.embeddings(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ivfpqjr"
+      Similarity.ivfWriteIndexPQ(emb, "vec_id", "embedding", dim = 64,
+        path = idx, nBits = 6, lloydIters = 0, m = 16, codebookK = 32,
+        pqIters = 2, kernel = "md5", withRefine = true)
+      Similarity.ivfPqTopKJoinRefine(emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", idx, "vec_id", k = 5, nProbe = 3,
+        refineFactor = 4, excludeSelf = true)
+        .select(col("q_id"), col("id"), col("cosine"),
+          col("rank").cast("long").as("rank"))
+    }),
+    "sim_bitext_margin_indexed" -> ((s, dir) => {
+      // sim_bitext_margin's CORPUS-SCALE path: the directional top-4
+      // lists come from ivfTopKJoinSQ8 against two PERSISTED SQ8
+      // indexes (evens-index and odds-index) instead of the exact
+      // bipartite broadcast — the composition the margin miner ships
+      // at 100 TB, where nothing corpus-sized is ever collected. FULL
+      // replay: md5 cells + lloydIters=0 + round-9 written centroids +
+      // round-6 per-query probe ranking derandomize both indexes (the
+      // sim_ivfpq discipline applied to SQ8), so the oracle recomputes
+      // both quantized directional lists, the max-canonicalized
+      // candidate union, the micro-unit denominators, and the mutual
+      // argmax bit for bit.
+      val emb = Tables.embeddings(s, dir)
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val dst = emb.filter(col("vec_id") % 2 =!= 0)
+      val t = System.getProperty("java.io.tmpdir")
+      val ixS = s"$t/graft-bench-bmx-src"
+      val ixD = s"$t/graft-bench-bmx-dst"
+      Similarity.ivfWriteIndexSQ8(src, "vec_id", "embedding", dim = 64,
+        path = ixS, nBits = 6, lloydIters = 0, kernel = "md5",
+        roundedCentroids = true)
+      Similarity.ivfWriteIndexSQ8(dst, "vec_id", "embedding", dim = 64,
+        path = ixD, nBits = 6, lloydIters = 0, kernel = "md5",
+        roundedCentroids = true)
+      val fwd = Similarity.ivfTopKJoinSQ8(src, "vec_id", "embedding",
+        ixD, "vec_id", k = 4, nProbe = 6, roundedProbe = true)
+      val bwd = Similarity.ivfTopKJoinSQ8(dst, "vec_id", "embedding",
+        ixS, "vec_id", k = 4, nProbe = 6, roundedProbe = true)
+      Similarity.marginMine(fwd, bwd, threshold = 1.0)
+    }),
+    "sim_ivf_deleted" -> ((s, dir) => {
+      // the DELETION (takedown) discipline, probed end to end: build the
+      // derandomized two-tier index over the FULL corpus, tombstone
+      // vec_id % 7 = 3 (Similarity.ivfDelete — null-payload rows in the
+      // delta channel, honored by the recency fold on every face), then
+      // the refine probe. FULL bit-for-bit replay: the oracle rebuilds
+      // the index over the full corpus — cells, centroids, codebooks
+      // all trained WITH the victims, because deletion must NOT retrain
+      // — and excludes the victims from the candidate set only, which
+      // is exactly what the tombstones do. The index dir is deleted
+      // first: ivfDelete appends to the delta channel, so a reused path
+      // would accumulate tombstone batches across invocations.
+      val q = queryVec(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ivfdel"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Similarity.ivfWriteIndexPQ(emb, "vec_id", "embedding", dim = 64,
+        path = idx, nBits = 6, lloydIters = 0, m = 16, codebookK = 32,
+        pqIters = 2, kernel = "md5", withRefine = true)
+      Similarity.ivfDelete(
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id", idx)
+      Similarity.ivfTopKFromIndexPQRefine(s, idx, "vec_id", q,
+        k = 10, nProbe = 3, refineFactor = 5)
+    }),
     "sim_ivf" -> ((s, dir) => {
       // same recall contract for the IVF probe path
       val q = queryVec(s, dir)
@@ -3870,6 +3945,23 @@ object SparkEntry {
     // the (round-6 SQ8 cosine DESC, id) re-rank — see ivfPqRefineReplaySql
     "sim_ivfpq_refine" -> ivfPqRefineReplaySql(m = 16, k = 32, subDim = 4,
       nBits = 6, nProbe = 3, topK = 10, refineFactor = 5),
+    // the refine replay with the tombstoned ids excluded from the
+    // CANDIDATE SET only — the index (cells, centroids, codebooks) is
+    // rebuilt over the full corpus, deletion does not retrain
+    "sim_ivf_deleted" -> ivfPqRefineReplaySql(m = 16, k = 32, subDim = 4,
+      nBits = 6, nProbe = 3, topK = 10, refineFactor = 5,
+      exclude = "d.vec_id % 7 = 3"),
+    // the refine-tier replay PER QUERY of the batched join face — see
+    // ivfPqJoinRefineReplaySql
+    "sim_ivfpq_join_refine" -> ivfPqJoinRefineReplaySql(m = 16, k = 32,
+      subDim = 4, nBits = 6, nProbe = 3, topK = 5, refineFactor = 4,
+      nQueries = 3),
+    // the indexed margin-mining replay: both SQ8 indexes (md5 cells,
+    // round-9 centroids), per-query round-6 probe ranking, quantized
+    // directional top-4 lists, max-canonicalized union, micro-unit
+    // denominators, mutual argmax — see bitextMarginIndexedSql
+    "sim_bitext_margin_indexed" -> bitextMarginIndexedSql(nBits = 6,
+      nProbe = 6, topK = 4),
     "sim_ivf" ->
       "SELECT 10::BIGINT AS n_ivf, 10::BIGINT AS n_in_exact_top50",
     "sim_ivf_sq8" ->
@@ -4700,7 +4792,8 @@ object SparkEntry {
     * ranking decision are recomputed independently.
     */
   private def ivfPqRefineReplaySql(m: Int, k: Int, subDim: Int, nBits: Int,
-      nProbe: Int, topK: Int, refineFactor: Int): String =
+      nProbe: Int, topK: Int, refineFactor: Int,
+      exclude: String = "false"): String =
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
          FROM embeddings WHERE embedding IS NOT NULL),
        cells AS MATERIALIZED (SELECT vec_id, ${lshBucketSql("v", nBits)} AS cell
@@ -4720,6 +4813,7 @@ object SparkEntry {
            round(list_cosine_similarity(q.qv, d.dv), 6) AS adc
          FROM d JOIN cells USING (vec_id), q
          WHERE cells.cell IN (SELECT cell FROM probe)
+           AND NOT ($exclude)
          ORDER BY adc DESC, d.vec_id
          LIMIT ${refineFactor * topK}),
        sq AS (SELECT e.vec_id, e.v,
@@ -4737,6 +4831,154 @@ object SparkEntry {
        SELECT vec_id, cosine FROM rr
        ORDER BY cosine DESC, vec_id
        LIMIT $topK"""
+
+  /** [[ivfPqRefineReplaySql]]'s BATCHED-JOIN twin
+    * ([[graft.operators.Similarity.ivfPqTopKJoinRefine]]): the same
+    * derandomized IVF-PQ chain, replayed PER QUERY of the `vec_id <
+    * nQueries` batch — per-query probe-cell ranking (round-6 centroid
+    * cosine DESC, cell ASC), the ADC shortlist cut at refineFactor·topK
+    * by (round-6 ADC DESC, id ASC) with self-matches excluded, the SQ8
+    * re-quantization (double scale in, float32 scale stored), and the
+    * (round-6 SQ8 cosine DESC, id ASC) re-rank to topK.
+    */
+  private def ivfPqJoinRefineReplaySql(m: Int, k: Int, subDim: Int,
+      nBits: Int, nProbe: Int, topK: Int, refineFactor: Int,
+      nQueries: Int): String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         FROM embeddings WHERE embedding IS NOT NULL),
+       cells AS MATERIALIZED (SELECT vec_id, ${lshBucketSql("v", nBits)} AS cell
+         FROM e),
+       cents AS MATERIALIZED (SELECT cell, list(m ORDER BY j) AS cv FROM (
+           SELECT c.cell, js.j, round(avg(e.v[js.j]), 9) AS m
+           FROM cells c JOIN e USING (vec_id)
+           CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
+           GROUP BY c.cell, js.j)
+         GROUP BY cell),
+       qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e
+         WHERE vec_id < $nQueries),
+       probe AS MATERIALIZED (SELECT q_id, cell FROM (
+           SELECT q.q_id, c.cell, row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC,
+               c.cell) AS rn
+           FROM qs q CROSS JOIN cents c)
+         WHERE rn <= $nProbe),
+       ${pqDecodeSql(m, k, subDim)},
+       adc AS MATERIALIZED (SELECT q_id, vec_id, adc FROM (
+           SELECT p.q_id, d.vec_id, round(list_cosine_similarity(q.qv, d.dv),
+               6) AS adc,
+             row_number() OVER (PARTITION BY p.q_id ORDER BY
+               round(list_cosine_similarity(q.qv, d.dv), 6) DESC,
+               d.vec_id) AS rn
+           FROM probe p JOIN cells ON cells.cell = p.cell
+           JOIN d ON d.vec_id = cells.vec_id
+           JOIN qs q ON q.q_id = p.q_id
+           WHERE d.vec_id <> p.q_id)
+         WHERE rn <= ${refineFactor * topK}),
+       sq AS (SELECT e.vec_id, e.v,
+           list_max(list_transform(e.v, x -> abs(x))) AS scd
+         FROM e JOIN (SELECT DISTINCT vec_id FROM adc) ax USING (vec_id)),
+       qq AS (SELECT vec_id,
+           list_transform(v, x -> CASE WHEN scd = 0 THEN 0
+             ELSE floor(x / scd * 127.0 + 0.5)::INT END) AS codes,
+           scd::FLOAT AS scf
+         FROM sq),
+       rr AS (SELECT adc.q_id, qq.vec_id, round(list_cosine_similarity(q.qv,
+           list_transform(codes, c -> c * (scf::DOUBLE / 127.0))), 6)
+           AS cosine
+         FROM adc JOIN qq USING (vec_id) JOIN qs q ON q.q_id = adc.q_id)
+       SELECT q_id, vec_id AS id, cosine, rank FROM (
+         SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id
+           ORDER BY cosine DESC, vec_id) AS rank FROM rr)
+       WHERE rank <= $topK"""
+
+  /** Full replay of the INDEXED margin miner
+    * (`sim_bitext_margin_indexed`): evens and odds are each SQ8-indexed
+    * (md5 LSH cells, round-9 centroids — the engine's derandomized
+    * build), each side's queries rank the OTHER side's cells by
+    * (round-6 centroid cosine DESC, cell ASC) and keep nProbe, the
+    * directional top-`topK` lists score raw query against DEQUANTIZED
+    * candidate (round-6, ties id ASC), and the margin chain is the
+    * sim_bitext_margin oracle with the candidate union canonicalized
+    * to each pair's HIGHER score (the asymmetric-quantization rule).
+    */
+  private def bitextMarginIndexedSql(nBits: Int, nProbe: Int,
+      topK: Int): String = {
+    def sq8(src: String): String =
+      s"""(SELECT vec_id, list_transform(v, x -> CASE WHEN scd = 0 THEN 0.0
+           ELSE (floor(x / scd * 127.0 + 0.5)::INT
+                 * (scd::FLOAT::DOUBLE / 127.0)) END) AS vq
+         FROM (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scd FROM $src))"""
+    def cents(cellsRel: String, src: String): String =
+      s"""(SELECT cell, list(m ORDER BY j) AS cv FROM (
+           SELECT c.cell, js.j, round(avg(s.v[js.j]), 9) AS m
+           FROM $cellsRel c JOIN $src s USING (vec_id)
+           CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
+           GROUP BY c.cell, js.j)
+         GROUP BY cell)"""
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         FROM embeddings WHERE embedding IS NOT NULL),
+       sa AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+       sb AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id % 2 <> 0),
+       ca AS MATERIALIZED (SELECT vec_id, ${lshBucketSql("v", nBits)} AS cell
+         FROM sa),
+       cb AS MATERIALIZED (SELECT vec_id, ${lshBucketSql("v", nBits)} AS cell
+         FROM sb),
+       centa AS MATERIALIZED ${cents("ca", "sa")},
+       centb AS MATERIALIZED ${cents("cb", "sb")},
+       dqa AS MATERIALIZED ${sq8("sa")},
+       dqb AS MATERIALIZED ${sq8("sb")},
+       pfw AS MATERIALIZED (SELECT x, cell FROM (
+           SELECT q.vec_id AS x, c.cell, row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY
+               round(list_cosine_similarity(c.cv, q.v), 6) DESC, c.cell) AS rn
+           FROM sa q CROSS JOIN centb c)
+         WHERE rn <= $nProbe),
+       pbw AS MATERIALIZED (SELECT y, cell FROM (
+           SELECT q.vec_id AS y, c.cell, row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY
+               round(list_cosine_similarity(c.cv, q.v), 6) DESC, c.cell) AS rn
+           FROM sb q CROSS JOIN centa c)
+         WHERE rn <= $nProbe),
+       fwd AS MATERIALIZED (SELECT x, y, c FROM (
+           SELECT p.x, cb.vec_id AS y,
+             round(list_cosine_similarity(q.v, dqb.vq), 6) AS c,
+             row_number() OVER (PARTITION BY p.x ORDER BY
+               round(list_cosine_similarity(q.v, dqb.vq), 6) DESC,
+               cb.vec_id) AS rk
+           FROM pfw p JOIN cb ON cb.cell = p.cell
+           JOIN dqb ON dqb.vec_id = cb.vec_id
+           JOIN sa q ON q.vec_id = p.x)
+         WHERE rk <= $topK),
+       bwd AS MATERIALIZED (SELECT x, y, c FROM (
+           SELECT ca.vec_id AS x, p.y,
+             round(list_cosine_similarity(q.v, dqa.vq), 6) AS c,
+             row_number() OVER (PARTITION BY p.y ORDER BY
+               round(list_cosine_similarity(q.v, dqa.vq), 6) DESC,
+               ca.vec_id) AS rk
+           FROM pbw p JOIN ca ON ca.cell = p.cell
+           JOIN dqa ON dqa.vec_id = ca.vec_id
+           JOIN sb q ON q.vec_id = p.y)
+         WHERE rk <= $topK),
+       cand AS (SELECT x, y, max(c) AS c FROM (
+           SELECT * FROM fwd UNION ALL SELECT * FROM bwd) GROUP BY x, y),
+       dnf AS (SELECT x, sum(round(c * 1e6)::BIGINT) AS micro,
+           count(*) AS n FROM fwd GROUP BY x),
+       dnb AS (SELECT y, sum(round(c * 1e6)::BIGINT) AS micro,
+           count(*) AS n FROM bwd GROUP BY y),
+       m AS (SELECT cand.x, cand.y, cand.c,
+           round(cand.c / (((dnf.micro::DOUBLE / 1e6) / dnf.n
+             + (dnb.micro::DOUBLE / 1e6) / dnb.n) / 2.0), 6) AS margin
+         FROM cand JOIN dnf USING (x) JOIN dnb USING (y)),
+       r AS (SELECT x, y, c, margin,
+           row_number() OVER (PARTITION BY x
+             ORDER BY margin DESC, y) AS rx,
+           row_number() OVER (PARTITION BY y
+             ORDER BY margin DESC, x) AS ry
+         FROM m)
+       SELECT x AS src_id, y AS dst_id, c AS cosine, margin
+       FROM r WHERE rx = 1 AND ry = 1 AND margin >= 1.0"""
+  }
 
   /** [[ivfPqReplaySql]]'s APPEND-HISTORY twin
     * ([[graft.operators.Similarity.ivfAppendPQ]]): the index was BUILT

@@ -89,6 +89,7 @@ object Similarity {
     */
   def ivfWriteIndex(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, path: String, nBits: Int = 6, lloydIters: Int = 1): Unit = {
+    clearDeltas(df.sparkSession, path)
     val (assigned, cents) = trainCells(df, idCol, vecCol, dim, nBits, lloydIters)
     // repartition on cell first: without it every task writes into every
     // cell directory it touches (tasks × cells small files — the
@@ -123,6 +124,7 @@ object Similarity {
   def ivfWriteIndexSQ8(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, path: String, nBits: Int = 6, lloydIters: Int = 1,
       kernel: String = "xxhash", roundedCentroids: Boolean = false): Unit = {
+    clearDeltas(df.sparkSession, path)
     val (assigned, cents0) = trainCells(df, idCol, vecCol, dim, nBits,
       lloydIters, kernel)
     // roundedCentroids: the PQ faces' round-9 discipline, opt-in here so
@@ -201,6 +203,7 @@ object Similarity {
       kernel: String = "xxhash", withRefine: Boolean = false): Unit = {
     require(codebookK >= 1 && codebookK <= 128,
       "PQ codes are stored as signed bytes - codebookK in [1, 128]")
+    clearDeltas(df.sparkSession, path)
     val (assigned, cents0) = trainCells(df, idCol, vecCol, dim, nBits,
       lloydIters, kernel)
     // engine-stable centroid components (see scaladoc)
@@ -771,6 +774,20 @@ object Similarity {
           .write.mode("append").partitionBy("batch_id")
           .parquet(s"$indexPath/deltas")
     } finally victims.unpersist(blocking = false)
+  }
+
+  /** A FULL index build supersedes every delta — appended batches and
+    * tombstones alike ([[ivfDelete]] removes rows precisely because a
+    * rebuild is too expensive; a rebuild makes them moot). The write
+    * faces only overwrite `cells`/`centroids`, so a stale `deltas`
+    * channel left at a reused path would silently keep folding into
+    * the fresh index — clear it first.
+    */
+  private def clearDeltas(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/deltas")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
   /** Read a parquet table that may legitimately not exist yet — or

@@ -741,4 +741,66 @@ class SimilaritySpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("ivfPqTopKJoinRefine equals the point refine probe per query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqjr").toString
+    Similarity.ivfWriteIndexPQ(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 0, m = 2, codebookK = 4,
+      pqIters = 1, kernel = "md5", withRefine = true)
+    val joined = Similarity.ivfPqTopKJoinRefine(vecs, "vec_id", "embedding",
+      dir, "vec_id", k = 2, nProbe = 4, refineFactor = 2)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(w => (w.getAs[Long]("id"), w.getAs[Double]("cosine"))).toSeq)
+      .toMap
+    joined.keySet shouldBe (0L to 5L).toSet
+    // with every cell probed, each query's joined answer must equal the
+    // single-vector refine probe over the same index
+    vecs.collect().foreach { row =>
+      val q = row.getSeq[Double](1)
+      val point = Similarity.ivfTopKFromIndexPQRefine(spark, dir, "vec_id",
+        q, k = 2, nProbe = 4, refineFactor = 2)
+        .collect().map(w => (w.getLong(0), w.getDouble(1))).toSeq
+      joined(row.getLong(0)) shouldBe point
+    }
+  }
+
+  test("ivfPqTopKJoinRefine fails loudly without the refine tier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqjr-no").toString
+    Similarity.ivfWriteIndexPQ(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 0, m = 2, codebookK = 4,
+      pqIters = 1, kernel = "md5", withRefine = false)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKJoinRefine(vecs, "vec_id", "embedding", dir,
+        "vec_id", k = 2)
+    }
+    e.getMessage should include("withRefine")
+  }
+
+  test("ivfPqTopKJoinRefine excludeSelf drops only the self match") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqjr-xs").toString
+    Similarity.ivfWriteIndexPQ(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 0, m = 2, codebookK = 4,
+      pqIters = 1, kernel = "md5", withRefine = true)
+    val r = Similarity.ivfPqTopKJoinRefine(vecs, "vec_id", "embedding",
+      dir, "vec_id", k = 3, nProbe = 4, refineFactor = 2,
+      excludeSelf = true).collect()
+    r.foreach(w => w.getAs[Long]("id") should not be w.getAs[Long]("q_id"))
+    r.map(_.getAs[Long]("q_id")).distinct.length shouldBe 6
+  }
+
+  test("marginMine canonicalizes an asymmetrically-scored pair to its higher cosine") {
+    import spark.implicits._
+    // the quantized-index shape: the two directions score (0, 10) with
+    // different cosines (each against the OTHER side's quantization)
+    val fwd = Seq((0L, 10L, 0.90, 1), (0L, 11L, 0.50, 2),
+      (2L, 11L, 0.60, 1)).toDF("q_id", "id", "cosine", "rank")
+    val bwd = Seq((10L, 0L, 0.88, 1), (11L, 2L, 0.60, 1))
+      .toDF("q_id", "id", "cosine", "rank")
+    val r = Similarity.marginMine(fwd, bwd, threshold = 0.0)
+      .collect().map(w => (w.getLong(0), w.getLong(1)) -> w.getDouble(2)).toMap
+    // pair (0, 10) seen at 0.90 forward and 0.88 backward: higher wins
+    r((0L, 10L)) shouldBe 0.90
+  }
 }

@@ -121,6 +121,21 @@ class TombstoneSpec extends SparkSpec {
       k = 6, nProbe = 4).collect().map(_.getLong(0)) should contain (1L)
   }
 
+  test("a full rebuild at the same path supersedes stale tombstones") {
+    val dir = java.nio.file.Files.createTempDirectory("tomb-rb").toString
+    Similarity.ivfWriteIndexSQ8(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    Similarity.ivfDelete(ids(1L), "vec_id", dir)
+    Similarity.ivfTopKFromIndexSQ8(spark, dir, "vec_id", q, k = 6,
+      nProbe = 4).collect().map(_.getLong(0)) should not contain 1L
+    // rebuild over the full corpus: the stale delta channel (the
+    // tombstone) must not keep folding into the fresh index
+    Similarity.ivfWriteIndexSQ8(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    Similarity.ivfTopKFromIndexSQ8(spark, dir, "vec_id", q, k = 6,
+      nProbe = 4).collect().map(_.getLong(0)) should contain (1L)
+  }
+
   test("stream faces: tombstones delete base AND delta rows, rowFilter cannot resurrect") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
