@@ -76,6 +76,10 @@ object ArrayOps {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        // a NULL element poisons the result to NULL, exactly like the
+        // zip_with/aggregate HOF this is bit-identical to — getDouble on
+        // a null slot would contribute a silent 0.0 instead
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val vx = x.getDouble(i); val vy = y.getDouble(i)
         dot += vx * vy; na += vx * vx; nb += vy * vy
         i += 1
@@ -114,6 +118,9 @@ object ArrayOps {
       var d = 0.0
       var i = 0
       while (i < n) {
+        // NULL element → NULL result, matching the HOF fold (see
+        // CosineDouble)
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val t = x.getDouble(i) - y.getDouble(i)
         d += t * t
         i += 1

@@ -63,6 +63,14 @@ object NearestCenterFn {
         throw new IllegalArgumentException(
           s"NearestCenter: vector has ${v.numElements()} components, " +
             s"centroids have $dim")
+      // a NULL vector component nulls every HOF sqDist, so the fold
+      // returns its zero element — mirror that before touching getDouble
+      // (which would read a silent 0.0 from a null slot)
+      var j0 = 0
+      while (j0 < dim) {
+        if (v.isNullAt(j0)) return InternalRow(Double.MaxValue, -1L)
+        j0 += 1
+      }
       val n = cvs.length
       val ds = new Array[Double](n)
       var minD = Double.MaxValue
@@ -81,12 +89,19 @@ object NearestCenterFn {
         if (d < minD) minD = d
         i += 1
       }
-      // exact round-6 only inside the rounding granule (see scaladoc)
+      // exact round-6 only inside the rounding granule (see scaladoc).
+      // The margin is ulp-aware: at squared-distance magnitudes ≥ ~1e7
+      // ulp(minD) exceeds a fixed 1e-6 slack, so a genuine granule
+      // candidate could fall outside a purely-additive threshold;
+      // widening by ulp(minD) is always safe — an extra candidate with
+      // real distance > min + 1e-6 cannot out-round the minimum
+      // (round-6 is monotone), it just pays one more exact rounding
+      val cutoff = minD + 1.000001e-6 + Math.ulp(minD)
       var best = Double.MaxValue
       var bi = -1
       i = 0
       while (i < n) {
-        if (ds(i) <= minD + 1.000001e-6) {
+        if (ds(i) <= cutoff) {
           val r = BigDecimal(ds(i))
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           if (r < best) { best = r; bi = i }
