@@ -136,27 +136,27 @@ object Bench {
     // LATEST stays the shipping record and doubles as a fallback for
     // pre-split history.
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    def parseSameSf(path: java.nio.file.Path): Option[Map[String, Double]] =
+      try {
+        if (!java.nio.file.Files.isReadable(path)) None
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+          val sameSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
+            .exists(_.group(1) == sfDir)
+          if (!sameSf) None
+          else "\"timings_ms\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+            .map(_.group(1).split(",").toSeq.flatMap { kv =>
+              kv.split(":") match {
+                case Array(k, v) =>
+                  scala.util.Try(
+                    k.replaceAll("[\"\\s]", "") -> v.trim.toDouble / 1000.0)
+                    .toOption.filter(_._2 > 0)
+                case _ => None
+              }
+            }.toMap)
+        }
+      } catch { case _: Throwable => None }
     val prevTimings: Map[String, Double] = {
-      def parseSameSf(path: java.nio.file.Path): Option[Map[String, Double]] =
-        try {
-          if (!java.nio.file.Files.isReadable(path)) None
-          else {
-            val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-            val sameSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
-              .exists(_.group(1) == sfDir)
-            if (!sameSf) None
-            else "\"timings_ms\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt)
-              .map(_.group(1).split(",").toSeq.flatMap { kv =>
-                kv.split(":") match {
-                  case Array(k, v) =>
-                    scala.util.Try(
-                      k.replaceAll("[\"\\s]", "") -> v.trim.toDouble / 1000.0)
-                      .toOption.filter(_._2 > 0)
-                  case _ => None
-                }
-              }.toMap)
-          }
-        } catch { case _: Throwable => None }
       // per-SF file first, then LATEST (still SF-checked) — with the same
       // repo-path + cwd fallback the WRITER uses, so the guard works
       // anywhere the writer does
@@ -167,14 +167,34 @@ object Bench {
         .nextOption()
         .getOrElse(Map.empty)
     }
+    // Best-ever-per-SF history: adjacent-round comparison misses
+    // CUMULATIVE creep (dedup_products_shared climbed 3.07 → 4.18 →
+    // 6.25 s over three rounds, each step under the 2× bar, then
+    // reverted the moment a guard compared further back). The best file
+    // carries each query's all-time min at this SF; a query above 2×
+    // its best gets the same one-more-fresh-run remedy, and whatever
+    // remains above the bar is published as drift_vs_best so the
+    // round-over-round story is auditable.
+    val bestPaths = Seq(s"/root/repo/BENCH_BEST_$sfName.json",
+      s"BENCH_BEST_$sfName.json")
+    val bestTimings: Map[String, Double] = bestPaths.iterator
+      .flatMap(p => parseSameSf(java.nio.file.Paths.get(p)))
+      .nextOption()
+      .getOrElse(Map.empty)
+    def above2x(hist: Map[String, Double])(name: String, v: Double): Boolean =
+      v >= 0 && hist.get(name).exists(p => v > 2 * p)
     val retried = twoPass.collect { case (name, v)
-      if v >= 0 && prevTimings.get(name).exists(p => v > 2 * p) => name }
+      if above2x(prevTimings)(name, v) || above2x(bestTimings)(name, v) =>
+        name }
     if (retried.nonEmpty)
       System.err.println(s"[bench] drift-guard retries: ${retried.mkString(", ")}")
     val passC = runPass(retried)
     val results = twoPass.map { case (name, v) =>
       name -> (if (passC.get(name).exists(_ >= 0)) math.min(v, passC(name)) else v)
     }
+    // still above 2× best after the retry = sustained drift, published
+    val driftVsBest = results.collect { case (name, v)
+      if above2x(bestTimings)(name, v) => name }.sorted
     // every sample lands in the full record (r8 verdict nit: the round
     // was quoted from a builder sample, not the committed record — one
     // citable set ends that); the max stays the headline gate number
@@ -223,8 +243,9 @@ object Bench {
       val samplesJson = throughputSamples
         .map(s => math.round(s).toString).mkString("[", ",", "]")
       val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val driftBestJson = driftVsBest.map("\"" + _ + "\"").mkString("[", ",", "]")
       val fullJson = summary.dropRight(1) +
-        s""","throughput_samples":$samplesJson,"drift_retried":$retriedJson,"timings_ms":$allMs}"""
+        s""","throughput_samples":$samplesJson,"drift_retried":$retriedJson,"drift_vs_best":$driftBestJson,"timings_ms":$allMs}"""
       // LATEST = the shipping record; BENCH_FULL_<sf>.json = this SF's
       // drift-guard history, immune to runs at other SFs
       Seq("BENCH_FULL_LATEST.json", s"BENCH_FULL_$sfName.json").foreach { f =>
@@ -237,6 +258,26 @@ object Bench {
           catch { case _: Throwable => () }
         }
       }
+      // fold this run into the all-time best record (min per query)
+      val newBest = (bestTimings.keySet ++ results.collect {
+        case (k, v) if v >= 0 => k }.toSet).toSeq.sorted.map { k =>
+        val cand = Seq(bestTimings.get(k),
+          results.toMap.get(k).filter(_ >= 0)).flatten
+        k -> cand.min
+      }
+      val bestMs = newBest
+        .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+      val bestJson =
+        s"""{"sf":"$sfDir","timings_ms":$bestMs}"""
+      // repo path first, cwd fallback — the FULL writer's discipline
+      bestPaths.foldLeft(false) { (done, f) =>
+        done || (try {
+          java.nio.file.Files.write(java.nio.file.Paths.get(f),
+            (bestJson + "\n").getBytes("UTF-8"))
+          true
+        } catch { case _: Throwable => false })
+      }
+      ()
     }
 
     // slowest-last so a byte- or line-limited tail keeps the queries most
