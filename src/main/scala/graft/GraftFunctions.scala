@@ -239,25 +239,26 @@ object GraftFunctions {
     // the KMV theta-sketch AGGREGATES (ThetaSketch.thetaSketch /
     // thetaUnion) are Aggregators, exposed through the Column API; the
     // scalar set-algebra estimators are registrable here
+    // the sketch is a struct(k, vs) carrying its build-time k, so the
+    // estimators take no k argument — a mismatched pair raises
     ("graft_theta_estimate",
-      { ch => arity(ch, 2)
-        viaColumns(c => graft.functions.ThetaSketch.thetaEstimate(
-          c(0), litInt(ch(1), "k")))(ch) },
-      "distinct-count estimate of a KMV theta sketch (exact below k)"),
+      { ch => arity(ch, 1)
+        viaColumns(c => graft.functions.ThetaSketch.thetaEstimate(c(0)))(ch) },
+      "distinct-count estimate of a KMV theta sketch (exact below its k)"),
     ("graft_theta_jaccard",
-      { ch => arity(ch, 3)
+      { ch => arity(ch, 2)
         viaColumns(c => graft.functions.ThetaSketch.thetaJaccard(
-          c(0), c(1), litInt(ch(2), "k")))(ch) },
+          c(0), c(1)))(ch) },
       "Jaccard estimate of two KMV theta sketches"),
     ("graft_theta_intersect",
-      { ch => arity(ch, 3)
+      { ch => arity(ch, 2)
         viaColumns(c => graft.functions.ThetaSketch.thetaIntersect(
-          c(0), c(1), litInt(ch(2), "k")))(ch) },
+          c(0), c(1)))(ch) },
       "|A ∩ B| estimate of two KMV theta sketches"),
     ("graft_theta_anotb",
-      { ch => arity(ch, 3)
+      { ch => arity(ch, 2)
         viaColumns(c => graft.functions.ThetaSketch.thetaANotB(
-          c(0), c(1), litInt(ch(2), "k")))(ch) },
+          c(0), c(1)))(ch) },
       "|A \\ B| estimate of two KMV theta sketches (clamped at 0)"),
     ("graft_nfc",
       { ch => arity(ch, 1); graft.functions.UnicodeNorm.NfcNormalize(ch(0)) },

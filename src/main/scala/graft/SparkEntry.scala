@@ -810,11 +810,11 @@ object SparkEntry {
       val b = sk.select(col("source").as("source_b"), col("sk").as("sb"))
       a.join(b, col("source_a") < col("source_b"))
         .select(col("source_a"), col("source_b"),
-          round(TS.thetaEstimate(TS.thetaUnion2(col("sa"), col("sb"), k), k), 6)
+          round(TS.thetaEstimate(TS.thetaUnion2(col("sa"), col("sb"))), 6)
             .as("est_union"),
-          round(TS.thetaIntersect(col("sa"), col("sb"), k), 6)
+          round(TS.thetaIntersect(col("sa"), col("sb")), 6)
             .as("est_shared"),
-          round(TS.thetaJaccard(col("sa"), col("sb"), k), 6)
+          round(TS.thetaJaccard(col("sa"), col("sb")), 6)
             .as("jaccard_est"))
     }),
     "pipeline_mixture_plan" -> ((s, dir) =>
@@ -1108,14 +1108,14 @@ object SparkEntry {
           countDistinct(when(col("y") === 1995, col("c"))).as("exact_a"),
           countDistinct(when(col("y") === 1996, col("c"))).as("exact_b"))
         .select(col("exact_a"), col("exact_b"),
-          round(TS.thetaEstimate(col("sa"), k), 6).as("est_a"),
-          round(TS.thetaEstimate(col("sb"), k), 6).as("est_b"),
-          round(TS.thetaEstimate(TS.thetaUnion2(col("sa"), col("sb"), k), k), 6)
+          round(TS.thetaEstimate(col("sa")), 6).as("est_a"),
+          round(TS.thetaEstimate(col("sb")), 6).as("est_b"),
+          round(TS.thetaEstimate(TS.thetaUnion2(col("sa"), col("sb"))), 6)
             .as("est_union"),
-          round(TS.thetaIntersect(col("sa"), col("sb"), k), 6)
+          round(TS.thetaIntersect(col("sa"), col("sb")), 6)
             .as("est_intersect"),
-          round(TS.thetaJaccard(col("sa"), col("sb"), k), 6).as("jaccard_est"),
-          round(TS.thetaANotB(col("sa"), col("sb"), k), 6).as("est_a_not_b"))
+          round(TS.thetaJaccard(col("sa"), col("sb")), 6).as("jaccard_est"),
+          round(TS.thetaANotB(col("sa"), col("sb")), 6).as("est_a_not_b"))
     }),
     "q_theta_rollup" -> ((s, dir) => {
       // the rollup face: per-(nation, year) sketches union-merge UP to
@@ -1136,7 +1136,7 @@ object SparkEntry {
         .groupBy("n_name")
         .agg(TS.thetaUnion(col("sk"), k).as("sk"))
         .select(col("n_name"),
-          round(TS.thetaEstimate(col("sk"), k), 6).as("est_active_customers"))
+          round(TS.thetaEstimate(col("sk")), 6).as("est_active_customers"))
     }),
     "q_scd2" -> ((s, dir) =>
       // SCD2 dimension history from the event change stream: one row per

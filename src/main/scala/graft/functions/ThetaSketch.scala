@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
   * union), and merge order / partition layout / duplicate multiplicity
   * are all invisible.
   *
+  * A sketch is a STRUCT `(k: int, vs: array<long>)` — it CARRIES its
+  * build-time k. Until round 13 the sketch was the bare array and every
+  * estimator took k as a caller argument; probing a sketch built at
+  * k'=64 with the default 256 silently took the size<k "exact" branch
+  * and reported 64.0 for an arbitrarily large set. Now the estimators
+  * read k from the sketch itself (the mismatch cannot be expressed) and
+  * the two-sketch estimators RAISE on differing k rather than
+  * estimating from incomparable order statistics.
+  *
   * Estimators (h normalized to [0, 1) by 2^60; `m` = retained count):
   *  - |A|: exact `m` when `m < k` (the sketch IS the distinct hash
   *    set); else `(k-1) / h_(k)` — the classic unbiased KMV estimate,
@@ -56,6 +65,11 @@ object ThetaSketch {
     */
   val Two60: Double = 1152921504606846976.0
 
+  /** The sketch value: its build-time k and the sorted ascending
+    * k-smallest distinct hashes.
+    */
+  final case class Theta(k: Int, vs: Seq[Long])
+
   /** Mutable buffer: sorted ascending distinct prefix `m` of a
     * k-capacity array.
     */
@@ -81,7 +95,7 @@ object ThetaSketch {
   /** Sketch a column (any type — values hash through their string form,
     * `substr(md5(x::VARCHAR), 1, 15)` in oracle terms). Nulls skipped.
     */
-  final class SketchAgg(k: Int) extends Aggregator[String, TBuf, Seq[Long]] {
+  final class SketchAgg(k: Int) extends Aggregator[String, TBuf, Theta] {
     require(k >= 2, "k must be >= 2")
     override def zero: TBuf = TBuf(0, new Array[Long](k))
     override def reduce(b: TBuf, x: String): TBuf = {
@@ -95,23 +109,28 @@ object ThetaSketch {
       while (i < b.m) { insert(a, b.vs(i), k); i += 1 }
       a
     }
-    override def finish(b: TBuf): Seq[Long] = b.vs.take(b.m).toSeq
+    override def finish(b: TBuf): Theta = Theta(k, b.vs.take(b.m).toSeq)
     override def bufferEncoder: Encoder[TBuf] = ExpressionEncoder[TBuf]()
-    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Theta] = ExpressionEncoder[Theta]()
   }
 
   /** Merge a column of sketches (the rollup face: per-day sketches →
-    * monthly overlap, no re-scan). A source built with a LARGER k folds
-    * correctly (its extra entries just compete on value); a source
-    * built with a smaller k caps the merged sketch's information — the
-    * canonical result is then the union at the SMALLEST k involved, so
-    * keep one k per sketch family. Null sketches are skipped.
+    * monthly overlap, no re-scan). Every input sketch's k MUST equal
+    * the union's k — mixing k values silently degraded the merged
+    * sketch to the smallest k involved, so it now fails loudly (keep
+    * one k per sketch family). Null sketches are skipped.
     */
-  final class UnionAgg(k: Int) extends Aggregator[Seq[Long], TBuf, Seq[Long]] {
+  final class UnionAgg(k: Int) extends Aggregator[Theta, TBuf, Theta] {
     require(k >= 2, "k must be >= 2")
     override def zero: TBuf = TBuf(0, new Array[Long](k))
-    override def reduce(b: TBuf, s: Seq[Long]): TBuf = {
-      if (s != null) s.foreach(insert(b, _, k))
+    override def reduce(b: TBuf, s: Theta): TBuf = {
+      // a NULL sketch row decodes as a Theta with null vs (k is a
+      // primitive slot) — skip it, like the bare-array era did
+      if (s != null && s.vs != null) {
+        require(s.k == k,
+          s"theta k mismatch: union at k=$k over a sketch built at k=${s.k}")
+        s.vs.foreach(insert(b, _, k))
+      }
       b
     }
     override def merge(a: TBuf, b: TBuf): TBuf = {
@@ -119,58 +138,73 @@ object ThetaSketch {
       while (i < b.m) { insert(a, b.vs(i), k); i += 1 }
       a
     }
-    override def finish(b: TBuf): Seq[Long] = b.vs.take(b.m).toSeq
+    override def finish(b: TBuf): Theta = Theta(k, b.vs.take(b.m).toSeq)
     override def bufferEncoder: Encoder[TBuf] = ExpressionEncoder[TBuf]()
-    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Theta] = ExpressionEncoder[Theta]()
   }
 
-  /** Column API: KMV sketch of a column (sorted ascending array<long>
-    * of the k smallest distinct 60-bit hashes).
+  /** Column API: KMV sketch of a column — struct(k, vs) with vs the
+    * sorted ascending array<long> of the k smallest distinct 60-bit
+    * hashes.
     */
   def thetaSketch(value: Column, k: Int = 256): Column =
     udaf(new SketchAgg(k)).apply(value.cast("string"))
 
-  /** Column API: union-merge a column of sketches into one. */
+  /** Column API: union-merge a column of sketches into one; every input
+    * must have been built at this k (loud otherwise).
+    */
   def thetaUnion(sketch: Column, k: Int = 256): Column =
-    udaf(new UnionAgg(k)).apply(sketch)
+    // udaf() flattens a case-class input into one column per field
+    udaf(new UnionAgg(k)).apply(sketch.getField("k"), sketch.getField("vs"))
 
-  /** Distinct-count estimate of a sketch: exact below k, else
+  /** Raise unless the two sketches carry the same k; evaluates to that
+    * k. Each estimate below threads through this, so an incomparable
+    * pair fails the job instead of producing a plausible number.
+    */
+  private def sameK(a: Column, b: Column): Column =
+    when(a.getField("k") =!= b.getField("k"),
+      raise_error(concat(lit("theta k mismatch: "),
+        a.getField("k"), lit(" vs "), b.getField("k"))).cast("int"))
+      .otherwise(a.getField("k"))
+
+  /** Distinct-count estimate of a sketch: exact below its own k, else
     * `(k-1) / (h_(k) / 2^60)`. NULL in → NULL out (guarded explicitly:
     * under `spark.sql.legacy.sizeOfNull`, `size(NULL)` is -1, which
-    * would take the "< k exact" branch and report -1.0).
-    *
-    * HAZARD — `k` must equal the k the sketch was BUILT with: the
-    * arrays don't carry k, so probing a sketch capped at k'=64 with the
-    * default k=256 silently takes the size<k "exact" branch and reports
-    * 64.0 for an arbitrarily large set. Keep one k per sketch family
-    * (the [[UnionAgg]] rule); the same contract applies to every
-    * estimator below.
+    * would take the "< k exact" branch and report -1.0). k is read
+    * from the sketch itself — the build/probe mismatch hazard the bare
+    * array carried is unrepresentable.
     */
-  def thetaEstimate(sketch: Column, k: Int = 256): Column = {
-    require(k >= 2, "k must be >= 2")
+  def thetaEstimate(sketch: Column): Column = {
+    val k = sketch.getField("k")
+    val vs = sketch.getField("vs")
     when(sketch.isNull, lit(null).cast("double"))
-      .when(size(sketch) < k, size(sketch).cast("double"))
-      .otherwise(lit((k - 1).toDouble) /
-        (element_at(sketch, k).cast("double") / lit(Two60)))
+      .when(size(vs) < k, size(vs).cast("double"))
+      .otherwise((k - 1).cast("double") /
+        (element_at(vs, k).cast("double") / lit(Two60)))
   }
 
   /** The k smallest of two sketches' union — itself the canonical
     * sketch of A ∪ B. Scalar form of [[thetaUnion]] for the two-sketch
-    * case (one projection, no aggregate).
+    * case (one projection, no aggregate). Raises on differing k.
     */
-  def thetaUnion2(a: Column, b: Column, k: Int = 256): Column =
-    slice(array_sort(array_union(a, b)), 1, k)
+  def thetaUnion2(a: Column, b: Column): Column = {
+    val k = sameK(a, b)
+    struct(k.as("k"),
+      slice(array_sort(array_union(a.getField("vs"), b.getField("vs"))),
+        lit(1), k).as("vs"))
+  }
 
   /** Jaccard estimate ρ = |K ∩ S_A ∩ S_B| / |K| (K = the union
     * sketch). Exact when both sets retained whole. NULL when either
     * sketch is NULL (outer joins over sketch tables produce null
     * sketches; without the guard, legacy `size(NULL) = -1` would make
     * this evaluate to -1/-1 = 1.0) and NULL when both sets are empty
-    * (Jaccard of two empty sets is undefined).
+    * (Jaccard of two empty sets is undefined). Raises on differing k.
     */
-  def thetaJaccard(a: Column, b: Column, k: Int = 256): Column =
+  def thetaJaccard(a: Column, b: Column): Column =
     when(a.isNull || b.isNull, lit(null).cast("double"))
-      .otherwise(jaccardOf(thetaUnion2(a, b, k), a, b))
+      .otherwise(jaccardOf(thetaUnion2(a, b).getField("vs"),
+        a.getField("vs"), b.getField("vs")))
 
   private def jaccardOf(u: Column, a: Column, b: Column): Column =
     when(size(u) === 0, lit(null).cast("double"))
@@ -180,22 +214,24 @@ object ThetaSketch {
 
   /** |A ∩ B| estimate = ρ × |A ∪ B|-estimate; 0 for two empty sets;
     * NULL when either sketch is NULL (same legacy-sizeOfNull guard as
-    * [[thetaJaccard]]).
+    * [[thetaJaccard]]). Raises on differing k.
     */
-  def thetaIntersect(a: Column, b: Column, k: Int = 256): Column = {
-    val u = thetaUnion2(a, b, k)
+  def thetaIntersect(a: Column, b: Column): Column = {
+    val u = thetaUnion2(a, b)
     when(a.isNull || b.isNull, lit(null).cast("double"))
-      .when(size(u) === 0, lit(0.0))
-      .otherwise(jaccardOf(u, a, b) * thetaEstimate(u, k))
+      .when(size(u.getField("vs")) === 0, lit(0.0))
+      .otherwise(jaccardOf(u.getField("vs"),
+        a.getField("vs"), b.getField("vs")) * thetaEstimate(u))
   }
 
   /** |A \ B| estimate = max(0, |A|-est − |A ∩ B|-est) — clamped, the
     * two estimates are correlated but not jointly consistent. NULL when
     * either sketch is NULL (guarded: `greatest` skips nulls, so an
-    * unguarded null input would surface as 0.0, not NULL).
+    * unguarded null input would surface as 0.0, not NULL). Raises on
+    * differing k.
     */
-  def thetaANotB(a: Column, b: Column, k: Int = 256): Column =
+  def thetaANotB(a: Column, b: Column): Column =
     when(a.isNull || b.isNull, lit(null).cast("double"))
       .otherwise(
-        greatest(lit(0.0), thetaEstimate(a, k) - thetaIntersect(a, b, k)))
+        greatest(lit(0.0), thetaEstimate(a) - thetaIntersect(a, b)))
 }

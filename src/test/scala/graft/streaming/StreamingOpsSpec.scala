@@ -768,11 +768,12 @@ class StreamingOpsSpec extends SparkSpec {
     val streamed = spark.read.parquet(s"$dir/state")
     val mb = streamed.agg(max(col("batch_id"))).head.get(0).toString.toLong
     val carried = streamed.where(col("batch_id") === mb)
-      .select(col("g"), col("sk")).collect()
+      .select(col("g"), col("sk.vs")).collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     val direct = (b1 ++ b2).toDF("g", "v").groupBy("g")
       .agg(TS.thetaSketch(col("v"), 32).as("sk"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      .select(col("g"), col("sk.vs")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     carried shouldBe direct
     // and the persisted sketches answer the overlap question: |a|=40,
     // |b|=27, shared = 20..40 (21 users) — exact here (sets > k would
@@ -780,7 +781,7 @@ class StreamingOpsSpec extends SparkSpec {
     // 40 > 32 so the intersection is ESTIMATED; assert within 30%)
     val two = streamed.where(col("batch_id") === mb)
       .groupBy().pivot("g", Seq("a", "b")).agg(first(col("sk")))
-    val inter = two.select(TS.thetaIntersect(col("a"), col("b"), 32))
+    val inter = two.select(TS.thetaIntersect(col("a"), col("b")))
       .head().getDouble(0)
     math.abs(inter - 21.0) / 21.0 should be <= 0.3
   }
