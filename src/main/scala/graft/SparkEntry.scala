@@ -67,7 +67,21 @@ object SparkEntry {
       // sample_kcenter oracle; this entry keeps the t-regime's cost
       // measured every round.
       graft.operators.Sampling.kCenterSelect(
-        Tables.embeddings(s, dir), "vec_id", "embedding", t = 256)))
+        Tables.embeddings(s, dir), "vec_id", "embedding", t = 256)),
+    "sample_kcenter_par_t256" -> ((s, dir) => {
+      // the OVERSAMPLED route to the same t=256 coreset regime
+      // (k-means|| — Bahmani et al. 2012): 5 sampling scans + a
+      // driver-side greedy reduction instead of 256 sequential
+      // farthest-point scans — the face that makes coresets of
+      // thousands affordable. Covering-radius-vs-greedy contract is
+      // spec-checked (SamplingSpec); this entry keeps the cost shape
+      // measured against sample_kcenter_t256 every round.
+      val emb = Tables.embeddings(s, dir)
+      val centers = graft.operators.Sampling.kCenterParCenters(
+        emb, "vec_id", "embedding", t = 256, rounds = 5, oversample = 2.0)
+      graft.operators.Sampling.kCenterAssign(
+        emb, "vec_id", "embedding", centers)
+    }))
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference processor library (SURVEY §2.1 T1-T4, F1, P1-P3) ----

@@ -530,6 +530,148 @@ object Sampling {
       }).toDF("ord", "center_id", "centroid")
   }
 
+  /** PARALLEL (oversampled) k-center for t in the thousands — the
+    * k-means‖ idea (Bahmani et al. 2012, "Scalable k-means++") applied
+    * to the k-center coreset. The exact greedy ([[kCenterCenters]], the
+    * yardstick) is inherently t SEQUENTIAL driver rounds — one full
+    * scan per center — so a coreset of thousands means thousands of
+    * scans. Here each of `rounds` scans SAMPLES ~`oversample · t` new
+    * candidate centers, each point independently with probability
+    * min(1, l·d²/Σd²) (d² = its current round-6 squared distance to
+    * the nearest candidate — the farthest regions greedy would pick
+    * from are the likeliest to be sampled), and the ≤ 1 + rounds·l
+    * candidates are REDUCED to t on the driver by the exact greedy
+    * traversal — candidate-count-bounded arithmetic, no scans.
+    *
+    * Scale shape: O(rounds) distributed scans instead of O(t) — at
+    * t = 2048 that is `rounds` scans, not 2048 driver round-trips.
+    * Each scan is one projection; its distance fold is ONE native
+    * [[graft.functions.NearestCenterFn]] node against the round's NEW
+    * candidate batch (the carried `__dmin` recurrence, batched), plus
+    * one exact integer micro-unit mass aggregation.
+    *
+    * DERANDOMIZED: the per-(round, id) uniform is the 60-bit md5
+    * kernel (`conv(substr(md5('kcp:<round>:<id>'), 1, 15), 16, 10) /
+    * 2^60` — the hashSample discipline, SQL-replicable) and the d²
+    * mass sums round-6 micro-units as exact integers (order-free), so
+    * the candidate set — and therefore the output — is a pure function
+    * of the corpus.
+    *
+    * Approximation: greedy's 2-approximation holds WITHIN the
+    * candidate set; what the sampling missed is the only extra loss
+    * (SamplingSpec bounds the covering radius against the exact
+    * yardstick on fixtures). Expected driver reads: ~l rows per round
+    * — the t ≪ N contract every coreset face here assumes.
+    *
+    * Returns the [[kCenterCenters]] shape (ord, center_id, centroid),
+    * first the corpus seed (lowest id), then centers in reduction
+    * order — persist it and score/grow with [[kCenterAssign]] /
+    * [[kCenterExtend]] exactly like the greedy coreset.
+    */
+  def kCenterParCenters(df: DataFrame, idCol: String, vecCol: String,
+      t: Int, rounds: Int = 5, oversample: Double = 2.0): DataFrame = {
+    require(t >= 1 && rounds >= 1 && oversample > 0.0,
+      "t and rounds must be >= 1, oversample > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.{VectorFunctions => V}
+    import org.apache.spark.sql.graft.Bridge
+    val base = kCenterBase(df, idCol, vecCol)
+    val first = base.orderBy(col("__id")).limit(1).collect()
+    require(first.nonEmpty, "kCenterPar: no rows with a non-null vector")
+    var cands = Vector(first(0).getLong(0) -> first(0).getSeq[Double](1))
+    var scored = base.select(col("__id"), col("__v"),
+      round(V.sqDist(col("__v"), typedLit(cands.head._2)), 6).as("__dmin"))
+      .localCheckpoint(true)
+    var cp = scored
+    val ell = math.max(1.0, oversample * t)
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      // exact integer micro-units: the sampling threshold must not
+      // depend on a float sum's accumulation order
+      val massRow = scored
+        .agg(sum(round(col("__dmin") * 1e6).cast("long"))).head
+      val mass = if (massRow.isNullAt(0)) 0L else massRow.getLong(0)
+      if (mass <= 0L) exhausted = true // every row coincides with a candidate
+      else {
+        val sumD = mass / 1e6
+        val u = conv(substring(md5(
+            concat(lit(s"kcp:$r:"), col("__id").cast("string"))), 1, 15),
+          16, 10).cast("long").cast("double") / lit(ThetaTwo60)
+        val newC = scored
+          .filter(u < lit(ell) * col("__dmin") / lit(sumD))
+          .select(col("__id"), col("__v"))
+          .collect()
+          .map(w => w.getLong(0) -> w.getSeq[Double](1))
+          .toVector
+        if (newC.nonEmpty) {
+          cands = cands ++ newC
+          val cut = scored.select(col("__id"), col("__v"),
+            least(col("__dmin"), bestCenter(newC).getField("d")).as("__dmin"))
+            .localCheckpoint(true)
+          Bridge.releaseLocalCheckpoint(cp)
+          cp = cut
+          scored = cut
+        }
+        r += 1
+      }
+    }
+    Bridge.releaseLocalCheckpoint(cp)
+    // driver-side reduction: the exact greedy over the candidate set —
+    // same semantics as kCenterGreedy (round-6 distances, farthest
+    // first, ties to the lowest id, stop when the farthest distance
+    // hits 0), in plain arithmetic over ≤ 1 + rounds·l rows
+    val reduced = greedyReduce(cands, t)
+    reduced.zipWithIndex
+      .map { case ((cid, cv), i) => (i + 1, cid, cv) }
+      .toDF("ord", "center_id", "centroid")
+  }
+
+  /** 2^60 as an exact double (the md5 60-bit hash space — see
+    * [[graft.functions.ThetaSketch.Two60]]).
+    */
+  private val ThetaTwo60: Double = 1152921504606846976.0
+
+  /** Exact greedy farthest-point over a DRIVER-HELD candidate list —
+    * [[kCenterGreedy]]'s semantics (round-6 HALF_UP distances, farthest
+    * first, ties to the lowest id, early stop at distance 0) without
+    * the scans. Seeds with the list's FIRST element (the corpus seed).
+    */
+  private def greedyReduce(cands: Vector[(Long, Seq[Double])],
+      t: Int): Vector[(Long, Seq[Double])] = {
+    def d2r(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i) - b(i); d += x * x; i += 1
+      }
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var chosen = Vector(cands.head)
+    val dmin = cands.map(c => d2r(c._2, cands.head._2)).toArray
+    while (chosen.length < t) {
+      var bi = -1
+      var bd = 0.0
+      var i = 0
+      while (i < cands.length) {
+        if (dmin(i) > bd ||
+            (dmin(i) == bd && bd > 0.0 && bi >= 0 &&
+              cands(i)._1 < cands(bi)._1)) { bd = dmin(i); bi = i }
+        i += 1
+      }
+      if (bi < 0 || bd <= 0.0) return chosen // every candidate covered
+      chosen = chosen :+ cands(bi)
+      i = 0
+      while (i < cands.length) {
+        val d = d2r(cands(i)._2, cands(bi)._2)
+        if (d < dmin(i)) dmin(i) = d
+        i += 1
+      }
+    }
+    chosen
+  }
+
   private def kCenterBase(df: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     df.filter(col(vecCol).isNotNull)

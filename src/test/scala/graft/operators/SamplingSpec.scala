@@ -527,4 +527,52 @@ class SamplingSpec extends SparkSpec {
       .toMap
     got shouldBe want
   }
+
+  test("kCenterParCenters: deterministic, covers clusters, radius within greedy bound") {
+    import spark.implicits._
+    // the kCenterSelect fixture: three tight clusters far apart
+    val rnd = new scala.util.Random(7)
+    def around(c: Seq[Double]) = c.map(_ + rnd.nextDouble() * 0.01)
+    val a = (0L until 5L).map(i => i -> around(Seq(10.0, 0.0, 0.0, 0.0)))
+    val b = (10L until 14L).map(i => i -> around(Seq(0.0, 10.0, 0.0, 0.0)))
+    val c = (20L until 23L).map(i => i -> around(Seq(0.0, 0.0, 10.0, 0.0)))
+    val df = (a ++ b ++ c).toDF("vec_id", "v")
+    val centers = Sampling.kCenterParCenters(df, "vec_id", "v", t = 3,
+      rounds = 3, oversample = 2.0)
+    // derandomized md5 sampling: a second run is bit-identical
+    Sampling.kCenterParCenters(df, "vec_id", "v", t = 3,
+        rounds = 3, oversample = 2.0)
+      .collect().map(_.toSeq).toSeq shouldBe
+      centers.collect().map(_.toSeq).toSeq
+    val rows = centers.collect()
+    rows.map(_.getInt(0)).toSeq shouldBe (1 to rows.length) // ord 1..m
+    rows.head.getLong(1) shouldBe 0L // the corpus seed (lowest id)
+    // covering radius vs the exact greedy yardstick: on a clustered
+    // fixture the d2-proportional sampling must surface every cluster,
+    // so the reduced coreset covers within 2x greedy's radius
+    def radius(ctr: org.apache.spark.sql.DataFrame): Double =
+      Sampling.kCenterAssign(df, "vec_id", "v", ctr)
+        .agg(org.apache.spark.sql.functions.max(col("d2"))).head.getDouble(0)
+    val greedyR = radius(Sampling.kCenterCenters(df, "vec_id", "v", t = 3))
+    val parR = radius(centers)
+    parR should be <= math.max(2.0 * greedyR, 1e-4)
+    // and with one center per cluster, assignment stays within-cluster
+    if (rows.length == 3)
+      parR should be < 0.01
+  }
+
+  test("kCenterParCenters: duplicate-vector corpus stops early, composes with assign") {
+    import spark.implicits._
+    // 2 distinct vectors over 20 rows: the candidate pool and the
+    // reduction both exhaust at 2 centers no matter t
+    val df = (0L until 20L).map(i =>
+      i -> (if (i % 2 == 0) Seq(1.0, 0.0) else Seq(0.0, 1.0)))
+      .toDF("vec_id", "v")
+    val ctr = Sampling.kCenterParCenters(df, "vec_id", "v", t = 10,
+      rounds = 4, oversample = 3.0)
+    ctr.count() shouldBe 2
+    val assigned = Sampling.kCenterAssign(df, "vec_id", "v", ctr)
+    assigned.agg(org.apache.spark.sql.functions.max(col("d2")))
+      .head.getDouble(0) shouldBe 0.0
+  }
 }
