@@ -1956,15 +1956,11 @@ object SparkEntry {
       // the index over the full corpus — cells, centroids, codebooks
       // all trained WITH the victims, because deletion must NOT retrain
       // — and excludes the victims from the candidate set only, which
-      // is exactly what the tombstones do. The index dir is deleted
-      // first: ivfDelete appends to the delta channel, so a reused path
-      // would accumulate tombstone batches across invocations.
+      // is exactly what the tombstones do. Safe at a reused path: the
+      // full rebuild retires the previous invocation's tombstone channel
       val q = queryVec(s, dir)
       val emb = Tables.embeddings(s, dir)
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ivfdel"
-      val p = new org.apache.hadoop.fs.Path(idx)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
       Similarity.ivfWriteIndexPQ(emb, "vec_id", "embedding", dim = 64,
         path = idx, nBits = 6, lloydIters = 0, m = 16, codebookK = 32,
         pqIters = 2, kernel = "md5", withRefine = true)

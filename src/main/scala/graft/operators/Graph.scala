@@ -278,20 +278,21 @@ object Graph {
   def trianglesIndexWrite(edges: DataFrame, srcCol: String, dstCol: String,
       path: String): Unit = {
     import org.apache.spark.sql.graft.Bridge
-    // a REBUILD invalidates every appended batch: the overwrite below
-    // only replaces edges/ and counts/, so a stale batches/ channel
-    // from a previous index at this path would otherwise keep folding
-    // into the fresh base
-    val spark = edges.sparkSession
-    val batchesRoot = new org.apache.hadoop.fs.Path(s"$path/batches")
-    val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(batchesRoot)) fs.delete(batchesRoot, true)
     val e0 = canonicalUndirected(edges, srcCol, dstCol)
     e0.write.mode("overwrite").parquet(s"$path/edges")
     trianglesCanonical(e0).filter(col("triangles") > 0)
       .select(col("id"), col("triangles").as("d_triangles"))
       .write.mode("overwrite").parquet(s"$path/counts")
     Bridge.releaseLocalCheckpoint(e0) // both writes done — drop the blocks
+    // a REBUILD invalidates every appended batch: the overwrites above
+    // only replace edges/ and counts/, so a stale batches/ channel from
+    // a previous index at this path would otherwise keep folding into
+    // the fresh base. Cleared only AFTER the new base lands — a rebuild
+    // that fails above must leave the old index intact, batches included
+    val spark = edges.sparkSession
+    val batchesRoot = new org.apache.hadoop.fs.Path(s"$path/batches")
+    val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(batchesRoot)) fs.delete(batchesRoot, true)
   }
 
   /** Append an edge batch to a [[trianglesIndexWrite]] index WITHOUT

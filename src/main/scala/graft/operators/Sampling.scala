@@ -598,7 +598,8 @@ object Sampling {
         val sumD = mass / 1e6
         val u = conv(substring(md5(
             concat(lit(s"kcp:$r:"), col("__id").cast("string"))), 1, 15),
-          16, 10).cast("long").cast("double") / lit(ThetaTwo60)
+          16, 10).cast("long").cast("double") /
+          lit(graft.functions.ThetaSketch.Two60)
         val newC = scored
           .filter(u < lit(ell) * col("__dmin") / lit(sumD))
           .select(col("__id"), col("__v"))
@@ -627,11 +628,6 @@ object Sampling {
       .map { case ((cid, cv), i) => (i + 1, cid, cv) }
       .toDF("ord", "center_id", "centroid")
   }
-
-  /** 2^60 as an exact double (the md5 60-bit hash space — see
-    * [[graft.functions.ThetaSketch.Two60]]).
-    */
-  private val ThetaTwo60: Double = 1152921504606846976.0
 
   /** Exact greedy farthest-point over a DRIVER-HELD candidate list —
     * [[kCenterGreedy]]'s semantics (round-6 HALF_UP distances, farthest

@@ -89,7 +89,6 @@ object Similarity {
     */
   def ivfWriteIndex(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, path: String, nBits: Int = 6, lloydIters: Int = 1): Unit = {
-    clearDeltas(df.sparkSession, path)
     val (assigned, cents) = trainCells(df, idCol, vecCol, dim, nBits, lloydIters)
     // repartition on cell first: without it every task writes into every
     // cell directory it touches (tasks × cells small files — the
@@ -101,6 +100,9 @@ object Similarity {
     cents.toSeq.toDF("cell", "centroid")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // the new base is fully landed — only now retire the old channels
+    // (a failed rebuild above leaves the previous index intact)
+    clearSideChannels(spark, path)
   }
 
   /** [[ivfWriteIndex]] with scalar int8 quantization of the stored
@@ -124,7 +126,6 @@ object Similarity {
   def ivfWriteIndexSQ8(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, path: String, nBits: Int = 6, lloydIters: Int = 1,
       kernel: String = "xxhash", roundedCentroids: Boolean = false): Unit = {
-    clearDeltas(df.sparkSession, path)
     val (assigned, cents0) = trainCells(df, idCol, vecCol, dim, nBits,
       lloydIters, kernel)
     // roundedCentroids: the PQ faces' round-9 discipline, opt-in here so
@@ -143,6 +144,9 @@ object Similarity {
     cents.toSeq.toDF("cell", "centroid")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // the new base is fully landed — only now retire the old channels
+    // (a failed rebuild above leaves the previous index intact)
+    clearSideChannels(spark, path)
   }
 
   /** The SQ8 storage projection over an assigned (id, v, cell) frame —
@@ -203,7 +207,6 @@ object Similarity {
       kernel: String = "xxhash", withRefine: Boolean = false): Unit = {
     require(codebookK >= 1 && codebookK <= 128,
       "PQ codes are stored as signed bytes - codebookK in [1, 128]")
-    clearDeltas(df.sparkSession, path)
     val (assigned, cents0) = trainCells(df, idCol, vecCol, dim, nBits,
       lloydIters, kernel)
     // engine-stable centroid components (see scaladoc)
@@ -222,6 +225,9 @@ object Similarity {
     cents.toSeq.toDF("cell", "centroid")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // the new base is fully landed — only now retire the old channels
+    // (a failed rebuild above leaves the previous index intact)
+    clearSideChannels(spark, path)
   }
 
   /** The PQ storage projection over an assigned (id, v, cell) frame —
@@ -710,85 +716,68 @@ object Similarity {
   /** DELETE (takedown) face for every persisted index layout — flat
     * [[ivfWriteIndex]], SQ8 [[ivfWriteIndexSQ8]], PQ [[ivfWriteIndexPQ]]
     * (with or without the refine tier) — and their stream-maintained
-    * twins: writes TOMBSTONE rows into the index's delta channel
-    * (`<indexPath>/deltas`, the [[graft.streaming.StreamingOps
-    * .continuousIvfAppend]] layout, created here if the index has never
-    * streamed). A tombstone is a delta row whose PAYLOAD columns are all
-    * NULL — representable in the existing schema (no live row has a null
-    * vector: every append face filters `isNotNull` up front), carried in
-    * the victim's CURRENT cell(s) so the cell-pruned probe reads see it,
-    * stamped with `batch_id` = 1 + the highest existing delta batch so
-    * the recency fold (`max_by(__b)`, any delta beats the base at −1)
-    * picks it and [[cellsCurrent]] then DROPS the id.
+    * twins: writes TOMBSTONE rows `(id, up_to)` into the index's OWN
+    * tombstone channel (`<indexPath>/tombstones`), where `up_to` is the
+    * highest delta batch_id at delete time (−1 when the index has never
+    * streamed). A tombstone KILLS every version of the id whose
+    * batch_id ≤ up_to — the base ranks as −1, so it always kills base
+    * rows — while a LATER append (batch_id > up_to) legitimately
+    * re-inserts the id.
+    *
+    * Why a separate channel and not tombstone rows inside `deltas`: a
+    * resumed stream's next micro-batch id is exactly 1 + the highest
+    * existing batch, and its replay-safe dynamic partition overwrite
+    * would ERASE a tombstone batch stamped with that id — a takedown
+    * silently undone by a routine stream restart. The tombstone table
+    * has no batch partitioning to collide with, and the delete itself
+    * is one bounded write of the id list: no index scan, no victim-cell
+    * lookup (probes read the small tombstone table unpruned).
     *
     * Why tombstones and not rewrite-on-delete: at 100 TB a takedown
-    * request must not rewrite cell partitions synchronously — the
-    * tombstone is one k-row delta write; the physical removal is
-    * deferred to [[graft.streaming.StreamingOps.compactIvfDeltas]]
-    * (tombstone-aware: folds the delete into the base, drops the rows,
-    * prunes the delta). Every probe/join face — point, batched join,
-    * refine, stream — honors tombstones BEFORE its `rowFilter`, so no
-    * predicate can resurrect a deleted row.
+    * request must not rewrite cell partitions synchronously. Physical
+    * removal is deferred to [[graft.streaming.StreamingOps
+    * .compactIvfDeltas]] (tombstone-aware: drops killed rows from the
+    * base, then garbage-collects fully-applied tombstones). Every
+    * probe/join face — point, batched join, refine, stream — honors
+    * tombstones BEFORE its `rowFilter`, so no predicate can resurrect a
+    * deleted row.
     *
-    * Ordering contract: tombstones share the stream delta channel's
-    * batch_id sequence, so issue deletes at a batch boundary (writer
-    * quiesced) — the same discipline as an offline rebuild. To
-    * RE-INSERT a deleted id, write it through the delta channel (a
-    * later batch_id beats the tombstone) or compact first; the batch
-    * [[ivfAppend]] faces write straight into the base, which ranks
-    * BELOW any tombstone.
-    *
-    * `ids` is a one-column-relevant frame holding `idCol` (extra
-    * columns ignored); ids absent from the index are a no-op. Victim
-    * cells are found with one column-pruned (id, cell) pass over base ∪
-    * deltas — never a full-payload scan.
+    * Re-insert contract: a stream append after the delete (higher
+    * batch_id) resurrects the id; the batch [[ivfAppend]] faces write
+    * straight into the base (rank −1, below any tombstone), so to
+    * batch-re-insert a deleted id, compact first. `ids` is a
+    * one-column-relevant frame holding `idCol` (extra columns ignored);
+    * ids absent from the index are a harmless no-op kill.
     */
   def ivfDelete(ids: DataFrame, idCol: String, indexPath: String): Unit = {
     val spark = ids.sparkSession
     val base = readParquetIfAny(spark, s"$indexPath/cells")
     val deltas = readParquetIfAny(spark, s"$indexPath/deltas")
     require(base.nonEmpty || deltas.nonEmpty, s"no index at $indexPath")
-    val ref = base.getOrElse(deltas.get.drop("batch_id"))
-    val payload = ref.columns.filterNot(c => c == idCol || c == "cell")
-    require(payload.nonEmpty, s"unrecognized index layout at $indexPath")
-    val occ = (base.toSeq ++ deltas.toSeq.map(_.drop("batch_id")))
-      .map(_.select(col(idCol), col("cell").cast("long").as("cell")))
-      .reduce(_ unionByName _)
-    val victims = occ
-      .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
-      .distinct()
-    val nextB = deltas
+    val upTo = deltas
       .map(_.agg(max(col("batch_id"))).head.get(0))
-      .flatMap(Option(_)).map(_.toString.toLong + 1L).getOrElse(0L)
-    victims.persist()
-    try {
-      // no victims (ids the index never held) → write nothing: an empty
-      // batch directory would be pure noise in the channel
-      if (!victims.isEmpty)
-        victims
-          .select(col(idCol) +:
-            payload.map(c => lit(null).cast(ref.schema(c).dataType).as(c)) :+
-            col("cell"): _*)
-          .withColumn("batch_id", lit(nextB))
-          .repartition(col("cell")) // cell-coherent files, like every delta
-          .write.mode("append").partitionBy("batch_id")
-          .parquet(s"$indexPath/deltas")
-    } finally victims.unpersist(blocking = false)
+      .flatMap(Option(_)).map(_.toString.toLong).getOrElse(-1L)
+    ids.select(col(idCol)).distinct()
+      .withColumn("up_to", lit(upTo))
+      .write.mode("append").parquet(s"$indexPath/tombstones")
   }
 
-  /** A FULL index build supersedes every delta — appended batches and
-    * tombstones alike ([[ivfDelete]] removes rows precisely because a
-    * rebuild is too expensive; a rebuild makes them moot). The write
-    * faces only overwrite `cells`/`centroids`, so a stale `deltas`
-    * channel left at a reused path would silently keep folding into
-    * the fresh index — clear it first.
+  /** A FULL index build supersedes every side channel — appended delta
+    * batches and tombstones alike ([[ivfDelete]] removes rows precisely
+    * because a rebuild is too expensive; a rebuild makes them moot).
+    * The write faces only overwrite `cells`/`centroids`, so stale
+    * channels left at a reused path would silently keep folding into
+    * the fresh index. Called AFTER the new base lands: a rebuild that
+    * fails mid-way must leave the OLD index fully intact, channels
+    * included.
     */
-  private def clearDeltas(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/deltas")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-  }
+  private def clearSideChannels(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit =
+    Seq("deltas", "tombstones").foreach { ch =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/$ch")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
 
   /** Read a parquet table that may legitimately not exist yet — or
     * exist as an EMPTY directory: compaction with `includeLatest`
@@ -807,45 +796,60 @@ object Similarity {
     }
 
   /** The CURRENT rows of a persisted index, cell-pruned: base cells
-    * under `cellPred` ∪ un-compacted deltas (same predicate — row-group
-    * pruned), de-duplicated on id by RECENCY (max delta `batch_id`
-    * wins, the base ranks as −1), with tombstone winners ([[ivfDelete]]
-    * — null payload) DROPPED. When no delta channel exists the base
-    * scan is returned VERBATIM — the pure-batch probe plan (partition
-    * pruning, predicate pushdown into the scan) is untouched; the fold
-    * only appears once deltas exist, and then only over the pruned
-    * candidate rows, never the corpus.
+    * under `cellPred` ∪ un-compacted deltas, de-duplicated on id by
+    * RECENCY (max delta `batch_id` wins, the base ranks as −1), with
+    * tombstone-KILLED versions dropped ([[ivfDelete]]: a tombstone
+    * kills every version with batch_id ≤ its `up_to`). When no side
+    * channel exists the base scan is returned VERBATIM — the pure-batch
+    * probe plan (partition pruning, predicate pushdown into the scan)
+    * is untouched; the fold only appears once a channel exists.
     *
-    * Shared by every batch probe/join face so all of them honor stream
-    * appends and tombstones identically; the stream faces
-    * ([[graft.streaming.StreamingOps.ivfTopKFromStreamIndex]]) apply
-    * the same fold.
+    * Pruning order matters for correctness: the BASE read is
+    * cell-pruned up front (that is the partition-pruning win), but the
+    * DELTAS are read UNPRUNED and `cellPred` is applied to the fold
+    * WINNER's cell — a re-ingested id whose latest version moved to an
+    * unprobed cell must hide its stale base row in the probed cell, not
+    * resurface it. Deltas are bounded by the compaction cadence (≤N
+    * micro-batches), so the unpruned read is small by construction;
+    * the tombstone table is an id list, read unpruned for the same
+    * reason.
+    *
+    * Shared by every batch probe/join face AND the stream faces
+    * ([[graft.streaming.StreamingOps.ivfTopKFromStreamIndex]]), so all
+    * of them honor stream appends and tombstones identically.
     */
   private[graft] def cellsCurrent(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, idCol: String, cellPred: Column): DataFrame = {
     val base = readParquetIfAny(spark, s"$indexPath/cells").map(_.filter(cellPred))
     val deltas = readParquetIfAny(spark, s"$indexPath/deltas")
-    (base, deltas) match {
-      case (Some(b), None) => b
-      case (b, d) =>
+    val tombs = readParquetIfAny(spark, s"$indexPath/tombstones")
+    (base, deltas, tombs) match {
+      case (Some(b), None, None) => b
+      case (b, d, t) =>
         require(b.nonEmpty || d.nonEmpty, s"no cells or deltas under $indexPath")
         val ref = b.getOrElse(d.get.drop("batch_id"))
         val payload = ref.columns.filterNot(c => c == idCol || c == "cell")
-        // tombstone marker: the leading payload column (v | q | codes) —
-        // null only on tombstone rows (appends filter isNotNull up front)
-        val marker = payload.head
         def shape(df: DataFrame, bCol: Column): DataFrame =
           df.select(col(idCol) +: payload.map(col) :+
             col("cell").cast("long").as("cell") :+ bCol.as("__b"): _*)
         val parts = b.map(shape(_, lit(-1L))).toSeq ++
-          d.map(x => shape(x.filter(cellPred), col("batch_id").cast("long")))
-        parts.reduce(_ unionByName _)
+          d.map(x => shape(x, col("batch_id").cast("long")))
+        val folded = parts.reduce(_ unionByName _)
           .groupBy(col(idCol))
           .agg(max_by(struct((payload :+ "cell").map(col): _*), col("__b"))
-            .as("__w"))
-          .select(col(idCol) +:
-            (payload :+ "cell").map(c => col(s"__w.$c").as(c)): _*)
-          .filter(col(marker).isNotNull)
+            .as("__w"),
+            max(col("__b")).as("__b"))
+          .select(col(idCol) +: (payload :+ "cell").map(c =>
+            col(s"__w.$c").as(c)) :+ col("__b"): _*)
+        val killed = t match {
+          case None => folded
+          case Some(ts) =>
+            val kill = ts.groupBy(col(idCol)).agg(max(col("up_to")).as("__kill"))
+            folded.join(kill, Seq(idCol), "left_outer")
+              .filter(col("__kill").isNull || col("__kill") < col("__b"))
+              .drop("__kill")
+        }
+        killed.filter(cellPred).drop("__b")
     }
   }
 

@@ -1219,113 +1219,156 @@ object StreamingOps {
     */
   def compactIvfDeltas(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, includeLatest: Boolean = false): Unit = {
-    val deltas = graft.operators.Similarity
-      .readParquetIfAny(spark, s"$indexPath/deltas")
-      .getOrElse(return)
-    val maxB = deltas.agg(max(col("batch_id"))).head.get(0)
-    if (maxB == null) return
-    val maxBatch = maxB.toString.toLong
-    // nothing strictly below the latest batch
-    if (!includeLatest && maxBatch <= 0) return
-    val committedAll =
-      if (includeLatest) deltas else deltas.where(col("batch_id") < maxBatch)
+    import graft.operators.Similarity.readParquetIfAny
+    import org.apache.spark.sql.graft.Bridge
+    val deltasOpt = readParquetIfAny(spark, s"$indexPath/deltas")
+    val tombsOpt = readParquetIfAny(spark, s"$indexPath/tombstones")
+    if (deltasOpt.isEmpty && tombsOpt.isEmpty) return
+    val maxBatch = deltasOpt
+      .map(_.agg(max(col("batch_id"))).head.get(0))
+      .flatMap(Option(_)).map(_.toString.toLong).getOrElse(-1L)
+    val baseOpt = readParquetIfAny(spark, s"$indexPath/cells")
     // layout-generic: (id, <payload...>, cell) — v for the flat index,
     // codes for the PQ index ([[continuousPqAppend]] deltas)
-    val dataCols = committedAll.drop("batch_id").columns
-    val idCol = dataCols.head
-    val payload = dataCols.filter(c => c != idCol && c != "cell")
-    // recency dedup WITHIN the committed deltas: the max-batch_id row per
-    // id wins (max_by is deterministic here — equal batch_ids only arise
-    // from replays whose rows agree in value)
-    val committed = committedAll
-      .groupBy(col(idCol))
-      .agg(max_by(struct((payload :+ "cell").map(col): _*), col("batch_id"))
-        .as("__w"))
-      .select(col(idCol) +:
-        (payload :+ "cell").map(c => col(s"__w.$c").as(c)): _*)
-      .localCheckpoint(true) // read by touched-cells, prior-cells, and fold
-    // tombstone winners (ivfDelete — null payload) participate in the
-    // cell-touch set and the base anti-join (that is what removes the
-    // victim's base row) but are NOT written back
-    val live = committed.filter(col(payload.head).isNotNull)
-    // driver-bounded: ≤2^nBits distinct cells — the literal prunes the
-    // base read to the touched partitions only
-    val newCells = committed.select("cell").distinct()
-      .collect().map(_.getLong(0))
-    if (newCells.isEmpty) return
-    val baseOpt =
-      try Some(spark.read.parquet(s"$indexPath/cells"))
-      catch {
-        // stream-only index: no base yet — first compaction creates it
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" => None
+    val refCols = baseOpt.map(_.columns)
+      .orElse(deltasOpt.map(_.drop("batch_id").columns))
+      .getOrElse(return) // tombstones over a rowless index: nothing to do
+    val idCol = refCols.head
+    val payload = refCols.filter(c => c != idCol && c != "cell").toSeq
+    // the fold horizon: versions with batch_id < horizon are folded into
+    // the base this compaction; the latest batch stays a delta for the
+    // streaming replay contract unless includeLatest
+    val horizon = if (includeLatest) Long.MaxValue else maxBatch
+    // tombstones whose up_to lies BELOW the horizon are fully resolvable
+    // now — and MUST be resolved now: a surviving version with batch_id
+    // in (up_to, horizon) folds into the base at rank −1, where a stale
+    // tombstone would wrongly kill it later. Tombstones at or above the
+    // horizon keep guarding the unfolded latest batch and stay pending
+    // (they also correctly kill every folded row: all folded batch_ids
+    // are < horizon ≤ up_to).
+    val applyKill = tombsOpt.map(_.filter(col("up_to") < lit(horizon))
+      .groupBy(col(idCol)).agg(max(col("up_to")).as("__kill")))
+    val committedOpt = deltasOpt
+      .map(d => if (includeLatest) d else d.where(col("batch_id") < maxBatch))
+      .map { committedAll =>
+        // recency dedup WITHIN the committed deltas: the max-batch_id row
+        // per id wins (deterministic — equal batch_ids only arise from
+        // replays whose rows agree in value), carrying its rank for the
+        // tombstone horizon check
+        committedAll
+          .groupBy(col(idCol))
+          .agg(max_by(struct((payload :+ "cell").map(col): _*),
+            col("batch_id")).as("__w"),
+            max(col("batch_id").cast("long")).as("__b"))
+          .select(col(idCol) +: (payload :+ "cell").map(c =>
+            col(s"__w.$c").as(c)) :+ col("__b"): _*)
+          .localCheckpoint(true) // read by touched-cells, prior-cells, fold
       }
-    // a re-ingested id may have MOVED cells (changed vector → different
-    // nearest centroid): its stale base row lives in a cell the deltas
-    // never touch. Find those prior cells with one column-pruned
-    // (id, cell) pass so the dynamic overwrite rewrites them too.
+    // committed winners minus the ones an applied tombstone kills
+    val liveOpt = committedOpt.map { committed =>
+      (applyKill match {
+        case None => committed
+        case Some(kill) => committed.join(kill, Seq(idCol), "left_outer")
+          .filter(col("__kill").isNull || col("__kill") < col("__b"))
+          .drop("__kill")
+      }).drop("__b")
+    }
+    // ids whose BASE row must go: any committed winner (a delta beats
+    // the base) and any applied-tombstone victim (base ranks −1 ≤ up_to)
+    val removalIds = (committedOpt.map(_.select(col(idCol))).toSeq ++
+      applyKill.map(_.select(col(idCol))).toSeq)
+      .reduceOption(_ unionByName _).map(_.distinct())
+      .getOrElse(return)
+    // driver-bounded: ≤2^nBits distinct cells — the literal prunes the
+    // base read to the touched partitions only. Tombstone victims and
+    // re-ingested ids that MOVED cells both surface through the
+    // column-pruned (id, cell) prior-cells pass over the base.
+    val newCells = committedOpt.toSeq.flatMap(_.select("cell").distinct()
+      .collect().map(_.getLong(0)))
     val priorCells = baseOpt.toSeq.flatMap { base =>
       // cast: a partition column read back from parquet may infer as int
       base.select(col(idCol), col("cell").cast("long").as("cell"))
-        .join(committed.select(col(idCol)), Seq(idCol), "left_semi")
+        .join(removalIds, Seq(idCol), "left_semi")
         .select("cell").distinct().collect().map(_.getLong(0))
     }
     val touched = (newCells ++ priorCells).distinct.sorted
-    val existing = baseOpt match {
-      case Some(base) =>
-        base.filter(col("cell").isin(touched: _*))
-          .select(committed.columns.map(col): _*)
-          // any delta beats the base — deterministic update semantics
-          .join(committed.select(col(idCol)), Seq(idCol), "left_anti")
-      case None => committed.limit(0)
+    if (touched.nonEmpty) {
+      val existing = baseOpt match {
+        case Some(base) =>
+          base.filter(col("cell").isin(touched: _*))
+            .select(col(idCol) +: (payload :+ "cell").map(col): _*)
+            .join(removalIds, Seq(idCol), "left_anti")
+        case None => liveOpt.get.limit(0)
+      }
+      val folded = liveOpt
+        .map(existing.unionByName(_))
+        .getOrElse(existing)
+        .localCheckpoint(true)
+      folded
+        .repartition(col("cell")) // one file per touched cell
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(s"$indexPath/cells")
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // dynamic overwrite only rewrites partitions PRESENT in the output:
+      // a prior cell emptied by an update (its only rows were re-ingested
+      // or deleted ids) keeps its stale directory — delete those explicitly
+      val outCells = folded.select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      touched.filterNot(outCells).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/cells/cell=$c"),
+          true)
+      }
+      Bridge.releaseLocalCheckpoint(folded)
     }
-    val folded = existing.unionByName(live).localCheckpoint(true)
-    folded
-      .repartition(col("cell")) // one file per touched cell
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell")
-      .parquet(s"$indexPath/cells")
+    committedOpt.foreach(Bridge.releaseLocalCheckpoint)
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // dynamic overwrite only rewrites partitions PRESENT in the output:
-    // a prior cell emptied by an update (its only rows were re-ingested
-    // ids) keeps its stale directory — delete those explicitly
-    val outCells = folded.select(col("cell").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    touched.filterNot(outCells).foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/cells/cell=$c"), true)
-    }
     // prune the folded delta partitions at the directory granularity the
     // dynamic-overwrite writes use
-    val root = new org.apache.hadoop.fs.Path(s"$indexPath/deltas")
-    fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("batch_id=")) {
-        val bid = scala.util.Try(name.stripPrefix("batch_id=").toLong)
-        if (bid.toOption.exists(b => b < maxBatch || includeLatest))
-          fs.delete(st.getPath, true)
+    deltasOpt.foreach { _ =>
+      val root = new org.apache.hadoop.fs.Path(s"$indexPath/deltas")
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith("batch_id=")) {
+          val bid = scala.util.Try(name.stripPrefix("batch_id=").toLong)
+          if (bid.toOption.exists(b => b < maxBatch || includeLatest))
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
+    // garbage-collect the APPLIED tombstones (their kills are physical
+    // now); pending ones (up_to ≥ horizon) keep guarding the latest batch
+    tombsOpt.foreach { ts =>
+      val troot = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+      if (includeLatest) fs.delete(troot, true)
+      else {
+        // materialize survivors BEFORE overwriting the table they read
+        val pending = ts.filter(col("up_to") >= lit(horizon))
+          .localCheckpoint(true)
+        pending.write.mode("overwrite").parquet(troot.toString)
+        Bridge.releaseLocalCheckpoint(pending)
       }
     }
   }
 
   /** Probe a [[continuousIvfAppend]]-maintained index: nearest-centroid
-    * cell selection on the driver (≤2^nBits rows), then base cells
-    * (partition-pruned directories) ∪ un-compacted deltas (row-group
-    * pruned on the same cell predicate), de-duplicated on id by RECENCY
-    * (max delta batch_id wins; any delta beats the base, which ranks as
-    * batch −1 — deterministic under re-ingested-id updates, a no-op for
-    * crash-window duplicates that agree in value), scored and top-k'd
-    * exactly like
-    * [[graft.operators.Similarity.ivfTopKFromIndex]] — a stream-built
+    * cell selection on the driver (≤2^nBits rows), then the
+    * `Similarity.cellsCurrent` read the batch faces share — base cells (partition-pruned directories) ∪ un-compacted
+    * deltas, de-duplicated on id by RECENCY (max delta batch_id wins;
+    * the base ranks as batch −1), tombstone-killed versions dropped —
+    * scored and top-k'd exactly like
+    * [[graft.operators.Similarity.ivfTopKFromIndex]]: a stream-built
     * index answers identically to a batch-built one over the same rows.
     *
     * `rowFilter` is the batch faces' filtered-probe hook
     * ([[graft.operators.Similarity.ivfTopKJoinSQ8]] doc), applied AFTER
-    * the recency dedup — the predicate sees the index's CURRENT row per
-    * id, so a payload predicate can never resurrect a superseded
-    * version — and before the top-k, so the probe still returns k rows
-    * from the filtered candidate set.
+    * the recency dedup and the tombstone drop — the predicate sees the
+    * index's CURRENT row per id, so a payload predicate can never
+    * resurrect a superseded or deleted version — and before the top-k,
+    * so the probe still returns k rows from the filtered candidate set.
     */
   def ivfTopKFromStreamIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, idCol: String, queryVec: Seq[Double], k: Int,
@@ -1335,25 +1378,10 @@ object StreamingOps {
     import graft.functions.{VectorFunctions => V}
     val cents = Similarity.readCentroids(spark, indexPath)
     val probes = Similarity.probeCells(cents, queryVec, nProbe)
-    def readOrEmpty(path: String): Option[DataFrame] =
-      graft.operators.Similarity.readParquetIfAny(spark, path)
-    val base = readOrEmpty(s"$indexPath/cells")
-      .map(_.filter(col("cell").isin(probes: _*))
-        .select(col(idCol), col("v"), lit(-1L).as("__b")))
-    val delta = readOrEmpty(s"$indexPath/deltas")
-      .map(_.filter(col("cell").isin(probes: _*))
-        .select(col(idCol), col("v"), col("batch_id").cast("long").as("__b")))
-    val parts = base.toSeq ++ delta.toSeq
-    require(parts.nonEmpty, s"no cells or deltas under $indexPath")
     val q = typedLit(queryVec)
-    // struct-fold, then drop null-v winners: a tombstone (ivfDelete —
-    // null payload at the max batch) must win the recency fold and then
-    // DELETE the id, before rowFilter so no predicate can resurrect it
-    rowFilter(parts.reduce(_ unionByName _)
-        .groupBy(col(idCol))
-        .agg(max_by(struct(col("v")), col("__b")).as("__w"))
-        .select(col(idCol), col("__w.v").as("v"))
-        .filter(col("v").isNotNull))
+    rowFilter(Similarity.cellsCurrent(spark, indexPath, idCol,
+        col("cell").isin(probes: _*))
+        .select(col(idCol), col("v")))
       .select(col(idCol), round(V.cosine(col("v"), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -1400,13 +1428,13 @@ object StreamingOps {
   }
 
   /** [[ivfTopKFromStreamIndex]] for a [[continuousPqAppend]]-maintained
-    * PQ index: same base ∪ deltas read (both cell-pruned), same
-    * recency dedup (max delta batch_id wins, base ranks as batch −1),
-    * with the candidate cosine computed against the PQ reconstruction
+    * PQ index: the same shared
+    * `Similarity.cellsCurrent` read (recency dedup, tombstone drop), with the
+    * candidate cosine computed against the PQ reconstruction
     * ([[graft.operators.Similarity.ivfTopKFromIndexPQ]]'s asymmetric
     * distance) and the probe-cell selection the PQ faces' round-6 rule.
     * `rowFilter` as on [[ivfTopKFromStreamIndex]]: applied after the
-    * recency dedup, before the top-k.
+    * recency dedup and tombstone drop, before the top-k.
     */
   def ivfPqTopKFromStreamIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, idCol: String, queryVec: Seq[Double], k: Int,
@@ -1416,23 +1444,10 @@ object StreamingOps {
     import graft.functions.{VectorFunctions => V}
     val cents = Similarity.readCentroids(spark, indexPath)
     val probes = Similarity.probeCellsRounded(cents, queryVec, nProbe)
-    def readOrEmpty(path: String): Option[DataFrame] =
-      graft.operators.Similarity.readParquetIfAny(spark, path)
-    val base = readOrEmpty(s"$indexPath/cells")
-      .map(_.filter(col("cell").isin(probes: _*))
-        .select(col(idCol), col("codes"), lit(-1L).as("__b")))
-    val delta = readOrEmpty(s"$indexPath/deltas")
-      .map(_.filter(col("cell").isin(probes: _*))
-        .select(col(idCol), col("codes"), col("batch_id").cast("long").as("__b")))
-    val parts = base.toSeq ++ delta.toSeq
-    require(parts.nonEmpty, s"no cells or deltas under $indexPath")
     val q = typedLit(queryVec)
-    // struct-fold + tombstone drop — see ivfTopKFromStreamIndex
-    rowFilter(parts.reduce(_ unionByName _)
-        .groupBy(col(idCol))
-        .agg(max_by(struct(col("codes")), col("__b")).as("__w"))
-        .select(col(idCol), col("__w.codes").as("codes"))
-        .filter(col("codes").isNotNull))
+    rowFilter(Similarity.cellsCurrent(spark, indexPath, idCol,
+        col("cell").isin(probes: _*))
+        .select(col(idCol), col("codes")))
       .select(col(idCol), round(
         V.cosine(Similarity.pqReconstruct(spark, indexPath), q), 6)
         .as("cosine"))

@@ -102,14 +102,11 @@ class TombstoneSpec extends SparkSpec {
     val expected = Similarity.ivfTopKFromIndexSQ8(spark, dir, "vec_id", q,
       k = 4, nProbe = 4).collect().map(_.toSeq).toSeq
     StreamingOps.compactIvfDeltas(spark, dir, includeLatest = true)
-    // bytes gone: the cells table no longer holds the victims, the
-    // folded delta directories are pruned
+    // bytes gone: the cells table no longer holds the victims, and the
+    // fully-applied tombstones are garbage-collected
     spark.read.parquet(s"$dir/cells")
       .filter(col("vec_id").isin(1L, 4L)).count() shouldBe 0L
-    new java.io.File(s"$dir/deltas").listFiles() match {
-      case null => succeed
-      case fs => fs.count(_.getName.startsWith("batch_id=")) shouldBe 0
-    }
+    new java.io.File(s"$dir/tombstones").exists() shouldBe false
     // probe identical before and after the physical removal
     Similarity.ivfTopKFromIndexSQ8(spark, dir, "vec_id", q,
       k = 4, nProbe = 4).collect().map(_.toSeq).toSeq shouldBe expected
@@ -173,5 +170,76 @@ class TombstoneSpec extends SparkSpec {
     StreamingOps.ivfTopKFromStreamIndex(spark, dir, "vec_id",
       q, k = 5, nProbe = 4).collect().map(_.getLong(0)).toSet shouldBe
       Set(2L, 3L, 7L)
+  }
+
+  test("a resumed stream neither erases a tombstone nor stays blocked by it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("tomb-resume").toString
+    val base = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndex(base, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val mk = () => StreamingOps.continuousIvfAppend(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, s"$dir-ckpt")
+    val s1 = mk().start()
+    try {
+      in.addData((6L, Seq(1.0, 0.01, 0.0, 0.0)))
+      s1.processAllAvailable()
+    } finally s1.stop()
+    // quiesced delete of a base id and a streamed id
+    Similarity.ivfDelete(ids(0L, 6L), "vec_id", dir)
+    // the stream RESUMES from its checkpoint: its next micro-batch id is
+    // exactly the one a deltas-channel tombstone would have claimed —
+    // the dedicated tombstone channel must survive this overwrite
+    val s2 = mk().start()
+    try {
+      in.addData((7L, Seq(0.98, 0.2, 0.0, 0.0)))
+      s2.processAllAvailable()
+      // and a LATER stream append legitimately re-inserts a deleted id
+      in.addData((6L, Seq(0.99, 0.1, 0.0, 0.0)))
+      s2.processAllAvailable()
+    } finally s2.stop()
+    val got = StreamingOps.ivfTopKFromStreamIndex(spark, dir, "vec_id",
+      q, k = 6, nProbe = 4).collect().map(_.getLong(0)).toSet
+    got shouldBe Set(2L, 6L, 7L) // 0 stays deleted; 6 re-inserted
+  }
+
+  test("probe of a stale cell does not resurface a moved id's old version") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("tomb-moved").toString
+    val vOld = Seq(-1.0, 0.0, 0.0, 0.0)
+    val vNew = Seq(0.999, 0.05, 0.0, 0.0)
+    val base = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (3L, vOld))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndex(base, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    val cents = Similarity.readCentroids(spark, dir)
+    def cellOf(v: Seq[Double]): Long =
+      Similarity.assignToCells(Seq((99L, v)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents)
+        .select(col("cell").cast("long")).head().getLong(0)
+    // the update MOVES cells — precondition of the stale-cell claim
+    cellOf(vOld) should not be cellOf(vNew)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val sq = StreamingOps.continuousIvfAppend(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, s"$dir-ckpt").start()
+    try {
+      in.addData((3L, vNew))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    // a query pointing along -e1 probes ONLY the old cell: the stale
+    // base version of id 3 must not resurface there — its current
+    // version lives in another cell, so the probe sees id 3 not at all
+    val towardOld = StreamingOps.ivfTopKFromStreamIndex(spark, dir,
+      "vec_id", vOld, k = 3, nProbe = 1).collect()
+    towardOld.map(_.getLong(0)) should not contain 3L
   }
 }
