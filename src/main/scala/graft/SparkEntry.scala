@@ -735,6 +735,24 @@ object SparkEntry {
       graft.operators.TrainingData.bm25FromIndex(s, idx, "doc_id",
         query = Seq("spark", "vector", "hash", "zeppelin"))
     }),
+    "text_bm25_deleted" -> ((s, dir) => {
+      // the takedown face of the retrieval index: two committed delete
+      // batches (overlapping victim sets — doc_id % 35 = 17 is in both,
+      // so the no-double-subtraction rule is hash-gated too), probed
+      // WITHOUT compaction: the negative df/stats deltas fold in and
+      // the victims' postings anti-join out. Oracle = direct bm25 over
+      // the surviving documents — the same exactness contract as
+      // text_bm25_indexed, through the deletion channel.
+      val docs = Tables.documents(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-bm25del"
+      graft.operators.TrainingData.bm25IndexWrite(docs, "doc_id", "text", idx)
+      graft.operators.TrainingData.bm25IndexDelete(
+        docs.filter(col("doc_id") % 5 === 2).select("doc_id"), "doc_id", idx)
+      graft.operators.TrainingData.bm25IndexDelete(
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id", idx)
+      graft.operators.TrainingData.bm25FromIndex(s, idx, "doc_id",
+        query = Seq("spark", "vector", "hash", "zeppelin"))
+    }),
     "pipeline_training_data" -> ((s, dir) =>
       // the composed product use-case: quality + language + length
       // filters, then exact-dedup survivors — one declarative chain
@@ -3082,6 +3100,11 @@ object SparkEntry {
     // same tokenization, same non-negative idf, same k1=1.2/b=0.75, and
     // the same integer micro-unit sum — bit-for-bit replay
     "text_bm25" -> bm25Oracle,
+    // the deletion channel is exact: scores equal direct bm25 over the
+    // surviving docs (df/stats corrected by the negative delete deltas,
+    // victim postings anti-joined out, overlapping deletes counted once)
+    "text_bm25_deleted" ->
+      bm25OracleWhere("WHERE NOT (doc_id % 5 = 2 OR doc_id % 7 = 3)"),
     // the indexed probe holds BIT-IDENTICAL scores to the direct scan
     // (shared scoring tail, exact-integer df/stats folds), so the two
     // queries share one oracle — equality IS the index's contract
@@ -5095,12 +5118,18 @@ object SparkEntry {
   /** Okapi BM25 replay (shared by text_bm25 and text_bm25_indexed — the
     * indexed probe is contractually bit-identical to the direct scan).
     */
-  private lazy val bm25Oracle: String =
-    """WITH tok AS (SELECT doc_id,
+  private lazy val bm25Oracle: String = bm25OracleWhere("")
+
+  /** The direct-bm25 replay over `documents` restricted by `where` —
+    * shared by the corpus, indexed, and deletion-channel faces (all
+    * three contract bit-identical scores over their live doc set).
+    */
+  private def bm25OracleWhere(where: String): String =
+    s"""WITH tok AS (SELECT doc_id,
            CASE WHEN text IS NULL THEN NULL
                 WHEN trim(text) = '' THEN []::VARCHAR[]
-                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
-         FROM documents),
+                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS t
+         FROM documents $where),
        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tok WHERE t IS NOT NULL),
        stats AS (SELECT (SELECT count(*) FROM tok)::DOUBLE AS n,
                         coalesce((SELECT avg(dl) FROM dl), 1.0) AS avgdl),

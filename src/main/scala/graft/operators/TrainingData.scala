@@ -1531,6 +1531,12 @@ object TrainingData {
     docs.sparkSession.range(1)
       .select(lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$path/meta")
+    // a rebuild supersedes every pending delete — retired only AFTER
+    // the new base lands (the Similarity.clearSideChannels discipline)
+    val root = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = root.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
   }
 
   /** Append a new batch to a [[bm25IndexWrite]] index: postings + df
@@ -1565,7 +1571,13 @@ object TrainingData {
     val toks = docs
       .select(col(idCol), T.normTokens(col(textCol)).as("__t"))
       .select(col(idCol), col("__t"), size(col("__t")).as("__dli"))
-      .localCheckpoint(true) // stats + postings read it
+      .localCheckpoint(true) // stats + postings + doclens read it
+    // (id, dl) for EVERY indexed doc — including null-text (dl NULL)
+    // and token-less (dl 0) docs that never reach the postings table:
+    // bm25IndexDelete needs each victim's exact stats contribution, and
+    // postings alone cannot reconstruct it for such docs
+    toks.select(col(idCol), col("__dli").cast("long").as("dl"))
+      .write.mode(mode).parquet(s"$path/doclens")
     val postings = toks
       .select(col(idCol), col("__dli"), explode(col("__t")).as("term"))
       .groupBy(col(idCol), col("__dli"), col("term"))
@@ -1610,12 +1622,35 @@ object TrainingData {
     def pruned(sub: String): DataFrame =
       spark.read.parquet(s"$path/$sub")
         .filter(col("tb").isin(buckets: _*) && col("term").isin(qTerms: _*))
-    val tf = pruned("postings")
+    // committed deletes fold in like any other batch: their df/stats
+    // rows are NEGATIVE exact integers (sum order invisible) and their
+    // victim postings are anti-joined out of scoring. No deletes → the
+    // plan is byte-identical to the pre-deletion one.
+    val deletes = bm25DeleteDirs(spark, path)
+    val tf0 = pruned("postings")
       .select(col(idCol), col("term"), col("tf").cast("double").as("__tf"),
         col("dl").cast("double").as("__dl"))
-    val dfT = pruned("df").groupBy("term")
+    val tf = deletes match {
+      case None => tf0
+      case Some(dirs) => tf0.join(
+        spark.read.parquet(dirs.map(d => s"$d/ids"): _*),
+        Seq(idCol), "left_anti")
+    }
+    def withDeletes(df0: DataFrame, sub: String): DataFrame =
+      deletes match {
+        case None => df0
+        case Some(dirs) =>
+          df0.unionByName(spark.read.parquet(dirs.map(d => s"$d/$sub"): _*)
+            .filter(col("tb").isin(buckets: _*) && col("term").isin(qTerms: _*)))
+      }
+    val dfT = withDeletes(pruned("df"), "df").groupBy("term")
       .agg(sum(col("df")).cast("double").as("__df"))
-    val stats = spark.read.parquet(s"$path/stats")
+    val statsAll = deletes match {
+      case None => spark.read.parquet(s"$path/stats")
+      case Some(dirs) => spark.read.parquet(s"$path/stats")
+        .unionByName(spark.read.parquet(dirs.map(d => s"$d/stats"): _*))
+    }
+    val stats = statsAll
       .agg(sum(col("n_docs")).cast("double").as("__n"),
         // exact long sums ⇒ avgdl is append-order-invariant; the
         // coalesce mirrors bm25's all-null-dl fallback
@@ -1623,5 +1658,181 @@ object TrainingData {
           sum(col("sum_dl")).cast("double") / sum(col("n_dl")).cast("double"))
           .otherwise(lit(1.0)).as("__avgdl"))
     bm25Score(tf, dfT, stats, idCol, k1, b)
+  }
+
+  /** DELETE (takedown) face of the BM25 index — the tombstone
+    * discipline ([[graft.operators.Similarity.ivfDelete]]) applied to
+    * retrieval: each call stages one atomic delete batch under
+    * `<path>/deletes/<n>/` holding
+    *
+    *  - `ids` — the victim ids actually present in the index (and not
+    *    already deleted: double-deleting must not double-subtract),
+    *  - `df` — NEGATIVE per-(term, tb) document-frequency deltas, from
+    *    one column-pruned postings pass over the victims' rows,
+    *  - `stats` — one NEGATIVE (n_docs, n_dl, sum_dl) row, exact from
+    *    the `doclens` table (postings alone cannot reconstruct a
+    *    token-less or null-text victim's stats contribution),
+    *
+    * made visible ATOMICALLY by a `_COMMIT` marker (the triangle-index
+    * batch protocol — a crash between the three writes can neither
+    * half-apply a delete nor double-apply it on retry: uncommitted
+    * directories are invisible and swept here). [[bm25FromIndex]] then
+    * folds the negative deltas into df/stats — both are exact-integer
+    * sums, so order is invisible — and anti-joins victim postings out
+    * of scoring; [[bm25IndexCompact]] makes the removal physical.
+    *
+    * Nothing corpus-partitioned is rewritten at delete time. Contract:
+    * a deleted id must not be re-appended until after a compact or
+    * rebuild (the append contract already requires fresh ids); indexes
+    * built before the `doclens` table fail loudly with a rebuild
+    * instruction.
+    */
+  def bm25IndexDelete(ids: DataFrame, idCol: String, path: String): Unit = {
+    val spark = ids.sparkSession
+    val doclens =
+      try spark.read.parquet(s"$path/doclens")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"$path has no doclens table - the index predates deletion " +
+              "support (or the path is not a bm25 index); rebuild with " +
+              "bm25IndexWrite", e)
+      }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sweep crashed (uncommitted) attempts — invisible to every reader
+    val root = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      if (st.isDirectory &&
+          !fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMIT")))
+        fs.delete(st.getPath, true)
+    }
+    val prior = bm25DeleteDirs(spark, path)
+    // victims = requested ∩ indexed ∖ already-deleted, with their exact
+    // stats contribution from doclens
+    var victims = doclens
+      .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    prior.foreach { dirs =>
+      victims = victims.join(
+        spark.read.parquet(dirs.map(d => s"$d/ids"): _*),
+        Seq(idCol), "left_anti")
+    }
+    victims = victims.localCheckpoint(true) // ids + stats + df read it
+    try {
+      if (victims.isEmpty) return
+      val nextN = (Seq(-1L) ++ (if (fs.exists(root))
+        fs.listStatus(root).toSeq.flatMap(st =>
+          scala.util.Try(st.getPath.getName.toLong).toOption)
+        else Seq.empty)).max + 1
+      val bdir = s"$path/deletes/$nextN"
+      victims.select(col(idCol))
+        .write.mode("overwrite").parquet(s"$bdir/ids")
+      victims.agg((-count(lit(1))).as("n_docs"),
+          (-count(col("dl"))).as("n_dl"),
+          (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$bdir/stats")
+      // one column-pruned postings pass: each victim posting row is one
+      // df unit to give back on its (term, tb)
+      spark.read.parquet(s"$path/postings")
+        .select(col("term"), col(idCol), col("tb"))
+        .join(victims.select(col(idCol)), Seq(idCol), "left_semi")
+        .groupBy(col("term"), col("tb"))
+        .agg((-count(lit(1))).as("df"))
+        .write.mode("overwrite").parquet(s"$bdir/df")
+      // the atomic commit point
+      fs.create(new org.apache.hadoop.fs.Path(s"$bdir/_COMMIT"), true).close()
+    } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(victims)
+  }
+
+  /** Committed delete-batch directories of a BM25 index (the `_COMMIT`
+    * marker exists), or None when the channel is absent/empty.
+    */
+  private def bm25DeleteDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Seq[String]] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else {
+      val dirs = fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMIT")))
+        .map(_.getPath.toString)
+      if (dirs.isEmpty) None else Some(dirs)
+    }
+  }
+
+  /** Physically apply a BM25 index's committed deletes: rewrite the
+    * victim-touched posting buckets minus the victims (dynamic partition
+    * overwrite — untouched buckets keep their files), rewrite `doclens`
+    * minus the victims, then RECOMPUTE `df` for the touched buckets and
+    * `stats` for the whole index from the compacted ground truth —
+    * recomputation (not delta folding) is what makes a crashed
+    * compaction safely re-runnable: every step is a pure function of
+    * (current tables, committed victims). Finally the delete channel is
+    * removed. Maintenance is EXCLUSIVE: don't probe concurrently, and
+    * re-run to completion after a crash before resuming probes (between
+    * the stats rewrite and the channel removal a reader would fold the
+    * delete twice).
+    */
+  def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val dirs = bm25DeleteDirs(spark, path).getOrElse(return)
+    val victims = spark.read.parquet(dirs.map(d => s"$d/ids"): _*)
+      .distinct().localCheckpoint(true)
+    val idCol = victims.columns.head
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      // touched buckets: driver-bounded (≤nBuckets) from the delete
+      // batches' df deltas — buckets without victims are never read
+      val touched = spark.read.parquet(dirs.map(d => s"$d/df"): _*)
+        .select(col("tb").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      if (touched.nonEmpty) {
+        val kept = spark.read.parquet(s"$path/postings")
+          .filter(col("tb").isin(touched: _*))
+          .join(victims, Seq(idCol), "left_anti")
+          .localCheckpoint(true) // postings rewrite + df recompute read it
+        kept.repartition(col("tb"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("tb")
+          .parquet(s"$path/postings")
+        // a bucket emptied entirely keeps its stale directory under
+        // dynamic overwrite — remove it, and its df partition, directly
+        val outTb = kept.select(col("tb").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        // recompute df for the touched buckets from the compacted rows
+        kept.groupBy(col("term"), col("tb"))
+          .agg(count(lit(1)).as("df"))
+          .repartition(col("tb"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("tb")
+          .parquet(s"$path/df")
+        touched.filterNot(outTb).foreach { tb =>
+          Seq("postings", "df").foreach { t =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t/tb=$tb"), true)
+          }
+        }
+        org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(kept)
+      }
+      // doclens minus victims — checkpointed before overwriting the
+      // table it reads
+      val dlKept = spark.read.parquet(s"$path/doclens")
+        .join(victims, Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      dlKept.write.mode("overwrite").parquet(s"$path/doclens")
+      // stats from ground truth: one row replacing every batch row
+      val newStats = dlKept
+        .agg(count(lit(1)).as("n_docs"), count(col("dl")).as("n_dl"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+        .repartition(1).localCheckpoint(true)
+      newStats.write.mode("overwrite").parquet(s"$path/stats")
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(dlKept)
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(newStats)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
+    } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(victims)
   }
 }

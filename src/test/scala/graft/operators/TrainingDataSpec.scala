@@ -587,6 +587,64 @@ class TrainingDataSpec extends SparkSpec {
     plan should include("tb")
   }
 
+  test("bm25IndexDelete: probe equals direct bm25 over survivors; compact is physical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark common common common common"),
+      (2L, "vector common common common common common common"),
+      (3L, "common common common common common common common"),
+      (4L, ""), // token-less doc: its stats live only in doclens
+      (5L, "spark vector spark common words appear here too"),
+      (6L, "nothing relevant in this one at all")).toDF("doc_id", "text")
+    val q = Seq("spark", "vector", "absentterm")
+    val dir = java.nio.file.Files.createTempDirectory("bm25del").toString
+    TrainingData.bm25IndexWrite(docs, "doc_id", "text", dir, nBuckets = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def direct(ids: Long*) = rows(TrainingData.bm25(
+      docs.filter(!col("doc_id").isin(ids: _*)), "doc_id", "text", q))
+    // delete a scoring doc AND the token-less doc: df ('spark' loses a
+    // doc), N, and avgdl all move — every surviving score changes
+    TrainingData.bm25IndexDelete(Seq(1L, 4L).toDF("doc_id"), "doc_id", dir)
+    rows(TrainingData.bm25FromIndex(spark, dir, "doc_id", q)) shouldBe
+      direct(1L, 4L)
+    // double-delete (1 again) plus a fresh victim: counted once each
+    TrainingData.bm25IndexDelete(Seq(1L, 2L).toDF("doc_id"), "doc_id", dir)
+    rows(TrainingData.bm25FromIndex(spark, dir, "doc_id", q)) shouldBe
+      direct(1L, 2L, 4L)
+    // deleting an id the index never held is a no-op (no delete batch)
+    TrainingData.bm25IndexDelete(Seq(99L).toDF("doc_id"), "doc_id", dir)
+    rows(TrainingData.bm25FromIndex(spark, dir, "doc_id", q)) shouldBe
+      direct(1L, 2L, 4L)
+    // compaction: postings/doclens physically lose the victims, df and
+    // stats are recomputed from ground truth, the channel is gone, and
+    // the probe is unchanged
+    TrainingData.bm25IndexCompact(spark, dir)
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id").isin(1L, 2L)).count() shouldBe 0L
+    spark.read.parquet(s"$dir/doclens")
+      .filter(col("doc_id").isin(1L, 2L, 4L)).count() shouldBe 0L
+    new java.io.File(s"$dir/deletes").exists() shouldBe false
+    rows(TrainingData.bm25FromIndex(spark, dir, "doc_id", q)) shouldBe
+      direct(1L, 2L, 4L)
+    // post-compaction the id is re-appendable (the re-insert contract)
+    TrainingData.bm25IndexAppend(
+      Seq((1L, "spark spark spark common common common common"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir)
+    rows(TrainingData.bm25FromIndex(spark, dir, "doc_id", q)) shouldBe
+      direct(2L, 4L)
+    // an index built before the doclens table refuses to delete
+    val old = java.nio.file.Files.createTempDirectory("bm25old").toString
+    TrainingData.bm25IndexWrite(docs, "doc_id", "text", old, nBuckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(old)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$old/doclens"), true)
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.bm25IndexDelete(Seq(1L).toDF("doc_id"), "doc_id", old)
+    }
+    e.getMessage should include("doclens")
+  }
+
   test("decontaminateFromIndex: identical to direct, appends fold, probe prunes") {
     import spark.implicits._
     val evalDoc = "the quick brown fox jumps over the lazy dog today"
