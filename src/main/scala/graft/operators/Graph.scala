@@ -329,14 +329,7 @@ object Graph {
     // re-sent batch's edges are still invisible, so the anti-join keeps
     // them and the crashed uncommitted directory is swept here) nor
     // under-count (readers never see a half-written batch)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchesRoot = new org.apache.hadoop.fs.Path(s"$path/batches")
-    if (fs.exists(batchesRoot)) fs.listStatus(batchesRoot).foreach { st =>
-      if (st.isDirectory &&
-          !fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMIT")))
-        fs.delete(st.getPath, true) // crashed attempt — invisible garbage
-    }
+    AtomicBatches.sweepUncommitted(spark, s"$path/batches")
     val old = indexEdges(spark, path)
     val canon = canonicalUndirected(newEdges, srcCol, dstCol)
     val delta = canon
@@ -377,18 +370,14 @@ object Graph {
           greatest(col("z"), col("t")) === col("__b2"))
       .filter(!(col("e1_new") && col("e1k") > dkey) &&
         !(col("e2_new") && col("e2k") > dkey))
-    val nextBatch = (Seq(-1L) ++ (if (fs.exists(batchesRoot))
-      fs.listStatus(batchesRoot).toSeq.flatMap(st =>
-        scala.util.Try(st.getPath.getName.toLong).toOption)
-      else Seq.empty)).max + 1
-    val bdir = s"$path/batches/$nextBatch"
+    val bdir =
+      s"$path/batches/${AtomicBatches.nextBatchN(spark, s"$path/batches")}"
     closed
       .select(explode(array(col("a"), col("b"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("d_triangles"))
       .write.mode("overwrite").parquet(s"$bdir/counts")
     delta.select("a", "b").write.mode("overwrite").parquet(s"$bdir/edges")
-    // the atomic commit point: one zero-byte file create
-    fs.create(new org.apache.hadoop.fs.Path(s"$bdir/_COMMIT"), true).close()
+    AtomicBatches.commit(spark, bdir)
     // the append face is the REPEATEDLY-CALLED ingestion path: release
     // this call's pinned blocks so N appends don't hold N edge-table
     // copies (the kCenterGreedy / pageRank discipline)
@@ -397,20 +386,13 @@ object Graph {
   }
 
   /** The batch directories of a triangle index that are COMMITTED —
-    * their `_COMMIT` marker exists. Uncommitted directories are crashed
-    * append attempts: invisible to every reader, swept by the next
-    * append.
+    * the [[AtomicBatches]] protocol. Uncommitted directories are
+    * crashed append attempts: invisible to every reader, swept by the
+    * next append.
     */
   private def committedBatchDirs(
-      spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/batches")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory &&
-        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMIT")))
-      .map(_.getPath.toString)
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
+    AtomicBatches.committedDirs(spark, s"$path/batches")
 
   /** The index's full edge set: the base table ∪ every committed
     * batch's edge delta.

@@ -1544,9 +1544,21 @@ object TrainingData {
     * count. Ids must be disjoint from the indexed corpus.
     */
   def bm25IndexAppend(newDocs: DataFrame, idCol: String,
-      textCol: String, path: String): Unit =
+      textCol: String, path: String): Unit = {
+    // appending to a pre-doclens (legacy) index would CREATE a doclens
+    // table holding only the new batch — bm25IndexDelete's loud-error
+    // guard would then pass while silently no-opping deletes of base
+    // ids, and a compaction would recompute stats from the partial
+    // table. Fail here instead, like the missing-meta case.
+    val spark = newDocs.sparkSession
+    val dl = new org.apache.hadoop.fs.Path(s"$path/doclens")
+    val fsDl = dl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fsDl.exists(dl),
+      s"$path has no doclens table - the index predates deletion " +
+        "support; rebuild with bm25IndexWrite before appending")
     bm25IndexOut(newDocs, idCol, textCol, path,
-      bm25IndexBuckets(newDocs.sparkSession, path), overwrite = false)
+      bm25IndexBuckets(spark, path), overwrite = false)
+  }
 
   /** The frozen bucket count of a [[bm25IndexWrite]] index. A missing
     * meta table fails with a rebuild instruction rather than a bare
@@ -1597,6 +1609,10 @@ object TrainingData {
         coalesce(sum(col("__dli").cast("long")), lit(0L)).as("sum_dl"))
       .repartition(1)
       .write.mode(mode).parquet(s"$path/stats")
+    // the append face is a repeat-called ingestion path: release this
+    // call's pinned blocks (the trianglesIndexAppend discipline)
+    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(postings)
+    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(toks)
   }
 
   /** Probe a [[bm25IndexWrite]] index: identical scores to running
@@ -1619,9 +1635,16 @@ object TrainingData {
     val buckets = qTerms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .distinct().collect().map(_.getLong(0))
+    // a compaction that deleted EVERY doc leaves postings/df as roots
+    // with zero partitions — schema inference over zero files throws,
+    // and an empty index must answer with no hits, not crash
     def pruned(sub: String): DataFrame =
-      spark.read.parquet(s"$path/$sub")
-        .filter(col("tb").isin(buckets: _*) && col("term").isin(qTerms: _*))
+      graft.operators.Similarity.readParquetIfAny(spark, s"$path/$sub")
+        .map(_.filter(col("tb").isin(buckets: _*) &&
+          col("term").isin(qTerms: _*)))
+        .getOrElse(spark.range(0).select(lit(0L).as(idCol),
+          lit("").as("term"), lit(0L).as("tf"), lit(0L).as("dl"),
+          lit(0L).as("tb"), lit(0L).as("df")))
     // committed deletes fold in like any other batch: their df/stats
     // rows are NEGATIVE exact integers (sum order invisible) and their
     // victim postings are anti-joined out of scoring. No deletes → the
@@ -1698,15 +1721,8 @@ object TrainingData {
               "support (or the path is not a bm25 index); rebuild with " +
               "bm25IndexWrite", e)
       }
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // sweep crashed (uncommitted) attempts — invisible to every reader
-    val root = new org.apache.hadoop.fs.Path(s"$path/deletes")
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      if (st.isDirectory &&
-          !fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMIT")))
-        fs.delete(st.getPath, true)
-    }
+    AtomicBatches.sweepUncommitted(spark, s"$path/deletes")
     val prior = bm25DeleteDirs(spark, path)
     // victims = requested ∩ indexed ∖ already-deleted, with their exact
     // stats contribution from doclens
@@ -1720,11 +1736,8 @@ object TrainingData {
     victims = victims.localCheckpoint(true) // ids + stats + df read it
     try {
       if (victims.isEmpty) return
-      val nextN = (Seq(-1L) ++ (if (fs.exists(root))
-        fs.listStatus(root).toSeq.flatMap(st =>
-          scala.util.Try(st.getPath.getName.toLong).toOption)
-        else Seq.empty)).max + 1
-      val bdir = s"$path/deletes/$nextN"
+      val bdir =
+        s"$path/deletes/${AtomicBatches.nextBatchN(spark, s"$path/deletes")}"
       victims.select(col(idCol))
         .write.mode("overwrite").parquet(s"$bdir/ids")
       victims.agg((-count(lit(1))).as("n_docs"),
@@ -1740,26 +1753,18 @@ object TrainingData {
         .groupBy(col("term"), col("tb"))
         .agg((-count(lit(1))).as("df"))
         .write.mode("overwrite").parquet(s"$bdir/df")
-      // the atomic commit point
-      fs.create(new org.apache.hadoop.fs.Path(s"$bdir/_COMMIT"), true).close()
+      AtomicBatches.commit(spark, bdir)
     } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(victims)
   }
 
-  /** Committed delete-batch directories of a BM25 index (the `_COMMIT`
-    * marker exists), or None when the channel is absent/empty.
+  /** Committed delete-batch directories of a BM25 index (the
+    * [[AtomicBatches]] protocol), or None when the channel is
+    * absent/empty.
     */
   private def bm25DeleteDirs(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[Seq[String]] = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/deletes")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) None
-    else {
-      val dirs = fs.listStatus(root).toSeq
-        .filter(st => st.isDirectory &&
-          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMIT")))
-        .map(_.getPath.toString)
-      if (dirs.isEmpty) None else Some(dirs)
-    }
+    val dirs = AtomicBatches.committedDirs(spark, s"$path/deletes")
+    if (dirs.isEmpty) None else Some(dirs)
   }
 
   /** Physically apply a BM25 index's committed deletes: rewrite the
@@ -1783,6 +1788,11 @@ object TrainingData {
     val idCol = victims.columns.head
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every checkpoint lands here and is released in the finally — a
+    // failed bucket rewrite must not leak posting-scale pinned blocks
+    // into the re-run the docstring requires
+    val pinned = scala.collection.mutable.ListBuffer[DataFrame](victims)
+    def pin(df: DataFrame): DataFrame = { pinned += df; df }
     try {
       // touched buckets: driver-bounded (≤nBuckets) from the delete
       // batches' df deltas — buckets without victims are never read
@@ -1790,10 +1800,10 @@ object TrainingData {
         .select(col("tb").cast("long")).distinct()
         .collect().map(_.getLong(0)).sorted
       if (touched.nonEmpty) {
-        val kept = spark.read.parquet(s"$path/postings")
+        val kept = pin(spark.read.parquet(s"$path/postings")
           .filter(col("tb").isin(touched: _*))
           .join(victims, Seq(idCol), "left_anti")
-          .localCheckpoint(true) // postings rewrite + df recompute read it
+          .localCheckpoint(true)) // postings rewrite + df recompute read it
         kept.repartition(col("tb"))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -1816,23 +1826,21 @@ object TrainingData {
             fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t/tb=$tb"), true)
           }
         }
-        org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(kept)
       }
       // doclens minus victims — checkpointed before overwriting the
       // table it reads
-      val dlKept = spark.read.parquet(s"$path/doclens")
+      val dlKept = pin(spark.read.parquet(s"$path/doclens")
         .join(victims, Seq(idCol), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       dlKept.write.mode("overwrite").parquet(s"$path/doclens")
       // stats from ground truth: one row replacing every batch row
-      val newStats = dlKept
+      val newStats = pin(dlKept
         .agg(count(lit(1)).as("n_docs"), count(col("dl")).as("n_dl"),
           coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-        .repartition(1).localCheckpoint(true)
+        .repartition(1).localCheckpoint(true))
       newStats.write.mode("overwrite").parquet(s"$path/stats")
-      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(dlKept)
-      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(newStats)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
-    } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(victims)
+    } finally pinned.foreach(
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint)
   }
 }

@@ -633,7 +633,10 @@ class TrainingDataSpec extends SparkSpec {
         .toDF("doc_id", "text"), "doc_id", "text", dir)
     rows(TrainingData.bm25FromIndex(spark, dir, "doc_id", q)) shouldBe
       direct(2L, 4L)
-    // an index built before the doclens table refuses to delete
+    // an index built before the doclens table refuses to delete AND to
+    // append (an append would create a partial doclens, silently
+    // no-opping base-id deletes and corrupting a later compaction's
+    // recomputed stats)
     val old = java.nio.file.Files.createTempDirectory("bm25old").toString
     TrainingData.bm25IndexWrite(docs, "doc_id", "text", old, nBuckets = 4)
     val fs = new org.apache.hadoop.fs.Path(old)
@@ -643,6 +646,25 @@ class TrainingDataSpec extends SparkSpec {
       TrainingData.bm25IndexDelete(Seq(1L).toDF("doc_id"), "doc_id", old)
     }
     e.getMessage should include("doclens")
+    intercept[IllegalArgumentException] {
+      TrainingData.bm25IndexAppend(
+        Seq((50L, "more text")).toDF("doc_id", "text"), "doc_id", "text", old)
+    }.getMessage should include("doclens")
+  }
+
+  test("bm25: deleting every doc then compacting leaves a probeable empty index") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark common"), (2L, "vector common"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25empty").toString
+    TrainingData.bm25IndexWrite(docs, "doc_id", "text", dir, nBuckets = 4)
+    TrainingData.bm25IndexDelete(Seq(1L, 2L).toDF("doc_id"), "doc_id", dir)
+    val q = Seq("spark", "vector")
+    TrainingData.bm25FromIndex(spark, dir, "doc_id", q).count() shouldBe 0L
+    // compaction empties every posting bucket; the probe must answer
+    // empty, not crash on schema inference over zero partitions
+    TrainingData.bm25IndexCompact(spark, dir)
+    TrainingData.bm25FromIndex(spark, dir, "doc_id", q).count() shouldBe 0L
   }
 
   test("decontaminateFromIndex: identical to direct, appends fold, probe prunes") {
