@@ -1968,8 +1968,9 @@ object SparkEntry {
     "sim_ivf_deleted" -> ((s, dir) => {
       // the DELETION (takedown) discipline, probed end to end: build the
       // derandomized two-tier index over the FULL corpus, tombstone
-      // vec_id % 7 = 3 (Similarity.ivfDelete — null-payload rows in the
-      // delta channel, honored by the recency fold on every face), then
+      // vec_id % 7 = 3 (Similarity.ivfDelete — (id, up_to) rows in the
+      // dedicated tombstones/ channel, applied by the cellsCurrent fold
+      // on every face: a version dies iff batch_id <= up_to), then
       // the refine probe. FULL bit-for-bit replay: the oracle rebuilds
       // the index over the full corpus — cells, centroids, codebooks
       // all trained WITH the victims, because deletion must NOT retrain

@@ -14,8 +14,73 @@ import org.apache.spark.sql.SparkSession
   *
   * Writers are sequential per channel (the ingestion contract every
   * maintenance face here documents); numbering is max-existing + 1.
+  *
+  * MAINTENANCE LOCK: compaction rewrites corpus-partitioned tables in
+  * place, so its exclusivity contract ("don't probe concurrently;
+  * re-run after a crash") used to be docstring-only — a probe racing a
+  * half-rewritten postings bucket or cells partition would silently
+  * double-fold or miss rows. [[withMaintenanceLock]] turns that into
+  * an error: a `_MAINT` marker at the index root is created when
+  * compaction starts and removed when it COMPLETES; every read/write
+  * face calls [[assertNotInMaintenance]] and fails loudly while it is
+  * present. A crashed compaction deliberately LEAVES the marker (the
+  * index may be mid-rewrite — probes must keep failing), and the next
+  * compaction refuses to start on the stale marker unless the caller
+  * passes `takeover = true`, asserting no other maintenance is live.
+  * A FULL rebuild also clears the marker: it overwrites every table,
+  * making the interrupted compaction moot.
   */
-private[operators] object AtomicBatches {
+private[graft] object AtomicBatches {
+
+  /** True while a maintenance (compaction) pass owns the index. */
+  def maintenanceActive(spark: SparkSession, indexPath: String): Boolean = {
+    val (fs, _) = fsOf(spark, indexPath)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/_MAINT"))
+  }
+
+  /** Loud guard every probe/delete/append face places before touching
+    * an index's tables — `face` names the caller in the error.
+    */
+  def assertNotInMaintenance(spark: SparkSession, indexPath: String,
+      face: String): Unit =
+    require(!maintenanceActive(spark, indexPath),
+      s"$face: index at $indexPath is under maintenance (_MAINT marker " +
+      "present) — a compaction is running, or one crashed mid-rewrite " +
+      "and the index may be inconsistent. Wait for / re-run the " +
+      "compaction (takeover = true resumes after a crash); a full " +
+      "rebuild also clears the marker.")
+
+  /** Run `body` holding the index's exclusive maintenance marker. The
+    * marker is removed only on SUCCESS — a crash leaves it so every
+    * face keeps failing until compaction re-runs to completion
+    * (`takeover = true`, required on a stale marker) or a rebuild
+    * supersedes the index. `body` must not use non-local returns (they
+    * would skip the release and strand the marker).
+    */
+  def withMaintenanceLock[T](spark: SparkSession, indexPath: String,
+      takeover: Boolean)(body: => T): T = {
+    val (fs, _) = fsOf(spark, indexPath)
+    val m = new org.apache.hadoop.fs.Path(s"$indexPath/_MAINT")
+    if (fs.exists(m)) require(takeover,
+      s"stale _MAINT marker at $indexPath: a maintenance pass is live " +
+      "or crashed mid-rewrite. Confirm none is running, then re-run " +
+      "with takeover = true to resume (safe: compaction steps are pure " +
+      "functions of the current tables and re-runnable).")
+    else fs.create(m, false).close()
+    val out = body
+    fs.delete(m, false)
+    out
+  }
+
+  /** Remove the maintenance marker if present — the full-rebuild faces
+    * call this: a rebuild overwrites every table, making whatever the
+    * interrupted compaction left behind moot.
+    */
+  def clearMaintenance(spark: SparkSession, indexPath: String): Unit = {
+    val (fs, _) = fsOf(spark, indexPath)
+    val m = new org.apache.hadoop.fs.Path(s"$indexPath/_MAINT")
+    if (fs.exists(m)) fs.delete(m, false)
+  }
 
   private def fsOf(spark: SparkSession, root: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {

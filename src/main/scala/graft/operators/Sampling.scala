@@ -567,6 +567,16 @@ object Sampling {
     * first the corpus seed (lowest id), then centers in reduction
     * order — persist it and score/grow with [[kCenterAssign]] /
     * [[kCenterExtend]] exactly like the greedy coreset.
+    *
+    * SHORTFALL CONTRACT (unlike [[kCenterCenters]], which yields
+    * exactly t given ≥ t distinct vectors): the result can carry FEWER
+    * than t centers in two cases — (a) the corpus's residual mass hit
+    * zero (every row coincides with a candidate: full coverage, benign,
+    * mirrors the greedy's early stop), or (b) the sampled candidate
+    * pool ran out before t centers (raise `rounds` / `oversample`).
+    * Case (b) is surfaced with a stderr warning so callers sizing
+    * downstream structures to t get a signal; check `count()` of the
+    * returned frame before depending on t.
     */
   def kCenterParCenters(df: DataFrame, idCol: String, vecCol: String,
       t: Int, rounds: Int = 5, oversample: Double = 2.0): DataFrame = {
@@ -624,6 +634,13 @@ object Sampling {
     // first, ties to the lowest id, stop when the farthest distance
     // hits 0), in plain arithmetic over ≤ 1 + rounds·l rows
     val reduced = greedyReduce(cands, t)
+    // shortfall signal (doc contract above): fewer than t centers is
+    // benign only under full corpus coverage (`exhausted` — residual
+    // mass hit zero); a pool-limited shortfall deserves a loud note
+    if (reduced.length < t && !exhausted)
+      System.err.println(s"[graft] kCenterParCenters: ${reduced.length}" +
+        s" < t=$t centers — candidate pool exhausted before t (corpus" +
+        " not fully covered); raise rounds/oversample")
     reduced.zipWithIndex
       .map { case ((cid, cv), i) => (i + 1, cid, cv) }
       .toDF("ord", "center_id", "centroid")

@@ -282,10 +282,12 @@ object Similarity {
     * a full rebuild may place appended rows differently.
     */
   def ivfAppendPQ(df: DataFrame, idCol: String, vecCol: String,
-      indexPath: String): Unit =
+      indexPath: String): Unit = {
+    requireNoPendingTombstones(df, idCol, indexPath)
     pqDeltaRows(df, idCol, vecCol, indexPath)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/cells")
+  }
 
   /** A new batch's (id, cell, codes) rows against a FROZEN
     * [[ivfWriteIndexPQ]] index — the shared assignment+encode behind
@@ -694,10 +696,46 @@ object Similarity {
     */
   def ivfAppend(df: DataFrame, idCol: String, vecCol: String,
       indexPath: String): Unit = {
+    requireNoPendingTombstones(df, idCol, indexPath)
     val cents = readCentroids(df.sparkSession, indexPath)
     assignToCells(df, idCol, vecCol, cents)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/cells")
+  }
+
+  /** Guard on the BATCH append faces ([[ivfAppend]]/[[ivfAppendSQ8]]/
+    * [[ivfAppendPQ]]): they write straight into the base, where rows
+    * rank −1 — BELOW every pending tombstone — so appending a
+    * tombstoned id would succeed on disk yet stay invisible to every
+    * probe (the tombstone kills it), a silent write the caller would
+    * misread as a re-insert. Fail loudly with the fix instead:
+    * compact first ([[graft.streaming.StreamingOps.compactIvfDeltas]]
+    * GCs applied tombstones), then re-append. One broadcast semi-join
+    * of the append batch against the small tombstone id list — no
+    * index scan. The STREAM append faces are exempt by design: their
+    * delta rows carry a batch_id above any tombstone's `up_to`, so a
+    * stream append legitimately resurrects.
+    */
+  private def requireNoPendingTombstones(df: DataFrame, idCol: String,
+      indexPath: String): Unit = {
+    // doubles as the append faces' maintenance guard: compaction
+    // rewrites the very cell partitions an append lands in
+    AtomicBatches.assertNotInMaintenance(df.sparkSession, indexPath,
+      "batch append")
+    readParquetIfAny(df.sparkSession, s"$indexPath/tombstones")
+      .foreach { ts =>
+        val victims = df.select(col(idCol))
+          .join(broadcast(ts.select(col(idCol)).distinct()),
+            Seq(idCol), "left_semi")
+          .limit(5).collect().map(_.get(0))
+        require(victims.isEmpty,
+          s"batch append to $indexPath includes ids with PENDING " +
+          s"tombstones (e.g. ${victims.mkString(", ")}): base rows rank " +
+          "below every tombstone, so the append would be silently " +
+          "invisible to probes. Run StreamingOps.compactIvfDeltas first " +
+          "(GCs applied tombstones), then re-append — or use the stream " +
+          "append face, whose delta batches legitimately resurrect ids.")
+      }
   }
 
   /** [[ivfAppend]] against an [[ivfWriteIndexSQ8]] index: the same
@@ -707,6 +745,7 @@ object Similarity {
     */
   def ivfAppendSQ8(df: DataFrame, idCol: String, vecCol: String,
       indexPath: String): Unit = {
+    requireNoPendingTombstones(df, idCol, indexPath)
     val cents = readCentroids(df.sparkSession, indexPath)
     sq8Rows(assignToCells(df, idCol, vecCol, cents), idCol)
       .repartition(col("cell"))
@@ -744,13 +783,18 @@ object Similarity {
     *
     * Re-insert contract: a stream append after the delete (higher
     * batch_id) resurrects the id; the batch [[ivfAppend]] faces write
-    * straight into the base (rank −1, below any tombstone), so to
-    * batch-re-insert a deleted id, compact first. `ids` is a
+    * straight into the base (rank −1, below any tombstone), so a batch
+    * re-insert of a pending-tombstoned id FAILS LOUDLY with a
+    * compact-first instruction (the guard on every batch append face —
+    * without it the write would land yet stay invisible). `ids` is a
     * one-column-relevant frame holding `idCol` (extra columns ignored);
     * ids absent from the index are a harmless no-op kill.
     */
   def ivfDelete(ids: DataFrame, idCol: String, indexPath: String): Unit = {
     val spark = ids.sparkSession
+    // a delete racing compaction's tombstone GC (read-then-overwrite of
+    // tombstones/) would be silently erased — a lost takedown
+    AtomicBatches.assertNotInMaintenance(spark, indexPath, "ivfDelete")
     val base = readParquetIfAny(spark, s"$indexPath/cells")
     val deltas = readParquetIfAny(spark, s"$indexPath/deltas")
     require(base.nonEmpty || deltas.nonEmpty, s"no index at $indexPath")
@@ -772,12 +816,16 @@ object Similarity {
     * included.
     */
   private def clearSideChannels(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Unit =
+      indexPath: String): Unit = {
     Seq("deltas", "tombstones").foreach { ch =>
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/$ch")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
+    // a rebuild also supersedes an interrupted compaction: whatever the
+    // crash left half-rewritten was just overwritten wholesale
+    AtomicBatches.clearMaintenance(spark, indexPath)
+  }
 
   /** Read a parquet table that may legitimately not exist yet — or
     * exist as an EMPTY directory: compaction with `includeLatest`
@@ -820,6 +868,10 @@ object Similarity {
     */
   private[graft] def cellsCurrent(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, idCol: String, cellPred: Column): DataFrame = {
+    // one read path for every probe/join/stream face = one maintenance
+    // guard: compaction rewrites cell partitions in place, so a probe
+    // racing it could double-fold or miss rows — fail loudly instead
+    AtomicBatches.assertNotInMaintenance(spark, indexPath, "index probe")
     val base = readParquetIfAny(spark, s"$indexPath/cells").map(_.filter(cellPred))
     val deltas = readParquetIfAny(spark, s"$indexPath/deltas")
     val tombs = readParquetIfAny(spark, s"$indexPath/tombstones")

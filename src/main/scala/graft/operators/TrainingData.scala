@@ -1537,6 +1537,9 @@ object TrainingData {
     val fs = root.getFileSystem(
       docs.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
+    // and supersedes an interrupted compaction (marker cleared only
+    // after the fresh tables landed — the clearSideChannels discipline)
+    AtomicBatches.clearMaintenance(docs.sparkSession, path)
   }
 
   /** Append a new batch to a [[bm25IndexWrite]] index: postings + df
@@ -1551,6 +1554,7 @@ object TrainingData {
     // ids, and a compaction would recompute stats from the partial
     // table. Fail here instead, like the missing-meta case.
     val spark = newDocs.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, path, "bm25IndexAppend")
     val dl = new org.apache.hadoop.fs.Path(s"$path/doclens")
     val fsDl = dl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fsDl.exists(dl),
@@ -1628,6 +1632,9 @@ object TrainingData {
     require(query.nonEmpty, "query must be non-empty")
     require(k1 >= 0 && b >= 0 && b <= 1, "k1 >= 0, b in [0, 1]")
     import spark.implicits._
+    // compaction rewrites posting buckets in place: a probe racing it
+    // (or reading a crashed half-rewrite) would double-fold deletes
+    AtomicBatches.assertNotInMaintenance(spark, path, "bm25FromIndex")
     val nBuckets = bm25IndexBuckets(spark, path)
     val qTerms = query.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
     // the buckets through the SAME expression the writer used — the
@@ -1712,6 +1719,9 @@ object TrainingData {
     */
   def bm25IndexDelete(ids: DataFrame, idCol: String, path: String): Unit = {
     val spark = ids.sparkSession
+    // a delete staged while compaction removes the deletes channel
+    // would be silently erased — a lost takedown
+    AtomicBatches.assertNotInMaintenance(spark, path, "bm25IndexDelete")
     val doclens =
       try spark.read.parquet(s"$path/doclens")
       catch {
@@ -1778,9 +1788,22 @@ object TrainingData {
     * removed. Maintenance is EXCLUSIVE: don't probe concurrently, and
     * re-run to completion after a crash before resuming probes (between
     * the stats rewrite and the channel removal a reader would fold the
-    * delete twice).
+    * delete twice). ENFORCED via the `_MAINT` marker
+    * (`AtomicBatches.withMaintenanceLock`): probe/delete/append faces
+    * fail loudly while compaction holds it, a crash leaves it in place,
+    * and the re-run must pass `takeover = true`.
     */
   def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String, takeover: Boolean = false): Unit = {
+    // nothing staged and no crashed pass to resume: skip the lock
+    if (bm25DeleteDirs(spark, path).isEmpty &&
+        !AtomicBatches.maintenanceActive(spark, path)) return
+    AtomicBatches.withMaintenanceLock(spark, path, takeover) {
+      bm25IndexCompactBody(spark, path)
+    }
+  }
+
+  private def bm25IndexCompactBody(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val dirs = bm25DeleteDirs(spark, path).getOrElse(return)
     val victims = spark.read.parquet(dirs.map(d => s"$d/ids"): _*)

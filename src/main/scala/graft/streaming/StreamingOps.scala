@@ -1204,21 +1204,60 @@ object StreamingOps {
     * replay contract (a replayed batch overwrites its own partition) is
     * untouched.
     *
-    * TOMBSTONE-AWARE ([[graft.operators.Similarity.ivfDelete]]): a
-    * committed delta winner with a null payload removes the id's base
-    * row (the existing anti-join) and is itself dropped from the fold —
-    * the physical removal the delete face defers here. Deleted rows'
-    * bytes are gone from `cells` after compaction; a cell emptied by
-    * deletes has its directory removed like any emptied prior cell.
+    * TOMBSTONE-AWARE ([[graft.operators.Similarity.ivfDelete]]): the
+    * delete face writes `(id, up_to)` rows into the dedicated
+    * `tombstones/` channel (up_to = max batch id at delete time; a
+    * version dies iff its batch_id ≤ up_to, the base ranking −1).
+    * Compaction resolves every tombstone whose up_to lies below the
+    * fold horizon — anti-joining the victim's base row away and
+    * dropping its killed delta versions from the fold — and GCs those
+    * applied tombstones in the same pass (mandatory: folded survivors
+    * collapse to rank −1, where a stale tombstone would wrongly kill
+    * them). Deleted rows' bytes are gone from `cells` after compaction;
+    * a cell emptied by deletes has its directory removed like any
+    * emptied prior cell. When the index has no deltas channel (batch
+    * maintained, never streamed) there is no latest batch to guard and
+    * ALL tombstones resolve regardless of `includeLatest`.
     *
     * `includeLatest = true` folds EVERY delta batch including the
     * newest — for batch-maintained indexes (delete-then-compact with no
     * stream running). It trades away the replay-safety margin above, so
     * only call it with the writer quiesced; a stream's own periodic
     * compaction must keep the default.
+    *
+    * EXCLUSIVE MAINTENANCE: like [[graft.operators.TrainingData
+    * .bm25IndexCompact]], this is a maintenance operation — do not run
+    * it concurrently with [[graft.operators.Similarity.ivfDelete]] (or a
+    * second compaction) on the same index. The tombstone GC is a
+    * read-then-overwrite of `tombstones/`; a delete racing into the
+    * window between the read and the rewrite would be silently erased —
+    * a lost takedown. Probes may run concurrently only under the default
+    * `includeLatest = false` with a live deltas channel; the `_MAINT`
+    * marker (`AtomicBatches.withMaintenanceLock`) enforces the writer
+    * side of this contract: the marker is held for the whole rewrite,
+    * every probe/delete/batch-append face fails loudly while it is
+    * present, a crash leaves it in place (the index may be mid-rewrite)
+    * and the re-run must pass `takeover = true` — compaction steps are
+    * pure functions of the current tables, so the re-run completes what
+    * the crash interrupted.
     */
   def compactIvfDeltas(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, includeLatest: Boolean = false): Unit = {
+      indexPath: String, includeLatest: Boolean = false,
+      takeover: Boolean = false): Unit = {
+    import graft.operators.Similarity.readParquetIfAny
+    import graft.operators.AtomicBatches
+    // nothing staged and no crashed pass to resume: skip the lock — the
+    // common poll-compact loop must not churn marker creates
+    if (readParquetIfAny(spark, s"$indexPath/deltas").isEmpty &&
+        readParquetIfAny(spark, s"$indexPath/tombstones").isEmpty &&
+        !AtomicBatches.maintenanceActive(spark, indexPath)) return
+    AtomicBatches.withMaintenanceLock(spark, indexPath, takeover) {
+      compactIvfDeltasBody(spark, indexPath, includeLatest)
+    }
+  }
+
+  private def compactIvfDeltasBody(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, includeLatest: Boolean): Unit = {
     import graft.operators.Similarity.readParquetIfAny
     import org.apache.spark.sql.graft.Bridge
     val deltasOpt = readParquetIfAny(spark, s"$indexPath/deltas")
@@ -1237,8 +1276,14 @@ object StreamingOps {
     val payload = refCols.filter(c => c != idCol && c != "cell").toSeq
     // the fold horizon: versions with batch_id < horizon are folded into
     // the base this compaction; the latest batch stays a delta for the
-    // streaming replay contract unless includeLatest
-    val horizon = if (includeLatest) Long.MaxValue else maxBatch
+    // streaming replay contract unless includeLatest. A batch-only index
+    // (no deltas channel) has NO latest batch to guard, so every
+    // tombstone is resolvable now — without this, maxBatch = −1 would
+    // make `up_to < horizon` unsatisfiable and compaction would silently
+    // leave victim bytes on disk and tombstones pending forever (a
+    // non-removal a takedown caller would never notice).
+    val horizon =
+      if (includeLatest || deltasOpt.isEmpty) Long.MaxValue else maxBatch
     // tombstones whose up_to lies BELOW the horizon are fully resolvable
     // now — and MUST be resolved now: a surviving version with batch_id
     // in (up_to, horizon) folds into the base at rank −1, where a stale

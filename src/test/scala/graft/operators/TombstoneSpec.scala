@@ -5,9 +5,10 @@ import graft.SparkSpec
 import graft.streaming.StreamingOps
 
 /** The deletion (takedown) discipline on the persisted ANN indexes:
-  * [[Similarity.ivfDelete]] tombstones ride the delta channel, every
-  * probe/join/stream face honors them BEFORE its rowFilter, and
-  * tombstone-aware compaction physically removes the rows.
+  * [[Similarity.ivfDelete]] writes (id, up_to) tombstones into the
+  * dedicated tombstones/ channel, every probe/join/stream face honors
+  * them BEFORE its rowFilter, and tombstone-aware compaction physically
+  * removes the rows.
   */
 class TombstoneSpec extends SparkSpec {
 
@@ -116,6 +117,53 @@ class TombstoneSpec extends SparkSpec {
       .toDF("vec_id", "embedding"), "vec_id", "embedding", dir)
     Similarity.ivfTopKFromIndexSQ8(spark, dir, "vec_id", q,
       k = 6, nProbe = 4).collect().map(_.getLong(0)) should contain (1L)
+  }
+
+  test("batch append of a pending-tombstoned id fails loudly; compact unblocks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tomb-guard").toString
+    Similarity.ivfWriteIndexSQ8(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    Similarity.ivfDelete(ids(2L), "vec_id", dir)
+    val reinsert = Seq((2L, Seq(0.7, 0.7, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    // base rows rank below every tombstone: without the guard this
+    // append would land on disk yet stay invisible to every probe
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAppendSQ8(reinsert, "vec_id", "embedding", dir)
+    }
+    e.getMessage should include ("compactIvfDeltas")
+    // appends of UNRELATED ids stay allowed while tombstones pend
+    Similarity.ivfAppendSQ8(Seq((8L, Seq(0.5, -0.8, 0.0, 0.0)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", dir)
+    // compaction applies + GCs the tombstone; the re-insert now works
+    StreamingOps.compactIvfDeltas(spark, dir)
+    Similarity.ivfAppendSQ8(reinsert, "vec_id", "embedding", dir)
+    Similarity.ivfTopKFromIndexSQ8(spark, dir, "vec_id", q, k = 8,
+      nProbe = 4).collect().map(_.getLong(0)) should contain (2L)
+  }
+
+  test("batch-only index: default compaction still applies tombstones") {
+    // regression: with no deltas channel, maxBatch = −1 used to make the
+    // fold horizon −1, so `up_to < horizon` never held and the default
+    // includeLatest = false compaction silently left victim bytes on
+    // disk and tombstones pending forever — a non-removal the takedown
+    // caller would never notice. A batch-only index has no latest batch
+    // to guard, so EVERY tombstone must resolve.
+    val dir = java.nio.file.Files.createTempDirectory("tomb-batchonly").toString
+    Similarity.ivfWriteIndexSQ8(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    Similarity.ivfDelete(ids(1L, 4L), "vec_id", dir)
+    val expected = Similarity.ivfTopKFromIndexSQ8(spark, dir, "vec_id", q,
+      k = 4, nProbe = 4).collect().map(_.toSeq).toSeq
+    StreamingOps.compactIvfDeltas(spark, dir) // default includeLatest=false
+    spark.read.parquet(s"$dir/cells")
+      .filter(col("vec_id").isin(1L, 4L)).count() shouldBe 0L
+    // the applied tombstones are gone (GC'd or rewritten empty)
+    Similarity.readParquetIfAny(spark, s"$dir/tombstones")
+      .map(_.count()).getOrElse(0L) shouldBe 0L
+    Similarity.ivfTopKFromIndexSQ8(spark, dir, "vec_id", q,
+      k = 4, nProbe = 4).collect().map(_.toSeq).toSeq shouldBe expected
   }
 
   test("a full rebuild at the same path supersedes stale tombstones") {
