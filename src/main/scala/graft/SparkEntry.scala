@@ -1618,6 +1618,32 @@ object SparkEntry {
           Dedup.incrementalConnectedComponents(oldLabels, newPairs))
         .select("doc_id", "source")
     }),
+    "dedup_incremental_deleted" -> ((s, dir) => {
+      // TAKEDOWN on the maintained label state: the exact
+      // dedup_incremental_clusters labels (old closure + incremental
+      // batch), then victims (doc_id % 11 = 4) deleted via
+      // Dedup.deleteFromLabels over the accumulated pair store. FULL
+      // replay: the result must equal rebuilding the closure over the
+      // surviving pairs — representatives re-elected (deleted min id →
+      // next-lowest member), bridge-removal SPLITS honored (the label
+      // summary can't see them; the pair store can), orphaned members
+      // dropped (their only pairs touched victims)
+      val (_, labels, pairs) = incrementalLabelState(s, dir)
+      Dedup.deleteFromLabels(labels, pairs,
+        Tables.documents(s, dir).filter(col("doc_id") % 11 === 4), "doc_id")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+    "dedup_incremental_deleted_survivors" -> ((s, dir) => {
+      // the takedown END PRODUCT: victims leave the corpus view AND
+      // their clusters re-elect survivors — the deduped view after a
+      // takedown must equal near-dup survivors over corpus-minus-victims
+      val (docs, labels, pairs) = incrementalLabelState(s, dir)
+      val live = docs.filter(col("doc_id") % 11 =!= 4)
+      Dedup.survivorsFromLabels(live, "doc_id",
+          Dedup.deleteFromLabels(labels, pairs,
+            docs.filter(col("doc_id") % 11 === 4), "doc_id"))
+        .select("doc_id", "source")
+    }),
     "dedup_incremental" -> ((s, dir) => {
       // production shape: dedup a NEW batch (ids >= 250) against itself
       // and against the digest index of the already-ingested corpus
@@ -2227,6 +2253,35 @@ object SparkEntry {
     Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head()
       .getSeq[Double](0)
+
+  /** The maintained cluster-label state the takedown queries operate
+    * on: the dedup_incremental_clusters construction (old-corpus
+    * closure + incremental batch fold) PLUS the accumulated pair store
+    * those labels summarize — [[graft.operators.Dedup.deleteFromLabels]]
+    * needs the pairs because a victim's departure can split a component.
+    * Returns (docs, labels, pairs).
+    */
+  private def incrementalLabelState(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, dir)
+    val oldDocs = docs.filter(col("doc_id") < 250)
+    val oldPairs = Dedup.minhashLsh(oldDocs, "doc_id", "text",
+      numHashes = 16, bands = 8, shingleN = 5, threshold = 0.4,
+      estimateSlack = 0.05)
+    val oldLabels = Dedup.connectedComponents(oldPairs, "id_a", "id_b")
+    val index = Dedup.minhashIndex(oldDocs, "doc_id", "text",
+      numHashes = 16, bands = 8, shingleN = 5)
+    val newPairs = Dedup.minhashLshIncremental(
+      docs.filter(col("doc_id") >= 250), "doc_id", "text", index,
+      numHashes = 16, bands = 8, shingleN = 5, threshold = 0.4,
+      estimateSlack = 0.05)
+    val labels = Dedup.incrementalConnectedComponents(oldLabels, newPairs)
+    // old-old pairs ∪ new-involving pairs = the complete pair set (the
+    // dedup_incremental_clusters invariant, hash-verified there)
+    val pairs = oldPairs.select("id_a", "id_b")
+      .unionByName(newPairs.select("id_a", "id_b"))
+    (docs, labels, pairs)
+  }
 
   // -- oracles -------------------------------------------------------------
 
@@ -4083,6 +4138,39 @@ object SparkEntry {
     // incremental label maintenance must land on the same closure as a
     // full rebuild: old-corpus pairs ∪ new-involving pairs = all pairs
     "dedup_incremental_clusters" -> clustersClosureOracle,
+    // takedown replay: the closure REBUILT over the pair set minus any
+    // pair touching a victim (doc_id % 11 = 4) — re-elected
+    // representatives, bridge-removal splits, and orphan drops all fall
+    // out of the rebuild, which is exactly deleteFromLabels's contract
+    "dedup_incremental_deleted" ->
+      s"""WITH RECURSIVE $minhashPairsSql,
+         pr AS MATERIALIZED (SELECT id_a, id_b FROM p WHERE j >= 0.4
+           AND id_a % 11 <> 4 AND id_b % 11 <> 4),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                   UNION SELECT id_b, id_a FROM pr),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
+         FROM reach GROUP BY a""",
+    // the takedown end product: survivors over corpus-minus-victims
+    // with clusters re-closured over the surviving pairs
+    "dedup_incremental_deleted_survivors" ->
+      s"""WITH RECURSIVE $minhashPairsSql,
+         pr AS MATERIALIZED (SELECT id_a, id_b FROM p WHERE j >= 0.4
+           AND id_a % 11 <> 4 AND id_b % 11 <> 4),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                   UNION SELECT id_b, id_a FROM pr),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         losers AS (SELECT a FROM reach GROUP BY a
+                    HAVING least(a, min(b)) <> a)
+         SELECT doc_id, source FROM documents
+         WHERE doc_id % 11 <> 4
+           AND doc_id NOT IN (SELECT a FROM losers)""",
     // exact simhash replication: 60-bit md5 token hashes -> per-bit
     // majority vote -> all-pairs hamming. The Spark side's chunk blocking
     // is pigeonhole-complete at maxHamming=8 (9 chunks), so blocked

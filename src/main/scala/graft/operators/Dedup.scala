@@ -1274,6 +1274,68 @@ object Dedup {
     (labels, affected, subLabels, cleanup)
   }
 
+  /** DELETE (takedown) face of the cluster-label state — the tombstone
+    * discipline ([[graft.operators.Similarity.ivfDelete]]) applied to
+    * dedup decisions: remove `victims` from a maintained
+    * (id, cluster_id) label relation so the result equals REBUILDING
+    * the closure over the surviving pairs — victims' label rows gone,
+    * and every component a victim belonged to re-closured, because a
+    * victim's departure can do more than drop one row:
+    *
+    *  - re-elect the representative (cluster_id is the component's min
+    *    id — deleting the min re-labels every member to the next min,
+    *    which re-elects the cluster's SURVIVOR in
+    *    [[survivorsFromLabels]]);
+    *  - SPLIT the component (a victim can be the only bridge between
+    *    two sub-clusters — the label summary alone cannot see this,
+    *    which is why this face requires the accumulated PAIR relation,
+    *    the system of record the label store summarizes);
+    *  - orphan members entirely (an id whose every pair touched a
+    *    victim drops out of the label set, exactly as a rebuild over
+    *    survivors would never label it).
+    *
+    * `labels` must be the closure over exactly `pairs` (the
+    * [[incrementalConnectedComponents]] maintenance invariant); then
+    * both endpoints of any pair share a component, so the affected
+    * subgraph is recovered with ONE endpoint semi-join.
+    *
+    * 100 TB shape ([[incrementalConnectedComponents]]'s): the
+    * corpus-sized frames cross single-shuffle joins only — `labels`
+    * one semi (victims, broadcastable) + one semi + one anti (affected
+    * cluster ids, broadcastable); `pairs` one semi (affected members)
+    * + two anti joins (victims) — and the multi-round propagation runs
+    * on the affected components' subgraph alone, never the corpus.
+    */
+  def deleteFromLabels(labels: DataFrame, pairs: DataFrame,
+      victims: DataFrame, idCol: String, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // read thrice (affected semi + two pair anti-joins): materialize once
+    val v = victims.select(col(idCol).cast("long").as("id")).distinct()
+      .persist(sl)
+    val lab = labels.select(col("id").cast("long").as("id"),
+      col("cluster_id").cast("long").as("cluster_id"))
+    // the components a victim belongs to — everything else passes
+    // through untouched, byte-identical
+    val affected = lab.join(v, Seq("id"), "left_semi")
+      .select("cluster_id").distinct().persist(sl)
+    affected.count() // one action materializes v (scanned) + affected
+    val members = lab.join(affected, Seq("cluster_id"), "left_semi")
+      .select(col("id").as("a"))
+    val p = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    // surviving pairs WITHIN affected components: closure ⇒ one
+    // endpoint's membership implies the other's
+    val subPairs = p
+      .join(members, Seq("a"), "left_semi")
+      .join(v.select(col("id").as("a")), Seq("a"), "left_anti")
+      .join(v.select(col("id").as("b")), Seq("b"), "left_anti")
+    val reclosed = connectedComponents(subPairs, "a", "b", maxIter)
+    lab.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+      .union(reclosed.select(col("id"), col("cluster_id")))
+  }
+
   /** The end product of near-dup dedup: the corpus with one survivor per
     * duplicate cluster (the min id) — every non-survivor cluster member
     * anti-joined away, docs with no near-dup untouched. `pairs` is any

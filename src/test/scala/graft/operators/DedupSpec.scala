@@ -335,6 +335,40 @@ class DedupSpec extends SparkSpec {
     pairSet.exists { case (a, b) => a == 5L || b == 5L } shouldBe false
   }
 
+  test("deleteFromLabels: re-election, component split, orphan drop, untouched pass-through") {
+    import spark.implicits._
+    // components over pairs: {1,2,3} (1-2, 2-3: 2 bridges), {4,5},
+    // {7,8} (untouched), loner 9 never labeled
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    def del(vs: Long*): Map[Long, Long] =
+      Dedup.deleteFromLabels(labels, pairs, vs.toDF("doc_id"), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // delete the representative 4: 5 re-elects itself... as a singleton
+    // it drops out entirely (a rebuild over survivors never labels it);
+    // untouched components byte-identical
+    del(4L) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L)
+    // delete the BRIDGE 2: the component splits; 1 and 3 lose their only
+    // pairs and both drop out (orphans) — no stale 1-3 cluster survives
+    del(2L) shouldBe Map(4L -> 4L, 5L -> 4L, 7L -> 7L, 8L -> 7L)
+    // delete a representative with surviving structure: {1,2,3} minus 1
+    // re-closes to {2,3} under the re-elected min 2
+    del(1L) shouldBe Map(2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 4L,
+      7L -> 7L, 8L -> 7L)
+    // deleting an unlabeled doc is a no-op
+    del(9L) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 4L, 7L -> 7L, 8L -> 7L)
+    // multi-victim across components
+    del(1L, 5L) shouldBe Map(2L -> 2L, 3L -> 2L, 7L -> 7L, 8L -> 7L)
+    // survivors view after takedown: victims gone, survivors re-elected
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L).toDF("doc_id")
+    Dedup.survivorsFromLabels(docs.filter(col("doc_id") =!= 1L), "doc_id",
+        Dedup.deleteFromLabels(labels, pairs, Seq(1L).toDF("doc_id"),
+          "doc_id"))
+      .collect().map(_.getLong(0)).toSet shouldBe Set(2L, 4L, 7L, 9L)
+  }
+
   test("embedding cosine dedup via hyperplane LSH") {
     import spark.implicits._
     val vecs = Seq(
