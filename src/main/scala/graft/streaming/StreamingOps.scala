@@ -921,7 +921,7 @@ object StreamingOps {
       (newIdx, existing) => graft.operators.Dedup
         .simhashIncrementalFromIndex(newIdx, idCol, existing,
           maxHamming, maxBucketSize),
-      indexPath, pairsPath, checkpoint)
+      idCol, indexPath, pairsPath, checkpoint)
 
   /** Continuous-ingestion embedding near-dup — the hyperplane-LSH face of
     * the same loop ([[graft.operators.Dedup.embeddingCosineIncremental]]):
@@ -937,7 +937,7 @@ object StreamingOps {
       (newIdx, existing) => graft.operators.Dedup
         .embeddingCosineIncrementalFromIndex(newIdx, idCol, existing,
           threshold, maxBucketSize),
-      indexPath, pairsPath, checkpoint)
+      idCol, indexPath, pairsPath, checkpoint)
 
   /** Continuous near-dup WITH cluster-label maintenance: the MinHash
     * probe-and-append loop of [[continuousNearDup]], plus per-batch
@@ -970,20 +970,207 @@ object StreamingOps {
       b => Dedup.minhashIndex(b, idCol, textCol, numHashes, bands, shingleN),
       (newIdx, existing) => Dedup.minhashLshIncrementalFromIndex(newIdx, idCol,
         existing, numHashes, threshold, estimateSlack),
-      indexPath, pairsPath, checkpoint, labelsPath = Some(labelsPath),
+      idCol, indexPath, pairsPath, checkpoint, labelsPath = Some(labelsPath),
       compactEveryBatches = compactEveryBatches)
   }
 
   /** Current (id, cluster_id) view over a [[continuousClusteredDedup]]
-    * labels table: latest batch's row per id. Cost scales with the
+    * labels table: latest batch's row per id, with committed takedown
+    * corrections ([[clusterStateDelete]]) applied — a correction
+    * replaces an id's label (or removes it, NULL) unless a LATER batch
+    * re-touched the id (batch_id > the correction's `up_to`: the delta
+    * wins, the legitimate resurrection path). Cost scales with the
     * ever-clustered id count (pairs are sparse relative to the corpus),
     * not the corpus.
     */
   def currentClusterLabels(spark: org.apache.spark.sql.SparkSession,
       labelsPath: String): DataFrame =
-    spark.read.parquet(labelsPath)
-      .groupBy("id")
-      .agg(max_by(col("cluster_id"), col("batch_id")).as("cluster_id"))
+    currentClusterLabelsAt(spark, labelsPath, excludeBatch = None)
+
+  /** [[currentClusterLabels]] with one delta partition excluded — the
+    * stream loop's own read (a replayed batch must not fold its prior
+    * attempt's rows into the state it rebuilds from).
+    */
+  private[graft] def currentClusterLabelsAt(
+      spark: org.apache.spark.sql.SparkSession, labelsPath: String,
+      excludeBatch: Option[Long]): DataFrame = {
+    graft.operators.AtomicBatches.assertNotInMaintenance(spark, labelsPath,
+      "cluster-label read")
+    val raw = spark.read.parquet(labelsPath)
+    val deltas = excludeBatch
+      .map(b => raw.where(col("batch_id") =!= b)).getOrElse(raw)
+    val latest = deltas.groupBy("id")
+      .agg(max_by(col("cluster_id"), col("batch_id")).as("cluster_id"),
+        max(col("batch_id").cast("long")).as("__b"))
+    clusterCorrections(spark, labelsPath) match {
+      case None => latest.drop("__b")
+      case Some(corr) =>
+        // latest correction per id (seq = staging order); it applies iff
+        // nothing newer than its up_to re-touched the id
+        val latestCorr = corr.groupBy("id")
+          .agg(max_by(struct(col("cluster_id"), col("up_to")), col("seq"))
+            .as("__c"))
+          .select(col("id"), col("__c.cluster_id").as("__cc"),
+            col("__c.up_to").as("__upto"))
+        latest.join(latestCorr, Seq("id"), "left_outer")
+          .select(col("id"),
+            when(col("__upto").isNotNull && col("__b") <= col("__upto"),
+              col("__cc")).otherwise(col("cluster_id")).as("cluster_id"))
+          .filter(col("cluster_id").isNotNull)
+    }
+  }
+
+  /** Committed takedown correction rows (id, cluster_id NULLABLE,
+    * up_to, seq) of a labels store, or None. The `_corrections` channel
+    * lives INSIDE `labelsPath` — the underscore prefix hides it from
+    * the plain parquet read of the delta partitions, and a resumed
+    * stream's `batch_id=` dynamic overwrites can never collide with it
+    * (the lesson the ANN tombstones channel was built on).
+    */
+  private def clusterCorrections(spark: org.apache.spark.sql.SparkSession,
+      labelsPath: String): Option[DataFrame] = {
+    val dirs = graft.operators.AtomicBatches
+      .committedDirs(spark, s"$labelsPath/_corrections")
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(d => s"$d/labels"): _*))
+  }
+
+  /** Deleted ids of a labels store as (id, up_to) — latest deletion per
+    * id — or None. Read by every face that must HIDE a victim's rows:
+    * the stream loop's index probe and [[currentClusterPairs]].
+    */
+  private[graft] def clusterVictims(spark: org.apache.spark.sql.SparkSession,
+      labelsPath: String): Option[DataFrame] = {
+    val dirs = graft.operators.AtomicBatches
+      .committedDirs(spark, s"$labelsPath/_corrections")
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(d => s"$d/victims"): _*)
+      .groupBy("id").agg(max(col("up_to")).as("up_to")))
+  }
+
+  /** Current pair relation of a [[continuousClusteredDedup]] state:
+    * the accumulated pair store minus every pair touching a deleted doc
+    * (a pair row dies iff either endpoint is a victim whose deletion
+    * covers the pair's batch — batch_id ≤ up_to; a post-delete batch's
+    * pairs survive, the resurrection path). This is the system of
+    * record [[clusterStateDelete]] re-closes over.
+    */
+  def currentClusterPairs(spark: org.apache.spark.sql.SparkSession,
+      pairsPath: String, labelsPath: String): DataFrame = {
+    val pairs = spark.read.parquet(pairsPath)
+    clusterVictims(spark, labelsPath) match {
+      case None => pairs
+      case Some(v) =>
+        pairs.withColumn("__pb", col("batch_id").cast("long"))
+          .join(v.select(col("id").as("id_a"), col("up_to").as("__ua")),
+            Seq("id_a"), "left_outer")
+          .join(v.select(col("id").as("id_b"), col("up_to").as("__ub")),
+            Seq("id_b"), "left_outer")
+          .filter((col("__ua").isNull || col("__pb") > col("__ua")) &&
+            (col("__ub").isNull || col("__pb") > col("__ub")))
+          .select(pairs.columns.map(col): _*)
+    }
+  }
+
+  /** DELETE (takedown) face of a [[continuousClusteredDedup]] state —
+    * the tombstone discipline applied to the THREE stores the stream
+    * maintains, in one bounded, atomic staging write (nothing
+    * corpus-partitioned is rewritten at delete time):
+    *
+    *  - the VICTIMS' records (id, up_to = max stream batch at delete
+    *    time) hide their index rows from future probes (no new pairs
+    *    against deleted docs) and their pair rows from future
+    *    re-closures ([[currentClusterPairs]]);
+    *  - the LABEL OVERRIDES re-close every component a victim belonged
+    *    to over the surviving pairs ([[graft.operators.Dedup
+    *    .deleteFromLabels]] semantics: representatives re-elect,
+    *    bridge-removal splits are honored, orphaned members drop —
+    *    cluster_id NULL removes a row), computed eagerly here because
+    *    they need the pair store, and bounded by the affected
+    *    components' subgraph;
+    *
+    * both staged under `labelsPath/_corrections/<n>/` and made visible
+    * atomically by the `_COMMIT` marker — a crash mid-staging leaves an
+    * invisible directory the next delete sweeps; a half takedown
+    * (victims hidden but clusters not re-closed, or vice versa) cannot
+    * be observed. A LATER stream batch that re-ingests a victim
+    * resurrects it (its delta rows outrank the correction's `up_to`).
+    * Physical removal is [[compactClusterState]]'s job.
+    *
+    * Run with the stream quiesced for strict semantics: a batch
+    * processing CONCURRENTLY with the delete may fold pairs it derived
+    * from pre-takedown state (its delta outranks the correction — the
+    * replay-safe ordering), leaving the victim's id visible as a label
+    * row until the next touch or compaction.
+    */
+  def clusterStateDelete(victims: DataFrame, idCol: String,
+      indexPath: String, pairsPath: String, labelsPath: String,
+      maxIter: Int = 20): Unit = {
+    import graft.operators.{AtomicBatches, Dedup}
+    import org.apache.spark.sql.graft.Bridge
+    val spark = victims.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, labelsPath,
+      "clusterStateDelete")
+    val croot = s"$labelsPath/_corrections"
+    AtomicBatches.sweepUncommitted(spark, croot)
+    // up_to: the takedown kills state up to and including the latest
+    // batch at delete time; later batches legitimately resurrect. Read
+    // from the INDEX store, not the labels store: a pair-less batch
+    // writes an EMPTY label delta (dynamic overwrite of zero rows is a
+    // no-op, no partition lands) but its docs' index rows DO land — a
+    // labels-derived up_to would under-read and leave such a doc's
+    // index rows visible, an un-hidden victim. Fails loudly when
+    // there is no state at all.
+    val upTo = Seq(indexPath, labelsPath)
+      .flatMap(p => graft.operators.Similarity.readParquetIfAny(spark, p))
+      .flatMap(df =>
+        Option(df.agg(max(col("batch_id").cast("long"))).head.get(0)))
+      .map(_.toString.toLong)
+      .reduceOption((a: Long, b: Long) => math.max(a, b))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no index/label state under $indexPath / $labelsPath - " +
+          "nothing to delete from"))
+    val v = victims.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true) // read by affected, subPairs ×2, staging
+    try {
+      if (v.isEmpty) return
+      val lab = currentClusterLabels(spark, labelsPath)
+        .localCheckpoint(true) // read for affected + members
+      try {
+        val affected = lab.join(v, Seq("id"), "left_semi")
+          .select("cluster_id").distinct()
+        val members = lab.join(affected, Seq("cluster_id"), "left_semi")
+          .select(col("id")).localCheckpoint(true) // subPairs + overrides
+        try {
+          val p = currentClusterPairs(spark, pairsPath, labelsPath)
+            .select(col("id_a").cast("long").as("a"),
+              col("id_b").cast("long").as("b"))
+          val subPairs = p
+            .join(members.select(col("id").as("a")), Seq("a"), "left_semi")
+            .join(v.select(col("id").as("a")), Seq("a"), "left_anti")
+            .join(v.select(col("id").as("b")), Seq("b"), "left_anti")
+          val (reclosed, release) =
+            Dedup.connectedComponentsWithCleanup(subPairs, "a", "b", maxIter)
+          try {
+            val n = AtomicBatches.nextBatchN(spark, croot)
+            val bdir = s"$croot/$n"
+            // one override row per affected-component member: the
+            // re-closed label, or NULL for victims and orphans (ids a
+            // rebuild over survivors would never label)
+            members
+              .join(reclosed.select(col("id"), col("cluster_id").as("__nc")),
+                Seq("id"), "left_outer")
+              .select(col("id"), col("__nc").as("cluster_id"),
+                lit(upTo).as("up_to"), lit(n).as("seq"))
+              .write.mode("overwrite").parquet(s"$bdir/labels")
+            v.select(col("id"), lit(upTo).as("up_to"))
+              .write.mode("overwrite").parquet(s"$bdir/victims")
+            AtomicBatches.commit(spark, bdir)
+          } finally release()
+        } finally Bridge.releaseLocalCheckpoint(members)
+      } finally Bridge.releaseLocalCheckpoint(lab)
+    } finally Bridge.releaseLocalCheckpoint(v)
+  }
 
   /** Compact a [[continuousClusteredDedup]] labels table: fold every
     * COMMITTED delta partition (all but the latest batch, plus any prior
@@ -1016,7 +1203,19 @@ object StreamingOps {
     if (maxB == null) return
     val maxBatch = maxB.toString.toLong
     if (maxBatch <= 0) return // nothing strictly below the latest batch
-    val snapshot = all.where(col("batch_id") < maxBatch)
+    // pending takedown corrections PIN the fold horizon: a delta row
+    // NEWER than a correction's up_to outranks it (the resurrection
+    // rule), and folding that row to batch −1 would flip the verdict
+    // (−1 ≤ up_to) — the correction would wrongly override it at read
+    // time. Rows at or below EVERY correction's up_to fold safely
+    // (already overridden before, still overridden at −1). Physical
+    // application + GC of the corrections is compactClusterState's job.
+    val minUpTo = clusterCorrections(spark, labelsPath)
+      .flatMap(c => Option(c.agg(min(col("up_to"))).head.get(0)))
+      .map(_.toString.toLong)
+    val horizon = math.min(maxBatch, minUpTo.map(_ + 1).getOrElse(Long.MaxValue))
+    if (horizon <= 0) return
+    val snapshot = all.where(col("batch_id") < horizon)
       .groupBy("id")
       .agg(max_by(col("cluster_id"), col("batch_id")).as("cluster_id"))
       .withColumn("batch_id", lit(-1L))
@@ -1024,7 +1223,7 @@ object StreamingOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(labelsPath)
-    // prune the folded delta partitions (0 ≤ batch_id < maxBatch) via the
+    // prune the folded delta partitions (0 ≤ batch_id < horizon) via the
     // filesystem — partition directories, the same granularity the
     // dynamic-overwrite writes use
     val root = new org.apache.hadoop.fs.Path(labelsPath)
@@ -1033,10 +1232,181 @@ object StreamingOps {
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith("batch_id=")) {
         val bid = scala.util.Try(name.stripPrefix("batch_id=").toLong)
-        if (bid.toOption.exists(b => b >= 0 && b < maxBatch))
+        if (bid.toOption.exists(b => b >= 0 && b < horizon))
           fs.delete(st.getPath, true)
       }
     }
+  }
+
+  /** FULL maintenance pass of a [[continuousClusteredDedup]] state —
+    * the physical-removal half of [[clusterStateDelete]], the
+    * [[compactIvfDeltas]] discipline across all three stores:
+    *
+    *  1. label deltas below the fold horizon collapse into the
+    *     `batch_id = -1` snapshot WITH the applied corrections folded
+    *     in (an id's override wins unless a newer unfolded delta
+    *     outranks it; NULL overrides drop the row);
+    *  2. victim rows are physically removed from the committed PAIR
+    *     and INDEX partitions (only victim-touched partitions are
+    *     rewritten — dynamic partition overwrite, emptied directories
+    *     deleted);
+    *  3. correction batches whose `up_to` lies below the horizon are
+    *     garbage-collected — everything they guard is now physical
+    *     (mandatory in the same pass: folded rows collapse to batch
+    *     −1, where a stale applied correction would wrongly re-fire);
+    *     corrections at or above the horizon stay pending and remain
+    *     consistent (every folded row ranks below their up_to too).
+    *
+    * `includeLatest = true` folds the newest delta as well — for a
+    * fully-quiesced state (no stream running); the default preserves
+    * the latest batch for the streaming replay contract, so a delete
+    * staged after the last batch (up_to = that batch) stays PENDING
+    * until more batches arrive or a quiesced `includeLatest` pass runs.
+    *
+    * EXCLUSIVE MAINTENANCE, enforced via the `_MAINT` marker at
+    * `labelsPath` (the `AtomicBatches.withMaintenanceLock` contract):
+    * label reads, deletes, and the stream loop fail loudly while it is
+    * held; a crash leaves it; re-run with `takeover = true` (every
+    * step is a pure function of the current tables — re-runnable).
+    */
+  def compactClusterState(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, pairsPath: String, labelsPath: String,
+      includeLatest: Boolean = false, takeover: Boolean = false): Unit = {
+    import graft.operators.AtomicBatches
+    val hasCorr =
+      AtomicBatches.committedDirs(spark, s"$labelsPath/_corrections").nonEmpty
+    if (!hasCorr && !AtomicBatches.maintenanceActive(spark, labelsPath)) {
+      // no takedown state: plain label folding is the whole job
+      compactClusterLabels(spark, labelsPath)
+      return
+    }
+    AtomicBatches.withMaintenanceLock(spark, labelsPath, takeover) {
+      compactClusterStateBody(spark, indexPath, pairsPath, labelsPath,
+        includeLatest)
+    }
+  }
+
+  private def compactClusterStateBody(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      pairsPath: String, labelsPath: String, includeLatest: Boolean): Unit = {
+    import graft.operators.{AtomicBatches, Similarity}
+    val fs = new org.apache.hadoop.fs.Path(labelsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val allOpt = Similarity.readParquetIfAny(spark, labelsPath)
+    if (allOpt.isEmpty) return
+    // the stream's true position is the max batch across the stores —
+    // the labels store alone under-reads it when recent batches were
+    // pair-less (their empty label deltas write no partition), which
+    // would leave corrections pending longer than necessary
+    val maxBatch = (allOpt.toSeq ++
+        Similarity.readParquetIfAny(spark, indexPath).toSeq)
+      .flatMap(df =>
+        Option(df.agg(max(col("batch_id").cast("long"))).head.get(0)))
+      .map(_.toString.toLong)
+      .reduceOption((a: Long, b: Long) => math.max(a, b)).getOrElse(return)
+    val horizon = if (includeLatest) Long.MaxValue else maxBatch
+    val dirs = AtomicBatches.committedDirs(spark, s"$labelsPath/_corrections")
+    // per-batch up_to is a staging-time constant — one driver row each
+    val dirUpTo = dirs.map { d =>
+      d -> spark.read.parquet(s"$d/victims")
+        .agg(max(col("up_to"))).head.getLong(0)
+    }
+    val appliedDirs = dirUpTo.filter(_._2 < horizon).map(_._1)
+    // 1) fold labels below the horizon, applying the APPLIED corrections
+    val folded = allOpt.get.where(col("batch_id") < lit(horizon))
+      .groupBy("id")
+      .agg(max_by(col("cluster_id"), col("batch_id")).as("cluster_id"),
+        max(col("batch_id").cast("long")).as("__b"))
+    val snapped = if (appliedDirs.isEmpty) folded.drop("__b")
+    else {
+      val corr = spark.read.parquet(appliedDirs.map(d => s"$d/labels"): _*)
+        .groupBy("id")
+        .agg(max_by(struct(col("cluster_id"), col("up_to")), col("seq"))
+          .as("__c"))
+        .select(col("id"), col("__c.cluster_id").as("__cc"),
+          col("__c.up_to").as("__upto"))
+      folded.join(corr, Seq("id"), "left_outer")
+        .select(col("id"),
+          when(col("__upto").isNotNull && col("__b") <= col("__upto"),
+            col("__cc")).otherwise(col("cluster_id")).as("cluster_id"))
+        .filter(col("cluster_id").isNotNull)
+    }
+    if (maxBatch > 0 || includeLatest) {
+      snapped.withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(labelsPath)
+      val lroot = new org.apache.hadoop.fs.Path(labelsPath)
+      fs.listStatus(lroot).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith("batch_id=")) {
+          val bid = scala.util.Try(name.stripPrefix("batch_id=").toLong)
+          if (bid.toOption.exists(b => b >= 0 && b < horizon))
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
+    // 2) physically remove victim rows from the committed pair and
+    // index partitions — victims from ALL correction batches (pending
+    // ones keep their read-time rule for whatever this pass leaves)
+    if (dirs.nonEmpty) {
+      val victims = spark.read
+        .parquet(dirs.map(d => s"$d/victims"): _*)
+        .groupBy("id").agg(max(col("up_to")).as("up_to"))
+        .localCheckpoint(true)
+      try {
+        def pruneStore(path: String, idCols: Seq[String]): Unit =
+          Similarity.readParquetIfAny(spark, path).foreach { store =>
+            val withB = store.withColumn("__sb", col("batch_id").cast("long"))
+              .where(col("__sb") < lit(horizon))
+            // a row dies iff ANY of its id columns is a victim whose
+            // deletion covers the row's batch
+            var cond: Column = lit(false)
+            var df = withB
+            idCols.zipWithIndex.foreach { case (ic, i) =>
+              df = df.join(
+                victims.select(col("id").as(ic), col("up_to").as(s"__u$i")),
+                Seq(ic), "left_outer")
+              cond = cond ||
+                (col(s"__u$i").isNotNull && col("__sb") <= col(s"__u$i"))
+            }
+            val touched = df.filter(cond).select(col("__sb")).distinct()
+              .collect().map(_.getLong(0)).sorted
+            if (touched.nonEmpty) {
+              val kept = df.filter(col("__sb").isin(touched: _*) && !cond)
+                .select(store.columns.map(col): _*)
+                .localCheckpoint(true) // write + emptied-dir scan read it
+              try {
+                kept
+                  .repartition(col("batch_id"))
+                  .write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("batch_id")
+                  .parquet(path)
+                val out = kept.select(col("batch_id").cast("long")).distinct()
+                  .collect().map(_.getLong(0)).toSet
+                touched.filterNot(out).foreach { b =>
+                  fs.delete(
+                    new org.apache.hadoop.fs.Path(s"$path/batch_id=$b"), true)
+                }
+              } finally org.apache.spark.sql.graft.Bridge
+                .releaseLocalCheckpoint(kept)
+            }
+          }
+        pruneStore(pairsPath, Seq("id_a", "id_b"))
+        // the index store's id column is its FIRST column (the
+        // minhash/simhash/embedding index faces all put idCol first)
+        Similarity.readParquetIfAny(spark, indexPath).foreach { idx =>
+          pruneStore(indexPath, Seq(idx.columns.head))
+        }
+      } finally org.apache.spark.sql.graft.Bridge
+        .releaseLocalCheckpoint(victims)
+    }
+    // 3) GC the applied correction batches — their kills and overrides
+    // are physical now; pending ones keep guarding
+    appliedDirs.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 
   /** The shared probe-and-append micro-batch loop behind the continuous
@@ -1050,6 +1420,7 @@ object StreamingOps {
   private def continuousIndexedDedup(docs: DataFrame,
       indexOf: DataFrame => DataFrame,
       probe: (DataFrame, DataFrame) => DataFrame,
+      idCol: String,
       indexPath: String, pairsPath: String,
       checkpoint: String, labelsPath: Option[String] = None,
       compactEveryBatches: Int = 0): DataStreamWriter[Row] = {
@@ -1064,9 +1435,24 @@ object StreamingOps {
         try {
           newIdx.count()
           val existing =
-            try spark.read.parquet(indexPath)
-              .where(col("batch_id") =!= batchId).drop("batch_id")
-            catch {
+            try {
+              val raw = spark.read.parquet(indexPath)
+                .where(col("batch_id") =!= batchId)
+              // takedown-aware probe: a deleted doc's index rows are
+              // hidden (batch_id ≤ its up_to), so no new pairs ever
+              // form against it; rows a later batch re-ingested outrank
+              // the deletion and stay probeable (resurrection)
+              val live = labelsPath.flatMap(clusterVictims(spark, _)) match {
+                case None => raw
+                case Some(v) =>
+                  raw.join(v.select(col("id").as(idCol), col("up_to")),
+                      Seq(idCol), "left_outer")
+                    .filter(col("up_to").isNull ||
+                      col("batch_id").cast("long") > col("up_to"))
+                    .drop("up_to")
+              }
+              live.drop("batch_id")
+            } catch {
               // ONLY path-not-found means "first batch" (see
               // continuousNearDup — other analysis errors must surface)
               case e: org.apache.spark.sql.AnalysisException
@@ -1087,11 +1473,12 @@ object StreamingOps {
             writeBatch(pairs, pairsPath)
             writeBatch(newIdx, indexPath)
             labelsPath.foreach { lp =>
+              // corrections-aware ([[currentClusterLabelsAt]]): a batch
+              // folding pairs after a takedown must build on the
+              // RE-CLOSED state, or it would propagate a deleted doc's
+              // id as a cluster representative
               val current =
-                try spark.read.parquet(lp)
-                  .where(col("batch_id") =!= batchId)
-                  .groupBy("id")
-                  .agg(max_by(col("cluster_id"), col("batch_id")).as("cluster_id"))
+                try currentClusterLabelsAt(spark, lp, Some(batchId))
                 catch {
                   case e: org.apache.spark.sql.AnalysisException
                       if e.getCondition == "PATH_NOT_FOUND" =>
