@@ -778,6 +778,22 @@ object SparkEntry {
       graft.operators.TrainingData.decontaminateFromIndex(
         docs.filter(col("doc_id") < 5), "text", idx, "doc_id")
     }),
+    "pipeline_decontaminate_deleted" -> ((s, dir) => {
+      // the takedown face of the gram index: victims (doc_id % 9 = 2)
+      // staged as one bounded id-list write, probed WITHOUT compaction —
+      // the probe anti-joins the victim list, answering exactly as if
+      // the index had been built over corpus-minus-victims (the oracle
+      // rebuilds precisely that). Physical removal is the compaction's
+      // job (DecontamDeletionSpec).
+      val docs = Tables.documents(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-dcdel"
+      graft.operators.TrainingData.decontamIndexWrite(
+        docs.filter(col("doc_id") >= 5), "doc_id", "text", idx, n = 4)
+      graft.operators.TrainingData.decontamIndexDelete(
+        docs.filter(col("doc_id") % 9 === 2).select("doc_id"), "doc_id", idx)
+      graft.operators.TrainingData.decontaminateFromIndex(
+        docs.filter(col("doc_id") < 5), "text", idx, "doc_id")
+    }),
     "pipeline_decontaminate_bloom" -> ((s, dir) => {
       // the scale path for big eval unions: bloom prefilter in the scan
       // projection + exact confirm join — answer IDENTICAL to
@@ -886,6 +902,22 @@ object SparkEntry {
       graft.operators.TrainingData.containmentIndexWrite(
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", idx,
         shingleN = 12)
+      graft.operators.TrainingData.decontaminateContainmentFromIndex(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("eval_id"), col("text")),
+        "eval_id", "text", idx, "doc_id", threshold = 0.8)
+    }),
+    "pipeline_decontaminate_containment_deleted" -> ((s, dir) => {
+      // takedown on the containment (shingle) index — same discipline:
+      // bounded victim-list delete, probe ≡ index over corpus-minus-
+      // victims, compaction spec-gated
+      val docs = Tables.documents(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ctdel"
+      graft.operators.TrainingData.containmentIndexWrite(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", idx,
+        shingleN = 12)
+      graft.operators.TrainingData.containmentIndexDelete(
+        docs.filter(col("doc_id") % 9 === 2).select("doc_id"), "doc_id", idx)
       graft.operators.TrainingData.decontaminateContainmentFromIndex(
         docs.filter(col("doc_id") % 10 === 0)
           .select(col("doc_id").as("eval_id"), col("text")),
@@ -1785,6 +1817,26 @@ object SparkEntry {
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-jpidx"
       Dedup.jaccardPrefixIndexWrite(docs.filter(col("doc_id") < 250),
         "doc_id", "text", idx, shingleN = 5, threshold = 0.7)
+      Dedup.jaccardJoinPrefixIncremental(docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", idx, threshold = 0.7)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+    "dedup_jaccard_prefix_deleted" -> ((s, dir) => {
+      // takedown on the exact prefix index: victims (corpus ids with
+      // doc_id % 9 = 2) leave the candidate AND verify sides via the
+      // bounded victim list; the probe's new-involving pairs must equal
+      // the full exact join over corpus-minus-victims ∪ new (the frozen
+      // token order still counts the victims — order is a selectivity
+      // heuristic, verify is exact, so the oracle is unchanged except
+      // for the victim exclusion)
+      val docs = Tables.documents(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-jpdel"
+      Dedup.jaccardPrefixIndexWrite(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", idx, shingleN = 5, threshold = 0.7)
+      Dedup.jaccardPrefixIndexDelete(
+        docs.filter(col("doc_id") < 250 && col("doc_id") % 9 === 2)
+          .select("doc_id"), "doc_id", idx)
       Dedup.jaccardJoinPrefixIncremental(docs.filter(col("doc_id") >= 250),
         "doc_id", "text", idx, threshold = 0.7)
         .select(col("id_a"), col("id_b"),
@@ -2818,6 +2870,9 @@ object SparkEntry {
     // persisted-shingle-index probe ⇒ same answer as the direct scan —
     // equality IS the index's contract
     "pipeline_decontaminate_containment_indexed" -> containmentOracle,
+    // the deletion face answers as if built over corpus-minus-victims
+    "pipeline_decontaminate_containment_deleted" ->
+      containmentOracleWhere(" AND doc_id % 9 <> 2"),
     // exact bipartite shingle-jaccard: corpus (id % 10 != 0) vs eval set
     // (id % 10 = 0); the LSH path's banding is recall-complete here
     // (matches at j >= 0.93), so LSH output == the exact pair set
@@ -3172,6 +3227,9 @@ object SparkEntry {
     // persisted-gram-index probe ⇒ same answer as the direct scan —
     // equality IS the index's contract
     "pipeline_decontaminate_indexed" -> decontaminateOracle,
+    // the deletion face answers as if built over corpus-minus-victims
+    "pipeline_decontaminate_deleted" ->
+      decontaminateOracleWhere(" AND doc_id % 9 <> 2"),
     // same total order (value, orderkey, linenumber) and the same
     // integer (rank−1)·k div N bucket rule
     "q_histogram_equidepth" ->
@@ -4096,6 +4154,14 @@ object SparkEntry {
       s"""WITH $minhashPairsSql
          SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
          WHERE j >= 0.7 AND id_b >= 250""",
+    // takedown replay: new-involving exact pairs minus any pair touching
+    // a victim (victims are corpus ids < 250, and id_a < id_b with
+    // id_b >= 250, so only the id_a side can be one)
+    "dedup_jaccard_prefix_deleted" ->
+      s"""WITH $minhashPairsSql
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
+         WHERE j >= 0.7 AND id_b >= 250
+           AND NOT (id_a < 250 AND id_a % 9 = 2)""",
     // every new-involving exact pair: id_a < id_b, so any pair touching
     // the new batch (ids >= 250) has id_b >= 250
     "dedup_incremental_lsh" ->
@@ -5179,15 +5245,21 @@ object SparkEntry {
     * pipeline_decontaminate_containment and its persisted-index face —
     * the index probe is contractually identical to the direct scan).
     */
-  private lazy val containmentOracle: String =
-    """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+  private lazy val containmentOracle: String = containmentOracleWhere("")
+
+  /** The containment-screen replay with an extra corpus-side predicate —
+    * shared by the direct/indexed faces (empty) and the deletion face.
+    */
+  private def containmentOracleWhere(corpusWhere: String): String =
+    s"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
            generate_series(1, length(n)-11), i -> n[i:i+11])) AS g
          FROM (SELECT doc_id,
-                 regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g') AS n
+                 regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ', 'g') AS n
                FROM documents WHERE text IS NOT NULL)),
        ev AS (SELECT doc_id AS eval_id, g AS eg FROM t
               WHERE doc_id % 10 = 0 AND len(g) > 0),
-       co AS (SELECT doc_id, g AS cg FROM t WHERE doc_id % 10 <> 0),
+       co AS (SELECT doc_id, g AS cg FROM t
+              WHERE doc_id % 10 <> 0$corpusWhere),
        p AS (SELECT doc_id, eval_id,
            len(list_intersect(cg, eg))::DOUBLE / len(eg) AS c
          FROM co, ev)
@@ -5239,17 +5311,25 @@ object SparkEntry {
          round(sum(round(sv * 1e6)::BIGINT)::DOUBLE / 1e6, 6) AS bm25
        FROM sc GROUP BY doc_id"""
 
-  private lazy val decontaminateOracle: String =
-    """WITH t AS (SELECT doc_id,
+  private lazy val decontaminateOracle: String = decontaminateOracleWhere("")
+
+  /** The word-4-gram decontamination replay with an extra corpus-side
+    * predicate — shared by the direct/bloom/indexed faces (empty) and
+    * the deletion face (victim exclusion: a probe after a delete must
+    * answer as if the index held only the survivors).
+    */
+  private def decontaminateOracleWhere(corpusWhere: String): String =
+    s"""WITH t AS (SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+              ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
        FROM (SELECT doc_id, nfc_normalize(text) AS text FROM documents)),
        g AS (SELECT doc_id, list_distinct(list_transform(
            generate_series(1, greatest(len(toks) - 3, 0)),
            i -> array_to_string(toks[i:i+3], ' '))) AS grams FROM t),
        bench AS (SELECT DISTINCT unnest(grams) AS bg FROM g WHERE doc_id < 5)
        SELECT doc_id, count(*)::BIGINT AS n_overlap_grams
-       FROM (SELECT doc_id, unnest(grams) AS dg FROM g WHERE doc_id >= 5) d
+       FROM (SELECT doc_id, unnest(grams) AS dg FROM g
+             WHERE doc_id >= 5$corpusWhere) d
        JOIN bench ON dg = bg GROUP BY doc_id"""
 
   /** Exact replication of [[graft.functions.Bpe]] merge-loop counting

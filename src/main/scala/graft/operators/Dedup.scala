@@ -769,6 +769,78 @@ object Dedup {
     import spark.implicits._
     Seq((shingleN, threshold)).toDF("shingle_n", "threshold")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    // a rebuild supersedes pending deletions and an interrupted
+    // compaction — retired AFTER the new base lands
+    val vp = new org.apache.hadoop.fs.Path(s"$path/victims")
+    val vfs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (vfs.exists(vp)) vfs.delete(vp, true)
+    AtomicBatches.clearMaintenance(spark, path)
+  }
+
+  /** DELETE (takedown) face of a [[jaccardPrefixIndexWrite]] index: one
+    * bounded id-list append to the `victims` channel. The probe
+    * ([[jaccardJoinPrefixIncremental]]) anti-joins victims out of both
+    * the candidate (prefix) and verify (docs) sides, so a deleted doc
+    * pairs with nothing — exactly as if the index held only the
+    * survivors (the frozen token ORDER keeps the victims' df counts,
+    * which is fine: order is a selectivity heuristic, never a
+    * correctness input — see the frozen-order contract on the writer).
+    * Physical removal is [[jaccardPrefixIndexCompact]]'s job; appends
+    * of a deleted id fail loudly until then (versionless index — the
+    * new-ids-only append contract).
+    */
+  def jaccardPrefixIndexDelete(ids: DataFrame, idCol: String,
+      path: String): Unit = {
+    val spark = ids.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, path,
+      "jaccardPrefixIndexDelete")
+    spark.read.parquet(s"$path/meta") // loud on a non-index path
+    ids.select(col(idCol).cast("long").as("__id")).distinct()
+      .write.mode("append").parquet(s"$path/victims")
+  }
+
+  /** Pending victims of a prefix index as a one-column (`as`) frame. */
+  private def prefixVictims(spark: org.apache.spark.sql.SparkSession,
+      path: String, as: String): Option[DataFrame] =
+    graft.operators.Similarity.readParquetIfAny(spark, s"$path/victims")
+      .map(_.select(col("__id").as(as)).distinct())
+
+  /** Physically remove a [[jaccardPrefixIndexWrite]] index's pending
+    * victims: rewrite `docs` and `prefix` minus the victims' rows and
+    * retire the victim list. The tables are unpartitioned (the probe
+    * reads them whole), so this is a full rewrite of both — the
+    * deferred, amortized cost the bounded-write delete face avoids.
+    * `df`/`dfdelta` keep the victims' token counts: the frozen order is
+    * a heuristic, and rewriting it would invalidate every stored
+    * prefix. EXCLUSIVE maintenance (`_MAINT`): probes/deletes/appends
+    * fail loudly while it runs; crash leaves the marker; re-run with
+    * `takeover = true`.
+    */
+  def jaccardPrefixIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String, takeover: Boolean = false): Unit = {
+    import graft.operators.Similarity.readParquetIfAny
+    import org.apache.spark.sql.graft.Bridge
+    if (readParquetIfAny(spark, s"$path/victims").isEmpty &&
+        !AtomicBatches.maintenanceActive(spark, path)) return
+    AtomicBatches.withMaintenanceLock(spark, path, takeover) {
+      readParquetIfAny(spark, s"$path/victims").foreach { v0 =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val v = v0.distinct().localCheckpoint(true)
+        try {
+          Seq("docs" -> "__id", "prefix" -> "__pid").foreach {
+            case (table, idc) =>
+              // checkpoint BEFORE overwriting the table being read
+              val kept = spark.read.parquet(s"$path/$table")
+                .join(v.select(col("__id").as(idc)), Seq(idc), "left_anti")
+                .localCheckpoint(true)
+              try kept.write.mode("overwrite").parquet(s"$path/$table")
+              finally Bridge.releaseLocalCheckpoint(kept)
+          }
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/victims"), true)
+        } finally Bridge.releaseLocalCheckpoint(v)
+      }
+    }
   }
 
   private def readPrefixMeta(spark: org.apache.spark.sql.SparkSession,
@@ -787,6 +859,19 @@ object Dedup {
       textCol: String, path: String): Unit = {
     requireIntegralId(newDocs, idCol, "jaccardPrefixIndexAppend")
     val spark = newDocs.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, path,
+      "jaccardPrefixIndexAppend")
+    // versionless index: a pending victim entry would silently hide the
+    // re-appended rows — compact first
+    prefixVictims(spark, path, "__v").foreach { v =>
+      val hits = newDocs.select(col(idCol).cast("long").as("__v"))
+        .join(broadcast(v), Seq("__v"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(hits.isEmpty,
+        s"jaccardPrefixIndexAppend to $path includes ids with PENDING " +
+        s"deletions (e.g. ${hits.mkString(", ")}); run " +
+        "jaccardPrefixIndexCompact first, then re-append")
+    }
     val (shingleN, threshold) = readPrefixMeta(spark, path)
     val shingled = prefixShingled(newDocs, idCol, textCol, shingleN)
       .select(col(idCol).cast("long").as("__id"), col("sh"))
@@ -819,6 +904,8 @@ object Dedup {
       textCol: String, path: String, threshold: Double): DataFrame = {
     requireIntegralId(newDocs, idCol, "jaccardJoinPrefixIncremental")
     val spark = newDocs.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, path,
+      "jaccardJoinPrefixIncremental")
     val (shingleN, buildT) = readPrefixMeta(spark, path)
     require(threshold >= buildT && threshold <= 1.0,
       s"probe threshold $threshold must be in [index build threshold " +
@@ -836,7 +923,13 @@ object Dedup {
     // code path; the length/positional filters prune at the probe t
     val prefNew = prefixRows(toksNew, "__id", frozen, buildT)
       .localCheckpoint(true) // both candidate branches read it
-    val prefOld = spark.read.parquet(s"$path/prefix")
+    // takedown-aware: deleted docs leave the candidate side immediately
+    // (one broadcast anti-join against the bounded victim list)
+    val prefOld = prefixVictims(spark, path, "__pid") match {
+      case None => spark.read.parquet(s"$path/prefix")
+      case Some(v) => spark.read.parquet(s"$path/prefix")
+        .join(broadcast(v), Seq("__pid"), "left_anti")
+    }
     // new×corpus (both orientations — corpus ids can sit on either side
     // of the id order) ∪ new×new, one union of prefix rows with a flag
     val all = prefOld.withColumn("__new", lit(false))
@@ -861,7 +954,15 @@ object Dedup {
     val pick = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id"))
       .orderBy(col("__new").desc, xxhash64(col("sh")))
-    val shById = spark.read.parquet(s"$path/docs")
+    // ...and the verify side (belt-and-braces: no candidate references a
+    // victim once the prefix side is pruned, but the dropped rows keep
+    // the picked-set deterministic if one ever did)
+    val docsOld = prefixVictims(spark, path, "__id") match {
+      case None => spark.read.parquet(s"$path/docs")
+      case Some(v) => spark.read.parquet(s"$path/docs")
+        .join(broadcast(v), Seq("__id"), "left_anti")
+    }
+    val shById = docsOld
       .withColumn("__new", lit(false))
       .unionByName(shNew.withColumn("__new", lit(true)))
       .withColumn("__rn", row_number().over(pick))

@@ -275,6 +275,147 @@ object TrainingData {
     docs.sparkSession.range(1)
       .select(lit(n).as("n"), lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$path/meta")
+    // a rebuild supersedes pending deletions and an interrupted
+    // compaction — retired AFTER the new base lands (the
+    // Similarity.clearSideChannels discipline)
+    clearIndexVictims(docs.sparkSession, path)
+  }
+
+  /** DELETE (takedown) face of a [[decontamIndexWrite]] index: one
+    * bounded id-list append to the index's `victims` channel — nothing
+    * bucket-partitioned is rewritten at delete time. Every probe
+    * anti-joins the (small, broadcast) victim list, so a deleted doc's
+    * grams stop matching immediately — the probe answers exactly as if
+    * the index had been built over the corpus minus the victims.
+    * Physical removal is [[decontamIndexCompact]]'s job; appends of a
+    * deleted id fail loudly until then (these indexes are versionless —
+    * the new-ids-only append contract — so a pending victim entry would
+    * silently hide the re-inserted rows).
+    */
+  def decontamIndexDelete(ids: DataFrame, idCol: String,
+      path: String): Unit =
+    stageIndexVictims(ids, idCol, path)
+
+  /** [[decontamIndexDelete]] for a [[containmentIndexWrite]] index. */
+  def containmentIndexDelete(ids: DataFrame, idCol: String,
+      path: String): Unit =
+    stageIndexVictims(ids, idCol, path)
+
+  private def stageIndexVictims(ids: DataFrame, idCol: String,
+      path: String): Unit = {
+    val spark = ids.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, path, "index delete")
+    // loud on a non-index path: both layouts persist a meta table
+    spark.read.parquet(s"$path/meta")
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").parquet(s"$path/victims")
+  }
+
+  /** The pending victim ids of a decontamination index (or None), with
+    * the column renamed to the probe's id column.
+    */
+  private def indexVictims(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): Option[DataFrame] =
+    graft.operators.Similarity.readParquetIfAny(spark, s"$path/victims")
+      .map(v => v.select(col(v.columns.head).as(idCol)).distinct())
+
+  /** Hide pending victims from a probe's store read — one broadcast
+    * anti-join against the bounded takedown list.
+    */
+  private def minusIndexVictims(spark: org.apache.spark.sql.SparkSession,
+      path: String, store: DataFrame, idCol: String): DataFrame =
+    indexVictims(spark, path, idCol) match {
+      case None => store
+      case Some(v) => store.join(broadcast(v), Seq(idCol), "left_anti")
+    }
+
+  /** The append-face guard: a versionless index cannot re-insert an id
+    * with a pending victim entry (the rows would land yet stay hidden) —
+    * compact first. Doubles as the maintenance guard.
+    */
+  private def requireNoIndexVictims(df: DataFrame, idCol: String,
+      path: String, face: String): Unit = {
+    val spark = df.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, path, face)
+    indexVictims(spark, path, idCol).foreach { v =>
+      val hits = df.select(col(idCol))
+        .join(broadcast(v), Seq(idCol), "left_semi")
+        .limit(5).collect().map(_.get(0))
+      require(hits.isEmpty,
+        s"$face to $path includes ids with PENDING deletions (e.g. " +
+        s"${hits.mkString(", ")}): the appended rows would be hidden by " +
+        "the victim list. Compact the index first, then re-append.")
+    }
+  }
+
+  private def clearIndexVictims(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/victims")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    AtomicBatches.clearMaintenance(spark, path)
+  }
+
+  /** Physically remove a [[decontamIndexWrite]] index's pending victims:
+    * rewrite only the victim-touched gram buckets (dynamic partition
+    * overwrite, g-sorted within partitions so probes keep their
+    * row-group skipping), then retire the victim list. EXCLUSIVE
+    * maintenance via the `_MAINT` marker: probes/deletes/appends fail
+    * loudly while it runs; a crash leaves the marker; re-run with
+    * `takeover = true`.
+    */
+  def decontamIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String, takeover: Boolean = false): Unit =
+    compactIndexVictims(spark, path, "grams", "gb", "g", takeover)
+
+  /** [[decontamIndexCompact]] for a [[containmentIndexWrite]] index. */
+  def containmentIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String, takeover: Boolean = false): Unit =
+    compactIndexVictims(spark, path, "shingles", "sb", "tok", takeover)
+
+  private def compactIndexVictims(spark: org.apache.spark.sql.SparkSession,
+      path: String, table: String, bucketCol: String, sortCol: String,
+      takeover: Boolean): Unit = {
+    import graft.operators.Similarity.readParquetIfAny
+    if (readParquetIfAny(spark, s"$path/victims").isEmpty &&
+        !AtomicBatches.maintenanceActive(spark, path)) return
+    AtomicBatches.withMaintenanceLock(spark, path, takeover) {
+      readParquetIfAny(spark, s"$path/victims").foreach { v0 =>
+        val idCol = v0.columns.head
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val v = v0.distinct().localCheckpoint(true)
+        try {
+          val store = spark.read.parquet(s"$path/$table")
+          // ≤nBuckets driver rows: only victim-touched buckets rewrite
+          val touched = store.join(v, Seq(idCol), "left_semi")
+            .select(col(bucketCol).cast("long")).distinct()
+            .collect().map(_.getLong(0)).sorted
+          if (touched.nonEmpty) {
+            val kept = store.filter(col(bucketCol).isin(touched: _*))
+              .join(v, Seq(idCol), "left_anti")
+              .select(store.columns.map(col): _*)
+              .localCheckpoint(true) // rewrite + emptied-dir scan read it
+            try {
+              kept.repartition(col(bucketCol))
+                .sortWithinPartitions(sortCol)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(bucketCol)
+                .parquet(s"$path/$table")
+              val out = kept.select(col(bucketCol).cast("long")).distinct()
+                .collect().map(_.getLong(0)).toSet
+              touched.filterNot(out).foreach { b =>
+                fs.delete(new org.apache.hadoop.fs.Path(
+                  s"$path/$table/$bucketCol=$b"), true)
+              }
+            } finally org.apache.spark.sql.graft.Bridge
+              .releaseLocalCheckpoint(kept)
+          }
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/victims"), true)
+        } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(v)
+      }
+    }
   }
 
   /** Append a new corpus batch to a [[decontamIndexWrite]] index under
@@ -283,6 +424,7 @@ object TrainingData {
     */
   def decontamIndexAppend(newDocs: DataFrame, idCol: String,
       textCol: String, path: String): Unit = {
+    requireNoIndexVictims(newDocs, idCol, path, "decontamIndexAppend")
     val meta = newDocs.sparkSession.read.parquet(s"$path/meta").head()
     decontamGramsOut(newDocs, idCol, textCol, path,
       meta.getAs[Int]("n"), meta.getAs[Int]("n_buckets"), overwrite = false)
@@ -328,8 +470,10 @@ object TrainingData {
     val buckets = benchGrams
       .select(pmod(col("g"), lit(nBuckets.toLong)))
       .distinct().collect().map(_.getLong(0))
-    spark.read.parquet(s"$path/grams")
-      .filter(col("gb").isin(buckets: _*))
+    AtomicBatches.assertNotInMaintenance(spark, path, "decontaminateFromIndex")
+    minusIndexVictims(spark, path,
+        spark.read.parquet(s"$path/grams")
+          .filter(col("gb").isin(buckets: _*)), idCol)
       .join(broadcast(benchGrams), Seq("g"))
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap_grams"))
   }
@@ -353,6 +497,7 @@ object TrainingData {
     docs.sparkSession.range(1)
       .select(lit(shingleN).as("shingle_n"), lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$path/meta")
+    clearIndexVictims(docs.sparkSession, path)
   }
 
   /** Append a new corpus batch under the index's frozen shingle width.
@@ -360,6 +505,7 @@ object TrainingData {
     */
   def containmentIndexAppend(newDocs: DataFrame, idCol: String,
       textCol: String, path: String): Unit = {
+    requireNoIndexVictims(newDocs, idCol, path, "containmentIndexAppend")
     val meta = newDocs.sparkSession.read.parquet(s"$path/meta").head()
     containmentShinglesOut(newDocs, idCol, textCol, path,
       meta.getAs[Int]("shingle_n"), meta.getAs[Int]("n_buckets"),
@@ -410,8 +556,11 @@ object TrainingData {
     val buckets = evalToks
       .select(pmod(col("tok"), lit(nBuckets.toLong)))
       .distinct().collect().map(_.getLong(0))
-    spark.read.parquet(s"$path/shingles")
-      .filter(col("sb").isin(buckets: _*))
+    AtomicBatches.assertNotInMaintenance(spark, path,
+      "decontaminateContainmentFromIndex")
+    minusIndexVictims(spark, path,
+        spark.read.parquet(s"$path/shingles")
+          .filter(col("sb").isin(buckets: _*)), idCol)
       .join(broadcast(evalToks), Seq("tok"))
       .groupBy(col(idCol), col("__eid"), col("__se"))
       .agg(count(lit(1)).as("__m"))
