@@ -717,6 +717,24 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), "doc_id", "text",
         w = 8, maskBits = 6, index)
     }),
+    "text_cdc_deleted" -> ((s, dir) => {
+      // takedown on the chunk index: victims (old ids with % 9 = 2)
+      // leave via cdcIndexDelete's owner-forgetting semantics — their
+      // owned digests are GONE (content evidence removed), so a new doc
+      // repeating one is KEPT (dedup under-fires conservatively; a
+      // rebuild re-elects surviving owners). The oracle replays exactly
+      // that: first-occurrence index over old docs minus victim-owned
+      // entries, then the new batch's dedup against it.
+      val docs = Tables.documents(s, dir)
+      val index = graft.operators.TrainingData.cdcIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        w = 8, maskBits = 6)
+      val reduced = graft.operators.TrainingData.cdcIndexDelete(index,
+        docs.filter(col("doc_id") % 9 === 2), "doc_id")
+      graft.operators.TrainingData.cdcDedupIncremental(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        w = 8, maskBits = 6, reduced)
+    }),
     "text_bm25" -> ((s, dir) =>
       // Okapi BM25 against a topic probe (one absent term exercises the
       // df=0 no-hit path): the retrieval-grade ranking the frequency-only
@@ -3208,6 +3226,52 @@ object SparkEntry {
            coalesce(re.dedup_md5, md5('')) AS dedup_md5
          FROM tot LEFT JOIN re USING (doc_id)
          WHERE tot.doc_id >= 250""",
+    // takedown replay: the old-corpus first-occurrence index MINUS
+    // victim-owned entries (owner % 9 = 2 — the owner-forgetting
+    // semantics: a digest first owned by a victim is gone even if a
+    // surviving old doc also held it), then the new batch's dedup
+    // against that reduced digest set
+    "text_cdc_deleted" ->
+      """WITH base AS (SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+           FROM documents
+           WHERE text IS NOT NULL
+             AND length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) > 0),
+         b AS (SELECT doc_id, t, length(t)::INT AS n,
+             list_filter(generate_series(8, length(t)::INT), i ->
+               list_sum(list_transform(generate_series(1, 8), j ->
+                 ascii(substr(t, i - 8 + j, 1))::BIGINT
+                   * ((31 ** (8 - j))::BIGINT))) % 64 = 0) AS bd
+           FROM base),
+         c AS (SELECT doc_id, t,
+             list_concat([1], list_transform(bd, x -> x + 1)) AS ss,
+             list_concat(bd, [n]) AS ee
+           FROM b),
+         ch AS (SELECT doc_id, (k - 1)::INT AS idx,
+             substr(t, ss[k], ee[k] - ss[k] + 1) AS chunk
+           FROM c, unnest(generate_series(1, len(ss))) AS u(k)
+           WHERE ee[k] >= ss[k]),
+         w_old AS (SELECT md5(chunk) AS d,
+             min(doc_id * 2147483648 + idx) // 2147483648 AS wid
+           FROM ch WHERE doc_id < 250 GROUP BY md5(chunk)),
+         oidx AS (SELECT d FROM w_old WHERE wid % 9 <> 2),
+         w_new AS (SELECT md5(chunk) AS d,
+             min(doc_id * 2147483648 + idx) // 2147483648 AS wid,
+             min(doc_id * 2147483648 + idx) % 2147483648 AS widx
+           FROM ch WHERE doc_id >= 250 GROUP BY md5(chunk)),
+         keep AS (SELECT ch.* FROM ch JOIN w_new
+             ON md5(ch.chunk) = w_new.d
+               AND ch.doc_id = w_new.wid AND ch.idx = w_new.widx
+           WHERE w_new.d NOT IN (SELECT d FROM oidx)),
+         re AS (SELECT doc_id, count(*)::BIGINT AS n_chunks_kept,
+             md5(string_agg(chunk, '' ORDER BY idx)) AS dedup_md5
+           FROM keep GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*)::BIGINT AS n_chunks
+                 FROM ch WHERE doc_id >= 250 GROUP BY doc_id)
+         SELECT tot.doc_id, tot.n_chunks,
+           coalesce(re.n_chunks_kept, 0) AS n_chunks_kept,
+           coalesce(re.dedup_md5, md5('')) AS dedup_md5
+         FROM tot LEFT JOIN re USING (doc_id)""",
     // same tokenization, same non-negative idf, same k1=1.2/b=0.75, and
     // the same integer micro-unit sum — bit-for-bit replay
     "text_bm25" -> bm25Oracle,

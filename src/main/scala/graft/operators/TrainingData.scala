@@ -1553,6 +1553,29 @@ object TrainingData {
     cdcIndex(newDocs, idCol, textCol, w, maskBits)
       .join(existingIndex.select("chunk_md5"), Seq("chunk_md5"), "left_anti")
 
+  /** DELETE (takedown) face of the [[cdcIndex]] state: the index minus
+    * every row the victims OWN — one broadcast anti-join on the bounded
+    * victim list; the persisted-store twin is
+    * [[graft.streaming.StreamingOps.cdcStateDelete]].
+    *
+    * SEMANTICS (documented, deliberate): the index stores only each
+    * chunk's FIRST occurrence, so a digest whose first occurrence was a
+    * victim is FORGOTTEN even when a surviving doc also holds it — the
+    * index cannot know (it never stored the second occurrence), and
+    * finding out would mean re-chunking the corpus at delete time. The
+    * error is CONSERVATIVE for both goals of a takedown: the victim's
+    * chunk digests (its content evidence) are fully gone, and future
+    * copies of a forgotten chunk are KEPT rather than wrongly dropped —
+    * dedup under-fires, never removes data it shouldn't. A periodic
+    * rebuild ([[cdcIndex]] over the surviving corpus) re-elects
+    * surviving owners and restores full dedup pressure.
+    */
+  def cdcIndexDelete(index: DataFrame, ids: DataFrame,
+      idCol: String): DataFrame =
+    index.join(broadcast(ids.select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+      .select(index.columns.map(col): _*)
+
   /** [[cdcDedup]] for continuous ingestion: dedup only the NEW batch,
     * dropping chunks already owned by the ingested corpus (present in
     * `existingIndex`, built/maintained via [[cdcIndex]] /

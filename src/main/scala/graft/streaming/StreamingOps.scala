@@ -871,9 +871,25 @@ object StreamingOps {
         try {
           b.count()
           val existing =
-            try spark.read.parquet(indexPath)
-              .where(col("batch_id") =!= batchId).drop("batch_id")
-            catch {
+            try {
+              val raw = spark.read.parquet(indexPath)
+                .where(col("batch_id") =!= batchId)
+              // takedown-aware ([[cdcStateDelete]]): a deleted doc's
+              // owned chunks are hidden (batch_id ≤ its up_to), so the
+              // new batch neither dedups against them nor fails to
+              // re-own them; a re-ingested victim's newer rows outrank
+              // the deletion
+              val live = cdcVictims(spark, indexPath) match {
+                case None => raw
+                case Some(v) =>
+                  raw.join(v.select(col("id").as(idCol), col("up_to")),
+                      Seq(idCol), "left_outer")
+                    .filter(col("up_to").isNull ||
+                      col("batch_id").cast("long") > col("up_to"))
+                    .drop("up_to")
+              }
+              live.drop("batch_id")
+            } catch {
               // ONLY path-not-found means "first batch" — see
               // continuousNearDup
               case e: org.apache.spark.sql.AnalysisException
@@ -899,6 +915,117 @@ object StreamingOps {
         } finally b.unpersist(blocking = false)
         ()
       }
+  }
+
+  /** Deleted ids of a [[continuousCdcDedup]] index as (id, up_to) —
+    * latest deletion per id — or None. The `_victims` channel lives
+    * inside `indexPath` (underscore-hidden from the batch-partition
+    * reads, collision-free with the stream's `batch_id=` overwrites).
+    */
+  private def cdcVictims(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[DataFrame] =
+    graft.operators.Similarity
+      .readParquetIfAny(spark, s"$indexPath/_victims")
+      .map(_.groupBy("id").agg(max(col("up_to")).as("up_to")))
+
+  /** DELETE (takedown) face of a [[continuousCdcDedup]] persisted chunk
+    * index: one bounded (id, up_to) append to the `_victims` channel —
+    * no index partition is rewritten at delete time. The stream's probe
+    * hides the victims' owned rows (batch_id ≤ up_to), with the
+    * [[graft.operators.TrainingData.cdcIndexDelete]] owner-forgetting
+    * semantics (conservative: dedup under-fires on digests first-owned
+    * by a victim; a rebuild re-elects). A later batch re-ingesting the
+    * victim re-owns its chunks — its rows outrank the deletion.
+    * Physical removal is [[compactCdcIndex]]'s job. The dedup OUTPUT
+    * stream at `outPath` is downstream data, not index state — purge it
+    * through the downstream store's own takedown.
+    */
+  def cdcStateDelete(victims: DataFrame, idCol: String,
+      indexPath: String): Unit = {
+    import graft.operators.AtomicBatches
+    val spark = victims.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, indexPath, "cdcStateDelete")
+    val upTo = Option(spark.read.parquet(indexPath)
+        .agg(max(col("batch_id").cast("long"))).head.get(0))
+      .map(_.toString.toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no chunk index under $indexPath - nothing to delete from"))
+    victims.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("up_to", lit(upTo))
+      .write.mode("append").parquet(s"$indexPath/_victims")
+  }
+
+  /** Physically remove a CDC chunk index's deleted rows: rewrite only
+    * the victim-touched COMMITTED batch partitions (the latest batch
+    * stays untouched for the replay contract — victims deleted at the
+    * stream head stay pending until the next batch or an
+    * `includeLatest` quiesced pass), then GC victim records whose rows
+    * are all physical (`up_to` below the horizon). EXCLUSIVE
+    * maintenance via the `_MAINT` marker; crash leaves it; re-run with
+    * `takeover = true`.
+    */
+  def compactCdcIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, includeLatest: Boolean = false,
+      takeover: Boolean = false): Unit = {
+    import graft.operators.{AtomicBatches, Similarity}
+    import org.apache.spark.sql.graft.Bridge
+    if (Similarity.readParquetIfAny(spark, s"$indexPath/_victims").isEmpty &&
+        !AtomicBatches.maintenanceActive(spark, indexPath)) return
+    AtomicBatches.withMaintenanceLock(spark, indexPath, takeover) {
+      Similarity.readParquetIfAny(spark, s"$indexPath/_victims").foreach {
+        v0 =>
+        val store = spark.read.parquet(indexPath)
+        val idCol = store.columns.filterNot(c =>
+          c == "chunk_md5" || c == "chunk_idx" || c == "batch_id").head
+        // NO non-local return in here (it would skip the lock release);
+        // a rowless store folds through as an empty prune
+        val maxBatch = Option(store
+            .agg(max(col("batch_id").cast("long"))).head.get(0))
+          .map(_.toString.toLong).getOrElse(Long.MinValue)
+        val horizon = if (includeLatest) Long.MaxValue else maxBatch
+        val v = v0.groupBy("id").agg(max(col("up_to")).as("up_to"))
+          .localCheckpoint(true)
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try {
+          val joined = store.withColumn("__sb", col("batch_id").cast("long"))
+            .where(col("__sb") < lit(horizon))
+            .join(v.select(col("id").as(idCol), col("up_to")),
+              Seq(idCol), "left_outer")
+          val dead = col("up_to").isNotNull && col("__sb") <= col("up_to")
+          val touched = joined.filter(dead).select(col("__sb")).distinct()
+            .collect().map(_.getLong(0)).sorted
+          if (touched.nonEmpty) {
+            val kept = joined.filter(col("__sb").isin(touched: _*) && !dead)
+              .select(store.columns.map(col): _*)
+              .localCheckpoint(true) // rewrite + emptied-dir scan read it
+            try {
+              kept.repartition(col("batch_id"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(indexPath)
+              val out = kept.select(col("batch_id").cast("long")).distinct()
+                .collect().map(_.getLong(0)).toSet
+              touched.filterNot(out).foreach { bId =>
+                fs.delete(new org.apache.hadoop.fs.Path(
+                  s"$indexPath/batch_id=$bId"), true)
+              }
+            } finally Bridge.releaseLocalCheckpoint(kept)
+          }
+          // GC victims whose every possible row is now physical; later
+          // deletions (up_to ≥ horizon) stay pending and keep hiding
+          val pending = v.filter(col("up_to") >= lit(horizon))
+            .localCheckpoint(true)
+          val vroot = new org.apache.hadoop.fs.Path(s"$indexPath/_victims")
+          if (pending.isEmpty) fs.delete(vroot, true)
+          else {
+            pending.write.mode("overwrite").parquet(vroot.toString)
+          }
+          Bridge.releaseLocalCheckpoint(pending)
+        } finally Bridge.releaseLocalCheckpoint(v)
+      }
+    }
   }
 
   /** Continuous-ingestion near-dup for the HAMMING family — the chunk-
