@@ -1522,6 +1522,25 @@ object SparkEntry {
         coPurchaseEdges(s, dir, 4, 2), "src", "dst", idx)
       graft.operators.Graph.trianglesFromIndex(s, idx)
     }),
+    "graph_triangles_deleted" -> ((s, dir) => {
+      // the takedown face of the maintained triangle index: build+append
+      // the full co-purchase graph, then DELETE the (a+b) % 5 = 1 edges —
+      // only triangles containing a deleted edge are enumerated (from
+      // each victim's lower-degree endpoint, attributed to the largest
+      // deleted edge), one negative count delta per touched vertex, and
+      // the probe must equal the full rebuild over the SURVIVING edges
+      // (the oracle runs exactly that). Compaction is spec-gated.
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-tridel"
+      graft.operators.Graph.trianglesIndexWrite(
+        coPurchaseEdges(s, dir, 4, 0), "src", "dst", idx)
+      graft.operators.Graph.trianglesIndexAppend(
+        coPurchaseEdges(s, dir, 4, 2), "src", "dst", idx)
+      graft.operators.Graph.trianglesIndexDelete(
+        coPurchaseEdges(s, dir, 2, 0)
+          .filter((col("src") + col("dst")) % 5 === 1),
+        "src", "dst", idx)
+      graft.operators.Graph.trianglesFromIndex(s, idx)
+    }),
     "graph_clustering_coef_incremental" -> ((s, dir) => {
       // the coefficient face of the SAME maintained triangle index
       // (graph_triangles_incremental builds it; this probes it with the
@@ -3973,6 +3992,38 @@ object SparkEntry {
              CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
                   THEN db.deg ELSE da.deg END AS dt
            FROM e0 JOIN deg da ON e0.a = da.id JOIN deg db ON e0.b = db.id),
+         tr AS (SELECT x.s AS u, x.t AS v, y.t AS w
+                FROM o x JOIN o y ON x.s = y.s
+                  AND (x.dt, x.t) < (y.dt, y.t)
+                  JOIN o z ON z.s = x.t AND z.t = y.t),
+         cnt AS (SELECT id, count(*)::BIGINT AS triangles FROM (
+               SELECT u AS id FROM tr UNION ALL SELECT v FROM tr
+               UNION ALL SELECT w FROM tr)
+             GROUP BY id)
+         SELECT deg.id, coalesce(cnt.triangles, 0)::BIGINT AS triangles
+         FROM deg LEFT JOIN cnt USING (id)""",
+    // takedown-face contract: build + append + DELETE of the
+    // (a+b) % 5 = 1 edges must equal the rebuild over the SURVIVORS —
+    // vertex set included (isolated vertices leave with their edges)
+    "graph_triangles_deleted" ->
+      """WITH e0 AS (SELECT DISTINCT
+             least(a.l_partkey, b.l_partkey)::BIGINT AS a,
+             greatest(a.l_partkey, b.l_partkey)::BIGINT AS b
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+           WHERE a.l_orderkey % 2 = 0),
+         es AS (SELECT a, b FROM e0 WHERE (a + b) % 5 <> 1),
+         deg AS (SELECT id, count(*)::BIGINT AS deg FROM (
+               SELECT a AS id FROM es UNION ALL SELECT b FROM es)
+             GROUP BY id),
+         o AS (SELECT
+             CASE WHEN (da.deg, es.a) < (db.deg, es.b)
+                  THEN es.a ELSE es.b END AS s,
+             CASE WHEN (da.deg, es.a) < (db.deg, es.b)
+                  THEN es.b ELSE es.a END AS t,
+             CASE WHEN (da.deg, es.a) < (db.deg, es.b)
+                  THEN db.deg ELSE da.deg END AS dt
+           FROM es JOIN deg da ON es.a = da.id JOIN deg db ON es.b = db.id),
          tr AS (SELECT x.s AS u, x.t AS v, y.t AS w
                 FROM o x JOIN o y ON x.s = y.s
                   AND (x.dt, x.t) < (y.dt, y.t)

@@ -293,6 +293,9 @@ object Graph {
     val batchesRoot = new org.apache.hadoop.fs.Path(s"$path/batches")
     val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(batchesRoot)) fs.delete(batchesRoot, true)
+    // a rebuild also supersedes an interrupted compaction
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/base_next"), true)
+    AtomicBatches.clearMaintenance(spark, path)
   }
 
   /** Append an edge batch to a [[trianglesIndexWrite]] index WITHOUT
@@ -323,6 +326,7 @@ object Graph {
       dstCol: String, path: String): Unit = {
     import org.apache.spark.sql.graft.Bridge
     val spark = newEdges.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, path, "trianglesIndexAppend")
     // crash-safe append: both deltas land under one batch directory and
     // become visible ATOMICALLY via its _COMMIT marker — a crash
     // between the counts and edges writes can neither double-count (a
@@ -385,6 +389,128 @@ object Graph {
     Bridge.releaseLocalCheckpoint(delta)
   }
 
+  /** DELETE (takedown) face of a [[trianglesIndexWrite]] index: remove
+    * an edge batch WITHOUT recounting the corpus — the mirror of
+    * [[trianglesIndexAppend]]: only triangles CONTAINING a deleted edge
+    * are enumerated (they existed in the pre-delete edge set, so
+    * wedges/closure run over the CURRENT edges with the victims still
+    * in), each destroyed triangle is attributed to its LARGEST deleted
+    * edge in canonical (a, b) order (1–3 of its edges may be deleted —
+    * exactly once), and one NEGATIVE per-vertex count delta lands with
+    * the removal list as an atomic `_COMMIT` batch. Edges absent from
+    * the index are a harmless no-op. [[trianglesFromIndex]] afterwards
+    * equals a full rebuild over the surviving edges (the
+    * `graph_triangles_deleted` oracle); a later append may legitimately
+    * re-add a deleted edge (edge membership folds by batch order).
+    * Physical removal of the history is [[trianglesIndexCompact]]'s
+    * job.
+    */
+  def trianglesIndexDelete(edges: DataFrame, srcCol: String,
+      dstCol: String, path: String): Unit = {
+    import org.apache.spark.sql.graft.Bridge
+    val spark = edges.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, path, "trianglesIndexDelete")
+    AtomicBatches.sweepUncommitted(spark, s"$path/batches")
+    val cur = indexEdges(spark, path).localCheckpoint(true)
+    val canon = canonicalUndirected(edges, srcCol, dstCol)
+    // only edges the index holds delete; re-sent deletions no-op
+    val del = canon.join(cur, Seq("a", "b"), "left_semi")
+      .localCheckpoint(true) // wedge build + removal write read it
+    Bridge.releaseLocalCheckpoint(canon)
+    val union = cur
+      .join(del.select(col("a"), col("b"), lit(true).as("is_del")),
+        Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("is_del"), lit(false)).as("is_del"))
+      .localCheckpoint(true)
+    Bridge.releaseLocalCheckpoint(cur)
+    val deg = union.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val dk = del
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("s"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("t"))
+    val adj = union.select(col("a").as("u"), col("b").as("z"),
+        col("is_del").as("e1_del"), struct(col("a"), col("b")).as("e1k"))
+      .union(union.select(col("b").as("u"), col("a").as("z"),
+        col("is_del").as("e1_del"), struct(col("a"), col("b")).as("e1k")))
+    val cand = dk.join(adj, col("u") === col("s"))
+      .filter(col("z") =!= col("t"))
+      .select(col("a"), col("b"), col("t"), col("z"), col("e1_del"),
+        col("e1k"))
+    val e2 = union.select(col("a").as("__a2"), col("b").as("__b2"),
+      col("is_del").as("e2_del"), struct(col("a"), col("b")).as("e2k"))
+    val dkey = struct(col("a"), col("b"))
+    // once-per-triangle: this delta edge must be the LARGEST deleted
+    // edge of the triangle it destroys
+    val closed = cand.join(e2,
+        least(col("z"), col("t")) === col("__a2") &&
+          greatest(col("z"), col("t")) === col("__b2"))
+      .filter(!(col("e1_del") && col("e1k") > dkey) &&
+        !(col("e2_del") && col("e2k") > dkey))
+    val bdir =
+      s"$path/batches/${AtomicBatches.nextBatchN(spark, s"$path/batches")}"
+    closed
+      .select(explode(array(col("a"), col("b"), col("z"))).as("id"))
+      .groupBy("id").agg((-count(lit(1))).as("d_triangles"))
+      .write.mode("overwrite").parquet(s"$bdir/counts")
+    del.select("a", "b").write.mode("overwrite").parquet(s"$bdir/removals")
+    AtomicBatches.commit(spark, bdir)
+    Bridge.releaseLocalCheckpoint(union)
+    Bridge.releaseLocalCheckpoint(del)
+  }
+
+  /** Fold a triangle index's committed batch history into a fresh base
+    * (edges = the batch-order edge fold, counts = the exact integer
+    * count fold, zero rows dropped) and retire the `batches/` channel —
+    * the physical-removal half of [[trianglesIndexDelete]] and the
+    * read-cost bound for long append histories.
+    *
+    * Crash safety (the staged-swap discipline): the new base is staged
+    * under `base_next/` and committed with a `_COMMIT` marker BEFORE
+    * the swap touches anything readers use; a re-run (`takeover =
+    * true`) either recomputes the stage from the still-intact old
+    * state (no marker) or just redoes the idempotent swap (marker
+    * present — delete batches, overwrite base from the stage, drop the
+    * stage). EXCLUSIVE maintenance via `_MAINT`: every index face fails
+    * loudly while it runs.
+    */
+  def trianglesIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String, takeover: Boolean = false): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nextDir = s"$path/base_next"
+    if (committedBatchDirs(spark, path).isEmpty &&
+        !AtomicBatches.maintenanceActive(spark, path) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(nextDir))) return
+    AtomicBatches.withMaintenanceLock(spark, path, takeover) {
+      val committed = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$nextDir/_COMMIT"))
+      if (!committed) {
+        // no committed stage: the old state is intact — (re)compute it
+        fs.delete(new org.apache.hadoop.fs.Path(nextDir), true)
+        indexEdges(spark, path)
+          .write.parquet(s"$nextDir/edges")
+        indexCounts(spark, path)
+          .groupBy("id").agg(sum(col("d_triangles")).as("d_triangles"))
+          .filter(col("d_triangles") =!= 0L)
+          .write.parquet(s"$nextDir/counts")
+        AtomicBatches.commit(spark, nextDir)
+      }
+      // idempotent swap: any crash point here is re-runnable verbatim
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/batches"), true)
+      spark.read.parquet(s"$nextDir/edges")
+        .write.mode("overwrite").parquet(s"$path/edges")
+      spark.read.parquet(s"$nextDir/counts")
+        .write.mode("overwrite").parquet(s"$path/counts")
+      fs.delete(new org.apache.hadoop.fs.Path(nextDir), true)
+    }
+  }
+
   /** The batch directories of a triangle index that are COMMITTED —
     * the [[AtomicBatches]] protocol. Uncommitted directories are
     * crashed append attempts: invisible to every reader, swept by the
@@ -394,13 +520,41 @@ object Graph {
       spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
     AtomicBatches.committedDirs(spark, s"$path/batches")
 
-  /** The index's full edge set: the base table ∪ every committed
-    * batch's edge delta.
+  /** The index's full edge set. Append-only history is a plain union
+    * (the fast path — no fold appears until a deletion exists); once
+    * any committed batch carries a `removals` table, edge membership
+    * folds in BATCH ORDER: per canonical (a, b), the latest operation
+    * wins (add = present, removal = absent; the base ranks as batch
+    * −1), so a re-added edge after a deletion is present and a deletion
+    * after a re-add is absent — the cellsCurrent recency discipline on
+    * edges.
     */
   private def indexEdges(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/edges" +:
-      committedBatchDirs(spark, path).map(d => s"$d/edges"): _*)
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val dirs = committedBatchDirs(spark, path)
+    val parts = dirs.map { d =>
+      (d.split('/').last.toLong,
+        Similarity.readParquetIfAny(spark, s"$d/edges"),
+        Similarity.readParquetIfAny(spark, s"$d/removals"))
+    }
+    if (parts.forall(_._3.isEmpty))
+      // append-only history: every committed batch has an edges table
+      spark.read.parquet(s"$path/edges" +: dirs.map(d => s"$d/edges"): _*)
+    else {
+      def shape(df: DataFrame, n: Long, present: Boolean): DataFrame =
+        df.select(col("a"), col("b"), lit(n).as("__n"),
+          lit(present).as("__p"))
+      val all = (Seq(shape(spark.read.parquet(s"$path/edges"), -1L,
+          present = true)) ++
+        parts.flatMap { case (n, adds, rems) =>
+          adds.map(shape(_, n, present = true)).toSeq ++
+            rems.map(shape(_, n, present = false)).toSeq
+        }).reduce(_ unionByName _)
+      all.groupBy(col("a"), col("b"))
+        .agg(max_by(col("__p"), col("__n")).as("__p"))
+        .filter(col("__p")).select(col("a"), col("b"))
+    }
+  }
 
   /** The index's per-batch count deltas, folded by the readers with
     * exact integer sums (order-invariant): base ∪ committed batches.
@@ -416,6 +570,7 @@ object Graph {
     */
   def trianglesFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
+    AtomicBatches.assertNotInMaintenance(spark, path, "trianglesFromIndex")
     val e = indexEdges(spark, path)
     val cnt = indexCounts(spark, path)
       .groupBy("id").agg(sum(col("d_triangles")).as("triangles"))
@@ -441,6 +596,8 @@ object Graph {
     */
   def clusteringCoefFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
+    AtomicBatches.assertNotInMaintenance(spark, path,
+      "clusteringCoefFromIndex")
     val e = indexEdges(spark, path)
     val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))

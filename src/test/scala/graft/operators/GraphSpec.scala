@@ -123,6 +123,69 @@ class GraphSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("triangle index deletion equals rebuild over survivors; compact folds history") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val n = 40
+    val all = (0 until 400).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val victims = all.filter { case (a, b) => (a + b) % 5 == 1 }
+    val survivors = all.filterNot { case (a, b) =>
+      math.min(a, b) != math.max(a, b) && (a + b) % 5 == 1 }
+      .filter { case (a, b) => a != b }
+    val dir = java.nio.file.Files.createTempDirectory("graft-tridel").toString
+    Graph.trianglesIndexWrite(all.take(200).toDF("src", "dst"),
+      "src", "dst", dir)
+    Graph.trianglesIndexAppend(all.drop(200).toDF("src", "dst"),
+      "src", "dst", dir)
+    // the deletion sweep covers triangles with 1, 2, and 3 deleted
+    // edges (random graph + arithmetic victim predicate); deleting an
+    // absent edge is a no-op
+    Graph.trianglesIndexDelete(
+      (victims :+ (998L, 999L)).toDF("src", "dst"), "src", "dst", dir)
+    val want = Graph.triangles(survivors.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def got() = Graph.trianglesFromIndex(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got() shouldBe want
+    // a RE-ADD after the deletion restores exactly the union counts
+    // (edge membership folds by batch order)
+    Graph.trianglesIndexAppend(victims.toDF("src", "dst"), "src", "dst", dir)
+    val wantAll = Graph.triangles(all.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got() shouldBe wantAll
+    // delete again, compact: history physically folded, probe unchanged
+    Graph.trianglesIndexDelete(victims.toDF("src", "dst"), "src", "dst", dir)
+    Graph.trianglesIndexCompact(spark, dir)
+    new java.io.File(s"$dir/batches").exists() shouldBe false
+    new java.io.File(s"$dir/base_next").exists() shouldBe false
+    got() shouldBe want
+    spark.read.parquet(s"$dir/counts")
+      .filter(col("d_triangles") <= 0L).count() shouldBe 0L
+    // crashed compaction: faces fail loudly; takeover re-run recovers
+    Graph.trianglesIndexDelete(all.take(3).toDF("src", "dst"),
+      "src", "dst", dir)
+    intercept[RuntimeException] {
+      AtomicBatches.withMaintenanceLock(spark, dir, takeover = false) {
+        throw new RuntimeException("simulated crash")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Graph.trianglesFromIndex(spark, dir).collect()
+    }.getMessage should include ("_MAINT")
+    intercept[IllegalArgumentException] {
+      Graph.trianglesIndexAppend(all.take(3).toDF("src", "dst"),
+        "src", "dst", dir)
+    }.getMessage should include ("_MAINT")
+    Graph.trianglesIndexCompact(spark, dir, takeover = true)
+    got() shouldBe Graph.triangles(
+        survivors.filterNot(e => all.take(3)
+          .map(x => (math.min(x._1, x._2), math.max(x._1, x._2)))
+          .contains((math.min(e._1, e._2), math.max(e._1, e._2))))
+          .toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
   test("incremental triangle index equals rebuild across random split ratios") {
     import spark.implicits._
     // the once-per-triangle attribution must hold whatever mix of
