@@ -1373,6 +1373,22 @@ object SparkEntry {
       // oracle unrolls all 7 farthest-point rounds and the final argmin
       graft.operators.Sampling.kCenterSelect(
         Tables.embeddings(s, dir), "vec_id", "embedding", t = 8)),
+    "sample_kcenter_par" -> ((s, dir) => {
+      // the k-means‖ oversampled coreset (Bahmani et al. 2012),
+      // hash-gated end to end: the md5 per-(round, id) sampling kernel,
+      // the exact integer micro-unit mass, and the driver greedy
+      // reduction are each a pure function of the corpus, so the oracle
+      // replays the whole construction round for round — sampling
+      // rounds, candidate pool, farthest-first reduction — and the full
+      // corpus then assigns against the reduced coreset (the
+      // sample_kcenter tail). The t=256 bench pair measures the scale
+      // shape; this entry hash-gates the algorithm.
+      val emb = Tables.embeddings(s, dir)
+      val centers = graft.operators.Sampling.kCenterParCenters(
+        emb, "vec_id", "embedding", t = 8, rounds = 3, oversample = 2.0)
+      graft.operators.Sampling.kCenterAssign(emb, "vec_id", "embedding",
+        centers)
+    }),
     "sample_kcenter_incremental" -> ((s, dir) => {
       // the frozen-coreset face: traverse on the even half, persist the
       // ordered coreset, score the FULL corpus against it — new rows
@@ -3873,6 +3889,10 @@ object SparkEntry {
            < CASE WHEN lang = 'en' THEN 65536 ELSE 16384 END""",
     // full farthest-point-traversal replay (see kCenterReplaySql)
     "sample_kcenter" -> kCenterReplaySql(t = 8),
+    // the k-means‖ face is a pure function of the corpus (md5 sampling,
+    // integer mass, deterministic reduction): full round-for-round replay
+    "sample_kcenter_par" ->
+      kCenterParReplaySql(t = 8, rounds = 3, oversample = 2.0),
     // frozen-coreset replay: traversal over the even half, assignment
     // over the full corpus
     "sample_kcenter_incremental" -> kCenterReplaySql(t = 8, trainFrom = "eb"),
@@ -4829,6 +4849,72 @@ object SparkEntry {
          FROM embeddings WHERE embedding IS NOT NULL),
        ${ebCte}c1 AS (SELECT vec_id, v FROM $trainFrom ORDER BY vec_id LIMIT 1),
        $rounds,
+       ctr AS MATERIALIZED ($ctr),
+       a0 AS (SELECT e.vec_id, ctr.ord, ctr.center_id,
+           ${d2("e.v", "ctr.v")} AS d2
+         FROM e CROSS JOIN ctr),
+       a AS (SELECT vec_id, center_id, d2, row_number() OVER (
+           PARTITION BY vec_id ORDER BY d2 ASC, ord) AS rn FROM a0)
+       SELECT vec_id, center_id, d2 FROM a WHERE rn = 1"""
+  }
+
+  /** Unrolled DuckDB replay of
+    * [[graft.operators.Sampling.kCenterParCenters]] + the assignment
+    * tail: seed = lowest vec_id; each SAMPLING round takes the exact
+    * integer micro-unit mass of the carried round-6 dmin, samples every
+    * id with md5-60-bit uniform < ℓ·d/Σd (the operator's exact double
+    * arithmetic, term for term), and folds the new candidates into the
+    * dmin recurrence (min of round-6 values — order-free); the GREEDY
+    * reduction then runs farthest-first over the candidate pool only
+    * (ties to the lowest id, stop at distance 0 via the `d > 0` guard —
+    * LEFT JOIN keeps the recurrence alive when a round picks nothing);
+    * the final argmin assigns the full corpus against the chosen
+    * centers in reduction order.
+    */
+  private def kCenterParReplaySql(t: Int, rounds: Int,
+      oversample: Double): String = {
+    def d2(a: String, b: String): String = {
+      val diff = s"list_transform(generate_series(1, 64), j -> $a[j] - $b[j])"
+      s"round(list_dot_product($diff, $diff), 6)"
+    }
+    val ell = math.max(1.0, oversample * t)
+    val sampleRounds = (0 until rounds).map { r =>
+      s"""m$r AS (SELECT coalesce(sum(CAST(round(d * 1e6) AS BIGINT)), 0)
+             AS mass FROM ds$r),
+         nc$r AS MATERIALIZED (SELECT p.vec_id, p.v FROM ds$r p, m$r
+           WHERE m$r.mass > 0
+             AND (${md5Hash60Sql(s"'kcp:$r:' || p.vec_id::VARCHAR")})::DOUBLE
+               / 1152921504606846976.0
+               < $ell * p.d / (m$r.mass / 1e6)),
+         ds${r + 1} AS MATERIALIZED (SELECT p.vec_id, any_value(p.v) AS v,
+             least(any_value(p.d),
+               coalesce(min(${d2("p.v", "c.v")}), any_value(p.d))) AS d
+           FROM ds$r p LEFT JOIN nc$r c ON true
+           GROUP BY p.vec_id)"""
+    }.mkString(",\n")
+    val candUnion = (0 until rounds)
+      .map(r => s"SELECT vec_id, v FROM nc$r").mkString(" UNION ALL ")
+    val greedy = (2 to t).map { r =>
+      s"""g$r AS (SELECT vec_id, v FROM gs${r - 1} WHERE d > 0
+           ORDER BY d DESC, vec_id LIMIT 1),
+         gs$r AS MATERIALIZED (SELECT p.vec_id, p.v,
+             least(p.d, coalesce(${d2("p.v", "c.v")}, p.d)) AS d
+           FROM gs${r - 1} p LEFT JOIN g$r c ON true)"""
+    }.mkString(",\n")
+    val ctr = (s"SELECT 1 AS ord, vec_id AS center_id, v FROM g1" +:
+      (2 to t).map(r => s"SELECT $r AS ord, vec_id AS center_id, v FROM g$r"))
+      .mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         FROM embeddings WHERE embedding IS NOT NULL),
+       g1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       ds0 AS MATERIALIZED (SELECT p.vec_id, p.v, ${d2("p.v", "c.v")} AS d
+         FROM e p, g1 c),
+       $sampleRounds,
+       cand AS MATERIALIZED (SELECT vec_id, v FROM g1
+         UNION ALL $candUnion),
+       gs1 AS MATERIALIZED (SELECT p.vec_id, p.v, ${d2("p.v", "c.v")} AS d
+         FROM cand p, g1 c),
+       $greedy,
        ctr AS MATERIALIZED ($ctr),
        a0 AS (SELECT e.vec_id, ctr.ord, ctr.center_id,
            ${d2("e.v", "ctr.v")} AS d2
