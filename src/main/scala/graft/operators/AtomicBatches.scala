@@ -127,4 +127,47 @@ private[graft] object AtomicBatches {
     fs.create(new org.apache.hadoop.fs.Path(s"$batchDir/_COMMIT"), true)
       .close()
   }
+
+  /** The one victim-partition rewrite protocol every compaction face
+    * shares: find the partitions holding DEAD rows (driver-bounded —
+    * one value per partition), rewrite ONLY those via dynamic partition
+    * overwrite, and explicitly delete any partition the rewrite emptied
+    * (dynamic overwrite only replaces partitions PRESENT in the output —
+    * a stale directory left behind silently resurrects its rows).
+    *
+    * `store` may carry join-helper columns; `outColumns` are the real
+    * store columns written back. `dead` must ALSO encode any horizon
+    * bound (a partition is touched iff some row satisfies `dead`).
+    * `sortWithin` preserves a store's row-group skipping order. The
+    * FileSystem is resolved from `path` itself — the stores of one
+    * logical state may live on different filesystems.
+    */
+  def pruneDeadPartitionRows(spark: SparkSession, path: String,
+      partitionCol: String, store: org.apache.spark.sql.DataFrame,
+      dead: org.apache.spark.sql.Column, outColumns: Seq[String],
+      sortWithin: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val (fs, _) = fsOf(spark, path)
+    val withP = store.withColumn("__pv", col(partitionCol).cast("long"))
+    val touched = withP.filter(dead).select(col("__pv")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    val kept = withP.filter(col("__pv").isin(touched: _*) && !dead)
+      .select(outColumns.map(col): _*)
+      .localCheckpoint(true) // rewrite + emptied-partition scan read it
+    try {
+      val parted = kept.repartition(col(partitionCol))
+      sortWithin.map(parted.sortWithinPartitions(_)).getOrElse(parted)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(path)
+      val out = kept.select(col(partitionCol).cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      touched.filterNot(out).foreach { v =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$v"), true)
+      }
+    } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(kept)
+  }
 }

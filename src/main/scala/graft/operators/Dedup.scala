@@ -1409,7 +1409,22 @@ object Dedup {
     */
   def deleteFromLabels(labels: DataFrame, pairs: DataFrame,
       victims: DataFrame, idCol: String, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 20): DataFrame =
+    deleteFromLabelsWithCleanup(labels, pairs, victims, idCol, aCol, bCol,
+      maxIter)._1
+
+  /** [[deleteFromLabels]] plus the release handle for its cached frames
+    * (victim list, affected components, the re-closure's result cache) —
+    * the [[connectedComponentsWithCleanup]] discipline: a caller
+    * servicing REPEATED takedown requests must consume the result and
+    * invoke the handle in a `finally`, or each call's executor blocks
+    * accumulate for the session's lifetime. One-shot batch callers may
+    * use [[deleteFromLabels]] and leave them to session cleanup.
+    */
+  def deleteFromLabelsWithCleanup(labels: DataFrame, pairs: DataFrame,
+      victims: DataFrame, idCol: String, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 20)
+      : (DataFrame, () => Unit) = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // read thrice (affected semi + two pair anti-joins): materialize once
     val v = victims.select(col(idCol).cast("long").as("id")).distinct()
@@ -1431,10 +1446,16 @@ object Dedup {
       .join(members, Seq("a"), "left_semi")
       .join(v.select(col("id").as("a")), Seq("a"), "left_anti")
       .join(v.select(col("id").as("b")), Seq("b"), "left_anti")
-    val reclosed = connectedComponents(subPairs, "a", "b", maxIter)
-    lab.join(affected, Seq("cluster_id"), "left_anti")
+    val (reclosed, ccRelease) =
+      connectedComponentsWithCleanup(subPairs, "a", "b", maxIter)
+    val out = lab.join(affected, Seq("cluster_id"), "left_anti")
       .select(col("id"), col("cluster_id"))
       .union(reclosed.select(col("id"), col("cluster_id")))
+    (out, () => {
+      v.unpersist(blocking = false)
+      affected.unpersist(blocking = false)
+      ccRelease()
+    })
   }
 
   /** The end product of near-dup dedup: the corpus with one survivor per

@@ -417,6 +417,15 @@ object Graph {
     val del = canon.join(cur, Seq("a", "b"), "left_semi")
       .localCheckpoint(true) // wedge build + removal write read it
     Bridge.releaseLocalCheckpoint(canon)
+    // nothing to remove: committing an empty removals batch would
+    // permanently demote indexEdges from its plain-union fast path to
+    // the per-edge fold — a lasting probe-cost regression bought by a
+    // delete that changed nothing
+    if (del.isEmpty) {
+      Bridge.releaseLocalCheckpoint(del)
+      Bridge.releaseLocalCheckpoint(cur)
+      return
+    }
     val union = cur
       .join(del.select(col("a"), col("b"), lit(true).as("is_del")),
         Seq("a", "b"), "left_outer")

@@ -387,31 +387,14 @@ object TrainingData {
         val v = v0.distinct().localCheckpoint(true)
         try {
           val store = spark.read.parquet(s"$path/$table")
-          // ≤nBuckets driver rows: only victim-touched buckets rewrite
-          val touched = store.join(v, Seq(idCol), "left_semi")
-            .select(col(bucketCol).cast("long")).distinct()
-            .collect().map(_.getLong(0)).sorted
-          if (touched.nonEmpty) {
-            val kept = store.filter(col(bucketCol).isin(touched: _*))
-              .join(v, Seq(idCol), "left_anti")
-              .select(store.columns.map(col): _*)
-              .localCheckpoint(true) // rewrite + emptied-dir scan read it
-            try {
-              kept.repartition(col(bucketCol))
-                .sortWithinPartitions(sortCol)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(bucketCol)
-                .parquet(s"$path/$table")
-              val out = kept.select(col(bucketCol).cast("long")).distinct()
-                .collect().map(_.getLong(0)).toSet
-              touched.filterNot(out).foreach { b =>
-                fs.delete(new org.apache.hadoop.fs.Path(
-                  s"$path/$table/$bucketCol=$b"), true)
-              }
-            } finally org.apache.spark.sql.graft.Bridge
-              .releaseLocalCheckpoint(kept)
-          }
+          // shared rewrite protocol (AtomicBatches): only victim-touched
+          // buckets rewrite; sort order preserved for row-group skipping
+          val joined = store.join(
+            v.select(col(idCol), lit(true).as("__dead")),
+            Seq(idCol), "left_outer")
+          AtomicBatches.pruneDeadPartitionRows(spark, s"$path/$table",
+            bucketCol, joined, col("__dead").isNotNull,
+            store.columns.toSeq, sortWithin = Some(sortCol))
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/victims"), true)
         } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(v)
       }

@@ -864,6 +864,11 @@ object StreamingOps {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // fail the batch loudly while compactCdcIndex holds the store —
+        // reading half-rewritten partitions would silently mis-dedup;
+        // the failed batch replays after the maintenance completes
+        graft.operators.AtomicBatches.assertNotInMaintenance(spark,
+          indexPath, "continuousCdcDedup")
         // the batch feeds two chunking passes (dedup + index delta) —
         // persist the raw batch once, release deterministically
         val b = batch.toDF()
@@ -988,31 +993,16 @@ object StreamingOps {
         val fs = new org.apache.hadoop.fs.Path(indexPath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         try {
-          val joined = store.withColumn("__sb", col("batch_id").cast("long"))
-            .where(col("__sb") < lit(horizon))
+          // shared rewrite protocol: touched-only dynamic overwrite +
+          // emptied-partition deletion (AtomicBatches)
+          val joined = store
             .join(v.select(col("id").as(idCol), col("up_to")),
               Seq(idCol), "left_outer")
-          val dead = col("up_to").isNotNull && col("__sb") <= col("up_to")
-          val touched = joined.filter(dead).select(col("__sb")).distinct()
-            .collect().map(_.getLong(0)).sorted
-          if (touched.nonEmpty) {
-            val kept = joined.filter(col("__sb").isin(touched: _*) && !dead)
-              .select(store.columns.map(col): _*)
-              .localCheckpoint(true) // rewrite + emptied-dir scan read it
-            try {
-              kept.repartition(col("batch_id"))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(indexPath)
-              val out = kept.select(col("batch_id").cast("long")).distinct()
-                .collect().map(_.getLong(0)).toSet
-              touched.filterNot(out).foreach { bId =>
-                fs.delete(new org.apache.hadoop.fs.Path(
-                  s"$indexPath/batch_id=$bId"), true)
-              }
-            } finally Bridge.releaseLocalCheckpoint(kept)
-          }
+          val dead = col("batch_id").cast("long") < lit(horizon) &&
+            col("up_to").isNotNull &&
+            col("batch_id").cast("long") <= col("up_to")
+          AtomicBatches.pruneDeadPartitionRows(spark, indexPath,
+            "batch_id", joined, dead, store.columns.toSeq)
           // GC victims whose every possible row is now physical; later
           // deletions (up_to ≥ horizon) stay pending and keep hiding
           val pending = v.filter(col("up_to") >= lit(horizon))
@@ -1123,7 +1113,15 @@ object StreamingOps {
       excludeBatch: Option[Long]): DataFrame = {
     graft.operators.AtomicBatches.assertNotInMaintenance(spark, labelsPath,
       "cluster-label read")
-    val raw = spark.read.parquet(labelsPath)
+    // a COMPLETE takedown legitimately leaves the store with zero delta
+    // partitions (every labeled id corrected to NULL, the snapshot
+    // deleted): "no labels" is an answer, not an error
+    val rawOpt = graft.operators.Similarity
+      .readParquetIfAny(spark, labelsPath)
+    if (rawOpt.isEmpty)
+      return spark.range(0).select(col("id").cast("long").as("id"),
+        col("id").cast("long").as("cluster_id"))
+    val raw = rawOpt.get
     val deltas = excludeBatch
       .map(b => raw.where(col("batch_id") =!= b)).getOrElse(raw)
     val latest = deltas.groupBy("id")
@@ -1261,7 +1259,17 @@ object StreamingOps {
       .localCheckpoint(true) // read by affected, subPairs ×2, staging
     try {
       if (v.isEmpty) return
-      val lab = currentClusterLabels(spark, labelsPath)
+      // a stream of all-unique docs writes EMPTY label/pair deltas — no
+      // partition, possibly no directory — yet its victims still need
+      // their records staged (that is what hides their INDEX rows):
+      // treat an unreadable labels/pairs store as empty, never abort
+      def emptyLongs(names: String*): DataFrame =
+        names.map(n => spark.range(0).select(col("id").cast("long").as(n)))
+          .reduce((a, b) => a.crossJoin(b))
+      val lab = graft.operators.Similarity
+        .readParquetIfAny(spark, labelsPath)
+        .map(_ => currentClusterLabels(spark, labelsPath))
+        .getOrElse(emptyLongs("id", "cluster_id"))
         .localCheckpoint(true) // read for affected + members
       try {
         val affected = lab.join(v, Seq("id"), "left_semi")
@@ -1269,7 +1277,10 @@ object StreamingOps {
         val members = lab.join(affected, Seq("cluster_id"), "left_semi")
           .select(col("id")).localCheckpoint(true) // subPairs + overrides
         try {
-          val p = currentClusterPairs(spark, pairsPath, labelsPath)
+          val p = graft.operators.Similarity
+            .readParquetIfAny(spark, pairsPath)
+            .map(_ => currentClusterPairs(spark, pairsPath, labelsPath))
+            .getOrElse(emptyLongs("id_a", "id_b"))
             .select(col("id_a").cast("long").as("a"),
               col("id_b").cast("long").as("b"))
           val subPairs = p
@@ -1320,6 +1331,11 @@ object StreamingOps {
     */
   def compactClusterLabels(spark: org.apache.spark.sql.SparkSession,
       labelsPath: String): Unit = {
+    // a labels store under compactClusterState maintenance may be
+    // mid-rewrite — rewriting the −1 snapshot from it would bake the
+    // inconsistent state in before a takeover re-run can repair it
+    graft.operators.AtomicBatches.assertNotInMaintenance(spark, labelsPath,
+      "compactClusterLabels")
     val all =
       try spark.read.parquet(labelsPath)
       catch {
@@ -1459,11 +1475,23 @@ object StreamingOps {
         .filter(col("cluster_id").isNotNull)
     }
     if (maxBatch > 0 || includeLatest) {
-      snapped.withColumn("batch_id", lit(-1L))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(labelsPath)
+      // the fold can be EMPTY (every folded id overridden to NULL by an
+      // applied correction): dynamic overwrite of zero rows replaces
+      // nothing, so a stale pre-takedown −1 snapshot would survive the
+      // corrections' GC and silently resurrect the victims — delete the
+      // snapshot partition explicitly in that case
+      val snappedCp = snapped.localCheckpoint(true) // isEmpty + write
+      try {
+        if (snappedCp.isEmpty)
+          fs.delete(
+            new org.apache.hadoop.fs.Path(s"$labelsPath/batch_id=-1"), true)
+        else snappedCp.withColumn("batch_id", lit(-1L))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(labelsPath)
+      } finally org.apache.spark.sql.graft.Bridge
+        .releaseLocalCheckpoint(snappedCp)
       val lroot = new org.apache.hadoop.fs.Path(labelsPath)
       fs.listStatus(lroot).foreach { st =>
         val name = st.getPath.getName
@@ -1483,50 +1511,33 @@ object StreamingOps {
         .groupBy("id").agg(max(col("up_to")).as("up_to"))
         .localCheckpoint(true)
       try {
-        def pruneStore(path: String, idCols: Seq[String]): Unit =
-          Similarity.readParquetIfAny(spark, path).foreach { store =>
-            val withB = store.withColumn("__sb", col("batch_id").cast("long"))
-              .where(col("__sb") < lit(horizon))
-            // a row dies iff ANY of its id columns is a victim whose
-            // deletion covers the row's batch
-            var cond: Column = lit(false)
-            var df = withB
-            idCols.zipWithIndex.foreach { case (ic, i) =>
-              df = df.join(
-                victims.select(col("id").as(ic), col("up_to").as(s"__u$i")),
-                Seq(ic), "left_outer")
-              cond = cond ||
-                (col(s"__u$i").isNotNull && col("__sb") <= col(s"__u$i"))
-            }
-            val touched = df.filter(cond).select(col("__sb")).distinct()
-              .collect().map(_.getLong(0)).sorted
-            if (touched.nonEmpty) {
-              val kept = df.filter(col("__sb").isin(touched: _*) && !cond)
-                .select(store.columns.map(col): _*)
-                .localCheckpoint(true) // write + emptied-dir scan read it
-              try {
-                kept
-                  .repartition(col("batch_id"))
-                  .write.mode("overwrite")
-                  .option("partitionOverwriteMode", "dynamic")
-                  .partitionBy("batch_id")
-                  .parquet(path)
-                val out = kept.select(col("batch_id").cast("long")).distinct()
-                  .collect().map(_.getLong(0)).toSet
-                touched.filterNot(out).foreach { b =>
-                  fs.delete(
-                    new org.apache.hadoop.fs.Path(s"$path/batch_id=$b"), true)
-                }
-              } finally org.apache.spark.sql.graft.Bridge
-                .releaseLocalCheckpoint(kept)
-            }
+        // a row dies iff ANY of its id columns is a victim whose
+        // deletion covers the row's batch — shared rewrite protocol
+        // (AtomicBatches.pruneDeadPartitionRows handles touched-only
+        // dynamic overwrite + emptied-partition deletion, with the
+        // FileSystem resolved per store path)
+        def pruneStore(path: String, store: DataFrame,
+            idCols: Seq[String]): Unit = {
+          var cond: Column = lit(false)
+          var df = store
+          idCols.zipWithIndex.foreach { case (ic, i) =>
+            df = df.join(
+              victims.select(col("id").as(ic), col("up_to").as(s"__u$i")),
+              Seq(ic), "left_outer")
+            cond = cond ||
+              (col(s"__u$i").isNotNull &&
+                col("batch_id").cast("long") <= col(s"__u$i"))
           }
-        pruneStore(pairsPath, Seq("id_a", "id_b"))
+          val dead = col("batch_id").cast("long") < lit(horizon) && cond
+          graft.operators.AtomicBatches.pruneDeadPartitionRows(spark, path,
+            "batch_id", df, dead, store.columns.toSeq)
+        }
+        Similarity.readParquetIfAny(spark, pairsPath).foreach(store =>
+          pruneStore(pairsPath, store, Seq("id_a", "id_b")))
         // the index store's id column is its FIRST column (the
         // minhash/simhash/embedding index faces all put idCol first)
-        Similarity.readParquetIfAny(spark, indexPath).foreach { idx =>
-          pruneStore(indexPath, Seq(idx.columns.head))
-        }
+        Similarity.readParquetIfAny(spark, indexPath).foreach(store =>
+          pruneStore(indexPath, store, Seq(store.columns.head)))
       } finally org.apache.spark.sql.graft.Bridge
         .releaseLocalCheckpoint(victims)
     }
@@ -1556,6 +1567,12 @@ object StreamingOps {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // fail EARLY while compactClusterState holds the labels store —
+        // without this the batch would write pairs/index before the
+        // label fold's own assert fired (replay-safe either way, but a
+        // clean refusal beats a half-written batch)
+        labelsPath.foreach(lp => graft.operators.AtomicBatches
+          .assertNotInMaintenance(spark, lp, "continuousIndexedDedup"))
         // persist + unpersist, not localCheckpoint — see continuousNearDup
         val newIdx = indexOf(batch.toDF())
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -162,6 +162,13 @@ class GraphSpec extends SparkSpec {
     got() shouldBe want
     spark.read.parquet(s"$dir/counts")
       .filter(col("d_triangles") <= 0L).count() shouldBe 0L
+    // a delete of ONLY absent edges stages nothing — committing an
+    // empty removals batch would demote every later read from the
+    // plain-union fast path to the per-edge fold
+    Graph.trianglesIndexDelete(Seq((998L, 999L)).toDF("src", "dst"),
+      "src", "dst", dir)
+    new java.io.File(s"$dir/batches").exists() shouldBe false
+    got() shouldBe want
     // crashed compaction: faces fail loudly; takeover re-run recovers
     Graph.trianglesIndexDelete(all.take(3).toDF("src", "dst"),
       "src", "dst", dir)

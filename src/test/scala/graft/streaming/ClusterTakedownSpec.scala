@@ -165,6 +165,50 @@ class ClusterTakedownSpec extends SparkSpec {
       11L -> 11L, 12L -> 11L, 13L -> 11L)
   }
 
+  test("complete takedown of every labeled doc compacts to an empty label store") {
+    // regression: an EMPTY corrected fold used to leave the stale
+    // pre-takedown batch_id=-1 snapshot in place (dynamic overwrite of
+    // zero rows replaces nothing) while GC'ing the corrections that hid
+    // it — the takedown silently reversed
+    val dir = java.nio.file.Files.createTempDirectory("ctd-empty").toString
+    val run = harness(dir)
+    run(Seq(Seq((0L, docA), (1L, docA)), Seq((2L, docC), (3L, docC))))
+    // fold batch 0 into the -1 snapshot (the stale partition at risk)
+    StreamingOps.compactClusterLabels(spark, s"$dir/labels")
+    StreamingOps.clusterStateDelete(ids(0L, 1L, 2L, 3L), "doc_id",
+      s"$dir/index", s"$dir/pairs", s"$dir/labels")
+    labelMap(dir) shouldBe empty
+    // a pair-less trailing batch advances the stream position so the
+    // corrections become applicable
+    run(Seq(Seq((5L, "completely unique filler matching nothing else"))))
+    StreamingOps.compactClusterState(spark,
+      s"$dir/index", s"$dir/pairs", s"$dir/labels")
+    labelMap(dir) shouldBe empty // the bug resurrected {0->0, 1->0}
+    AtomicBatches.committedDirs(spark, s"$dir/labels/_corrections") shouldBe
+      empty
+    spark.read.parquet(s"$dir/index")
+      .filter(col("doc_id").isin(0L, 1L, 2L, 3L)).count() shouldBe 0L
+    // the emptied store keeps working
+    run(Seq(Seq((10L, docA), (11L, docA))))
+    labelMap(dir) shouldBe Map(10L -> 10L, 11L -> 10L)
+  }
+
+  test("takedown works on a stream that never produced pairs or labels") {
+    // regression: clusterStateDelete used to crash reading the empty
+    // labels/pairs stores (a pair-less batch writes no partition), so
+    // the victim's INDEX rows stayed probe-visible forever
+    val dir = java.nio.file.Files.createTempDirectory("ctd-nolbl").toString
+    val run = harness(dir)
+    run(Seq(Seq((0L, docA),
+      (1L, "some entirely different text with zero overlap"))))
+    StreamingOps.clusterStateDelete(ids(0L), "doc_id",
+      s"$dir/index", s"$dir/pairs", s"$dir/labels")
+    // a new copy of the victim's text pairs with NOTHING: the victim's
+    // index rows are hidden even though no label row ever existed
+    run(Seq(Seq((10L, docA))))
+    labelMap(dir) shouldBe empty
+  }
+
   test("compactClusterLabels pins its horizon below pending corrections") {
     val dir = java.nio.file.Files.createTempDirectory("ctd-pin").toString
     val run = harness(dir)
