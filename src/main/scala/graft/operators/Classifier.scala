@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T}
@@ -133,4 +133,233 @@ object Classifier {
         (lit(prior) + col("__sum")).as("nb_score"))
       .withColumn("predicted_pass", col("nb_score") > 0)
   }
+
+  // ------------------------------------------------------------------
+  // Persisted COUNT-form model store: exact unlearning
+  // ------------------------------------------------------------------
+
+  /** Persist the COUNT form of the NB model under `path` — the
+    * machine-unlearning face of the classifier. [[nbTrain]] persists
+    * the DERIVED model (per-term llr), which cannot be updated: llr
+    * mixes every term's count with the corpus totals, so neither an
+    * append nor a takedown can be applied to it without retraining.
+    * The count form CAN, exactly: multinomial NB's sufficient
+    * statistics are integer sums (per-term class counts, per-class doc
+    * counts), so adding a batch's counts or subtracting a victim's
+    * counts yields bit-for-bit the statistics of retraining on the
+    * changed corpus — NB is one of the few models where a takedown
+    * ("this document must stop influencing the quality filter") has an
+    * EXACT O(victim-size) answer instead of a full retrain. Three
+    * tables:
+    *
+    *  - `counts` — (term, c_pos, c_neg): per-term class token counts,
+    *    vocabulary-sized.
+    *  - `members` — (id, label, n_tokens, mult): one `mult = +1` row
+    *    per trained doc with non-null text. The membership ledger a
+    *    delete verifies against (and the append guard probes); `label`
+    *    and `n_tokens` pin what the doc contributed so a drifted
+    *    re-submission fails loudly instead of silently corrupting the
+    *    counts. Deletes add `mult = −1` rows; presence = Σ mult > 0.
+    *  - `stats` — one (d_pos, d_neg) row per batch: class doc counts
+    *    (docs with ≥ 1 token, the [[nbTrain]] contract).
+    *
+    * Updates stage under `deltas/<n>/` and become visible atomically
+    * via the shared `_COMMIT` protocol ([[AtomicBatches]]); scoring
+    * folds base + committed deltas by exact integer sums, so batch
+    * order is invisible. [[nbModelCompact]] makes removals physical. A
+    * rebuild (this method) supersedes pending deltas and an interrupted
+    * compaction — channel retired and marker cleared only AFTER the new
+    * base landed, the bm25IndexWrite discipline.
+    */
+  def nbModelWrite(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    CountStore.writeBase(docs.sparkSession, path,
+      nbModelTables(docs, idCol, textCol))
+
+  // the three model tables of one doc batch, with `sign` applied to
+  // every additive quantity — the ONE place the store's arithmetic
+  // lives, so build, append, and delete cannot drift apart
+  private def nbModelTables(docs: DataFrame, idCol: String,
+      textCol: String, sign: Int = 1): Seq[(String, DataFrame)] = {
+    val s = lit(sign.toLong)
+    val terms = termsOf(docs, idCol, textCol)
+    val counts = terms.groupBy("term").agg(
+      (s * sum(when(col("label"), 1L).otherwise(0L))).as("c_pos"),
+      (s * sum(when(!col("label"), 1L).otherwise(0L))).as("c_neg"))
+    // per-doc ledger from its own projection (NOT termsOf: a token-less
+    // doc produces no term rows yet still needs a membership row)
+    val members = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), T.gopherPass(col(textCol)).as("label"),
+        size(T.normTokens(col(textCol))).cast("long").as("n_tokens"),
+        s.cast("int").as("mult"))
+    val stats = members
+      .agg((s * sum(when(col("label") && col("n_tokens") > 0, 1L)
+          .otherwise(0L))).as("d_pos"),
+        (s * sum(when(!col("label") && col("n_tokens") > 0, 1L)
+          .otherwise(0L))).as("d_neg"))
+      .repartition(1)
+    Seq("counts" -> counts, "members" -> members, "stats" -> stats)
+  }
+
+  /** Append a new doc batch to a [[nbModelWrite]] store: the batch's
+    * counts/members/stats staged as one atomic `_COMMIT` delta. Ids
+    * must be NEW — an id currently or formerly in the model fails
+    * loudly (the formerly case until a compact retires its ledger
+    * rows): re-ingesting a changed doc under the same id would leave
+    * the counts describing neither version, and the ledger could no
+    * longer say what to subtract on a later takedown.
+    */
+  def nbModelAppend(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, path, "nbModelAppend")
+    AtomicBatches.sweepUncommitted(spark, s"$path/deltas")
+    val clash = newDocs.select(col(idCol).as("id")).distinct()
+      .join(broadcast(nbMembers(spark, path).select("id").distinct()),
+        Seq("id"), "left_semi")
+      .limit(5).collect().map(_.get(0))
+    require(clash.isEmpty,
+      s"nbModelAppend to $path includes ids already in the model's " +
+      s"membership ledger (e.g. ${clash.mkString(", ")}): re-ingesting " +
+      "an id would corrupt the counts (and a formerly-deleted id's " +
+      "ledger rows are retired only by nbModelCompact). Compact first, " +
+      "or rebuild with nbModelWrite.")
+    CountStore.stageDelta(spark, path, nbModelTables(newDocs, idCol, textCol))
+  }
+
+  /** DELETE (takedown / exact unlearning) face: subtract the victims'
+    * sufficient statistics, staged as one atomic `_COMMIT` delta —
+    * after which the DERIVED model (per-term llr + prior) is
+    * bit-identical to retraining on the corpus WITHOUT the victims
+    * ([[nbModelAsLlr]] folds exact integer counts through [[nbTrain]]'s
+    * expressions; per-doc score sums then agree with a retrain at the
+    * driver oracle's round-6 contract — double-sum order is the only
+    * thing Spark doesn't pin). O(victim-size): nothing vocabulary- or
+    * corpus-sized is scanned beyond one column-pruned membership probe.
+    *
+    * The victims' counts are recomputed from the submitted text
+    * (tokenization is deterministic), then VERIFIED against the
+    * membership ledger — a victim whose recomputed (label, n_tokens)
+    * differs from what was ingested fails loudly: subtracting drifted
+    * counts would silently corrupt the model for every future score.
+    * Ids not currently in the model (never added, or already deleted)
+    * are skipped — double-deleting must not double-subtract, the
+    * bm25IndexDelete rule.
+    */
+  def nbModelDelete(victimDocs: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    val spark = victimDocs.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, path, "nbModelDelete")
+    AtomicBatches.sweepUncommitted(spark, s"$path/deltas")
+    val present = nbMembers(spark, path).groupBy("id")
+      .agg(sum(col("mult")).as("__m"),
+        max(col("label")).as("__label"), max(col("n_tokens")).as("__nt"))
+      .filter(col("__m") > 0)
+    val victims = victimDocs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .dropDuplicates("id")
+      .join(present, Seq("id"), "left_semi")
+      .localCheckpoint(true) // drift check + three delta tables read it
+    try {
+      if (victims.isEmpty) return
+      val drift = victims
+        .select(col("id"), T.gopherPass(col("__text")).as("label"),
+          size(T.normTokens(col("__text"))).cast("long").as("n_tokens"))
+        .join(present, Seq("id"))
+        .filter(col("label") =!= col("__label") ||
+          col("n_tokens") =!= col("__nt"))
+        .limit(5).collect().map(_.get(0))
+      require(drift.isEmpty,
+        s"nbModelDelete on $path: submitted text for ids " +
+        s"${drift.mkString(", ")} does not match what was ingested " +
+        "(label or token count differs) — subtracting drifted counts " +
+        "would silently corrupt the model. Submit the ingested text, " +
+        "or rebuild with nbModelWrite over the surviving corpus.")
+      CountStore.stageDelta(spark, path, nbModelTables(
+        victims.select(col("id").as(idCol), col("__text").as(textCol)),
+        idCol, textCol, sign = -1))
+    } finally
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(victims)
+  }
+
+  private def nbMembers(spark: SparkSession, path: String): DataFrame =
+    CountStore.fold(spark, path, "members")
+
+  /** The store's CURRENT model in [[nbTrain]]'s derived form — (term,
+    * llr) rows plus the `term = NULL` prior row — from the folded
+    * integer counts. Exact-integer folds first (term counts summed per
+    * term, a term whose total hits zero LEAVES the vocabulary — just as
+    * a retrain would never see it; doc counts summed across batch
+    * rows), then [[nbTrain]]'s llr/prior expressions over the folded
+    * values: identical integer inputs through identical double
+    * arithmetic, so the (term, llr, prior) rows are bit-identical to
+    * [[nbTrain]] over the surviving corpus (scores add per-doc llr
+    * sums on top, where only double-sum ORDER can differ — round-6
+    * identical, the oracle contract).
+    */
+  def nbModelAsLlr(spark: SparkSession, path: String): DataFrame = {
+    AtomicBatches.assertNotInMaintenance(spark, path, "nbModelAsLlr")
+    val counts = CountStore.fold(spark, path, "counts").groupBy("term")
+      .agg(sum(col("c_pos")).as("c_pos"), sum(col("c_neg")).as("c_neg"))
+      .filter(col("c_pos") + col("c_neg") > 0)
+      .localCheckpoint(true)
+    val t = counts.agg(
+      sum("c_pos").as("t_pos"), sum("c_neg").as("t_neg"),
+      count(lit(1)).as("v")).head()
+    def l(i: Int): Long = if (t.isNullAt(i)) 0L else t.getLong(i)
+    val (tPos, tNeg, v) = (l(0), l(1), t.getLong(2))
+    val d = CountStore.fold(spark, path, "stats")
+      .agg(sum("d_pos").as("d_pos"), sum("d_neg").as("d_neg")).head()
+    val (dPos, dNeg) =
+      (if (d.isNullAt(0)) 0L else d.getLong(0),
+       if (d.isNullAt(1)) 0L else d.getLong(1))
+    val prior = math.log((dPos + 1).toDouble / (dNeg + 1).toDouble)
+    counts.select(col("term"),
+      (log((col("c_pos") + 1).cast("double") / lit((tPos + v).toDouble)) -
+        log((col("c_neg") + 1).cast("double") / lit((tNeg + v).toDouble)))
+        .as("llr"))
+      .unionByName(spark.range(1)
+        .select(lit(null).cast("string").as("term"), lit(prior).as("llr")))
+  }
+
+  /** Score `docs` against the store's current model — [[nbScore]]
+    * through [[nbModelAsLlr]]. After deletes: equal to scoring against
+    * a model retrained on the corpus minus the victims (llr table
+    * bit-identical; per-doc sums round-6 identical).
+    */
+  def nbScoreFromModel(docs: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame =
+    nbScore(docs, idCol, textCol, nbModelAsLlr(docs.sparkSession, path))
+
+  /** Fold the committed delta history into a fresh base and retire the
+    * `deltas/` channel — the physical-removal half of [[nbModelDelete]]
+    * (victim evidence leaves the ledger; zero-count vocabulary rows
+    * leave disk) and the read-cost bound for long histories. Crash
+    * safety, `_MAINT` exclusivity, and the takeover contract are the
+    * shared staged-swap protocol ([[CountStore.compactSwap]]).
+    */
+  def nbModelCompact(spark: SparkSession, path: String,
+      takeover: Boolean = false): Unit =
+    CountStore.compactSwap(spark, path, takeover,
+      Seq("counts", "members", "stats")) {
+      case "counts" =>
+        CountStore.fold(spark, path, "counts").groupBy("term")
+          .agg(sum(col("c_pos")).as("c_pos"), sum(col("c_neg")).as("c_neg"))
+          .filter(col("c_pos") + col("c_neg") > 0)
+      case "members" =>
+        // a present id has exactly one +1 row and no −1 row after the
+        // fold (the append guard forbids re-ingestion), so max() just
+        // re-reads that row's pinned values
+        nbMembers(spark, path).groupBy("id")
+          .agg(sum(col("mult")).as("__m"),
+            max(col("label")).as("label"), max(col("n_tokens")).as("n_tokens"))
+          .filter(col("__m") > 0)
+          .select(col("id"), col("label"), col("n_tokens"),
+            lit(1).as("mult"))
+      case "stats" =>
+        CountStore.fold(spark, path, "stats")
+          .agg(coalesce(sum("d_pos"), lit(0L)).as("d_pos"),
+            coalesce(sum("d_neg"), lit(0L)).as("d_neg"))
+          .repartition(1)
+    }
 }

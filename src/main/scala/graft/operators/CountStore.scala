@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The shared lifecycle of the COUNT-FORM model stores — persisted
+  * models whose state is additive integer sufficient statistics, so an
+  * append ADDS a batch's counts and a takedown SUBTRACTS a victim's,
+  * yielding exactly the statistics of retraining on the changed corpus
+  * ([[Classifier.nbModelWrite]]'s NB classifier,
+  * [[Sampling.dsirStoreWrite]]'s DSIR importance model). One
+  * implementation of the store protocol, so a hardening fix cannot
+  * silently miss one of the stores (the [[AtomicBatches]] rationale,
+  * one level up):
+  *
+  *  - base tables overwritten by a rebuild, which also retires the
+  *    delta channel and any maintenance marker — AFTER the new base
+  *    landed (the bm25IndexWrite discipline),
+  *  - updates staged under `deltas/<n>/` and made visible atomically
+  *    via the `_COMMIT` marker ([[AtomicBatches]]); readers fold
+  *    base + committed deltas by exact integer sums, so batch order is
+  *    invisible,
+  *  - staged-swap compaction (the trianglesIndexCompact discipline):
+  *    the fresh base is computed under `base_next/` and `_COMMIT`-marked
+  *    BEFORE the swap touches anything readers use; a re-run
+  *    (`takeover = true` on a stale `_MAINT`) either recomputes the
+  *    stage from the still-intact old state or just redoes the
+  *    idempotent swap.
+  */
+private[graft] object CountStore {
+
+  private def fsOf(spark: SparkSession, path: String)
+      : org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Overwrite the base tables, then retire pending deltas and any
+    * maintenance marker (a rebuild supersedes both).
+    */
+  def writeBase(spark: SparkSession, path: String,
+      tables: Seq[(String, DataFrame)]): Unit = {
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$path/$name")
+    }
+    fsOf(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/deltas"), true)
+    AtomicBatches.clearMaintenance(spark, path)
+  }
+
+  /** Stage one atomic delta batch (several tables, one `_COMMIT`). */
+  def stageDelta(spark: SparkSession, path: String,
+      tables: Seq[(String, DataFrame)]): Unit = {
+    val bdir =
+      s"$path/deltas/${AtomicBatches.nextBatchN(spark, s"$path/deltas")}"
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$bdir/$name")
+    }
+    AtomicBatches.commit(spark, bdir)
+  }
+
+  /** One table read across base + every committed delta batch. */
+  def fold(spark: SparkSession, path: String, table: String): DataFrame = {
+    val deltas = AtomicBatches.committedDirs(spark, s"$path/deltas")
+    spark.read.parquet(
+      s"$path/$table" +: deltas.map(d => s"$d/$table"): _*)
+  }
+
+  /** Staged-swap compaction: compute each named table's folded
+    * replacement via `fresh`, commit the stage, then idempotently swap
+    * it in and retire the delta channel. Tables NOT named (e.g. a
+    * frozen `meta`) are left untouched — deltas never carry them.
+    */
+  def compactSwap(spark: SparkSession, path: String, takeover: Boolean,
+      tableNames: Seq[String])(fresh: String => DataFrame): Unit = {
+    val fs = fsOf(spark, path)
+    val nextDir = s"$path/base_next"
+    if (AtomicBatches.committedDirs(spark, s"$path/deltas").isEmpty &&
+        !AtomicBatches.maintenanceActive(spark, path) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(nextDir))) return
+    AtomicBatches.withMaintenanceLock(spark, path, takeover) {
+      val committed = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$nextDir/_COMMIT"))
+      if (!committed) {
+        fs.delete(new org.apache.hadoop.fs.Path(nextDir), true)
+        tableNames.foreach { name =>
+          fresh(name).write.parquet(s"$nextDir/$name")
+        }
+        AtomicBatches.commit(spark, nextDir)
+      }
+      // idempotent swap: any crash point here is re-runnable verbatim
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/deltas"), true)
+      tableNames.foreach { name =>
+        spark.read.parquet(s"$nextDir/$name")
+          .write.mode("overwrite").parquet(s"$path/$name")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(nextDir), true)
+    }
+  }
+}
