@@ -346,6 +346,237 @@ object Sampling {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------
+  // Persisted COUNT-form DSIR model store: exact unlearning
+  // ------------------------------------------------------------------
+
+  /** Persist the COUNT form of the DSIR model under `path` — the
+    * machine-unlearning face of importance sampling, on the shared
+    * [[CountStore]] protocol (the [[Classifier.nbModelWrite]] twin).
+    * [[dsirTrain]] persists the DERIVED model (per-bucket log-ratio),
+    * which mixes every bucket's count with both corpus totals — neither
+    * an append nor a takedown can touch it without retraining. The
+    * count form CAN, exactly: the model's sufficient statistics are
+    * integer feature counts per hashed bucket, so adding a batch's
+    * counts or subtracting a victim's yields bit-for-bit the statistics
+    * of retraining on the changed corpora — a takedown ("this document
+    * must stop influencing the sampling weights") is O(victim-size).
+    * Tables:
+    *
+    *  - `meta` — one (num_buckets) row: the hash width is a BUILD-time
+    *    property (an update hashing into a different width silently
+    *    corrupts counts), frozen like the BM25 index's bucket count.
+    *  - `counts` — (b, c_raw, c_target): per-bucket feature counts of
+    *    the two corpora; at most `numBuckets` rows per batch.
+    *  - `members` — (id, role, n_feats, mult): one `mult = +1` row per
+    *    ingested (doc, corpus-role) with non-null text; `role` is
+    *    "raw" or "target" (the same id may hold both — target corpora
+    *    are typically drawn from the raw pool). `n_feats` pins what
+    *    the doc contributed so a drifted re-submission fails loudly.
+    *
+    * The per-bucket totals stay exact through the double arithmetic:
+    * every count is an integer, and integer-valued double sums below
+    * 2^53 never round — so [[dsirStoreModel]]'s (b, lr) rows are
+    * bit-identical to [[dsirTrain]] over the surviving corpora.
+    */
+  def dsirStoreWrite(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, path: String, numBuckets: Int = 1024): Unit = {
+    require(numBuckets > 0 && numBuckets <= 65536,
+      "numBuckets in [1, 65536] (the md5-bucket kernel has 16 bits)")
+    val spark = raw.sparkSession
+    val tables = dsirStoreTables(raw, idCol, textCol, numBuckets, "raw") ++
+      dsirStoreTables(target, idCol, textCol, numBuckets, "target")
+    val counts = tables.collect { case ("counts", df) => df }
+      .reduce(_ unionByName _)
+      .groupBy("b").agg(sum("c_raw").as("c_raw"),
+        sum("c_target").as("c_target"))
+    val members = tables.collect { case ("members", df) => df }
+      .reduce(_ unionByName _)
+    CountStore.writeBase(spark, path, Seq(
+      "counts" -> counts, "members" -> members,
+      "meta" -> spark.range(1).select(lit(numBuckets).as("num_buckets"))))
+  }
+
+  // the (counts, members) tables of one doc batch under one role, with
+  // `sign` applied to every additive quantity — the ONE place the
+  // store's arithmetic lives (the nbModelTables discipline)
+  private def dsirStoreTables(docs: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int, role: String,
+      sign: Int = 1): Seq[(String, DataFrame)] = {
+    import graft.functions.{TextFunctions => T}
+    val s = lit(sign.toLong)
+    val counts = dsirFeats(docs, Seq.empty, textCol, numBuckets)
+      .groupBy(col("__b").as("b"))
+      .agg((s * count(lit(1))).as(if (role == "raw") "c_raw" else "c_target"))
+      .withColumn(if (role == "raw") "c_target" else "c_raw", lit(0L))
+      .select(col("b"), col("c_raw"), col("c_target"))
+    val members = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), lit(role).as("role"),
+        greatest(size(T.normTokens(col(textCol))) - 1, lit(0))
+          .cast("long").as("n_feats"),
+        s.cast("int").as("mult"))
+    Seq("counts" -> counts, "members" -> members)
+  }
+
+  private def dsirStoreBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    try spark.read.parquet(s"$path/meta").head().getAs[Int]("num_buckets")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$path has no meta table (or is not a dsirStoreWrite store); " +
+            "rebuild with dsirStoreWrite", e)
+    }
+
+  /** Append a new doc batch under `role` ("raw" or "target") — the
+    * batch's counts/members staged as one atomic `_COMMIT` delta under
+    * the store's frozen hash width. (id, role) pairs must be NEW; a
+    * pair currently or formerly in the ledger fails loudly until a
+    * compact retires its rows (the nbModelAppend contract).
+    */
+  def dsirStoreAppend(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, role: String): Unit = {
+    require(role == "raw" || role == "target", "role is 'raw' or 'target'")
+    val spark = newDocs.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, path, "dsirStoreAppend")
+    AtomicBatches.sweepUncommitted(spark, s"$path/deltas")
+    val clash = newDocs.select(col(idCol).as("id")).distinct()
+      .join(broadcast(CountStore.fold(spark, path, "members")
+        .filter(col("role") === role).select("id").distinct()),
+        Seq("id"), "left_semi")
+      .limit(5).collect().map(_.get(0))
+    require(clash.isEmpty,
+      s"dsirStoreAppend($role) to $path includes ids already in the " +
+      s"ledger under that role (e.g. ${clash.mkString(", ")}): " +
+      "re-ingesting would corrupt the counts (and a formerly-deleted " +
+      "id's ledger rows are retired only by dsirStoreCompact). Compact " +
+      "first, or rebuild with dsirStoreWrite.")
+    CountStore.stageDelta(spark, path, dsirStoreTables(
+      newDocs, idCol, textCol, dsirStoreBuckets(spark, path), role))
+  }
+
+  /** DELETE (takedown / exact unlearning) face: subtract the victims'
+    * feature counts from EVERY role they hold — after which
+    * [[dsirStoreModel]] is bit-identical to retraining on the corpora
+    * without them. The victims' counts are recomputed from the
+    * submitted text and VERIFIED against the ledger's pinned `n_feats`
+    * (drift fails loudly — the nbModelDelete rule); ids not currently
+    * in the ledger are skipped (double-deleting must not
+    * double-subtract). O(victim-size).
+    */
+  def dsirStoreDelete(victimDocs: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    import graft.functions.{TextFunctions => T}
+    val spark = victimDocs.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, path, "dsirStoreDelete")
+    AtomicBatches.sweepUncommitted(spark, s"$path/deltas")
+    val present = CountStore.fold(spark, path, "members")
+      .groupBy("id", "role")
+      .agg(sum(col("mult")).as("__m"), max(col("n_feats")).as("__nf"))
+      .filter(col("__m") > 0)
+    val victims = victimDocs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .dropDuplicates("id")
+      .join(present, Seq("id")) // one row per (victim, held role)
+      .localCheckpoint(true) // drift check + both delta tables read it
+    try {
+      if (victims.isEmpty) return
+      val drift = victims
+        .filter(greatest(size(T.normTokens(col("__text"))) - 1, lit(0))
+          .cast("long") =!= col("__nf"))
+        .limit(5).collect().map(_.get(0))
+      require(drift.isEmpty,
+        s"dsirStoreDelete on $path: submitted text for ids " +
+        s"${drift.mkString(", ")} does not match what was ingested " +
+        "(feature count differs) — subtracting drifted counts would " +
+        "silently corrupt the model. Submit the ingested text, or " +
+        "rebuild with dsirStoreWrite over the surviving corpora.")
+      val nb = dsirStoreBuckets(spark, path)
+      val tables = Seq("raw", "target").flatMap { role =>
+        dsirStoreTables(
+          victims.filter(col("role") === role)
+            .select(col("id").as(idCol), col("__text").as(textCol)),
+          idCol, textCol, nb, role, sign = -1)
+      }
+      val counts = tables.collect { case ("counts", df) => df }
+        .reduce(_ unionByName _)
+        .groupBy("b").agg(sum("c_raw").as("c_raw"),
+          sum("c_target").as("c_target"))
+      val members = tables.collect { case ("members", df) => df }
+        .reduce(_ unionByName _)
+      CountStore.stageDelta(spark, path,
+        Seq("counts" -> counts, "members" -> members))
+    } finally
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(victims)
+  }
+
+  /** The store's CURRENT model in [[dsirTrain]]'s derived form — (b,
+    * lr) rows plus the `b = NULL` default row — from the folded integer
+    * counts through [[dsirTrain]]'s exact expressions: a bucket whose
+    * raw count hits zero LEAVES the ratio table (scoring falls back to
+    * the default, as a retrain would), while its surviving target count
+    * still shapes the target total. Integer-valued double sums below
+    * 2^53 never round, so these rows are bit-identical to retraining
+    * on the surviving corpora (per-doc score sums then agree at the
+    * round-6 oracle contract).
+    */
+  def dsirStoreModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    AtomicBatches.assertNotInMaintenance(spark, path, "dsirStoreModel")
+    val B = lit(dsirStoreBuckets(spark, path).toDouble)
+    val counts = CountStore.fold(spark, path, "counts").groupBy("b")
+      .agg(sum("c_raw").cast("double").as("__cr"),
+        sum("c_target").cast("double").as("__ct"))
+      .filter(col("__cr") + col("__ct") > 0)
+      .localCheckpoint(true)
+    val tTot = counts.agg(coalesce(sum("__ct"), lit(0.0)).as("__tt"))
+    val rTot = counts.agg(coalesce(sum("__cr"), lit(0.0)).as("__rt"))
+    val ratios = counts.filter(col("__cr") > 0)
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("b"),
+        (log((col("__ct") + 1d) / (col("__tt") + B)) -
+          log((col("__cr") + 1d) / (col("__rt") + B))).as("lr"))
+    ratios.unionByName(
+      tTot.crossJoin(rTot).select(lit(null).cast("long").as("b"),
+        log((col("__rt") + B) / (col("__tt") + B)).as("lr")))
+  }
+
+  /** Score `docs` against the store's current model — [[dsirScore]]
+    * through [[dsirStoreModel]] under the frozen hash width. After
+    * deletes: equal to scoring against a model retrained on the
+    * corpora minus the victims (ratio table bit-identical; per-doc
+    * sums round-6 identical).
+    */
+  def dsirStoreScore(docs: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    val spark = docs.sparkSession
+    dsirScore(docs, idCol, textCol, dsirStoreModel(spark, path),
+      dsirStoreBuckets(spark, path))
+  }
+
+  /** Fold the committed delta history into a fresh base and retire the
+    * `deltas/` channel — the physical-removal half of
+    * [[dsirStoreDelete]] (victim evidence leaves the ledger;
+    * zero-count buckets leave disk). Crash safety, `_MAINT`
+    * exclusivity, and the takeover contract are the shared staged-swap
+    * protocol ([[CountStore.compactSwap]]); `meta` is frozen and never
+    * touched.
+    */
+  def dsirStoreCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String, takeover: Boolean = false): Unit =
+    CountStore.compactSwap(spark, path, takeover,
+      Seq("counts", "members")) {
+      case "counts" =>
+        CountStore.fold(spark, path, "counts").groupBy("b")
+          .agg(sum("c_raw").as("c_raw"), sum("c_target").as("c_target"))
+          .filter(col("c_raw") =!= 0L || col("c_target") =!= 0L)
+      case "members" =>
+        CountStore.fold(spark, path, "members").groupBy("id", "role")
+          .agg(sum(col("mult")).as("__m"), max(col("n_feats")).as("n_feats"))
+          .filter(col("__m") > 0)
+          .select(col("id"), col("role"), col("n_feats"), lit(1).as("mult"))
+    }
+
   /** Per-group quality cap — "keep at most `n` best docs per domain",
     * the standard guard against one crawl source flooding the mix: the
     * `n` rows per group with the highest `score` (ties → lowest id).
