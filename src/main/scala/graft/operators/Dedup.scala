@@ -239,6 +239,26 @@ object Dedup {
         concat_ws(":", col("bandStruct.band"), col("bandStruct.bucket")).as("bucket"))
   }
 
+  /** DELETE (takedown) face shared by the per-id dedup indexes —
+    * [[minhashIndex]], [[simhashIndex]], [[embeddingIndex]], and any
+    * index whose rows are keyed by the contributing id alone: the index
+    * minus every victim row, one broadcast anti-join on the bounded
+    * victim list. EXACT, unlike the first-occurrence stores
+    * ([[TrainingData.cdcIndexDelete]]/[[TrainingData.spanIndexDelete]]'s
+    * owner-forgetting): these indexes keep EVERY id's signature/bucket
+    * rows — nothing was elided in favor of an earlier owner — so
+    * dropping the victims' rows yields state identical to rebuilding
+    * over the survivors, and probes after the delete answer as if the
+    * victims were never ingested (hash-gated by the `*_deleted`
+    * oracles). No compaction or re-election step exists because none is
+    * needed.
+    */
+  def indexDeleteById(index: DataFrame, ids: DataFrame,
+      idCol: String): DataFrame =
+    index.join(broadcast(ids.select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+      .select(index.columns.map(col): _*)
+
   /** Incremental near-dup: match a NEW batch against a persisted
     * [[minhashIndex]] and against itself, in one LSH pass — the
     * continuous-ingestion shape. Returns (id_a, id_b, jaccard) for every

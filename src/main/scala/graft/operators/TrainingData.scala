@@ -1162,6 +1162,25 @@ object TrainingData {
     spanIndex(newDocs, idCol, textCol, k)
       .join(existingIndex.select("block_key"), Seq("block_key"), "left_anti")
 
+  /** DELETE (takedown) face of the [[spanIndex]] state: the index minus
+    * every block the victims OWN — one broadcast anti-join on the
+    * bounded victim list. Same owner-forgetting semantics (and the same
+    * docstring reasoning) as [[cdcIndexDelete]]: the index stores only
+    * each block's FIRST occurrence, so a block key first owned by a
+    * victim is FORGOTTEN even when a surviving doc also holds it —
+    * conservative for both takedown goals (the victim's block digests
+    * are fully gone; future copies of a forgotten block are KEPT rather
+    * than wrongly dropped — span dedup under-fires, never removes text
+    * it shouldn't). A periodic rebuild ([[spanIndex]] over the
+    * surviving corpus) re-elects surviving owners and restores full
+    * dedup pressure.
+    */
+  def spanIndexDelete(index: DataFrame, ids: DataFrame,
+      idCol: String): DataFrame =
+    index.join(broadcast(ids.select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+      .select(index.columns.map(col): _*)
+
   /** [[dedupSpans]] for continuous ingestion: rebuild only the NEW batch,
     * dropping blocks already owned by the ingested corpus (present in
     * `existingIndex`, built/maintained via [[spanIndex]] /

@@ -376,6 +376,30 @@ class TrainingDataSpec extends SparkSpec {
     delta shouldBe Set((10L, 1L), (11L, 1L)) // "x y z" @10, "q r s" @11
   }
 
+  test("spanIndexDelete forgets victim-owned blocks (owner-forgetting)") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "a b c d e f"),          // victim: owns "a b c", "d e f"
+      (2L, "a b c g h i"))          // survivor holds "a b c" too — but
+                                    // the index never stored its copy
+      .toDF("doc_id", "text")
+    val idx = TrainingData.spanIndex(old, "doc_id", "text", k = 3)
+    val reduced = TrainingData.spanIndexDelete(idx,
+      Seq(Tuple1(1L)).toDF("doc_id"), "doc_id")
+    // every block doc 1 owned is gone — content evidence removed, even
+    // "a b c" which doc 2 also holds (conservative under-fire)
+    reduced.filter(col("doc_id") === 1L).count() shouldBe 0L
+    // doc 2's own first occurrence ("g h i") survives
+    reduced.count() shouldBe 1L
+    // a new doc repeating a forgotten block KEEPS it; a block still
+    // owned by the survivor drops
+    val inc = TrainingData.dedupSpansIncremental(
+      Seq((10L, "a b c g h i tail")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, reduced)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    inc(10L) shouldBe "a b c tail"
+  }
+
   test("packTokenStream: windows tile the global doc-order token stream") {
     import spark.implicits._
     val docs = Seq(
