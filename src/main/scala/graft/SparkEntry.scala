@@ -1003,6 +1003,54 @@ object SparkEntry {
         .select(col("doc_id"), col("label"), col("n_tokens_scored"),
           round(col("nb_score"), 6).as("nb_score"), col("predicted_pass"))
     }),
+    "text_nb_unlearned" -> ((s, dir) => {
+      // exact machine unlearning on the persisted COUNT-form model:
+      // build + append, then two committed takedown batches
+      // (overlapping at doc_id % 35 = 17 — the no-double-subtraction
+      // rule is hash-gated too); NB's sufficient statistics are
+      // integer sums, so subtracting the victims' counts IS retraining
+      // without them — which is exactly what the oracle runs
+      val docs = Tables.documents(s, dir)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft-bench-nbstore"
+      graft.operators.Classifier.nbModelWrite(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", path)
+      graft.operators.Classifier.nbModelAppend(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", path)
+      graft.operators.Classifier.nbModelDelete(
+        docs.filter(col("doc_id") % 5 === 2), "doc_id", "text", path)
+      graft.operators.Classifier.nbModelDelete(
+        docs.filter(col("doc_id") % 7 === 3), "doc_id", "text", path)
+      graft.operators.Classifier.nbScoreFromModel(
+        docs.filter(col("doc_id") % 5 =!= 2 && col("doc_id") % 7 =!= 3),
+        "doc_id", "text", path)
+        .select(col("doc_id"), col("label"), col("n_tokens_scored"),
+          round(col("nb_score"), 6).as("nb_score"), col("predicted_pass"))
+    }),
+    "text_nb_compacted" -> ((s, dir) => {
+      // the physical-removal half: same build/append/delete history,
+      // then nbModelCompact folds it into a fresh base (victim ledger
+      // rows and zero-count vocabulary rows leave disk, deltas channel
+      // retired) — and scores must be IDENTICAL to the uncompacted
+      // read, i.e. the same retrain-over-survivors oracle
+      val docs = Tables.documents(s, dir)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft-bench-nbstore-c"
+      graft.operators.Classifier.nbModelWrite(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", path)
+      graft.operators.Classifier.nbModelAppend(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", path)
+      graft.operators.Classifier.nbModelDelete(
+        docs.filter(col("doc_id") % 5 === 2), "doc_id", "text", path)
+      graft.operators.Classifier.nbModelDelete(
+        docs.filter(col("doc_id") % 7 === 3), "doc_id", "text", path)
+      graft.operators.Classifier.nbModelCompact(s, path)
+      graft.operators.Classifier.nbScoreFromModel(
+        docs.filter(col("doc_id") % 5 =!= 2 && col("doc_id") % 7 =!= 3),
+        "doc_id", "text", path)
+        .select(col("doc_id"), col("label"), col("n_tokens_scored"),
+          round(col("nb_score"), 6).as("nb_score"), col("predicted_pass"))
+    }),
     "text_gopher" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -1488,6 +1536,33 @@ object SparkEntry {
         .select(col("doc_id"), col("n_feats"),
           round(col("logw"), 6).as("logw"))
     }),
+    "sample_dsir_unlearned" -> ((s, dir) => {
+      // exact unlearning on the count-form DSIR store (the
+      // text_nb_unlearned twin, shared CountStore protocol): base +
+      // raw/target appends, then one takedown batch subtracts the
+      // victims' bucket counts from BOTH distributions — scoring the
+      // survivors must equal retraining on corpus-minus-victims, which
+      // is exactly what the oracle runs
+      val docs = Tables.documents(s, dir)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft-bench-dsirstore"
+      val tgt = col("source").isin("src0", "src1")
+      graft.operators.Sampling.dsirStoreWrite(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") < 250 && tgt),
+        "doc_id", "text", path, numBuckets = 256)
+      graft.operators.Sampling.dsirStoreAppend(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", path, "raw")
+      graft.operators.Sampling.dsirStoreAppend(
+        docs.filter(col("doc_id") >= 250 && tgt),
+        "doc_id", "text", path, "target")
+      graft.operators.Sampling.dsirStoreDelete(
+        docs.filter(col("doc_id") % 7 === 3), "doc_id", "text", path)
+      graft.operators.Sampling.dsirStoreScore(
+        docs.filter(col("doc_id") % 7 =!= 3), "doc_id", "text", path)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("logw"), 6).as("logw"))
+    }),
     "sample_dsir_topk" -> ((s, dir) => {
       // the resampling half: 50 docs most target-like by hashed-bigram
       // importance weight (deterministic tie order)
@@ -1751,6 +1826,23 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), "doc_id", "text", k = 8, existing)
         .select(col("doc_id"), md5(col("text")).as("text_digest"))
     }),
+    "dedup_spans_deleted" -> ((s, dir) => {
+      // takedown on the span-block index: victims (old ids % 9 = 2)
+      // leave via spanIndexDelete's owner-forgetting semantics — their
+      // owned block keys are GONE (content evidence removed), so a new
+      // doc repeating one KEEPS it (dedup under-fires conservatively; a
+      // rebuild re-elects surviving owners). Oracle replays exactly
+      // that: first-occurrence index over old docs minus victim-owned
+      // keys, then the new batch's span dedup against it.
+      val docs = Tables.documents(s, dir)
+      val index = graft.operators.TrainingData.spanIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", k = 8)
+      val reduced = graft.operators.TrainingData.spanIndexDelete(index,
+        docs.filter(col("doc_id") % 9 === 2), "doc_id")
+      graft.operators.TrainingData.dedupSpansIncremental(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", k = 8, reduced)
+        .select(col("doc_id"), md5(col("text")).as("text_digest"))
+    }),
     "dedup_incremental_lsh" -> ((s, dir) => {
       // continuous-ingestion near-dup: new batch (ids >= 250) against
       // the persisted MinHash index of the existing corpus + itself
@@ -1759,6 +1851,23 @@ object SparkEntry {
         "doc_id", "text", numHashes = 16, bands = 8, shingleN = 5)
       Dedup.minhashLshIncremental(docs.filter(col("doc_id") >= 250),
         "doc_id", "text", index, numHashes = 16, bands = 8, shingleN = 5,
+        threshold = 0.4, estimateSlack = 0.05)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    "dedup_lsh_deleted" -> ((s, dir) => {
+      // EXACT takedown on the MinHash index: per-id signature rows, so
+      // indexDeleteById leaves state identical to rebuilding over the
+      // survivors — no owner-forgetting, no re-election (contrast the
+      // first-occurrence stores). The probe after the delete must emit
+      // exactly the surviving-corpus pair set, which is what the oracle
+      // computes (full pair replay minus victim-involving pairs).
+      val docs = Tables.documents(s, dir)
+      val index = Dedup.minhashIndex(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", numHashes = 16, bands = 8, shingleN = 5)
+      val reduced = Dedup.indexDeleteById(index,
+        docs.filter(col("doc_id") % 9 === 2), "doc_id")
+      Dedup.minhashLshIncremental(docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", reduced, numHashes = 16, bands = 8, shingleN = 5,
         threshold = 0.4, estimateSlack = 0.05)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
@@ -1773,6 +1882,19 @@ object SparkEntry {
         "doc_id", "text", maxHamming = 8, kernel = "md5")
       Dedup.simhashIncremental(docs.filter(col("doc_id") >= 250),
         "doc_id", "text", index, maxHamming = 8, kernel = "md5")
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+    "dedup_simhash_deleted" -> ((s, dir) => {
+      // EXACT takedown on the SimHash chunk index (per-id rows — the
+      // dedup_lsh_deleted discipline): probe-after-delete == all-pairs
+      // hamming<=8 over corpus-minus-victims, new-involving pairs
+      val docs = Tables.documents(s, dir)
+      val index = Dedup.simhashIndex(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", maxHamming = 8, kernel = "md5")
+      val reduced = Dedup.indexDeleteById(index,
+        docs.filter(col("doc_id") % 9 === 2), "doc_id")
+      Dedup.simhashIncremental(docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", reduced, maxHamming = 8, kernel = "md5")
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }),
     "dedup_near_survivors" -> ((s, dir) => {
@@ -1935,6 +2057,22 @@ object SparkEntry {
         "vec_id", "embedding", dim = 64, nBits = 6, kernel = "md5")
       Dedup.embeddingCosineIncremental(emb.filter(col("vec_id") >= 250),
         "vec_id", "embedding", index, dim = 64, nBits = 6,
+        threshold = 0.4, kernel = "md5")
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+    "dedup_embedding_lsh_deleted" -> ((s, dir) => {
+      // EXACT takedown on the hyperplane index (per-id rows — the
+      // dedup_lsh_deleted discipline). The oracle rebuilds buckets over
+      // the REDUCED population (victims out before the bucket cap, the
+      // same population the probe sees), not a post-filter of the full
+      // pair set.
+      val emb = Tables.embeddings(s, dir)
+      val index = Dedup.embeddingIndex(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", dim = 64, nBits = 6, kernel = "md5")
+      val reduced = Dedup.indexDeleteById(index,
+        emb.filter(col("vec_id") % 9 === 2), "vec_id")
+      Dedup.embeddingCosineIncremental(emb.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", reduced, dim = 64, nBits = 6,
         threshold = 0.4, kernel = "md5")
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
@@ -2820,6 +2958,41 @@ object SparkEntry {
     // the incremental rebuild (new batch vs persisted block index) must
     // equal the full-corpus rebuild restricted to the new ids
     "dedup_incremental_spans" -> spanDedupSql("WHERE d.doc_id >= 250"),
+    // takedown replay on the span-block index: old-corpus first
+    // occurrences minus victim-owned keys (owner-forgetting — a key
+    // first owned by a victim is gone even if a surviving old doc also
+    // held it), then the new batch's span dedup against the reduced set
+    "dedup_spans_deleted" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+           FROM documents WHERE text IS NOT NULL),
+         n AS (SELECT doc_id, toks, len(toks) // 8 AS nb FROM t),
+         b AS (SELECT doc_id, toks, unnest(generate_series(0, nb - 1)) AS bidx
+               FROM n WHERE nb > 0),
+         bb AS (SELECT doc_id, bidx,
+                  array_to_string(toks[bidx*8 + 1 : bidx*8 + 8], ' ') AS btext
+                FROM b),
+         w_old AS (SELECT btext,
+             min(doc_id * 2147483648 + bidx) // 2147483648 AS wid
+           FROM bb WHERE doc_id < 250 GROUP BY btext),
+         oidx AS (SELECT btext FROM w_old WHERE wid % 9 <> 2),
+         f AS (SELECT doc_id, bidx, btext,
+                 row_number() OVER (PARTITION BY btext ORDER BY doc_id, bidx)
+                   AS rn
+               FROM bb WHERE doc_id >= 250),
+         h AS (SELECT f.doc_id, list(f.btext ORDER BY f.bidx) AS blocks
+               FROM f LEFT JOIN oidx USING (btext)
+               WHERE f.rn = 1 AND oidx.btext IS NULL
+               GROUP BY f.doc_id),
+         r AS (SELECT n.doc_id,
+                 coalesce(array_to_string(list_concat(
+                   coalesce(h.blocks, []::VARCHAR[]),
+                   n.toks[n.nb*8 + 1 : len(n.toks)]), ' '), '') AS text
+               FROM n LEFT JOIN h USING (doc_id) WHERE n.doc_id >= 250)
+         SELECT d.doc_id, md5(r.text) AS text_digest
+         FROM documents d LEFT JOIN r USING (doc_id) WHERE d.doc_id >= 250""",
     // per-source roll-up of the SAME per-doc formulas the text_quality /
     // text_langid / text_gopher oracles use (unrounded per doc, rounded
     // once at the mean); null-text docs count in n_docs only
@@ -3647,6 +3820,14 @@ object SparkEntry {
     // persisted-model scoring == the full corpus-wide run restricted to
     // the scored batch (model trained on the whole snapshot either way)
     "text_nb_incremental" -> nbOracle("WHERE doc_id >= 250"),
+    // exact unlearning: the count-form store after two takedown batches
+    // == retraining on the surviving corpus (the whole point of keeping
+    // integer sufficient statistics instead of derived llr)
+    "text_nb_unlearned" ->
+      nbOracle("", " AND doc_id % 5 <> 2 AND doc_id % 7 <> 3"),
+    // compaction is physical removal, not a semantic change: same oracle
+    "text_nb_compacted" ->
+      nbOracle("", " AND doc_id % 5 <> 2 AND doc_id % 7 <> 3"),
     "text_gopher" ->
       """WITH t AS (SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -3990,6 +4171,13 @@ object SparkEntry {
       """ SELECT d.doc_id, round(coalesce(s.logw, 0), 6) AS logw
           FROM documents d LEFT JOIN s USING (doc_id)
           ORDER BY round(coalesce(s.logw, 0), 6) DESC, d.doc_id LIMIT 50"""),
+    // exact unlearning: the count-form store after the takedown batch ==
+    // retraining with the victims out of BOTH distributions
+    "sample_dsir_unlearned" -> (dsirWeightsSqlWhere(" AND doc_id % 7 <> 3") +
+      """ SELECT d.doc_id, coalesce(s.n_feats, 0)::BIGINT AS n_feats,
+            round(coalesce(s.logw, 0), 6) AS logw
+          FROM documents d LEFT JOIN s USING (doc_id)
+          WHERE d.doc_id % 7 <> 3"""),
     // 3 PageRank rounds unrolled; same unnormalized (1−d) + d·Σ r/deg
     // arithmetic as the operator, UNION dedups the node set
     // exact replay of the degree-ordered orientation: same canonical
@@ -4303,6 +4491,16 @@ object SparkEntry {
       s"""WITH $minhashPairsSql
          SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
          WHERE j >= 0.4 AND id_b >= 250""",
+    // exact takedown replay: the per-id index rows ARE the rebuild over
+    // survivors, so the probe emits the full pair set minus any pair
+    // touching a victim (old ids % 9 = 2; id_a < id_b so only the old
+    // side can be one — pairwise jaccard is independent of other docs,
+    // and this oracle models no bucket caps, so the post-filter is exact)
+    "dedup_lsh_deleted" ->
+      s"""WITH $minhashPairsSql
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
+         WHERE j >= 0.4 AND id_b >= 250
+           AND NOT (id_a < 250 AND id_a % 9 = 2)""",
     "dedup_incremental" ->
       """WITH existing AS (
            SELECT DISTINCT md5(coalesce(text, chr(1))) AS d
@@ -4424,6 +4622,34 @@ object SparkEntry {
            bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sig, b.sig)) <= 8 AND b.doc_id >= 250""",
+    // exact takedown replay (the dedup_lsh_deleted reasoning): pairwise
+    // hamming is independent of other docs and this oracle models no
+    // bucket caps, so excluding victim-involving pairs post-hoc equals
+    // the rebuild over survivors
+    "dedup_simhash_deleted" ->
+      s"""WITH toks AS (
+           SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS tok
+           FROM documents),
+         h AS (SELECT doc_id, $md5Hash60Sql AS hv
+           FROM (SELECT doc_id, md5(tok) AS m FROM toks)),
+         bits AS (
+           SELECT doc_id, b AS bit,
+             count(*) FILTER (WHERE ((hv >> b) & 1) = 1) AS ones,
+             count(*) AS n
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+           GROUP BY doc_id, b),
+         sig0 AS (SELECT doc_id,
+             sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sig
+           FROM bits GROUP BY doc_id),
+         sigs AS (SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+           FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+           LEFT JOIN sig0 s USING (doc_id))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 8 AND b.doc_id >= 250
+           AND NOT (a.doc_id < 250 AND a.doc_id % 9 = 2)""",
     // exact hyperplane-LSH replication: md5-Rademacher planes rebuilt in
     // SQL, same bucket join + cap + cosine threshold as the operator
     "dedup_embedding_lsh" ->
@@ -4552,6 +4778,19 @@ object SparkEntry {
     // (ids >= 250) has id_b >= 250 because id_a < id_b
     "dedup_incremental_embedding_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (SELECT vec_id, v, ${lshBucketSql("v", 6)} AS bucket FROM e),
+         keep AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 1000),
+         s AS (SELECT b.* FROM b JOIN keep USING (bucket))
+         SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, bb.v), 6) AS cosine
+         FROM s a JOIN s bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         WHERE list_cosine_similarity(a.v, bb.v) >= 0.4 AND bb.vec_id >= 250""",
+    // exact takedown replay: this oracle DOES model the bucket cap, so
+    // victims leave the population BEFORE the cap (the same population
+    // the probe's reduced index presents), not as a pair post-filter
+    "dedup_embedding_lsh_deleted" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE NOT (vec_id < 250 AND vec_id % 9 = 2)),
          b AS (SELECT vec_id, v, ${lshBucketSql("v", 6)} AS bucket FROM e),
          keep AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 1000),
          s AS (SELECT b.* FROM b JOIN keep USING (bucket))
@@ -4740,11 +4979,11 @@ object SparkEntry {
     * empty for the corpus-wide query, a doc_id predicate for the
     * persisted-model batch-scoring query.
     */
-  private def nbOracle(restrict: String): String =
+  private def nbOracle(restrict: String, corpusWhere: String = ""): String =
     s"""WITH t AS (SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
               ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
-       FROM documents WHERE text IS NOT NULL),
+       FROM documents WHERE text IS NOT NULL$corpusWhere),
        lab AS (SELECT doc_id, toks,
          (len(toks) BETWEEN 50 AND 100000) AND
            (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
@@ -5417,10 +5656,17 @@ object SparkEntry {
     * per-doc weight sums (`s`). Target = sources src0/src1; hash kernel =
     * first 4 md5 nibbles mod 256 (the sample_hash strpos replication).
     */
-  private lazy val dsirWeightsSql: String =
-    """WITH tok AS (SELECT doc_id, source,
-         regexp_split_to_array(lower(trim(text)), '\s+') AS t
-       FROM documents WHERE trim(text) <> ''),
+  private lazy val dsirWeightsSql: String = dsirWeightsSqlWhere("")
+
+  /** The DSIR replay with an extra corpus predicate — shared by the
+    * direct/persisted-model faces (empty) and the unlearning face
+    * (victims out of BOTH the raw and target distributions, exactly
+    * what subtracting a victim's counts from both roles does).
+    */
+  private def dsirWeightsSqlWhere(corpusWhere: String): String =
+    s"""WITH tok AS (SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       FROM documents WHERE trim(text) <> ''$corpusWhere),
        g AS (SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS g
          FROM (SELECT doc_id, source, t,
                  unnest(generate_series(1, len(t) - 1)) AS i
