@@ -214,17 +214,50 @@ object Classifier {
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "nbModelAppend")
     AtomicBatches.sweepUncommitted(spark, s"$path/deltas")
+    nbRequireFreshIds(newDocs, idCol, path, "nbModelAppend")
+    CountStore.stageDelta(spark, path, nbModelTables(newDocs, idCol, textCol))
+  }
+
+  /** REPLAY-SAFE ingestion face for stream-driven training — call from
+    * `foreachBatch` with the sink's `batchId`: at-least-once redelivery
+    * of a committed micro-batch is a no-op (integer counts would
+    * otherwise double-apply SILENTLY — the one corruption the atomic
+    * batch protocol alone cannot stop, since a retry through
+    * [[nbModelAppend]] lands as a new batch). The replay check runs
+    * BEFORE the fresh-ids guard, whose misfire on a redelivered batch's
+    * own ids would wedge the stream. Returns false on a replay skip.
+    *
+    * Compaction retires the replay markers with the rest of the delta
+    * channel, so a micro-batch redelivered from BEFORE a compaction can
+    * no longer be recognized as a replay — it then fails the fresh-ids
+    * guard LOUDLY (its ids are in the compacted ledger) instead of
+    * double-applying silently; quiesce the stream across compactions
+    * (the `_MAINT` marker already forces this for the overlap window)
+    * and resume from a checkpoint at or beyond the compaction point.
+    */
+  def nbModelAppendStream(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String, batchId: Long): Boolean = {
+    val spark = newDocs.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, path, "nbModelAppendStream")
+    if (CountStore.streamBatchCommitted(spark, path, batchId)) return false
+    nbRequireFreshIds(newDocs, idCol, path, "nbModelAppendStream")
+    CountStore.stageStreamDelta(spark, path, batchId,
+      nbModelTables(newDocs, idCol, textCol))
+  }
+
+  private def nbRequireFreshIds(newDocs: DataFrame, idCol: String,
+      path: String, face: String): Unit = {
     val clash = newDocs.select(col(idCol).as("id")).distinct()
-      .join(broadcast(nbMembers(spark, path).select("id").distinct()),
+      .join(broadcast(nbMembers(newDocs.sparkSession, path)
+        .select("id").distinct()),
         Seq("id"), "left_semi")
       .limit(5).collect().map(_.get(0))
     require(clash.isEmpty,
-      s"nbModelAppend to $path includes ids already in the model's " +
+      s"$face to $path includes ids already in the model's " +
       s"membership ledger (e.g. ${clash.mkString(", ")}): re-ingesting " +
       "an id would corrupt the counts (and a formerly-deleted id's " +
       "ledger rows are retired only by nbModelCompact). Compact first, " +
       "or rebuild with nbModelWrite.")
-    CountStore.stageDelta(spark, path, nbModelTables(newDocs, idCol, textCol))
   }
 
   /** DELETE (takedown / exact unlearning) face: subtract the victims'

@@ -64,6 +64,44 @@ private[graft] object CountStore {
       s"$path/$table" +: deltas.map(d => s"$d/$table"): _*)
   }
 
+  /** The REPLAY-SAFE staging face for stream-driven ingestion
+    * (`foreachBatch` at-least-once delivery): a micro-batch that was
+    * already committed must be a NO-OP on redelivery, not a second
+    * delta — integer counts double-apply silently, which is the one
+    * corruption the `_COMMIT` protocol alone cannot prevent (a retry
+    * through [[stageDelta]] would land as a NEW batch). Batches stage
+    * under `deltas/s<batchId>` — a name [[AtomicBatches.nextBatchN]]'s
+    * numeric parse ignores, so manual maintenance appends can never
+    * collide with a resumed stream's id sequence — and redelivery of a
+    * committed id returns false without touching disk; a crashed
+    * (uncommitted) attempt is deleted and restaged verbatim.
+    *
+    * Returns true when the batch was staged, false on a replay skip.
+    */
+  /** True when stream batch `batchId` already committed — the callers'
+    * replay check, placed BEFORE their ledger guards (a redelivered
+    * batch's own ids are legitimately in the ledger from the first
+    * delivery, so the guard would misfire on a replay).
+    */
+  def streamBatchCommitted(spark: SparkSession, path: String,
+      batchId: Long): Boolean =
+    fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(
+      s"$path/deltas/s$batchId/_COMMIT"))
+
+  def stageStreamDelta(spark: SparkSession, path: String, batchId: Long,
+      tables: Seq[(String, DataFrame)]): Boolean = {
+    require(batchId >= 0, "batchId must be non-negative")
+    val fs = fsOf(spark, path)
+    val bdir = s"$path/deltas/s$batchId"
+    if (streamBatchCommitted(spark, path, batchId)) return false
+    fs.delete(new org.apache.hadoop.fs.Path(bdir), true)
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$bdir/$name")
+    }
+    AtomicBatches.commit(spark, bdir)
+    true
+  }
+
   /** Staged-swap compaction: compute each named table's folded
     * replacement via `fresh`, commit the stage, then idempotently swap
     * it in and retire the delta channel. Tables NOT named (e.g. a

@@ -436,23 +436,46 @@ object Sampling {
     */
   def dsirStoreAppend(newDocs: DataFrame, idCol: String, textCol: String,
       path: String, role: String): Unit = {
-    require(role == "raw" || role == "target", "role is 'raw' or 'target'")
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "dsirStoreAppend")
     AtomicBatches.sweepUncommitted(spark, s"$path/deltas")
+    dsirRequireFreshIds(newDocs, idCol, path, role, "dsirStoreAppend")
+    CountStore.stageDelta(spark, path, dsirStoreTables(
+      newDocs, idCol, textCol, dsirStoreBuckets(spark, path), role))
+  }
+
+  /** REPLAY-SAFE ingestion face — the [[Classifier.nbModelAppendStream]]
+    * twin: call from `foreachBatch` with the sink's `batchId`;
+    * redelivery of a committed micro-batch is a no-op instead of a
+    * silent double-apply, and the replay check runs BEFORE the
+    * fresh-ids guard (whose misfire on a redelivered batch's own ids
+    * would wedge the stream). Returns false on a replay skip.
+    */
+  def dsirStoreAppendStream(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String, role: String,
+      batchId: Long): Boolean = {
+    val spark = newDocs.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, path, "dsirStoreAppendStream")
+    if (CountStore.streamBatchCommitted(spark, path, batchId)) return false
+    dsirRequireFreshIds(newDocs, idCol, path, role, "dsirStoreAppendStream")
+    CountStore.stageStreamDelta(spark, path, batchId, dsirStoreTables(
+      newDocs, idCol, textCol, dsirStoreBuckets(spark, path), role))
+  }
+
+  private def dsirRequireFreshIds(newDocs: DataFrame, idCol: String,
+      path: String, role: String, face: String): Unit = {
+    require(role == "raw" || role == "target", "role is 'raw' or 'target'")
     val clash = newDocs.select(col(idCol).as("id")).distinct()
-      .join(broadcast(CountStore.fold(spark, path, "members")
+      .join(broadcast(CountStore.fold(newDocs.sparkSession, path, "members")
         .filter(col("role") === role).select("id").distinct()),
         Seq("id"), "left_semi")
       .limit(5).collect().map(_.get(0))
     require(clash.isEmpty,
-      s"dsirStoreAppend($role) to $path includes ids already in the " +
+      s"$face($role) to $path includes ids already in the " +
       s"ledger under that role (e.g. ${clash.mkString(", ")}): " +
       "re-ingesting would corrupt the counts (and a formerly-deleted " +
       "id's ledger rows are retired only by dsirStoreCompact). Compact " +
       "first, or rebuild with dsirStoreWrite.")
-    CountStore.stageDelta(spark, path, dsirStoreTables(
-      newDocs, idCol, textCol, dsirStoreBuckets(spark, path), role))
   }
 
   /** DELETE (takedown / exact unlearning) face: subtract the victims'

@@ -124,6 +124,21 @@ class DsirUnlearnSpec extends SparkSpec {
       retrain(corpus)
   }
 
+  test("stream append face: replayed micro-batches are no-ops") {
+    val dir = tmp("stream")
+    Sampling.dsirStoreWrite(corpus.filter(col("doc_id") < 5),
+      target(corpus), "doc_id", "text", dir, NB)
+    val b0 = corpus.filter(col("doc_id") >= 5)
+    Sampling.dsirStoreAppendStream(b0, "doc_id", "text", dir, "raw",
+      batchId = 0L) shouldBe true
+    val after = scores(Sampling.dsirStoreScore(corpus, "doc_id", "text", dir))
+    Sampling.dsirStoreAppendStream(b0, "doc_id", "text", dir, "raw",
+      batchId = 0L) shouldBe false
+    scores(Sampling.dsirStoreScore(corpus, "doc_id", "text", dir)) shouldBe
+      after
+    after shouldBe retrain(corpus)
+  }
+
   test("compaction: identical scores, retired channel and ledger rows") {
     val dir = tmp("compact")
     Sampling.dsirStoreWrite(corpus.filter(col("doc_id") < 5),

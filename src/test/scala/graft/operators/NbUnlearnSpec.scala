@@ -170,6 +170,45 @@ class NbUnlearnSpec extends SparkSpec {
       retrain(corpus)
   }
 
+  test("stream append face: replays never double-apply, crashes restage") {
+    val dir = tmp("stream")
+    Classifier.nbModelWrite(corpus.filter(col("doc_id") < 2), "doc_id",
+      "text", dir)
+    val b0 = corpus.filter(col("doc_id").isin(2L, 3L))
+    Classifier.nbModelAppendStream(b0, "doc_id", "text", dir,
+      batchId = 0L) shouldBe true
+    val after0 = scores(Classifier.nbScoreFromModel(
+      corpus.filter(col("doc_id") < 4), "doc_id", "text", dir))
+    // at-least-once redelivery: a committed batch is a no-op, NOT a
+    // second delta (integer counts would double-apply silently)
+    Classifier.nbModelAppendStream(b0, "doc_id", "text", dir,
+      batchId = 0L) shouldBe false
+    scores(Classifier.nbScoreFromModel(
+      corpus.filter(col("doc_id") < 4), "doc_id", "text", dir)) shouldBe after0
+    // crash mid-stage (no _COMMIT): the SAME batchId restages verbatim
+    val b1 = corpus.filter(col("doc_id").isin(4L, 5L))
+    Classifier.nbModelAppendStream(b1, "doc_id", "text", dir,
+      batchId = 1L) shouldBe true
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deltas/s1/_COMMIT"), false)
+    Classifier.nbModelAppendStream(b1, "doc_id", "text", dir,
+      batchId = 1L) shouldBe true
+    // manual maintenance appends number from max-existing+1 over the
+    // NUMERIC names only — the s<id> stream dirs can't collide
+    Classifier.nbModelAppend(corpus.filter(col("doc_id").isin(6L, 7L)),
+      "doc_id", "text", dir)
+    scores(Classifier.nbScoreFromModel(corpus, "doc_id", "text", dir)) shouldBe
+      retrain(corpus)
+    // compaction retires the replay markers: a batch redelivered from
+    // BEFORE it fails the fresh-ids guard loudly (its ids are in the
+    // compacted ledger) instead of double-applying silently
+    Classifier.nbModelCompact(spark, dir)
+    intercept[IllegalArgumentException] {
+      Classifier.nbModelAppendStream(b0, "doc_id", "text", dir, batchId = 0L)
+    }.getMessage should include("already in the model's membership ledger")
+  }
+
   test("compaction: identical scores, retired channel, loud _MAINT faces") {
     val dir = tmp("compact")
     Classifier.nbModelWrite(corpus.filter(col("doc_id") < 5), "doc_id",
