@@ -753,6 +753,22 @@ object SparkEntry {
       graft.operators.TrainingData.bm25FromIndex(s, idx, "doc_id",
         query = Seq("spark", "vector", "hash", "zeppelin"))
     }),
+    "text_bm25_join" -> ((s, dir) => {
+      // batched retrieval: N queries probe the persisted index in ONE
+      // job — top-10 docs per query, deterministic rank (round-6 score
+      // desc, id asc), duplicate query terms counted once ('spark'
+      // twice in q0), an all-absent query (q2) emitting no rows
+      import s.implicits._
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-bm25join"
+      graft.operators.TrainingData.bm25IndexWrite(
+        Tables.documents(s, dir), "doc_id", "text", idx)
+      val queries = Seq(
+        ("q0", "spark vector hash spark"),
+        ("q1", "join merge query group zeppelin"),
+        ("q2", "zeppelin qqqq zzzz")).toDF("qid", "qtext")
+      graft.operators.TrainingData.bm25TopKJoin(
+        s, idx, queries, "qid", "qtext", "doc_id", k = 10)
+    }),
     "text_bm25_deleted" -> ((s, dir) => {
       // the takedown face of the retrieval index: two committed delete
       // batches (overlapping victim sets — doc_id % 35 = 17 is in both,
@@ -3492,6 +3508,43 @@ object SparkEntry {
     // (shared scoring tail, exact-integer df/stats folds), so the two
     // queries share one oracle — equality IS the index's contract
     "text_bm25_indexed" -> bm25Oracle,
+    // batched retrieval replay: per-query distinct terms, the same
+    // scoring arithmetic per (query, doc), deterministic round-6 rank
+    "text_bm25_join" ->
+      """WITH q(qid, qtext) AS (VALUES
+           ('q0', 'spark vector hash spark'),
+           ('q1', 'join merge query group zeppelin'),
+           ('q2', 'zeppelin qqqq zzzz')),
+         qt AS (SELECT DISTINCT qid,
+             unnest(regexp_split_to_array(lower(trim(qtext)), '\s+')) AS term
+           FROM q),
+         tok AS (SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL
+                  WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+           FROM documents),
+         dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tok WHERE t IS NOT NULL),
+         stats AS (SELECT (SELECT count(*) FROM tok)::DOUBLE AS n,
+                          coalesce((SELECT avg(dl) FROM dl), 1.0) AS avgdl),
+         hits AS (SELECT doc_id, unnest(t) AS term FROM tok),
+         tf AS (SELECT h.doc_id, term, dl.dl, count(*)::DOUBLE AS tf
+                FROM hits h JOIN dl USING (doc_id)
+                WHERE term IN (SELECT term FROM qt)
+                GROUP BY 1, 2, 3),
+         dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         sc AS (SELECT qt.qid, tf.doc_id,
+             ln(1.0 + (s.n - df + 0.5) / (df + 0.5)) * tf
+               * (1.2::DOUBLE + 1.0) /
+               (tf + 1.2::DOUBLE * (1.0 - 0.75 + 0.75 * dl / s.avgdl)) AS sv
+           FROM tf JOIN dfx USING (term) JOIN qt USING (term)
+           CROSS JOIN stats s),
+         agg AS (SELECT qid, doc_id, count(*)::BIGINT AS n_query_terms_hit,
+             round(sum(round(sv * 1e6)::BIGINT)::DOUBLE / 1e6, 6) AS bm25
+           FROM sc GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (
+             PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rank FROM agg)
+         SELECT qid, doc_id, n_query_terms_hit, bm25, rank::BIGINT AS rank
+         FROM r WHERE rank <= 10""",
     "pipeline_training_data" -> trainingDataOracle,
     "pipeline_decontaminate" -> decontaminateOracle,
     // bloom prefilter + exact confirm ⇒ same answer as the exact path

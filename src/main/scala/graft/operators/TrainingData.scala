@@ -1644,23 +1644,25 @@ object TrainingData {
     val tf = hits.groupBy(col(idCol), col("__dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("__tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("__df"))
-    bm25Score(tf, dfT, stats, idCol, k1, b)
+    bm25Score(tf, dfT, stats, Seq(idCol), k1, b)
   }
 
-  // the ONE scoring tail ([[bm25]] and [[bm25FromIndex]] must stay
-  // bit-identical): non-negative idf, tf saturation, per-doc sum in
-  // exact integer micro-units (order-free, bit-reproducible)
+  // the ONE scoring tail ([[bm25]], [[bm25FromIndex]], and
+  // [[bm25TopKJoin]] must stay bit-identical): non-negative idf, tf
+  // saturation, per-key sum in exact integer micro-units (order-free,
+  // bit-reproducible). `keyCols` is (id) for the single-probe faces and
+  // (qid, id) for the batched join face.
   private def bm25Score(tf: DataFrame, dfT: DataFrame, stats: DataFrame,
-      idCol: String, k1: Double, b: Double): DataFrame =
+      keyCols: Seq[String], k1: Double, b: Double): DataFrame =
     tf.join(broadcast(dfT), Seq("term"))
       .crossJoin(broadcast(stats))
-      .select(col(idCol),
+      .select(keyCols.map(col) :+
         (log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
           col("__tf") * lit(k1 + 1.0) /
           (col("__tf") +
             lit(k1) * (lit(1.0 - b) + col("__dl") * lit(b) / col("__avgdl"))))
-          .as("__s"))
-      .groupBy(col(idCol))
+          .as("__s"): _*)
+      .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_query_terms_hit"),
         round(sum(round(col("__s") * 1e6).cast("long")).cast("double") / 1e6, 6)
           .as("bm25"))
@@ -1849,19 +1851,112 @@ object TrainingData {
       }
     val dfT = withDeletes(pruned("df"), "df").groupBy("term")
       .agg(sum(col("df")).cast("double").as("__df"))
+    bm25Score(tf, dfT, bm25IndexStats(spark, path, deletes),
+      Seq(idCol), k1, b)
+  }
+
+  // the (N, avgdl) fold shared by every index probe face: base + append
+  // batches + negative delete rows, all exact long sums (order invisible;
+  // the coalesce mirrors bm25's all-null-dl fallback)
+  private def bm25IndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, deletes: Option[Seq[String]]): DataFrame = {
     val statsAll = deletes match {
       case None => spark.read.parquet(s"$path/stats")
       case Some(dirs) => spark.read.parquet(s"$path/stats")
         .unionByName(spark.read.parquet(dirs.map(d => s"$d/stats"): _*))
     }
-    val stats = statsAll
+    statsAll
       .agg(sum(col("n_docs")).cast("double").as("__n"),
-        // exact long sums ⇒ avgdl is append-order-invariant; the
-        // coalesce mirrors bm25's all-null-dl fallback
         when(sum(col("n_dl")) > 0,
           sum(col("sum_dl")).cast("double") / sum(col("n_dl")).cast("double"))
           .otherwise(lit(1.0)).as("__avgdl"))
-    bm25Score(tf, dfT, stats, idCol, k1, b)
+  }
+
+  /** Batched retrieval against a [[bm25IndexWrite]] index: the top-`k`
+    * documents PER QUERY for a whole query table in ONE job — the
+    * retrieval face of the batched similarity joins
+    * ([[Similarity.ivfTopKJoin]]), and the production shape behind
+    * topic-coverage audits and retrieval-based decontamination ("score
+    * every corpus doc against N benchmark questions"). Per-query scores
+    * are bit-identical to [[bm25FromIndex]] with that query (the shared
+    * [[bm25Score]] tail; committed deletes fold in identically);
+    * duplicate terms within a query count once (the [[bm25]] contract),
+    * and queries whose terms all miss the index emit no rows.
+    *
+    * Scale shape: reads only the query terms' posting-list buckets —
+    * the bucket list is one bounded driver collect (≤ the index's
+    * frozen bucket count) turned into a static partition-pruning
+    * literal; within them the posting rows join the (qid, term) table
+    * (broadcast when it fits). Ranking is deterministic (round-6 score
+    * desc, id asc — engine-replicable) through the bounded top-k
+    * AGGREGATOR with map-side combine: a per-query window would push
+    * each query's entire posting universe through one task. Hit counts
+    * ride back via one semi-join of the #queries × k selection.
+    *
+    * Returns (`qidCol`, `idCol`, n_query_terms_hit, bm25, rank).
+    */
+  def bm25TopKJoin(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qidCol: String, qTextCol: String, idCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(k1 >= 0 && b >= 0 && b <= 1, "k1 >= 0, b in [0, 1]")
+    AtomicBatches.assertNotInMaintenance(spark, path, "bm25TopKJoin")
+    val nBuckets = bm25IndexBuckets(spark, path)
+    // one (qid, term) row per DISTINCT query term, through the SAME
+    // tokenizer the index was built with; bounded by Σ query terms
+    // (benchmark question sets), so the checkpoint is small and both
+    // the bucket collect and the joins read it once
+    val qTerms = queries
+      .select(col(qidCol).as("__qid"), T.normTokens(col(qTextCol)).as("__t"))
+      .select(col("__qid"), explode(array_distinct(col("__t"))).as("term"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .localCheckpoint(true)
+    // ≤ nBuckets values: the static partition-pruning literal
+    val buckets = qTerms.select("tb").distinct().collect().map(_.getLong(0))
+    val qTermKeys = qTerms.select("term").distinct()
+    def pruned(sub: String): DataFrame =
+      graft.operators.Similarity.readParquetIfAny(spark, s"$path/$sub")
+        .map(_.filter(col("tb").isin(buckets: _*))
+          .join(broadcast(qTermKeys), Seq("term"), "left_semi"))
+        .getOrElse(spark.range(0).select(lit(0L).as(idCol),
+          lit("").as("term"), lit(0L).as("tf"), lit(0L).as("dl"),
+          lit(0L).as("tb"), lit(0L).as("df")))
+    val deletes = bm25DeleteDirs(spark, path)
+    val tf0 = pruned("postings")
+      .join(broadcast(qTerms.select("__qid", "term")), Seq("term"))
+      .select(col("__qid"), col(idCol), col("term"),
+        col("tf").cast("double").as("__tf"),
+        col("dl").cast("double").as("__dl"))
+    val tf = deletes match {
+      case None => tf0
+      case Some(dirs) => tf0.join(
+        spark.read.parquet(dirs.map(d => s"$d/ids"): _*),
+        Seq(idCol), "left_anti")
+    }
+    val dfBase = deletes match {
+      case None => pruned("df")
+      case Some(dirs) =>
+        pruned("df").unionByName(
+          spark.read.parquet(dirs.map(d => s"$d/df"): _*)
+            .filter(col("tb").isin(buckets: _*))
+            .join(broadcast(qTermKeys), Seq("term"), "left_semi"))
+    }
+    val dfT = dfBase.groupBy("term")
+      .agg(sum(col("df")).cast("double").as("__df"))
+    val scored = bm25Score(tf, dfT,
+      bm25IndexStats(spark, path, deletes), Seq("__qid", idCol), k1, b)
+    // bounded top-k per query (score desc, id asc — the round-6 score
+    // makes the order engine-replicable), then hit counts ride back on
+    // the #queries × k selection
+    val sel = scored.groupBy(col("__qid"))
+      .agg(graft.functions.Aggregators.topKByScore(
+        col(idCol).cast("long"), col("bm25"), k).as("__sel"))
+      .select(col("__qid"), posexplode(col("__sel")).as(Seq("__p", "__kv")))
+      .select(col("__qid"), col("__kv._1").as(idCol),
+        (col("__p") + 1).cast("long").as("rank"))
+    scored.join(sel, Seq("__qid", idCol), "inner")
+      .select(col("__qid").as(qidCol), col(idCol),
+        col("n_query_terms_hit"), col("bm25"), col("rank"))
   }
 
   /** DELETE (takedown) face of the BM25 index — the tombstone

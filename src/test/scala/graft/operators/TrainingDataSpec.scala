@@ -611,6 +611,39 @@ class TrainingDataSpec extends SparkSpec {
     plan should include("tb")
   }
 
+  test("bm25TopKJoin: per-query scores equal the single probe; ranks are deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark common common common common"),
+      (2L, "vector common common common common common common"),
+      (3L, "common common common common common common common"),
+      (4L, "spark vector common words appear here too"),
+      (5L, "")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25join").toString
+    TrainingData.bm25IndexWrite(docs, "doc_id", "text", dir, nBuckets = 16)
+    val queries = Seq(
+      ("a", "spark vector spark"), // duplicate term counts once
+      ("b", "common"),
+      ("c", "absentterm another")) // all-miss query: no rows
+      .toDF("qid", "qtext")
+    val got = TrainingData.bm25TopKJoin(
+      spark, dir, queries, "qid", "qtext", "doc_id", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    // each query's (doc, hits, score) rows == its single probe's top-2
+    // by (score desc, id asc) — the shared-tail bit-identity contract
+    def single(terms: Seq[String], k: Int) =
+      TrainingData.bm25FromIndex(spark, dir, "doc_id", terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (-t._3, t._1)).take(k).zipWithIndex
+        .map { case ((id, h, s), i) => (id, h, s, i + 1L) }.toSet
+    got.filter(_._1 == "a").map(t => (t._2, t._3, t._4, t._5)) shouldBe
+      single(Seq("spark", "vector"), 2)
+    got.filter(_._1 == "b").map(t => (t._2, t._3, t._4, t._5)) shouldBe
+      single(Seq("common"), 2)
+    got.count(_._1 == "c") shouldBe 0
+  }
+
   test("bm25IndexDelete: probe equals direct bm25 over survivors; compact is physical") {
     import spark.implicits._
     val docs = Seq(
