@@ -1894,6 +1894,8 @@ object TrainingData {
     * ride back via one semi-join of the #queries × k selection.
     *
     * Returns (`qidCol`, `idCol`, n_query_terms_hit, bm25, rank).
+    * `idCol` must be integral (the top-k aggregator's key contract,
+    * like [[Sampling.capPerGroup]]).
     */
   def bm25TopKJoin(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qidCol: String, qTextCol: String, idCol: String,

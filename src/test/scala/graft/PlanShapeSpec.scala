@@ -48,6 +48,24 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange"
   }
 
+  test("batched BM25 probe partition-prunes and broadcasts the query terms") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("bm25plan").toString
+    graft.operators.TrainingData.bm25IndexWrite(docs, "doc_id", "text", idx)
+    val queries = Seq(("a", "spark vector"), ("b", "hash join"))
+      .toDF("qid", "qtext")
+    val p = plan(graft.operators.TrainingData.bm25TopKJoin(
+      spark, idx, queries, "qid", "qtext", "doc_id", k = 5))
+    // the posting scan reads ONLY the query terms' buckets (the bounded
+    // collected bucket list is a static pruning literal) and the small
+    // (qid, term) side broadcasts — nothing corpus-sized shuffles to
+    // match queries against postings
+    p should include("PartitionFilters")
+    p should include("tb")
+    p should include("BroadcastHashJoin")
+  }
+
   test("per-doc text analytics stay in the scan projection — no shuffle") {
     // repetition metrics and the PII scrub are pure column chains; at
     // 100 TB they must ride the scan, not cost a stage
