@@ -1579,6 +1579,33 @@ object SparkEntry {
         .select(col("doc_id"), col("n_feats"),
           round(col("logw"), 6).as("logw"))
     }),
+    "sample_dsir_compacted" -> ((s, dir) => {
+      // the physical-removal half of the DSIR takedown: same history,
+      // then dsirStoreCompact folds it into a fresh base (victim ledger
+      // rows and zero-count buckets leave disk, deltas retired) — and
+      // scores must be IDENTICAL to the uncompacted read, i.e. the same
+      // retrain-over-survivors oracle (the text_nb_compacted twin)
+      val docs = Tables.documents(s, dir)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft-bench-dsirstore-c"
+      val tgt = col("source").isin("src0", "src1")
+      graft.operators.Sampling.dsirStoreWrite(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") < 250 && tgt),
+        "doc_id", "text", path, numBuckets = 256)
+      graft.operators.Sampling.dsirStoreAppend(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", path, "raw")
+      graft.operators.Sampling.dsirStoreAppend(
+        docs.filter(col("doc_id") >= 250 && tgt),
+        "doc_id", "text", path, "target")
+      graft.operators.Sampling.dsirStoreDelete(
+        docs.filter(col("doc_id") % 7 === 3), "doc_id", "text", path)
+      graft.operators.Sampling.dsirStoreCompact(s, path)
+      graft.operators.Sampling.dsirStoreScore(
+        docs.filter(col("doc_id") % 7 =!= 3), "doc_id", "text", path)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("logw"), 6).as("logw"))
+    }),
     "sample_dsir_topk" -> ((s, dir) => {
       // the resampling half: 50 docs most target-like by hashed-bigram
       // importance weight (deterministic tie order)
@@ -4227,6 +4254,12 @@ object SparkEntry {
     // exact unlearning: the count-form store after the takedown batch ==
     // retraining with the victims out of BOTH distributions
     "sample_dsir_unlearned" -> (dsirWeightsSqlWhere(" AND doc_id % 7 <> 3") +
+      """ SELECT d.doc_id, coalesce(s.n_feats, 0)::BIGINT AS n_feats,
+            round(coalesce(s.logw, 0), 6) AS logw
+          FROM documents d LEFT JOIN s USING (doc_id)
+          WHERE d.doc_id % 7 <> 3"""),
+    // compaction is physical removal, not a semantic change: same oracle
+    "sample_dsir_compacted" -> (dsirWeightsSqlWhere(" AND doc_id % 7 <> 3") +
       """ SELECT d.doc_id, coalesce(s.n_feats, 0)::BIGINT AS n_feats,
             round(coalesce(s.logw, 0), 6) AS logw
           FROM documents d LEFT JOIN s USING (doc_id)
