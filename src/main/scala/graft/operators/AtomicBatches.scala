@@ -82,6 +82,29 @@ private[graft] object AtomicBatches {
     if (fs.exists(m)) fs.delete(m, false)
   }
 
+  /** Run a FULL REBUILD holding the `_MAINT` marker. Rebuilds are
+    * multi-step too — base tables land, THEN the stale side channels
+    * (deltas / deletes / batches / a committed `base_next` stage) are
+    * retired — so a crash between the steps used to leave readers
+    * silently folding stale channel state onto the fresh base (or a
+    * later compaction swapping a stale committed stage IN). Under the
+    * marker the window is loud instead: every face fails until a
+    * rebuild runs to completion. Unlike [[withMaintenanceLock]], an
+    * existing marker is taken over without a flag — a rebuild
+    * supersedes any live-or-crashed maintenance by definition (it
+    * overwrites every table), which is also why re-running a crashed
+    * rebuild is always the fix.
+    */
+  def withRebuildMarker[T](spark: SparkSession, indexPath: String)
+      (body: => T): T = {
+    val (fs, _) = fsOf(spark, indexPath)
+    val m = new org.apache.hadoop.fs.Path(s"$indexPath/_MAINT")
+    if (!fs.exists(m)) fs.create(m, false).close()
+    val out = body
+    fs.delete(m, false)
+    out
+  }
+
   private def fsOf(spark: SparkSession, root: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(root)

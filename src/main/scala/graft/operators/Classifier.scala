@@ -154,12 +154,14 @@ object Classifier {
     *
     *  - `counts` — (term, c_pos, c_neg): per-term class token counts,
     *    vocabulary-sized.
-    *  - `members` — (id, label, n_tokens, mult): one `mult = +1` row
-    *    per trained doc with non-null text. The membership ledger a
-    *    delete verifies against (and the append guard probes); `label`
-    *    and `n_tokens` pin what the doc contributed so a drifted
-    *    re-submission fails loudly instead of silently corrupting the
-    *    counts. Deletes add `mult = −1` rows; presence = Σ mult > 0.
+    *  - `members` — (id, label, n_tokens, text_md5, mult): one
+    *    `mult = +1` row per trained doc with non-null text. The
+    *    membership ledger a delete verifies against (and the append
+    *    guard probes); `text_md5` pins the EXACT ingested text so a
+    *    drifted re-submission fails loudly instead of silently
+    *    corrupting the counts (label/n_tokens alone would pass a
+    *    same-length same-label different-token text). Deletes add
+    *    `mult = −1` rows; presence = Σ mult > 0.
     *  - `stats` — one (d_pos, d_neg) row per batch: class doc counts
     *    (docs with ≥ 1 token, the [[nbTrain]] contract).
     *
@@ -187,10 +189,14 @@ object Classifier {
       (s * sum(when(col("label"), 1L).otherwise(0L))).as("c_pos"),
       (s * sum(when(!col("label"), 1L).otherwise(0L))).as("c_neg"))
     // per-doc ledger from its own projection (NOT termsOf: a token-less
-    // doc produces no term rows yet still needs a membership row)
+    // doc produces no term rows yet still needs a membership row).
+    // text_md5 pins the EXACT ingested text: label/n_tokens alone would
+    // pass a same-length same-label different-token text, whose
+    // subtraction silently corrupts the counts
     val members = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), T.gopherPass(col(textCol)).as("label"),
         size(T.normTokens(col(textCol))).cast("long").as("n_tokens"),
+        md5(col(textCol).cast("binary")).as("text_md5"),
         s.cast("int").as("mult"))
     val stats = members
       .agg((s * sum(when(col("label") && col("n_tokens") > 0, 1L)
@@ -247,9 +253,10 @@ object Classifier {
 
   private def nbRequireFreshIds(newDocs: DataFrame, idCol: String,
       path: String, face: String): Unit = {
-    val clash = newDocs.select(col(idCol).as("id")).distinct()
-      .join(broadcast(nbMembers(newDocs.sparkSession, path)
-        .select("id").distinct()),
+    // broadcast the BOUNDED batch ids and scan the ledger once — the
+    // other direction would broadcast a corpus-sized id set
+    val clash = nbMembers(newDocs.sparkSession, path).select("id")
+      .join(broadcast(newDocs.select(col(idCol).as("id")).distinct()),
         Seq("id"), "left_semi")
       .limit(5).collect().map(_.get(0))
     require(clash.isEmpty,
@@ -271,10 +278,11 @@ object Classifier {
     * corpus-sized is scanned beyond one column-pruned membership probe.
     *
     * The victims' counts are recomputed from the submitted text
-    * (tokenization is deterministic), then VERIFIED against the
-    * membership ledger — a victim whose recomputed (label, n_tokens)
-    * differs from what was ingested fails loudly: subtracting drifted
-    * counts would silently corrupt the model for every future score.
+    * (tokenization is deterministic), which is VERIFIED against the
+    * ledger's pinned text digest — a victim whose submitted text is
+    * not byte-for-byte what was ingested fails loudly: subtracting
+    * drifted counts would silently corrupt the model for every future
+    * score.
     * Ids not currently in the model (never added, or already deleted)
     * are skipped — double-deleting must not double-subtract, the
     * bm25IndexDelete rule.
@@ -284,29 +292,29 @@ object Classifier {
     val spark = victimDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "nbModelDelete")
     AtomicBatches.sweepUncommitted(spark, s"$path/deltas")
+    // ONE ledger pass: the inner join both restricts to present ids and
+    // carries the pinned digest for the drift check (two passes — a
+    // semi-join then a re-join — would scan the corpus-sized ledger
+    // twice per takedown)
     val present = nbMembers(spark, path).groupBy("id")
-      .agg(sum(col("mult")).as("__m"),
-        max(col("label")).as("__label"), max(col("n_tokens")).as("__nt"))
+      .agg(sum(col("mult")).as("__m"), max(col("text_md5")).as("__md5"))
       .filter(col("__m") > 0)
+      .select("id", "__md5")
     val victims = victimDocs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .dropDuplicates("id")
-      .join(present, Seq("id"), "left_semi")
+      .join(present, Seq("id"))
       .localCheckpoint(true) // drift check + three delta tables read it
     try {
       if (victims.isEmpty) return
       val drift = victims
-        .select(col("id"), T.gopherPass(col("__text")).as("label"),
-          size(T.normTokens(col("__text"))).cast("long").as("n_tokens"))
-        .join(present, Seq("id"))
-        .filter(col("label") =!= col("__label") ||
-          col("n_tokens") =!= col("__nt"))
-        .limit(5).collect().map(_.get(0))
+        .filter(md5(col("__text").cast("binary")) =!= col("__md5"))
+        .select("id").limit(5).collect().map(_.get(0))
       require(drift.isEmpty,
         s"nbModelDelete on $path: submitted text for ids " +
         s"${drift.mkString(", ")} does not match what was ingested " +
-        "(label or token count differs) — subtracting drifted counts " +
-        "would silently corrupt the model. Submit the ingested text, " +
+        "(text digest differs) — subtracting drifted counts would " +
+        "silently corrupt the model. Submit the ingested text, " +
         "or rebuild with nbModelWrite over the surviving corpus.")
       CountStore.stageDelta(spark, path, nbModelTables(
         victims.select(col("id").as(idCol), col("__text").as(textCol)),
@@ -385,10 +393,11 @@ object Classifier {
         // re-reads that row's pinned values
         nbMembers(spark, path).groupBy("id")
           .agg(sum(col("mult")).as("__m"),
-            max(col("label")).as("label"), max(col("n_tokens")).as("n_tokens"))
+            max(col("label")).as("label"), max(col("n_tokens")).as("n_tokens"),
+            max(col("text_md5")).as("text_md5"))
           .filter(col("__m") > 0)
           .select(col("id"), col("label"), col("n_tokens"),
-            lit(1).as("mult"))
+            col("text_md5"), lit(1).as("mult"))
       case "stats" =>
         CountStore.fold(spark, path, "stats")
           .agg(coalesce(sum("d_pos"), lit(0L)).as("d_pos"),

@@ -33,18 +33,25 @@ private[graft] object CountStore {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Overwrite the base tables, then retire pending deltas and any
-    * maintenance marker (a rebuild supersedes both).
+  /** Overwrite the base tables, then retire the delta channel AND any
+    * committed `base_next` compaction stage (a rebuild supersedes both;
+    * a stale committed stage left behind would be swapped IN by a later
+    * compaction — a silent rollback of the rebuild). The whole rebuild
+    * runs under the `_MAINT` marker ([[AtomicBatches.withRebuildMarker]]):
+    * a crash after the base landed but before the channels were retired
+    * used to leave readers silently folding stale deltas onto the fresh
+    * base; now every face fails loudly until a rebuild completes.
     */
   def writeBase(spark: SparkSession, path: String,
-      tables: Seq[(String, DataFrame)]): Unit = {
-    tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$path/$name")
+      tables: Seq[(String, DataFrame)]): Unit =
+    AtomicBatches.withRebuildMarker(spark, path) {
+      tables.foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$path/$name")
+      }
+      val fs = fsOf(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/deltas"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/base_next"), true)
     }
-    fsOf(spark, path)
-      .delete(new org.apache.hadoop.fs.Path(s"$path/deltas"), true)
-    AtomicBatches.clearMaintenance(spark, path)
-  }
 
   /** Stage one atomic delta batch (several tables, one `_COMMIT`). */
   def stageDelta(spark: SparkSession, path: String,

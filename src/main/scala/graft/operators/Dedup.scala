@@ -776,25 +776,29 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     requireIntegralId(df, idCol, "jaccardPrefixIndexWrite")
     val spark = df.sparkSession
-    val shingled = prefixShingled(df, idCol, textCol, shingleN)
-      .select(col(idCol).cast("long").as("__id"), col("sh"))
-      .localCheckpoint(true) // docs write + df count + prefix all read it
-    shingled.write.mode("overwrite").parquet(s"$path/docs")
-    val toks = shingled.select(col("__id"), explode(col("sh")).as("tok"))
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
-      .localCheckpoint(true) // df write + prefix build read it
-    freq.write.mode("overwrite").parquet(s"$path/df")
-    prefixRows(toks, "__id", freq, threshold)
-      .write.mode("overwrite").parquet(s"$path/prefix")
-    import spark.implicits._
-    Seq((shingleN, threshold)).toDF("shingle_n", "threshold")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
-    // a rebuild supersedes pending deletions and an interrupted
-    // compaction — retired AFTER the new base lands
-    val vp = new org.apache.hadoop.fs.Path(s"$path/victims")
-    val vfs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (vfs.exists(vp)) vfs.delete(vp, true)
-    AtomicBatches.clearMaintenance(spark, path)
+    // rebuild under _MAINT — the land-base-then-retire-victims crash
+    // window fails loudly instead of silently folding stale victims
+    // onto the fresh base (AtomicBatches.withRebuildMarker)
+    AtomicBatches.withRebuildMarker(spark, path) {
+      val shingled = prefixShingled(df, idCol, textCol, shingleN)
+        .select(col(idCol).cast("long").as("__id"), col("sh"))
+        .localCheckpoint(true) // docs write + df count + prefix all read it
+      shingled.write.mode("overwrite").parquet(s"$path/docs")
+      val toks = shingled.select(col("__id"), explode(col("sh")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+        .localCheckpoint(true) // df write + prefix build read it
+      freq.write.mode("overwrite").parquet(s"$path/df")
+      prefixRows(toks, "__id", freq, threshold)
+        .write.mode("overwrite").parquet(s"$path/prefix")
+      import spark.implicits._
+      Seq((shingleN, threshold)).toDF("shingle_n", "threshold")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+      // a rebuild supersedes pending deletions and an interrupted
+      // compaction — retired AFTER the new base lands
+      val vp = new org.apache.hadoop.fs.Path(s"$path/victims")
+      val vfs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (vfs.exists(vp)) vfs.delete(vp, true)
+    }
   }
 
   /** DELETE (takedown) face of a [[jaccardPrefixIndexWrite]] index: one

@@ -276,27 +276,27 @@ object Graph {
     * [[trianglesIndexAppend]]).
     */
   def trianglesIndexWrite(edges: DataFrame, srcCol: String, dstCol: String,
-      path: String): Unit = {
-    import org.apache.spark.sql.graft.Bridge
-    val e0 = canonicalUndirected(edges, srcCol, dstCol)
-    e0.write.mode("overwrite").parquet(s"$path/edges")
-    trianglesCanonical(e0).filter(col("triangles") > 0)
-      .select(col("id"), col("triangles").as("d_triangles"))
-      .write.mode("overwrite").parquet(s"$path/counts")
-    Bridge.releaseLocalCheckpoint(e0) // both writes done — drop the blocks
-    // a REBUILD invalidates every appended batch: the overwrites above
-    // only replace edges/ and counts/, so a stale batches/ channel from
-    // a previous index at this path would otherwise keep folding into
-    // the fresh base. Cleared only AFTER the new base lands — a rebuild
-    // that fails above must leave the old index intact, batches included
-    val spark = edges.sparkSession
-    val batchesRoot = new org.apache.hadoop.fs.Path(s"$path/batches")
-    val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(batchesRoot)) fs.delete(batchesRoot, true)
-    // a rebuild also supersedes an interrupted compaction
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/base_next"), true)
-    AtomicBatches.clearMaintenance(spark, path)
-  }
+      path: String): Unit =
+    // the whole rebuild holds _MAINT (withRebuildMarker): a crash after
+    // the base landed but before the stale batches/ channel was retired
+    // used to leave readers silently folding the old batches onto the
+    // fresh base — now the window fails loudly instead
+    AtomicBatches.withRebuildMarker(edges.sparkSession, path) {
+      import org.apache.spark.sql.graft.Bridge
+      val e0 = canonicalUndirected(edges, srcCol, dstCol)
+      e0.write.mode("overwrite").parquet(s"$path/edges")
+      trianglesCanonical(e0).filter(col("triangles") > 0)
+        .select(col("id"), col("triangles").as("d_triangles"))
+        .write.mode("overwrite").parquet(s"$path/counts")
+      Bridge.releaseLocalCheckpoint(e0) // both writes done — drop the blocks
+      // a REBUILD invalidates every appended batch and any interrupted
+      // compaction's stage: both retired only AFTER the new base lands
+      val spark = edges.sparkSession
+      val batchesRoot = new org.apache.hadoop.fs.Path(s"$path/batches")
+      val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(batchesRoot)) fs.delete(batchesRoot, true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/base_next"), true)
+    }
 
   /** Append an edge batch to a [[trianglesIndexWrite]] index WITHOUT
     * recounting the corpus: only triangles CONTAINING a genuinely new

@@ -368,11 +368,14 @@ object Sampling {
     *    corrupts counts), frozen like the BM25 index's bucket count.
     *  - `counts` — (b, c_raw, c_target): per-bucket feature counts of
     *    the two corpora; at most `numBuckets` rows per batch.
-    *  - `members` — (id, role, n_feats, mult): one `mult = +1` row per
-    *    ingested (doc, corpus-role) with non-null text; `role` is
-    *    "raw" or "target" (the same id may hold both — target corpora
-    *    are typically drawn from the raw pool). `n_feats` pins what
-    *    the doc contributed so a drifted re-submission fails loudly.
+    *  - `members` — (id, role, n_feats, text_md5, mult): one
+    *    `mult = +1` row per ingested (doc, corpus-role) with non-null
+    *    text; `role` is "raw" or "target" (the same id may hold both —
+    *    target corpora are typically drawn from the raw pool, and the
+    *    append guard requires byte-identical text across roles so one
+    *    takedown text can verify against every held role). `text_md5`
+    *    pins the EXACT ingested text so a drifted re-submission fails
+    *    loudly.
     *
     * The per-bucket totals stay exact through the double arithmetic:
     * every count is an integer, and integer-valued double sums below
@@ -410,10 +413,14 @@ object Sampling {
       .agg((s * count(lit(1))).as(if (role == "raw") "c_raw" else "c_target"))
       .withColumn(if (role == "raw") "c_target" else "c_raw", lit(0L))
       .select(col("b"), col("c_raw"), col("c_target"))
+    // text_md5 pins the EXACT ingested text (n_feats alone would pass
+    // any same-token-count text, whose subtraction silently corrupts
+    // the bucket counts — the nbModelTables rationale)
     val members = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), lit(role).as("role"),
         greatest(size(T.normTokens(col(textCol))) - 1, lit(0))
           .cast("long").as("n_feats"),
+        md5(col(textCol).cast("binary")).as("text_md5"),
         s.cast("int").as("mult"))
     Seq("counts" -> counts, "members" -> members)
   }
@@ -439,7 +446,7 @@ object Sampling {
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "dsirStoreAppend")
     AtomicBatches.sweepUncommitted(spark, s"$path/deltas")
-    dsirRequireFreshIds(newDocs, idCol, path, role, "dsirStoreAppend")
+    dsirRequireFreshIds(newDocs, idCol, textCol, path, role, "dsirStoreAppend")
     CountStore.stageDelta(spark, path, dsirStoreTables(
       newDocs, idCol, textCol, dsirStoreBuckets(spark, path), role))
   }
@@ -457,46 +464,65 @@ object Sampling {
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "dsirStoreAppendStream")
     if (CountStore.streamBatchCommitted(spark, path, batchId)) return false
-    dsirRequireFreshIds(newDocs, idCol, path, role, "dsirStoreAppendStream")
+    dsirRequireFreshIds(newDocs, idCol, textCol, path, role, "dsirStoreAppendStream")
     CountStore.stageStreamDelta(spark, path, batchId, dsirStoreTables(
       newDocs, idCol, textCol, dsirStoreBuckets(spark, path), role))
   }
 
   private def dsirRequireFreshIds(newDocs: DataFrame, idCol: String,
-      path: String, role: String, face: String): Unit = {
+      textCol: String, path: String, role: String, face: String): Unit = {
     require(role == "raw" || role == "target", "role is 'raw' or 'target'")
-    val clash = newDocs.select(col(idCol).as("id")).distinct()
-      .join(broadcast(CountStore.fold(newDocs.sparkSession, path, "members")
-        .filter(col("role") === role).select("id").distinct()),
-        Seq("id"), "left_semi")
-      .limit(5).collect().map(_.get(0))
-    require(clash.isEmpty,
+    // ONE ledger pass, broadcasting the BOUNDED batch (the other
+    // direction would broadcast a corpus-sized id set), serving both
+    // guards: same-role re-ingestion, and cross-role text drift — a
+    // takedown subtracts ONE submitted text from every held role, so an
+    // id ingested under the other role with different text would become
+    // undeletable (each text failing the other role's pinned digest)
+    val batch = broadcast(newDocs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        md5(col(textCol).cast("binary")).as("__bmd5"))
+      .dropDuplicates("id"))
+    val viol = CountStore.fold(newDocs.sparkSession, path, "members")
+      .select(col("id"), col("role"), col("text_md5"))
+      .join(batch, Seq("id"))
+      .filter(col("role") === lit(role) || col("text_md5") =!= col("__bmd5"))
+      .select(col("id"), (col("role") === lit(role)).as("__same"))
+      .limit(5).collect()
+    val same = viol.filter(_.getBoolean(1)).map(_.get(0))
+    require(same.isEmpty,
       s"$face($role) to $path includes ids already in the " +
-      s"ledger under that role (e.g. ${clash.mkString(", ")}): " +
+      s"ledger under that role (e.g. ${same.mkString(", ")}): " +
       "re-ingesting would corrupt the counts (and a formerly-deleted " +
       "id's ledger rows are retired only by dsirStoreCompact). Compact " +
       "first, or rebuild with dsirStoreWrite.")
+    val cross = viol.filterNot(_.getBoolean(1)).map(_.get(0))
+    require(cross.isEmpty,
+      s"$face($role) to $path: ids ${cross.mkString(", ")} are in the " +
+      "ledger under the other role with DIFFERENT text — a takedown " +
+      "subtracts one submitted text from every held role, so divergent " +
+      "texts would make these ids undeletable. Ingest byte-identical " +
+      "text under both roles, or rebuild with dsirStoreWrite.")
   }
 
   /** DELETE (takedown / exact unlearning) face: subtract the victims'
     * feature counts from EVERY role they hold — after which
     * [[dsirStoreModel]] is bit-identical to retraining on the corpora
     * without them. The victims' counts are recomputed from the
-    * submitted text and VERIFIED against the ledger's pinned `n_feats`
-    * (drift fails loudly — the nbModelDelete rule); ids not currently
-    * in the ledger are skipped (double-deleting must not
-    * double-subtract). O(victim-size).
+    * submitted text, which is VERIFIED against the ledger's pinned
+    * `text_md5` (byte-for-byte — drift fails loudly, the nbModelDelete
+    * rule); ids not currently in the ledger are skipped
+    * (double-deleting must not double-subtract). O(victim-size).
     */
   def dsirStoreDelete(victimDocs: DataFrame, idCol: String,
       textCol: String, path: String): Unit = {
-    import graft.functions.{TextFunctions => T}
     val spark = victimDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "dsirStoreDelete")
     AtomicBatches.sweepUncommitted(spark, s"$path/deltas")
     val present = CountStore.fold(spark, path, "members")
       .groupBy("id", "role")
-      .agg(sum(col("mult")).as("__m"), max(col("n_feats")).as("__nf"))
+      .agg(sum(col("mult")).as("__m"), max(col("text_md5")).as("__md5"))
       .filter(col("__m") > 0)
+      .select("id", "role", "__md5")
     val victims = victimDocs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .dropDuplicates("id")
@@ -505,13 +531,12 @@ object Sampling {
     try {
       if (victims.isEmpty) return
       val drift = victims
-        .filter(greatest(size(T.normTokens(col("__text"))) - 1, lit(0))
-          .cast("long") =!= col("__nf"))
-        .limit(5).collect().map(_.get(0))
+        .filter(md5(col("__text").cast("binary")) =!= col("__md5"))
+        .select("id").limit(5).collect().map(_.get(0))
       require(drift.isEmpty,
         s"dsirStoreDelete on $path: submitted text for ids " +
         s"${drift.mkString(", ")} does not match what was ingested " +
-        "(feature count differs) — subtracting drifted counts would " +
+        "(text digest differs) — subtracting drifted counts would " +
         "silently corrupt the model. Submit the ingested text, or " +
         "rebuild with dsirStoreWrite over the surviving corpora.")
       val nb = dsirStoreBuckets(spark, path)
@@ -595,9 +620,11 @@ object Sampling {
           .filter(col("c_raw") =!= 0L || col("c_target") =!= 0L)
       case "members" =>
         CountStore.fold(spark, path, "members").groupBy("id", "role")
-          .agg(sum(col("mult")).as("__m"), max(col("n_feats")).as("n_feats"))
+          .agg(sum(col("mult")).as("__m"), max(col("n_feats")).as("n_feats"),
+            max(col("text_md5")).as("text_md5"))
           .filter(col("__m") > 0)
-          .select(col("id"), col("role"), col("n_feats"), lit(1).as("mult"))
+          .select(col("id"), col("role"), col("n_feats"),
+            col("text_md5"), lit(1).as("mult"))
     }
 
   /** Per-group quality cap — "keep at most `n` best docs per domain",

@@ -271,14 +271,18 @@ object TrainingData {
       path: String, n: Int = 8, nBuckets: Int = 64): Unit = {
     require(n >= 1, "n >= 1")
     require(nBuckets >= 1, "nBuckets >= 1")
-    decontamGramsOut(docs, idCol, textCol, path, n, nBuckets, overwrite = true)
-    docs.sparkSession.range(1)
-      .select(lit(n).as("n"), lit(nBuckets).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$path/meta")
-    // a rebuild supersedes pending deletions and an interrupted
-    // compaction — retired AFTER the new base lands (the
-    // Similarity.clearSideChannels discipline)
-    clearIndexVictims(docs.sparkSession, path)
+    // rebuild under _MAINT: the land-base-then-retire-victims crash
+    // window is loud, not a silent stale-victim fold (withRebuildMarker)
+    AtomicBatches.withRebuildMarker(docs.sparkSession, path) {
+      decontamGramsOut(docs, idCol, textCol, path, n, nBuckets,
+        overwrite = true)
+      docs.sparkSession.range(1)
+        .select(lit(n).as("n"), lit(nBuckets).as("n_buckets"))
+        .write.mode("overwrite").parquet(s"$path/meta")
+      // a rebuild supersedes pending deletions and an interrupted
+      // compaction — retired AFTER the new base lands
+      clearIndexVictims(docs.sparkSession, path)
+    }
   }
 
   /** DELETE (takedown) face of a [[decontamIndexWrite]] index: one
@@ -475,12 +479,15 @@ object TrainingData {
       path: String, shingleN: Int = 5, nBuckets: Int = 64): Unit = {
     require(shingleN >= 1, "shingleN >= 1")
     require(nBuckets >= 1, "nBuckets >= 1")
-    containmentShinglesOut(docs, idCol, textCol, path, shingleN, nBuckets,
-      overwrite = true)
-    docs.sparkSession.range(1)
-      .select(lit(shingleN).as("shingle_n"), lit(nBuckets).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$path/meta")
-    clearIndexVictims(docs.sparkSession, path)
+    // rebuild under _MAINT — the decontamIndexWrite rationale
+    AtomicBatches.withRebuildMarker(docs.sparkSession, path) {
+      containmentShinglesOut(docs, idCol, textCol, path, shingleN, nBuckets,
+        overwrite = true)
+      docs.sparkSession.range(1)
+        .select(lit(shingleN).as("shingle_n"), lit(nBuckets).as("n_buckets"))
+        .write.mode("overwrite").parquet(s"$path/meta")
+      clearIndexVictims(docs.sparkSession, path)
+    }
   }
 
   /** Append a new corpus batch under the index's frozen shingle width.
@@ -1177,9 +1184,7 @@ object TrainingData {
     */
   def spanIndexDelete(index: DataFrame, ids: DataFrame,
       idCol: String): DataFrame =
-    index.join(broadcast(ids.select(col(idCol)).distinct()),
-      Seq(idCol), "left_anti")
-      .select(index.columns.map(col): _*)
+    Dedup.indexDeleteById(index, ids, idCol)
 
   /** [[dedupSpans]] for continuous ingestion: rebuild only the NEW batch,
     * dropping blocks already owned by the ingested corpus (present in
@@ -1574,9 +1579,9 @@ object TrainingData {
     */
   def cdcIndexDelete(index: DataFrame, ids: DataFrame,
       idCol: String): DataFrame =
-    index.join(broadcast(ids.select(col(idCol)).distinct()),
-      Seq(idCol), "left_anti")
-      .select(index.columns.map(col): _*)
+    // one shared anti-join implementation (a hardening fix to the
+    // victim-list mechanics must not silently miss a face)
+    Dedup.indexDeleteById(index, ids, idCol)
 
   /** [[cdcDedup]] for continuous ingestion: dedup only the NEW batch,
     * dropping chunks already owned by the ingested corpus (present in
@@ -1698,25 +1703,28 @@ object TrainingData {
     * [[bm25FromIndex]].
     */
   def bm25IndexWrite(docs: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64): Unit = {
-    bm25IndexOut(docs, idCol, textCol, path, nBuckets, overwrite = true)
-    // n_buckets is a BUILD-time property: an append or probe with a
-    // different bucket count would compute wrong partitions — silently
-    // dropped postings, wrong scores. Persist it (the decontamIndexWrite
-    // pattern) so the readers never trust a caller argument.
-    docs.sparkSession.range(1)
-      .select(lit(nBuckets).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$path/meta")
-    // a rebuild supersedes every pending delete — retired only AFTER
-    // the new base lands (the Similarity.clearSideChannels discipline)
-    val root = new org.apache.hadoop.fs.Path(s"$path/deletes")
-    val fs = root.getFileSystem(
-      docs.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) fs.delete(root, true)
-    // and supersedes an interrupted compaction (marker cleared only
-    // after the fresh tables landed — the clearSideChannels discipline)
-    AtomicBatches.clearMaintenance(docs.sparkSession, path)
-  }
+      path: String, nBuckets: Int = 64): Unit =
+    // the whole rebuild holds _MAINT (withRebuildMarker): a crash after
+    // the base landed but before the stale deletes channel was retired
+    // used to leave probes silently folding the old negative deltas
+    // onto the fresh base — now the window fails loudly instead
+    AtomicBatches.withRebuildMarker(docs.sparkSession, path) {
+      bm25IndexOut(docs, idCol, textCol, path, nBuckets, overwrite = true)
+      // n_buckets is a BUILD-time property: an append or probe with a
+      // different bucket count would compute wrong partitions — silently
+      // dropped postings, wrong scores. Persist it (the decontamIndexWrite
+      // pattern) so the readers never trust a caller argument.
+      docs.sparkSession.range(1)
+        .select(lit(nBuckets).as("n_buckets"))
+        .write.mode("overwrite").parquet(s"$path/meta")
+      // a rebuild supersedes every pending delete — retired only AFTER
+      // the new base lands (a failed rebuild keeps failing loudly under
+      // the marker rather than quietly serving a half-state)
+      val root = new org.apache.hadoop.fs.Path(s"$path/deletes")
+      val fs = root.getFileSystem(
+        docs.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+    }
 
   /** Append a new batch to a [[bm25IndexWrite]] index: postings + df
     * batch counts + one stats row, under the index's frozen bucket
@@ -1911,6 +1919,10 @@ object TrainingData {
     val qTerms = queries
       .select(col(qidCol).as("__qid"), T.normTokens(col(qTextCol)).as("__t"))
       .select(col("__qid"), explode(array_distinct(col("__t"))).as("term"))
+      // distinct across ROWS too: two queries rows sharing a qid would
+      // otherwise double-count their shared terms (array_distinct only
+      // dedups within one row)
+      .distinct()
       .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .localCheckpoint(true)
     // ≤ nBuckets values: the static partition-pruning literal

@@ -120,8 +120,43 @@ class DsirUnlearnSpec extends SparkSpec {
         Seq((0L, "totally different words now")).toDF("doc_id", "text"),
         "doc_id", "text", dir)
     }.getMessage should include("does not match what was ingested")
+    // the sharp case: SAME feature count, different bigrams — an
+    // n_feats-only guard would pass this and subtract counts from
+    // buckets the doc never touched; the pinned text digest catches it
+    intercept[IllegalArgumentException] {
+      Sampling.dsirStoreDelete(
+        Seq((0L, "alpha beta gamma delta alpha ZETA")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+    }.getMessage should include("does not match what was ingested")
     scores(Sampling.dsirStoreScore(corpus, "doc_id", "text", dir)) shouldBe
       retrain(corpus)
+  }
+
+  test("cross-role text drift is rejected at append time (undeletable ids)") {
+    val dir = tmp("crossrole")
+    Sampling.dsirStoreWrite(corpus, target(corpus), "doc_id", "text", dir, NB)
+    import spark.implicits._
+    // doc 4 is raw-only; appending it under 'target' with DIFFERENT
+    // text would make it undeletable (one takedown text cannot verify
+    // against both pinned digests) — the guard refuses up front
+    intercept[IllegalArgumentException] {
+      Sampling.dsirStoreAppend(
+        Seq((4L, "different text for the target side")).toDF("doc_id", "text"),
+        "doc_id", "text", dir, role = "target")
+    }.getMessage should include("other role with DIFFERENT text")
+    // byte-identical text is the supported shape
+    Sampling.dsirStoreAppend(corpus.filter(col("doc_id") === 4L),
+      "doc_id", "text", dir, role = "target")
+    val t2 = target(corpus).unionByName(corpus.filter(col("doc_id") === 4L))
+    scores(Sampling.dsirStoreScore(corpus, "doc_id", "text", dir)) shouldBe
+      scores(Sampling.importanceWeights(corpus, t2, "doc_id", "text", NB))
+    // and ONE takedown now removes the doc from both distributions
+    Sampling.dsirStoreDelete(corpus.filter(col("doc_id") === 4L),
+      "doc_id", "text", dir)
+    val survivors = corpus.filter(col("doc_id") =!= 4L)
+    scores(Sampling.dsirStoreScore(survivors, "doc_id", "text", dir)) shouldBe
+      scores(Sampling.importanceWeights(survivors, target(survivors),
+        "doc_id", "text", NB))
   }
 
   test("stream append face: replayed micro-batches are no-ops") {

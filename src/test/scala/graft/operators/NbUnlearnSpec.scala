@@ -120,7 +120,47 @@ class NbUnlearnSpec extends SparkSpec {
         "doc_id", "text", dir)
     }
     ex.getMessage should include("does not match what was ingested")
+    // the sharp case: SAME token count, SAME label, different tokens —
+    // a (label, n_tokens) guard would pass this and subtract counts for
+    // terms that were never ingested (negative counts, -Inf llr); the
+    // pinned text digest catches it
+    val doc0Swapped = corpus.filter(col("doc_id") === 5L)
+      .select(lit(0L).as("doc_id"), col("text")) // doc 5: also 60 tokens, label true
+    intercept[IllegalArgumentException] {
+      Classifier.nbModelDelete(doc0Swapped, "doc_id", "text", dir)
+    }.getMessage should include("does not match what was ingested")
     // nothing was staged: scores unchanged
+    scores(Classifier.nbScoreFromModel(corpus, "doc_id", "text", dir)) shouldBe
+      retrain(corpus)
+  }
+
+  test("rebuild sweeps a stale committed compaction stage and holds _MAINT") {
+    import spark.implicits._
+    val dir = tmp("rebuild")
+    Classifier.nbModelWrite(corpus.filter(col("doc_id") < 5), "doc_id",
+      "text", dir)
+    Classifier.nbModelAppend(corpus.filter(col("doc_id") >= 5), "doc_id",
+      "text", dir)
+    // plant a stale COMMITTED compaction stage (as a crash between a
+    // compaction's stage commit and its swap would): wrong content that
+    // a later compact must never resurrect
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("counts", "members", "stats").foreach { t =>
+      spark.read.parquet(s"$dir/$t").limit(0)
+        .write.parquet(s"$dir/base_next/$t")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/base_next/_COMMIT"), true)
+      .close()
+    // and a stale maintenance marker: a rebuild supersedes it without a
+    // takeover flag
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_MAINT"), true).close()
+    Classifier.nbModelWrite(corpus, "doc_id", "text", dir)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_MAINT")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/base_next")) shouldBe false
+    // a later compact must be a no-op (nothing pending), NOT a swap of
+    // the stale stage
+    Classifier.nbModelCompact(spark, dir)
     scores(Classifier.nbScoreFromModel(corpus, "doc_id", "text", dir)) shouldBe
       retrain(corpus)
   }

@@ -642,6 +642,16 @@ class TrainingDataSpec extends SparkSpec {
     got.filter(_._1 == "b").map(t => (t._2, t._3, t._4, t._5)) shouldBe
       single(Seq("common"), 2)
     got.count(_._1 == "c") shouldBe 0
+    // duplicate-terms-count-once holds ACROSS rows sharing a qid too:
+    // two 'a' rows whose union is {spark, vector} must score exactly
+    // like the single two-term query (a row-local array_distinct alone
+    // would double-count 'spark' here)
+    val split = TrainingData.bm25TopKJoin(spark, dir,
+      Seq(("a", "spark vector"), ("a", "spark")).toDF("qid", "qtext"),
+      "qid", "qtext", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    split shouldBe single(Seq("spark", "vector"), 2)
   }
 
   test("bm25IndexDelete: probe equals direct bm25 over survivors; compact is physical") {
