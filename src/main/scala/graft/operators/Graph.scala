@@ -541,15 +541,22 @@ object Graph {
   private def indexEdges(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val dirs = committedBatchDirs(spark, path)
-    val parts = dirs.map { d =>
-      (d.split('/').last.toLong,
-        Similarity.readParquetIfAny(spark, s"$d/edges"),
-        Similarity.readParquetIfAny(spark, s"$d/removals"))
-    }
-    if (parts.forall(_._3.isEmpty))
+    // fast/slow split on one fs.exists per batch dir — building (and
+    // discarding) per-dir DataFrames just to ask "any removals?" paid
+    // 2N schema inferences on every probe of the 99% append-only case
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val anyRemovals = dirs.exists(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/removals")))
+    if (!anyRemovals)
       // append-only history: every committed batch has an edges table
       spark.read.parquet(s"$path/edges" +: dirs.map(d => s"$d/edges"): _*)
     else {
+      val parts = dirs.map { d =>
+        (d.split('/').last.toLong,
+          Similarity.readParquetIfAny(spark, s"$d/edges"),
+          Similarity.readParquetIfAny(spark, s"$d/removals"))
+      }
       def shape(df: DataFrame, n: Long, present: Boolean): DataFrame =
         df.select(col("a"), col("b"), lit(n).as("__n"),
           lit(present).as("__p"))

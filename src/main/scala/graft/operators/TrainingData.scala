@@ -311,7 +311,12 @@ object TrainingData {
     AtomicBatches.assertNotInMaintenance(spark, path, "index delete")
     // loud on a non-index path: both layouts persist a meta table
     spark.read.parquet(s"$path/meta")
-    ids.select(col(idCol)).distinct()
+    // canonical column NAME in the channel: two delete calls passing
+    // different idCol names would otherwise append mixed-schema files,
+    // and a non-merged read infers one footer's schema — the other
+    // file's victims come back NULL and silently stop being hidden (a
+    // lost takedown); [[indexVictims]] renames back to the probe's id
+    ids.select(col(idCol).as("id")).distinct()
       .write.mode("append").parquet(s"$path/victims")
   }
 
@@ -385,17 +390,21 @@ object TrainingData {
         !AtomicBatches.maintenanceActive(spark, path)) return
     AtomicBatches.withMaintenanceLock(spark, path, takeover) {
       readParquetIfAny(spark, s"$path/victims").foreach { v0 =>
-        val idCol = v0.columns.head
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val v = v0.distinct().localCheckpoint(true)
         try {
           val store = spark.read.parquet(s"$path/$table")
+          // the victims channel stores the canonical `id` name
+          // (stageIndexVictims); the store's id column is its FIRST
+          // column — rename the victim side to match
+          val storeIdCol = store.columns.head
           // shared rewrite protocol (AtomicBatches): only victim-touched
           // buckets rewrite; sort order preserved for row-group skipping
           val joined = store.join(
-            v.select(col(idCol), lit(true).as("__dead")),
-            Seq(idCol), "left_outer")
+            v.select(col(v.columns.head).as(storeIdCol),
+              lit(true).as("__dead")),
+            Seq(storeIdCol), "left_outer")
           AtomicBatches.pruneDeadPartitionRows(spark, s"$path/$table",
             bucketCol, joined, col("__dead").isNotNull,
             store.columns.toSeq, sortWithin = Some(sortCol))

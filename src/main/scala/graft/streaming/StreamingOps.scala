@@ -1182,6 +1182,12 @@ object StreamingOps {
     */
   def currentClusterPairs(spark: org.apache.spark.sql.SparkSession,
       pairsPath: String, labelsPath: String): DataFrame = {
+    // compactClusterState rewrites victim-touched pair partitions in
+    // place under the labels store's _MAINT — a read racing it would
+    // silently miss or double rows (every other read/write face of the
+    // cluster state carries this guard; this one was the gap)
+    graft.operators.AtomicBatches.assertNotInMaintenance(spark, labelsPath,
+      "currentClusterPairs")
     val pairs = spark.read.parquet(pairsPath)
     clusterVictims(spark, labelsPath) match {
       case None => pairs
@@ -1436,17 +1442,25 @@ object StreamingOps {
     val fs = new org.apache.hadoop.fs.Path(labelsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val allOpt = Similarity.readParquetIfAny(spark, labelsPath)
-    if (allOpt.isEmpty) return
     // the stream's true position is the max batch across the stores —
     // the labels store alone under-reads it when recent batches were
-    // pair-less (their empty label deltas write no partition), which
-    // would leave corrections pending longer than necessary
+    // pair-less (their empty label deltas write no partition), and an
+    // ALL-unique stream has no readable labels partitions at all while
+    // its INDEX still holds the victims' rows: an early return on the
+    // unreadable labels store used to skip the physical prune and the
+    // corrections GC entirely — a silent, permanent non-removal of
+    // takedown data (r14 self-review)
     val maxBatch = (allOpt.toSeq ++
         Similarity.readParquetIfAny(spark, indexPath).toSeq)
       .flatMap(df =>
         Option(df.agg(max(col("batch_id").cast("long"))).head.get(0)))
       .map(_.toString.toLong)
-      .reduceOption((a: Long, b: Long) => math.max(a, b)).getOrElse(return)
+      .reduceOption((a: Long, b: Long) => math.max(a, b))
+      // NO readable store at all: with includeLatest there is no latest
+      // batch to guard (horizon = ∞, pending corrections resolve over
+      // empty stores); without it the horizon is unknowable and nothing
+      // physical exists to prune — corrections stay pending
+      .getOrElse { if (includeLatest) -1L else return }
     val horizon = if (includeLatest) Long.MaxValue else maxBatch
     val dirs = AtomicBatches.committedDirs(spark, s"$labelsPath/_corrections")
     // per-batch up_to is a staging-time constant — one driver row each
@@ -1456,49 +1470,54 @@ object StreamingOps {
     }
     val appliedDirs = dirUpTo.filter(_._2 < horizon).map(_._1)
     // 1) fold labels below the horizon, applying the APPLIED corrections
-    val folded = allOpt.get.where(col("batch_id") < lit(horizon))
-      .groupBy("id")
-      .agg(max_by(col("cluster_id"), col("batch_id")).as("cluster_id"),
-        max(col("batch_id").cast("long")).as("__b"))
-    val snapped = if (appliedDirs.isEmpty) folded.drop("__b")
-    else {
-      val corr = spark.read.parquet(appliedDirs.map(d => s"$d/labels"): _*)
+    // — only when the labels store has readable partitions (an
+    // all-unique stream never writes one; the victim prune and GC below
+    // still run)
+    allOpt.foreach { all =>
+      val folded = all.where(col("batch_id") < lit(horizon))
         .groupBy("id")
-        .agg(max_by(struct(col("cluster_id"), col("up_to")), col("seq"))
-          .as("__c"))
-        .select(col("id"), col("__c.cluster_id").as("__cc"),
-          col("__c.up_to").as("__upto"))
-      folded.join(corr, Seq("id"), "left_outer")
-        .select(col("id"),
-          when(col("__upto").isNotNull && col("__b") <= col("__upto"),
-            col("__cc")).otherwise(col("cluster_id")).as("cluster_id"))
-        .filter(col("cluster_id").isNotNull)
-    }
-    if (maxBatch > 0 || includeLatest) {
-      // the fold can be EMPTY (every folded id overridden to NULL by an
-      // applied correction): dynamic overwrite of zero rows replaces
-      // nothing, so a stale pre-takedown −1 snapshot would survive the
-      // corrections' GC and silently resurrect the victims — delete the
-      // snapshot partition explicitly in that case
-      val snappedCp = snapped.localCheckpoint(true) // isEmpty + write
-      try {
-        if (snappedCp.isEmpty)
-          fs.delete(
-            new org.apache.hadoop.fs.Path(s"$labelsPath/batch_id=-1"), true)
-        else snappedCp.withColumn("batch_id", lit(-1L))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(labelsPath)
-      } finally org.apache.spark.sql.graft.Bridge
-        .releaseLocalCheckpoint(snappedCp)
-      val lroot = new org.apache.hadoop.fs.Path(labelsPath)
-      fs.listStatus(lroot).foreach { st =>
-        val name = st.getPath.getName
-        if (st.isDirectory && name.startsWith("batch_id=")) {
-          val bid = scala.util.Try(name.stripPrefix("batch_id=").toLong)
-          if (bid.toOption.exists(b => b >= 0 && b < horizon))
-            fs.delete(st.getPath, true)
+        .agg(max_by(col("cluster_id"), col("batch_id")).as("cluster_id"),
+          max(col("batch_id").cast("long")).as("__b"))
+      val snapped = if (appliedDirs.isEmpty) folded.drop("__b")
+      else {
+        val corr = spark.read.parquet(appliedDirs.map(d => s"$d/labels"): _*)
+          .groupBy("id")
+          .agg(max_by(struct(col("cluster_id"), col("up_to")), col("seq"))
+            .as("__c"))
+          .select(col("id"), col("__c.cluster_id").as("__cc"),
+            col("__c.up_to").as("__upto"))
+        folded.join(corr, Seq("id"), "left_outer")
+          .select(col("id"),
+            when(col("__upto").isNotNull && col("__b") <= col("__upto"),
+              col("__cc")).otherwise(col("cluster_id")).as("cluster_id"))
+          .filter(col("cluster_id").isNotNull)
+      }
+      if (maxBatch > 0 || includeLatest) {
+        // the fold can be EMPTY (every folded id overridden to NULL by an
+        // applied correction): dynamic overwrite of zero rows replaces
+        // nothing, so a stale pre-takedown −1 snapshot would survive the
+        // corrections' GC and silently resurrect the victims — delete the
+        // snapshot partition explicitly in that case
+        val snappedCp = snapped.localCheckpoint(true) // isEmpty + write
+        try {
+          if (snappedCp.isEmpty)
+            fs.delete(
+              new org.apache.hadoop.fs.Path(s"$labelsPath/batch_id=-1"), true)
+          else snappedCp.withColumn("batch_id", lit(-1L))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(labelsPath)
+        } finally org.apache.spark.sql.graft.Bridge
+          .releaseLocalCheckpoint(snappedCp)
+        val lroot = new org.apache.hadoop.fs.Path(labelsPath)
+        fs.listStatus(lroot).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory && name.startsWith("batch_id=")) {
+            val bid = scala.util.Try(name.stripPrefix("batch_id=").toLong)
+            if (bid.toOption.exists(b => b >= 0 && b < horizon))
+              fs.delete(st.getPath, true)
+          }
         }
       }
     }
@@ -1542,8 +1561,14 @@ object StreamingOps {
         .releaseLocalCheckpoint(victims)
     }
     // 3) GC the applied correction batches — their kills and overrides
-    // are physical now; pending ones keep guarding
-    appliedDirs.foreach(d =>
+    // are physical now; pending ones keep guarding. Deleted in ASCENDING
+    // numeric order (committedDirs lists lexicographically, where "10"
+    // sorts before "2"): a crash mid-GC must only ever leave the NEWEST
+    // corrections behind, whose re-application over the baked snapshot
+    // is exactly the newest-wins rule — the other order could leave an
+    // OLDER correction to re-apply on the takeover re-run, rolling a
+    // later takedown's re-closure back (r14 self-review)
+    appliedDirs.sortBy(_.split('/').last.toLong).foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 
