@@ -32,41 +32,110 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object AtomicBatches {
 
-  /** True while a maintenance (compaction) pass owns the index. */
+  /** Marker TYPES: the `_MAINT` file's content records WHICH kind of
+    * maintenance owns the index, because the two recovery stories
+    * differ and confusing them silently corrupts state. A crashed
+    * COMPACTION is resumed by re-running the compaction with
+    * `takeover = true` (its steps are pure functions of the current
+    * tables). A crashed REBUILD must be recovered by RE-RUNNING THE
+    * REBUILD: the base may be half-overwritten and the superseded side
+    * channels (deltas / a committed `base_next` stage) not yet retired,
+    * so a compaction taking over would fold stale deltas — or swap a
+    * stale committed stage — onto the fresh base, exactly the silent
+    * corruption the rebuild marker exists to make loud.
+    * [[withMaintenanceLock]] therefore REFUSES takeover of a
+    * rebuild-typed marker. (A pre-typing empty marker reads as
+    * compact-typed — the only writer of empty markers was the old
+    * compaction path.)
+    */
+  private val KindCompact = "compact"
+  private val KindRebuild = "rebuild"
+
+  /** True while a maintenance (compaction or rebuild) pass owns the
+    * index.
+    */
   def maintenanceActive(spark: SparkSession, indexPath: String): Boolean = {
     val (fs, _) = fsOf(spark, indexPath)
     fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/_MAINT"))
   }
 
+  /** The live marker's type (compact/rebuild), or None when no
+    * maintenance owns the index.
+    */
+  def maintenanceKind(spark: SparkSession, indexPath: String)
+      : Option[String] = {
+    val (fs, _) = fsOf(spark, indexPath)
+    val m = new org.apache.hadoop.fs.Path(s"$indexPath/_MAINT")
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(if (content == KindRebuild) KindRebuild else KindCompact)
+    }
+  }
+
+  private def createMarker(fs: org.apache.hadoop.fs.FileSystem,
+      m: org.apache.hadoop.fs.Path, kind: String): Unit = {
+    val out = fs.create(m, true)
+    out.write(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
   /** Loud guard every probe/delete/append face places before touching
-    * an index's tables — `face` names the caller in the error.
+    * an index's tables — `face` names the caller in the error, and the
+    * message names the right recovery for the marker's TYPE.
     */
   def assertNotInMaintenance(spark: SparkSession, indexPath: String,
       face: String): Unit =
-    require(!maintenanceActive(spark, indexPath),
-      s"$face: index at $indexPath is under maintenance (_MAINT marker " +
-      "present) — a compaction is running, or one crashed mid-rewrite " +
-      "and the index may be inconsistent. Wait for / re-run the " +
-      "compaction (takeover = true resumes after a crash); a full " +
-      "rebuild also clears the marker.")
+    maintenanceKind(spark, indexPath).foreach { kind =>
+      val fix =
+        if (kind == KindRebuild)
+          "Wait for / RE-RUN THE REBUILD to completion (it overwrites " +
+          "every table and clears the marker); compaction takeover is " +
+          "refused on a rebuild marker."
+        else
+          "Wait for / re-run the compaction (takeover = true resumes " +
+          "after a crash); a full rebuild also clears the marker."
+      throw new IllegalArgumentException(
+        s"requirement failed: $face: index at $indexPath is under " +
+        s"maintenance (_MAINT marker present, type: $kind) — a $kind " +
+        s"pass is running, or one crashed mid-rewrite and the index " +
+        s"may be inconsistent. $fix")
+    }
 
-  /** Run `body` holding the index's exclusive maintenance marker. The
-    * marker is removed only on SUCCESS — a crash leaves it so every
-    * face keeps failing until compaction re-runs to completion
-    * (`takeover = true`, required on a stale marker) or a rebuild
-    * supersedes the index. `body` must not use non-local returns (they
-    * would skip the release and strand the marker).
+  /** Run `body` holding the index's exclusive maintenance marker
+    * (compact-typed). The marker is removed only on SUCCESS — a crash
+    * leaves it so every face keeps failing until compaction re-runs to
+    * completion (`takeover = true`, required on a stale marker) or a
+    * rebuild supersedes the index. Takeover of a REBUILD-typed marker
+    * is refused regardless of the flag: a half-done rebuild's stale
+    * side channels would be folded onto its fresh base (see
+    * [[maintenanceKind]]); only re-running the rebuild recovers.
+    * `body` must not use non-local returns (they would skip the
+    * release and strand the marker).
     */
   def withMaintenanceLock[T](spark: SparkSession, indexPath: String,
       takeover: Boolean)(body: => T): T = {
     val (fs, _) = fsOf(spark, indexPath)
     val m = new org.apache.hadoop.fs.Path(s"$indexPath/_MAINT")
-    if (fs.exists(m)) require(takeover,
-      s"stale _MAINT marker at $indexPath: a maintenance pass is live " +
-      "or crashed mid-rewrite. Confirm none is running, then re-run " +
-      "with takeover = true to resume (safe: compaction steps are pure " +
-      "functions of the current tables and re-runnable).")
-    else fs.create(m, false).close()
+    maintenanceKind(spark, indexPath) match {
+      case Some(KindRebuild) => throw new IllegalArgumentException(
+        s"requirement failed: _MAINT marker at $indexPath is " +
+        "REBUILD-typed: a rebuild crashed mid-overwrite (base possibly " +
+        "half-written, stale side channels not yet retired). A " +
+        "compaction must NOT take this over — folding the stale " +
+        "deltas/stage onto the fresh base is a silent rollback. " +
+        "Re-run the rebuild; it supersedes everything and clears the " +
+        "marker.")
+      case Some(_) => require(takeover,
+        s"stale _MAINT marker at $indexPath: a maintenance pass is live " +
+        "or crashed mid-rewrite. Confirm none is running, then re-run " +
+        "with takeover = true to resume (safe: compaction steps are pure " +
+        "functions of the current tables and re-runnable).")
+      case None => createMarker(fs, m, KindCompact)
+    }
     val out = body
     fs.delete(m, false)
     out
@@ -93,13 +162,24 @@ private[graft] object AtomicBatches {
     * existing marker is taken over without a flag — a rebuild
     * supersedes any live-or-crashed maintenance by definition (it
     * overwrites every table), which is also why re-running a crashed
-    * rebuild is always the fix.
+    * rebuild is always the fix. The marker is written REBUILD-typed
+    * (re-typing any marker it takes over): should THIS pass crash,
+    * [[withMaintenanceLock]] must refuse a compaction takeover — only
+    * another rebuild recovers a half-overwritten base.
+    *
+    * AVAILABILITY caveat (deliberate): the marker is planted before
+    * `body` does any work, so a failure even BEFORE the first
+    * destructive write leaves a fully intact index unavailable until a
+    * rebuild completes (or [[clearMaintenance]] after verifying nothing
+    * was written). Callers should therefore run failure-prone
+    * validation/training BEFORE entering the marker — the ivfWriteIndex
+    * faces train their quantizers outside it for exactly this reason.
     */
   def withRebuildMarker[T](spark: SparkSession, indexPath: String)
       (body: => T): T = {
     val (fs, _) = fsOf(spark, indexPath)
     val m = new org.apache.hadoop.fs.Path(s"$indexPath/_MAINT")
-    if (!fs.exists(m)) fs.create(m, false).close()
+    createMarker(fs, m, KindRebuild)
     val out = body
     fs.delete(m, false)
     out

@@ -174,9 +174,19 @@ object Classifier {
     * base landed, the bm25IndexWrite discipline.
     */
   def nbModelWrite(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit =
+      path: String): Unit = {
+    nbRequireUniqueIds(docs, idCol, textCol, "nbModelWrite")
     CountStore.writeBase(docs.sparkSession, path,
       nbModelTables(docs, idCol, textCol))
+  }
+
+  // intra-batch duplicate-id guard over the rows that actually
+  // contribute (non-null text) — see CountStore.requireUniqueBatchKeys
+  private def nbRequireUniqueIds(docs: DataFrame, idCol: String,
+      textCol: String, face: String): Unit =
+    CountStore.requireUniqueBatchKeys(
+      docs.filter(col(textCol).isNotNull).select(col(idCol).as("id")),
+      Seq("id"), face)
 
   // the three model tables of one doc batch, with `sign` applied to
   // every additive quantity — the ONE place the store's arithmetic
@@ -220,6 +230,7 @@ object Classifier {
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "nbModelAppend")
     AtomicBatches.sweepUncommitted(spark, s"$path/deltas")
+    nbRequireUniqueIds(newDocs, idCol, textCol, "nbModelAppend")
     nbRequireFreshIds(newDocs, idCol, path, "nbModelAppend")
     CountStore.stageDelta(spark, path, nbModelTables(newDocs, idCol, textCol))
   }
@@ -246,6 +257,7 @@ object Classifier {
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "nbModelAppendStream")
     if (CountStore.streamBatchCommitted(spark, path, batchId)) return false
+    nbRequireUniqueIds(newDocs, idCol, textCol, "nbModelAppendStream")
     nbRequireFreshIds(newDocs, idCol, path, "nbModelAppendStream")
     CountStore.stageStreamDelta(spark, path, batchId,
       nbModelTables(newDocs, idCol, textCol))

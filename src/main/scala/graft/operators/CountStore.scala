@@ -33,6 +33,32 @@ private[graft] object CountStore {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Loud guard against INTRA-batch duplicate keys — the corruption the
+    * fresh-ids ledger guard cannot see: the table builders emit one +1
+    * ledger row and one count contribution per input ROW, so a batch
+    * holding the same key twice double-counts silently, and a later
+    * delete subtracts ONCE (victims are de-duplicated), leaving the
+    * counts permanently drifted and the compaction invariant ("a
+    * present id has exactly one +1 row") broken. Every ingest face
+    * (write, append, stream-append) places this before building its
+    * tables. One batch-sized aggregation; nothing corpus-sized moves.
+    */
+  def requireUniqueBatchKeys(batch: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], face: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dup = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .limit(5).collect()
+      .map(r => keyCols.indices.map(r.get(_)).mkString("/"))
+    require(dup.isEmpty,
+      s"$face: the batch contains DUPLICATE ${keyCols.mkString("(", ", ", ")")} " +
+      s"keys (e.g. ${dup.mkString(", ")}) — each input row contributes " +
+      "its counts and one ledger row, so a repeated key would " +
+      "double-count silently and a later delete would subtract only " +
+      "once, permanently corrupting the store. De-duplicate or " +
+      "aggregate the batch per key first.")
+  }
+
   /** Overwrite the base tables, then retire the delta channel AND any
     * committed `base_next` compaction stage (a rebuild supersedes both;
     * a stale committed stage left behind would be swapped IN by a later

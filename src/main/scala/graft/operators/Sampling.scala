@@ -387,6 +387,8 @@ object Sampling {
     require(numBuckets > 0 && numBuckets <= 65536,
       "numBuckets in [1, 65536] (the md5-bucket kernel has 16 bits)")
     val spark = raw.sparkSession
+    dsirRequireUniqueIds(raw, idCol, textCol, "dsirStoreWrite(raw)")
+    dsirRequireUniqueIds(target, idCol, textCol, "dsirStoreWrite(target)")
     val tables = dsirStoreTables(raw, idCol, textCol, numBuckets, "raw") ++
       dsirStoreTables(target, idCol, textCol, numBuckets, "target")
     val counts = tables.collect { case ("counts", df) => df }
@@ -446,6 +448,7 @@ object Sampling {
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "dsirStoreAppend")
     AtomicBatches.sweepUncommitted(spark, s"$path/deltas")
+    dsirRequireUniqueIds(newDocs, idCol, textCol, s"dsirStoreAppend($role)")
     dsirRequireFreshIds(newDocs, idCol, textCol, path, role, "dsirStoreAppend")
     CountStore.stageDelta(spark, path, dsirStoreTables(
       newDocs, idCol, textCol, dsirStoreBuckets(spark, path), role))
@@ -464,10 +467,22 @@ object Sampling {
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "dsirStoreAppendStream")
     if (CountStore.streamBatchCommitted(spark, path, batchId)) return false
+    dsirRequireUniqueIds(newDocs, idCol, textCol,
+      s"dsirStoreAppendStream($role)")
     dsirRequireFreshIds(newDocs, idCol, textCol, path, role, "dsirStoreAppendStream")
     CountStore.stageStreamDelta(spark, path, batchId, dsirStoreTables(
       newDocs, idCol, textCol, dsirStoreBuckets(spark, path), role))
   }
+
+  // intra-batch duplicate-id guard over the rows that actually
+  // contribute (non-null text) — see CountStore.requireUniqueBatchKeys.
+  // Keyed by id alone: one role's batch is one role's rows, and the
+  // write face guards each role's frame separately
+  private def dsirRequireUniqueIds(docs: DataFrame, idCol: String,
+      textCol: String, face: String): Unit =
+    CountStore.requireUniqueBatchKeys(
+      docs.filter(col(textCol).isNotNull).select(col(idCol).as("id")),
+      Seq("id"), face)
 
   private def dsirRequireFreshIds(newDocs: DataFrame, idCol: String,
       textCol: String, path: String, role: String, face: String): Unit = {

@@ -88,14 +88,18 @@ object Similarity {
     * ≤2^nBits centroid rows.
     */
   def ivfWriteIndex(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, path: String, nBits: Int = 6, lloydIters: Int = 1): Unit =
-    // the whole rebuild holds _MAINT (withRebuildMarker): a crash after
-    // the base landed but before the stale tombstones/deltas channels
-    // were retired used to leave old tombstones silently killing fresh
-    // base rows — now the window fails loudly instead
+      dim: Int, path: String, nBits: Int = 6, lloydIters: Int = 1): Unit = {
+    // train BEFORE planting the rebuild marker: training is the
+    // failure-prone half (bad dim, empty corpus, Lloyd's driver loop),
+    // and the marker makes a fully intact previous index unavailable
+    // from the moment it exists — a training error must not brick it
+    val (assigned, cents) =
+      trainCells(df, idCol, vecCol, dim, nBits, lloydIters)
+    // the destructive half holds _MAINT (withRebuildMarker): a crash
+    // after the base landed but before the stale tombstones/deltas
+    // channels were retired used to leave old tombstones silently
+    // killing fresh base rows — now the window fails loudly instead
     AtomicBatches.withRebuildMarker(df.sparkSession, path) {
-      val (assigned, cents) =
-        trainCells(df, idCol, vecCol, dim, nBits, lloydIters)
       // repartition on cell first: without it every task writes into every
       // cell directory it touches (tasks × cells small files — the
       // small-file problem at birth); one shuffle gives one file per cell
@@ -107,9 +111,12 @@ object Similarity {
         .repartition(1)
         .write.mode("overwrite").parquet(s"$path/centroids")
       // the new base is fully landed — only now retire the old channels
-      // (a failed rebuild above leaves the previous index intact)
+      // (a crash inside this block leaves the previous index's DATA
+      // intact but the faces failing on the rebuild-typed _MAINT marker
+      // until a rebuild completes)
       clearSideChannels(spark, path)
     }
+  }
 
   /** [[ivfWriteIndex]] with scalar int8 quantization of the stored
     * vectors — the standard IVF-SQ8 shape (FAISS `IndexIVFScalarQuantizer`
@@ -131,18 +138,20 @@ object Similarity {
     */
   def ivfWriteIndexSQ8(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, path: String, nBits: Int = 6, lloydIters: Int = 1,
-      kernel: String = "xxhash", roundedCentroids: Boolean = false): Unit =
+      kernel: String = "xxhash", roundedCentroids: Boolean = false): Unit = {
+    // train before the marker — a training failure must not leave an
+    // intact previous index bricked behind _MAINT (see ivfWriteIndex)
+    val (assigned, cents0) = trainCells(df, idCol, vecCol, dim, nBits,
+      lloydIters, kernel)
+    // roundedCentroids: the PQ faces' round-9 discipline, opt-in here so
+    // the original SQ8 faces' recall-contract hashes are untouched —
+    // with kernel = "md5" and lloydIters = 0 the whole index becomes a
+    // pure function of the corpus (the sim_bitext_margin_indexed replay)
+    val cents = if (!roundedCentroids) cents0 else cents0.map { case (id, c) =>
+      id -> c.map(x =>
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
     AtomicBatches.withRebuildMarker(df.sparkSession, path) {
-      val (assigned, cents0) = trainCells(df, idCol, vecCol, dim, nBits,
-        lloydIters, kernel)
-      // roundedCentroids: the PQ faces' round-9 discipline, opt-in here so
-      // the original SQ8 faces' recall-contract hashes are untouched —
-      // with kernel = "md5" and lloydIters = 0 the whole index becomes a
-      // pure function of the corpus (the sim_bitext_margin_indexed replay)
-      val cents = if (!roundedCentroids) cents0 else cents0.map { case (id, c) =>
-        id -> c.map(x =>
-          BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
       sq8Rows(assigned, idCol)
         .repartition(col("cell")) // one file per cell — see ivfWriteIndex
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
@@ -152,10 +161,11 @@ object Similarity {
         .repartition(1)
         .write.mode("overwrite").parquet(s"$path/centroids")
       // the new base is fully landed — only now retire the old channels
-      // (a failed rebuild above leaves the previous index intact; the
-      // _MAINT marker keeps the crash window loud — see ivfWriteIndex)
+      // (a crash in this block: data intact, faces fail on the
+      // rebuild-typed _MAINT until a rebuild completes — see ivfWriteIndex)
       clearSideChannels(spark, path)
     }
+  }
 
   /** The SQ8 storage projection over an assigned (id, v, cell) frame —
     * shared by [[ivfWriteIndexSQ8]] and [[ivfAppendSQ8]] so a full build
@@ -215,16 +225,18 @@ object Similarity {
       kernel: String = "xxhash", withRefine: Boolean = false): Unit = {
     require(codebookK >= 1 && codebookK <= 128,
       "PQ codes are stored as signed bytes - codebookK in [1, 128]")
+    // BOTH trainers run before the marker — a training failure must not
+    // leave an intact previous index bricked behind _MAINT (ivfWriteIndex)
+    val (assigned, cents0) = trainCells(df, idCol, vecCol, dim, nBits,
+      lloydIters, kernel)
+    // engine-stable centroid components (see scaladoc)
+    val cents = cents0.map { case (id, c) =>
+      id -> c.map(x =>
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val model = Embeddings.pqTrain(assigned, idCol, "v", dim, m, codebookK,
+      pqIters)
     AtomicBatches.withRebuildMarker(df.sparkSession, path) {
-      val (assigned, cents0) = trainCells(df, idCol, vecCol, dim, nBits,
-        lloydIters, kernel)
-      // engine-stable centroid components (see scaladoc)
-      val cents = cents0.map { case (id, c) =>
-        id -> c.map(x =>
-          BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
-      val model = Embeddings.pqTrain(assigned, idCol, "v", dim, m, codebookK,
-        pqIters)
       model.repartition(1).write.mode("overwrite").parquet(s"$path/pqmodel")
       pqRows(assigned, idCol, model, withRefine)
         .repartition(col("cell")) // one file per cell — see ivfWriteIndex
@@ -235,8 +247,8 @@ object Similarity {
         .repartition(1)
         .write.mode("overwrite").parquet(s"$path/centroids")
       // the new base is fully landed — only now retire the old channels
-      // (a failed rebuild above leaves the previous index intact; the
-      // _MAINT marker keeps the crash window loud — see ivfWriteIndex)
+      // (a crash in this block: data intact, faces fail on the
+      // rebuild-typed _MAINT until a rebuild completes — see ivfWriteIndex)
       clearSideChannels(spark, path)
     }
   }

@@ -75,6 +75,31 @@ class DsirUnlearnSpec extends SparkSpec {
       scores(Sampling.importanceWeights(corpus, t2, "doc_id", "text", NB))
   }
 
+  test("intra-batch duplicate ids fail loudly on every ingest face") {
+    // the corruption the fresh-ids LEDGER guard cannot see: a batch
+    // holding the same id twice emits two +1 ledger rows and two count
+    // contributions, a later delete subtracts once — permanent drift.
+    // Every face refuses BEFORE staging anything.
+    val dir = tmp("dup")
+    val dup = corpus.filter(col("doc_id") === 1L)
+      .unionByName(corpus.filter(col("doc_id") === 1L))
+    intercept[IllegalArgumentException] {
+      Sampling.dsirStoreWrite(dup, target(corpus), "doc_id", "text", dir, NB)
+    }.getMessage should include ("DUPLICATE")
+    Sampling.dsirStoreWrite(corpus.filter(col("doc_id") < 5),
+      target(corpus), "doc_id", "text", dir, NB)
+    intercept[IllegalArgumentException] {
+      Sampling.dsirStoreAppend(
+        corpus.filter(col("doc_id") === 7L).unionByName(
+          corpus.filter(col("doc_id") === 7L)),
+        "doc_id", "text", dir, role = "raw")
+    }.getMessage should include ("DUPLICATE")
+    // nothing staged by the refused append: store still equals retrain
+    scores(Sampling.dsirStoreScore(corpus.filter(col("doc_id") < 5),
+      "doc_id", "text", dir)) shouldBe
+      retrain(corpus.filter(col("doc_id") < 5))
+  }
+
   test("delete equals retraining on the survivors — both roles leave") {
     val dir = tmp("delete")
     Sampling.dsirStoreWrite(corpus, target(corpus), "doc_id", "text", dir, NB)

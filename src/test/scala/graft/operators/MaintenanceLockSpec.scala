@@ -117,6 +117,61 @@ class MaintenanceLockSpec extends SparkSpec {
       contain theSameElementsAs expected
   }
 
+  test("a crashed REBUILD refuses compaction takeover; re-rebuild recovers") {
+    val dir = java.nio.file.Files.createTempDirectory("maint-rbtype").toString
+    Classifier.nbModelWrite(docs, "doc_id", "text", dir)
+    // crash a rebuild mid-overwrite: the marker survives REBUILD-typed
+    intercept[RuntimeException] {
+      AtomicBatches.withRebuildMarker(spark, dir) {
+        throw new RuntimeException("simulated mid-rebuild crash")
+      }
+    }
+    AtomicBatches.maintenanceKind(spark, dir) shouldBe Some("rebuild")
+    // faces name the right recovery (re-run the rebuild)
+    intercept[IllegalArgumentException] {
+      Classifier.nbScoreFromModel(docs, "doc_id", "text", dir).collect()
+    }.getMessage should include ("RE-RUN THE REBUILD")
+    // a compaction must NOT take this over even with takeover = true —
+    // it would fold the not-yet-retired stale deltas / base_next stage
+    // onto the half-written base, a silent rollback of the rebuild
+    intercept[IllegalArgumentException] {
+      Classifier.nbModelCompact(spark, dir, takeover = true)
+    }.getMessage should include ("REBUILD-typed")
+    // re-running the rebuild supersedes everything and clears the marker
+    Classifier.nbModelWrite(docs, "doc_id", "text", dir)
+    AtomicBatches.maintenanceKind(spark, dir) shouldBe None
+    Classifier.nbScoreFromModel(docs, "doc_id", "text", dir).count() should
+      be > 0L
+  }
+
+  test("a crashed compaction's marker is compact-typed; takeover works") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("maint-ctype").toString
+    Similarity.ivfWriteIndexSQ8(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    Similarity.ivfDelete(Seq(1L).toDF("vec_id"), "vec_id", dir)
+    crashMidCompaction(dir)
+    AtomicBatches.maintenanceKind(spark, dir) shouldBe Some("compact")
+    StreamingOps.compactIvfDeltas(spark, dir, takeover = true)
+    AtomicBatches.maintenanceKind(spark, dir) shouldBe None
+  }
+
+  test("a training failure does not brick an intact index behind _MAINT") {
+    // trainCells runs BEFORE the rebuild marker is planted: a rebuild
+    // attempt that dies in training (here: a bad vector column) leaves
+    // the previous index fully AVAILABLE, not locked until manual repair
+    val dir = java.nio.file.Files.createTempDirectory("maint-avail").toString
+    Similarity.ivfWriteIndexSQ8(vecs, "vec_id", "embedding", dim = 4,
+      path = dir, nBits = 2, lloydIters = 1)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Similarity.ivfWriteIndexSQ8(vecs, "vec_id", "no_such_column",
+        dim = 4, path = dir, nBits = 2, lloydIters = 1)
+    }
+    AtomicBatches.maintenanceActive(spark, dir) shouldBe false
+    Similarity.ivfTopKFromIndexSQ8(spark, dir, "vec_id", q, k = 5,
+      nProbe = 4).count() shouldBe 5L
+  }
+
   test("no-op compaction paths skip the lock; completed runs clear it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("maint-noop").toString

@@ -67,6 +67,42 @@ class NbUnlearnSpec extends SparkSpec {
       retrain(corpus)
   }
 
+  test("intra-batch duplicate ids fail loudly on write, append, stream") {
+    // the same-batch case the fresh-ids ledger guard cannot see: two
+    // rows with one id would double-count (two +1 ledger rows, double
+    // term counts), and a later delete subtracts ONCE — permanent drift
+    val dir = tmp("dup")
+    val dup = corpus.filter(col("doc_id") === 1L)
+      .unionByName(corpus.filter(col("doc_id") === 1L))
+    intercept[IllegalArgumentException] {
+      Classifier.nbModelWrite(dup, "doc_id", "text", dir)
+    }.getMessage should include ("DUPLICATE")
+    Classifier.nbModelWrite(corpus.filter(col("doc_id") < 5), "doc_id",
+      "text", dir)
+    intercept[IllegalArgumentException] {
+      Classifier.nbModelAppend(
+        corpus.filter(col("doc_id") === 7L).unionByName(
+          corpus.filter(col("doc_id") === 7L)), "doc_id", "text", dir)
+    }.getMessage should include ("DUPLICATE")
+    intercept[IllegalArgumentException] {
+      Classifier.nbModelAppendStream(
+        corpus.filter(col("doc_id") === 7L).unionByName(
+          corpus.filter(col("doc_id") === 7L)), "doc_id", "text", dir,
+        batchId = 0L)
+    }.getMessage should include ("DUPLICATE")
+    // duplicate NULL-text rows are fine — they contribute nothing
+    Classifier.nbModelAppend(
+      corpus.filter(col("doc_id") === 7L).unionByName(
+        corpus.filter(col("doc_id") === 7L)
+          .select(col("doc_id"), lit(null).cast("string").as("text"))),
+      "doc_id", "text", dir)
+    // nothing was staged by the refused faces: store equals retrain
+    scores(Classifier.nbScoreFromModel(
+      corpus.filter(col("doc_id") < 5 || col("doc_id") === 7L),
+      "doc_id", "text", dir)) shouldBe
+      retrain(corpus.filter(col("doc_id") < 5 || col("doc_id") === 7L))
+  }
+
   test("delete equals retraining on the survivors (vocab shrinks too)") {
     val dir = tmp("delete")
     Classifier.nbModelWrite(corpus, "doc_id", "text", dir)
