@@ -1455,29 +1455,65 @@ object Dedup {
       .persist(sl)
     val lab = labels.select(col("id").cast("long").as("id"),
       col("cluster_id").cast("long").as("cluster_id"))
-    // the components a victim belongs to — everything else passes
-    // through untouched, byte-identical
-    val affected = lab.join(v, Seq("id"), "left_semi")
-      .select("cluster_id").distinct().persist(sl)
-    affected.count() // one action materializes v (scanned) + affected
-    val members = lab.join(affected, Seq("cluster_id"), "left_semi")
-      .select(col("id").as("a"))
     val p = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-    // surviving pairs WITHIN affected components: closure ⇒ one
-    // endpoint's membership implies the other's
-    val subPairs = p
-      .join(members, Seq("a"), "left_semi")
-      .join(v.select(col("id").as("a")), Seq("a"), "left_anti")
-      .join(v.select(col("id").as("b")), Seq("b"), "left_anti")
-    val (reclosed, ccRelease) =
-      connectedComponentsWithCleanup(subPairs, "a", "b", maxIter)
+    val (affected, _, reclosed, rel) = affectedReclosure(lab, v, p, maxIter)
+    // everything outside the affected components passes through
+    // untouched, byte-identical
     val out = lab.join(affected, Seq("cluster_id"), "left_anti")
       .select(col("id"), col("cluster_id"))
       .union(reclosed.select(col("id"), col("cluster_id")))
     (out, () => {
       v.unpersist(blocking = false)
+      rel()
+    })
+  }
+
+  /** The victims→affected-components→surviving-subgraph→re-closure core
+    * shared by the batch label-store takedown ([[deleteFromLabels]]) and
+    * the streaming cluster-state takedown
+    * ([[graft.streaming.StreamingOps.clusterStateDelete]]) — ONE
+    * implementation of the proven-subtle closure logic (representative
+    * re-election, bridge-removal splits, orphan drops — see
+    * [[deleteFromLabels]]'s scaladoc for why each matters), so a
+    * hardening fix cannot land in one face and silently miss the other.
+    *
+    * `lab` (id, cluster_id) must be the CURRENT closure over exactly the
+    * pair relation `p` (a, b) — then both endpoints of any pair share a
+    * component and the affected subgraph is recovered with ONE endpoint
+    * semi-join. `v` (id) is the victim list, already materialized by the
+    * caller (it is scanned several times here and typically again by the
+    * caller). All columns long-typed by the caller.
+    *
+    * Returns (affected cluster ids, affected members (id), re-closed
+    * labels (id, cluster_id) over the affected subgraph's surviving
+    * pairs, release handle for the frames cached here). 100 TB shape:
+    * the corpus-sized frames cross single-shuffle joins against the
+    * broadcastable victim/affected frames only; the multi-round
+    * propagation runs on the affected components' subgraph alone.
+    */
+  private[graft] def affectedReclosure(lab: DataFrame, v: DataFrame,
+      p: DataFrame, maxIter: Int)
+      : (DataFrame, DataFrame, DataFrame, () => Unit) = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the components a victim belongs to — bounded, read repeatedly
+    val affected = lab.join(v, Seq("id"), "left_semi")
+      .select("cluster_id").distinct().persist(sl)
+    affected.count() // one action materializes v (scanned) + affected
+    val members = lab.join(affected, Seq("cluster_id"), "left_semi")
+      .select(col("id"))
+      .localCheckpoint(true) // subPairs here + the callers read it
+    // surviving pairs WITHIN affected components: closure ⇒ one
+    // endpoint's membership implies the other's
+    val subPairs = p
+      .join(members.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(v.select(col("id").as("a")), Seq("a"), "left_anti")
+      .join(v.select(col("id").as("b")), Seq("b"), "left_anti")
+    val (reclosed, ccRelease) =
+      connectedComponentsWithCleanup(subPairs, "a", "b", maxIter)
+    (affected, members, reclosed, () => {
       affected.unpersist(blocking = false)
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(members)
       ccRelease()
     })
   }

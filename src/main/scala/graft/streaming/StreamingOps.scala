@@ -1278,40 +1278,33 @@ object StreamingOps {
         .getOrElse(emptyLongs("id", "cluster_id"))
         .localCheckpoint(true) // read for affected + members
       try {
-        val affected = lab.join(v, Seq("id"), "left_semi")
-          .select("cluster_id").distinct()
-        val members = lab.join(affected, Seq("cluster_id"), "left_semi")
-          .select(col("id")).localCheckpoint(true) // subPairs + overrides
+        val p = graft.operators.Similarity
+          .readParquetIfAny(spark, pairsPath)
+          .map(_ => currentClusterPairs(spark, pairsPath, labelsPath))
+          .getOrElse(emptyLongs("id_a", "id_b"))
+          .select(col("id_a").cast("long").as("a"),
+            col("id_b").cast("long").as("b"))
+        // the shared victims→affected→re-closure core
+        // (Dedup.affectedReclosure — one implementation with the batch
+        // label-store takedown, so a closure fix cannot miss a face)
+        val (_, members, reclosed, release) =
+          Dedup.affectedReclosure(lab, v, p, maxIter)
         try {
-          val p = graft.operators.Similarity
-            .readParquetIfAny(spark, pairsPath)
-            .map(_ => currentClusterPairs(spark, pairsPath, labelsPath))
-            .getOrElse(emptyLongs("id_a", "id_b"))
-            .select(col("id_a").cast("long").as("a"),
-              col("id_b").cast("long").as("b"))
-          val subPairs = p
-            .join(members.select(col("id").as("a")), Seq("a"), "left_semi")
-            .join(v.select(col("id").as("a")), Seq("a"), "left_anti")
-            .join(v.select(col("id").as("b")), Seq("b"), "left_anti")
-          val (reclosed, release) =
-            Dedup.connectedComponentsWithCleanup(subPairs, "a", "b", maxIter)
-          try {
-            val n = AtomicBatches.nextBatchN(spark, croot)
-            val bdir = s"$croot/$n"
-            // one override row per affected-component member: the
-            // re-closed label, or NULL for victims and orphans (ids a
-            // rebuild over survivors would never label)
-            members
-              .join(reclosed.select(col("id"), col("cluster_id").as("__nc")),
-                Seq("id"), "left_outer")
-              .select(col("id"), col("__nc").as("cluster_id"),
-                lit(upTo).as("up_to"), lit(n).as("seq"))
-              .write.mode("overwrite").parquet(s"$bdir/labels")
-            v.select(col("id"), lit(upTo).as("up_to"))
-              .write.mode("overwrite").parquet(s"$bdir/victims")
-            AtomicBatches.commit(spark, bdir)
-          } finally release()
-        } finally Bridge.releaseLocalCheckpoint(members)
+          val n = AtomicBatches.nextBatchN(spark, croot)
+          val bdir = s"$croot/$n"
+          // one override row per affected-component member: the
+          // re-closed label, or NULL for victims and orphans (ids a
+          // rebuild over survivors would never label)
+          members
+            .join(reclosed.select(col("id"), col("cluster_id").as("__nc")),
+              Seq("id"), "left_outer")
+            .select(col("id"), col("__nc").as("cluster_id"),
+              lit(upTo).as("up_to"), lit(n).as("seq"))
+            .write.mode("overwrite").parquet(s"$bdir/labels")
+          v.select(col("id"), lit(upTo).as("up_to"))
+            .write.mode("overwrite").parquet(s"$bdir/victims")
+          AtomicBatches.commit(spark, bdir)
+        } finally release()
       } finally Bridge.releaseLocalCheckpoint(lab)
     } finally Bridge.releaseLocalCheckpoint(v)
   }
