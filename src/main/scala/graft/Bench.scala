@@ -201,6 +201,12 @@ object Bench {
     val throughputSamples: Seq[Double] = {
       if (only.exists(!_.contains("throughput"))) Seq.empty
       else {
+        // throwaway warmup run (small n, not recorded): the codec +
+        // chain codegen paths are cold here — q1_pricing's warmup above
+        // covers the QUERY side only — and r14's committed record
+        // carried a 0.23 M first sample (pure cold-start) that tripped
+        // the designed drift retry on a healthy host every run
+        pipelineThroughput(spark, 200000L)
         val two = Seq(
           pipelineThroughput(spark, 2000000L), pipelineThroughput(spark, 2000000L))
         // same drift rule as the queries: a >2× intra-session spread

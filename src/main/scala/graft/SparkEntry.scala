@@ -828,6 +828,111 @@ object SparkEntry {
       graft.operators.TrainingData.decontaminateFromIndex(
         docs.filter(col("doc_id") < 5), "text", idx, "doc_id")
     }),
+    "pipeline_takedown_all" -> ((s, dir) => {
+      // the corpus-level takedown orchestrator (Takedown.forget): ONE
+      // request — every id ≡ 2 (mod 9), across the document, vector,
+      // and graph-node key spaces — walks EVERY registered path-based
+      // store family through its existing delete face; each store is
+      // then physically compacted and probed. The result is one
+      // (store, n, checksum) row per store over integer-exact probe
+      // reductions, and the oracle recomputes each from a REBUILD /
+      // RETRAIN over the surviving corpus — so ONE silently-missed
+      // store hash-mismatches its row. (cluster_state / cdc_state are
+      // the stream-shaped kinds, orchestrated + rebuild-checked in
+      // TakedownSpec; the store builds here pay full harness price
+      // inside the timed lambda by bench design.)
+      import graft.operators.{Takedown, Classifier, Sampling, TrainingData, Graph}
+      import graft.operators.Takedown.Store
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-bench-takedown"
+      val tgt = col("source").isin("src0", "src1")
+      Classifier.nbModelWrite(docs, "doc_id", "text", s"$base/nb")
+      Sampling.dsirStoreWrite(docs, docs.filter(tgt), "doc_id", "text",
+        s"$base/dsir", numBuckets = 256)
+      TrainingData.bm25IndexWrite(docs, "doc_id", "text", s"$base/bm25")
+      TrainingData.decontamIndexWrite(docs.filter(col("doc_id") >= 5),
+        "doc_id", "text", s"$base/dc", n = 4)
+      TrainingData.containmentIndexWrite(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        s"$base/ct", shingleN = 12)
+      Dedup.jaccardPrefixIndexWrite(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", s"$base/jp", shingleN = 5, threshold = 0.7)
+      Similarity.ivfWriteIndex(emb, "vec_id", "embedding", dim = 64,
+        path = s"$base/ivf", nBits = 4, lloydIters = 0)
+      Graph.trianglesIndexWrite(coPurchaseEdges(s, dir, 2, 0),
+        "src", "dst", s"$base/tri")
+      // the request: ids with text from the document space, text-less
+      // ids from the vector and node spaces (per id, forget() keeps the
+      // non-null text — the count-form stores' drift guards need it)
+      val victims = docs.filter(col("doc_id") % 9 === 2)
+        .select(col("doc_id").as("id"), col("text"))
+        .unionByName(emb.filter(col("vec_id") % 9 === 2)
+          .select(col("vec_id").as("id"),
+            lit(null).cast("string").as("text")))
+        .unionByName(coPurchaseEdges(s, dir, 2, 0)
+          .select(explode(array(col("src"), col("dst"))).as("id"))
+          .filter(col("id") % 9 === 2).distinct()
+          .select(col("id"), lit(null).cast("string").as("text")))
+      Takedown.forget(victims, Seq(
+        Store("nb_model", s"$base/nb", Map("idCol" -> "doc_id")),
+        Store("dsir", s"$base/dsir", Map("idCol" -> "doc_id")),
+        Store("bm25", s"$base/bm25", Map("idCol" -> "doc_id")),
+        Store("decontam", s"$base/dc", Map("idCol" -> "doc_id")),
+        Store("containment", s"$base/ct", Map("idCol" -> "doc_id")),
+        Store("jaccard_prefix", s"$base/jp", Map("idCol" -> "doc_id")),
+        Store("ivf", s"$base/ivf", Map("idCol" -> "vec_id")),
+        Store("triangles", s"$base/tri")))
+      // physical removal on every store, then probe
+      Classifier.nbModelCompact(s, s"$base/nb")
+      Sampling.dsirStoreCompact(s, s"$base/dsir")
+      TrainingData.bm25IndexCompact(s, s"$base/bm25")
+      TrainingData.decontamIndexCompact(s, s"$base/dc")
+      TrainingData.containmentIndexCompact(s, s"$base/ct")
+      Dedup.jaccardPrefixIndexCompact(s, s"$base/jp")
+      graft.streaming.StreamingOps.compactIvfDeltas(s, s"$base/ivf")
+      Graph.trianglesIndexCompact(s, s"$base/tri")
+      val sv = docs.filter(col("doc_id") % 9 =!= 2)
+      // integer-exact probe reductions (ids, integer counts, and bm25's
+      // by-construction-integer micro-units — no float checksums)
+      def m(store: String, df: DataFrame, checksum: org.apache.spark.sql.Column)
+          : DataFrame =
+        df.agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(checksum), lit(0L)).cast("long").as("checksum"))
+          .select(lit(store).as("store"), col("n"), col("checksum"))
+      m("nb_model",
+        Classifier.nbScoreFromModel(sv, "doc_id", "text", s"$base/nb"),
+        col("doc_id") + col("n_tokens_scored") +
+          when(col("predicted_pass"), lit(1000000L)).otherwise(lit(0L)))
+      .unionByName(m("dsir",
+        Sampling.dsirStoreScore(sv, "doc_id", "text", s"$base/dsir"),
+        col("doc_id") + col("n_feats")))
+      .unionByName(m("bm25",
+        TrainingData.bm25FromIndex(s, s"$base/bm25", "doc_id",
+          Seq("spark", "vector", "hash", "zeppelin")),
+        col("doc_id") + col("n_query_terms_hit") +
+          round(col("bm25") * 1e6).cast("long")))
+      .unionByName(m("decontam",
+        TrainingData.decontaminateFromIndex(
+          docs.filter(col("doc_id") < 5), "text", s"$base/dc", "doc_id"),
+        col("doc_id") + col("n_overlap_grams")))
+      .unionByName(m("containment",
+        TrainingData.decontaminateContainmentFromIndex(
+          docs.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id").as("eval_id"), col("text")),
+          "eval_id", "text", s"$base/ct", "doc_id", threshold = 0.8),
+        col("doc_id") + col("eval_id")))
+      .unionByName(m("jaccard_prefix",
+        Dedup.jaccardJoinPrefixIncremental(
+          docs.filter(col("doc_id") >= 250 && col("doc_id") % 9 =!= 2),
+          "doc_id", "text", s"$base/jp", threshold = 0.7),
+        col("id_a") + col("id_b")))
+      .unionByName(m("ivf",
+        s.read.parquet(s"$base/ivf/cells"), col("vec_id")))
+      .unionByName(m("triangles",
+        Graph.trianglesFromIndex(s, s"$base/tri"),
+        col("id") + col("triangles")))
+    }),
     "pipeline_decontaminate_bloom" -> ((s, dir) => {
       // the scale path for big eval unions: bloom prefilter in the scan
       // projection + exact confirm join — answer IDENTICAL to
@@ -3582,6 +3687,12 @@ object SparkEntry {
     // the deletion face answers as if built over corpus-minus-victims
     "pipeline_decontaminate_deleted" ->
       decontaminateOracleWhere(" AND doc_id % 9 <> 2"),
+    // the orchestrated takedown: per registered store, the probe's
+    // integer-exact reduction recomputed from a rebuild/retrain over
+    // the surviving corpus (victims = id % 9 = 2 in every key space) —
+    // one silently-missed store mismatches its row. Fragments are the
+    // SAME parameterized replays the per-store deletion oracles use.
+    "pipeline_takedown_all" -> takedownAllOracle,
     // same total order (value, orderkey, linenumber) and the same
     // integer (rank−1)·k div N bucket rule
     "q_histogram_equidepth" ->
@@ -5843,6 +5954,83 @@ object SparkEntry {
        SELECT doc_id, count(*)::BIGINT AS n_query_terms_hit,
          round(sum(round(sv * 1e6)::BIGINT)::DOUBLE / 1e6, 6) AS bm25
        FROM sc GROUP BY doc_id"""
+
+  /** The orchestrated-takedown oracle: one (store, n, checksum) row per
+    * registered store, each recomputed from a rebuild/retrain over the
+    * surviving corpus (victims = id ≡ 2 (mod 9)) via the SAME
+    * parameterized fragments the per-store deletion oracles use.
+    * Checksums are integer-exact by construction: ids, integer counts,
+    * a 10^6 marker per predicted_pass, and bm25's micro-unit sums
+    * (defined as integers on both engines) — no float arithmetic
+    * crosses the engine boundary.
+    */
+  private lazy val takedownAllOracle: String = {
+    def wrap(store: String, inner: String, checksum: String): String =
+      s"""SELECT '$store' AS store, count(*)::BIGINT AS n,
+          coalesce(sum($checksum), 0)::BIGINT AS checksum FROM ($inner)"""
+    Seq(
+      wrap("nb_model", nbOracle("", " AND doc_id % 9 <> 2"),
+        "doc_id + n_tokens_scored + " +
+          "CASE WHEN predicted_pass THEN 1000000 ELSE 0 END"),
+      wrap("dsir", dsirWeightsSqlWhere(" AND doc_id % 9 <> 2") +
+        """ SELECT d.doc_id, coalesce(s.n_feats, 0)::BIGINT AS n_feats
+            FROM documents d LEFT JOIN s USING (doc_id)
+            WHERE d.doc_id % 9 <> 2""",
+        "doc_id + n_feats"),
+      wrap("bm25", bm25OracleWhere("WHERE doc_id % 9 <> 2"),
+        "doc_id + n_query_terms_hit + round(bm25 * 1e6)::BIGINT"),
+      wrap("decontam", decontaminateOracleWhere(" AND doc_id % 9 <> 2"),
+        "doc_id + n_overlap_grams"),
+      wrap("containment", containmentOracleWhere(" AND doc_id % 9 <> 2"),
+        "doc_id + eval_id"),
+      wrap("jaccard_prefix",
+        s"""WITH $minhashPairsSql
+            SELECT id_a, id_b FROM p
+            WHERE j >= 0.7 AND id_b >= 250
+              AND id_a % 9 <> 2 AND id_b % 9 <> 2""",
+        "id_a + id_b"),
+      wrap("ivf",
+        """SELECT vec_id FROM embeddings
+           WHERE embedding IS NOT NULL AND vec_id % 9 <> 2""",
+        "vec_id"),
+      wrap("triangles", trianglesNodeDeletedSql("% 9 <> 2"),
+        "id + triangles")
+    ).mkString(" UNION ALL ")
+  }
+
+  /** graph_triangles_deleted's replay with the edge filter replaced by
+    * NODE removal (every edge incident to a victim node leaves) — the
+    * Graph.trianglesIndexDeleteNodes contract.
+    */
+  private def trianglesNodeDeletedSql(nodeKeep: String): String =
+    s"""WITH e0 AS (SELECT DISTINCT
+           least(a.l_partkey, b.l_partkey)::BIGINT AS a,
+           greatest(a.l_partkey, b.l_partkey)::BIGINT AS b
+         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey
+         WHERE a.l_orderkey % 2 = 0),
+       es AS (SELECT a, b FROM e0 WHERE a $nodeKeep AND b $nodeKeep),
+       deg AS (SELECT id, count(*)::BIGINT AS deg FROM (
+             SELECT a AS id FROM es UNION ALL SELECT b FROM es)
+           GROUP BY id),
+       o AS (SELECT
+           CASE WHEN (da.deg, es.a) < (db.deg, es.b)
+                THEN es.a ELSE es.b END AS s,
+           CASE WHEN (da.deg, es.a) < (db.deg, es.b)
+                THEN es.b ELSE es.a END AS t,
+           CASE WHEN (da.deg, es.a) < (db.deg, es.b)
+                THEN db.deg ELSE da.deg END AS dt
+         FROM es JOIN deg da ON es.a = da.id JOIN deg db ON es.b = db.id),
+       tr AS (SELECT x.s AS u, x.t AS v, y.t AS w
+              FROM o x JOIN o y ON x.s = y.s
+                AND (x.dt, x.t) < (y.dt, y.t)
+                JOIN o z ON z.s = x.t AND z.t = y.t),
+       cnt AS (SELECT id, count(*)::BIGINT AS triangles FROM (
+             SELECT u AS id FROM tr UNION ALL SELECT v FROM tr
+             UNION ALL SELECT w FROM tr)
+           GROUP BY id)
+       SELECT deg.id, coalesce(cnt.triangles, 0)::BIGINT AS triangles
+       FROM deg LEFT JOIN cnt USING (id)"""
 
   private lazy val decontaminateOracle: String = decontaminateOracleWhere("")
 

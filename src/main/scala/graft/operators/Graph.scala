@@ -473,6 +473,37 @@ object Graph {
     Bridge.releaseLocalCheckpoint(del)
   }
 
+  /** NODE-level takedown over a [[trianglesIndexWrite]] index: delete
+    * every CURRENT edge incident to a victim id — the "forget this
+    * node" form a corpus-level takedown request arrives in (the
+    * orchestrator's [[graft.operators.Takedown]] `triangles` kind),
+    * where the caller knows WHO must be forgotten, not which edges the
+    * index happens to hold for them. One column-pruned pass over the
+    * folded edge view (two broadcast semi-joins, one per endpoint),
+    * then the edge-level [[trianglesIndexDelete]] over exactly those
+    * edges — same atomic `_COMMIT` staging, same
+    * equals-rebuild-over-survivors contract, zero edges incident = a
+    * no-op that preserves the append-only probe fast path.
+    */
+  def trianglesIndexDeleteNodes(ids: DataFrame, idCol: String,
+      path: String): Unit = {
+    import org.apache.spark.sql.graft.Bridge
+    val spark = ids.sparkSession
+    AtomicBatches.assertNotInMaintenance(spark, path,
+      "trianglesIndexDeleteNodes")
+    val v = ids.select(col(idCol).cast("long").as("__vid")).distinct()
+      .localCheckpoint(true) // both endpoint semi-joins read it
+    try {
+      val cur = indexEdges(spark, path)
+      val incident = cur
+        .join(broadcast(v.select(col("__vid").as("a"))), Seq("a"), "left_semi")
+        .unionByName(cur.join(
+          broadcast(v.select(col("__vid").as("b"))), Seq("b"), "left_semi"))
+        .select(col("a"), col("b")).distinct()
+      trianglesIndexDelete(incident, "a", "b", path)
+    } finally Bridge.releaseLocalCheckpoint(v)
+  }
+
   /** Fold a triangle index's committed batch history into a fresh base
     * (edges = the batch-order edge fold, counts = the exact integer
     * count fold, zero rows dropped) and retire the `batches/` channel —

@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The corpus-level takedown orchestrator: ONE entry point —
+  * [[forget]] — that applies a takedown request ("these ids must stop
+  * influencing everything") to EVERY registered persisted store,
+  * through each store family's existing delete/unlearning face.
+  *
+  * Why this exists: the engine has ~17 per-store deletion faces
+  * (tombstone channels, count-form unlearning, label re-closure,
+  * triangle-index edge deletes, ...), and a real takedown request is
+  * global — the caller should not need to know the store zoo, and
+  * MISSING one store is a silently incomplete takedown, the exact
+  * failure class the per-store faces were each hardened against
+  * individually. The orchestrator makes the surface a DATA STRUCTURE
+  * ([[kinds]]) instead of tribal knowledge, and
+  * `TakedownSurfaceSpec` machine-checks that every store-writing face
+  * in the operator sources has a registry row (or a documented
+  * rebuild-only contract in [[rebuildOnly]]) — adding a new persisted
+  * store without a takedown story fails a test, not a review.
+  *
+  * Semantics: [[forget]] resolves and validates EVERYTHING up front
+  * (unknown kinds, missing victim columns) before touching ANY store;
+  * then attempts EVERY store even when one fails (so one broken store
+  * cannot silently leave the rest holding the victims), reports
+  * per-store outcomes, and — unless `bestEffort` — throws when any
+  * store failed, listing them. Every underlying face tolerates
+  * re-delivery (double-deletes are no-ops by each store's contract),
+  * so the recovery for a partial failure is: fix the cause, re-run the
+  * same `forget`.
+  *
+  * Scale shape: the victim frame is request-sized (bounded); it is
+  * materialized ONCE and every face runs its own O(victim-size)
+  * staged write (tombstones / negative deltas / corrections). Nothing
+  * corpus-partitioned is rewritten at forget time except the `table`
+  * kind, whose [[graft.tables.Tables.deleteMatching]] rewrites only
+  * victim-touched partitions. Physical removal everywhere else stays
+  * with each store's compaction face.
+  *
+  * The reference has no analog (its pipeline is stateless per-message
+  * transforms); this is the LLM-training-data governance surface
+  * layered on top.
+  */
+object Takedown {
+
+  /** One persisted store in a pipeline's takedown surface. `kind`
+    * selects the delete face from [[kinds]]; `path` is the store root;
+    * `opts` carries kind-specific extras:
+    *
+    *  - every kind accepts `idCol` — the STORE's id column name, when
+    *    it differs from the victim frame's (e.g. an IVF index built on
+    *    `vec_id` while the request carries `id`);
+    *  - `cluster_state`: `indexPath` / `pairsPath` / `labelsPath`
+    *    (default `<path>/index`, `<path>/pairs`, `<path>/labels`);
+    *  - `table`: `partitionCol` (required — the Hive partition column
+    *    [[graft.tables.Tables.deleteMatching]] prunes on).
+    */
+  final case class Store(kind: String, path: String,
+      opts: Map[String, String] = Map.empty)
+
+  /** A registered store FAMILY: its victim shape (`"ids"` — an id
+    * column suffices; `"id_text"` — the exact ingested text must ride
+    * along, the count-form stores' drift-guard contract), the write
+    * faces that create/extend stores of the family (the machine-checked
+    * takedown-surface map), the delete face's name (for reporting), and
+    * the invocation itself.
+    */
+  final case class Kind(name: String, victimShape: String,
+      writeFaces: Seq[String], deleteFace: String,
+      invoke: (DataFrame, String, String, Store) => Unit)
+
+  // victims renamed to the store's id column (opts("idCol"), defaulting
+  // to the request's) so one request frame serves stores keyed on
+  // doc_id / vec_id / node ids alike
+  private def vAs(v: DataFrame, idCol: String, st: Store): (DataFrame, String) = {
+    val sid = st.opts.getOrElse("idCol", idCol)
+    (v.withColumnRenamed(idCol, sid), sid)
+  }
+
+  /** The registry: every persisted store family and its delete face.
+    * One row per family — the complete takedown surface as code.
+    */
+  val kinds: Map[String, Kind] = Seq(
+    Kind("ivf", "ids",
+      Seq("ivfWriteIndex", "ivfWriteIndexSQ8", "ivfWriteIndexPQ",
+        "ivfAppend", "ivfAppendSQ8", "ivfAppendPQ",
+        "continuousIvfAppend", "continuousPqAppend"),
+      "Similarity.ivfDelete",
+      (v, idCol, _, st) => {
+        val (vv, sid) = vAs(v, idCol, st)
+        Similarity.ivfDelete(vv, sid, st.path)
+      }),
+    Kind("bm25", "ids",
+      Seq("bm25IndexWrite", "bm25IndexAppend"),
+      "TrainingData.bm25IndexDelete",
+      (v, idCol, _, st) => {
+        val (vv, sid) = vAs(v, idCol, st)
+        TrainingData.bm25IndexDelete(vv, sid, st.path)
+      }),
+    Kind("jaccard_prefix", "ids",
+      Seq("jaccardPrefixIndexWrite", "jaccardPrefixIndexAppend"),
+      "Dedup.jaccardPrefixIndexDelete",
+      (v, idCol, _, st) => {
+        val (vv, sid) = vAs(v, idCol, st)
+        Dedup.jaccardPrefixIndexDelete(vv, sid, st.path)
+      }),
+    Kind("decontam", "ids",
+      Seq("decontamIndexWrite", "decontamIndexAppend"),
+      "TrainingData.decontamIndexDelete",
+      (v, idCol, _, st) => {
+        val (vv, sid) = vAs(v, idCol, st)
+        TrainingData.decontamIndexDelete(vv, sid, st.path)
+      }),
+    Kind("containment", "ids",
+      Seq("containmentIndexWrite", "containmentIndexAppend"),
+      "TrainingData.containmentIndexDelete",
+      (v, idCol, _, st) => {
+        val (vv, sid) = vAs(v, idCol, st)
+        TrainingData.containmentIndexDelete(vv, sid, st.path)
+      }),
+    Kind("nb_model", "id_text",
+      Seq("nbModelWrite", "nbModelAppend", "nbModelAppendStream"),
+      "Classifier.nbModelDelete",
+      (v, idCol, textCol, st) => {
+        val (vv, sid) = vAs(v, idCol, st)
+        Classifier.nbModelDelete(vv, sid, textCol, st.path)
+      }),
+    Kind("dsir", "id_text",
+      Seq("dsirStoreWrite", "dsirStoreAppend", "dsirStoreAppendStream"),
+      "Sampling.dsirStoreDelete",
+      (v, idCol, textCol, st) => {
+        val (vv, sid) = vAs(v, idCol, st)
+        Sampling.dsirStoreDelete(vv, sid, textCol, st.path)
+      }),
+    Kind("triangles", "ids",
+      Seq("trianglesIndexWrite", "trianglesIndexAppend"),
+      "Graph.trianglesIndexDeleteNodes",
+      (v, idCol, _, st) => {
+        val (vv, sid) = vAs(v, idCol, st)
+        Graph.trianglesIndexDeleteNodes(vv, sid, st.path)
+      }),
+    Kind("cluster_state", "ids",
+      Seq.empty, // stream-maintained (continuousClusteredDedup)
+      "StreamingOps.clusterStateDelete",
+      (v, idCol, _, st) => {
+        val (vv, sid) = vAs(v, idCol, st)
+        graft.streaming.StreamingOps.clusterStateDelete(vv, sid,
+          st.opts.getOrElse("indexPath", s"${st.path}/index"),
+          st.opts.getOrElse("pairsPath", s"${st.path}/pairs"),
+          st.opts.getOrElse("labelsPath", s"${st.path}/labels"))
+      }),
+    Kind("cdc_state", "ids",
+      Seq.empty, // stream-maintained (continuousCdcDedup)
+      "StreamingOps.cdcStateDelete",
+      (v, idCol, _, st) => {
+        val (vv, sid) = vAs(v, idCol, st)
+        graft.streaming.StreamingOps.cdcStateDelete(vv, sid, st.path)
+      }),
+    Kind("table", "ids",
+      Seq("writePartitioned", "writeClustered", "writeZOrdered",
+        "writeZOrderedN"),
+      "Tables.deleteMatching",
+      (v, idCol, _, st) => {
+        val pcol = st.opts.getOrElse("partitionCol",
+          throw new IllegalArgumentException(
+            "table kind requires opts(\"partitionCol\") — the Hive " +
+            "partition column deleteMatching prunes its rewrite to"))
+        val sid = st.opts.getOrElse("idCol", idCol)
+        // the victim list is request-sized by contract — the same
+        // boundedness every face's broadcast assumes — so inlining it
+        // as a literal predicate is the one driver action here
+        val ids = v.select(col(idCol).cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        if (ids.nonEmpty) {
+          graft.tables.Tables.deleteMatching(v.sparkSession, st.path,
+            pcol, col(sid).cast("long").isin(ids: _*))
+        }
+        ()
+      })
+  ).map(k => k.name -> k).toMap
+
+  /** Write faces that create DERIVED artifacts with no in-place delete
+    * face — their documented takedown contract is REGENERATE from the
+    * surviving corpus. `TakedownSurfaceSpec` holds every store-writing
+    * face in the operator sources to either a [[kinds]] `writeFaces`
+    * row or an entry here, so the map cannot silently go stale.
+    */
+  val rebuildOnly: Map[String, String] = Map(
+    "writeTokenShards" ->
+      ("packed training-data shards: a derived artifact with no probe " +
+       "state to correct — regenerate from the surviving corpus " +
+       "(writeTokenShards over documents-minus-victims)"),
+    "writeBase" ->
+      ("CountStore's internal protocol face — reachable only through " +
+       "nbModelWrite / dsirStoreWrite, which the nb_model / dsir kinds " +
+       "cover"))
+
+  /** Apply one takedown request to every registered store. `victims`
+    * must carry `idCol`; when any registered store's family unlearns
+    * from exact ingested text (victimShape `id_text`), it must also
+    * carry `textCol` — per id, the non-null text is kept when rows
+    * disagree (an id can arrive both from the document space, with
+    * text, and from a vector/node space without).
+    *
+    * Returns one row per store: (kind, path, status, detail) with
+    * status `deleted` or `failed`. Unless `bestEffort`, any failure —
+    * after EVERY store was attempted — raises with the failed stores
+    * listed; re-running the same forget after fixing the cause is safe
+    * (every face tolerates re-delivery).
+    */
+  def forget(victims: DataFrame, stores: Seq[Store], idCol: String = "id",
+      textCol: String = "text", bestEffort: Boolean = false): DataFrame = {
+    val spark = victims.sparkSession
+    require(stores.nonEmpty,
+      "Takedown.forget: no stores registered — an empty registry would " +
+      "silently forget nothing; list every persisted store of the " +
+      "pipeline (the point of the orchestrator is that missing one is " +
+      "an incomplete takedown)")
+    // resolve EVERY kind before touching ANY store: an unknown kind
+    // must fail loudly up front, not after half the surface mutated
+    val unknown = stores.map(_.kind).distinct.filterNot(kinds.contains)
+    require(unknown.isEmpty,
+      s"Takedown.forget: unknown store kind(s) ${unknown.mkString(", ")} " +
+      s"— registered kinds: ${kinds.keys.toSeq.sorted.mkString(", ")}. " +
+      "Refusing to run: an unregistered store would be silently skipped, " +
+      "an incomplete takedown.")
+    require(victims.columns.contains(idCol),
+      s"victims must carry the id column '$idCol'")
+    val needText = stores.map(s => kinds(s.kind))
+      .filter(_.victimShape == "id_text").map(_.name).distinct
+    require(needText.isEmpty || victims.columns.contains(textCol),
+      s"stores ${needText.mkString(", ")} unlearn from the exact " +
+      s"ingested text: victims must carry a '$textCol' column " +
+      "(the drift-guard contract — subtracting recomputed counts from " +
+      "drifted text would corrupt those models)")
+    // ONE bounded materialization; every store face scans this. Per id,
+    // prefer the non-null text (max ignores nulls); ids arriving from
+    // text-less key spaces ride along with NULL text and are dropped by
+    // the id_text faces' own non-null filters.
+    val v0 =
+      if (victims.columns.contains(textCol))
+        victims.groupBy(col(idCol))
+          .agg(max(col(textCol)).as(textCol))
+      else victims.select(col(idCol)).distinct()
+        .withColumn(textCol, lit(null).cast("string"))
+    val v = v0.localCheckpoint(true)
+    try {
+      val outcomes = stores.map { st =>
+        try {
+          kinds(st.kind).invoke(v, idCol, textCol, st)
+          (st.kind, st.path, "deleted", kinds(st.kind).deleteFace)
+        } catch {
+          case e: Exception =>
+            (st.kind, st.path, "failed",
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        }
+      }
+      val failed = outcomes.filter(_._3 == "failed")
+      if (failed.nonEmpty && !bestEffort)
+        throw new IllegalStateException(
+          s"takedown INCOMPLETE: ${failed.size}/${stores.size} store(s) " +
+          "failed (every store was attempted; the listed ones still hold " +
+          "the victims) — " +
+          failed.map(f => s"${f._1} @ ${f._2}: ${f._4}").mkString("; ") +
+          ". Fix the cause and re-run the same forget: every face " +
+          "tolerates re-delivery.")
+      import spark.implicits._
+      outcomes.toDF("kind", "path", "status", "detail")
+    } finally
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(v)
+  }
+}

@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.Takedown.Store
+
+/** The corpus-level takedown orchestrator ([[Takedown.forget]]): one
+  * call walks EVERY registered persisted store through its existing
+  * delete face. Each store's post-forget state is checked against the
+  * strongest available yardstick — rebuild-over-survivors for the
+  * index stores, retrain-over-survivors for the count-form models,
+  * the documented owner-forgetting contract for CDC, the re-closure
+  * rebuild for cluster state — plus the orchestration-level contracts:
+  * unknown kinds refuse BEFORE any store mutates, a failing store does
+  * not stop the rest, and failures are loud (or reported, under
+  * bestEffort).
+  */
+class TakedownSpec extends SparkSpec {
+
+  // 12 docs; victims are ids % 3 == 1 (1, 4, 7, 10). Texts long enough
+  // for 5-token shingles and 3-gram decontam probes; 0/6 and 3/9 are
+  // near-dup pairs so the dedup-ish stores have structure to lose.
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    def t(seed: Int): String =
+      (0 until 30).map(i => s"w${(i * 5 + seed) % 17}x").mkString(" ")
+    Seq(
+      (0L, t(1)), (1L, t(2)), (2L, t(3)),
+      (3L, t(4)), (4L, t(5)), (5L, t(6)),
+      (6L, t(1)), (7L, t(8)), (8L, t(9)),
+      (9L, t(4)), (10L, t(11)), (11L, t(12))
+    ).toDF("doc_id", "text")
+  }
+  private val victimPred = col("doc_id") % 3 === 1
+  private def victims: DataFrame =
+    corpus.filter(victimPred).select(col("doc_id").as("id"), col("text"))
+  private def survivors: DataFrame = corpus.filter(!victimPred)
+
+  private def vecs: DataFrame = {
+    import spark.implicits._
+    (0L to 11L).map(i =>
+      (i, Seq(math.cos(i * 0.5), math.sin(i * 0.5), 0.1 * i, 1.0)))
+      .toDF("vec_id", "embedding")
+  }
+
+  // a triangle-rich little graph: victims 1, 4, 7 sit in triangles
+  private def edges: DataFrame = {
+    import spark.implicits._
+    Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L), (2L, 4L),
+      (5L, 6L), (6L, 7L), (5L, 7L), (8L, 9L), (9L, 3L), (8L, 3L))
+      .toDF("src", "dst")
+  }
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"takedown-$tag").toString
+
+  private def sorted(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.mkString(""))
+
+  test("unknown kinds refuse loudly BEFORE any store is touched") {
+    val nb = tmp("unknown") + "/nb"
+    Classifier.nbModelWrite(corpus, "doc_id", "text", nb)
+    val before = sorted(
+      Classifier.nbScoreFromModel(corpus, "doc_id", "text", nb))
+    val e = intercept[IllegalArgumentException] {
+      Takedown.forget(victims,
+        Seq(Store("nb_model", nb), Store("no_such_kind", "/tmp/x")))
+    }
+    e.getMessage should include("unknown store kind")
+    e.getMessage should include("no_such_kind")
+    e.getMessage should include("nb_model") // the registered-kinds list
+    // the VALID store was not mutated: validation precedes any apply
+    sorted(Classifier.nbScoreFromModel(corpus, "doc_id", "text", nb)) shouldBe
+      before
+  }
+
+  test("id_text stores demand the text column upfront") {
+    val nb = tmp("notext") + "/nb"
+    Classifier.nbModelWrite(corpus, "doc_id", "text", nb)
+    intercept[IllegalArgumentException] {
+      Takedown.forget(victims.select("id"), Seq(Store("nb_model", nb)))
+    }.getMessage should include("exact")
+    intercept[IllegalArgumentException] {
+      Takedown.forget(victims, Seq.empty)
+    }.getMessage should include("no stores registered")
+  }
+
+  test("one orchestrated forget hits every registered store kind") {
+    val base = tmp("all")
+    val docs = corpus
+    // ---- build the full store surface
+    Classifier.nbModelWrite(docs, "doc_id", "text", s"$base/nb")
+    Sampling.dsirStoreWrite(docs, docs.filter(col("doc_id") < 3),
+      "doc_id", "text", s"$base/dsir", numBuckets = 64)
+    TrainingData.bm25IndexWrite(docs, "doc_id", "text", s"$base/bm25",
+      nBuckets = 4)
+    TrainingData.decontamIndexWrite(docs, "doc_id", "text", s"$base/dc",
+      n = 3, nBuckets = 8)
+    TrainingData.containmentIndexWrite(docs, "doc_id", "text",
+      s"$base/ct", shingleN = 12)
+    Dedup.jaccardPrefixIndexWrite(docs, "doc_id", "text", s"$base/jp",
+      shingleN = 5, threshold = 0.5)
+    Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", dim = 4,
+      path = s"$base/ivf", nBits = 2, lloydIters = 0)
+    Graph.trianglesIndexWrite(edges, "src", "dst", s"$base/tri")
+    docs.select(col("doc_id"), (col("doc_id") % 2).as("p"), col("text"))
+      .write.partitionBy("p").parquet(s"$base/tbl")
+    // cdc state in the stream's batch layout (two committed batches)
+    def writeBatch(df: DataFrame, path: String, b: Long): Unit =
+      df.withColumn("batch_id", lit(b))
+        .write.mode("append").partitionBy("batch_id").parquet(path)
+    val cdc0 = TrainingData.cdcIndex(docs.filter(col("doc_id") < 6),
+      "doc_id", "text", w = 4, maskBits = 3)
+    writeBatch(cdc0, s"$base/cdc", 0L)
+    writeBatch(TrainingData.cdcIndexDelta(docs.filter(col("doc_id") >= 6),
+      "doc_id", "text", w = 4, maskBits = 3, cdc0), s"$base/cdc", 1L)
+    // cluster state in the stream's layout: labels = closure over pairs
+    import spark.implicits._
+    val pairs0 = Seq((1L, 2L), (2L, 3L), (5L, 6L), (4L, 8L))
+      .toDF("id_a", "id_b")
+    writeBatch(pairs0, s"$base/cs/pairs", 0L)
+    writeBatch(Dedup.connectedComponents(pairs0, "id_a", "id_b"),
+      s"$base/cs/labels", 0L)
+    writeBatch(docs.select(col("doc_id").as("id")), s"$base/cs/index", 0L)
+
+    // ---- ONE takedown request across the whole surface
+    val outcomes = Takedown.forget(victims, Seq(
+      Store("nb_model", s"$base/nb", Map("idCol" -> "doc_id")),
+      Store("dsir", s"$base/dsir", Map("idCol" -> "doc_id")),
+      Store("bm25", s"$base/bm25", Map("idCol" -> "doc_id")),
+      Store("decontam", s"$base/dc", Map("idCol" -> "doc_id")),
+      Store("containment", s"$base/ct", Map("idCol" -> "doc_id")),
+      Store("jaccard_prefix", s"$base/jp", Map("idCol" -> "doc_id")),
+      Store("ivf", s"$base/ivf", Map("idCol" -> "vec_id")),
+      Store("triangles", s"$base/tri"),
+      Store("table", s"$base/tbl",
+        Map("idCol" -> "doc_id", "partitionCol" -> "p")),
+      Store("cdc_state", s"$base/cdc", Map("idCol" -> "doc_id")),
+      Store("cluster_state", s"$base/cs", Map("idCol" -> "id"))))
+    outcomes.filter(col("status") =!= "deleted").count() shouldBe 0L
+    outcomes.count() shouldBe 11L
+
+    // ---- every store now answers as rebuilt/retrained over survivors
+    // nb: exact unlearning == retrain
+    sorted(Classifier.nbScoreFromModel(survivors, "doc_id", "text",
+      s"$base/nb").select(col("doc_id"), col("label"),
+      col("n_tokens_scored"), round(col("nb_score"), 6), col("predicted_pass"))) shouldBe
+      sorted(Classifier.naiveBayesQuality(survivors, "doc_id", "text")
+        .select(col("doc_id"), col("label"), col("n_tokens_scored"),
+          round(col("nb_score"), 6), col("predicted_pass")))
+    // dsir: exact unlearning == retrain (victims leave both roles)
+    sorted(Sampling.dsirStoreScore(survivors, "doc_id", "text",
+      s"$base/dsir").select(col("doc_id"), col("n_feats"),
+      round(col("logw"), 6))) shouldBe
+      sorted(Sampling.importanceWeights(survivors,
+        survivors.filter(col("doc_id") < 3), "doc_id", "text", 64)
+        .select(col("doc_id"), col("n_feats"), round(col("logw"), 6)))
+    // index stores: probe-after-delete == probe of a REBUILD on survivors
+    val rb = tmp("rebuild")
+    TrainingData.bm25IndexWrite(survivors, "doc_id", "text", s"$rb/bm25",
+      nBuckets = 4)
+    val q = Seq("w1x", "w7x", "zzz")
+    sorted(TrainingData.bm25FromIndex(spark, s"$base/bm25", "doc_id", q)) shouldBe
+      sorted(TrainingData.bm25FromIndex(spark, s"$rb/bm25", "doc_id", q))
+    TrainingData.decontamIndexWrite(survivors, "doc_id", "text",
+      s"$rb/dc", n = 3, nBuckets = 8)
+    val eval = corpus.limit(2)
+    sorted(TrainingData.decontaminateFromIndex(eval, "text",
+      s"$base/dc", "doc_id")) shouldBe
+      sorted(TrainingData.decontaminateFromIndex(eval, "text",
+        s"$rb/dc", "doc_id"))
+    TrainingData.containmentIndexWrite(survivors, "doc_id", "text",
+      s"$rb/ct", shingleN = 12)
+    val ev2 = corpus.limit(2)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    sorted(TrainingData.decontaminateContainmentFromIndex(ev2, "eval_id",
+      "text", s"$base/ct", "doc_id", threshold = 0.3)) shouldBe
+      sorted(TrainingData.decontaminateContainmentFromIndex(ev2, "eval_id",
+        "text", s"$rb/ct", "doc_id", threshold = 0.3))
+    Dedup.jaccardPrefixIndexWrite(survivors, "doc_id", "text", s"$rb/jp",
+      shingleN = 5, threshold = 0.5)
+    val newDocs = Seq((100L, corpus.filter(col("doc_id") === 0L)
+      .head().getString(1))).toDF("doc_id", "text")
+    sorted(Dedup.jaccardJoinPrefixIncremental(newDocs, "doc_id", "text",
+      s"$base/jp", threshold = 0.5)) shouldBe
+      sorted(Dedup.jaccardJoinPrefixIncremental(newDocs, "doc_id", "text",
+        s"$rb/jp", threshold = 0.5))
+    // ivf: tombstones hide victims from every probe (cells are
+    // data-independent at lloydIters = 0, so rebuild compares equal)
+    Similarity.ivfWriteIndex(vecs.filter(col("vec_id") % 3 =!= 1),
+      "vec_id", "embedding", dim = 4, path = s"$rb/ivf", nBits = 2,
+      lloydIters = 0)
+    val qv = Seq(1.0, 0.1, 0.2, 1.0)
+    sorted(Similarity.ivfTopKFromIndex(spark, s"$base/ivf", "vec_id", qv,
+      k = 12, nProbe = 4)) shouldBe
+      sorted(Similarity.ivfTopKFromIndex(spark, s"$rb/ivf", "vec_id", qv,
+        k = 12, nProbe = 4))
+    // triangles: node forget == rebuild over non-incident edges
+    Graph.trianglesIndexWrite(
+      edges.filter(col("src") % 3 =!= 1 && col("dst") % 3 =!= 1),
+      "src", "dst", s"$rb/tri")
+    sorted(Graph.trianglesFromIndex(spark, s"$base/tri")) shouldBe
+      sorted(Graph.trianglesFromIndex(spark, s"$rb/tri"))
+    // table: victim rows physically gone, survivors intact
+    val tbl = spark.read.parquet(s"$base/tbl")
+    tbl.filter(victimPred).count() shouldBe 0L
+    tbl.count() shouldBe survivors.count()
+    // cdc: owner-forgetting — after physical compaction the index holds
+    // exactly the full index minus victim-owned rows
+    graft.streaming.StreamingOps.compactCdcIndex(spark, s"$base/cdc",
+      includeLatest = true)
+    val cdcAll = TrainingData.cdcIndex(docs, "doc_id", "text",
+      w = 4, maskBits = 3)
+    sorted(spark.read.parquet(s"$base/cdc")
+      .select("chunk_md5", "doc_id", "chunk_idx")) shouldBe
+      sorted(cdcAll.filter(col("doc_id") % 3 =!= 1))
+    // cluster state: labels re-closed over surviving pairs — {1,2,3}
+    // loses its representative (re-elect 2), {4,8} loses its bridge
+    // (8 orphans), {5,6} untouched
+    sorted(graft.streaming.StreamingOps.currentClusterLabels(spark,
+      s"$base/cs/labels")) shouldBe
+      sorted(Dedup.connectedComponents(
+        pairs0.filter(col("id_a") % 3 =!= 1 && col("id_b") % 3 =!= 1),
+        "id_a", "id_b"))
+  }
+
+  test("a failing store does not stop the rest; failures are loud") {
+    val base = tmp("fail")
+    Classifier.nbModelWrite(corpus, "doc_id", "text", s"$base/nb")
+    val stores = Seq(
+      Store("bm25", s"$base/not-an-index", Map("idCol" -> "doc_id")),
+      Store("nb_model", s"$base/nb", Map("idCol" -> "doc_id")))
+    val e = intercept[IllegalStateException] {
+      Takedown.forget(victims, stores)
+    }
+    e.getMessage should include("INCOMPLETE")
+    e.getMessage should include("not-an-index")
+    // the healthy store WAS processed despite the earlier failure
+    sorted(Classifier.nbScoreFromModel(survivors, "doc_id", "text",
+      s"$base/nb").select(col("doc_id"), round(col("nb_score"), 6))) shouldBe
+      sorted(Classifier.naiveBayesQuality(survivors, "doc_id", "text")
+        .select(col("doc_id"), round(col("nb_score"), 6)))
+    // bestEffort: same attempt-all, reported instead of thrown
+    // (the nb store tolerates re-delivery: double-delete is a no-op)
+    val out = Takedown.forget(victims, stores, bestEffort = true)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    out should contain(("bm25", "failed"))
+    out should contain(("nb_model", "deleted"))
+  }
+}
