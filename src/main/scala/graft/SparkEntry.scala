@@ -874,7 +874,7 @@ object SparkEntry {
           .select(explode(array(col("src"), col("dst"))).as("id"))
           .filter(col("id") % 9 === 2).distinct()
           .select(col("id"), lit(null).cast("string").as("text")))
-      Takedown.forget(victims, Seq(
+      val stores = Seq(
         Store("nb_model", s"$base/nb", Map("idCol" -> "doc_id")),
         Store("dsir", s"$base/dsir", Map("idCol" -> "doc_id")),
         Store("bm25", s"$base/bm25", Map("idCol" -> "doc_id")),
@@ -882,16 +882,11 @@ object SparkEntry {
         Store("containment", s"$base/ct", Map("idCol" -> "doc_id")),
         Store("jaccard_prefix", s"$base/jp", Map("idCol" -> "doc_id")),
         Store("ivf", s"$base/ivf", Map("idCol" -> "vec_id")),
-        Store("triangles", s"$base/tri")))
-      // physical removal on every store, then probe
-      Classifier.nbModelCompact(s, s"$base/nb")
-      Sampling.dsirStoreCompact(s, s"$base/dsir")
-      TrainingData.bm25IndexCompact(s, s"$base/bm25")
-      TrainingData.decontamIndexCompact(s, s"$base/dc")
-      TrainingData.containmentIndexCompact(s, s"$base/ct")
-      Dedup.jaccardPrefixIndexCompact(s, s"$base/jp")
-      graft.streaming.StreamingOps.compactIvfDeltas(s, s"$base/ivf")
-      Graph.trianglesIndexCompact(s, s"$base/tri")
+        Store("triangles", s"$base/tri"))
+      Takedown.forget(victims, stores)
+      // physical removal on every store (the orchestrated half too),
+      // then probe
+      Takedown.compactAll(s, stores)
       val sv = docs.filter(col("doc_id") % 9 =!= 2)
       // integer-exact probe reductions (ids, integer counts, and bm25's
       // by-construction-integer micro-units — no float checksums)

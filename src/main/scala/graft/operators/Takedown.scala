@@ -69,7 +69,8 @@ object Takedown {
     */
   final case class Kind(name: String, victimShape: String,
       writeFaces: Seq[String], deleteFace: String,
-      invoke: (DataFrame, String, String, Store) => Unit)
+      invoke: (DataFrame, String, String, Store) => Unit,
+      compact: Option[(SparkSession, Store) => Unit] = None)
 
   // victims renamed to the store's id column (opts("idCol"), defaulting
   // to the request's) so one request frame serves stores keyed on
@@ -91,56 +92,66 @@ object Takedown {
       (v, idCol, _, st) => {
         val (vv, sid) = vAs(v, idCol, st)
         Similarity.ivfDelete(vv, sid, st.path)
-      }),
+      },
+      Some((sp, st) => graft.streaming.StreamingOps.compactIvfDeltas(
+        sp, st.path, includeLatest =
+          st.opts.get("includeLatest").exists(_.toBoolean)))),
     Kind("bm25", "ids",
       Seq("bm25IndexWrite", "bm25IndexAppend"),
       "TrainingData.bm25IndexDelete",
       (v, idCol, _, st) => {
         val (vv, sid) = vAs(v, idCol, st)
         TrainingData.bm25IndexDelete(vv, sid, st.path)
-      }),
+      },
+      Some((sp, st) => TrainingData.bm25IndexCompact(sp, st.path))),
     Kind("jaccard_prefix", "ids",
       Seq("jaccardPrefixIndexWrite", "jaccardPrefixIndexAppend"),
       "Dedup.jaccardPrefixIndexDelete",
       (v, idCol, _, st) => {
         val (vv, sid) = vAs(v, idCol, st)
         Dedup.jaccardPrefixIndexDelete(vv, sid, st.path)
-      }),
+      },
+      Some((sp, st) => Dedup.jaccardPrefixIndexCompact(sp, st.path))),
     Kind("decontam", "ids",
       Seq("decontamIndexWrite", "decontamIndexAppend"),
       "TrainingData.decontamIndexDelete",
       (v, idCol, _, st) => {
         val (vv, sid) = vAs(v, idCol, st)
         TrainingData.decontamIndexDelete(vv, sid, st.path)
-      }),
+      },
+      Some((sp, st) => TrainingData.decontamIndexCompact(sp, st.path))),
     Kind("containment", "ids",
       Seq("containmentIndexWrite", "containmentIndexAppend"),
       "TrainingData.containmentIndexDelete",
       (v, idCol, _, st) => {
         val (vv, sid) = vAs(v, idCol, st)
         TrainingData.containmentIndexDelete(vv, sid, st.path)
-      }),
+      },
+      Some((sp, st) => TrainingData.containmentIndexCompact(sp, st.path))),
     Kind("nb_model", "id_text",
       Seq("nbModelWrite", "nbModelAppend", "nbModelAppendStream"),
       "Classifier.nbModelDelete",
       (v, idCol, textCol, st) => {
         val (vv, sid) = vAs(v, idCol, st)
         Classifier.nbModelDelete(vv, sid, textCol, st.path)
-      }),
+      },
+      Some((sp, st) => Classifier.nbModelCompact(sp, st.path))),
     Kind("dsir", "id_text",
       Seq("dsirStoreWrite", "dsirStoreAppend", "dsirStoreAppendStream"),
       "Sampling.dsirStoreDelete",
       (v, idCol, textCol, st) => {
         val (vv, sid) = vAs(v, idCol, st)
         Sampling.dsirStoreDelete(vv, sid, textCol, st.path)
-      }),
+      },
+      Some((sp, st) => Sampling.dsirStoreCompact(sp, st.path))),
     Kind("triangles", "ids",
       Seq("trianglesIndexWrite", "trianglesIndexAppend"),
       "Graph.trianglesIndexDeleteNodes",
       (v, idCol, _, st) => {
         val (vv, sid) = vAs(v, idCol, st)
         Graph.trianglesIndexDeleteNodes(vv, sid, st.path)
-      }),
+      },
+      Some((sp, st) => Graph.trianglesIndexCompact(sp, st.path))),
     Kind("cluster_state", "ids",
       Seq.empty, // stream-maintained (continuousClusteredDedup)
       "StreamingOps.clusterStateDelete",
@@ -150,14 +161,22 @@ object Takedown {
           st.opts.getOrElse("indexPath", s"${st.path}/index"),
           st.opts.getOrElse("pairsPath", s"${st.path}/pairs"),
           st.opts.getOrElse("labelsPath", s"${st.path}/labels"))
-      }),
+      },
+      Some((sp, st) => graft.streaming.StreamingOps.compactClusterState(sp,
+        st.opts.getOrElse("indexPath", s"${st.path}/index"),
+        st.opts.getOrElse("pairsPath", s"${st.path}/pairs"),
+        st.opts.getOrElse("labelsPath", s"${st.path}/labels"),
+        includeLatest = st.opts.get("includeLatest").exists(_.toBoolean)))),
     Kind("cdc_state", "ids",
       Seq.empty, // stream-maintained (continuousCdcDedup)
       "StreamingOps.cdcStateDelete",
       (v, idCol, _, st) => {
         val (vv, sid) = vAs(v, idCol, st)
         graft.streaming.StreamingOps.cdcStateDelete(vv, sid, st.path)
-      }),
+      },
+      Some((sp, st) => graft.streaming.StreamingOps.compactCdcIndex(sp,
+        st.path, includeLatest =
+          st.opts.get("includeLatest").exists(_.toBoolean)))),
     Kind("table", "ids",
       Seq("writePartitioned", "writeClustered", "writeZOrdered",
         "writeZOrderedN"),
@@ -246,29 +265,78 @@ object Takedown {
       else victims.select(col(idCol)).distinct()
         .withColumn(textCol, lit(null).cast("string"))
     val v = v0.localCheckpoint(true)
-    try {
-      val outcomes = stores.map { st =>
-        try {
-          kinds(st.kind).invoke(v, idCol, textCol, st)
-          (st.kind, st.path, "deleted", kinds(st.kind).deleteFace)
-        } catch {
-          case e: Exception =>
-            (st.kind, st.path, "failed",
-              Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
-        }
+    try
+      attemptAll(spark, stores, bestEffort, okStatus = "deleted",
+        what = "takedown",
+        recovery = "Fix the cause and re-run the same forget: every " +
+          "face tolerates re-delivery.") { st =>
+        kinds(st.kind).invoke(v, idCol, textCol, st)
+        kinds(st.kind).deleteFace
       }
-      val failed = outcomes.filter(_._3 == "failed")
-      if (failed.nonEmpty && !bestEffort)
-        throw new IllegalStateException(
-          s"takedown INCOMPLETE: ${failed.size}/${stores.size} store(s) " +
-          "failed (every store was attempted; the listed ones still hold " +
-          "the victims) — " +
-          failed.map(f => s"${f._1} @ ${f._2}: ${f._4}").mkString("; ") +
-          ". Fix the cause and re-run the same forget: every face " +
-          "tolerates re-delivery.")
-      import spark.implicits._
-      outcomes.toDF("kind", "path", "status", "detail")
-    } finally
+    finally
       org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(v)
+  }
+
+  /** The PHYSICAL-REMOVAL half, orchestrated: run each registered
+    * store's compaction face (tombstones fold out of bases, ledgers
+    * retire victim evidence, delta channels collapse). Stores whose
+    * delete is already physical (the `table` kind) report `noop`. Same
+    * attempt-all + loud-failure semantics as [[forget]]; compaction
+    * faces are re-runnable by the `_MAINT` protocol, so the recovery
+    * for a partial failure is takeover-re-running THAT store's compact
+    * (a crashed REBUILD-typed marker instead demands its rebuild —
+    * see [[AtomicBatches]]). `opts("includeLatest") = "true"` on the
+    * stream-shaped kinds folds their newest batch too (quiesced
+    * streams only — the replay contract).
+    */
+  def compactAll(spark: SparkSession, stores: Seq[Store],
+      bestEffort: Boolean = false): DataFrame = {
+    val unknown = stores.map(_.kind).distinct.filterNot(kinds.contains)
+    require(unknown.isEmpty,
+      s"Takedown.compactAll: unknown store kind(s) " +
+      s"${unknown.mkString(", ")} — registered kinds: " +
+      s"${kinds.keys.toSeq.sorted.mkString(", ")}.")
+    attemptAll(spark, stores, bestEffort, okStatus = "compacted",
+      what = "compaction",
+      recovery = "Re-run the failed store's compaction (takeover = true " +
+        "on a stale compact marker; a rebuild-typed marker demands its " +
+        "rebuild) and then compactAll again — completed compactions " +
+        "no-op on re-delivery.") { st =>
+      kinds(st.kind).compact match {
+        case Some(c) => c(spark, st); "physical removal folded in"
+        case None => throw NoopCompaction
+      }
+    }
+  }
+
+  private object NoopCompaction extends Exception
+
+  // one attempt-all pass over the stores: every store is tried even
+  // when an earlier one failed, outcomes are reported per store, and
+  // (unless bestEffort) any failure raises AFTER the full pass
+  private def attemptAll(spark: SparkSession, stores: Seq[Store],
+      bestEffort: Boolean, okStatus: String, what: String,
+      recovery: String)(run: Store => String): DataFrame = {
+    val outcomes = stores.map { st =>
+      try {
+        val detail = run(st)
+        (st.kind, st.path, okStatus, detail)
+      } catch {
+        case NoopCompaction =>
+          (st.kind, st.path, "noop", "delete is already physical")
+        case e: Exception =>
+          (st.kind, st.path, "failed",
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+      }
+    }
+    val failed = outcomes.filter(_._3 == "failed")
+    if (failed.nonEmpty && !bestEffort)
+      throw new IllegalStateException(
+        s"$what INCOMPLETE: ${failed.size}/${stores.size} store(s) " +
+        "failed (every store was attempted) — " +
+        failed.map(f => s"${f._1} @ ${f._2}: ${f._4}").mkString("; ") +
+        s". $recovery")
+    import spark.implicits._
+    outcomes.toDF("kind", "path", "status", "detail")
   }
 }

@@ -225,6 +225,58 @@ class TakedownSpec extends SparkSpec {
         "id_a", "id_b"))
   }
 
+  test("compactAll runs every compaction face; table kind is a noop") {
+    val base = tmp("compact")
+    Classifier.nbModelWrite(corpus, "doc_id", "text", s"$base/nb")
+    Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", dim = 4,
+      path = s"$base/ivf", nBits = 2, lloydIters = 0)
+    corpus.select(col("doc_id"), (col("doc_id") % 2).as("p"), col("text"))
+      .write.partitionBy("p").parquet(s"$base/tbl")
+    val stores = Seq(
+      Store("nb_model", s"$base/nb", Map("idCol" -> "doc_id")),
+      Store("ivf", s"$base/ivf", Map("idCol" -> "vec_id")),
+      Store("table", s"$base/tbl",
+        Map("idCol" -> "doc_id", "partitionCol" -> "p")))
+    Takedown.forget(victims, stores)
+    val out = Takedown.compactAll(spark, stores)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    out should contain(("nb_model", "compacted"))
+    out should contain(("ivf", "compacted"))
+    out should contain(("table", "noop"))
+    // physical: victim evidence left the ledger and the cells
+    import spark.implicits._
+    spark.read.parquet(s"$base/nb/members")
+      .filter(col("id") % 3 === 1).count() shouldBe 0L
+    spark.read.parquet(s"$base/ivf/cells")
+      .filter(col("vec_id") % 3 === 1).count() shouldBe 0L
+    // all tombstones applied and GC'd (the directory may remain as an
+    // empty overwrite artifact; pending ROWS are what must be gone)
+    Similarity.readParquetIfAny(spark, s"$base/ivf/tombstones")
+      .map(_.count()).getOrElse(0L) shouldBe 0L
+    // unknown kinds refuse here too
+    intercept[IllegalArgumentException] {
+      Takedown.compactAll(spark, Seq(Store("nope", "/tmp/x")))
+    }.getMessage should include("unknown store kind")
+    // a failing store is loud and does not stop the rest: a crashed
+    // REBUILD leaves a rebuild-typed marker compaction must refuse
+    Classifier.nbModelWrite(corpus, "doc_id", "text", s"$base/nb2")
+    Classifier.nbModelDelete(victims, "id", "text", s"$base/nb2")
+    intercept[RuntimeException] {
+      AtomicBatches.withRebuildMarker(spark, s"$base/nb2") {
+        throw new RuntimeException("simulated mid-rebuild crash")
+      }
+    }
+    val out2 = Takedown.compactAll(spark,
+      Seq(Store("nb_model", s"$base/nb2"),
+        Store("nb_model", s"$base/nb")), bestEffort = true)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    out2 should contain((s"$base/nb2", "failed"))
+    out2 should contain((s"$base/nb", "compacted"))
+    intercept[IllegalStateException] {
+      Takedown.compactAll(spark, Seq(Store("nb_model", s"$base/nb2")))
+    }.getMessage should include("INCOMPLETE")
+  }
+
   test("a failing store does not stop the rest; failures are loud") {
     val base = tmp("fail")
     Classifier.nbModelWrite(corpus, "doc_id", "text", s"$base/nb")
