@@ -860,18 +860,25 @@ object SparkEntry {
         "doc_id", "text", s"$base/jp", shingleN = 5, threshold = 0.7)
       Similarity.ivfWriteIndex(emb, "vec_id", "embedding", dim = 64,
         path = s"$base/ivf", nBits = 4, lloydIters = 0)
-      Graph.trianglesIndexWrite(coPurchaseEdges(s, dir, 2, 0),
+      // quarter co-purchase graph: the ONLY SF-scaling store here, and
+      // the per-store triangle takedown already measures its full-scale
+      // cost shape under graph_triangles_deleted — the orchestrator
+      // query needs a real graph, not the biggest one
+      Graph.trianglesIndexWrite(coPurchaseEdges(s, dir, 4, 0),
         "src", "dst", s"$base/tri")
       // the request: ids with text from the document space, text-less
       // ids from the vector and node spaces (per id, forget() keeps the
-      // non-null text — the count-form stores' drift guards need it)
+      // non-null text — the count-form stores' drift guards need it).
+      // Node victims come from a column-pruned partkey scan, not an
+      // edge self-join: ids absent from the graph are harmless no-ops,
+      // so over-approximating the node set is free
       val victims = docs.filter(col("doc_id") % 9 === 2)
         .select(col("doc_id").as("id"), col("text"))
         .unionByName(emb.filter(col("vec_id") % 9 === 2)
           .select(col("vec_id").as("id"),
             lit(null).cast("string").as("text")))
-        .unionByName(coPurchaseEdges(s, dir, 2, 0)
-          .select(explode(array(col("src"), col("dst"))).as("id"))
+        .unionByName(Tables.lineitem(s, dir)
+          .select(col("l_partkey").cast("long").as("id"))
           .filter(col("id") % 9 === 2).distinct()
           .select(col("id"), lit(null).cast("string").as("text")))
       val stores = Seq(
@@ -884,9 +891,12 @@ object SparkEntry {
         Store("ivf", s"$base/ivf", Map("idCol" -> "vec_id")),
         Store("triangles", s"$base/tri"))
       Takedown.forget(victims, stores)
-      // physical removal on every store (the orchestrated half too),
-      // then probe
+      // physical removal on every store (the orchestrated half too)
       Takedown.compactAll(s, stores)
+      // PROVE the takedown before probing: every store's own
+      // read-visibility rule must no longer see any requested id —
+      // a silent miss fails the query itself, not just the hash
+      Takedown.assertForgotten(victims, stores)
       val sv = docs.filter(col("doc_id") % 9 =!= 2)
       // integer-exact probe reductions (ids, integer counts, and bm25's
       // by-construction-integer micro-units — no float checksums)
@@ -6003,7 +6013,7 @@ object SparkEntry {
            greatest(a.l_partkey, b.l_partkey)::BIGINT AS b
          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
            AND a.l_partkey <> b.l_partkey
-         WHERE a.l_orderkey % 2 = 0),
+         WHERE a.l_orderkey % 4 = 0),
        es AS (SELECT a, b FROM e0 WHERE a $nodeKeep AND b $nodeKeep),
        deg AS (SELECT id, count(*)::BIGINT AS deg FROM (
              SELECT a AS id FROM es UNION ALL SELECT b FROM es)

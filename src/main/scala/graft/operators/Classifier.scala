@@ -338,6 +338,19 @@ object Classifier {
   private def nbMembers(spark: SparkSession, path: String): DataFrame =
     CountStore.fold(spark, path, "members")
 
+  /** AUDIT face: the ids whose counts still influence the model — one
+    * `id` column, lazily corpus-sized (compose with a semi-join; the
+    * [[graft.operators.Takedown.audit]] consumer does). A takedown is
+    * PROVEN here: an id [[nbModelDelete]] subtracted no longer appears,
+    * compacted or not.
+    */
+  def nbModelPresentIds(spark: SparkSession, path: String): DataFrame = {
+    AtomicBatches.assertNotInMaintenance(spark, path, "nbModelPresentIds")
+    nbMembers(spark, path).groupBy("id")
+      .agg(sum(col("mult")).as("__m")).filter(col("__m") > 0)
+      .select("id")
+  }
+
   /** The store's CURRENT model in [[nbTrain]]'s derived form — (term,
     * llr) rows plus the `term = NULL` prior row — from the folded
     * integer counts. Exact-integer folds first (term counts summed per

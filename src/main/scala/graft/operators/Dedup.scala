@@ -829,6 +829,22 @@ object Dedup {
     graft.operators.Similarity.readParquetIfAny(spark, s"$path/victims")
       .map(_.select(col("__id").as(as)).distinct())
 
+  /** AUDIT face: the ids whose docs a prefix-index probe can still pair
+    * against (docs table minus the pending victim channel), as one `id`
+    * column ([[graft.operators.Takedown.audit]]'s jaccard_prefix row).
+    */
+  def jaccardPrefixPresentIds(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    AtomicBatches.assertNotInMaintenance(spark, path,
+      "jaccardPrefixPresentIds")
+    val docs = spark.read.parquet(s"$path/docs").select(col("__id"))
+    prefixVictims(spark, path, "__id") match {
+      case None => docs.select(col("__id").as("id"))
+      case Some(v) => docs.join(broadcast(v), Seq("__id"), "left_anti")
+        .select(col("__id").as("id"))
+    }
+  }
+
   /** Physically remove a [[jaccardPrefixIndexWrite]] index's pending
     * victims: rewrite `docs` and `prefix` minus the victims' rows and
     * retire the victim list. The tables are unpartitioned (the probe

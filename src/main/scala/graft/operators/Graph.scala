@@ -611,6 +611,19 @@ object Graph {
     spark.read.parquet(s"$path/counts" +:
       committedBatchDirs(spark, path).map(d => s"$d/counts"): _*)
 
+  /** AUDIT face: the node ids the index's current edge set still
+    * touches, as one `id` column — after [[trianglesIndexDeleteNodes]]
+    * a forgotten node appears in NO surviving edge, so it is absent
+    * here ([[graft.operators.Takedown.audit]]'s triangles row).
+    */
+  def trianglesPresentNodes(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    AtomicBatches.assertNotInMaintenance(spark, path,
+      "trianglesPresentNodes")
+    indexEdges(spark, path)
+      .select(explode(array(col("a"), col("b"))).as("id")).distinct()
+  }
+
   /** Per-vertex triangle counts from a persisted index: every vertex of
     * the stored edge set, zeros included — the same contract as
     * [[triangles]], without a recount.

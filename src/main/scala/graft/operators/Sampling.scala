@@ -573,6 +573,19 @@ object Sampling {
       org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(victims)
   }
 
+  /** AUDIT face: the ids whose feature counts still influence the
+    * model under ANY role — one `id` column, lazily corpus-sized (the
+    * [[Classifier.nbModelPresentIds]] twin, consumed by
+    * [[graft.operators.Takedown.audit]]'s semi-join).
+    */
+  def dsirStorePresentIds(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    AtomicBatches.assertNotInMaintenance(spark, path, "dsirStorePresentIds")
+    CountStore.fold(spark, path, "members").groupBy("id", "role")
+      .agg(sum(col("mult")).as("__m")).filter(col("__m") > 0)
+      .select("id").distinct()
+  }
+
   /** The store's CURRENT model in [[dsirTrain]]'s derived form — (b,
     * lr) rows plus the `b = NULL` default row — from the folded integer
     * counts through [[dsirTrain]]'s exact expressions: a bucket whose

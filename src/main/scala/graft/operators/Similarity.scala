@@ -829,6 +829,16 @@ object Similarity {
       .write.mode("append").parquet(s"$indexPath/tombstones")
   }
 
+  /** AUDIT face: the ids a probe can still return — the tombstone-aware
+    * current view's id column (base + stream deltas, killed rows out),
+    * named `id`. Works for all three layouts (flat/SQ8/PQ share the
+    * cells protocol). Consumed by [[graft.operators.Takedown.audit]].
+    */
+  def ivfPresentIds(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String): DataFrame =
+    cellsCurrent(spark, indexPath, idCol, lit(true))
+      .select(col(idCol).as("id"))
+
   /** A FULL index build supersedes every side channel — appended delta
     * batches and tombstones alike ([[ivfDelete]] removes rows precisely
     * because a rebuild is too expensive; a rebuild makes them moot).

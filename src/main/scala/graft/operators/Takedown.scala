@@ -70,7 +70,11 @@ object Takedown {
   final case class Kind(name: String, victimShape: String,
       writeFaces: Seq[String], deleteFace: String,
       invoke: (DataFrame, String, String, Store) => Unit,
-      compact: Option[(SparkSession, Store) => Unit] = None)
+      compact: Option[(SparkSession, Store) => Unit] = None,
+      // AUDIT probe: the ids that still influence this store's read
+      // faces, as one `id` column (lazily corpus-sized — [[audit]]
+      // semi-joins it against the bounded request)
+      present: (SparkSession, String, Store) => DataFrame = null)
 
   // victims renamed to the store's id column (opts("idCol"), defaulting
   // to the request's) so one request frame serves stores keyed on
@@ -95,7 +99,9 @@ object Takedown {
       },
       Some((sp, st) => graft.streaming.StreamingOps.compactIvfDeltas(
         sp, st.path, includeLatest =
-          st.opts.get("includeLatest").exists(_.toBoolean)))),
+          st.opts.get("includeLatest").exists(_.toBoolean))),
+      present = (sp, idCol, st) => Similarity.ivfPresentIds(sp, st.path,
+        st.opts.getOrElse("idCol", idCol))),
     Kind("bm25", "ids",
       Seq("bm25IndexWrite", "bm25IndexAppend"),
       "TrainingData.bm25IndexDelete",
@@ -103,7 +109,8 @@ object Takedown {
         val (vv, sid) = vAs(v, idCol, st)
         TrainingData.bm25IndexDelete(vv, sid, st.path)
       },
-      Some((sp, st) => TrainingData.bm25IndexCompact(sp, st.path))),
+      Some((sp, st) => TrainingData.bm25IndexCompact(sp, st.path)),
+      present = (sp, _, st) => TrainingData.bm25PresentIds(sp, st.path)),
     Kind("jaccard_prefix", "ids",
       Seq("jaccardPrefixIndexWrite", "jaccardPrefixIndexAppend"),
       "Dedup.jaccardPrefixIndexDelete",
@@ -111,7 +118,8 @@ object Takedown {
         val (vv, sid) = vAs(v, idCol, st)
         Dedup.jaccardPrefixIndexDelete(vv, sid, st.path)
       },
-      Some((sp, st) => Dedup.jaccardPrefixIndexCompact(sp, st.path))),
+      Some((sp, st) => Dedup.jaccardPrefixIndexCompact(sp, st.path)),
+      present = (sp, _, st) => Dedup.jaccardPrefixPresentIds(sp, st.path)),
     Kind("decontam", "ids",
       Seq("decontamIndexWrite", "decontamIndexAppend"),
       "TrainingData.decontamIndexDelete",
@@ -119,7 +127,8 @@ object Takedown {
         val (vv, sid) = vAs(v, idCol, st)
         TrainingData.decontamIndexDelete(vv, sid, st.path)
       },
-      Some((sp, st) => TrainingData.decontamIndexCompact(sp, st.path))),
+      Some((sp, st) => TrainingData.decontamIndexCompact(sp, st.path)),
+      present = (sp, _, st) => TrainingData.decontamPresentIds(sp, st.path)),
     Kind("containment", "ids",
       Seq("containmentIndexWrite", "containmentIndexAppend"),
       "TrainingData.containmentIndexDelete",
@@ -127,7 +136,8 @@ object Takedown {
         val (vv, sid) = vAs(v, idCol, st)
         TrainingData.containmentIndexDelete(vv, sid, st.path)
       },
-      Some((sp, st) => TrainingData.containmentIndexCompact(sp, st.path))),
+      Some((sp, st) => TrainingData.containmentIndexCompact(sp, st.path)),
+      present = (sp, _, st) => TrainingData.decontamPresentIds(sp, st.path)),
     Kind("nb_model", "id_text",
       Seq("nbModelWrite", "nbModelAppend", "nbModelAppendStream"),
       "Classifier.nbModelDelete",
@@ -135,7 +145,8 @@ object Takedown {
         val (vv, sid) = vAs(v, idCol, st)
         Classifier.nbModelDelete(vv, sid, textCol, st.path)
       },
-      Some((sp, st) => Classifier.nbModelCompact(sp, st.path))),
+      Some((sp, st) => Classifier.nbModelCompact(sp, st.path)),
+      present = (sp, _, st) => Classifier.nbModelPresentIds(sp, st.path)),
     Kind("dsir", "id_text",
       Seq("dsirStoreWrite", "dsirStoreAppend", "dsirStoreAppendStream"),
       "Sampling.dsirStoreDelete",
@@ -143,7 +154,8 @@ object Takedown {
         val (vv, sid) = vAs(v, idCol, st)
         Sampling.dsirStoreDelete(vv, sid, textCol, st.path)
       },
-      Some((sp, st) => Sampling.dsirStoreCompact(sp, st.path))),
+      Some((sp, st) => Sampling.dsirStoreCompact(sp, st.path)),
+      present = (sp, _, st) => Sampling.dsirStorePresentIds(sp, st.path)),
     Kind("triangles", "ids",
       Seq("trianglesIndexWrite", "trianglesIndexAppend"),
       "Graph.trianglesIndexDeleteNodes",
@@ -151,7 +163,8 @@ object Takedown {
         val (vv, sid) = vAs(v, idCol, st)
         Graph.trianglesIndexDeleteNodes(vv, sid, st.path)
       },
-      Some((sp, st) => Graph.trianglesIndexCompact(sp, st.path))),
+      Some((sp, st) => Graph.trianglesIndexCompact(sp, st.path)),
+      present = (sp, _, st) => Graph.trianglesPresentNodes(sp, st.path)),
     Kind("cluster_state", "ids",
       Seq.empty, // stream-maintained (continuousClusteredDedup)
       "StreamingOps.clusterStateDelete",
@@ -166,7 +179,11 @@ object Takedown {
         st.opts.getOrElse("indexPath", s"${st.path}/index"),
         st.opts.getOrElse("pairsPath", s"${st.path}/pairs"),
         st.opts.getOrElse("labelsPath", s"${st.path}/labels"),
-        includeLatest = st.opts.get("includeLatest").exists(_.toBoolean)))),
+        includeLatest = st.opts.get("includeLatest").exists(_.toBoolean))),
+      present = (sp, _, st) => graft.streaming.StreamingOps.clusterStatePresentIds(sp,
+        st.opts.getOrElse("indexPath", s"${st.path}/index"),
+        st.opts.getOrElse("pairsPath", s"${st.path}/pairs"),
+        st.opts.getOrElse("labelsPath", s"${st.path}/labels"))),
     Kind("cdc_state", "ids",
       Seq.empty, // stream-maintained (continuousCdcDedup)
       "StreamingOps.cdcStateDelete",
@@ -176,7 +193,8 @@ object Takedown {
       },
       Some((sp, st) => graft.streaming.StreamingOps.compactCdcIndex(sp,
         st.path, includeLatest =
-          st.opts.get("includeLatest").exists(_.toBoolean)))),
+          st.opts.get("includeLatest").exists(_.toBoolean))),
+      present = (sp, _, st) => graft.streaming.StreamingOps.cdcStatePresentIds(sp, st.path)),
     Kind("table", "ids",
       Seq("writePartitioned", "writeClustered", "writeZOrdered",
         "writeZOrderedN"),
@@ -197,7 +215,9 @@ object Takedown {
             pcol, col(sid).cast("long").isin(ids: _*))
         }
         ()
-      })
+      },
+      present = (sp, idCol, st) => sp.read.parquet(st.path)
+        .select(col(st.opts.getOrElse("idCol", idCol)).as("id")))
   ).map(k => k.name -> k).toMap
 
   /** Write faces that create DERIVED artifacts with no in-place delete
@@ -307,6 +327,74 @@ object Takedown {
         case None => throw NoopCompaction
       }
     }
+  }
+
+  /** AUDIT: prove the takedown took. Per store, semi-join the store's
+    * `present`-ids probe against the requested ids and report how many
+    * still influence it: (kind, path, status, n_remaining,
+    * remaining_sample) — status `clean` (zero), `held` (some remain),
+    * or `failed` (the probe errored; treat as NOT clean). The probes
+    * are the stores' own read-visibility rules (tombstone-aware views,
+    * ledger folds, victim-channel hiding), so `clean` means no read
+    * face can still see the ids — before OR after compaction. Cost:
+    * one column-pruned probe + broadcast semi-join per store; the
+    * remaining set is bounded by the request, so the sample collect is
+    * bounded too.
+    */
+  def audit(victims: DataFrame, stores: Seq[Store], idCol: String = "id")
+      : DataFrame = {
+    val spark = victims.sparkSession
+    val unknown = stores.map(_.kind).distinct.filterNot(kinds.contains)
+    require(unknown.isEmpty,
+      s"Takedown.audit: unknown store kind(s) ${unknown.mkString(", ")} " +
+      s"— registered kinds: ${kinds.keys.toSeq.sorted.mkString(", ")}.")
+    require(victims.columns.contains(idCol),
+      s"victims must carry the id column '$idCol'")
+    val v = victims.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true) // one probe per store reads it
+    try {
+      val outcomes = stores.map { st =>
+        try {
+          val rem = kinds(st.kind).present(spark, idCol, st)
+            .select(col("id").cast("long").as("id"))
+            .join(broadcast(v), Seq("id"), "left_semi")
+          val r = rem.agg(
+            countDistinct(col("id")).as("n"),
+            slice(sort_array(collect_set(col("id"))), 1, 5).as("sample"))
+            .head()
+          val n = r.getLong(0)
+          (st.kind, st.path, if (n == 0) "clean" else "held", n,
+            r.getSeq[Long](1).mkString(","))
+        } catch {
+          case e: Exception =>
+            (st.kind, st.path, "failed", -1L,
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        }
+      }
+      import spark.implicits._
+      outcomes.toDF("kind", "path", "status", "n_remaining",
+        "remaining_sample")
+    } finally
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(v)
+  }
+
+  /** The loud form of [[audit]]: throws unless EVERY store is `clean` —
+    * the governance assertion to run after [[forget]] (and optionally
+    * after [[compactAll]]): a takedown isn't done when the faces were
+    * called, it's done when no store can still see the ids.
+    */
+  def assertForgotten(victims: DataFrame, stores: Seq[Store],
+      idCol: String = "id"): Unit = {
+    val bad = audit(victims, stores, idCol)
+      .filter(col("status") =!= "clean")
+      .collect()
+      .map(r => s"${r.getString(0)} @ ${r.getString(1)}: ${r.getString(2)}" +
+        s" (n_remaining=${r.getLong(3)}, ${r.getString(4)})")
+    if (bad.nonEmpty) throw new IllegalStateException(
+      "takedown NOT proven: " + bad.mkString("; ") +
+      " — the listed stores' read faces can still see requested ids " +
+      "(or their audit probe failed). Re-run forget / fix the store, " +
+      "then assertForgotten again.")
   }
 
   private object NoopCompaction extends Exception

@@ -2069,6 +2069,47 @@ object TrainingData {
     if (dirs.isEmpty) None else Some(dirs)
   }
 
+  /** AUDIT face: the doc ids whose postings still influence BM25
+    * scores — `doclens` minus the committed delete batches, as one `id`
+    * column ([[graft.operators.Takedown.audit]]'s bm25 row).
+    */
+  def bm25PresentIds(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    AtomicBatches.assertNotInMaintenance(spark, path, "bm25PresentIds")
+    val doclens = spark.read.parquet(s"$path/doclens")
+    val idCol = doclens.columns.head
+    val present = doclens.select(col(idCol).as("id"))
+    bm25DeleteDirs(spark, path) match {
+      case None => present
+      case Some(dirs) =>
+        val victims = spark.read.parquet(dirs.map(d => s"$d/ids"): _*)
+        present.join(
+          broadcast(victims.select(col(victims.columns.head).as("id"))
+            .distinct()),
+          Seq("id"), "left_anti")
+    }
+  }
+
+  /** AUDIT face of the gram/shingle decontamination indexes: the ids
+    * whose rows a probe can still match (index minus the pending victim
+    * channel), as one `id` column. Shared by the decontam (`grams`) and
+    * containment (`shingles`) layouts — both store (idCol, key, bucket).
+    */
+  def decontamPresentIds(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    AtomicBatches.assertNotInMaintenance(spark, path, "decontamPresentIds")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val table =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/grams"))) "grams"
+      else "shingles"
+    val rows = spark.read.parquet(s"$path/$table")
+    val idCol = rows.columns.head
+    minusIndexVictims(spark, path,
+      rows.select(col(idCol)).distinct(), idCol)
+      .select(col(idCol).as("id"))
+  }
+
   /** Physically apply a BM25 index's committed deletes: rewrite the
     * victim-touched posting buckets minus the victims (dynamic partition
     * overwrite — untouched buckets keep their files), rewrite `doclens`

@@ -1309,6 +1309,69 @@ object StreamingOps {
     } finally Bridge.releaseLocalCheckpoint(v)
   }
 
+  /** AUDIT face of a [[continuousClusteredDedup]] state: the ids that
+    * still influence ANY of its read faces — a current label row, a
+    * current pair endpoint, or a visible index row (the stream probes a
+    * victim-pruned index: an index row is visible iff no victim record
+    * covers its batch). One `id` column, missing stores fold as empty
+    * ([[graft.operators.Takedown.audit]]'s cluster_state row).
+    */
+  def clusterStatePresentIds(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, pairsPath: String, labelsPath: String)
+      : DataFrame = {
+    import graft.operators.Similarity.readParquetIfAny
+    graft.operators.AtomicBatches.assertNotInMaintenance(spark, labelsPath,
+      "clusterStatePresentIds")
+    val labelIds = readParquetIfAny(spark, labelsPath)
+      .map(_ => currentClusterLabels(spark, labelsPath).select(col("id")))
+    val pairIds = readParquetIfAny(spark, pairsPath)
+      .map(_ => currentClusterPairs(spark, pairsPath, labelsPath)
+        .select(explode(array(col("id_a"), col("id_b"))).as("id")))
+    val indexIds = readParquetIfAny(spark, indexPath).map { idx =>
+      val idCol = idx.columns.find(_ == "doc_id").getOrElse(
+        idx.columns.filterNot(Set("batch_id", "sh", "sig", "bucket"))
+          .head)
+      val rows = idx.select(col(idCol).cast("long").as("id"),
+        col("batch_id").cast("long").as("__b"))
+      clusterVictims(spark, labelsPath) match {
+        case None => rows.select("id")
+        case Some(v) => rows
+          .join(v.select(col("id"), col("up_to").as("__u")),
+            Seq("id"), "left_outer")
+          .filter(col("__u").isNull || col("__b") > col("__u"))
+          .select("id")
+      }
+    }
+    (labelIds.toSeq ++ pairIds.toSeq ++ indexIds.toSeq)
+      .reduceOption(_ unionByName _)
+      .map(_.distinct())
+      .getOrElse(spark.range(0).select(col("id")))
+  }
+
+  /** AUDIT face of a [[continuousCdcDedup]] chunk index: the owner ids
+    * whose chunk rows a probe can still see (victim records hide rows
+    * at or below their `up_to`; a later re-ingest resurrects). One `id`
+    * column ([[graft.operators.Takedown.audit]]'s cdc_state row).
+    */
+  def cdcStatePresentIds(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    graft.operators.AtomicBatches.assertNotInMaintenance(spark, indexPath,
+      "cdcStatePresentIds")
+    val store = spark.read.parquet(indexPath)
+    val idCol = store.columns.filterNot(c =>
+      c == "chunk_md5" || c == "chunk_idx" || c == "batch_id").head
+    val rows = store.select(col(idCol).cast("long").as("id"),
+      col("batch_id").cast("long").as("__b"))
+    cdcVictims(spark, indexPath) match {
+      case None => rows.select("id").distinct()
+      case Some(v) => rows
+        .join(v.select(col("id"), col("up_to").as("__u")),
+          Seq("id"), "left_outer")
+        .filter(col("__u").isNull || col("__b") > col("__u"))
+        .select("id").distinct()
+    }
+  }
+
   /** Compact a [[continuousClusteredDedup]] labels table: fold every
     * COMMITTED delta partition (all but the latest batch, plus any prior
     * snapshot) into one snapshot partition at `batch_id = -1`, then prune

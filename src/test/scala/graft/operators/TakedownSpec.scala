@@ -124,8 +124,7 @@ class TakedownSpec extends SparkSpec {
       s"$base/cs/labels", 0L)
     writeBatch(docs.select(col("doc_id").as("id")), s"$base/cs/index", 0L)
 
-    // ---- ONE takedown request across the whole surface
-    val outcomes = Takedown.forget(victims, Seq(
+    val allStores = Seq(
       Store("nb_model", s"$base/nb", Map("idCol" -> "doc_id")),
       Store("dsir", s"$base/dsir", Map("idCol" -> "doc_id")),
       Store("bm25", s"$base/bm25", Map("idCol" -> "doc_id")),
@@ -137,9 +136,21 @@ class TakedownSpec extends SparkSpec {
       Store("table", s"$base/tbl",
         Map("idCol" -> "doc_id", "partitionCol" -> "p")),
       Store("cdc_state", s"$base/cdc", Map("idCol" -> "doc_id")),
-      Store("cluster_state", s"$base/cs", Map("idCol" -> "id"))))
+      Store("cluster_state", s"$base/cs", Map("idCol" -> "id")))
+
+    // ---- negative control: BEFORE the takedown, every store's audit
+    // probe sees at least one requested id (so clean-after isn't an
+    // audit that can't see anything)
+    val before = Takedown.audit(victims, allStores)
+    before.filter(col("status") =!= "held").count() shouldBe 0L
+
+    // ---- ONE takedown request across the whole surface
+    val outcomes = Takedown.forget(victims, allStores)
     outcomes.filter(col("status") =!= "deleted").count() shouldBe 0L
     outcomes.count() shouldBe 11L
+
+    // ---- and PROVE it: no store's read face can still see the ids
+    Takedown.assertForgotten(victims, allStores)
 
     // ---- every store now answers as rebuilt/retrained over survivors
     // nb: exact unlearning == retrain
@@ -253,6 +264,14 @@ class TakedownSpec extends SparkSpec {
     // empty overwrite artifact; pending ROWS are what must be gone)
     Similarity.readParquetIfAny(spark, s"$base/ivf/tombstones")
       .map(_.count()).getOrElse(0L) shouldBe 0L
+    // the audit holds after physical removal too, and a bogus path
+    // audits as failed (NOT clean), which assertForgotten refuses
+    Takedown.assertForgotten(victims, stores)
+    val bogus = Seq(Store("bm25", s"$base/no-such-index"))
+    Takedown.audit(victims, bogus).head().getString(2) shouldBe "failed"
+    intercept[IllegalStateException] {
+      Takedown.assertForgotten(victims, bogus)
+    }.getMessage should include("NOT proven")
     // unknown kinds refuse here too
     intercept[IllegalArgumentException] {
       Takedown.compactAll(spark, Seq(Store("nope", "/tmp/x")))
