@@ -67,18 +67,28 @@ private[graft] object AtomicBatches {
     val (fs, _) = fsOf(spark, indexPath)
     val m = new org.apache.hadoop.fs.Path(s"$indexPath/_MAINT")
     if (!fs.exists(m)) None
-    else {
+    else try {
       val in = fs.open(m)
       val content =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       Some(if (content == KindRebuild) KindRebuild else KindCompact)
+    } catch {
+      // exists() raced a completing pass's marker delete: the index is
+      // consistent at this instant — report "no maintenance", exactly
+      // what the pre-typing exists()-only check would have said
+      case _: java.io.FileNotFoundException => None
     }
   }
 
+  // `overwrite = false` is the LOCK acquisition (atomic exclusive
+  // create — the loser of a check-then-create race throws instead of
+  // silently sharing the index); rebuilds pass true, they supersede
+  // any marker by contract
   private def createMarker(fs: org.apache.hadoop.fs.FileSystem,
-      m: org.apache.hadoop.fs.Path, kind: String): Unit = {
-    val out = fs.create(m, true)
+      m: org.apache.hadoop.fs.Path, kind: String,
+      overwrite: Boolean): Unit = {
+    val out = fs.create(m, overwrite)
     out.write(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
   }
@@ -134,7 +144,14 @@ private[graft] object AtomicBatches {
         "or crashed mid-rewrite. Confirm none is running, then re-run " +
         "with takeover = true to resume (safe: compaction steps are pure " +
         "functions of the current tables and re-runnable).")
-      case None => createMarker(fs, m, KindCompact)
+      case None =>
+        try createMarker(fs, m, KindCompact, overwrite = false)
+        catch {
+          case e: java.io.IOException => throw new IllegalArgumentException(
+            s"lost the _MAINT acquisition race at $indexPath: another " +
+            "maintenance pass created the marker between the check and " +
+            "the exclusive create — exactly one pass may own an index.", e)
+        }
     }
     val out = body
     fs.delete(m, false)
@@ -179,7 +196,7 @@ private[graft] object AtomicBatches {
       (body: => T): T = {
     val (fs, _) = fsOf(spark, indexPath)
     val m = new org.apache.hadoop.fs.Path(s"$indexPath/_MAINT")
-    createMarker(fs, m, KindRebuild)
+    createMarker(fs, m, KindRebuild, overwrite = true)
     val out = body
     fs.delete(m, false)
     out

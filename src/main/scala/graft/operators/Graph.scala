@@ -493,15 +493,22 @@ object Graph {
       "trianglesIndexDeleteNodes")
     val v = ids.select(col(idCol).cast("long").as("__vid")).distinct()
       .localCheckpoint(true) // both endpoint semi-joins read it
+    // the folded edge view feeds BOTH endpoint semi-joins and (via the
+    // incident frame) trianglesIndexDelete's own join — checkpoint it
+    // once so a slow-fold history (any prior delete) is not re-folded
+    // three times per node takedown
+    val cur = indexEdges(spark, path).localCheckpoint(true)
     try {
-      val cur = indexEdges(spark, path)
       val incident = cur
         .join(broadcast(v.select(col("__vid").as("a"))), Seq("a"), "left_semi")
         .unionByName(cur.join(
           broadcast(v.select(col("__vid").as("b"))), Seq("b"), "left_semi"))
         .select(col("a"), col("b")).distinct()
       trianglesIndexDelete(incident, "a", "b", path)
-    } finally Bridge.releaseLocalCheckpoint(v)
+    } finally {
+      Bridge.releaseLocalCheckpoint(cur)
+      Bridge.releaseLocalCheckpoint(v)
+    }
   }
 
   /** Fold a triangle index's committed batch history into a fresh base

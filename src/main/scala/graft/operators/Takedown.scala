@@ -74,7 +74,38 @@ object Takedown {
       // AUDIT probe: the ids that still influence this store's read
       // faces, as one `id` column (lazily corpus-sized — [[audit]]
       // semi-joins it against the bounded request)
-      present: (SparkSession, String, Store) => DataFrame = null)
+      present: (SparkSession, String, Store) => DataFrame = null,
+      // opts keys a Store of this kind MUST carry — validated by every
+      // entry point BEFORE any store is touched (a statically-knowable
+      // misconfiguration must not mutate half the surface first)
+      requiredOpts: Seq[String] = Nil)
+
+  // shared upfront validation: unknown kinds, missing required opts,
+  // and the empty registry all refuse BEFORE any store is touched —
+  // an empty list in particular must not let forget/audit/compactAll
+  // vacuously "succeed" over nothing (a silently incomplete takedown,
+  // or worse, a vacuous proof)
+  private def validateStores(face: String, stores: Seq[Store]): Unit = {
+    require(stores.nonEmpty,
+      s"Takedown.$face: no stores registered — an empty registry would " +
+      "silently cover nothing; list every persisted store of the " +
+      "pipeline (the point of the orchestrator is that missing one is " +
+      "an incomplete takedown)")
+    val unknown = stores.map(_.kind).distinct.filterNot(kinds.contains)
+    require(unknown.isEmpty,
+      s"Takedown.$face: unknown store kind(s) ${unknown.mkString(", ")} " +
+      s"— registered kinds: ${kinds.keys.toSeq.sorted.mkString(", ")}. " +
+      "Refusing to run: an unregistered store would be silently " +
+      "skipped, an incomplete takedown.")
+    val missing = stores.flatMap { st =>
+      kinds(st.kind).requiredOpts.filterNot(st.opts.contains)
+        .map(o => s"${st.kind} @ ${st.path} needs opts(\"$o\")")
+    }
+    require(missing.isEmpty,
+      s"Takedown.$face: ${missing.mkString("; ")} — required options " +
+      "are validated up front so a misconfigured store cannot fail " +
+      "AFTER the rest of the surface already mutated.")
+  }
 
   // victims renamed to the store's id column (opts("idCol"), defaulting
   // to the request's) so one request frame serves stores keyed on
@@ -217,7 +248,8 @@ object Takedown {
         ()
       },
       present = (sp, idCol, st) => sp.read.parquet(st.path)
-        .select(col(st.opts.getOrElse("idCol", idCol)).as("id")))
+        .select(col(st.opts.getOrElse("idCol", idCol)).as("id")),
+      requiredOpts = Seq("partitionCol"))
   ).map(k => k.name -> k).toMap
 
   /** Write faces that create DERIVED artifacts with no in-place delete
@@ -252,19 +284,7 @@ object Takedown {
   def forget(victims: DataFrame, stores: Seq[Store], idCol: String = "id",
       textCol: String = "text", bestEffort: Boolean = false): DataFrame = {
     val spark = victims.sparkSession
-    require(stores.nonEmpty,
-      "Takedown.forget: no stores registered — an empty registry would " +
-      "silently forget nothing; list every persisted store of the " +
-      "pipeline (the point of the orchestrator is that missing one is " +
-      "an incomplete takedown)")
-    // resolve EVERY kind before touching ANY store: an unknown kind
-    // must fail loudly up front, not after half the surface mutated
-    val unknown = stores.map(_.kind).distinct.filterNot(kinds.contains)
-    require(unknown.isEmpty,
-      s"Takedown.forget: unknown store kind(s) ${unknown.mkString(", ")} " +
-      s"— registered kinds: ${kinds.keys.toSeq.sorted.mkString(", ")}. " +
-      "Refusing to run: an unregistered store would be silently skipped, " +
-      "an incomplete takedown.")
+    validateStores("forget", stores)
     require(victims.columns.contains(idCol),
       s"victims must carry the id column '$idCol'")
     val needText = stores.map(s => kinds(s.kind))
@@ -311,11 +331,7 @@ object Takedown {
     */
   def compactAll(spark: SparkSession, stores: Seq[Store],
       bestEffort: Boolean = false): DataFrame = {
-    val unknown = stores.map(_.kind).distinct.filterNot(kinds.contains)
-    require(unknown.isEmpty,
-      s"Takedown.compactAll: unknown store kind(s) " +
-      s"${unknown.mkString(", ")} — registered kinds: " +
-      s"${kinds.keys.toSeq.sorted.mkString(", ")}.")
+    validateStores("compactAll", stores)
     attemptAll(spark, stores, bestEffort, okStatus = "compacted",
       what = "compaction",
       recovery = "Re-run the failed store's compaction (takeover = true " +
@@ -344,10 +360,7 @@ object Takedown {
   def audit(victims: DataFrame, stores: Seq[Store], idCol: String = "id")
       : DataFrame = {
     val spark = victims.sparkSession
-    val unknown = stores.map(_.kind).distinct.filterNot(kinds.contains)
-    require(unknown.isEmpty,
-      s"Takedown.audit: unknown store kind(s) ${unknown.mkString(", ")} " +
-      s"— registered kinds: ${kinds.keys.toSeq.sorted.mkString(", ")}.")
+    validateStores("audit", stores)
     require(victims.columns.contains(idCol),
       s"victims must carry the id column '$idCol'")
     val v = victims.select(col(idCol).cast("long").as("id")).distinct()

@@ -84,6 +84,24 @@ class TakedownSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Takedown.forget(victims, Seq.empty)
     }.getMessage should include("no stores registered")
+    // the vacuous-proof twin: an empty audit/compactAll must refuse too
+    intercept[IllegalArgumentException] {
+      Takedown.assertForgotten(victims, Seq.empty)
+    }.getMessage should include("no stores registered")
+    intercept[IllegalArgumentException] {
+      Takedown.compactAll(spark, Seq.empty)
+    }.getMessage should include("no stores registered")
+    // a known kind missing a REQUIRED opt refuses upfront — before any
+    // other store mutates (the statically-knowable misconfiguration)
+    val before2 = sorted(
+      Classifier.nbScoreFromModel(corpus, "doc_id", "text", nb))
+    intercept[IllegalArgumentException] {
+      Takedown.forget(victims, Seq(
+        Store("nb_model", nb, Map("idCol" -> "doc_id")),
+        Store("table", "/tmp/whatever", Map("idCol" -> "doc_id"))))
+    }.getMessage should include("partitionCol")
+    sorted(Classifier.nbScoreFromModel(corpus, "doc_id", "text", nb)) shouldBe
+      before2
   }
 
   test("one orchestrated forget hits every registered store kind") {
