@@ -866,6 +866,39 @@ object SparkEntry {
       // query needs a real graph, not the biggest one
       Graph.trianglesIndexWrite(coPurchaseEdges(s, dir, 4, 0),
         "src", "dst", s"$base/tri")
+      // the STREAM-shaped stores, built quiesced in the streams' exact
+      // batch layout (static overwrite of batch 0 wipes the prior run's
+      // channels; batch 1 lands via dynamic overwrite), so the
+      // orchestrated call covers EVERY registered kind in one oracle
+      def writeBatch0(df: DataFrame, path: String): Unit =
+        df.withColumn("batch_id", lit(0L))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+      def writeBatch1(df: DataFrame, path: String): Unit =
+        df.withColumn("batch_id", lit(1L))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(path)
+      val cdc0 = graft.operators.TrainingData.cdcIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        w = 8, maskBits = 6)
+      writeBatch0(cdc0, s"$base/cdc")
+      writeBatch1(graft.operators.TrainingData.cdcIndexDelta(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        w = 8, maskBits = 6, cdc0), s"$base/cdc")
+      val csPairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 16, bands = 8, shingleN = 5, threshold = 0.4,
+        estimateSlack = 0.05)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true) // labels closure + pair store read it
+      writeBatch0(csPairs, s"$base/cs/pairs")
+      writeBatch0(Dedup.connectedComponents(csPairs, "id_a", "id_b"),
+        s"$base/cs/labels")
+      writeBatch0(docs.select(col("doc_id").as("id")), s"$base/cs/index")
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(csPairs)
+      // and a plain partitioned table (the GDPR deleteMatching kind)
+      docs.select(col("doc_id"), (col("doc_id") % 16).as("p"),
+          col("source"))
+        .write.mode("overwrite").partitionBy("p").parquet(s"$base/tbl")
       // the request: ids with text from the document space, text-less
       // ids from the vector and node spaces (per id, forget() keeps the
       // non-null text — the count-form stores' drift guards need it).
@@ -889,7 +922,14 @@ object SparkEntry {
         Store("containment", s"$base/ct", Map("idCol" -> "doc_id")),
         Store("jaccard_prefix", s"$base/jp", Map("idCol" -> "doc_id")),
         Store("ivf", s"$base/ivf", Map("idCol" -> "vec_id")),
-        Store("triangles", s"$base/tri"))
+        Store("triangles", s"$base/tri"),
+        // quiesced batch-built stream stores: fold the latest batch too
+        Store("cdc_state", s"$base/cdc",
+          Map("idCol" -> "doc_id", "includeLatest" -> "true")),
+        Store("cluster_state", s"$base/cs",
+          Map("includeLatest" -> "true")),
+        Store("table", s"$base/tbl",
+          Map("idCol" -> "doc_id", "partitionCol" -> "p")))
       Takedown.forget(victims, stores)
       // physical removal on every store (the orchestrated half too)
       Takedown.compactAll(s, stores)
@@ -937,6 +977,16 @@ object SparkEntry {
       .unionByName(m("triangles",
         Graph.trianglesFromIndex(s, s"$base/tri"),
         col("id") + col("triangles")))
+      .unionByName(m("cdc_state",
+        // physically compacted: the raw rows ARE the survivor index
+        s.read.parquet(s"$base/cdc").select(col("doc_id"), col("chunk_idx")),
+        col("doc_id") + col("chunk_idx")))
+      .unionByName(m("cluster_state",
+        graft.streaming.StreamingOps.currentClusterLabels(s,
+          s"$base/cs/labels"),
+        col("id") + col("cluster_id")))
+      .unionByName(m("table",
+        s.read.parquet(s"$base/tbl").select("doc_id"), col("doc_id")))
     }),
     "pipeline_decontaminate_bloom" -> ((s, dir) => {
       // the scale path for big eval unions: bloom prefilter in the scan
@@ -5999,7 +6049,55 @@ object SparkEntry {
            WHERE embedding IS NOT NULL AND vec_id % 9 <> 2""",
         "vec_id"),
       wrap("triangles", trianglesNodeDeletedSql("% 9 <> 2"),
-        "id + triangles")
+        "id + triangles"),
+      // the owner-forgetting contract over the FULL corpus: the
+      // incrementally-built index (old batch + delta) equals the
+      // one-shot first-occurrence winners (old ids < new ids), minus
+      // every victim-OWNED entry after physical compaction
+      wrap("cdc_state",
+        """WITH base AS (SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+             FROM documents
+             WHERE text IS NOT NULL
+               AND length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) > 0),
+           b AS (SELECT doc_id, t, length(t)::INT AS n,
+               list_filter(generate_series(8, length(t)::INT), i ->
+                 list_sum(list_transform(generate_series(1, 8), j ->
+                   ascii(substr(t, i - 8 + j, 1))::BIGINT
+                     * ((31 ** (8 - j))::BIGINT))) % 64 = 0) AS bd
+             FROM base),
+           c AS (SELECT doc_id, t,
+               list_concat([1], list_transform(bd, x -> x + 1)) AS ss,
+               list_concat(bd, [n]) AS ee
+             FROM b),
+           ch AS (SELECT doc_id, (k - 1)::INT AS idx,
+               substr(t, ss[k], ee[k] - ss[k] + 1) AS chunk
+             FROM c, unnest(generate_series(1, len(ss))) AS u(k)
+             WHERE ee[k] >= ss[k]),
+           w AS (SELECT
+               min(doc_id * 2147483648 + idx) // 2147483648 AS doc_id,
+               min(doc_id * 2147483648 + idx) % 2147483648 AS chunk_idx
+             FROM ch GROUP BY md5(chunk))
+           SELECT doc_id, chunk_idx FROM w WHERE doc_id % 9 <> 2""",
+        "doc_id + chunk_idx"),
+      // re-closure over the surviving exact-jaccard pairs — the same
+      // recursive replay the dedup_incremental_deleted oracle runs
+      wrap("cluster_state",
+        s"""WITH RECURSIVE $minhashPairsSql,
+           pr AS MATERIALIZED (SELECT id_a, id_b FROM p WHERE j >= 0.4
+             AND id_a % 9 <> 2 AND id_b % 9 <> 2),
+           edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                     UNION SELECT id_b, id_a FROM pr),
+           reach(a, b) AS (
+             SELECT a, b FROM edges
+             UNION
+             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+           SELECT a AS id, least(a, min(b))::BIGINT AS cluster_id
+           FROM reach GROUP BY a""",
+        "id + cluster_id"),
+      wrap("table",
+        "SELECT doc_id FROM documents WHERE doc_id % 9 <> 2",
+        "doc_id")
     ).mkString(" UNION ALL ")
   }
 
