@@ -1144,6 +1144,11 @@ object Dedup {
     * corpus without re-reading source vectors or retraining — the
     * train-offline / score-online split of `continuousKmeansAssign`,
     * applied to SemDeDup.
+    *
+    * Takedown contract for a PERSISTED index:
+    * [[Takedown.userPersisted]] — rebuild from the surviving corpus
+    * with a RETRAINED model (every row is a projection of the model, so
+    * a victim-trained model leaks through survivors' assignments too).
     */
   def semanticKmeansIndex(df: DataFrame, idCol: String, vecCol: String,
       model: DataFrame): DataFrame = {
@@ -1473,7 +1478,8 @@ object Dedup {
       col("cluster_id").cast("long").as("cluster_id"))
     val p = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-    val (affected, _, reclosed, rel) = affectedReclosure(lab, v, p, maxIter)
+    val (affected, _, reclosed, rel) =
+      affectedReclosure(lab, v, p, maxIter, materializeMembers = false)
     // everything outside the affected components passes through
     // untouched, byte-identical
     val out = lab.join(affected, Seq("cluster_id"), "left_anti")
@@ -1509,16 +1515,22 @@ object Dedup {
     * propagation runs on the affected components' subgraph alone.
     */
   private[graft] def affectedReclosure(lab: DataFrame, v: DataFrame,
-      p: DataFrame, maxIter: Int)
+      p: DataFrame, maxIter: Int, materializeMembers: Boolean = true)
       : (DataFrame, DataFrame, DataFrame, () => Unit) = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the components a victim belongs to — bounded, read repeatedly
     val affected = lab.join(v, Seq("id"), "left_semi")
       .select("cluster_id").distinct().persist(sl)
     affected.count() // one action materializes v (scanned) + affected
-    val members = lab.join(affected, Seq("cluster_id"), "left_semi")
+    val members0 = lab.join(affected, Seq("cluster_id"), "left_semi")
       .select(col("id"))
-      .localCheckpoint(true) // subPairs here + the callers read it
+    // the STREAMING caller reads `members` a second time after the
+    // re-closure (its per-member override rows) — checkpoint it once
+    // there; the batch caller consumes it exactly once (subPairs), where
+    // an eager materialization is pure cost (A/B'd pre/post-unification
+    // at sf0.1: the batch face carries no penalty in the lazy shape)
+    val members =
+      if (materializeMembers) members0.localCheckpoint(true) else members0
     // surviving pairs WITHIN affected components: closure ⇒ one
     // endpoint's membership implies the other's
     val subPairs = p
@@ -1529,7 +1541,12 @@ object Dedup {
       connectedComponentsWithCleanup(subPairs, "a", "b", maxIter)
     (affected, members, reclosed, () => {
       affected.unpersist(blocking = false)
-      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(members)
+      // only release what WE checkpointed: on the lazy shape the first
+      // LogicalRDD in members' plan is the CALLER's frame (e.g. the
+      // streaming face's checkpointed labels) — releasing it here would
+      // destroy a frame the caller still reads
+      if (materializeMembers)
+        org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(members)
       ccRelease()
     })
   }

@@ -100,6 +100,11 @@ object Embeddings {
     * assign arbitrary future batches against it
     * ([[kmeansAssign]]), the same train-offline / score-online split as
     * the NB classifier and DSIR.
+    *
+    * Takedown contract for the persisted model:
+    * [[Takedown.userPersisted]] — RETRAIN over the surviving corpus and
+    * replace (centroids are many-to-one aggregates; a model trained on
+    * victims is influence no in-place correction can provably remove).
     */
   def kmeansTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, iters: Int): DataFrame = {
@@ -164,7 +169,9 @@ object Embeddings {
     * codebooks exactly.
     *
     * Returns the model as (sub, cluster, centroid) — m·k rows; persist
-    * with `model.write.parquet(...)`.
+    * with `model.write.parquet(...)`. Takedown contract for the
+    * persisted codebooks: [[Takedown.userPersisted]] — retrain over
+    * survivors and replace (and re-encode stored codes).
     */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       m: Int, k: Int, iters: Int): DataFrame = {

@@ -267,6 +267,10 @@ object Sampling {
     * against it, the same persisted-state discipline as
     * [[graft.operators.Classifier.nbTrain]] and the dedup indexes.
     * Bounded by `numBuckets + 1` rows at any corpus size.
+    *
+    * Takedown contract for the persisted model:
+    * [[Takedown.userPersisted]] — retrain over survivors and replace,
+    * or ingest through [[dsirStoreWrite]] for exact unlearning.
     */
   def dsirTrain(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, numBuckets: Int = 1024): DataFrame =

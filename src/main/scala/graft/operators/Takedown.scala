@@ -73,8 +73,12 @@ object Takedown {
       compact: Option[(SparkSession, Store) => Unit] = None,
       // AUDIT probe: the ids that still influence this store's read
       // faces, as one `id` column (lazily corpus-sized — [[audit]]
-      // semi-joins it against the bounded request)
-      present: (SparkSession, String, Store) => DataFrame = null,
+      // semi-joins it against the bounded request). REQUIRED, no
+      // default: a kind registered without a probe would pass
+      // validation and surface only as a runtime NPE inside audit() —
+      // a probe-less kind must fail at registration (compile time),
+      // the statically-knowable-misconfiguration principle.
+      present: (SparkSession, String, Store) => DataFrame,
       // opts keys a Store of this kind MUST carry — validated by every
       // entry point BEFORE any store is touched (a statically-knowable
       // misconfiguration must not mutate half the surface first)
@@ -235,16 +239,12 @@ object Takedown {
           throw new IllegalArgumentException(
             "table kind requires opts(\"partitionCol\") — the Hive " +
             "partition column deleteMatching prunes its rewrite to"))
-        val sid = st.opts.getOrElse("idCol", idCol)
-        // the victim list is request-sized by contract — the same
-        // boundedness every face's broadcast assumes — so inlining it
-        // as a literal predicate is the one driver action here
-        val ids = v.select(col(idCol).cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        if (ids.nonEmpty) {
-          graft.tables.Tables.deleteMatching(v.sparkSession, st.path,
-            pcol, col(sid).cast("long").isin(ids: _*))
-        }
+        val (vv, sid) = vAs(v, idCol, st)
+        // join-based delete: the victim frame reaches the rewrite as a
+        // broadcast semi/anti join — a million-id request stays a
+        // three-join plan, never a driver collect or an `isin` literal
+        graft.tables.Tables.deleteMatching(v.sparkSession, st.path,
+          pcol, vv.select(col(sid)), sid)
         ()
       },
       present = (sp, idCol, st) => sp.read.parquet(st.path)
@@ -268,18 +268,56 @@ object Takedown {
        "nbModelWrite / dsirStoreWrite, which the nb_model / dsir kinds " +
        "cover"))
 
+  /** Takedown contract for MODEL ARTIFACTS the USER persists (the
+    * train-offline / score-online faces whose scaladoc invites
+    * `model.write.parquet(...)`): a k-means codebook or a frozen-model
+    * index trained on victims is victim INFLUENCE, but it lives outside
+    * the engine's write faces, so no [[kinds]] row can see it — the
+    * orchestrator cannot delete from, audit, or compact what it never
+    * wrote. The contract is RETRAIN OVER SURVIVORS: after a takedown,
+    * re-run the train face on the surviving corpus and replace the
+    * persisted artifact (then regenerate anything derived from it).
+    * Centroids are many-to-one aggregates, so no in-place correction
+    * can prove removal the way the count-form stores can — retraining
+    * is the only provable path. `TakedownSurfaceSpec` pins each face
+    * listed here to a scaladoc that names this contract, and pins the
+    * list itself against the sources.
+    */
+  val userPersisted: Map[String, String] = Map(
+    "kmeansTrain" ->
+      ("persisted k-means model (k centroid rows): retrain over the " +
+       "surviving corpus and replace; re-assign any stored cluster ids " +
+       "derived from the old model"),
+    "pqTrain" ->
+      ("persisted PQ codebooks (m·k centroid rows): retrain over the " +
+       "surviving corpus and replace; re-encode any stored PQ codes " +
+       "derived from the old codebooks"),
+    "semanticKmeansIndex" ->
+      ("frozen-model assignment index: rebuild from the surviving " +
+       "corpus with the RETRAINED model (assignments are a projection " +
+       "of the model — a victim-trained model leaks through every row)"),
+    "dsirTrain" ->
+      ("persisted DSIR log-ratio model (bucket-count aggregate): " +
+       "retrain over the surviving corpus and replace — or ingest " +
+       "through dsirStoreWrite instead, whose ledgered store the dsir " +
+       "kind unlearns EXACTLY without retraining"))
+
   /** Apply one takedown request to every registered store. `victims`
     * must carry `idCol`; when any registered store's family unlearns
     * from exact ingested text (victimShape `id_text`), it must also
-    * carry `textCol` — per id, the non-null text is kept when rows
-    * disagree (an id can arrive both from the document space, with
-    * text, and from a vector/node space without).
+    * carry `textCol` — per id, the non-null text is kept when some rows
+    * lack one (an id can arrive both from the document space, with
+    * text, and from a vector/node space without). An id arriving with
+    * TWO DISTINCT non-null texts refuses upfront — an arbitrary winner
+    * would subtract the wrong counts from the id_text stores.
     *
     * Returns one row per store: (kind, path, status, detail) with
-    * status `deleted` or `failed`. Unless `bestEffort`, any failure —
-    * after EVERY store was attempted — raises with the failed stores
-    * listed; re-running the same forget after fixing the cause is safe
-    * (every face tolerates re-delivery).
+    * status `deleted`, `partial` (an id_text store ran, but victim ids
+    * that arrived with NULL text are still visible in it — re-run with
+    * their exact ingested text), or `failed`. Unless `bestEffort`, any
+    * `partial`/`failed` — after EVERY store was attempted — raises with
+    * the stores listed; re-running the same forget after fixing the
+    * cause is safe (every face tolerates re-delivery).
     */
   def forget(victims: DataFrame, stores: Seq[Store], idCol: String = "id",
       textCol: String = "text", bestEffort: Boolean = false): DataFrame = {
@@ -296,25 +334,73 @@ object Takedown {
       "drifted text would corrupt those models)")
     // ONE bounded materialization; every store face scans this. Per id,
     // prefer the non-null text (max ignores nulls); ids arriving from
-    // text-less key spaces ride along with NULL text and are dropped by
-    // the id_text faces' own non-null filters.
+    // text-less key spaces ride along with NULL text — see the id_text
+    // cross-check below for why those cannot silently count as deleted.
     val v0 =
       if (victims.columns.contains(textCol))
         victims.groupBy(col(idCol))
-          .agg(max(col(textCol)).as(textCol))
+          .agg(max(col(textCol)).as(textCol),
+            countDistinct(col(textCol)).as("__nt"))
       else victims.select(col(idCol)).distinct()
         .withColumn(textCol, lit(null).cast("string"))
-    val v = v0.localCheckpoint(true)
-    try
-      attemptAll(spark, stores, bestEffort, okStatus = "deleted",
-        what = "takedown",
-        recovery = "Fix the cause and re-run the same forget: every " +
-          "face tolerates re-delivery.") { st =>
-        kinds(st.kind).invoke(v, idCol, textCol, st)
-        kinds(st.kind).deleteFace
-      }
-    finally
-      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(v)
+        .withColumn("__nt", lit(0L))
+    val vAll = v0.localCheckpoint(true)
+    val v = vAll.drop("__nt")
+    try {
+      // an id arriving with TWO divergent non-null texts is a malformed
+      // request: max() would silently pick one, and an id_text store's
+      // digest drift-guard would then fail only when the WRONG one won —
+      // nondeterministically. Refuse deterministically, naming the ids,
+      // BEFORE any store mutates.
+      val conflicted = vAll.filter(col("__nt") > 1)
+        .select(col(idCol)).orderBy(col(idCol)).limit(6)
+        .collect().map(r => String.valueOf(r.get(0)))
+      require(conflicted.isEmpty,
+        s"forget: victim ids arrive with more than one distinct " +
+        s"non-null '$textCol' (e.g. ${conflicted.mkString(", ")}) — an " +
+        "arbitrary winner would subtract the WRONG counts from the " +
+        "id_text stores. Deduplicate the request to one exact ingested " +
+        "text per id first.")
+      // victim ids that arrived with NO text cannot be unlearned by the
+      // id_text faces (their deletes subtract counts recomputed from
+      // the exact text, so they skip null-text rows by contract): after
+      // each id_text delete, cross-check those ids against the store's
+      // OWN present probe — any still visible makes that row 'partial',
+      // never a silent 'deleted' (a lie only a later audit would catch)
+      val nullTextIds =
+        if (stores.map(s => kinds(s.kind)).exists(_.victimShape == "id_text"))
+          v.filter(col(textCol).isNull)
+            .select(col(idCol).cast("long").as("id"))
+            .localCheckpoint(true)
+        else null
+      val nNullText = if (nullTextIds == null) 0L else nullTextIds.count()
+      try
+        attemptAll(spark, stores, bestEffort, okStatus = "deleted",
+          what = "takedown",
+          recovery = "Fix the cause and re-run the same forget: every " +
+            "face tolerates re-delivery.") { st =>
+          val kind = kinds(st.kind)
+          kind.invoke(v, idCol, textCol, st)
+          if (kind.victimShape == "id_text" && nNullText > 0) {
+            val held = kind.present(spark, idCol, st)
+              .select(col("id").cast("long").as("id"))
+              .join(broadcast(nullTextIds), Seq("id"), "left_semi")
+            val r = held.agg(countDistinct(col("id")).as("n"),
+              slice(sort_array(collect_set(col("id"))), 1, 5).as("s"))
+              .head()
+            if (r.getLong(0) > 0) throw PartialTakedown(
+              s"${r.getLong(0)} victim id(s) arrived with NULL " +
+              s"'$textCol' and are still present in this id_text store " +
+              s"(e.g. ${r.getSeq[Long](1).mkString(",")}) — re-run " +
+              "forget carrying their exact ingested text")
+          }
+          kind.deleteFace
+        }
+      finally
+        if (nullTextIds != null)
+          org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(nullTextIds)
+    } finally
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(vAll)
   }
 
   /** The PHYSICAL-REMOVAL half, orchestrated: run each registered
@@ -366,7 +452,7 @@ object Takedown {
     val v = victims.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint(true) // one probe per store reads it
     try {
-      val outcomes = stores.map { st =>
+      val outcomes = inParallel(stores) { st =>
         try {
           val rem = kinds(st.kind).present(spark, idCol, st)
             .select(col("id").cast("long").as("id"))
@@ -412,25 +498,38 @@ object Takedown {
 
   private object NoopCompaction extends Exception
 
+  // an id_text face ran, but victim ids that arrived with NULL text are
+  // still visible in the store — the outcome row must say so instead of
+  // 'deleted' ([[forget]]'s cross-check); counts as a failure for the
+  // loud raise (the takedown is NOT complete on that store)
+  private final case class PartialTakedown(msg: String) extends Exception(msg)
+
   // one attempt-all pass over the stores: every store is tried even
-  // when an earlier one failed, outcomes are reported per store, and
-  // (unless bestEffort) any failure raises AFTER the full pass
+  // when an earlier one failed, outcomes are reported per store (in
+  // input order), and (unless bestEffort) any failure raises AFTER the
+  // full pass. Registered stores are INDEPENDENT — distinct roots, each
+  // face touching only its own — so the pass runs them CONCURRENTLY on
+  // a bounded pool: an orchestrated takedown is ~70 small Spark jobs
+  // which Spark's scheduler happily interleaves, so the SLA wall-clock
+  // is the slowest store's chain, not the sum of eleven.
   private def attemptAll(spark: SparkSession, stores: Seq[Store],
       bestEffort: Boolean, okStatus: String, what: String,
       recovery: String)(run: Store => String): DataFrame = {
-    val outcomes = stores.map { st =>
+    val outcomes = inParallel(stores) { st =>
       try {
         val detail = run(st)
         (st.kind, st.path, okStatus, detail)
       } catch {
         case NoopCompaction =>
           (st.kind, st.path, "noop", "delete is already physical")
+        case PartialTakedown(m) =>
+          (st.kind, st.path, "partial", m.take(300))
         case e: Exception =>
           (st.kind, st.path, "failed",
             Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
       }
     }
-    val failed = outcomes.filter(_._3 == "failed")
+    val failed = outcomes.filter(o => o._3 == "failed" || o._3 == "partial")
     if (failed.nonEmpty && !bestEffort)
       throw new IllegalStateException(
         s"$what INCOMPLETE: ${failed.size}/${stores.size} store(s) " +
@@ -440,4 +539,22 @@ object Takedown {
     import spark.implicits._
     outcomes.toDF("kind", "path", "status", "detail")
   }
+
+  // bounded-parallelism map that PRESERVES input order in its results.
+  // The threads exist only to SUBMIT concurrent Spark jobs (the work
+  // itself runs on the executors); 8 in flight keeps a driver's
+  // scheduler busy without flooding it, and per-store try/catch above
+  // means `f` only throws on VM-level errors. Sequential for 0/1 store.
+  private def inParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.size <= 1) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(xs.size, 8))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[B]] =
+          xs.map(x => (() => f(x)): java.util.concurrent.Callable[B])
+        pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+      } finally pool.shutdown()
+    }
 }

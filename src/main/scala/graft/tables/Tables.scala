@@ -173,9 +173,54 @@ object Tables {
     * protocol fronts this in production; the rewrite shape is identical.
     */
   def deleteMatching(spark: SparkSession, path: String,
-      partitionCol: String, predicate: Column): Long = {
+      partitionCol: String, predicate: Column): Long =
+    // keep every row where the predicate is NOT TRUE: a bare
+    // `!predicate` drops NULL-evaluating rows too (three-valued logic) —
+    // rows neither counted as deleted nor kept, silent data loss in a
+    // GDPR utility. coalesce(p, false) makes "delete" mean strictly
+    // "predicate is true".
+    deleteRewrite(spark, path, partitionCol,
+      df => df.filter(coalesce(predicate, lit(false))),
+      df => df.filter(!coalesce(predicate, lit(false))))
+
+  /** [[deleteMatching]] for a victim DataFrame: delete every row whose
+    * `idCol` appears in `victims` (same column name on both sides; both
+    * compared as long). The victim frame never touches the driver — the
+    * affected-partition discovery and the rewrite filter are both
+    * broadcast semi/anti joins against it — so a takedown request
+    * carrying millions of ids stays a three-join plan instead of a
+    * million-literal `isin` predicate (or a driver OOM). Returns the
+    * number of rows deleted.
+    */
+  def deleteMatching(spark: SparkSession, path: String,
+      partitionCol: String, victims: DataFrame, idCol: String): Long = {
+    val v = victims.select(col(idCol).cast("long").as("__vid")).distinct()
+      .localCheckpoint(true) // read by the discovery AND the rewrite
+    try {
+      val (matches, keep) = victimDeletePlans(idCol, v)
+      deleteRewrite(spark, path, partitionCol, matches, keep)
+    } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(v)
+  }
+
+  // the two sides of a victim delete, as a testable seam: rows to drop
+  // (semi join) and rows to keep (anti join) — both broadcast joins on
+  // the bounded victim frame, never an inlined literal list
+  private[graft] def victimDeletePlans(idCol: String, v: DataFrame)
+      : (DataFrame => DataFrame, DataFrame => DataFrame) = (
+    df => df.join(broadcast(v), df(idCol).cast("long") === v("__vid"),
+      "left_semi"),
+    df => df.join(broadcast(v), df(idCol).cast("long") === v("__vid"),
+      "left_anti"))
+
+  // shared rewrite core of both deleteMatching faces: `matches` selects
+  // the rows to delete (for partition discovery + the deleted count),
+  // `keep` its complement (the rewrite) — the two must partition each
+  // touched partition's rows exactly
+  private def deleteRewrite(spark: SparkSession, path: String,
+      partitionCol: String, matches: DataFrame => DataFrame,
+      keep: DataFrame => DataFrame): Long = {
     val df = spark.read.parquet(path)
-    val affected = df.filter(predicate)
+    val affected = matches(df)
       .groupBy(partitionCol).agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("__n"))
       .collect()
@@ -190,12 +235,7 @@ object Tables {
     // discipline). Affected-partition data must fit the cluster's
     // storage tier — at larger fractions stage to a side directory and
     // swap like [[compact]].
-    // keep every row where the predicate is NOT TRUE: a bare
-    // `!predicate` drops NULL-evaluating rows too (three-valued logic) —
-    // rows neither counted as deleted nor kept, silent data loss in a
-    // GDPR utility. coalesce(p, false) makes "delete" mean strictly
-    // "predicate is true".
-    val kept = touched.filter(!coalesce(predicate, lit(false)))
+    val kept = keep(touched)
       .localCheckpoint(true)
     val stillThere =
       try {

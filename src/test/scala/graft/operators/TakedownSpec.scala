@@ -314,6 +314,82 @@ class TakedownSpec extends SparkSpec {
     }.getMessage should include("INCOMPLETE")
   }
 
+  test("table takedown consumes a LARGE victim frame as a join, " +
+      "never a literal id list") {
+    import spark.implicits._
+    val base = tmp("bigvictims")
+    spark.range(60000).select(col("id").as("doc_id"),
+      (col("id") % 8).as("p"),
+      concat(lit("t"), col("id")).as("text"))
+      .write.partitionBy("p").parquet(s"$base/tbl")
+    // 50k victim ids — an `isin`-literal plan would be pathological
+    // here (a 50k-term predicate tree), a driver OOM at millions
+    val bigVictims = spark.range(50000).select(col("id"))
+    // the seam the delete executes: both sides must be broadcast joins
+    // against the victim frame, with no inlined literal list
+    val v = bigVictims.select(col("id").cast("long").as("__vid"))
+    val (matches, keep) = graft.tables.Tables.victimDeletePlans("doc_id", v)
+    Seq(matches, keep).foreach { side =>
+      val plan = side(spark.read.parquet(s"$base/tbl"))
+        .queryExecution.executedPlan.toString
+      plan should include("BroadcastHashJoin")
+      (plan should not).include(" IN (")
+    }
+    // and the real orchestrated path deletes correctly at that width
+    val store = Seq(Store("table", s"$base/tbl",
+      Map("idCol" -> "doc_id", "partitionCol" -> "p")))
+    Takedown.forget(bigVictims, store)
+    val tbl = spark.read.parquet(s"$base/tbl")
+    tbl.count() shouldBe 10000L
+    tbl.filter(col("doc_id") < 50000).count() shouldBe 0L
+    Takedown.assertForgotten(bigVictims, store)
+  }
+
+  test("an id arriving with two distinct non-null texts refuses " +
+      "upfront, before any store mutates") {
+    val nb = tmp("conflict") + "/nb"
+    Classifier.nbModelWrite(corpus, "doc_id", "text", nb)
+    val before = sorted(
+      Classifier.nbScoreFromModel(corpus, "doc_id", "text", nb))
+    val conflicted = victims.union(
+      victims.limit(1).withColumn("text", lit("a different text")))
+    val e = intercept[IllegalArgumentException] {
+      Takedown.forget(conflicted,
+        Seq(Store("nb_model", nb, Map("idCol" -> "doc_id"))))
+    }
+    e.getMessage should include("more than one distinct")
+    sorted(Classifier.nbScoreFromModel(corpus, "doc_id", "text", nb)) shouldBe
+      before
+  }
+
+  test("id_text store still holding a NULL-text victim id reports " +
+      "partial, never a silent deleted") {
+    import spark.implicits._
+    val base = tmp("nulltext")
+    Classifier.nbModelWrite(corpus, "doc_id", "text", s"$base/nb")
+    val store = Seq(Store("nb_model", s"$base/nb", Map("idCol" -> "doc_id")))
+    // victim 1 rides with its exact text (unlearnable); victim 4
+    // arrives text-less — the nb face cannot subtract its counts
+    val vmix = victims.filter(col("id") === 1L)
+      .union(Seq((4L, null.asInstanceOf[String])).toDF("id", "text"))
+    val e = intercept[IllegalStateException] {
+      Takedown.forget(vmix, store)
+    }
+    e.getMessage should include("NULL")
+    // bestEffort reports the outcome row as partial (forget RAN — id 1
+    // left the model — but the row must not claim the store is clean)
+    val out = Takedown.forget(vmix, store, bestEffort = true)
+    out.head().getString(2) shouldBe "partial"
+    Takedown.audit(vmix.filter(col("id") === 1L), store)
+      .head().getString(2) shouldBe "clean"
+    Takedown.audit(vmix, store).head().getString(2) shouldBe "held"
+    // carrying the exact text completes the takedown and clears partial
+    val full = victims.filter(col("id") === 1L || col("id") === 4L)
+    Takedown.forget(full, store)
+      .head().getString(2) shouldBe "deleted"
+    Takedown.assertForgotten(full, store)
+  }
+
   test("a failing store does not stop the rest; failures are loud") {
     val base = tmp("fail")
     Classifier.nbModelWrite(corpus, "doc_id", "text", s"$base/nb")

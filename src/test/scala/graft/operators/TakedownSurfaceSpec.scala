@@ -10,6 +10,18 @@ import org.scalatest.matchers.should.Matchers
   * adding a new persisted store without a takedown story fails THIS
   * test, not a review. (No SparkSession needed: the check is over the
   * sources and the registry object.)
+  *
+  * REQUIRED NAMING CONVENTION (the guard's contract, not a style nit):
+  * the grep below recognizes a store-writing face by name — a
+  * top-level, two-space-indented `def` containing `Write`/`Append` or
+  * starting with `write`/`save`/`persist`. A face that persists state
+  * under ANY OTHER name (or nested inside a lambda) silently evades
+  * this spec — so persisted-store writers MUST follow the convention.
+  * The one legitimate exception is a nested `writeBatch`-style helper
+  * inside a foreachBatch lambda of an already-registered stream store.
+  * Model artifacts the USER persists (train faces returning a frame
+  * whose scaladoc invites `model.write.parquet`) are held separately
+  * against [[Takedown.userPersisted]] below.
   */
 class TakedownSurfaceSpec extends AnyFunSuite with Matchers {
 
@@ -25,19 +37,26 @@ class TakedownSurfaceSpec extends AnyFunSuite with Matchers {
   // already-registered stream stores
   private val defPat = """^  (?:private\[graft\] )?def (\w+)""".r
 
+  private def sourceFiles: Seq[java.io.File] = for {
+    dir <- storeSourceDirs
+    f <- Option(dir.listFiles).map(_.toSeq).getOrElse(Seq.empty)
+    if f.getName.endsWith(".scala")
+  } yield f
+
+  private def lines(f: java.io.File): List[String] = {
+    val s = scala.io.Source.fromFile(f, "UTF-8")
+    try s.getLines().toList finally s.close()
+  }
+
   private def writeFacesInSource: Set[String] = {
     val names = for {
-      dir <- storeSourceDirs
-      f <- Option(dir.listFiles).map(_.toSeq).getOrElse(Seq.empty)
-      if f.getName.endsWith(".scala")
-      src = {
-        val s = scala.io.Source.fromFile(f, "UTF-8")
-        try s.getLines().toList finally s.close()
-      }
-      line <- src
+      f <- sourceFiles
+      line <- lines(f)
       m <- defPat.findFirstMatchIn(line)
       n = m.group(1)
-      if n.contains("Write") || n.contains("Append") || n.startsWith("write")
+      if n.contains("Write") || n.contains("Append") ||
+        n.startsWith("write") || n.startsWith("save") ||
+        n.startsWith("persist")
     } yield n
     names.toSet
   }
@@ -77,5 +96,54 @@ class TakedownSurfaceSpec extends AnyFunSuite with Matchers {
     val emptyWrite = Takedown.kinds.values.filter(_.writeFaces.isEmpty)
       .map(_.name).toSet
     emptyWrite shouldBe Set("cluster_state", "cdc_state")
+  }
+
+  test("user-persisted model faces carry the retrain-over-survivors " +
+      "contract in their scaladoc") {
+    // every face whose scaladoc invites the user to persist the model
+    // frame must be registered in userPersisted — a persisted model
+    // trained on victims is influence the orchestrator cannot see, so
+    // the contract (retrain over survivors, replace) must be IN the
+    // inviting scaladoc, not tribal knowledge
+    Takedown.userPersisted should not be empty
+    val allSrc = sourceFiles.map(f => f -> lines(f))
+    Takedown.userPersisted.keys.foreach { face =>
+      val hits = for {
+        (f, src) <- allSrc
+        (line, i) <- src.zipWithIndex
+        if defPat.findFirstMatchIn(line).exists(_.group(1) == face)
+      } yield (f, src, i)
+      withClue(s"userPersisted names '$face', which no longer exists " +
+          "as a top-level def in the store sources — remove or rename: ") {
+        hits should not be empty
+      }
+      // the ~45 scaladoc lines above the def must point at the contract
+      val (f, src, i) = hits.head
+      val doc = src.slice(math.max(0, i - 45), i).mkString("\n")
+      withClue(s"'$face' (${f.getName}) invites persisting its model " +
+          "but its scaladoc does not name Takedown.userPersisted — a " +
+          "user reading the train face must see the takedown story: ") {
+        doc should include("userPersisted")
+      }
+    }
+    // anti-evasion twin: every face in the sources that INVITES
+    // model.write.parquet persistence must have a userPersisted row
+    val inviting = for {
+      (f, src) <- allSrc
+      // the registry's own scaladoc QUOTES the invite phrase — only
+      // operator sources can invite persistence of their model frames
+      if f.getName != "Takedown.scala"
+      (line, i) <- src.zipWithIndex
+      if line.contains("model.write.parquet")
+      // the def this scaladoc documents: first def at/after the invite
+      defLine <- src.drop(i).collectFirst {
+        case l if defPat.findFirstMatchIn(l).isDefined =>
+          defPat.findFirstMatchIn(l).get.group(1)
+      }
+    } yield defLine
+    val uncovered = inviting.toSet -- Takedown.userPersisted.keySet
+    assert(uncovered.isEmpty,
+      s"faces inviting model.write.parquet with NO userPersisted " +
+      s"contract row: ${uncovered.toSeq.sorted.mkString(", ")}")
   }
 }
