@@ -847,25 +847,6 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft-bench-takedown"
       val tgt = col("source").isin("src0", "src1")
-      Classifier.nbModelWrite(docs, "doc_id", "text", s"$base/nb")
-      Sampling.dsirStoreWrite(docs, docs.filter(tgt), "doc_id", "text",
-        s"$base/dsir", numBuckets = 256)
-      TrainingData.bm25IndexWrite(docs, "doc_id", "text", s"$base/bm25")
-      TrainingData.decontamIndexWrite(docs.filter(col("doc_id") >= 5),
-        "doc_id", "text", s"$base/dc", n = 4)
-      TrainingData.containmentIndexWrite(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-        s"$base/ct", shingleN = 12)
-      Dedup.jaccardPrefixIndexWrite(docs.filter(col("doc_id") < 250),
-        "doc_id", "text", s"$base/jp", shingleN = 5, threshold = 0.7)
-      Similarity.ivfWriteIndex(emb, "vec_id", "embedding", dim = 64,
-        path = s"$base/ivf", nBits = 4, lloydIters = 0)
-      // quarter co-purchase graph: the ONLY SF-scaling store here, and
-      // the per-store triangle takedown already measures its full-scale
-      // cost shape under graph_triangles_deleted — the orchestrator
-      // query needs a real graph, not the biggest one
-      Graph.trianglesIndexWrite(coPurchaseEdges(s, dir, 4, 0),
-        "src", "dst", s"$base/tri")
       // the STREAM-shaped stores, built quiesced in the streams' exact
       // batch layout (static overwrite of batch 0 wipes the prior run's
       // channels; batch 1 lands via dynamic overwrite), so the
@@ -878,27 +859,61 @@ object SparkEntry {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(path)
-      val cdc0 = graft.operators.TrainingData.cdcIndex(
-        docs.filter(col("doc_id") < 250), "doc_id", "text",
-        w = 8, maskBits = 6)
-      writeBatch0(cdc0, s"$base/cdc")
-      writeBatch1(graft.operators.TrainingData.cdcIndexDelta(
-        docs.filter(col("doc_id") >= 250), "doc_id", "text",
-        w = 8, maskBits = 6, cdc0), s"$base/cdc")
-      val csPairs = Dedup.minhashLsh(docs, "doc_id", "text",
-        numHashes = 16, bands = 8, shingleN = 5, threshold = 0.4,
-        estimateSlack = 0.05)
-        .select(col("id_a"), col("id_b"))
-        .localCheckpoint(true) // labels closure + pair store read it
-      writeBatch0(csPairs, s"$base/cs/pairs")
-      writeBatch0(Dedup.connectedComponents(csPairs, "id_a", "id_b"),
-        s"$base/cs/labels")
-      writeBatch0(docs.select(col("doc_id").as("id")), s"$base/cs/index")
-      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(csPairs)
-      // and a plain partitioned table (the GDPR deleteMatching kind)
-      docs.select(col("doc_id"), (col("doc_id") % 16).as("p"),
-          col("source"))
-        .write.mode("overwrite").partitionBy("p").parquet(s"$base/tbl")
+      // the ELEVEN stores are independent (distinct roots), so they
+      // build CONCURRENTLY on the orchestrator's own bounded pool —
+      // the same independent-store judgment as forget/compactAll/audit;
+      // intra-store write ORDER (cdc batch 0 before 1; cluster-state
+      // pairs before labels) stays inside each thunk
+      Takedown.inParallel(Seq[() => Unit](
+        () => Classifier.nbModelWrite(docs, "doc_id", "text", s"$base/nb"),
+        () => Sampling.dsirStoreWrite(docs, docs.filter(tgt), "doc_id",
+          "text", s"$base/dsir", numBuckets = 256),
+        () => TrainingData.bm25IndexWrite(docs, "doc_id", "text",
+          s"$base/bm25"),
+        () => TrainingData.decontamIndexWrite(docs.filter(col("doc_id") >= 5),
+          "doc_id", "text", s"$base/dc", n = 4),
+        () => TrainingData.containmentIndexWrite(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          s"$base/ct", shingleN = 12),
+        () => Dedup.jaccardPrefixIndexWrite(docs.filter(col("doc_id") < 250),
+          "doc_id", "text", s"$base/jp", shingleN = 5, threshold = 0.7),
+        () => Similarity.ivfWriteIndex(emb, "vec_id", "embedding", dim = 64,
+          path = s"$base/ivf", nBits = 4, lloydIters = 0),
+        // quarter co-purchase graph: the ONLY SF-scaling store here,
+        // and the per-store triangle takedown already measures its
+        // full-scale cost shape under graph_triangles_deleted — the
+        // orchestrator query needs a real graph, not the biggest one
+        () => Graph.trianglesIndexWrite(coPurchaseEdges(s, dir, 4, 0),
+          "src", "dst", s"$base/tri"),
+        () => {
+          val cdc0 = graft.operators.TrainingData.cdcIndex(
+            docs.filter(col("doc_id") < 250), "doc_id", "text",
+            w = 8, maskBits = 6)
+          writeBatch0(cdc0, s"$base/cdc")
+          writeBatch1(graft.operators.TrainingData.cdcIndexDelta(
+            docs.filter(col("doc_id") >= 250), "doc_id", "text",
+            w = 8, maskBits = 6, cdc0), s"$base/cdc")
+        },
+        () => {
+          val csPairs = Dedup.minhashLsh(docs, "doc_id", "text",
+            numHashes = 16, bands = 8, shingleN = 5, threshold = 0.4,
+            estimateSlack = 0.05)
+            .select(col("id_a"), col("id_b"))
+            .localCheckpoint(true) // labels closure + pair store read it
+          try {
+            writeBatch0(csPairs, s"$base/cs/pairs")
+            writeBatch0(Dedup.connectedComponents(csPairs, "id_a", "id_b"),
+              s"$base/cs/labels")
+            writeBatch0(docs.select(col("doc_id").as("id")),
+              s"$base/cs/index")
+          } finally
+            org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(csPairs)
+        },
+        // and a plain partitioned table (the GDPR deleteMatching kind)
+        () => docs.select(col("doc_id"), (col("doc_id") % 16).as("p"),
+            col("source"))
+          .write.mode("overwrite").partitionBy("p").parquet(s"$base/tbl")
+      ))(_.apply())
       // the request: ids with text from the document space, text-less
       // ids from the vector and node spaces (per id, forget() keeps the
       // non-null text — the count-form stores' drift guards need it).

@@ -540,12 +540,15 @@ object Takedown {
     outcomes.toDF("kind", "path", "status", "detail")
   }
 
-  // bounded-parallelism map that PRESERVES input order in its results.
-  // The threads exist only to SUBMIT concurrent Spark jobs (the work
-  // itself runs on the executors); 8 in flight keeps a driver's
-  // scheduler busy without flooding it, and per-store try/catch above
-  // means `f` only throws on VM-level errors. Sequential for 0/1 store.
-  private def inParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+  /** Bounded-parallelism map that PRESERVES input order in its results.
+    * The threads exist only to SUBMIT concurrent Spark jobs (the work
+    * itself runs on the executors); 8 in flight keeps a driver's
+    * scheduler busy without flooding it, and per-store try/catch above
+    * means `f` only throws on VM-level errors. Sequential for 0/1
+    * element. Package-visible: independent-store walks elsewhere (e.g.
+    * building a store fleet) ride the same helper.
+    */
+  private[graft] def inParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] =
     if (xs.size <= 1) xs.map(f)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
