@@ -109,6 +109,27 @@ object Takedown {
       s"Takedown.$face: ${missing.mkString("; ")} — required options " +
       "are validated up front so a misconfigured store cannot fail " +
       "AFTER the rest of the surface already mutated.")
+    // the concurrent walk's independence contract, enforced: two store
+    // entries naming the SAME root (or a cluster_state sub-path another
+    // entry also names) used to be a harmless re-delivery when the walk
+    // was sequential — concurrent, they race the same _MAINT/batch
+    // directories (nextBatchN is list-max+1, not atomic) and can clobber
+    // each other's staged writes mid-flight. Statically knowable, so it
+    // refuses here, before any store mutates.
+    val roots = stores.flatMap { st =>
+      val norm = (p: String) => p.stripSuffix("/")
+      if (st.kind == "cluster_state") Seq(
+        norm(st.opts.getOrElse("indexPath", s"${st.path}/index")),
+        norm(st.opts.getOrElse("pairsPath", s"${st.path}/pairs")),
+        norm(st.opts.getOrElse("labelsPath", s"${st.path}/labels")))
+      else Seq(norm(st.path))
+    }
+    val dup = roots.groupBy(identity).collect { case (p, xs) if xs.size > 1 => p }
+    require(dup.isEmpty,
+      s"Takedown.$face: store root(s) listed more than once: " +
+      s"${dup.toSeq.sorted.mkString(", ")} — stores walk CONCURRENTLY " +
+      "and must be independent; deduplicate the registry (re-delivery " +
+      "is only safe sequentially).")
   }
 
   // victims renamed to the store's id column (opts("idCol"), defaulting
@@ -351,16 +372,19 @@ object Takedown {
       // request: max() would silently pick one, and an id_text store's
       // digest drift-guard would then fail only when the WRONG one won —
       // nondeterministically. Refuse deterministically, naming the ids,
-      // BEFORE any store mutates.
-      val conflicted = vAll.filter(col("__nt") > 1)
-        .select(col(idCol)).orderBy(col(idCol)).limit(6)
-        .collect().map(r => String.valueOf(r.get(0)))
-      require(conflicted.isEmpty,
-        s"forget: victim ids arrive with more than one distinct " +
-        s"non-null '$textCol' (e.g. ${conflicted.mkString(", ")}) — an " +
-        "arbitrary winner would subtract the WRONG counts from the " +
-        "id_text stores. Deduplicate the request to one exact ingested " +
-        "text per id first.")
+      // BEFORE any store mutates. (Skipped for ids-only requests, where
+      // __nt is the literal 0 — no job for an impossible condition.)
+      if (victims.columns.contains(textCol)) {
+        val conflicted = vAll.filter(col("__nt") > 1)
+          .select(col(idCol)).orderBy(col(idCol)).limit(6)
+          .collect().map(r => String.valueOf(r.get(0)))
+        require(conflicted.isEmpty,
+          s"forget: victim ids arrive with more than one distinct " +
+          s"non-null '$textCol' (e.g. ${conflicted.mkString(", ")}) — an " +
+          "arbitrary winner would subtract the WRONG counts from the " +
+          "id_text stores. Deduplicate the request to one exact " +
+          "ingested text per id first.")
+      }
       // victim ids that arrived with NO text cannot be unlearned by the
       // id_text faces (their deletes subtract counts recomputed from
       // the exact text, so they skip null-text rows by contract): after
@@ -557,7 +581,20 @@ object Takedown {
         import scala.jdk.CollectionConverters._
         val tasks: Seq[java.util.concurrent.Callable[B]] =
           xs.map(x => (() => f(x)): java.util.concurrent.Callable[B])
-        pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+        pool.invokeAll(tasks.asJava).asScala.toSeq.map { fut =>
+          try fut.get()
+          catch {
+            // rethrow the thunk's OWN failure, not the executor wrapper:
+            // callers (and their logs) must see the failing store/build,
+            // and attemptAll's per-element catch already ran inside the
+            // thunk — only genuine Errors reach here
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
+      } catch {
+        // an interrupted caller must not leak still-running Spark jobs
+        case e: InterruptedException => pool.shutdownNow(); throw e
       } finally pool.shutdown()
     }
 }

@@ -185,12 +185,16 @@ object Tables {
 
   /** [[deleteMatching]] for a victim DataFrame: delete every row whose
     * `idCol` appears in `victims` (same column name on both sides; both
-    * compared as long). The victim frame never touches the driver — the
-    * affected-partition discovery and the rewrite filter are both
-    * broadcast semi/anti joins against it — so a takedown request
-    * carrying millions of ids stays a three-join plan instead of a
-    * million-literal `isin` predicate (or a driver OOM). Returns the
-    * number of rows deleted.
+    * compared as long). The affected-partition discovery and the
+    * rewrite filter are both broadcast semi/anti joins against the
+    * victim frame, so a request carrying millions of ids stays a
+    * three-join plan instead of a million-literal `isin` predicate
+    * compiled into it. Honest scale note: the broadcast hint still
+    * materializes the distinct id set once as the driver-built
+    * broadcast relation (a compact long column — megabytes at millions
+    * of ids, nothing like the literal plan, but bounded by broadcast
+    * range); at requests beyond that, drop the hint and let the
+    * optimizer shuffle both sides. Returns the number of rows deleted.
     */
   def deleteMatching(spark: SparkSession, path: String,
       partitionCol: String, victims: DataFrame, idCol: String): Long = {

@@ -314,6 +314,31 @@ class TakedownSpec extends SparkSpec {
     }.getMessage should include("INCOMPLETE")
   }
 
+  test("duplicate store roots refuse upfront — concurrent walks must " +
+      "be independent") {
+    val nb = tmp("dup") + "/nb"
+    Classifier.nbModelWrite(corpus, "doc_id", "text", nb)
+    val before = sorted(
+      Classifier.nbScoreFromModel(corpus, "doc_id", "text", nb))
+    // the same root twice was a harmless re-delivery when the walk was
+    // sequential; concurrent, the two faces race the same batch/_MAINT
+    // directories — statically knowable, so it refuses before mutating
+    intercept[IllegalArgumentException] {
+      Takedown.forget(victims, Seq(
+        Store("nb_model", nb, Map("idCol" -> "doc_id")),
+        Store("nb_model", nb + "/", Map("idCol" -> "doc_id"))))
+    }.getMessage should include("more than once")
+    // a cluster_state SUB-path colliding with another store's root is
+    // the same race wearing a different kind
+    intercept[IllegalArgumentException] {
+      Takedown.compactAll(spark, Seq(
+        Store("cluster_state", "/tmp/td-dup-cs"),
+        Store("bm25", "/tmp/td-dup-cs/labels")))
+    }.getMessage should include("more than once")
+    sorted(Classifier.nbScoreFromModel(corpus, "doc_id", "text", nb)) shouldBe
+      before
+  }
+
   test("table takedown consumes a LARGE victim frame as a join, " +
       "never a literal id list") {
     import spark.implicits._
