@@ -130,6 +130,20 @@ object Takedown {
       s"${dup.toSeq.sorted.mkString(", ")} — stores walk CONCURRENTLY " +
       "and must be independent; deduplicate the registry (re-delivery " +
       "is only safe sequentially).")
+    // NESTED roots are the same class of misconfiguration one level up:
+    // every kind reads its root (or subdirs of it) with
+    // spark.read.parquet, so a store living INSIDE another store's root
+    // pollutes the outer store's scans and layout (a table kind would
+    // sweep the inner store's files into its rewrite). O(n²) over a
+    // registry of dozens — negligible.
+    val nested = for {
+      a <- roots; b <- roots if b.startsWith(a + "/")
+    } yield s"$b sits inside $a"
+    require(nested.isEmpty,
+      s"Takedown.$face: nested store roots: ${nested.sorted.mkString("; ")}" +
+      " — every store's root must be disjoint from every other's " +
+      "(stores read their roots recursively; nesting corrupts the " +
+      "outer store's scans and rewrites).")
   }
 
   // victims renamed to the store's id column (opts("idCol"), defaulting

@@ -335,6 +335,15 @@ class TakedownSpec extends SparkSpec {
         Store("cluster_state", "/tmp/td-dup-cs"),
         Store("bm25", "/tmp/td-dup-cs/labels")))
     }.getMessage should include("more than once")
+    // a store NESTED inside another's root pollutes the outer store's
+    // recursive scans (a table kind would sweep the inner store's files
+    // into its rewrite) — refused upfront too
+    intercept[IllegalArgumentException] {
+      Takedown.forget(victims, Seq(
+        Store("table", "/tmp/td-nest",
+          Map("idCol" -> "doc_id", "partitionCol" -> "p")),
+        Store("nb_model", "/tmp/td-nest/nb", Map("idCol" -> "doc_id"))))
+    }.getMessage should include("nested")
     sorted(Classifier.nbScoreFromModel(corpus, "doc_id", "text", nb)) shouldBe
       before
   }
