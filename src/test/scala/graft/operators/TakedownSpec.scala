@@ -424,6 +424,22 @@ class TakedownSpec extends SparkSpec {
     Takedown.assertForgotten(full, store)
   }
 
+  test("outcome rows keep registry order under the concurrent walk") {
+    // callers zip outcomes against their registry (and humans read the
+    // report top-to-bottom) — concurrency must not shuffle the rows
+    val base = tmp("order")
+    val paths = (0 until 6).map(i => s"$base/nb$i")
+    paths.foreach(p => Classifier.nbModelWrite(corpus, "doc_id", "text", p))
+    val stores = paths.map(p =>
+      Store("nb_model", p, Map("idCol" -> "doc_id")))
+    Takedown.forget(victims, stores)
+      .collect().map(_.getString(1)).toSeq shouldBe paths
+    Takedown.audit(victims, stores)
+      .collect().map(_.getString(1)).toSeq shouldBe paths
+    Takedown.compactAll(spark, stores)
+      .collect().map(_.getString(1)).toSeq shouldBe paths
+  }
+
   test("a failing store does not stop the rest; failures are loud") {
     val base = tmp("fail")
     Classifier.nbModelWrite(corpus, "doc_id", "text", s"$base/nb")
