@@ -115,16 +115,39 @@ object Takedown {
     // was sequential — concurrent, they race the same _MAINT/batch
     // directories (nextBatchN is list-max+1, not atomic) and can clobber
     // each other's staged writes mid-flight. Statically knowable, so it
-    // refuses here, before any store mutates.
-    val roots = stores.flatMap { st =>
-      val norm = (p: String) => p.stripSuffix("/")
-      if (st.kind == "cluster_state") Seq(
-        norm(st.opts.getOrElse("indexPath", s"${st.path}/index")),
-        norm(st.opts.getOrElse("pairsPath", s"${st.path}/pairs")),
-        norm(st.opts.getOrElse("labelsPath", s"${st.path}/labels")))
-      else Seq(norm(st.path))
+    // refuses here, before any store mutates. Roots are NORMALIZED
+    // before comparison — scheme-less paths resolve absolute with
+    // `.`/`..`/double-slash segments collapsed (java.nio), URI-schemed
+    // paths through hadoop Path's component normalization — so
+    // syntactic aliases of one directory ('a//b', './a', a relative
+    // form of an absolute root) cannot evade the checks. SYMLINK
+    // aliases remain a documented limitation: resolving them needs
+    // filesystem I/O at validation time, and the store filesystems
+    // (HDFS/object stores) mostly don't have them.
+    def norm(p: String): String = {
+      val t = p.trim.stripSuffix("/")
+      if (t.contains("://"))
+        new org.apache.hadoop.fs.Path(t).toUri.normalize.toString
+          .stripSuffix("/")
+      else java.nio.file.Paths.get(t).toAbsolutePath.normalize.toString
     }
-    val dup = roots.groupBy(identity).collect { case (p, xs) if xs.size > 1 => p }
+    // (storeIndex, root): cluster_state contributes its root PLUS the
+    // three sub-paths — st.path stays a guarded prefix even when all
+    // three opts point elsewhere (a future face reading the root
+    // directly must not silently share it with another store). The
+    // index keys the nested check to DIFFERENT stores only: a
+    // cluster_state's own sub-paths nest inside its root by design.
+    val roots: Seq[(Int, String)] = stores.zipWithIndex.flatMap {
+      case (st, i) =>
+        (if (st.kind == "cluster_state") Seq(
+          st.path,
+          st.opts.getOrElse("indexPath", s"${st.path}/index"),
+          st.opts.getOrElse("pairsPath", s"${st.path}/pairs"),
+          st.opts.getOrElse("labelsPath", s"${st.path}/labels"))
+        else Seq(st.path)).map(p => i -> norm(p))
+    }
+    val dup = roots.map(_._2).groupBy(identity)
+      .collect { case (p, xs) if xs.size > 1 => p }
     require(dup.isEmpty,
       s"Takedown.$face: store root(s) listed more than once: " +
       s"${dup.toSeq.sorted.mkString(", ")} — stores walk CONCURRENTLY " +
@@ -137,7 +160,8 @@ object Takedown {
     // sweep the inner store's files into its rewrite). O(n²) over a
     // registry of dozens — negligible.
     val nested = for {
-      a <- roots; b <- roots if b.startsWith(a + "/")
+      (ia, a) <- roots; (ib, b) <- roots
+      if ia != ib && b.startsWith(a + "/")
     } yield s"$b sits inside $a"
     require(nested.isEmpty,
       s"Takedown.$face: nested store roots: ${nested.sorted.mkString("; ")}" +
@@ -276,8 +300,10 @@ object Takedown {
             "partition column deleteMatching prunes its rewrite to"))
         val (vv, sid) = vAs(v, idCol, st)
         // join-based delete: the victim frame reaches the rewrite as a
-        // broadcast semi/anti join — a million-id request stays a
-        // three-join plan, never a driver collect or an `isin` literal
+        // semi/anti join (broadcast-hinted only below the session's
+        // broadcast threshold; shuffled beyond it) — a million-id
+        // request stays a three-join plan, never a driver collect or
+        // an `isin` literal
         graft.tables.Tables.deleteMatching(v.sparkSession, st.path,
           pcol, vv.select(col(sid)), sid)
         ()
@@ -595,16 +621,30 @@ object Takedown {
         import scala.jdk.CollectionConverters._
         val tasks: Seq[java.util.concurrent.Callable[B]] =
           xs.map(x => (() => f(x)): java.util.concurrent.Callable[B])
-        pool.invokeAll(tasks.asJava).asScala.toSeq.map { fut =>
-          try fut.get()
-          catch {
-            // rethrow the thunk's OWN failure, not the executor wrapper:
-            // callers (and their logs) must see the failing store/build,
-            // and attemptAll's per-element catch already ran inside the
-            // thunk — only genuine Errors reach here
-            case e: java.util.concurrent.ExecutionException =>
-              throw Option(e.getCause).getOrElse(e)
+        val results: Seq[Either[Throwable, B]] =
+          pool.invokeAll(tasks.asJava).asScala.toSeq.map { fut =>
+            try Right(fut.get())
+            catch {
+              // unwrap to the thunk's OWN failure, not the executor
+              // wrapper: callers (and their logs) must see the failing
+              // store/build, and attemptAll's per-element catch already
+              // ran inside the thunk — only genuine Errors reach here
+              case e: java.util.concurrent.ExecutionException =>
+                Left(Option(e.getCause).getOrElse(e))
+            }
           }
+        results.collect { case Left(t) => t } match {
+          case Seq() => results.collect { case Right(b) => b }
+          case first +: rest =>
+            // invokeAll waited for EVERY task, so when several raw
+            // thunks fail (possible for callers without attemptAll's
+            // per-element catch, e.g. the bench store builds) the later
+            // failures must not vanish from logs: the first rethrows
+            // with the rest attached as suppressed. `ne` guards the
+            // JVM's self-suppression refusal if thunks share an
+            // exception instance.
+            rest.filter(_ ne first).foreach(first.addSuppressed)
+            throw first
         }
       } catch {
         // an interrupted caller must not leak still-running Spark jobs

@@ -186,35 +186,49 @@ object Tables {
   /** [[deleteMatching]] for a victim DataFrame: delete every row whose
     * `idCol` appears in `victims` (same column name on both sides; both
     * compared as long). The affected-partition discovery and the
-    * rewrite filter are both broadcast semi/anti joins against the
-    * victim frame, so a request carrying millions of ids stays a
-    * three-join plan instead of a million-literal `isin` predicate
-    * compiled into it. Honest scale note: the broadcast hint still
-    * materializes the distinct id set once as the driver-built
-    * broadcast relation (a compact long column — megabytes at millions
-    * of ids, nothing like the literal plan, but bounded by broadcast
-    * range); at requests beyond that, drop the hint and let the
-    * optimizer shuffle both sides. Returns the number of rows deleted.
+    * rewrite filter are both semi/anti joins against the victim frame,
+    * so a request carrying millions of ids stays a three-join plan
+    * instead of a million-literal `isin` predicate compiled into it.
+    * The `broadcast()` hint is COUNT-GATED: the victim frame is
+    * checkpointed anyway, so one count on it decides — below
+    * `spark.sql.autoBroadcastJoinThreshold / 8` bytes-per-long ids the
+    * hint pins the hash-broadcast plan (a checkpointed LogicalRDD has
+    * no size statistics, so without the hint the optimizer would
+    * pessimistically shuffle even a 50k-id request); beyond it the
+    * hint is DROPPED and the optimizer shuffles both sides — a
+    * victim frame past broadcast range must never be materialized on
+    * the driver as a broadcast relation. Returns the number of rows
+    * deleted.
     */
   def deleteMatching(spark: SparkSession, path: String,
       partitionCol: String, victims: DataFrame, idCol: String): Long = {
     val v = victims.select(col(idCol).cast("long").as("__vid")).distinct()
       .localCheckpoint(true) // read by the discovery AND the rewrite
     try {
-      val (matches, keep) = victimDeletePlans(idCol, v)
+      val (matches, keep) = victimDeletePlans(idCol, v, v.count())
       deleteRewrite(spark, path, partitionCol, matches, keep)
     } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(v)
   }
 
   // the two sides of a victim delete, as a testable seam: rows to drop
-  // (semi join) and rows to keep (anti join) — both broadcast joins on
-  // the bounded victim frame, never an inlined literal list
-  private[graft] def victimDeletePlans(idCol: String, v: DataFrame)
-      : (DataFrame => DataFrame, DataFrame => DataFrame) = (
-    df => df.join(broadcast(v), df(idCol).cast("long") === v("__vid"),
+  // (semi join) and rows to keep (anti join) — joins on the distinct'd
+  // victim frame, never an inlined literal list. `nVictims` gates the
+  // broadcast hint: one distinct long id costs ~8 bytes in the
+  // broadcast relation, so the session's autoBroadcastJoinThreshold
+  // divided by 8 is the largest request the planner itself would ever
+  // broadcast — beyond it (or with auto-broadcast disabled) the hint
+  // is omitted and the join shuffles.
+  private[graft] def victimDeletePlans(idCol: String, v: DataFrame,
+      nVictims: Long): (DataFrame => DataFrame, DataFrame => DataFrame) = {
+    val thresholdBytes = org.apache.spark.sql.graft.Bridge
+      .autoBroadcastJoinThreshold(v.sparkSession)
+    val side = if (thresholdBytes > 0 && nVictims <= thresholdBytes / 8)
+      broadcast(v) else v
+    (df => df.join(side, df(idCol).cast("long") === v("__vid"),
       "left_semi"),
-    df => df.join(broadcast(v), df(idCol).cast("long") === v("__vid"),
+     df => df.join(side, df(idCol).cast("long") === v("__vid"),
       "left_anti"))
+  }
 
   // shared rewrite core of both deleteMatching faces: `matches` selects
   // the rows to delete (for partition discovery + the deleted count),

@@ -37,6 +37,17 @@ object Bridge {
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 
+  /** The session's `spark.sql.autoBroadcastJoinThreshold` in BYTES
+    * (-1 when auto-broadcast is disabled). `sessionState` is
+    * `private[sql]`, and the public `spark.conf.get` returns the raw
+    * STRING form ("64m") — this returns the parsed value the planner
+    * itself consults, so size gates (e.g. whether to `broadcast()`-hint
+    * a victim frame) agree with what the optimizer would do.
+    */
+  def autoBroadcastJoinThreshold(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.sessionState.conf.autoBroadcastJoinThreshold
+
   /** Free the executor blocks behind a `localCheckpoint(eager = true)`-ed
     * Dataset NOW instead of waiting for GC-driven ContextCleaner
     * reclamation — the lever a per-micro-batch loop needs, since dropped

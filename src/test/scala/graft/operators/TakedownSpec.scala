@@ -348,6 +348,68 @@ class TakedownSpec extends SparkSpec {
       before
   }
 
+  test("syntactic path aliases cannot evade the duplicate/nested root " +
+      "guards; cluster_state's own root is guarded even with all " +
+      "sub-paths overridden") {
+    val nb = tmp("alias") + "/nb"
+    Classifier.nbModelWrite(corpus, "doc_id", "text", nb)
+    // 'a//b', './x' segments and a second trailing form all collapse to
+    // the same normalized root — the concurrent-walk race they would
+    // smuggle in is the exact one the guard exists to refuse
+    intercept[IllegalArgumentException] {
+      Takedown.forget(victims, Seq(
+        Store("nb_model", nb, Map("idCol" -> "doc_id")),
+        Store("nb_model", nb.replace("/nb", "//./nb/"),
+          Map("idCol" -> "doc_id"))))
+    }.getMessage should include("more than once")
+    // an aliased NESTED root refuses too
+    intercept[IllegalArgumentException] {
+      Takedown.forget(victims, Seq(
+        Store("table", "/tmp/td-alias-nest",
+          Map("idCol" -> "doc_id", "partitionCol" -> "p")),
+        Store("nb_model", "/tmp/td-alias-nest//inner/./nb",
+          Map("idCol" -> "doc_id"))))
+    }.getMessage should include("nested")
+    // cluster_state with ALL THREE sub-paths overridden elsewhere: its
+    // st.path is still a guarded prefix — a second store rooted exactly
+    // there must refuse (a future cluster_state face reading its root
+    // directly must not silently share it)
+    intercept[IllegalArgumentException] {
+      Takedown.compactAll(spark, Seq(
+        Store("cluster_state", "/tmp/td-alias-cs", Map(
+          "indexPath" -> "/tmp/td-alias-elsewhere/index",
+          "pairsPath" -> "/tmp/td-alias-elsewhere/pairs",
+          "labelsPath" -> "/tmp/td-alias-elsewhere/labels")),
+        Store("nb_model", "/tmp/td-alias-cs", Map("idCol" -> "doc_id"))))
+    }.getMessage should include("more than once")
+    // ...while its DEFAULT sub-paths (nested inside its own root by
+    // design) do not self-trip the nested check
+    Takedown.audit(victims, Seq(
+      Store("nb_model", nb, Map("idCol" -> "doc_id")),
+      Store("cluster_state", "/tmp/td-alias-cs-absent")))
+      .count() shouldBe 2L
+  }
+
+  test("inParallel reports EVERY failing raw thunk: later failures " +
+      "ride as suppressed on the first") {
+    val boom1 = new RuntimeException("store A broken")
+    val boom2 = new RuntimeException("store B broken")
+    val e = intercept[RuntimeException] {
+      Takedown.inParallel(Seq(1, 2, 3)) {
+        case 1 => throw boom1
+        case 2 => throw boom2
+        case n => n
+      }
+    }
+    e.getMessage shouldBe "store A broken"
+    e.getSuppressed.map(_.getMessage).toSeq shouldBe Seq("store B broken")
+    // sharing one exception instance must not trip self-suppression
+    val shared = new RuntimeException("shared")
+    intercept[RuntimeException] {
+      Takedown.inParallel(Seq(1, 2))(_ => throw shared)
+    }.getSuppressed shouldBe empty
+  }
+
   test("table takedown consumes a LARGE victim frame as a join, " +
       "never a literal id list") {
     import spark.implicits._
@@ -360,19 +422,40 @@ class TakedownSpec extends SparkSpec {
     // here (a 50k-term predicate tree), a driver OOM at millions
     val bigVictims = spark.range(50000).select(col("id"))
     // the seam the delete executes: both sides must be broadcast joins
-    // against the victim frame, with no inlined literal list
+    // against the victim frame, with no inlined literal list (50k longs
+    // ≈ 400 KB — far inside the default 10 MB broadcast threshold)
     val v = bigVictims.select(col("id").cast("long").as("__vid"))
-    val (matches, keep) = graft.tables.Tables.victimDeletePlans("doc_id", v)
+    val (matches, keep) =
+      graft.tables.Tables.victimDeletePlans("doc_id", v, 50000L)
     Seq(matches, keep).foreach { side =>
       val plan = side(spark.read.parquet(s"$base/tbl"))
         .queryExecution.executedPlan.toString
       plan should include("BroadcastHashJoin")
       (plan should not).include(" IN (")
     }
-    // and the real orchestrated path deletes correctly at that width
+    // beyond broadcast range the hint is DROPPED: the optimizer plans a
+    // shuffle join instead of materializing the victim set on the
+    // driver (gate exercised by shrinking the session threshold so the
+    // same 50k-id frame counts as beyond-range)
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
     val store = Seq(Store("table", s"$base/tbl",
       Map("idCol" -> "doc_id", "partitionCol" -> "p")))
-    Takedown.forget(bigVictims, store)
+    try {
+      spark.conf.set(thresholdKey, "1024") // 1 KB → max 128 hinted ids
+      val (m2, k2) =
+        graft.tables.Tables.victimDeletePlans("doc_id", v, 50000L)
+      Seq(m2, k2).foreach { side =>
+        val plan = side(spark.read.parquet(s"$base/tbl"))
+          .queryExecution.executedPlan.toString
+        (plan should not).include("BroadcastHashJoin")
+        (plan should not).include(" IN (")
+      }
+      // and the real orchestrated path deletes ROW-EXACTLY in the
+      // shuffle-join regime (the executed delete below runs with the
+      // shrunk threshold, i.e. the beyond-broadcast plan)
+      Takedown.forget(bigVictims, store)
+    } finally spark.conf.set(thresholdKey, saved)
     val tbl = spark.read.parquet(s"$base/tbl")
     tbl.count() shouldBe 10000L
     tbl.filter(col("doc_id") < 50000).count() shouldBe 0L
