@@ -162,8 +162,12 @@ object Tables {
     *
     * Shape: one filtered scan finds the affected partition values
     * (driver-bounded: ≤ #partitions touched); those partitions are
-    * re-written minus the matches via dynamic partition overwrite;
-    * partitions left EMPTY by the delete are removed explicitly
+    * re-written minus the matches — via dynamic partition overwrite of
+    * a checkpointed kept set when FEW partitions are touched, or via a
+    * stage-to-`_staged`-and-swap when at least `stagedFraction` of the
+    * table's partitions are (the checkpoint tier must not be asked to
+    * hold most of a 100 TB table; see [[deleteRewriteDetail]]).
+    * Partitions left EMPTY by the delete are removed explicitly
     * (dynamic overwrite only replaces partitions present in the new
     * output — an all-deleted partition would otherwise survive intact).
     * Untouched partitions' files are never opened for write. Returns the
@@ -173,7 +177,8 @@ object Tables {
     * protocol fronts this in production; the rewrite shape is identical.
     */
   def deleteMatching(spark: SparkSession, path: String,
-      partitionCol: String, predicate: Column): Long =
+      partitionCol: String, predicate: Column,
+      stagedFraction: Double = 0.5): Long =
     // keep every row where the predicate is NOT TRUE: a bare
     // `!predicate` drops NULL-evaluating rows too (three-valued logic) —
     // rows neither counted as deleted nor kept, silent data loss in a
@@ -181,7 +186,7 @@ object Tables {
     // "predicate is true".
     deleteRewrite(spark, path, partitionCol,
       df => df.filter(coalesce(predicate, lit(false))),
-      df => df.filter(!coalesce(predicate, lit(false))))
+      df => df.filter(!coalesce(predicate, lit(false))), stagedFraction)
 
   /** [[deleteMatching]] for a victim DataFrame: delete every row whose
     * `idCol` appears in `victims` (same column name on both sides; both
@@ -201,12 +206,22 @@ object Tables {
     * deleted.
     */
   def deleteMatching(spark: SparkSession, path: String,
-      partitionCol: String, victims: DataFrame, idCol: String): Long = {
+      partitionCol: String, victims: DataFrame, idCol: String): Long =
+    deleteMatching(spark, path, partitionCol, victims, idCol,
+      stagedFraction = 0.5)
+
+  /** [[deleteMatching]] (victim-frame face) with an explicit staged-swap
+    * fraction — a separate overload because Scala allows the default
+    * only on one of the two same-named faces (the predicate one).
+    */
+  def deleteMatching(spark: SparkSession, path: String,
+      partitionCol: String, victims: DataFrame, idCol: String,
+      stagedFraction: Double): Long = {
     val v = victims.select(col(idCol).cast("long").as("__vid")).distinct()
       .localCheckpoint(true) // read by the discovery AND the rewrite
     try {
       val (matches, keep) = victimDeletePlans(idCol, v, v.count())
-      deleteRewrite(spark, path, partitionCol, matches, keep)
+      deleteRewrite(spark, path, partitionCol, matches, keep, stagedFraction)
     } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(v)
   }
 
@@ -236,52 +251,141 @@ object Tables {
   // touched partition's rows exactly
   private def deleteRewrite(spark: SparkSession, path: String,
       partitionCol: String, matches: DataFrame => DataFrame,
-      keep: DataFrame => DataFrame): Long = {
+      keep: DataFrame => DataFrame, stagedFraction: Double): Long =
+    deleteRewriteDetail(spark, path, partitionCol, matches, keep,
+      stagedFraction)._1
+
+  /** [[deleteRewrite]] exposing WHICH rewrite strategy ran (the second
+    * element: true = staged swap) — the testable seam for the
+    * fraction gate. Two strategies, both rewriting ONLY victim-touched
+    * partitions:
+    *
+    *  - SMALL fraction (< `stagedFraction` of the table's partitions):
+    *    eager localCheckpoint of the kept rows, then dynamic partition
+    *    overwrite in place. The checkpoint materializes the kept rows
+    *    and cuts the plan's lineage to `path`, so the write neither
+    *    re-reads files mid-replacement nor trips Spark's
+    *    cannot-overwrite-a-read-path analysis — but it holds the kept
+    *    rows in the cluster's storage tier, which is exactly wrong
+    *    when the delete touches MOST of a 100 TB table.
+    *  - LARGE fraction: stage the kept rows to `path/_staged` (an
+    *    underscore directory — invisible to Spark's file index, so the
+    *    write target is disjoint from the read path and NO checkpoint
+    *    is needed; same filesystem, so the swap is metadata renames),
+    *    then per touched partition delete the live directory and
+    *    rename the staged one in ([[compact]]'s write-aside-then-swap
+    *    shape). Emptied partitions have no staged directory — their
+    *    live-directory delete IS the swap.
+    *
+    * Same non-atomicity note as [[compact]] — a crash mid-swap leaves
+    * some partitions swapped and some not (a table format's commit
+    * protocol fronts this in production) — but the state is
+    * mechanically recoverable and [[recoverStagedSwap]] does so before
+    * every rewrite: no data is lost in any crash window (a deleted
+    * live directory always has its completed staged twin).
+    */
+  private[graft] def deleteRewriteDetail(spark: SparkSession, path: String,
+      partitionCol: String, matches: DataFrame => DataFrame,
+      keep: DataFrame => DataFrame,
+      stagedFraction: Double): (Long, Boolean) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStagedSwap(fs, root, partitionCol)
     val df = spark.read.parquet(path)
     val affected = matches(df)
       .groupBy(partitionCol).agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("__n"))
       .collect()
-    if (affected.isEmpty) return 0L
+    if (affected.isEmpty) return (0L, false)
     val deleted = affected.map(_.getAs[Long]("__n")).sum
     val partValues = affected.map(_.get(0))
     val touched = df.filter(col(partitionCol).isin(partValues: _*))
-    // eager localCheckpoint BEFORE the overwrite: it materializes the
-    // kept rows and cuts the plan's lineage to `path`, so the write
-    // neither re-reads files mid-replacement nor trips Spark's
-    // cannot-overwrite-a-read-path analysis (the continuous-dedup delta
-    // discipline). Affected-partition data must fit the cluster's
-    // storage tier — at larger fractions stage to a side directory and
-    // swap like [[compact]].
     val kept = keep(touched)
-      .localCheckpoint(true)
-    val stillThere =
-      try {
-        kept.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(partitionCol)
-          .parquet(path)
-        // partitions the delete emptied never appear in `kept`
-        kept.select(partitionCol).distinct().collect().map(_.get(0)).toSet
-      } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(kept)
-    val emptied = partValues.filterNot(stillThere.contains)
-    if (emptied.nonEmpty) {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // compare via Spark's own partition-path escaping — directory
-      // names are percent-escaped for special characters, so a raw
-      // string compare would silently skip (and leave) such partitions
-      val emptiedDirs = emptied.map(e =>
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(String.valueOf(e))).toSet
-      fs.listStatus(root).foreach { st =>
-        val name = st.getPath.getName
-        if (st.isDirectory && name.startsWith(s"$partitionCol=") &&
-            emptiedDirs.contains(name.stripPrefix(s"$partitionCol=")))
-          fs.delete(st.getPath, true)
+    // total partition count is a LIST call, not a scan: the fraction
+    // gate must not cost a job
+    val totalParts = fs.listStatus(root).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
+    if (totalParts > 0 && partValues.length >= stagedFraction * totalParts) {
+      stagedSwap(fs, root, partitionCol, partValues, kept)
+      (deleted, true)
+    } else {
+      val stillThere =
+        try {
+          val cp = kept.localCheckpoint(true)
+          try {
+            cp.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy(partitionCol)
+              .parquet(path)
+            // partitions the delete emptied never appear in the output
+            cp.select(partitionCol).distinct().collect().map(_.get(0)).toSet
+          } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cp)
+        }
+      val emptied = partValues.filterNot(stillThere.contains)
+      emptied.foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(root,
+          partDirName(partitionCol, v)), true))
+      (deleted, false)
+    }
+  }
+
+  // Spark's own partition-path escaping — directory names are
+  // percent-escaped for special characters, so raw string
+  // concatenation would miss (and strand) such partitions
+  private def partDirName(partitionCol: String, v: Any): String =
+    s"$partitionCol=" + org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(String.valueOf(v))
+
+  // the large-fraction rewrite: write the kept rows of the touched
+  // partitions aside under the table root, then swap directories with
+  // metadata renames. The staged write's lineage reads `path`'s files
+  // while writing under `path/_staged` — disjoint paths, so no
+  // checkpoint materialization and no read-path-overwrite conflict;
+  // the underscore prefix keeps the stage invisible to every reader of
+  // `path` until its partition is renamed in whole.
+  private def stagedSwap(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, partitionCol: String,
+      partValues: Array[Any], kept: DataFrame): Unit = {
+    val staged = new org.apache.hadoop.fs.Path(root, "_staged")
+    kept.write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(staged.toString)
+    partValues.foreach { v =>
+      val name = partDirName(partitionCol, v)
+      val live = new org.apache.hadoop.fs.Path(root, name)
+      val src = new org.apache.hadoop.fs.Path(staged, name)
+      fs.delete(live, true)
+      // a partition the delete EMPTIED has no staged dir: the live
+      // delete above is its whole swap
+      if (fs.exists(src) && !fs.rename(src, live))
+        throw new java.io.IOException(
+          s"staged-swap rename $src -> $live failed; the staged copy " +
+          "is intact — re-running the delete recovers")
+    }
+    fs.delete(staged, true)
+  }
+
+  // A staged swap that crashed mid-flight leaves `_staged` behind, and
+  // the state is mechanically recoverable: a partition dir present
+  // under `_staged` whose live twin is MISSING was deleted-but-not-yet-
+  // renamed — rename it in (the staged write completed before any swap
+  // began, so its content is the crashed request's exact post-delete
+  // state for that partition); one whose live twin EXISTS was never
+  // swapped — discard it (a re-run recomputes). Runs before EVERY
+  // rewrite so a crashed swap cannot silently hide partitions from
+  // later reads of the rewritten table.
+  private def recoverStagedSwap(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, partitionCol: String): Unit = {
+    val staged = new org.apache.hadoop.fs.Path(root, "_staged")
+    if (!fs.exists(staged)) return
+    fs.listStatus(staged).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol=")) {
+        val live = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+        if (!fs.exists(live) && !fs.rename(st.getPath, live))
+          throw new java.io.IOException(
+            s"staged-swap recovery rename ${st.getPath} -> $live failed")
       }
     }
-    deleted
+    fs.delete(staged, true)
   }
 
   /** Small-file compaction — the standard maintenance pass: streaming

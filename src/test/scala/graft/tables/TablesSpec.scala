@@ -187,6 +187,71 @@ class TablesSpec extends SparkSpec {
       .count(f => f.isDirectory && f.getName.startsWith("p=")) shouldBe 1
   }
 
+  test("large-fraction deletes stage-and-swap; small fractions keep the " +
+      "checkpointed dynamic overwrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val dir = Files.createTempDirectory("graft-del-staged").toString
+    // 8 partitions × 100 rows; within a partition id%16 alternates, so
+    // a `id % 16 < 8` predicate deletes exactly half of it
+    Tables.writePartitioned(spark.range(800)
+      .select((col("id") % 8).as("p"), col("id")), s"$dir/t", Seq("p"))
+    def files(part: Int) = new java.io.File(s"$dir/t/p=$part").listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified).toSet
+    val untouchedBefore = (6 to 7).map(files)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    // touches 6 of 8 partitions (0-4 half-deleted, 5 emptied) → ≥ 0.5
+    // of the table: the STAGED path, with NO checkpoint of the kept set
+    val pred = (col("p") <= 4 && col("id") % 16 < 8) || col("p") === 5
+    val (deleted, staged) = Tables.deleteRewriteDetail(spark, s"$dir/t",
+      "p", d => d.filter(coalesce(pred, lit(false))),
+      d => d.filter(!coalesce(pred, lit(false))), stagedFraction = 0.5)
+    staged shouldBe true
+    deleted shouldBe 350L
+    // storage asserted: the staged path registered no localCheckpoint
+    // (the kept set went straight to _staged files, never the cache)
+    spark.sparkContext.getPersistentRDDs.keySet shouldBe persistedBefore
+    val left = spark.read.parquet(s"$dir/t")
+    left.count() shouldBe 450L
+    left.filter(coalesce(pred, lit(false))).count() shouldBe 0L
+    new java.io.File(s"$dir/t/p=5").exists() shouldBe false // emptied
+    new java.io.File(s"$dir/t/_staged").exists() shouldBe false // cleaned
+    (6 to 7).map(files) shouldBe untouchedBefore // never rewritten
+    // a 1-of-8-partition delete stays on the checkpointed overwrite
+    val (d2, staged2) = Tables.deleteRewriteDetail(spark, s"$dir/t", "p",
+      d => d.filter(col("p") === 7 && col("id") % 16 < 8),
+      d => d.filter(!(col("p") === 7 && col("id") % 16 < 8)),
+      stagedFraction = 0.5)
+    staged2 shouldBe false
+    d2 shouldBe 50L
+    spark.read.parquet(s"$dir/t").count() shouldBe 400L
+  }
+
+  test("a crashed staged swap recovers mechanically before the next " +
+      "rewrite: deleted-not-renamed partitions rename in, unswapped " +
+      "stages discard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = Files.createTempDirectory("graft-del-recover").toString
+    Seq((0, "old0"), (1, "old1"), (2, "old2")).toDF("p", "v")
+      .write.partitionBy("p").parquet(s"$dir/t")
+    // simulate the crash window by hand: the staged write completed
+    // (p=0 and p=1 have staged twins), p=0's live dir was deleted but
+    // not yet renamed, p=1 was never swapped
+    Seq((0, "new0"), (1, "new1")).toDF("p", "v")
+      .write.partitionBy("p").parquet(s"$dir/t/_staged")
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/t/p=0"), true)
+    // any next rewrite recovers first (here: a no-match delete)
+    Tables.deleteMatching(spark, s"$dir/t", "p", lit(false)) shouldBe 0L
+    val rows = spark.read.parquet(s"$dir/t").select("p", "v")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    rows shouldBe Set((0, "new0"), (1, "old1"), (2, "old2"))
+    new java.io.File(s"$dir/t/_staged").exists() shouldBe false
+  }
+
   test("deleteMatching keeps NULL-predicate rows (delete means strictly TRUE)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-delnull").toString
