@@ -289,6 +289,19 @@ object Takedown {
         st.path, includeLatest =
           st.opts.get("includeLatest").exists(_.toBoolean))),
       present = (sp, _, st) => graft.streaming.StreamingOps.cdcStatePresentIds(sp, st.path)),
+    Kind("kmeans_model", "ids",
+      Seq("kmeansModelWrite"),
+      "Embeddings.kmeansModelDelete",
+      (v, idCol, _, st) => {
+        val (vv, sid) = vAs(v, idCol, st)
+        Embeddings.kmeansModelDelete(vv, sid, st.path)
+      },
+      // compact = RETRAIN over the manifest survivors: the one provable
+      // removal path for an aggregate model (forget only fences +
+      // tombstones — O(victim), like every other kind's delete face)
+      Some((sp, st) => Embeddings.kmeansModelCompact(sp, st.path,
+        takeover = st.opts.get("takeover").exists(_.toBoolean))),
+      present = (sp, _, st) => Embeddings.kmeansModelPresentIds(sp, st.path)),
     Kind("table", "ids",
       Seq("writePartitioned", "writeClustered", "writeZOrdered",
         "writeZOrderedN"),
@@ -348,7 +361,10 @@ object Takedown {
     "kmeansTrain" ->
       ("persisted k-means model (k centroid rows): retrain over the " +
        "surviving corpus and replace; re-assign any stored cluster ids " +
-       "derived from the old model"),
+       "derived from the old model — or persist through " +
+       "kmeansModelWrite instead, whose registered kmeans_model kind " +
+       "gives the orchestrator a training manifest to probe, a fence " +
+       "against serving the stale model, and retrain-at-compact"),
     "pqTrain" ->
       ("persisted PQ codebooks (m·k centroid rows): retrain over the " +
        "surviving corpus and replace; re-encode any stored PQ codes " +

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The kmeans_model persisted store: train+persist with a training
+  * manifest, fence-on-delete (serving a victim-trained model after a
+  * takedown is the violation the fence makes impossible), audit via
+  * manifest-minus-tombstones, and compact = retrain-over-survivors —
+  * the registered-kind promotion of the former
+  * [[Takedown.userPersisted]] doc contract for kmeansTrain.
+  */
+class KmeansModelSpec extends SparkSpec {
+
+  private def vecs: DataFrame = {
+    import spark.implicits._
+    (0L to 11L).map(i =>
+      (i, Seq(math.cos(i * 0.5), math.sin(i * 0.5), 0.1 * i, 1.0)))
+      .toDF("vec_id", "embedding")
+  }
+  private def survivorVecs: DataFrame =
+    vecs.filter(col("vec_id") % 3 =!= 1)
+  private def victims: DataFrame =
+    vecs.filter(col("vec_id") % 3 === 1).select(col("vec_id").as("id"))
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"km-$tag").toString + "/km"
+
+  private def sorted(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.mkString(""))
+
+  test("write persists the trained model + manifest; reads and assigns " +
+      "match the in-memory train faces") {
+    val path = tmp("write")
+    Embeddings.kmeansModelWrite(vecs, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 2, path)
+    val direct = Embeddings.kmeansTrain(vecs, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 2)
+    sorted(Embeddings.kmeansModelCentroids(spark, path)) shouldBe
+      sorted(direct)
+    sorted(Embeddings.kmeansModelAssign(vecs, "vec_id", "embedding",
+      path)) shouldBe
+      sorted(Embeddings.kmeansAssign(vecs, "vec_id", "embedding", direct))
+    // the manifest records exactly the training rows
+    sorted(Embeddings.kmeansModelPresentIds(spark, path)) shouldBe
+      (0L to 11L).map(Seq[Any](_)).sortBy(_.mkString(""))
+  }
+
+  test("delete fences the stale model and tombstones victims; compact " +
+      "retrains over survivors and lifts the fence") {
+    val path = tmp("delete")
+    Embeddings.kmeansModelWrite(vecs, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 2, path)
+    Embeddings.kmeansModelDelete(victims, "id", path)
+    // fenced: serving the victim-trained centroids refuses loudly
+    Embeddings.kmeansModelStale(spark, path) shouldBe true
+    intercept[IllegalArgumentException] {
+      Embeddings.kmeansModelCentroids(spark, path)
+    }.getMessage should include("VICTIM-STALE")
+    // the audit probe follows read visibility: tombstoned ids are gone
+    sorted(Embeddings.kmeansModelPresentIds(spark, path)) shouldBe
+      (0L to 11L).filter(_ % 3 != 1).map(Seq[Any](_))
+        .sortBy(_.mkString(""))
+    // compact = retrain-over-survivors: equals a fresh train on them
+    Embeddings.kmeansModelCompact(spark, path)
+    Embeddings.kmeansModelStale(spark, path) shouldBe false
+    sorted(Embeddings.kmeansModelCentroids(spark, path)) shouldBe
+      sorted(Embeddings.kmeansTrain(survivorVecs, "vec_id", "embedding",
+        dim = 4, k = 2, iters = 2))
+    sorted(Embeddings.kmeansModelPresentIds(spark, path)) shouldBe
+      (0L to 11L).filter(_ % 3 != 1).map(Seq[Any](_))
+        .sortBy(_.mkString(""))
+    // physical removal: tombstones retired, manifest survivor-only
+    spark.read.parquet(s"$path/manifest")
+      .filter(col("id") % 3 === 1).count() shouldBe 0L
+    Similarity.readParquetIfAny(spark, s"$path/victims")
+      .map(_.count()).getOrElse(0L) shouldBe 0L
+    // re-delivery after compact is a no-op (ids left the manifest)
+    Embeddings.kmeansModelDelete(victims, "id", path)
+    Embeddings.kmeansModelStale(spark, path) shouldBe false
+  }
+
+  test("victims outside the manifest never fence; compact without " +
+      "tombstones is a no-op") {
+    import spark.implicits._
+    val path = tmp("noop")
+    Embeddings.kmeansModelWrite(vecs, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 2, path)
+    val before = sorted(Embeddings.kmeansModelCentroids(spark, path))
+    Embeddings.kmeansModelDelete(
+      Seq(100L, 200L).toDF("id"), "id", path)
+    Embeddings.kmeansModelStale(spark, path) shouldBe false
+    Embeddings.kmeansModelCompact(spark, path) // no-op, no _MAINT churn
+    sorted(Embeddings.kmeansModelCentroids(spark, path)) shouldBe before
+  }
+
+  test("the orchestrator drives the kind end-to-end: held before, " +
+      "clean after forget, retrained after compactAll") {
+    import graft.operators.Takedown.Store
+    val path = tmp("orch")
+    Embeddings.kmeansModelWrite(vecs, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 2, path)
+    val stores = Seq(Store("kmeans_model", path))
+    Takedown.audit(victims, stores).head().getString(2) shouldBe "held"
+    Takedown.forget(victims, stores, idCol = "id")
+      .head().getString(2) shouldBe "deleted"
+    // post-forget: fenced (no read face serves victim influence), so
+    // the audit is already clean; physical/model removal is compact's
+    Takedown.assertForgotten(victims, stores, idCol = "id")
+    Takedown.compactAll(spark, stores)
+      .head().getString(2) shouldBe "compacted"
+    Takedown.assertForgotten(victims, stores, idCol = "id")
+    sorted(Embeddings.kmeansModelCentroids(spark, path)) shouldBe
+      sorted(Embeddings.kmeansTrain(survivorVecs, "vec_id", "embedding",
+        dim = 4, k = 2, iters = 2))
+  }
+
+  test("a crashed manifest swap recovers under takeover; an " +
+      "all-victims manifest compacts to an empty model") {
+    import spark.implicits._
+    val path = tmp("crash")
+    Embeddings.kmeansModelWrite(vecs, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 2, path)
+    Embeddings.kmeansModelDelete(victims, "id", path)
+    // simulate the crash window between manifest delete and rename:
+    // manifest_next holds the survivors, manifest is gone, _MAINT stays
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$path/manifest")
+      .join(victims.select(col("id")), Seq("id"), "left_anti")
+      .write.parquet(s"$path/manifest_next")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/manifest"), true)
+    intercept[RuntimeException] {
+      AtomicBatches.withMaintenanceLock(spark, path, takeover = false) {
+        throw new RuntimeException("simulated mid-compact crash")
+      }
+    }
+    // faces refuse while the crashed pass owns the store
+    intercept[IllegalArgumentException] {
+      Embeddings.kmeansModelCentroids(spark, path)
+    }.getMessage should include("maintenance")
+    // takeover re-runs to completion from the recovered swap
+    Embeddings.kmeansModelCompact(spark, path, takeover = true)
+    sorted(Embeddings.kmeansModelCentroids(spark, path)) shouldBe
+      sorted(Embeddings.kmeansTrain(survivorVecs, "vec_id", "embedding",
+        dim = 4, k = 2, iters = 2))
+    // all-victims: the retrain has nothing to stand on — empty model
+    val path2 = tmp("empty")
+    Embeddings.kmeansModelWrite(vecs, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 2, path2)
+    Embeddings.kmeansModelDelete(
+      vecs.select(col("vec_id").as("id")), "id", path2)
+    Embeddings.kmeansModelCompact(spark, path2)
+    Embeddings.kmeansModelCentroids(spark, path2).count() shouldBe 0L
+    Embeddings.kmeansModelPresentIds(spark, path2).count() shouldBe 0L
+  }
+}

@@ -121,6 +121,8 @@ class TakedownSpec extends SparkSpec {
       shingleN = 5, threshold = 0.5)
     Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", dim = 4,
       path = s"$base/ivf", nBits = 2, lloydIters = 0)
+    Embeddings.kmeansModelWrite(vecs, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 2, s"$base/km")
     Graph.trianglesIndexWrite(edges, "src", "dst", s"$base/tri")
     docs.select(col("doc_id"), (col("doc_id") % 2).as("p"), col("text"))
       .write.partitionBy("p").parquet(s"$base/tbl")
@@ -150,6 +152,7 @@ class TakedownSpec extends SparkSpec {
       Store("containment", s"$base/ct", Map("idCol" -> "doc_id")),
       Store("jaccard_prefix", s"$base/jp", Map("idCol" -> "doc_id")),
       Store("ivf", s"$base/ivf", Map("idCol" -> "vec_id")),
+      Store("kmeans_model", s"$base/km", Map("idCol" -> "vec_id")),
       Store("triangles", s"$base/tri"),
       Store("table", s"$base/tbl",
         Map("idCol" -> "doc_id", "partitionCol" -> "p")),
@@ -165,7 +168,7 @@ class TakedownSpec extends SparkSpec {
     // ---- ONE takedown request across the whole surface
     val outcomes = Takedown.forget(victims, allStores)
     outcomes.filter(col("status") =!= "deleted").count() shouldBe 0L
-    outcomes.count() shouldBe 11L
+    outcomes.count() shouldBe 12L
 
     // ---- and PROVE it: no store's read face can still see the ids
     Takedown.assertForgotten(victims, allStores)
@@ -225,6 +228,15 @@ class TakedownSpec extends SparkSpec {
       k = 12, nProbe = 4)) shouldBe
       sorted(Similarity.ivfTopKFromIndex(spark, s"$rb/ivf", "vec_id", qv,
         k = 12, nProbe = 4))
+    // kmeans_model: forget fences the victim-trained centroids (no
+    // read face serves them), and its compact retrains over survivors
+    intercept[IllegalArgumentException] {
+      Embeddings.kmeansModelCentroids(spark, s"$base/km")
+    }.getMessage should include("VICTIM-STALE")
+    Embeddings.kmeansModelCompact(spark, s"$base/km")
+    sorted(Embeddings.kmeansModelCentroids(spark, s"$base/km")) shouldBe
+      sorted(Embeddings.kmeansTrain(vecs.filter(col("vec_id") % 3 =!= 1),
+        "vec_id", "embedding", dim = 4, k = 2, iters = 2))
     // triangles: node forget == rebuild over non-incident edges
     Graph.trianglesIndexWrite(
       edges.filter(col("src") % 3 =!= 1 && col("dst") % 3 =!= 1),
