@@ -841,7 +841,8 @@ object SparkEntry {
       // the stream-shaped kinds, orchestrated + rebuild-checked in
       // TakedownSpec; the store builds here pay full harness price
       // inside the timed lambda by bench design.)
-      import graft.operators.{Takedown, Classifier, Sampling, TrainingData, Graph}
+      import graft.operators.{Takedown, Classifier, Sampling, TrainingData,
+        Graph, Embeddings}
       import graft.operators.Takedown.Store
       val docs = Tables.documents(s, dir)
       val emb = Tables.embeddings(s, dir)
@@ -859,7 +860,7 @@ object SparkEntry {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(path)
-      // the ELEVEN stores are independent (distinct roots), so they
+      // the TWELVE stores are independent (distinct roots), so they
       // build CONCURRENTLY on the orchestrator's own bounded pool —
       // the same independent-store judgment as forget/compactAll/audit;
       // intra-store write ORDER (cdc batch 0 before 1; cluster-state
@@ -879,6 +880,10 @@ object SparkEntry {
           "doc_id", "text", s"$base/jp", shingleN = 5, threshold = 0.7),
         () => Similarity.ivfWriteIndex(emb, "vec_id", "embedding", dim = 64,
           path = s"$base/ivf", nBits = 4, lloydIters = 0),
+        // the persisted k-means model WITH its training manifest — the
+        // registered kind whose compact retrains over survivors
+        () => Embeddings.kmeansModelWrite(emb, "vec_id", "embedding",
+          dim = 64, k = 4, iters = 2, s"$base/km"),
         // quarter co-purchase graph: the ONLY SF-scaling store here,
         // and the per-store triangle takedown already measures its
         // full-scale cost shape under graph_triangles_deleted — the
@@ -937,6 +942,7 @@ object SparkEntry {
         Store("containment", s"$base/ct", Map("idCol" -> "doc_id")),
         Store("jaccard_prefix", s"$base/jp", Map("idCol" -> "doc_id")),
         Store("ivf", s"$base/ivf", Map("idCol" -> "vec_id")),
+        Store("kmeans_model", s"$base/km", Map("idCol" -> "vec_id")),
         Store("triangles", s"$base/tri"),
         // quiesced batch-built stream stores: fold the latest batch too
         Store("cdc_state", s"$base/cdc",
@@ -989,6 +995,15 @@ object SparkEntry {
         col("id_a") + col("id_b")))
       .unionByName(m("ivf",
         s.read.parquet(s"$base/ivf/cells"), col("vec_id")))
+      // the RETRAINED model must equal a fresh train on exactly the
+      // surviving vectors: assignment probe (the engine-replicable
+      // round-6/round-9 recipe) + the manifest's survivor ledger
+      .unionByName(m("kmeans_model",
+        Embeddings.kmeansModelAssign(emb.filter(col("vec_id") % 9 =!= 2),
+          "vec_id", "embedding", s"$base/km"),
+        col("vec_id") + col("cluster")))
+      .unionByName(m("kmeans_model_manifest",
+        Embeddings.kmeansModelPresentIds(s, s"$base/km"), col("id")))
       .unionByName(m("triangles",
         Graph.trianglesFromIndex(s, s"$base/tri"),
         col("id") + col("triangles")))
@@ -5290,9 +5305,17 @@ object SparkEntry {
     * assignment + round-9 centroid recompute (`a1`/`m1`/`c1`,
     * `a2`/`m2`/`c2`).
     */
-  private lazy val kmeansReplaySql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-         FROM embeddings WHERE embedding IS NOT NULL),
+  private lazy val kmeansReplaySql: String = kmeansReplaySqlWhere("")
+
+  /** The k=4 / iters=2 / dim=64 Lloyd replay with an extra corpus
+    * filter on `e` — shared by the full-corpus faces (empty) and the
+    * kmeans_model takedown row (victim exclusion: after
+    * retrain-over-survivors the persisted model must equal a fresh
+    * train on exactly the surviving vectors, seeds included).
+    */
+  private def kmeansReplaySqlWhere(extraWhere: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         FROM embeddings WHERE embedding IS NOT NULL$extraWhere),
        s0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
               FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
        a1 AS (SELECT e.vec_id,
@@ -6060,6 +6083,22 @@ object SparkEntry {
               AND id_a % 9 <> 2 AND id_b % 9 <> 2""",
         "id_a + id_b"),
       wrap("ivf",
+        """SELECT vec_id FROM embeddings
+           WHERE embedding IS NOT NULL AND vec_id % 9 <> 2""",
+        "vec_id"),
+      // retrain-over-survivors: the persisted model's post-compact
+      // assignment must equal the Lloyd replay over ONLY the surviving
+      // vectors (survivor seeds included) — a skipped retrain keeps the
+      // victim-trained centroids and mismatches here
+      wrap("kmeans_model",
+        kmeansReplaySqlWhere(" AND vec_id % 9 <> 2") +
+        """ SELECT e.vec_id,
+             (SELECT s.c FROM c2 s
+              ORDER BY round(list_cosine_similarity(e.v, s.v), 6) DESC, s.c
+              LIMIT 1)::INT AS cluster
+           FROM e""",
+        "vec_id + cluster"),
+      wrap("kmeans_model_manifest",
         """SELECT vec_id FROM embeddings
            WHERE embedding IS NOT NULL AND vec_id % 9 <> 2""",
         "vec_id"),
