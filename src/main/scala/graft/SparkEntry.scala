@@ -860,7 +860,7 @@ object SparkEntry {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(path)
-      // the TWELVE stores are independent (distinct roots), so they
+      // the THIRTEEN stores are independent (distinct roots), so they
       // build CONCURRENTLY on the orchestrator's own bounded pool —
       // the same independent-store judgment as forget/compactAll/audit;
       // intra-store write ORDER (cdc batch 0 before 1; cluster-state
@@ -884,6 +884,9 @@ object SparkEntry {
         // registered kind whose compact retrains over survivors
         () => Embeddings.kmeansModelWrite(emb, "vec_id", "embedding",
           dim = 64, k = 4, iters = 2, s"$base/km"),
+        // its PQ-codebook sibling (same ModelStore protocol)
+        () => Embeddings.pqModelWrite(emb, "vec_id", "embedding",
+          dim = 64, m = 4, k = 8, iters = 2, s"$base/pq"),
         // quarter co-purchase graph: the ONLY SF-scaling store here,
         // and the per-store triangle takedown already measures its
         // full-scale cost shape under graph_triangles_deleted — the
@@ -943,6 +946,7 @@ object SparkEntry {
         Store("jaccard_prefix", s"$base/jp", Map("idCol" -> "doc_id")),
         Store("ivf", s"$base/ivf", Map("idCol" -> "vec_id")),
         Store("kmeans_model", s"$base/km", Map("idCol" -> "vec_id")),
+        Store("pq_model", s"$base/pq", Map("idCol" -> "vec_id")),
         Store("triangles", s"$base/tri"),
         // quiesced batch-built stream stores: fold the latest batch too
         Store("cdc_state", s"$base/cdc",
@@ -1004,6 +1008,17 @@ object SparkEntry {
         col("vec_id") + col("cluster")))
       .unionByName(m("kmeans_model_manifest",
         Embeddings.kmeansModelPresentIds(s, s"$base/km"), col("id")))
+      // PQ twin: the retrained codebooks' ENCODE of every surviving
+      // vector (per-row code sum — each code is a round-6 L2 argmin
+      // against the survivor-trained codebooks, so a skipped retrain
+      // mismatches), plus its manifest ledger
+      .unionByName(m("pq_model",
+        Embeddings.pqModelEncode(emb.filter(col("vec_id") % 9 =!= 2),
+          "vec_id", "embedding", s"$base/pq"),
+        col("vec_id") + aggregate(col("codes"), lit(0L),
+          (a, x) => a + x.cast("long"))))
+      .unionByName(m("pq_model_manifest",
+        Embeddings.pqModelPresentIds(s, s"$base/pq"), col("id")))
       .unionByName(m("triangles",
         Graph.trianglesFromIndex(s, s"$base/tri"),
         col("id") + col("triangles")))
@@ -5636,7 +5651,7 @@ object SparkEntry {
        c2_$s AS MATERIALIZED (SELECT c1_$s.c, coalesce(mm.v, c1_$s.v) AS v FROM c1_$s
               LEFT JOIN (SELECT c, list(m ORDER BY j) AS v
                          FROM m2_$s GROUP BY c) mm USING (c)),
-       dec$s AS (SELECT t.vec_id, cb.v
+       dec$s AS (SELECT t.vec_id, c, cb.v
               FROM (SELECT t.vec_id, ${argmin(s"c2_$s")} AS c FROM e$s t) t
               JOIN c2_$s cb USING (c))"""
   }
@@ -6099,6 +6114,24 @@ object SparkEntry {
            FROM e""",
         "vec_id + cluster"),
       wrap("kmeans_model_manifest",
+        """SELECT vec_id FROM embeddings
+           WHERE embedding IS NOT NULL AND vec_id % 9 <> 2""",
+        "vec_id"),
+      // PQ twin: codebooks retrained over survivors, encode replayed
+      // per subspace (the pqChainSql Lloyd-in-L2 recipe) — the per-row
+      // code sum pins every argmin decision
+      wrap("pq_model",
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+             FROM embeddings
+             WHERE embedding IS NOT NULL AND vec_id % 9 <> 2),
+           ${pqDecodeSql(4, 8, 16)},
+           enc AS (SELECT dec0.vec_id,
+               dec0.c + dec1.c + dec2.c + dec3.c AS code_sum
+             FROM dec0 JOIN dec1 USING (vec_id) JOIN dec2 USING (vec_id)
+             JOIN dec3 USING (vec_id))
+           SELECT vec_id, code_sum FROM enc""",
+        "vec_id + code_sum"),
+      wrap("pq_model_manifest",
         """SELECT vec_id FROM embeddings
            WHERE embedding IS NOT NULL AND vec_id % 9 <> 2""",
         "vec_id"),

@@ -174,7 +174,10 @@ object Embeddings {
     * Returns the model as (sub, cluster, centroid) — m·k rows; persist
     * with `model.write.parquet(...)`. Takedown contract for the
     * persisted codebooks: [[Takedown.userPersisted]] — retrain over
-    * survivors and replace (and re-encode stored codes).
+    * survivors and replace (and re-encode stored codes). Prefer
+    * [[pqModelWrite]] for persistence: its registered `pq_model` kind
+    * lets the takedown orchestrator fence, audit, and retrain the
+    * store instead of relying on this doc contract.
     */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       m: Int, k: Int, iters: Int): DataFrame = {
@@ -286,214 +289,6 @@ object Embeddings {
     * ([[graft.operators.Similarity.ivfTopKJoin]]) when even the code
     * scan must shrink.
     */
-  // ---------------------------------------------------------------
-  // kmeans_model: the PERSISTED k-means model as a registered takedown
-  // store (the stronger shape of the [[Takedown.userPersisted]]
-  // doc-contract). Centroids are many-to-one aggregates — no in-place
-  // correction can provably remove one training row's influence — so
-  // the store keeps a training MANIFEST (id, vec) beside the centroids
-  // and the registered faces give the orchestrator what the bare
-  // `kmeansTrain` frame never could:
-  //
-  //   path/centroids  (cluster, centroid)   — the served model
-  //   path/manifest   (id, vec)             — rows the model was
-  //                                           trained on (provenance)
-  //   path/victims    (id)                  — tombstoned training ids
-  //   path/meta       (dim, k, iters)       — the retrain recipe
-  //   path/_STALE                           — victim-influence fence
-  //
-  // forget-time delete is O(victim): it FENCES the model (reads refuse
-  // until retrain — serving victim-trained centroids after a takedown
-  // is the governance violation the fence makes impossible) and
-  // tombstones the victim ids; compact = RETRAIN over the manifest
-  // survivors, the one provable removal path for an aggregate model.
-  // The audit probe reports manifest-minus-tombstoned ids: with the
-  // fence up no read face can surface victim influence, so a
-  // post-forget audit is already `clean` and physical/model removal
-  // stays with compaction — the same split every other store kind has.
-  // ---------------------------------------------------------------
-
-  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String)
-      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  private def staleMarker(path: String) = s"$path/_STALE"
-
-  /** True while the model carries tombstoned-but-not-yet-retrained
-    * victim influence (the [[kmeansModelDelete]] fence).
-    */
-  def kmeansModelStale(spark: org.apache.spark.sql.SparkSession,
-      path: String): Boolean = {
-    val (fs, _) = fsOf(spark, path)
-    fs.exists(new org.apache.hadoop.fs.Path(staleMarker(path)))
-  }
-
-  /** Train a [[kmeansTrain]] model AND persist it as a kmeans_model
-    * store: centroids + the training manifest + the retrain recipe.
-    * This is the registered-takedown alternative to persisting the
-    * bare model frame yourself — `Takedown.kinds("kmeans_model")`
-    * can fence, tombstone, audit, and retrain this store; a frame you
-    * wrote out on your own is invisible to the orchestrator
-    * ([[Takedown.userPersisted]]).
-    *
-    * Scale shape: k-means training corpora are SAMPLES (the coarse-
-    * quantizer discipline — nobody Lloyd-iterates 100 TB), so the
-    * manifest persists the training sample itself: bounded by the
-    * sample, and exactly what retrain-over-survivors needs, with no
-    * dependence on the source corpus still existing unchanged.
-    * Training runs BEFORE the rebuild marker (the
-    * [[AtomicBatches.withRebuildMarker]] availability caveat).
-    */
-  def kmeansModelWrite(train: DataFrame, idCol: String, vecCol: String,
-      dim: Int, k: Int, iters: Int, path: String): Unit = {
-    val spark = train.sparkSession
-    import spark.implicits._
-    val manifest = train.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("vec"))
-      .localCheckpoint(true) // trained on AND persisted
-    try {
-      val model = kmeansTrain(manifest, "id", "vec", dim, k, iters)
-      AtomicBatches.withRebuildMarker(spark, path) {
-        val (fs, _) = fsOf(spark, path)
-        model.write.mode("overwrite").parquet(s"$path/centroids")
-        manifest.write.mode("overwrite").parquet(s"$path/manifest")
-        Seq((dim, k, iters)).toDF("dim", "k", "iters")
-          .write.mode("overwrite").parquet(s"$path/meta")
-        // a full rebuild supersedes any pending takedown state: the new
-        // model carries no old-manifest influence
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/victims"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(staleMarker(path)), false)
-      }
-    } finally
-      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(manifest)
-  }
-
-  /** The served model (cluster, centroid) — REFUSES while the store is
-    * victim-stale: between a takedown and its compaction the centroids
-    * still embed the victims, and serving them would hand out exactly
-    * the influence the takedown removed. Run
-    * [[kmeansModelCompact]] (retrain-over-survivors) to clear.
-    */
-  def kmeansModelCentroids(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
-    AtomicBatches.assertNotInMaintenance(spark, path, "kmeansModelCentroids")
-    require(!kmeansModelStale(spark, path),
-      s"kmeansModelCentroids: model at $path is VICTIM-STALE (_STALE " +
-      "fence present): a takedown tombstoned training rows and the " +
-      "centroids still embed them. Run kmeansModelCompact " +
-      "(retrain-over-survivors) to produce a servable model.")
-    spark.read.parquet(s"$path/centroids").select("cluster", "centroid")
-  }
-
-  /** [[kmeansAssign]] against the persisted store's current centroids
-    * (same stale fence as [[kmeansModelCentroids]]).
-    */
-  def kmeansModelAssign(df: DataFrame, idCol: String, vecCol: String,
-      path: String): DataFrame =
-    kmeansAssign(df, idCol, vecCol,
-      kmeansModelCentroids(df.sparkSession, path))
-
-  /** Takedown face: fence the model and tombstone the victim training
-    * ids — O(victim-size), no retraining here (that is
-    * [[kmeansModelCompact]]'s job, the forget/compact split every
-    * store kind shares). Order matters for crash honesty: the fence
-    * goes up BEFORE the tombstones land, so a crash between leaves a
-    * refused-but-auditable store (probe still reports the victims →
-    * `held`, loud), never a servable victim-trained model. Victims
-    * absent from the manifest are no-ops; re-delivery is idempotent.
-    */
-  def kmeansModelDelete(victims: DataFrame, idCol: String,
-      path: String): Unit = {
-    val spark = victims.sparkSession
-    AtomicBatches.assertNotInMaintenance(spark, path, "kmeansModelDelete")
-    val vids = victims.select(col(idCol).cast("long").as("id")).distinct()
-    val hit = spark.read.parquet(s"$path/manifest").select("id")
-      .join(broadcast(vids), Seq("id"), "left_semi")
-      .localCheckpoint(true) // existence probe + tombstone write read it
-    try {
-      if (hit.limit(1).count() > 0) {
-        val (fs, _) = fsOf(spark, path)
-        fs.create(new org.apache.hadoop.fs.Path(staleMarker(path)), true)
-          .close()
-        hit.write.mode("append").parquet(s"$path/victims")
-      }
-    } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(hit)
-  }
-
-  /** Audit probe: the training ids that still influence what this
-    * store's read faces can serve — the manifest minus tombstoned
-    * victims. With the [[kmeansModelDelete]] fence up, no read face
-    * serves the stale centroids, so tombstoned ids are correctly NOT
-    * present (the read-visibility rule every store probe follows).
-    */
-  def kmeansModelPresentIds(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
-    AtomicBatches.assertNotInMaintenance(spark, path, "kmeansModelPresentIds")
-    val manifest = spark.read.parquet(s"$path/manifest").select("id")
-    Similarity.readParquetIfAny(spark, s"$path/victims") match {
-      case Some(v) =>
-        manifest.join(broadcast(v.select("id").distinct()), Seq("id"),
-          "left_anti")
-      case None => manifest
-    }
-  }
-
-  /** Physical removal = RETRAIN over the manifest survivors (the only
-    * provable way victim influence leaves an aggregate model), then
-    * swap the manifest to the survivor set, drop the tombstones, and
-    * lift the fence. No-op when nothing is tombstoned. Runs under the
-    * `_MAINT` lock ([[AtomicBatches.withMaintenanceLock]]); a crashed
-    * pass re-runs with `takeover = true` (every step is a pure
-    * function of the current tables — the manifest swap is recovered
-    * from `manifest_next` if a crash landed between its delete and
-    * rename).
-    */
-  def kmeansModelCompact(spark: org.apache.spark.sql.SparkSession,
-      path: String, takeover: Boolean = false): Unit = {
-    val (fs, _) = fsOf(spark, path)
-    // recover a crashed manifest swap BEFORE deciding no-op: manifest
-    // missing with manifest_next present is mid-swap state
-    val mPath = new org.apache.hadoop.fs.Path(s"$path/manifest")
-    val mNext = new org.apache.hadoop.fs.Path(s"$path/manifest_next")
-    val anyVictims = Similarity.readParquetIfAny(spark, s"$path/victims")
-      .exists(_.limit(1).count() > 0)
-    if (!anyVictims && !kmeansModelStale(spark, path) && !fs.exists(mNext))
-      return
-    AtomicBatches.withMaintenanceLock(spark, path, takeover) {
-      if (!fs.exists(mPath) && fs.exists(mNext) && !fs.rename(mNext, mPath))
-        throw new java.io.IOException(
-          s"manifest swap recovery rename $mNext -> $mPath failed")
-      val survivors = Similarity.readParquetIfAny(spark,
-          s"$path/victims") match {
-        case Some(v) => spark.read.parquet(mPath.toString)
-          .join(broadcast(v.select("id").distinct()), Seq("id"), "left_anti")
-        case None => spark.read.parquet(mPath.toString)
-      }
-      survivors.write.mode("overwrite").parquet(mNext.toString)
-      val meta = spark.read.parquet(s"$path/meta").head()
-      val survFrame = spark.read.parquet(mNext.toString)
-      // an all-victims manifest retrains to an EMPTY model (no training
-      // rows → no defensible centroids); reads of it are the caller's
-      // decision, the store just refuses to serve victim influence
-      val retrained =
-        if (survFrame.limit(1).count() == 0) {
-          import spark.implicits._
-          Seq.empty[(Int, Seq[Double])].toDF("cluster", "centroid")
-        } else kmeansTrain(survFrame, "id", "vec", meta.getAs[Int]("dim"),
-          meta.getAs[Int]("k"), meta.getAs[Int]("iters"))
-      retrained.write.mode("overwrite").parquet(s"$path/centroids")
-      if (!fs.delete(mPath, true) || !fs.rename(mNext, mPath))
-        throw new java.io.IOException(
-          s"manifest swap $mNext -> $mPath failed mid-way; re-run " +
-          "kmeansModelCompact(takeover = true) — it recovers the swap")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/victims"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(staleMarker(path)), false)
-    }
-  }
-
   def pqTopK(encoded: DataFrame, idCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       model: DataFrame, k: Int, excludeSelf: Boolean = false): DataFrame = {
@@ -515,4 +310,337 @@ object Embeddings {
       .select(col("q_id"), col("col._1").as("id"), col("col._2").as("pq_cos"),
         (col("pos") + 1).as("rank"))
   }
+
+  // ---------------------------------------------------------------
+  // Persisted MODEL STORES as registered takedown kinds (the stronger
+  // shape of the [[Takedown.userPersisted]] doc contract): k-means
+  // centroids (`kmeans_model`) and PQ codebooks (`pq_model`) are
+  // many-to-one aggregates — no in-place correction can provably
+  // remove one training row's influence — so each store keeps a
+  // training MANIFEST beside the model and the registered faces give
+  // the orchestrator what a bare persisted frame never could:
+  //
+  //   path/<model table>  — the served model (centroids / codebooks)
+  //   path/manifest       — (id, vec): the rows the model was trained
+  //                         on (provenance)
+  //   path/victims        — (id): tombstoned training ids
+  //   path/meta           — the retrain recipe (dim/k/iters, + m)
+  //   path/_STALE         — victim-influence fence
+  //
+  // forget-time delete is O(victim): it FENCES the model (reads refuse
+  // until retrain — serving a victim-trained model after a takedown is
+  // the governance violation the fence makes impossible) and
+  // tombstones the victim ids; compact = RETRAIN over the manifest
+  // survivors, the one provable removal path for an aggregate model.
+  // The audit probe reports manifest-minus-tombstoned ids: with the
+  // fence up no read face can surface victim influence, so a
+  // post-forget audit is already `clean` and physical/model removal
+  // stays with compaction — the same split every other store kind has.
+  // ONE protocol implementation ([[ModelStore]]) so a lifecycle fix
+  // cannot land in one model kind and miss the other (the CountStore /
+  // AtomicBatches rationale again).
+  //
+  // Scale shape: model training corpora are SAMPLES (the coarse-
+  // quantizer discipline — nobody Lloyd-iterates 100 TB), so the
+  // manifest persists the training sample itself: bounded by the
+  // sample, and exactly what retrain-over-survivors needs, with no
+  // dependence on the source corpus still existing unchanged.
+  // ---------------------------------------------------------------
+  private object ModelStore {
+
+    def fsOf(spark: org.apache.spark.sql.SparkSession, path: String)
+        : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+
+    private def staleMarker(path: String) = s"$path/_STALE"
+
+    /** True while the store carries tombstoned-but-not-yet-retrained
+      * victim influence (the [[delete]] fence).
+      */
+    def stale(spark: org.apache.spark.sql.SparkSession,
+        path: String): Boolean = {
+      val (fs, _) = fsOf(spark, path)
+      fs.exists(new org.apache.hadoop.fs.Path(staleMarker(path)))
+    }
+
+    def assertServable(spark: org.apache.spark.sql.SparkSession,
+        path: String, face: String, compactFace: String): Unit = {
+      AtomicBatches.assertNotInMaintenance(spark, path, face)
+      require(!stale(spark, path),
+        s"$face: model at $path is VICTIM-STALE (_STALE fence " +
+        "present): a takedown tombstoned training rows and the model " +
+        s"still embeds them. Run $compactFace " +
+        "(retrain-over-survivors) to produce a servable model.")
+    }
+
+    /** Full (re)build: manifest + recipe + the model table, under the
+      * rebuild marker (training itself runs before it — the
+      * [[AtomicBatches.withRebuildMarker]] availability caveat is the
+      * CALLER's obligation, since training happens caller-side). A
+      * rebuild supersedes any pending takedown state: the new model
+      * carries no old-manifest influence.
+      */
+    def write(spark: org.apache.spark.sql.SparkSession, path: String,
+        manifest: DataFrame, modelTable: (String, DataFrame),
+        meta: DataFrame): Unit =
+      AtomicBatches.withRebuildMarker(spark, path) {
+        val (fs, _) = fsOf(spark, path)
+        modelTable._2.write.mode("overwrite")
+          .parquet(s"$path/${modelTable._1}")
+        manifest.write.mode("overwrite").parquet(s"$path/manifest")
+        meta.write.mode("overwrite").parquet(s"$path/meta")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/victims"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(staleMarker(path)), false)
+      }
+
+    /** Takedown face: fence, then tombstone — see the section note.
+      * Order matters for crash honesty: the fence goes up BEFORE the
+      * tombstones land, so a crash between leaves a
+      * refused-but-auditable store (probe still reports the victims →
+      * `held`, loud), never a servable victim-trained model. Victims
+      * absent from the manifest are no-ops; re-delivery is idempotent.
+      */
+    def delete(victims: DataFrame, idCol: String, path: String,
+        face: String): Unit = {
+      val spark = victims.sparkSession
+      AtomicBatches.assertNotInMaintenance(spark, path, face)
+      val vids = victims.select(col(idCol).cast("long").as("id")).distinct()
+      val hit = spark.read.parquet(s"$path/manifest").select("id")
+        .join(broadcast(vids), Seq("id"), "left_semi")
+        .localCheckpoint(true) // existence probe + tombstone write read it
+      try {
+        if (hit.limit(1).count() > 0) {
+          val (fs, _) = fsOf(spark, path)
+          fs.create(new org.apache.hadoop.fs.Path(staleMarker(path)), true)
+            .close()
+          hit.write.mode("append").parquet(s"$path/victims")
+        }
+      } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(hit)
+    }
+
+    /** Audit probe: manifest minus tombstoned victims — the
+      * read-visibility rule (see the section note).
+      */
+    def presentIds(spark: org.apache.spark.sql.SparkSession,
+        path: String, face: String): DataFrame = {
+      AtomicBatches.assertNotInMaintenance(spark, path, face)
+      val manifest = spark.read.parquet(s"$path/manifest").select("id")
+      Similarity.readParquetIfAny(spark, s"$path/victims") match {
+        case Some(v) =>
+          manifest.join(broadcast(v.select("id").distinct()), Seq("id"),
+            "left_anti")
+        case None => manifest
+      }
+    }
+
+    /** Physical removal = RETRAIN over the manifest survivors, then
+      * swap the manifest to the survivor set, drop the tombstones, and
+      * lift the fence. `retrain` maps the survivor manifest frame to
+      * the new model table's rows (each face reads its own recipe from
+      * `path/meta` and handles the empty-survivors edge). No-op when
+      * nothing is tombstoned. Runs under the `_MAINT` lock; a crashed
+      * pass re-runs with `takeover = true` (every step is a pure
+      * function of the current tables — the manifest swap is recovered
+      * from `manifest_next` if a crash landed between its delete and
+      * rename).
+      */
+    def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+        takeover: Boolean, modelTable: String)
+        (retrain: DataFrame => DataFrame): Unit = {
+      val (fs, _) = fsOf(spark, path)
+      val mPath = new org.apache.hadoop.fs.Path(s"$path/manifest")
+      val mNext = new org.apache.hadoop.fs.Path(s"$path/manifest_next")
+      val anyVictims = Similarity.readParquetIfAny(spark, s"$path/victims")
+        .exists(_.limit(1).count() > 0)
+      if (!anyVictims && !stale(spark, path) && !fs.exists(mNext))
+        return
+      AtomicBatches.withMaintenanceLock(spark, path, takeover) {
+        if (!fs.exists(mPath) && fs.exists(mNext) &&
+            !fs.rename(mNext, mPath))
+          throw new java.io.IOException(
+            s"manifest swap recovery rename $mNext -> $mPath failed")
+        val survivors = Similarity.readParquetIfAny(spark,
+            s"$path/victims") match {
+          case Some(v) => spark.read.parquet(mPath.toString)
+            .join(broadcast(v.select("id").distinct()), Seq("id"),
+              "left_anti")
+          case None => spark.read.parquet(mPath.toString)
+        }
+        survivors.write.mode("overwrite").parquet(mNext.toString)
+        retrain(spark.read.parquet(mNext.toString))
+          .write.mode("overwrite").parquet(s"$path/$modelTable")
+        if (!fs.delete(mPath, true) || !fs.rename(mNext, mPath))
+          throw new java.io.IOException(
+            s"manifest swap $mNext -> $mPath failed mid-way; re-run the " +
+            "compaction with takeover = true — it recovers the swap")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/victims"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(staleMarker(path)), false)
+      }
+    }
+  }
+
+  // the shared manifest projection: the exact rows a train face
+  // consumes, in the exact value space it trains on
+  private def modelManifest(train: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    train.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+
+  /** True while the k-means model store carries
+    * tombstoned-but-not-yet-retrained victim influence.
+    */
+  def kmeansModelStale(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = ModelStore.stale(spark, path)
+
+  /** Train a [[kmeansTrain]] model AND persist it as a kmeans_model
+    * store: centroids + the training manifest + the retrain recipe.
+    * This is the registered-takedown alternative to persisting the
+    * bare model frame yourself — `Takedown.kinds("kmeans_model")`
+    * can fence, tombstone, audit, and retrain this store; a frame you
+    * wrote out on your own is invisible to the orchestrator
+    * ([[Takedown.userPersisted]]). Training runs BEFORE the rebuild
+    * marker (the [[AtomicBatches.withRebuildMarker]] availability
+    * caveat).
+    */
+  def kmeansModelWrite(train: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, iters: Int, path: String): Unit = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val manifest = modelManifest(train, idCol, vecCol)
+      .localCheckpoint(true) // trained on AND persisted
+    try {
+      val model = kmeansTrain(manifest, "id", "vec", dim, k, iters)
+      ModelStore.write(spark, path, manifest, "centroids" -> model,
+        Seq((dim, k, iters)).toDF("dim", "k", "iters"))
+    } finally
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(manifest)
+  }
+
+  /** The served model (cluster, centroid) — REFUSES while the store is
+    * victim-stale: between a takedown and its compaction the centroids
+    * still embed the victims, and serving them would hand out exactly
+    * the influence the takedown removed. Run [[kmeansModelCompact]]
+    * (retrain-over-survivors) to clear.
+    */
+  def kmeansModelCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    ModelStore.assertServable(spark, path, "kmeansModelCentroids",
+      "kmeansModelCompact")
+    spark.read.parquet(s"$path/centroids").select("cluster", "centroid")
+  }
+
+  /** [[kmeansAssign]] against the persisted store's current centroids
+    * (same stale fence as [[kmeansModelCentroids]]).
+    */
+  def kmeansModelAssign(df: DataFrame, idCol: String, vecCol: String,
+      path: String): DataFrame =
+    kmeansAssign(df, idCol, vecCol,
+      kmeansModelCentroids(df.sparkSession, path))
+
+  /** Takedown face: fence + tombstone, O(victim-size) — retraining is
+    * [[kmeansModelCompact]]'s job ([[ModelStore.delete]]).
+    */
+  def kmeansModelDelete(victims: DataFrame, idCol: String,
+      path: String): Unit =
+    ModelStore.delete(victims, idCol, path, "kmeansModelDelete")
+
+  /** Audit probe: manifest minus tombstoned victims
+    * ([[ModelStore.presentIds]]).
+    */
+  def kmeansModelPresentIds(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    ModelStore.presentIds(spark, path, "kmeansModelPresentIds")
+
+  /** Retrain-over-survivors compaction ([[ModelStore.compact]]). An
+    * all-victims manifest retrains to an EMPTY model (no training rows
+    * → no defensible centroids); reads of it are the caller's
+    * decision, the store just refuses to serve victim influence.
+    */
+  def kmeansModelCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String, takeover: Boolean = false): Unit =
+    ModelStore.compact(spark, path, takeover, "centroids") { survivors =>
+      val meta = spark.read.parquet(s"$path/meta").head()
+      if (survivors.limit(1).count() == 0) {
+        import spark.implicits._
+        Seq.empty[(Int, Seq[Double])].toDF("cluster", "centroid")
+      } else kmeansTrain(survivors, "id", "vec", meta.getAs[Int]("dim"),
+        meta.getAs[Int]("k"), meta.getAs[Int]("iters"))
+    }
+
+  /** True while the PQ codebook store carries
+    * tombstoned-but-not-yet-retrained victim influence.
+    */
+  def pqModelStale(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = ModelStore.stale(spark, path)
+
+  /** Train [[pqTrain]] codebooks AND persist them as a pq_model store
+    * (codebooks + training manifest + recipe) — the registered-
+    * takedown alternative to persisting the bare codebook frame
+    * ([[Takedown.userPersisted]]'s pqTrain row): the `pq_model` kind
+    * can fence, tombstone, audit, and retrain this store. Training
+    * runs BEFORE the rebuild marker.
+    */
+  def pqModelWrite(train: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int, path: String): Unit = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val manifest = modelManifest(train, idCol, vecCol)
+      .localCheckpoint(true) // trained on AND persisted
+    try {
+      val model = pqTrain(manifest, "id", "vec", dim, m, k, iters)
+      ModelStore.write(spark, path, manifest, "codebooks" -> model,
+        Seq((dim, m, k, iters)).toDF("dim", "m", "k", "iters"))
+    } finally
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(manifest)
+  }
+
+  /** The served codebooks (sub, cluster, centroid) — REFUSES while
+    * victim-stale, like [[kmeansModelCentroids]]. Run
+    * [[pqModelCompact]] to clear.
+    */
+  def pqModelCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    ModelStore.assertServable(spark, path, "pqModelCodebooks",
+      "pqModelCompact")
+    spark.read.parquet(s"$path/codebooks")
+      .select("sub", "cluster", "centroid")
+  }
+
+  /** [[pqEncode]] against the persisted store's current codebooks
+    * (same stale fence).
+    */
+  def pqModelEncode(df: DataFrame, idCol: String, vecCol: String,
+      path: String): DataFrame =
+    pqEncode(df, idCol, vecCol, pqModelCodebooks(df.sparkSession, path))
+
+  /** Takedown face: fence + tombstone ([[ModelStore.delete]]). */
+  def pqModelDelete(victims: DataFrame, idCol: String,
+      path: String): Unit =
+    ModelStore.delete(victims, idCol, path, "pqModelDelete")
+
+  /** Audit probe ([[ModelStore.presentIds]]). */
+  def pqModelPresentIds(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    ModelStore.presentIds(spark, path, "pqModelPresentIds")
+
+  /** Retrain-over-survivors compaction ([[ModelStore.compact]]);
+    * empty-survivors edge as in [[kmeansModelCompact]]. Anything
+    * ENCODED against the old codebooks is a derived artifact — re-run
+    * [[pqModelEncode]] over it after compaction (the
+    * [[Takedown.userPersisted]] re-encode note, unchanged).
+    */
+  def pqModelCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String, takeover: Boolean = false): Unit =
+    ModelStore.compact(spark, path, takeover, "codebooks") { survivors =>
+      val meta = spark.read.parquet(s"$path/meta").head()
+      if (survivors.limit(1).count() == 0) {
+        import spark.implicits._
+        Seq.empty[(Int, Int, Seq[Double])].toDF("sub", "cluster", "centroid")
+      } else pqTrain(survivors, "id", "vec", meta.getAs[Int]("dim"),
+        meta.getAs[Int]("m"), meta.getAs[Int]("k"),
+        meta.getAs[Int]("iters"))
+    }
 }

@@ -302,6 +302,18 @@ object Takedown {
       Some((sp, st) => Embeddings.kmeansModelCompact(sp, st.path,
         takeover = st.opts.get("takeover").exists(_.toBoolean))),
       present = (sp, _, st) => Embeddings.kmeansModelPresentIds(sp, st.path)),
+    Kind("pq_model", "ids",
+      Seq("pqModelWrite"),
+      "Embeddings.pqModelDelete",
+      (v, idCol, _, st) => {
+        val (vv, sid) = vAs(v, idCol, st)
+        Embeddings.pqModelDelete(vv, sid, st.path)
+      },
+      // same fence/tombstone → retrain-at-compact protocol as
+      // kmeans_model (one ModelStore implementation behind both)
+      Some((sp, st) => Embeddings.pqModelCompact(sp, st.path,
+        takeover = st.opts.get("takeover").exists(_.toBoolean))),
+      present = (sp, _, st) => Embeddings.pqModelPresentIds(sp, st.path)),
     Kind("table", "ids",
       Seq("writePartitioned", "writeClustered", "writeZOrdered",
         "writeZOrderedN"),
@@ -368,7 +380,10 @@ object Takedown {
     "pqTrain" ->
       ("persisted PQ codebooks (m·k centroid rows): retrain over the " +
        "surviving corpus and replace; re-encode any stored PQ codes " +
-       "derived from the old codebooks"),
+       "derived from the old codebooks — or persist through " +
+       "pqModelWrite instead, whose registered pq_model kind gives the " +
+       "orchestrator a training manifest to probe, a fence against " +
+       "serving the stale codebooks, and retrain-at-compact"),
     "semanticKmeansIndex" ->
       ("frozen-model assignment index: rebuild from the surviving " +
        "corpus with the RETRAINED model (assignments are a projection " +

@@ -116,6 +116,34 @@ class KmeansModelSpec extends SparkSpec {
         dim = 4, k = 2, iters = 2))
   }
 
+  test("pq_model rides the same protocol: persisted codebooks equal " +
+      "pqTrain, fence on delete, retrain-over-survivors at compact") {
+    import graft.operators.Takedown.Store
+    val path = tmp("pq")
+    Embeddings.pqModelWrite(vecs, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iters = 2, path)
+    val direct = Embeddings.pqTrain(vecs, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iters = 2)
+    sorted(Embeddings.pqModelCodebooks(spark, path)) shouldBe sorted(direct)
+    sorted(Embeddings.pqModelEncode(vecs, "vec_id", "embedding",
+      path)) shouldBe
+      sorted(Embeddings.pqEncode(vecs, "vec_id", "embedding", direct))
+    val stores = Seq(Store("pq_model", path))
+    Takedown.audit(victims, stores).head().getString(2) shouldBe "held"
+    Takedown.forget(victims, stores, idCol = "id")
+      .head().getString(2) shouldBe "deleted"
+    intercept[IllegalArgumentException] {
+      Embeddings.pqModelCodebooks(spark, path)
+    }.getMessage should include("VICTIM-STALE")
+    Takedown.assertForgotten(victims, stores, idCol = "id")
+    Takedown.compactAll(spark, stores)
+      .head().getString(2) shouldBe "compacted"
+    sorted(Embeddings.pqModelCodebooks(spark, path)) shouldBe
+      sorted(Embeddings.pqTrain(survivorVecs, "vec_id", "embedding",
+        dim = 4, m = 2, k = 2, iters = 2))
+    Takedown.assertForgotten(victims, stores, idCol = "id")
+  }
+
   test("a crashed manifest swap recovers under takeover; an " +
       "all-victims manifest compacts to an empty model") {
     import spark.implicits._

@@ -123,6 +123,8 @@ class TakedownSpec extends SparkSpec {
       path = s"$base/ivf", nBits = 2, lloydIters = 0)
     Embeddings.kmeansModelWrite(vecs, "vec_id", "embedding",
       dim = 4, k = 2, iters = 2, s"$base/km")
+    Embeddings.pqModelWrite(vecs, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iters = 2, s"$base/pq")
     Graph.trianglesIndexWrite(edges, "src", "dst", s"$base/tri")
     docs.select(col("doc_id"), (col("doc_id") % 2).as("p"), col("text"))
       .write.partitionBy("p").parquet(s"$base/tbl")
@@ -153,6 +155,7 @@ class TakedownSpec extends SparkSpec {
       Store("jaccard_prefix", s"$base/jp", Map("idCol" -> "doc_id")),
       Store("ivf", s"$base/ivf", Map("idCol" -> "vec_id")),
       Store("kmeans_model", s"$base/km", Map("idCol" -> "vec_id")),
+      Store("pq_model", s"$base/pq", Map("idCol" -> "vec_id")),
       Store("triangles", s"$base/tri"),
       Store("table", s"$base/tbl",
         Map("idCol" -> "doc_id", "partitionCol" -> "p")),
@@ -168,7 +171,7 @@ class TakedownSpec extends SparkSpec {
     // ---- ONE takedown request across the whole surface
     val outcomes = Takedown.forget(victims, allStores)
     outcomes.filter(col("status") =!= "deleted").count() shouldBe 0L
-    outcomes.count() shouldBe 12L
+    outcomes.count() shouldBe 13L
 
     // ---- and PROVE it: no store's read face can still see the ids
     Takedown.assertForgotten(victims, allStores)
@@ -237,6 +240,14 @@ class TakedownSpec extends SparkSpec {
     sorted(Embeddings.kmeansModelCentroids(spark, s"$base/km")) shouldBe
       sorted(Embeddings.kmeansTrain(vecs.filter(col("vec_id") % 3 =!= 1),
         "vec_id", "embedding", dim = 4, k = 2, iters = 2))
+    // pq_model: same fence + retrain protocol over the codebooks
+    intercept[IllegalArgumentException] {
+      Embeddings.pqModelCodebooks(spark, s"$base/pq")
+    }.getMessage should include("VICTIM-STALE")
+    Embeddings.pqModelCompact(spark, s"$base/pq")
+    sorted(Embeddings.pqModelCodebooks(spark, s"$base/pq")) shouldBe
+      sorted(Embeddings.pqTrain(vecs.filter(col("vec_id") % 3 =!= 1),
+        "vec_id", "embedding", dim = 4, m = 2, k = 2, iters = 2))
     // triangles: node forget == rebuild over non-incident edges
     Graph.trianglesIndexWrite(
       edges.filter(col("src") % 3 =!= 1 && col("dst") % 3 =!= 1),
