@@ -454,7 +454,12 @@ object Embeddings {
       val mNext = new org.apache.hadoop.fs.Path(s"$path/manifest_next")
       val anyVictims = Similarity.readParquetIfAny(spark, s"$path/victims")
         .exists(_.limit(1).count() > 0)
-      if (!anyVictims && !stale(spark, path) && !fs.exists(mNext))
+      // the no-op return must NOT skip a leftover _MAINT marker (a
+      // compact that crashed after its last cleanup step but before
+      // the lock release): entering the lock under takeover — and
+      // releasing it — is the only way the store unfences
+      if (!anyVictims && !stale(spark, path) && !fs.exists(mNext) &&
+          !AtomicBatches.maintenanceActive(spark, path))
         return
       AtomicBatches.withMaintenanceLock(spark, path, takeover) {
         if (!fs.exists(mPath) && fs.exists(mNext) &&

@@ -299,7 +299,17 @@ object Tables {
     if (affected.isEmpty) return (0L, false)
     val deleted = affected.map(_.getAs[Long]("__n")).sum
     val partValues = affected.map(_.get(0))
-    val touched = df.filter(col(partitionCol).isin(partValues: _*))
+    // a NULL partition value is a real Hive partition
+    // (__HIVE_DEFAULT_PARTITION__), but `isin` never matches NULL
+    // (three-valued logic) — without the explicit isNull arm its
+    // matches would be COUNTED as deleted yet never rewritten, a
+    // silent non-delete in a GDPR utility
+    val (nullParts, nonNullParts) = partValues.partition(_ == null)
+    val inNonNull = col(partitionCol).isin(nonNullParts: _*)
+    val touched = df.filter(
+      if (nullParts.isEmpty) inNonNull
+      else if (nonNullParts.isEmpty) col(partitionCol).isNull
+      else inNonNull || col(partitionCol).isNull)
     val kept = keep(touched)
     // total partition count is a LIST call, not a scan: the fraction
     // gate must not cost a job
@@ -309,18 +319,16 @@ object Tables {
       stagedSwap(fs, root, partitionCol, partValues, kept)
       (deleted, true)
     } else {
+      val cp = kept.localCheckpoint(true)
       val stillThere =
         try {
-          val cp = kept.localCheckpoint(true)
-          try {
-            cp.write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy(partitionCol)
-              .parquet(path)
-            // partitions the delete emptied never appear in the output
-            cp.select(partitionCol).distinct().collect().map(_.get(0)).toSet
-          } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cp)
-        }
+          cp.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCol)
+            .parquet(path)
+          // partitions the delete emptied never appear in the output
+          cp.select(partitionCol).distinct().collect().map(_.get(0)).toSet
+        } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cp)
       val emptied = partValues.filterNot(stillThere.contains)
       emptied.foreach(v =>
         fs.delete(new org.apache.hadoop.fs.Path(root,
@@ -330,11 +338,15 @@ object Tables {
   }
 
   // Spark's own partition-path escaping — directory names are
-  // percent-escaped for special characters, so raw string
+  // percent-escaped for special characters, and a NULL value lands in
+  // the __HIVE_DEFAULT_PARTITION__ directory — raw string
   // concatenation would miss (and strand) such partitions
   private def partDirName(partitionCol: String, v: Any): String =
-    s"$partitionCol=" + org.apache.spark.sql.catalyst.catalog
-      .ExternalCatalogUtils.escapePathName(String.valueOf(v))
+    s"$partitionCol=" + (if (v == null)
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME
+    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(String.valueOf(v)))
 
   // the large-fraction rewrite: write the kept rows of the touched
   // partitions aside under the table root, then swap directories with

@@ -116,6 +116,31 @@ class KmeansModelSpec extends SparkSpec {
         dim = 4, k = 2, iters = 2))
   }
 
+  test("a _MAINT marker stranded after the last cleanup step still " +
+      "clears under takeover compaction") {
+    val path = tmp("marker")
+    Embeddings.kmeansModelWrite(vecs, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 2, path)
+    // simulate a compact that crashed AFTER deleting victims + _STALE
+    // but BEFORE the lock release: only the marker remains
+    intercept[RuntimeException] {
+      AtomicBatches.withMaintenanceLock(spark, path, takeover = false) {
+        throw new RuntimeException("simulated crash after cleanup")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Embeddings.kmeansModelCentroids(spark, path)
+    }.getMessage should include("maintenance")
+    // the no-op fast path must NOT return around the marker (that
+    // would fence the store forever); without takeover the stale-
+    // marker protocol refuses, with it the lock clears on completion
+    intercept[IllegalArgumentException] {
+      Embeddings.kmeansModelCompact(spark, path)
+    }.getMessage should include("takeover")
+    Embeddings.kmeansModelCompact(spark, path, takeover = true)
+    Embeddings.kmeansModelCentroids(spark, path).count() shouldBe 2L
+  }
+
   test("pq_model rides the same protocol: persisted codebooks equal " +
       "pqTrain, fence on delete, retrain-over-survivors at compact") {
     import graft.operators.Takedown.Store

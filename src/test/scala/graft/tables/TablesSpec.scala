@@ -228,6 +228,39 @@ class TablesSpec extends SparkSpec {
     spark.read.parquet(s"$dir/t").count() shouldBe 400L
   }
 
+  test("NULL partition values are rewritten, not silently skipped, in " +
+      "both rewrite strategies") {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val dir = Files.createTempDirectory("graft-del-nullp").toString
+    // ids 0-99 land in the NULL partition (__HIVE_DEFAULT_PARTITION__),
+    // 100-199 in p=1, 200-299 in p=2. `isin` never matches NULL, so
+    // without the explicit arm the null group's matches would be
+    // COUNTED as deleted yet never rewritten
+    spark.range(300).select(
+      when(col("id") < 100, lit(null).cast("long"))
+        .otherwise(expr("id div 100")).as("p"), col("id"))
+      .write.partitionBy("p").parquet(s"$dir/t")
+    // 1-of-3 partitions (the NULL one) → checkpointed dynamic overwrite
+    val pred1 = col("p").isNull && col("id") % 2 === 0
+    val (d1, s1) = Tables.deleteRewriteDetail(spark, s"$dir/t", "p",
+      d => d.filter(pred1), d => d.filter(!pred1), stagedFraction = 0.9)
+    s1 shouldBe false
+    d1 shouldBe 50L
+    spark.read.parquet(s"$dir/t").filter(col("p").isNull)
+      .count() shouldBe 50L
+    // 2-of-3 incl. NULL (which empties) → staged swap
+    val pred2 = col("p").isNull || (col("p") === 1 && col("id") % 2 === 0)
+    val (d2, s2) = Tables.deleteRewriteDetail(spark, s"$dir/t", "p",
+      d => d.filter(pred2), d => d.filter(!pred2), stagedFraction = 0.5)
+    s2 shouldBe true
+    d2 shouldBe 100L
+    val left = spark.read.parquet(s"$dir/t")
+    left.filter(col("p").isNull).count() shouldBe 0L
+    new java.io.File(s"$dir/t/p=__HIVE_DEFAULT_PARTITION__")
+      .exists() shouldBe false
+    left.count() shouldBe 150L
+  }
+
   test("a crashed staged swap recovers mechanically before the next " +
       "rewrite: deleted-not-renamed partitions rename in, unswapped " +
       "stages discard") {
