@@ -115,28 +115,34 @@ object Embeddings {
     val base = df.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .localCheckpoint(true) // read once per round + once for seeds
-
-    // deterministic seeds: the k lowest-id vectors (bounded collect)
-    var cents: Seq[(Int, Seq[Double])] = base.orderBy(col(idCol)).limit(k)
-      .collect().map(_.getSeq[Double](1)).toSeq.zipWithIndex.map(_.swap)
-    (1 to iters).foreach { _ =>
-      val updated = base.select(nearest(col("__v"), cents), col("__v"))
-        .groupBy("cluster")
-        .agg(graft.functions.Aggregators.vectorCentroid(col("__v"), dim).as("c"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(x =>
-          // SQL round() semantics (half away from zero), 9 decimals —
-          // engine-stable centroid components
-          BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-            .toDouble))
-        .toMap
-      cents = cents.map { case (i, prev) =>
-        i -> updated.getOrElse(i, prev) // empty cluster keeps its centroid
+    try {
+      // deterministic seeds: the k lowest-id vectors (bounded collect)
+      var cents: Seq[(Int, Seq[Double])] = base.orderBy(col(idCol)).limit(k)
+        .collect().map(_.getSeq[Double](1)).toSeq.zipWithIndex.map(_.swap)
+      (1 to iters).foreach { _ =>
+        val updated = base.select(nearest(col("__v"), cents), col("__v"))
+          .groupBy("cluster")
+          .agg(graft.functions.Aggregators.vectorCentroid(col("__v"), dim).as("c"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).map(x =>
+            // SQL round() semantics (half away from zero), 9 decimals —
+            // engine-stable centroid components
+            BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble))
+          .toMap
+        cents = cents.map { case (i, prev) =>
+          i -> updated.getOrElse(i, prev) // empty cluster keeps its centroid
+        }
       }
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    cents.toDF("cluster", "centroid")
+      val spark = df.sparkSession
+      import spark.implicits._
+      cents.toDF("cluster", "centroid")
+    } finally
+      // the model is a driver-built frame — the training checkpoint is
+      // dead weight the moment the loop ends, and retrain-at-compact
+      // callers ([[kmeansModelCompact]]) would otherwise accumulate one
+      // leaked block set per pass
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(base)
   }
 
   /** Assignment half: nearest model centroid per vector (argmax of
@@ -194,40 +200,45 @@ object Embeddings {
     val base = df.filter(v.isNotNull)
       .select(col(idCol).as("__id"), v.as("__v"))
       .localCheckpoint(true) // seeds + every iteration read it
-    // deterministic seeds: the k lowest-id vectors' slices (one bounded
-    // collect serves all m subspaces)
-    val seedRows = base.orderBy(col("__id")).limit(k).collect()
-    var cents: Map[Int, Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
-      s -> seedRows.map(_.getSeq[Double](1).slice(s * sub, (s + 1) * sub))
-        .toSeq.zipWithIndex.map(_.swap)
-    }.toMap
-    (1 to iters).foreach { _ =>
-      val codes = graft.functions.PqEncodeFn.pqEncode(col("__v"),
-        (0 until m).map(s => cents(s).map(_._2)))
-      val updated = base
-        .select(col("__v"), posexplode(codes).as(Seq("sub", "cluster")))
-        .select(col("sub"), col("cluster"),
-          slice(col("__v"), col("sub") * sub + 1, lit(sub)).as("sv"))
-        .groupBy("sub", "cluster")
-        .agg(graft.functions.Aggregators.vectorCentroid(col("sv"), sub).as("c"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).map(x =>
-          // SQL round() semantics (half away from zero), 9 decimals —
-          // engine-stable centroid components (the kmeansTrain recipe)
-          BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-            .toDouble))
-        .toMap
-      cents = cents.map { case (s, cs) =>
-        s -> cs.map { case (i, prev) =>
-          i -> updated.getOrElse((s, i), prev) // empty cell keeps centroid
+    try {
+      // deterministic seeds: the k lowest-id vectors' slices (one bounded
+      // collect serves all m subspaces)
+      val seedRows = base.orderBy(col("__id")).limit(k).collect()
+      var cents: Map[Int, Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
+        s -> seedRows.map(_.getSeq[Double](1).slice(s * sub, (s + 1) * sub))
+          .toSeq.zipWithIndex.map(_.swap)
+      }.toMap
+      (1 to iters).foreach { _ =>
+        val codes = graft.functions.PqEncodeFn.pqEncode(col("__v"),
+          (0 until m).map(s => cents(s).map(_._2)))
+        val updated = base
+          .select(col("__v"), posexplode(codes).as(Seq("sub", "cluster")))
+          .select(col("sub"), col("cluster"),
+            slice(col("__v"), col("sub") * sub + 1, lit(sub)).as("sv"))
+          .groupBy("sub", "cluster")
+          .agg(graft.functions.Aggregators.vectorCentroid(col("sv"), sub).as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).map(x =>
+            // SQL round() semantics (half away from zero), 9 decimals —
+            // engine-stable centroid components (the kmeansTrain recipe)
+            BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble))
+          .toMap
+        cents = cents.map { case (s, cs) =>
+          s -> cs.map { case (i, prev) =>
+            i -> updated.getOrElse((s, i), prev) // empty cell keeps centroid
+          }
         }
       }
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    cents.toSeq.flatMap { case (s, cs) =>
-      cs.map { case (i, c) => (s, i, c) }
-    }.sortBy(t => (t._1, t._2)).toDF("sub", "cluster", "centroid")
+      val spark = df.sparkSession
+      import spark.implicits._
+      cents.toSeq.flatMap { case (s, cs) =>
+        cs.map { case (i, c) => (s, i, c) }
+      }.sortBy(t => (t._1, t._2)).toDF("sub", "cluster", "centroid")
+    } finally
+      // driver-built model → the training checkpoint is releasable the
+      // moment the loop ends (the kmeansTrain discipline)
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(base)
   }
 
   /** Collected [[pqTrain]] model: per-sub centroid tables in cluster
@@ -407,9 +418,21 @@ object Embeddings {
       val spark = victims.sparkSession
       AtomicBatches.assertNotInMaintenance(spark, path, face)
       val vids = victims.select(col(idCol).cast("long").as("id")).distinct()
-      val hit = spark.read.parquet(s"$path/manifest").select("id")
-        .join(broadcast(vids), Seq("id"), "left_semi")
-        .localCheckpoint(true) // existence probe + tombstone write read it
+        .localCheckpoint(true) // counted, then joined
+      val hit = try {
+        // count-gated broadcast, the victimDeletePlans discipline: the
+        // request is unbounded, so hinting it into a driver-built
+        // broadcast relation is only safe below the planner's own
+        // threshold — beyond it (or with auto-broadcast off) the semi
+        // join shuffles
+        val thresholdBytes = org.apache.spark.sql.graft.Bridge
+          .autoBroadcastJoinThreshold(spark)
+        val side = if (thresholdBytes > 0 && vids.count() <= thresholdBytes / 8)
+          broadcast(vids) else vids
+        spark.read.parquet(s"$path/manifest").select("id")
+          .join(side, Seq("id"), "left_semi")
+          .localCheckpoint(true) // existence probe + tombstone write read it
+      } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(vids)
       try {
         if (hit.limit(1).count() > 0) {
           val (fs, _) = fsOf(spark, path)
@@ -461,6 +484,19 @@ object Embeddings {
       if (!anyVictims && !stale(spark, path) && !fs.exists(mNext) &&
           !AtomicBatches.maintenanceActive(spark, path))
         return
+      // fence WITHOUT tombstones = a delete crashed between fence-up
+      // and its tombstone write (the cleanup below drops the fence
+      // strictly BEFORE the tombstones, so a crashed COMPACT can never
+      // leave this state): the victim set is unknown here, and
+      // retraining over the full manifest would lift the fence while
+      // every victim still influences the model — refuse, the recovery
+      // is re-running the forget (re-delivery is safe)
+      require(!(stale(spark, path) && !anyVictims && !fs.exists(mNext)),
+        s"model store at $path is FENCED (_STALE) with no tombstones " +
+        "recorded: a delete crashed between the fence and its tombstone " +
+        "write, so the victim set is unknown — re-run the forget (its " +
+        "re-delivery is idempotent) before compacting; retraining now " +
+        "would lift the fence with every victim still in the model.")
       AtomicBatches.withMaintenanceLock(spark, path, takeover) {
         if (!fs.exists(mPath) && fs.exists(mNext) &&
             !fs.rename(mNext, mPath))
@@ -480,8 +516,14 @@ object Embeddings {
           throw new java.io.IOException(
             s"manifest swap $mNext -> $mPath failed mid-way; re-run the " +
             "compaction with takeover = true — it recovers the swap")
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/victims"), true)
+        // cleanup ORDER is load-bearing: the fence drops before the
+        // tombstones, so "stale with no tombstones" can only ever mean
+        // a crashed DELETE (the refuse above) — a compact crashing
+        // between these two deletes leaves an unfenced store with
+        // already-applied tombstones, which the next pass harmlessly
+        // re-folds (they are no longer in the manifest)
         fs.delete(new org.apache.hadoop.fs.Path(staleMarker(path)), false)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/victims"), true)
       }
     }
   }

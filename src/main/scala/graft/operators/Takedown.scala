@@ -126,10 +126,23 @@ object Takedown {
     // (HDFS/object stores) mostly don't have them.
     def norm(p: String): String = {
       val t = p.trim.stripSuffix("/")
-      if (t.contains("://"))
-        new org.apache.hadoop.fs.Path(t).toUri.normalize.toString
-          .stripSuffix("/")
-      else java.nio.file.Paths.get(t).toAbsolutePath.normalize.toString
+      // scheme detection by URI parse, not a "://" scan: hadoop accepts
+      // single-slash URIs ("file:/tmp/x"), which a substring test would
+      // misroute into the local branch as a relative path. `file`-scheme
+      // roots collapse onto the plain-local form so "file:///tmp/x" and
+      // "/tmp/x" cannot slip past the duplicate check as distinct keys.
+      val scheme = scala.util.Try(new java.net.URI(t)).toOption
+        .flatMap(u => Option(u.getScheme))
+      scheme match {
+        case Some("file") => java.nio.file.Paths.get(
+            new org.apache.hadoop.fs.Path(t).toUri.getPath)
+          .toAbsolutePath.normalize.toString
+        case Some(_) =>
+          new org.apache.hadoop.fs.Path(t).toUri.normalize.toString
+            .stripSuffix("/")
+        case None =>
+          java.nio.file.Paths.get(t).toAbsolutePath.normalize.toString
+      }
     }
     // (storeIndex, root): cluster_state contributes its root PLUS the
     // three sub-paths — st.path stays a guarded prefix even when all

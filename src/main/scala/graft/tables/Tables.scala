@@ -292,13 +292,35 @@ object Tables {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverStagedSwap(fs, root, partitionCol)
     val df = spark.read.parquet(path)
-    val affected = matches(df)
-      .groupBy(partitionCol).agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("__n"))
+    // `input_file_name()` is attached AT THE SCAN (before `matches` —
+    // after a shuffle join it would evaluate to "") and one file per
+    // affected partition rides the discovery aggregate: the partition's
+    // ON-DISK directory name comes from a real file path instead of
+    // being re-derived from the value, whose string form can diverge
+    // from Spark's own partition-path formatting (timestamps render
+    // differently under String.valueOf; a name-constructed swap would
+    // silently miss those directories)
+    val affected = matches(df.withColumn("__fn",
+        org.apache.spark.sql.functions.input_file_name()))
+      .groupBy(partitionCol).agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__n"),
+        org.apache.spark.sql.functions.first(col("__fn")).as("__f"))
       .collect()
     if (affected.isEmpty) return (0L, false)
     val deleted = affected.map(_.getAs[Long]("__n")).sum
     val partValues = affected.map(_.get(0))
+    // value → on-disk partition directory name (URL-decoded from the
+    // sampled file path; the layout is exactly one partition level)
+    val dirNames: Seq[String] = affected.map { r =>
+      val name = org.apache.spark.paths.SparkPath
+        .fromUrlString(r.getAs[String]("__f")).toPath.getParent.getName
+      require(name.startsWith(s"$partitionCol="),
+        s"unexpected partition layout: file parent '$name' does not " +
+        s"start with '$partitionCol=' — deleteMatching requires a " +
+        "single-level Hive-partitioned table")
+      name
+    }.toSeq
     // a NULL partition value is a real Hive partition
     // (__HIVE_DEFAULT_PARTITION__), but `isin` never matches NULL
     // (three-valued logic) — without the explicit isNull arm its
@@ -316,7 +338,7 @@ object Tables {
     val totalParts = fs.listStatus(root).count(st =>
       st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
     if (totalParts > 0 && partValues.length >= stagedFraction * totalParts) {
-      stagedSwap(fs, root, partitionCol, partValues, kept)
+      stagedSwap(fs, root, partitionCol, dirNames, kept)
       (deleted, true)
     } else {
       val cp = kept.localCheckpoint(true)
@@ -329,24 +351,13 @@ object Tables {
           // partitions the delete emptied never appear in the output
           cp.select(partitionCol).distinct().collect().map(_.get(0)).toSet
         } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cp)
-      val emptied = partValues.filterNot(stillThere.contains)
-      emptied.foreach(v =>
-        fs.delete(new org.apache.hadoop.fs.Path(root,
-          partDirName(partitionCol, v)), true))
+      partValues.zip(dirNames).collect {
+        case (v, name) if !stillThere.contains(v) =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, name), true)
+      }
       (deleted, false)
     }
   }
-
-  // Spark's own partition-path escaping — directory names are
-  // percent-escaped for special characters, and a NULL value lands in
-  // the __HIVE_DEFAULT_PARTITION__ directory — raw string
-  // concatenation would miss (and strand) such partitions
-  private def partDirName(partitionCol: String, v: Any): String =
-    s"$partitionCol=" + (if (v == null)
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .DEFAULT_PARTITION_NAME
-    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      .escapePathName(String.valueOf(v)))
 
   // the large-fraction rewrite: write the kept rows of the touched
   // partitions aside under the table root, then swap directories with
@@ -354,15 +365,16 @@ object Tables {
   // while writing under `path/_staged` — disjoint paths, so no
   // checkpoint materialization and no read-path-overwrite conflict;
   // the underscore prefix keeps the stage invisible to every reader of
-  // `path` until its partition is renamed in whole.
+  // `path` until its partition is renamed in whole. `dirNames` are the
+  // ON-DISK names of the touched partitions (file-derived — the staged
+  // write formats values identically, so staged child names match).
   private def stagedSwap(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, partitionCol: String,
-      partValues: Array[Any], kept: DataFrame): Unit = {
+      dirNames: Seq[String], kept: DataFrame): Unit = {
     val staged = new org.apache.hadoop.fs.Path(root, "_staged")
     kept.write.mode("overwrite").partitionBy(partitionCol)
       .parquet(staged.toString)
-    partValues.foreach { v =>
-      val name = partDirName(partitionCol, v)
+    dirNames.foreach { name =>
       val live = new org.apache.hadoop.fs.Path(root, name)
       val src = new org.apache.hadoop.fs.Path(staged, name)
       fs.delete(live, true)

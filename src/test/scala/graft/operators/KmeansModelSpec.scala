@@ -141,6 +141,54 @@ class KmeansModelSpec extends SparkSpec {
     Embeddings.kmeansModelCentroids(spark, path).count() shouldBe 2L
   }
 
+  test("a delete crashed between fence and tombstones cannot be " +
+      "compacted over: stale-with-no-tombstones refuses, re-running " +
+      "the forget recovers") {
+    val path = tmp("fencecrash")
+    Embeddings.kmeansModelWrite(vecs, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 2, path)
+    // simulate the delete's crash window: fence up, no tombstones yet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_STALE"), true).close()
+    // the victim set is UNKNOWN here — compacting would retrain over
+    // the full manifest and lift the fence with every victim still in
+    intercept[IllegalArgumentException] {
+      Embeddings.kmeansModelCompact(spark, path)
+    }.getMessage should include("re-run the forget")
+    // the documented recovery: re-deliver the forget, then compact
+    Embeddings.kmeansModelDelete(victims, "id", path)
+    Embeddings.kmeansModelCompact(spark, path)
+    sorted(Embeddings.kmeansModelCentroids(spark, path)) shouldBe
+      sorted(Embeddings.kmeansTrain(survivorVecs, "vec_id", "embedding",
+        dim = 4, k = 2, iters = 2))
+  }
+
+  test("train faces release their internal checkpoints; the delete's " +
+      "victim join count-gates its broadcast like the table kind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Embeddings.kmeansTrain(vecs, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 2).collect()
+    Embeddings.pqTrain(vecs, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iters = 2).collect()
+    spark.sparkContext.getPersistentRDDs.keySet shouldBe before
+    // shrunken threshold → the delete's semi join runs in the
+    // non-broadcast regime end-to-end and stays row-exact
+    val path = tmp("gate")
+    Embeddings.kmeansModelWrite(vecs, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 2, path)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "16") // max 2 hinted ids < the 4 victims
+      Embeddings.kmeansModelDelete(victims, "id", path)
+    } finally spark.conf.set(key, saved)
+    Embeddings.kmeansModelStale(spark, path) shouldBe true
+    sorted(Embeddings.kmeansModelPresentIds(spark, path)) shouldBe
+      (0L to 11L).filter(_ % 3 != 1).map(Seq[Any](_))
+        .sortBy(_.mkString(""))
+  }
+
   test("pq_model rides the same protocol: persisted codebooks equal " +
       "pqTrain, fence on delete, retrain-over-survivors at compact") {
     import graft.operators.Takedown.Store

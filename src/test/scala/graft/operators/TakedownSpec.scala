@@ -411,6 +411,15 @@ class TakedownSpec extends SparkSpec {
       Store("nb_model", nb, Map("idCol" -> "doc_id")),
       Store("cluster_state", "/tmp/td-alias-cs-absent")))
       .count() shouldBe 2L
+    // scheme'd and scheme-less forms of ONE local directory collapse
+    // too — "file:///x", "file:/x" and "/x" are the same root
+    Seq(s"file://$nb", s"file:$nb").foreach { alias =>
+      intercept[IllegalArgumentException] {
+        Takedown.forget(victims, Seq(
+          Store("nb_model", nb, Map("idCol" -> "doc_id")),
+          Store("nb_model", alias, Map("idCol" -> "doc_id"))))
+      }.getMessage should include("more than once")
+    }
   }
 
   test("inParallel reports EVERY failing raw thunk: later failures " +

@@ -228,6 +228,45 @@ class TablesSpec extends SparkSpec {
     spark.read.parquet(s"$dir/t").count() shouldBe 400L
   }
 
+  test("timestamp partition values swap by their ON-DISK directory " +
+      "names (value formatting must not be load-bearing)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft-del-tsp").toString
+    // Spark writes 'ts=2020-01-01 00%3A00%3A00' — String.valueOf of the
+    // collected java.sql.Timestamp renders '...00:00:00.0', so a
+    // name-CONSTRUCTED swap would miss every directory and silently
+    // delete nothing; the file-derived names make this exact
+    spark.range(300).select(
+      expr("timestamp '2020-01-01 00:00:00' + make_interval(0,0,0,0," +
+        "id div 100,0,0)").as("ts"), col("id"))
+      .write.partitionBy("ts").parquet(s"$dir/t")
+    // majority (2 of 3 hours; one emptied) → staged swap
+    val pred = col("ts") < expr("timestamp '2020-01-01 01:00:00'") ||
+      (col("ts") < expr("timestamp '2020-01-01 02:00:00'") &&
+        col("id") % 2 === 0)
+    val (d, staged) = Tables.deleteRewriteDetail(spark, s"$dir/t", "ts",
+      dd => dd.filter(pred), dd => dd.filter(!pred), stagedFraction = 0.5)
+    staged shouldBe true
+    d shouldBe 150L
+    val left = spark.read.parquet(s"$dir/t")
+    left.count() shouldBe 150L
+    left.filter(pred).count() shouldBe 0L
+    // the emptied hour's directory really left the disk
+    new java.io.File(s"$dir/t").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("ts=")) shouldBe 2
+    // minority (1 of 2 remaining) → checkpointed overwrite, emptied-dir
+    // deletion also by on-disk name
+    val pred2 = col("ts") < expr("timestamp '2020-01-01 02:00:00'")
+    val (d2, staged2) = Tables.deleteRewriteDetail(spark, s"$dir/t", "ts",
+      dd => dd.filter(pred2), dd => dd.filter(!pred2),
+      stagedFraction = 0.9)
+    staged2 shouldBe false
+    d2 shouldBe 50L
+    new java.io.File(s"$dir/t").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("ts=")) shouldBe 1
+    spark.read.parquet(s"$dir/t").count() shouldBe 100L
+  }
+
   test("NULL partition values are rewritten, not silently skipped, in " +
       "both rewrite strategies") {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
