@@ -400,7 +400,9 @@ object Takedown {
     "semanticKmeansIndex" ->
       ("frozen-model assignment index: rebuild from the surviving " +
        "corpus with the RETRAINED model (assignments are a projection " +
-       "of the model — a victim-trained model leaks through every row)"),
+       "of the model — a victim-trained model leaks through every row; " +
+       "a kmeans_model store's post-compact centroids are exactly that " +
+       "retrained model)"),
     "dsirTrain" ->
       ("persisted DSIR log-ratio model (bucket-count aggregate): " +
        "retrain over the surviving corpus and replace — or ingest " +
