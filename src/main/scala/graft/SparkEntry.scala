@@ -81,6 +81,30 @@ object SparkEntry {
         emb, "vec_id", "embedding", t = 256, rounds = 5, oversample = 2.0)
       graft.operators.Sampling.kCenterAssign(
         emb, "vec_id", "embedding", centers)
+    }),
+    "table_delete_staged" -> ((s, dir) => {
+      // the LARGE-FRACTION delete regime: a lineitem-sized Hive table
+      // (16 partitions) loses ~1/3 of its rows across EVERY partition,
+      // so the rewrite takes the staged-swap path — kept rows stream to
+      // `_staged` once (no checkpoint of the kept set), then 16
+      // metadata renames. Correctness is TablesSpec + the
+      // pipeline_takedown_all table row; this entry keeps the rewrite's
+      // cost shape measured every round (the table build pays full
+      // harness price inside the timed lambda, like the takedown entry,
+      // by bench design).
+      import s.implicits._
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-bench-tbldel"
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), (col("l_orderkey") % 16).as("p"))
+        .write.mode("overwrite").partitionBy("p").parquet(base)
+      val victims = Tables.lineitem(s, dir)
+        .select(col("l_partkey")).filter(col("l_partkey") % 3 === 0)
+        .distinct()
+      val deleted = graft.tables.Tables.deleteMatching(
+        s, base, "p", victims, "l_partkey")
+      Seq((deleted, s.read.parquet(base).count()))
+        .toDF("deleted", "remaining")
     }))
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
