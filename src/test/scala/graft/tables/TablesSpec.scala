@@ -228,6 +228,44 @@ class TablesSpec extends SparkSpec {
     spark.read.parquet(s"$dir/t").count() shouldBe 400L
   }
 
+  test("property: the staged swap and the checkpointed overwrite are " +
+      "observationally equivalent on the same table and predicate") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // the two strategies must be interchangeable — a caller tuning
+    // stagedFraction can never change WHAT a delete computes, only how
+    // the rewrite is staged. Forced via the seam: fraction 0 always
+    // stages, fraction > 1 never does.
+    for (seed <- 1 to 4) {
+      val dir = Files.createTempDirectory(s"graft-del-eq$seed").toString
+      val nParts = 3 + seed // 4..7 partitions
+      val rows = spark.range(200 + 37 * seed).select(
+        (col("id") % nParts).as("p"), col("id"),
+        concat(lit("v"), col("id") * seed).as("payload"))
+      Seq("a", "b").foreach(t =>
+        Tables.writePartitioned(rows.toDF(), s"$dir/$t", Seq("p")))
+      // a predicate that fully empties partition 0 and thins the rest
+      val pred = col("p") === 0 || col("id") % (2 + seed) === 1
+      val (dStaged, s1) = Tables.deleteRewriteDetail(spark, s"$dir/a",
+        "p", d => d.filter(pred), d => d.filter(!pred),
+        stagedFraction = 0.0)
+      val (dCp, s2) = Tables.deleteRewriteDetail(spark, s"$dir/b",
+        "p", d => d.filter(pred), d => d.filter(!pred),
+        stagedFraction = 2.0)
+      s1 shouldBe true
+      s2 shouldBe false
+      dStaged shouldBe dCp
+      val read = (t: String) => spark.read.parquet(s"$dir/$t")
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString(""))
+      read("a") shouldBe read("b")
+      // identical partition-directory sets too (emptied dirs gone on
+      // both paths)
+      val dirs = (t: String) => new java.io.File(s"$dir/$t").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("p="))
+        .map(_.getName).toSet
+      dirs("a") shouldBe dirs("b")
+    }
+  }
+
   test("timestamp partition values swap by their ON-DISK directory " +
       "names (value formatting must not be load-bearing)") {
     import org.apache.spark.sql.functions.{col, expr}
