@@ -2780,17 +2780,25 @@ object SparkEntry {
       : (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
     val oldDocs = docs.filter(col("doc_id") < 250)
+    // each pair frame is a whole LSH pipeline read by TWO consumers
+    // (its closure AND the accumulated pair store deleteFromLabels
+    // scans) — materialize each ONCE, or the second consumer re-runs
+    // shingling + banding + verify end to end (measured: the _deleted
+    // twins paid the full pair generation twice per query)
     val oldPairs = Dedup.minhashLsh(oldDocs, "doc_id", "text",
       numHashes = 16, bands = 8, shingleN = 5, threshold = 0.4,
-      estimateSlack = 0.05)
+      estimateSlack = 0.05).localCheckpoint(true)
     val oldLabels = Dedup.connectedComponents(oldPairs, "id_a", "id_b")
     val index = Dedup.minhashIndex(oldDocs, "doc_id", "text",
       numHashes = 16, bands = 8, shingleN = 5)
     val newPairs = Dedup.minhashLshIncremental(
       docs.filter(col("doc_id") >= 250), "doc_id", "text", index,
       numHashes = 16, bands = 8, shingleN = 5, threshold = 0.4,
-      estimateSlack = 0.05)
+      estimateSlack = 0.05).localCheckpoint(true)
+    // the label view is re-read several times by deleteFromLabels (one
+    // semi + one anti + the member scan) — flatten it once too
     val labels = Dedup.incrementalConnectedComponents(oldLabels, newPairs)
+      .localCheckpoint(true)
     // old-old pairs ∪ new-involving pairs = the complete pair set (the
     // dedup_incremental_clusters invariant, hash-verified there)
     val pairs = oldPairs.select("id_a", "id_b")

@@ -248,6 +248,40 @@ private[graft] object AtomicBatches {
       .close()
   }
 
+  /** Swap a COMMITTED compaction stage's tables into the live base by
+    * filesystem rename instead of a Spark read-back + rewrite: the
+    * stage under `nextDir` was already written in its final folded
+    * form, so copying it through parquet paid the whole fold's I/O a
+    * second time — at 100 TB that is re-writing (and re-reading) the
+    * entire store to move it one directory. A rename is a metadata
+    * operation on any hierarchical filesystem (the [[Tables]] staged
+    * delete and the ModelStore manifest swap already rely on exactly
+    * this; object stores without atomic rename keep the maintenance
+    * marker as their guard — the window is loud, not silent).
+    *
+    * Idempotent per table, so any crash point re-runs verbatim under
+    * the caller's `_MAINT` + `_COMMIT` protocol: a table still present
+    * under the stage replaces the live one (delete + rename); a table
+    * ABSENT from the stage was already swapped by a crashed prior
+    * attempt and is left alone. The stage directory (with its
+    * `_COMMIT`) is dropped last. Callers must hold the maintenance
+    * marker and have verified the stage's `_COMMIT` before calling.
+    */
+  def swapCommittedStage(spark: SparkSession, path: String,
+      nextDir: String, tableNames: Seq[String]): Unit = {
+    val (fs, _) = fsOf(spark, nextDir)
+    tableNames.foreach { name =>
+      val staged = new org.apache.hadoop.fs.Path(s"$nextDir/$name")
+      if (fs.exists(staged)) {
+        val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+        fs.delete(live, true)
+        if (!fs.rename(staged, live)) throw new IllegalStateException(
+          s"compaction stage swap: rename $staged -> $live failed")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(nextDir), true)
+  }
+
   /** The one victim-partition rewrite protocol every compaction face
     * shares: find the partitions holding DEAD rows (driver-bounded —
     * one value per partition), rewrite ONLY those via dynamic partition

@@ -158,12 +158,10 @@ private[graft] object CountStore {
         AtomicBatches.commit(spark, nextDir)
       }
       // idempotent swap: any crash point here is re-runnable verbatim
+      // (rename-based — the stage is already the final folded form, so
+      // re-writing it through parquet would pay the fold's I/O twice)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/deltas"), true)
-      tableNames.foreach { name =>
-        spark.read.parquet(s"$nextDir/$name")
-          .write.mode("overwrite").parquet(s"$path/$name")
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(nextDir), true)
+      AtomicBatches.swapCommittedStage(spark, path, nextDir, tableNames)
     }
   }
 }

@@ -549,12 +549,11 @@ object Graph {
         AtomicBatches.commit(spark, nextDir)
       }
       // idempotent swap: any crash point here is re-runnable verbatim
+      // (rename-based — see AtomicBatches.swapCommittedStage: the stage
+      // is the final folded form, re-writing it pays the fold twice)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/batches"), true)
-      spark.read.parquet(s"$nextDir/edges")
-        .write.mode("overwrite").parquet(s"$path/edges")
-      spark.read.parquet(s"$nextDir/counts")
-        .write.mode("overwrite").parquet(s"$path/counts")
-      fs.delete(new org.apache.hadoop.fs.Path(nextDir), true)
+      AtomicBatches.swapCommittedStage(spark, path, nextDir,
+        Seq("edges", "counts"))
     }
   }
 

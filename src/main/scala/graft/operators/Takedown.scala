@@ -657,6 +657,18 @@ object Takedown {
     * means `f` only throws on VM-level errors. Sequential for 0/1
     * element. Package-visible: independent-store walks elsewhere (e.g.
     * building a store fleet) ride the same helper.
+    *
+    * Why 8 and not "all N stores at once": a store walk is a CHAIN of
+    * heavy multi-stage jobs, not idle waiting — at the 13 registered
+    * kinds a cap of 16 (one wave) was A/B-measured 40% SLOWER than 8
+    * (isolated fresh-JVM `pipeline_takedown_all` at sf0.1/32 cores:
+    * 43.4 s one-wave vs 32.3 s two-wave, same commit) because thirteen
+    * concurrent shuffling builds oversubscribe the cores and every
+    * chain's stages stall mid-flight. With 8 in flight Spark's FIFO
+    * scheduler backfills the tail of one store's stage with the next
+    * store's tasks anyway (guide §2.6), so the "second wave" costs far
+    * less than ⌈N/pool⌉ arithmetic suggests, and the cap stays sane at
+    * the LOWER core counts the driver also benches.
     */
   private[graft] def inParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] =
     if (xs.size <= 1) xs.map(f)
