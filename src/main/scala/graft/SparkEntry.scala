@@ -2494,12 +2494,15 @@ object SparkEntry {
       val t = System.getProperty("java.io.tmpdir")
       val ixS = s"$t/graft-bench-bmx-src"
       val ixD = s"$t/graft-bench-bmx-dst"
-      Similarity.ivfWriteIndexSQ8(src, "vec_id", "embedding", dim = 64,
-        path = ixS, nBits = 6, lloydIters = 0, kernel = "md5",
-        roundedCentroids = true)
-      Similarity.ivfWriteIndexSQ8(dst, "vec_id", "embedding", dim = 64,
-        path = ixD, nBits = 6, lloydIters = 0, kernel = "md5",
-        roundedCentroids = true)
+      // the two directional indexes are INDEPENDENT stores (distinct
+      // roots) — build them concurrently, the takedown-orchestrator
+      // judgment (guide §2.6): wall-clock = the slower build, not the sum
+      graft.operators.Takedown.inParallel(Seq(ixS -> src, ixD -> dst)) {
+        case (ix, side) =>
+          Similarity.ivfWriteIndexSQ8(side, "vec_id", "embedding", dim = 64,
+            path = ix, nBits = 6, lloydIters = 0, kernel = "md5",
+            roundedCentroids = true)
+      }
       val fwd = Similarity.ivfTopKJoinSQ8(src, "vec_id", "embedding",
         ixD, "vec_id", k = 4, nProbe = 6, roundedProbe = true)
       val bwd = Similarity.ivfTopKJoinSQ8(dst, "vec_id", "embedding",

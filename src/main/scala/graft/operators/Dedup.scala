@@ -783,16 +783,22 @@ object Dedup {
       val shingled = prefixShingled(df, idCol, textCol, shingleN)
         .select(col(idCol).cast("long").as("__id"), col("sh"))
         .localCheckpoint(true) // docs write + df count + prefix all read it
-      shingled.write.mode("overwrite").parquet(s"$path/docs")
       val toks = shingled.select(col("__id"), explode(col("sh")).as("tok"))
       val freq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
         .localCheckpoint(true) // df write + prefix build read it
-      freq.write.mode("overwrite").parquet(s"$path/df")
-      prefixRows(toks, "__id", freq, threshold)
-        .write.mode("overwrite").parquet(s"$path/prefix")
       import spark.implicits._
-      Seq((shingleN, threshold)).toDF("shingle_n", "threshold")
-        .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+      // with both checkpoints landed the four table writes are
+      // independent jobs over materialized frames — concurrent (the
+      // CountStore.writeBase judgment); any crash point is under the
+      // rebuild marker, so write order carries no recovery semantics
+      Takedown.inParallel(Seq[() => Unit](
+        () => shingled.write.mode("overwrite").parquet(s"$path/docs"),
+        () => freq.write.mode("overwrite").parquet(s"$path/df"),
+        () => prefixRows(toks, "__id", freq, threshold)
+          .write.mode("overwrite").parquet(s"$path/prefix"),
+        () => Seq((shingleN, threshold)).toDF("shingle_n", "threshold")
+          .repartition(1).write.mode("overwrite").parquet(s"$path/meta")))(
+        _.apply())
       // a rebuild supersedes pending deletions and an interrupted
       // compaction — retired AFTER the new base lands
       val vp = new org.apache.hadoop.fs.Path(s"$path/victims")

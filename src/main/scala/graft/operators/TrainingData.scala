@@ -1781,12 +1781,6 @@ object TrainingData {
       .select(col(idCol), T.normTokens(col(textCol)).as("__t"))
       .select(col(idCol), col("__t"), size(col("__t")).as("__dli"))
       .localCheckpoint(true) // stats + postings + doclens read it
-    // (id, dl) for EVERY indexed doc — including null-text (dl NULL)
-    // and token-less (dl 0) docs that never reach the postings table:
-    // bm25IndexDelete needs each victim's exact stats contribution, and
-    // postings alone cannot reconstruct it for such docs
-    toks.select(col(idCol), col("__dli").cast("long").as("dl"))
-      .write.mode(mode).parquet(s"$path/doclens")
     val postings = toks
       .select(col(idCol), col("__dli"), explode(col("__t")).as("term"))
       .groupBy(col(idCol), col("__dli"), col("term"))
@@ -1794,18 +1788,31 @@ object TrainingData {
       .select(col("term"), col(idCol), col("tf"), col("__dli").as("dl"),
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("tb"))
       .localCheckpoint(true) // postings write + df derive read it
-    postings
-      .repartition(col("tb")) // one file per bucket, not files × tasks
-      .write.mode(mode).partitionBy("tb").parquet(s"$path/postings")
-    postings.groupBy(col("term"), col("tb"))
-      .agg(count(lit(1)).as("df"))
-      .repartition(col("tb"))
-      .write.mode(mode).partitionBy("tb").parquet(s"$path/df")
-    toks.agg(count(lit(1)).as("n_docs"),
-        count(col("__dli")).as("n_dl"),
-        coalesce(sum(col("__dli").cast("long")), lit(0L)).as("sum_dl"))
-      .repartition(1)
-      .write.mode(mode).parquet(s"$path/stats")
+    // with both checkpoints landed the four table writes are independent
+    // jobs over materialized frames — run them concurrently (the
+    // CountStore.writeBase judgment): wall = the postings write, not the
+    // sum of four. Write order never carried crash semantics here (the
+    // rebuild face holds _MAINT; a mid-append crash was equally partial
+    // sequentially).
+    // doclens carries (id, dl) for EVERY indexed doc — including
+    // null-text (dl NULL) and token-less (dl 0) docs that never reach
+    // the postings table: bm25IndexDelete needs each victim's exact
+    // stats contribution, and postings alone cannot reconstruct it
+    Takedown.inParallel(Seq[() => Unit](
+      () => toks.select(col(idCol), col("__dli").cast("long").as("dl"))
+        .write.mode(mode).parquet(s"$path/doclens"),
+      () => postings
+        .repartition(col("tb")) // one file per bucket, not files × tasks
+        .write.mode(mode).partitionBy("tb").parquet(s"$path/postings"),
+      () => postings.groupBy(col("term"), col("tb"))
+        .agg(count(lit(1)).as("df"))
+        .repartition(col("tb"))
+        .write.mode(mode).partitionBy("tb").parquet(s"$path/df"),
+      () => toks.agg(count(lit(1)).as("n_docs"),
+          count(col("__dli")).as("n_dl"),
+          coalesce(sum(col("__dli").cast("long")), lit(0L)).as("sum_dl"))
+        .repartition(1)
+        .write.mode(mode).parquet(s"$path/stats")))(_.apply())
     // the append face is a repeat-called ingestion path: release this
     // call's pinned blocks (the trianglesIndexAppend discipline)
     org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(postings)
