@@ -670,15 +670,29 @@ object Takedown {
     * less than ⌈N/pool⌉ arithmetic suggests, and the cap stays sane at
     * the LOWER core counts the driver also benches.
     */
+  // true while the current thread is already executing inside an
+  // inParallel worker: a NESTED walk (a store build whose table writes
+  // are themselves inParallel, under an orchestrated 8-store walk) runs
+  // sequentially, so the GLOBAL concurrent-job fan-out stays bounded by
+  // the outermost pool — 8 stores × 4 inner writes = 32 concurrent
+  // shuffling jobs was the same oversubscription the pool-of-16 A/B
+  // measured 40% slower (scaladoc above)
+  private val insideWalk = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   private[graft] def inParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] =
-    if (xs.size <= 1) xs.map(f)
+    if (xs.size <= 1 || insideWalk.get()) xs.map(f)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(xs.size, 8))
       try {
         import scala.jdk.CollectionConverters._
         val tasks: Seq[java.util.concurrent.Callable[B]] =
-          xs.map(x => (() => f(x)): java.util.concurrent.Callable[B])
+          xs.map(x => (() => {
+            insideWalk.set(java.lang.Boolean.TRUE)
+            try f(x) finally insideWalk.set(java.lang.Boolean.FALSE)
+          }): java.util.concurrent.Callable[B])
         val results: Seq[Either[Throwable, B]] =
           pool.invokeAll(tasks.asJava).asScala.toSeq.map { fut =>
             try Right(fut.get())
