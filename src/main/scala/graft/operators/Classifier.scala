@@ -230,8 +230,12 @@ object Classifier {
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "nbModelAppend")
     AtomicBatches.sweepUncommitted(spark, s"$path/deltas")
-    nbRequireUniqueIds(newDocs, idCol, textCol, "nbModelAppend")
-    nbRequireFreshIds(newDocs, idCol, path, "nbModelAppend")
+    // the two guards are independent read-only probe jobs — run them
+    // concurrently (guide §2.6): wall = the ledger scan, not the sum
+    Takedown.inParallel(Seq[() => Unit](
+      () => nbRequireUniqueIds(newDocs, idCol, textCol, "nbModelAppend"),
+      () => nbRequireFreshIds(newDocs, idCol, path, "nbModelAppend")))(
+      _.apply())
     CountStore.stageDelta(spark, path, nbModelTables(newDocs, idCol, textCol))
   }
 
@@ -257,8 +261,12 @@ object Classifier {
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "nbModelAppendStream")
     if (CountStore.streamBatchCommitted(spark, path, batchId)) return false
-    nbRequireUniqueIds(newDocs, idCol, textCol, "nbModelAppendStream")
-    nbRequireFreshIds(newDocs, idCol, path, "nbModelAppendStream")
+    // concurrent like nbModelAppend: independent read-only probes
+    Takedown.inParallel(Seq[() => Unit](
+      () => nbRequireUniqueIds(newDocs, idCol, textCol,
+        "nbModelAppendStream"),
+      () => nbRequireFreshIds(newDocs, idCol, path,
+        "nbModelAppendStream")))(_.apply())
     CountStore.stageStreamDelta(spark, path, batchId,
       nbModelTables(newDocs, idCol, textCol))
   }
@@ -318,16 +326,22 @@ object Classifier {
       .join(present, Seq("id"))
       .localCheckpoint(true) // drift check + three delta tables read it
     try {
-      if (victims.isEmpty) return
-      val drift = victims
-        .filter(md5(col("__text").cast("binary")) =!= col("__md5"))
-        .select("id").limit(5).collect().map(_.get(0))
+      // the emptiness probe and the drift check are independent actions
+      // on the checkpointed victims frame — one concurrent round trip
+      @volatile var empty = false
+      @volatile var drift: Array[Any] = Array.empty
+      Takedown.inParallel(Seq[() => Unit](
+        () => empty = victims.isEmpty,
+        () => drift = victims
+          .filter(md5(col("__text").cast("binary")) =!= col("__md5"))
+          .select("id").limit(5).collect().map(_.get(0))))(_.apply())
       require(drift.isEmpty,
         s"nbModelDelete on $path: submitted text for ids " +
         s"${drift.mkString(", ")} does not match what was ingested " +
         "(text digest differs) — subtracting drifted counts would " +
         "silently corrupt the model. Submit the ingested text, " +
         "or rebuild with nbModelWrite over the surviving corpus.")
+      if (empty) return
       CountStore.stageDelta(spark, path, nbModelTables(
         victims.select(col("id").as(idCol), col("__text").as(textCol)),
         idCol, textCol, sign = -1))
@@ -369,13 +383,19 @@ object Classifier {
       .agg(sum(col("c_pos")).as("c_pos"), sum(col("c_neg")).as("c_neg"))
       .filter(col("c_pos") + col("c_neg") > 0)
       .localCheckpoint(true)
-    val t = counts.agg(
-      sum("c_pos").as("t_pos"), sum("c_neg").as("t_neg"),
-      count(lit(1)).as("v")).head()
+    // the vocab totals and the doc-count fold are independent bounded
+    // driver actions over different tables — one concurrent round trip
+    @volatile var t: org.apache.spark.sql.Row = null
+    @volatile var d: org.apache.spark.sql.Row = null
+    Takedown.inParallel(Seq[() => Unit](
+      () => t = counts.agg(
+        sum("c_pos").as("t_pos"), sum("c_neg").as("t_neg"),
+        count(lit(1)).as("v")).head(),
+      () => d = CountStore.fold(spark, path, "stats")
+        .agg(sum("d_pos").as("d_pos"), sum("d_neg").as("d_neg")).head()))(
+      _.apply())
     def l(i: Int): Long = if (t.isNullAt(i)) 0L else t.getLong(i)
     val (tPos, tNeg, v) = (l(0), l(1), t.getLong(2))
-    val d = CountStore.fold(spark, path, "stats")
-      .agg(sum("d_pos").as("d_pos"), sum("d_neg").as("d_neg")).head()
     val (dPos, dNeg) =
       (if (d.isNullAt(0)) 0L else d.getLong(0),
        if (d.isNullAt(1)) 0L else d.getLong(1))

@@ -874,7 +874,10 @@ object Dedup {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val v = v0.distinct().localCheckpoint(true)
         try {
-          Seq("docs" -> "__id", "prefix" -> "__pid").foreach {
+          // the two rewrite chains touch disjoint tables and read only
+          // the checkpointed victim frame — concurrent under the _MAINT
+          // lock (the CountStore.compactSwap stage-build judgment)
+          Takedown.inParallel(Seq("docs" -> "__id", "prefix" -> "__pid")) {
             case (table, idc) =>
               // checkpoint BEFORE overwriting the table being read
               val kept = spark.read.parquet(s"$path/$table")
@@ -922,13 +925,18 @@ object Dedup {
     val shingled = prefixShingled(newDocs, idCol, textCol, shingleN)
       .select(col(idCol).cast("long").as("__id"), col("sh"))
       .localCheckpoint(true)
-    shingled.write.mode("append").parquet(s"$path/docs")
     val toks = shingled.select(col("__id"), explode(col("sh")).as("tok"))
     val frozen = spark.read.parquet(s"$path/df")
-    prefixRows(toks, "__id", frozen, threshold)
-      .write.mode("append").parquet(s"$path/prefix")
-    toks.groupBy("tok").agg(count(lit(1)).as("__df"))
-      .write.mode("append").parquet(s"$path/dfdelta")
+    // the three appends are independent jobs over the checkpointed
+    // shingle frame (+ the immutable frozen df) — concurrent, the
+    // bm25IndexOut append-face judgment: a mid-append crash was equally
+    // partial sequentially (no _COMMIT on this face; rebuild recovers)
+    Takedown.inParallel(Seq[() => Unit](
+      () => shingled.write.mode("append").parquet(s"$path/docs"),
+      () => prefixRows(toks, "__id", frozen, threshold)
+        .write.mode("append").parquet(s"$path/prefix"),
+      () => toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+        .write.mode("append").parquet(s"$path/dfdelta")))(_.apply())
   }
 
   /** Incremental EXACT near-dup: every pair with Jaccard ≥ `threshold`

@@ -284,10 +284,14 @@ object Graph {
     AtomicBatches.withRebuildMarker(edges.sparkSession, path) {
       import org.apache.spark.sql.graft.Bridge
       val e0 = canonicalUndirected(edges, srcCol, dstCol)
-      e0.write.mode("overwrite").parquet(s"$path/edges")
-      trianglesCanonical(e0).filter(col("triangles") > 0)
-        .select(col("id"), col("triangles").as("d_triangles"))
-        .write.mode("overwrite").parquet(s"$path/counts")
+      // both base tables read the checkpointed e0 and any crash inside
+      // the rebuild marker demands a full rebuild — so the cheap edge
+      // write runs concurrently with the triangle-count job
+      Takedown.inParallel(Seq[() => Unit](
+        () => e0.write.mode("overwrite").parquet(s"$path/edges"),
+        () => trianglesCanonical(e0).filter(col("triangles") > 0)
+          .select(col("id"), col("triangles").as("d_triangles"))
+          .write.mode("overwrite").parquet(s"$path/counts")))(_.apply())
       Bridge.releaseLocalCheckpoint(e0) // both writes done — drop the blocks
       // a REBUILD invalidates every appended batch and any interrupted
       // compaction's stage: both retired only AFTER the new base lands
@@ -376,11 +380,16 @@ object Graph {
         !(col("e2_new") && col("e2k") > dkey))
     val bdir =
       s"$path/batches/${AtomicBatches.nextBatchN(spark, s"$path/batches")}"
-    closed
-      .select(explode(array(col("a"), col("b"), col("z"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("d_triangles"))
-      .write.mode("overwrite").parquet(s"$bdir/counts")
-    delta.select("a", "b").write.mode("overwrite").parquet(s"$bdir/edges")
+    // both staged tables are invisible until the _COMMIT below and read
+    // only checkpointed frames — concurrent (the CountStore.stageDelta
+    // judgment): the cheap delta write overlaps the wedge-closure job
+    Takedown.inParallel(Seq[() => Unit](
+      () => closed
+        .select(explode(array(col("a"), col("b"), col("z"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("d_triangles"))
+        .write.mode("overwrite").parquet(s"$bdir/counts"),
+      () => delta.select("a", "b")
+        .write.mode("overwrite").parquet(s"$bdir/edges")))(_.apply())
     AtomicBatches.commit(spark, bdir)
     // the append face is the REPEATEDLY-CALLED ingestion path: release
     // this call's pinned blocks so N appends don't hold N edge-table
@@ -463,11 +472,15 @@ object Graph {
         !(col("e2_del") && col("e2k") > dkey))
     val bdir =
       s"$path/batches/${AtomicBatches.nextBatchN(spark, s"$path/batches")}"
-    closed
-      .select(explode(array(col("a"), col("b"), col("z"))).as("id"))
-      .groupBy("id").agg((-count(lit(1))).as("d_triangles"))
-      .write.mode("overwrite").parquet(s"$bdir/counts")
-    del.select("a", "b").write.mode("overwrite").parquet(s"$bdir/removals")
+    // concurrent like the append face: both tables are invisible until
+    // the _COMMIT below and read only checkpointed frames
+    Takedown.inParallel(Seq[() => Unit](
+      () => closed
+        .select(explode(array(col("a"), col("b"), col("z"))).as("id"))
+        .groupBy("id").agg((-count(lit(1))).as("d_triangles"))
+        .write.mode("overwrite").parquet(s"$bdir/counts"),
+      () => del.select("a", "b")
+        .write.mode("overwrite").parquet(s"$bdir/removals")))(_.apply())
     AtomicBatches.commit(spark, bdir)
     Bridge.releaseLocalCheckpoint(union)
     Bridge.releaseLocalCheckpoint(del)
@@ -538,14 +551,18 @@ object Graph {
       val committed = fs.exists(
         new org.apache.hadoop.fs.Path(s"$nextDir/_COMMIT"))
       if (!committed) {
-        // no committed stage: the old state is intact — (re)compute it
+        // no committed stage: the old state is intact — (re)compute it.
+        // The two folds are independent reads of the same immutable
+        // base + batches, invisible until the _COMMIT below — concurrent
+        // (the CountStore.compactSwap stage-build judgment)
         fs.delete(new org.apache.hadoop.fs.Path(nextDir), true)
-        indexEdges(spark, path)
-          .write.parquet(s"$nextDir/edges")
-        indexCounts(spark, path)
-          .groupBy("id").agg(sum(col("d_triangles")).as("d_triangles"))
-          .filter(col("d_triangles") =!= 0L)
-          .write.parquet(s"$nextDir/counts")
+        Takedown.inParallel(Seq[() => Unit](
+          () => indexEdges(spark, path)
+            .write.parquet(s"$nextDir/edges"),
+          () => indexCounts(spark, path)
+            .groupBy("id").agg(sum(col("d_triangles")).as("d_triangles"))
+            .filter(col("d_triangles") =!= 0L)
+            .write.parquet(s"$nextDir/counts")))(_.apply())
         AtomicBatches.commit(spark, nextDir)
       }
       // idempotent swap: any crash point here is re-runnable verbatim

@@ -391,8 +391,11 @@ object Sampling {
     require(numBuckets > 0 && numBuckets <= 65536,
       "numBuckets in [1, 65536] (the md5-bucket kernel has 16 bits)")
     val spark = raw.sparkSession
-    dsirRequireUniqueIds(raw, idCol, textCol, "dsirStoreWrite(raw)")
-    dsirRequireUniqueIds(target, idCol, textCol, "dsirStoreWrite(target)")
+    // the two batch-sized guards are independent probe jobs — concurrent
+    Takedown.inParallel(Seq[() => Unit](
+      () => dsirRequireUniqueIds(raw, idCol, textCol, "dsirStoreWrite(raw)"),
+      () => dsirRequireUniqueIds(target, idCol, textCol,
+        "dsirStoreWrite(target)")))(_.apply())
     val tables = dsirStoreTables(raw, idCol, textCol, numBuckets, "raw") ++
       dsirStoreTables(target, idCol, textCol, numBuckets, "target")
     val counts = tables.collect { case ("counts", df) => df }
@@ -452,10 +455,17 @@ object Sampling {
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "dsirStoreAppend")
     AtomicBatches.sweepUncommitted(spark, s"$path/deltas")
-    dsirRequireUniqueIds(newDocs, idCol, textCol, s"dsirStoreAppend($role)")
-    dsirRequireFreshIds(newDocs, idCol, textCol, path, role, "dsirStoreAppend")
+    // the two guards and the meta read are independent read-only probe
+    // jobs — run them concurrently (guide §2.6): wall = the ledger scan
+    @volatile var nb = 0
+    Takedown.inParallel(Seq[() => Unit](
+      () => dsirRequireUniqueIds(newDocs, idCol, textCol,
+        s"dsirStoreAppend($role)"),
+      () => dsirRequireFreshIds(newDocs, idCol, textCol, path, role,
+        "dsirStoreAppend"),
+      () => nb = dsirStoreBuckets(spark, path)))(_.apply())
     CountStore.stageDelta(spark, path, dsirStoreTables(
-      newDocs, idCol, textCol, dsirStoreBuckets(spark, path), role))
+      newDocs, idCol, textCol, nb, role))
   }
 
   /** REPLAY-SAFE ingestion face — the [[Classifier.nbModelAppendStream]]
@@ -471,11 +481,16 @@ object Sampling {
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "dsirStoreAppendStream")
     if (CountStore.streamBatchCommitted(spark, path, batchId)) return false
-    dsirRequireUniqueIds(newDocs, idCol, textCol,
-      s"dsirStoreAppendStream($role)")
-    dsirRequireFreshIds(newDocs, idCol, textCol, path, role, "dsirStoreAppendStream")
+    // concurrent like dsirStoreAppend: independent read-only probes
+    @volatile var nb = 0
+    Takedown.inParallel(Seq[() => Unit](
+      () => dsirRequireUniqueIds(newDocs, idCol, textCol,
+        s"dsirStoreAppendStream($role)"),
+      () => dsirRequireFreshIds(newDocs, idCol, textCol, path, role,
+        "dsirStoreAppendStream"),
+      () => nb = dsirStoreBuckets(spark, path)))(_.apply())
     CountStore.stageStreamDelta(spark, path, batchId, dsirStoreTables(
-      newDocs, idCol, textCol, dsirStoreBuckets(spark, path), role))
+      newDocs, idCol, textCol, nb, role))
   }
 
   // intra-batch duplicate-id guard over the rows that actually
@@ -548,16 +563,23 @@ object Sampling {
       .join(present, Seq("id")) // one row per (victim, held role)
       .localCheckpoint(true) // drift check + both delta tables read it
     try {
-      if (victims.isEmpty) return
-      val drift = victims
-        .filter(md5(col("__text").cast("binary")) =!= col("__md5"))
-        .select("id").limit(5).collect().map(_.get(0))
+      // the emptiness probe and the drift check are independent actions
+      // on the checkpointed victims frame — one concurrent round trip
+      // (the nbModelDelete shape)
+      @volatile var empty = false
+      @volatile var drift: Array[Any] = Array.empty
+      Takedown.inParallel(Seq[() => Unit](
+        () => empty = victims.isEmpty,
+        () => drift = victims
+          .filter(md5(col("__text").cast("binary")) =!= col("__md5"))
+          .select("id").limit(5).collect().map(_.get(0))))(_.apply())
       require(drift.isEmpty,
         s"dsirStoreDelete on $path: submitted text for ids " +
         s"${drift.mkString(", ")} does not match what was ingested " +
         "(text digest differs) — subtracting drifted counts would " +
         "silently corrupt the model. Submit the ingested text, or " +
         "rebuild with dsirStoreWrite over the surviving corpora.")
+      if (empty) return
       val nb = dsirStoreBuckets(spark, path)
       val tables = Seq("raw", "target").flatMap { role =>
         dsirStoreTables(
@@ -601,23 +623,31 @@ object Sampling {
     * round-6 oracle contract).
     */
   def dsirStoreModel(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      path: String): DataFrame =
+    dsirStoreModelWith(spark, path, dsirStoreBuckets(spark, path))
+
+  // model under an already-read hash width — so dsirStoreScore reads
+  // the one-row meta table once, not once here and once for the kernel
+  private def dsirStoreModelWith(spark: org.apache.spark.sql.SparkSession,
+      path: String, numBuckets: Int): DataFrame = {
     AtomicBatches.assertNotInMaintenance(spark, path, "dsirStoreModel")
-    val B = lit(dsirStoreBuckets(spark, path).toDouble)
+    val B = lit(numBuckets.toDouble)
     val counts = CountStore.fold(spark, path, "counts").groupBy("b")
       .agg(sum("c_raw").cast("double").as("__cr"),
         sum("c_target").cast("double").as("__ct"))
       .filter(col("__cr") + col("__ct") > 0)
       .localCheckpoint(true)
-    val tTot = counts.agg(coalesce(sum("__ct"), lit(0.0)).as("__tt"))
-    val rTot = counts.agg(coalesce(sum("__cr"), lit(0.0)).as("__rt"))
+    // ONE totals row (both sums are exact: integer-valued doubles below
+    // 2^53), so the ratio projection broadcasts one frame, not two
+    val tots = counts.agg(coalesce(sum("__ct"), lit(0.0)).as("__tt"),
+      coalesce(sum("__cr"), lit(0.0)).as("__rt"))
     val ratios = counts.filter(col("__cr") > 0)
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .crossJoin(broadcast(tots))
       .select(col("b"),
         (log((col("__ct") + 1d) / (col("__tt") + B)) -
           log((col("__cr") + 1d) / (col("__rt") + B))).as("lr"))
     ratios.unionByName(
-      tTot.crossJoin(rTot).select(lit(null).cast("long").as("b"),
+      tots.select(lit(null).cast("long").as("b"),
         log((col("__rt") + B) / (col("__tt") + B)).as("lr")))
   }
 
@@ -630,8 +660,8 @@ object Sampling {
   def dsirStoreScore(docs: DataFrame, idCol: String, textCol: String,
       path: String): DataFrame = {
     val spark = docs.sparkSession
-    dsirScore(docs, idCol, textCol, dsirStoreModel(spark, path),
-      dsirStoreBuckets(spark, path))
+    val nb = dsirStoreBuckets(spark, path)
+    dsirScore(docs, idCol, textCol, dsirStoreModelWith(spark, path, nb), nb)
   }
 
   /** Fold the committed delta history into a fresh base and retire the

@@ -100,16 +100,23 @@ object Similarity {
     // channels were retired used to leave old tombstones silently
     // killing fresh base rows — now the window fails loudly instead
     AtomicBatches.withRebuildMarker(df.sparkSession, path) {
-      // repartition on cell first: without it every task writes into every
-      // cell directory it touches (tasks × cells small files — the
-      // small-file problem at birth); one shuffle gives one file per cell
-      assigned.repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
       val spark = df.sparkSession
       import spark.implicits._
-      cents.toSeq.toDF("cell", "centroid")
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$path/centroids")
+      // both tables are independent outputs (cells projects the
+      // checkpointed training frame, centroids is a driver-side Seq) and
+      // any crash inside the marker demands a full rebuild — so the tiny
+      // centroid write rides along the cells job (CountStore.writeBase)
+      Takedown.inParallel(Seq[() => Unit](
+        // repartition on cell first: without it every task writes into
+        // every cell directory it touches (tasks × cells small files —
+        // the small-file problem at birth); one shuffle gives one file
+        // per cell
+        () => assigned.repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/cells"),
+        () => cents.toSeq.toDF("cell", "centroid")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$path/centroids")))(_.apply())
       // the new base is fully landed — only now retire the old channels
       // (a crash inside this block leaves the previous index's DATA
       // intact but the faces failing on the rebuild-typed _MAINT marker
@@ -152,14 +159,18 @@ object Similarity {
         BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     AtomicBatches.withRebuildMarker(df.sparkSession, path) {
-      sq8Rows(assigned, idCol)
-        .repartition(col("cell")) // one file per cell — see ivfWriteIndex
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
       val spark = df.sparkSession
       import spark.implicits._
-      cents.toSeq.toDF("cell", "centroid")
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$path/centroids")
+      // concurrent independent writes under the marker — see
+      // ivfWriteIndex
+      Takedown.inParallel(Seq[() => Unit](
+        () => sq8Rows(assigned, idCol)
+          .repartition(col("cell")) // one file per cell — ivfWriteIndex
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/cells"),
+        () => cents.toSeq.toDF("cell", "centroid")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$path/centroids")))(_.apply())
       // the new base is fully landed — only now retire the old channels
       // (a crash in this block: data intact, faces fail on the
       // rebuild-typed _MAINT until a rebuild completes — see ivfWriteIndex)
@@ -237,15 +248,21 @@ object Similarity {
     val model = Embeddings.pqTrain(assigned, idCol, "v", dim, m, codebookK,
       pqIters)
     AtomicBatches.withRebuildMarker(df.sparkSession, path) {
-      model.repartition(1).write.mode("overwrite").parquet(s"$path/pqmodel")
-      pqRows(assigned, idCol, model, withRefine)
-        .repartition(col("cell")) // one file per cell — see ivfWriteIndex
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
       val spark = df.sparkSession
       import spark.implicits._
-      cents.toSeq.toDF("cell", "centroid")
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$path/centroids")
+      // concurrent independent writes under the marker (the model is
+      // driver-built and the cells projection reads the checkpointed
+      // training frame) — see ivfWriteIndex
+      Takedown.inParallel(Seq[() => Unit](
+        () => model.repartition(1)
+          .write.mode("overwrite").parquet(s"$path/pqmodel"),
+        () => pqRows(assigned, idCol, model, withRefine)
+          .repartition(col("cell")) // one file per cell — ivfWriteIndex
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/cells"),
+        () => cents.toSeq.toDF("cell", "centroid")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$path/centroids")))(_.apply())
       // the new base is fully landed — only now retire the old channels
       // (a crash in this block: data intact, faces fail on the
       // rebuild-typed _MAINT until a rebuild completes — see ivfWriteIndex)

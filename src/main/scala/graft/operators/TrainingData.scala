@@ -2047,21 +2047,26 @@ object TrainingData {
       if (victims.isEmpty) return
       val bdir =
         s"$path/deletes/${AtomicBatches.nextBatchN(spark, s"$path/deletes")}"
-      victims.select(col(idCol))
-        .write.mode("overwrite").parquet(s"$bdir/ids")
-      victims.agg((-count(lit(1))).as("n_docs"),
-          (-count(col("dl"))).as("n_dl"),
-          (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$bdir/stats")
-      // one column-pruned postings pass: each victim posting row is one
-      // df unit to give back on its (term, tb)
-      spark.read.parquet(s"$path/postings")
-        .select(col("term"), col(idCol), col("tb"))
-        .join(victims.select(col(idCol)), Seq(idCol), "left_semi")
-        .groupBy(col("term"), col("tb"))
-        .agg((-count(lit(1))).as("df"))
-        .write.mode("overwrite").parquet(s"$bdir/df")
+      // the three staged tables are independent jobs over the
+      // checkpointed victims frame, invisible until the _COMMIT below —
+      // run them concurrently (the bm25IndexOut judgment): wall = the
+      // postings pass, not the sum of three
+      Takedown.inParallel(Seq[() => Unit](
+        () => victims.select(col(idCol))
+          .write.mode("overwrite").parquet(s"$bdir/ids"),
+        () => victims.agg((-count(lit(1))).as("n_docs"),
+            (-count(col("dl"))).as("n_dl"),
+            (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$bdir/stats"),
+        // one column-pruned postings pass: each victim posting row is
+        // one df unit to give back on its (term, tb)
+        () => spark.read.parquet(s"$path/postings")
+          .select(col("term"), col(idCol), col("tb"))
+          .join(victims.select(col(idCol)), Seq(idCol), "left_semi")
+          .groupBy(col("term"), col("tb"))
+          .agg((-count(lit(1))).as("df"))
+          .write.mode("overwrite").parquet(s"$bdir/df")))(_.apply())
       AtomicBatches.commit(spark, bdir)
     } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(victims)
   }

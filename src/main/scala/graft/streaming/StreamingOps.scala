@@ -1292,17 +1292,22 @@ object StreamingOps {
         try {
           val n = AtomicBatches.nextBatchN(spark, croot)
           val bdir = s"$croot/$n"
-          // one override row per affected-component member: the
+          // both staged tables are invisible until the _COMMIT below and
+          // read only checkpointed frames — concurrent (the
+          // CountStore.stageDelta judgment): the tiny victims write
+          // overlaps the label-override join.
+          // One override row per affected-component member: the
           // re-closed label, or NULL for victims and orphans (ids a
           // rebuild over survivors would never label)
-          members
-            .join(reclosed.select(col("id"), col("cluster_id").as("__nc")),
-              Seq("id"), "left_outer")
-            .select(col("id"), col("__nc").as("cluster_id"),
-              lit(upTo).as("up_to"), lit(n).as("seq"))
-            .write.mode("overwrite").parquet(s"$bdir/labels")
-          v.select(col("id"), lit(upTo).as("up_to"))
-            .write.mode("overwrite").parquet(s"$bdir/victims")
+          graft.operators.Takedown.inParallel(Seq[() => Unit](
+            () => members
+              .join(reclosed.select(col("id"), col("cluster_id").as("__nc")),
+                Seq("id"), "left_outer")
+              .select(col("id"), col("__nc").as("cluster_id"),
+                lit(upTo).as("up_to"), lit(n).as("seq"))
+              .write.mode("overwrite").parquet(s"$bdir/labels"),
+            () => v.select(col("id"), lit(upTo).as("up_to"))
+              .write.mode("overwrite").parquet(s"$bdir/victims")))(_.apply())
           AtomicBatches.commit(spark, bdir)
         } finally release()
       } finally Bridge.releaseLocalCheckpoint(lab)
