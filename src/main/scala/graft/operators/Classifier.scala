@@ -191,7 +191,7 @@ object Classifier {
   // the three model tables of one doc batch, with `sign` applied to
   // every additive quantity — the ONE place the store's arithmetic
   // lives, so build, append, and delete cannot drift apart
-  private def nbModelTables(docs: DataFrame, idCol: String,
+  private[graft] def nbModelTables(docs: DataFrame, idCol: String,
       textCol: String, sign: Int = 1): Seq[(String, DataFrame)] = {
     val s = lit(sign.toLong)
     val terms = termsOf(docs, idCol, textCol)
@@ -202,19 +202,30 @@ object Classifier {
     // doc produces no term rows yet still needs a membership row).
     // text_md5 pins the EXACT ingested text: label/n_tokens alone would
     // pass a same-length same-label different-token text, whose
-    // subtraction silently corrupts the counts
-    val members = docs.filter(col(textCol).isNotNull)
+    // subtraction silently corrupts the counts.
+    // `def`, not `val`: the members and stats tables are written by
+    // CONCURRENT jobs (CountStore.writeBase/stageDelta), and building
+    // stats as members.agg(...) made both plans share the SAME
+    // expression instances — gopherPass's higher-order `aggregate`
+    // carries per-instance mutable lambda-variable holders, so two
+    // driver-side optimizer evaluations of the shared instance
+    // (ConvertToLocalRelation on driver-local batches) raced and
+    // intermittently flipped a doc's label in ONE of the plans (the
+    // NbUnlearnSpec prior-shift flake, reproduced ~1/45 with
+    // graft.tools.ReproNbFlake). A fresh projection per table keeps
+    // every stateful expression instance single-reader.
+    def memberRows: DataFrame = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), T.gopherPass(col(textCol)).as("label"),
         size(T.normTokens(col(textCol))).cast("long").as("n_tokens"),
         md5(col(textCol).cast("binary")).as("text_md5"),
         s.cast("int").as("mult"))
-    val stats = members
+    val stats = memberRows
       .agg((s * sum(when(col("label") && col("n_tokens") > 0, 1L)
           .otherwise(0L))).as("d_pos"),
         (s * sum(when(!col("label") && col("n_tokens") > 0, 1L)
           .otherwise(0L))).as("d_neg"))
       .repartition(1)
-    Seq("counts" -> counts, "members" -> members, "stats" -> stats)
+    Seq("counts" -> counts, "members" -> memberRows, "stats" -> stats)
   }
 
   /** Append a new doc batch to a [[nbModelWrite]] store: the batch's
@@ -384,7 +395,9 @@ object Classifier {
       .filter(col("c_pos") + col("c_neg") > 0)
       .localCheckpoint(true)
     // the vocab totals and the doc-count fold are independent bounded
-    // driver actions over different tables — one concurrent round trip
+    // driver actions over DISJOINT trees (the checkpointed counts leaf
+    // and a fresh stats read — no shared stateful expression instances,
+    // the nbModelTables single-reader rule) — one concurrent round trip
     @volatile var t: org.apache.spark.sql.Row = null
     @volatile var d: org.apache.spark.sql.Row = null
     Takedown.inParallel(Seq[() => Unit](

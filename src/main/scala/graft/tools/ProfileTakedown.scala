@@ -18,17 +18,48 @@ object ProfileTakedown {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // arg(1) == "fair": the scheduler experiment arm — FAIR mode with
+    // one on-demand pool per store build (set thread-locally below), so
+    // concurrent chains round-robin task slots instead of FIFO backfill
+    val fair = args.length > 1 && args(1) == "fair"
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.scheduler.mode", if (fair) "FAIR" else "FIFO")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = spark
 
+    // stage-metrics capture: aggregate executor task time per phase, so
+    // a slow phase can be attributed to WORK (task seconds ≈ wall ×
+    // cores → compute-bound) vs SCHEDULING/STRAGGLERS (task seconds ≪
+    // wall × cores → idle slots) — the "what would FAIR buy" evidence
+    val taskNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val taskCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            taskNanos.addAndGet(m.executorRunTime * 1000000L)
+            taskCount.incrementAndGet()
+          }
+        }
+      })
+
     def t[A](name: String)(f: => A): A = {
+      val n0 = taskNanos.get(); val c0 = taskCount.get()
       val t0 = System.nanoTime(); val r = f
-      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; settle briefly
+      Thread.sleep(300)
+      val task = (taskNanos.get() - n0) / 1e9
+      val util = task / (wall * cpus.toInt) * 100
+      println(f"[profile] $name%-28s $wall%8.2f s  " +
+        f"task ${task}%9.1f s  tasks ${taskCount.get() - c0}%6d  " +
+        f"slot-util $util%5.1f%%")
       r
     }
     def force(df: DataFrame): Unit =
@@ -107,12 +138,18 @@ object ProfileTakedown {
         .write.mode("overwrite").partitionBy("p").parquet(s"$base/tbl")))
 
     // sequential per-store build times first (the concurrency hides who
-    // is slow), then the concurrent wall-clock like the bench
+    // is slow), then the concurrent wall-clock like the bench. In the
+    // "fair" arm each build thread claims its own on-demand pool
+    // (FAIR shares across pools; pools are thread-local properties)
     if (args.length > 1 && args(1) == "seq")
       builds.foreach { case (n, f) => t(s"build:$n")(f()) }
     else
-      t("build ALL (concurrent)") {
-        Takedown.inParallel(builds)(b => b._2.apply())
+      t(s"build ALL (concurrent${if (fair) ", FAIR" else ""})") {
+        Takedown.inParallel(builds) { b =>
+          if (fair) s.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", s"store-${b._1}")
+          b._2.apply()
+        }
       }
 
     val victims = docs.filter(col("doc_id") % 9 === 2)
