@@ -241,12 +241,7 @@ object Classifier {
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "nbModelAppend")
     AtomicBatches.sweepUncommitted(spark, s"$path/deltas")
-    // the two guards are independent read-only probe jobs — run them
-    // concurrently (guide §2.6): wall = the ledger scan, not the sum
-    Takedown.inParallel(Seq[() => Unit](
-      () => nbRequireUniqueIds(newDocs, idCol, textCol, "nbModelAppend"),
-      () => nbRequireFreshIds(newDocs, idCol, path, "nbModelAppend")))(
-      _.apply())
+    nbRequireAppendable(newDocs, idCol, textCol, path, "nbModelAppend")
     CountStore.stageDelta(spark, path, nbModelTables(newDocs, idCol, textCol))
   }
 
@@ -272,27 +267,39 @@ object Classifier {
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "nbModelAppendStream")
     if (CountStore.streamBatchCommitted(spark, path, batchId)) return false
-    // concurrent like nbModelAppend: independent read-only probes
-    Takedown.inParallel(Seq[() => Unit](
-      () => nbRequireUniqueIds(newDocs, idCol, textCol,
-        "nbModelAppendStream"),
-      () => nbRequireFreshIds(newDocs, idCol, path,
-        "nbModelAppendStream")))(_.apply())
+    nbRequireAppendable(newDocs, idCol, textCol, path,
+      "nbModelAppendStream")
     CountStore.stageStreamDelta(spark, path, batchId,
       nbModelTables(newDocs, idCol, textCol))
   }
 
-  private def nbRequireFreshIds(newDocs: DataFrame, idCol: String,
-      path: String, face: String): Unit = {
-    // broadcast the BOUNDED batch ids and scan the ledger once — the
-    // other direction would broadcast a corpus-sized id set
+  // BOTH append guards (intra-batch duplicates + fresh-ids ledger
+  // probe) in ONE bounded collect: a tagged union of the two probe
+  // frames. One driver round trip instead of two, and one PLAN — the
+  // probes share the caller's batch frame, and a single plan keeps
+  // every stateful expression instance single-reader (the
+  // nbModelTables rule; two concurrently-optimized plans sharing the
+  // caller's instances would reintroduce the race it fixed). The
+  // ledger side still broadcasts the BOUNDED batch ids — the other
+  // direction would broadcast a corpus-sized id set.
+  private def nbRequireAppendable(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String, face: String): Unit = {
+    val dup = CountStore.uniqueKeyViolations(
+        newDocs.filter(col(textCol).isNotNull).select(col(idCol).as("id")),
+        Seq("id")).limit(5)
+      .select(lit("dup").as("__k"), col("__key").as("__v"))
     val clash = nbMembers(newDocs.sparkSession, path).select("id")
       .join(broadcast(newDocs.select(col(idCol).as("id")).distinct()),
         Seq("id"), "left_semi")
-      .limit(5).collect().map(_.get(0))
-    require(clash.isEmpty,
+      .limit(5)
+      .select(lit("clash").as("__k"), col("id").cast("string").as("__v"))
+    val viol = dup.unionByName(clash).collect()
+    CountStore.raiseDuplicateKeys(face, Seq("id"),
+      viol.filter(_.getString(0) == "dup").map(_.getString(1)).toSeq)
+    val clashes = viol.filter(_.getString(0) == "clash").map(_.getString(1))
+    require(clashes.isEmpty,
       s"$face to $path includes ids already in the model's " +
-      s"membership ledger (e.g. ${clash.mkString(", ")}): re-ingesting " +
+      s"membership ledger (e.g. ${clashes.mkString(", ")}): re-ingesting " +
       "an id would corrupt the counts (and a formerly-deleted id's " +
       "ledger rows are retired only by nbModelCompact). Compact first, " +
       "or rebuild with nbModelWrite.")

@@ -44,20 +44,38 @@ private[graft] object CountStore {
     * tables. One batch-sized aggregation; nothing corpus-sized moves.
     */
   def requireUniqueBatchKeys(batch: org.apache.spark.sql.DataFrame,
-      keyCols: Seq[String], face: String): Unit = {
-    import org.apache.spark.sql.functions.{col, count, lit}
-    val dup = batch.groupBy(keyCols.map(col): _*)
+      keyCols: Seq[String], face: String): Unit =
+    raiseDuplicateKeys(face, keyCols,
+      uniqueKeyViolations(batch, keyCols).limit(5).collect()
+        .map(_.getString(0)))
+
+  /** The duplicate-key probe of [[requireUniqueBatchKeys]] as a frame —
+    * one stringified key per violating group — so the append faces can
+    * fold it into a single tagged-union guard job with their other
+    * probes (one driver round trip, and one plan: a lone reader of the
+    * caller's expression instances — the nbModelTables rule).
+    */
+  def uniqueKeyViolations(batch: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat_ws, count, lit}
+    batch.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      .limit(5).collect()
-      .map(r => keyCols.indices.map(r.get(_)).mkString("/"))
-    require(dup.isEmpty,
+      .select(concat_ws("/", keyCols.map(c => col(c).cast("string")): _*)
+        .as("__key"))
+  }
+
+  /** The loud raise of [[requireUniqueBatchKeys]], shared so a fused
+    * guard reports the identical message.
+    */
+  def raiseDuplicateKeys(face: String, keyCols: Seq[String],
+      examples: Seq[String]): Unit =
+    require(examples.isEmpty,
       s"$face: the batch contains DUPLICATE ${keyCols.mkString("(", ", ", ")")} " +
-      s"keys (e.g. ${dup.mkString(", ")}) — each input row contributes " +
+      s"keys (e.g. ${examples.mkString(", ")}) — each input row contributes " +
       "its counts and one ledger row, so a repeated key would " +
       "double-count silently and a later delete would subtract only " +
       "once, permanently corrupting the store. De-duplicate or " +
       "aggregate the batch per key first.")
-  }
 
   /** Overwrite the base tables, then retire the delta channel AND any
     * committed `base_next` compaction stage (a rebuild supersedes both;

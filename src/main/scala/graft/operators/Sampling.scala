@@ -391,11 +391,21 @@ object Sampling {
     require(numBuckets > 0 && numBuckets <= 65536,
       "numBuckets in [1, 65536] (the md5-bucket kernel has 16 bits)")
     val spark = raw.sparkSession
-    // the two batch-sized guards are independent probe jobs — concurrent
-    Takedown.inParallel(Seq[() => Unit](
-      () => dsirRequireUniqueIds(raw, idCol, textCol, "dsirStoreWrite(raw)"),
-      () => dsirRequireUniqueIds(target, idCol, textCol,
-        "dsirStoreWrite(target)")))(_.apply())
+    // both role frames' duplicate-id probes in ONE tagged-union collect:
+    // a single round trip, and a single plan — raw and target may share
+    // subtrees (callers often filter one frame two ways), so one plan
+    // keeps their expression instances single-reader (nbModelTables)
+    def dupProbe(docs: DataFrame, tag: String): DataFrame =
+      CountStore.uniqueKeyViolations(
+          docs.filter(col(textCol).isNotNull).select(col(idCol).as("id")),
+          Seq("id")).limit(5)
+        .select(lit(tag).as("__k"), col("__key").as("__v"))
+    val viol = dupProbe(raw, "raw").unionByName(dupProbe(target, "target"))
+      .collect()
+    Seq("raw", "target").foreach { tag =>
+      CountStore.raiseDuplicateKeys(s"dsirStoreWrite($tag)", Seq("id"),
+        viol.filter(_.getString(0) == tag).map(_.getString(1)).toSeq)
+    }
     val tables = dsirStoreTables(raw, idCol, textCol, numBuckets, "raw") ++
       dsirStoreTables(target, idCol, textCol, numBuckets, "target")
     val counts = tables.collect { case ("counts", df) => df }
@@ -455,13 +465,11 @@ object Sampling {
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "dsirStoreAppend")
     AtomicBatches.sweepUncommitted(spark, s"$path/deltas")
-    // the two guards and the meta read are independent read-only probe
-    // jobs — run them concurrently (guide §2.6): wall = the ledger scan
+    // the fused guard job and the one-row meta read are independent
+    // probes over DISJOINT trees — one concurrent round trip
     @volatile var nb = 0
     Takedown.inParallel(Seq[() => Unit](
-      () => dsirRequireUniqueIds(newDocs, idCol, textCol,
-        s"dsirStoreAppend($role)"),
-      () => dsirRequireFreshIds(newDocs, idCol, textCol, path, role,
+      () => dsirRequireAppendable(newDocs, idCol, textCol, path, role,
         "dsirStoreAppend"),
       () => nb = dsirStoreBuckets(spark, path)))(_.apply())
     CountStore.stageDelta(spark, path, dsirStoreTables(
@@ -481,55 +489,58 @@ object Sampling {
     val spark = newDocs.sparkSession
     AtomicBatches.assertNotInMaintenance(spark, path, "dsirStoreAppendStream")
     if (CountStore.streamBatchCommitted(spark, path, batchId)) return false
-    // concurrent like dsirStoreAppend: independent read-only probes
+    // concurrent like dsirStoreAppend: fused guard ∥ meta read
     @volatile var nb = 0
     Takedown.inParallel(Seq[() => Unit](
-      () => dsirRequireUniqueIds(newDocs, idCol, textCol,
-        s"dsirStoreAppendStream($role)"),
-      () => dsirRequireFreshIds(newDocs, idCol, textCol, path, role,
+      () => dsirRequireAppendable(newDocs, idCol, textCol, path, role,
         "dsirStoreAppendStream"),
       () => nb = dsirStoreBuckets(spark, path)))(_.apply())
     CountStore.stageStreamDelta(spark, path, batchId, dsirStoreTables(
       newDocs, idCol, textCol, nb, role))
   }
 
-  // intra-batch duplicate-id guard over the rows that actually
-  // contribute (non-null text) — see CountStore.requireUniqueBatchKeys.
-  // Keyed by id alone: one role's batch is one role's rows, and the
-  // write face guards each role's frame separately
-  private def dsirRequireUniqueIds(docs: DataFrame, idCol: String,
-      textCol: String, face: String): Unit =
-    CountStore.requireUniqueBatchKeys(
-      docs.filter(col(textCol).isNotNull).select(col(idCol).as("id")),
-      Seq("id"), face)
-
-  private def dsirRequireFreshIds(newDocs: DataFrame, idCol: String,
+  // BOTH append guards in ONE bounded collect (the
+  // Classifier.nbRequireAppendable shape): a tagged union of the
+  // duplicate-id probe and the ledger probe — one driver round trip,
+  // and one PLAN, so the probes' shared batch frame keeps every
+  // stateful expression instance single-reader (the nbModelTables
+  // rule). The ledger pass still broadcasts the BOUNDED batch (the
+  // other direction would broadcast a corpus-sized id set) and serves
+  // both ledger guards: same-role re-ingestion, and cross-role text
+  // drift — a takedown subtracts ONE submitted text from every held
+  // role, so an id ingested under the other role with different text
+  // would become undeletable (each text failing the other role's
+  // pinned digest)
+  private def dsirRequireAppendable(newDocs: DataFrame, idCol: String,
       textCol: String, path: String, role: String, face: String): Unit = {
     require(role == "raw" || role == "target", "role is 'raw' or 'target'")
-    // ONE ledger pass, broadcasting the BOUNDED batch (the other
-    // direction would broadcast a corpus-sized id set), serving both
-    // guards: same-role re-ingestion, and cross-role text drift — a
-    // takedown subtracts ONE submitted text from every held role, so an
-    // id ingested under the other role with different text would become
-    // undeletable (each text failing the other role's pinned digest)
+    val dup = CountStore.uniqueKeyViolations(
+        newDocs.filter(col(textCol).isNotNull).select(col(idCol).as("id")),
+        Seq("id")).limit(5)
+      .select(lit("dup").as("__k"), col("__key").as("__v"))
     val batch = broadcast(newDocs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         md5(col(textCol).cast("binary")).as("__bmd5"))
       .dropDuplicates("id"))
-    val viol = CountStore.fold(newDocs.sparkSession, path, "members")
+    val fresh = CountStore.fold(newDocs.sparkSession, path, "members")
       .select(col("id"), col("role"), col("text_md5"))
       .join(batch, Seq("id"))
       .filter(col("role") === lit(role) || col("text_md5") =!= col("__bmd5"))
-      .select(col("id"), (col("role") === lit(role)).as("__same"))
-      .limit(5).collect()
-    val same = viol.filter(_.getBoolean(1)).map(_.get(0))
+      .limit(5)
+      .select(when(col("role") === lit(role), lit("same"))
+        .otherwise(lit("cross")).as("__k"),
+        col("id").cast("string").as("__v"))
+    val viol = dup.unionByName(fresh).collect()
+    CountStore.raiseDuplicateKeys(s"$face($role)", Seq("id"),
+      viol.filter(_.getString(0) == "dup").map(_.getString(1)).toSeq)
+    val same = viol.filter(_.getString(0) == "same").map(_.getString(1))
     require(same.isEmpty,
       s"$face($role) to $path includes ids already in the " +
       s"ledger under that role (e.g. ${same.mkString(", ")}): " +
       "re-ingesting would corrupt the counts (and a formerly-deleted " +
       "id's ledger rows are retired only by dsirStoreCompact). Compact " +
       "first, or rebuild with dsirStoreWrite.")
-    val cross = viol.filterNot(_.getBoolean(1)).map(_.get(0))
+    val cross = viol.filter(_.getString(0) == "cross").map(_.getString(1))
     require(cross.isEmpty,
       s"$face($role) to $path: ids ${cross.mkString(", ")} are in the " +
       "ledger under the other role with DIFFERENT text — a takedown " +
