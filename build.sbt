@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout BARE: sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks any driver that
+// parses Bench's one-line JSON summary from the process tail
+// (BENCH_r14–r17 all carry parsed:null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -286,6 +286,25 @@ object Bench {
       ()
     }
 
+    // The driver parses the summary line from the process stdout tail.
+    // Two belts against harness parse failures (BENCH_r14–r17 all carry
+    // parsed:null): build.sbt now forwards forked run output UNPREFIXED
+    // (sbt's default logger wrapped every line in "[info] ", hiding the
+    // JSON), and the exact summary line additionally lands in a stable
+    // root-level file (full runs only — a SPARK_GRAFT_ONLY subset must
+    // not shadow the shipping record).
+    if (only.isEmpty) {
+      Seq("/root/repo/BENCH_SUMMARY.json", "BENCH_SUMMARY.json")
+        .foldLeft(false) { (done, f) =>
+          done || (try {
+            java.nio.file.Files.write(java.nio.file.Paths.get(f),
+              (summary + "\n").getBytes("UTF-8"))
+            true
+          } catch { case _: Throwable => false })
+        }
+      ()
+    }
+
     // slowest-last so a byte- or line-limited tail keeps the queries most
     // worth comparing round-over-round
     val packed = results.sortBy(_._2)

@@ -57,10 +57,14 @@ private[graft] object CountStore {
     */
   def uniqueKeyViolations(batch: org.apache.spark.sql.DataFrame,
       keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, concat_ws, count, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, lit}
     batch.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      .select(concat_ws("/", keyCols.map(c => col(c).cast("string")): _*)
+      // coalesce each component: concat_ws SKIPS nulls, so a duplicate
+      // NULL key (or null component of a composite key) would render as
+      // an empty/partial example in the error message
+      .select(concat_ws("/",
+        keyCols.map(c => coalesce(col(c).cast("string"), lit("null"))): _*)
         .as("__key"))
   }
 

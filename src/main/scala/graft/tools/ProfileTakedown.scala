@@ -53,7 +53,10 @@ object ProfileTakedown {
       val n0 = taskNanos.get(); val c0 = taskCount.get()
       val t0 = System.nanoTime(); val r = f
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events drain asynchronously; settle briefly
+      // listener events drain asynchronously; the fixed settle is
+      // best-effort — late TaskEnd events can still be attributed to
+      // the FOLLOWING phase, so task-seconds/slot-util on very short
+      // phases are approximate (dev tool; wall times are exact)
       Thread.sleep(300)
       val task = (taskNanos.get() - n0) / 1e9
       val util = task / (wall * cpus.toInt) * 100
