@@ -122,14 +122,19 @@ object Dedup {
     // keeping such rows would thread NULL signature arrays into the
     // pair generator (NPE on the primitive compare)
     // one native pass over the normalized string (see ArrayOps.ShingleHashes),
-    // checkpointed: three plan branches read it (signatures + both verify
-    // sides) and would otherwise re-run the scan and the hot shingle pass
+    // RECOMPUTED per plan branch (signatures + both verify sides), not
+    // checkpointed: the pass itself is a cheap scan-side projection
+    // (~0.2 s at sf0.1/32), while materializing the shingle ARRAYS is a
+    // multi-×-corpus block write bottlenecked on scan parallelism
+    // (measured 1.5–3.5 s at sf0.1 — the r6 "tokenize twice, never store
+    // the tokens" lesson; at 100 TB the arrays are several times the
+    // text they came from). All three readers live inside ONE action, so
+    // no concurrency/single-reader hazard.
     val shingled = df
       .filter(col(textCol).isNotNull)
       .select(col(idCol),
         ArrayOps.shingleHashes(
           regexp_replace(trim(lower(col(textCol))), "\\s+", " "), shingleN).as("sh"))
-      .localCheckpoint(true)
     val sig = shingled.select(col(idCol),
       V.minhashSignatureOfHashes(col("sh"), numHashes).as("sig"))
     val bucketed = sig
@@ -276,8 +281,15 @@ object Dedup {
     require(Set("ByteType", "ShortType", "IntegerType", "LongType")
       .contains(newDocs.schema(idCol).dataType.toString),
       "minhashLshIncremental needs an integral id column")
+    // NOT checkpointed: the index relation repeats each doc's full
+    // shingle array once PER BAND, so materializing it writes
+    // bands × the shingle volume through scan-bounded partitions
+    // (measured: the write dwarfs the recompute — the minhashLsh
+    // `shingled` judgment, amplified 8×); the 2–3 consumer branches
+    // below re-run the cheap scan-side index projection instead, all
+    // inside one action
     val newIndex = minhashIndex(newDocs, idCol, textCol,
-      numHashes, bands, shingleN).localCheckpoint(true)
+      numHashes, bands, shingleN)
     minhashLshIncrementalFromIndex(newIndex, idCol, existingIndex,
       numHashes, threshold, estimateSlack, maxBucketSize)
   }
@@ -611,13 +623,16 @@ object Dedup {
       shingleN: Int = 5, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     requireIntegralId(df, idCol, "jaccardJoinPrefix")
+    // the shingle pass is NOT checkpointed (the minhashLsh judgment:
+    // scan-side recompute beats materializing the arrays); the PREFIX
+    // frame IS — its collect_list/sort aggregation is the expensive
+    // part and only the Exchange below it would be reused across the
+    // two candidate-join sides (A/B'd: dropping this checkpoint cost
+    // +30% on dedup_jaccard_prefix)
     val shingled = prefixShingled(df, idCol, textCol, shingleN)
-      .localCheckpoint(true)
     val toks = shingled.select(col(idCol), explode(col("sh")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
     val prefixes = prefixRows(toks, idCol, freq, threshold)
-      // BOTH candidate-join sides read this frame: without the
-      // checkpoint the df-count join + per-doc sort would run twice
       .localCheckpoint(true)
     val cands = prefixCandidates(prefixes, prefixes, threshold,
       col("id_a") < col("id_b"))
@@ -733,13 +748,17 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     requireIntegralId(left, idCol, "jaccardJoinPrefixBipartite")
     requireIntegralId(right, idCol, "jaccardJoinPrefixBipartite")
-    val shL = prefixShingled(left, idCol, textCol, shingleN).localCheckpoint(true)
-    val shR = prefixShingled(right, idCol, textCol, shingleN).localCheckpoint(true)
+    // the shingle passes are NOT checkpointed (the minhashLsh judgment:
+    // scan-side recompute beats materializing the arrays); the union-df
+    // count IS — both sides' prefix builds read it and only its
+    // Exchange would be reused
+    val shL = prefixShingled(left, idCol, textCol, shingleN)
+    val shR = prefixShingled(right, idCol, textCol, shingleN)
     val toksL = shL.select(col(idCol), explode(col("sh")).as("tok"))
     val toksR = shR.select(col(idCol), explode(col("sh")).as("tok"))
     val freq = toksL.unionByName(toksR)
       .groupBy("tok").agg(count(lit(1)).as("__df"))
-      .localCheckpoint(true) // both sides' prefix builds read it
+      .localCheckpoint(true)
     val prefL = prefixRows(toksL, idCol, freq, threshold)
     val prefR = prefixRows(toksR, idCol, freq, threshold)
     val cands = prefixCandidates(prefL, prefR, threshold, lit(true))
@@ -964,9 +983,10 @@ object Dedup {
     require(threshold >= buildT && threshold <= 1.0,
       s"probe threshold $threshold must be in [index build threshold " +
         s"$buildT, 1] — stored prefixes are too short below it")
+    // not checkpointed (the jaccardJoinPrefix judgment): both readers
+    // live in one action and the batch shingle pass recomputes cheaply
     val shNew = prefixShingled(newDocs, idCol, textCol, shingleN)
       .select(col(idCol).cast("long").as("__id"), col("sh"))
-      .localCheckpoint(true) // prefix build + verify read it
     val toksNew = shNew.select(col("__id"), explode(col("sh")).as("tok"))
     val frozen = spark.read.parquet(s"$path/df")
     // new-batch prefixes at the BUILD threshold (not the probe one): the
@@ -976,7 +996,8 @@ object Dedup {
     // but symmetric build-length prefixes keep the candidate logic one
     // code path; the length/positional filters prune at the probe t
     val prefNew = prefixRows(toksNew, "__id", frozen, buildT)
-      .localCheckpoint(true) // both candidate branches read it
+      .localCheckpoint(true) // both candidate branches read the
+      // expensive collect_list/sort agg (the jaccardJoinPrefix judgment)
     // takedown-aware: deleted docs leave the candidate side immediately
     // (one broadcast anti-join against the bounded victim list)
     val prefOld = prefixVictims(spark, path, "__pid") match {

@@ -574,12 +574,16 @@ object TrainingData {
       numHashes: Int = 16, bands: Int = 8, shingleN: Int = 5,
       threshold: Double = 0.5, estimateSlack: Double = 0.25): DataFrame = {
     import graft.functions.{ArrayOps, VectorFunctions => V}
+    // NOT checkpointed: both readers (bucketing + verify) live inside
+    // one action, and the scan-side shingle pass is far cheaper to run
+    // twice than its array output is to materialize (the
+    // Dedup.minhashLsh judgment — measured at sf0.1 the block write
+    // costs seconds while the recompute costs ~0.2 s)
     def shingled(df: DataFrame, id: String, text: String): DataFrame = df
       .filter(col(text).isNotNull)
       .select(col(id), ArrayOps.shingleHashes(
         regexp_replace(trim(lower(nfc(col(text)))), "\\s+", " "), shingleN)
         .as("sh")) // NFC before shingle hashes — see [[nfc]]
-      .localCheckpoint(true)
     def buckets(sh: DataFrame, id: String): DataFrame = sh
       .select(col(id), V.minhashSignatureOfHashes(col("sh"), numHashes).as("sig"))
       .select(col(id), col("sig"),

@@ -42,11 +42,13 @@ object ProfilePairGen {
     val maxBucketSize = 1000
 
     // replicate minhashLsh's bucketed relation
-    val shingled = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        graft.functions.ArrayOps.shingleHashes(
-          regexp_replace(trim(lower(col("text"))), "\\s+", " "), shingleN).as("sh"))
-      .localCheckpoint(true)
+    val shingled = t("shingle + checkpoint") {
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.ArrayOps.shingleHashes(
+            regexp_replace(trim(lower(col("text"))), "\\s+", " "), shingleN).as("sh"))
+        .localCheckpoint(true)
+    }
     val sig = shingled.select(col("doc_id"),
       V.minhashSignatureOfHashes(col("sh"), numHashes).as("sig"))
     val bucketed = sig
@@ -103,7 +105,40 @@ object ProfilePairGen {
         }
       }
       .toDF("id_a", "id_b")
-    val nDistinct = t("pair-gen + distinct")(emitted.distinct().count())
+    val distinctPairs = emitted.distinct().localCheckpoint(true)
+    val nDistinct = t("pair-gen + distinct")(distinctPairs.count())
+    // dedupe-by-content potential: how many DISTINCT shingle-set
+    // contents exist (identical template docs verify once), and how
+    // selective the exact size-ratio bound j <= min/max is on the
+    // candidate pairs
+    val contentIds = shingled.select(col("doc_id").cast("long").as("__id"),
+      xxhash64(col("sh")).as("__csh"), size(col("sh")).as("__n"))
+      .localCheckpoint(true)
+    println(s"[profile] docs=${contentIds.count()} distinct sh contents=" +
+      contentIds.select("__csh").distinct().count())
+    val withSizes = distinctPairs
+      .join(contentIds.select(col("__id").as("id_a"), col("__n").as("na"),
+        col("__csh").as("ca")), Seq("id_a"))
+      .join(contentIds.select(col("__id").as("id_b"), col("__n").as("nb"),
+        col("__csh").as("cb")), Seq("id_b"))
+    println("[profile] pairs passing size filter = " + withSizes
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")).cast("double")).count())
+    println("[profile] distinct CONTENT pairs    = " + withSizes
+      .select(least(col("ca"), col("cb")), greatest(col("ca"), col("cb")))
+      .distinct().count())
+    // the exact-verify join in isolation (shingled + pairs are leaves)
+    val shById = shingled.select(col("doc_id").as("__id"), col("sh"))
+    t("verify join") {
+      val n = distinctPairs
+        .join(shById.select(col("__id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(shById.select(col("__id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.ArrayOps.jaccardSortedLong(
+            col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold).count()
+      println(s"[profile] verified pairs     = $n")
+    }
     println(s"[profile] group rows        = ${nGroupRows.value}")
     println(s"[profile] pairs enumerated  = ${nEnumerated.value}")
     println(s"[profile] pairs emitted     = ${nEmitted.value} (pre first-band dedup)")
@@ -111,11 +146,31 @@ object ProfilePairGen {
     println(s"[profile] distinct pairs    = $nDistinct")
 
     // and the shipped kernel end-to-end for wall-time reference
-    t("Dedup.minhashLsh e2e") {
-      println("[profile] final pairs       = " + Dedup.minhashLsh(
-        docs, "doc_id", "text", numHashes = numHashes, bands = bands,
-        shingleN = shingleN, threshold = threshold,
-        estimateSlack = slack).count())
+    (1 to 2).foreach { i =>
+      t(s"Dedup.minhashLsh e2e #$i") {
+        println("[profile] final pairs       = " + Dedup.minhashLsh(
+          docs, "doc_id", "text", numHashes = numHashes, bands = bands,
+          shingleN = shingleN, threshold = threshold,
+          estimateSlack = slack).count())
+      }
+    }
+    // decompose the shingle pass: normalization alone vs + shingleHashes
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    (1 to 2).foreach { i =>
+      t(s"scan only #$i")(force(docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))))
+      t(s"normalize only #$i")(force(docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("n"))))
+      t(s"normalize + shingle #$i")(force(docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), graft.functions.ArrayOps.shingleHashes(
+          regexp_replace(trim(lower(col("text"))), "\\s+", " "), shingleN).as("sh"))))
+      t(s"norm + shingle + sig #$i")(force(docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), V.minhashSignatureOfHashes(
+          graft.functions.ArrayOps.shingleHashes(
+            regexp_replace(trim(lower(col("text"))), "\\s+", " "), shingleN),
+          numHashes).as("sig"))))
     }
     spark.stop()
   }
