@@ -979,13 +979,12 @@ object SparkEntry {
           Map("includeLatest" -> "true")),
         Store("table", s"$base/tbl",
           Map("idCol" -> "doc_id", "partitionCol" -> "p")))
-      Takedown.forget(victims, stores)
-      // physical removal on every store (the orchestrated half too)
-      Takedown.compactAll(s, stores)
-      // PROVE the takedown before probing: every store's own
-      // read-visibility rule must no longer see any requested id —
-      // a silent miss fails the query itself, not just the hash
-      Takedown.assertForgotten(victims, stores)
+      // delete → compact → audit-prove, fused into ONE concurrent store
+      // walk (semantically identical to forget(); compactAll();
+      // assertForgotten() — stores are independent — but without the two
+      // global phase barriers: wall = slowest store's chain, and any
+      // non-clean store still fails the query itself, not just the hash)
+      Takedown.forgetCompactAssert(victims, stores)
       val sv = docs.filter(col("doc_id") % 9 =!= 2)
       // integer-exact probe reductions (ids, integer counts, and bm25's
       // by-construction-integer micro-units — no float checksums)

@@ -91,7 +91,9 @@ private[graft] object CountStore {
     * base; now every face fails loudly until a rebuild completes.
     */
   def writeBase(spark: SparkSession, path: String,
-      tables: Seq[(String, DataFrame)]): Unit =
+      tables: Seq[(String, DataFrame)],
+      derived: Seq[(String, (SparkSession, String) => DataFrame)] = Nil)
+      : Unit =
     AtomicBatches.withRebuildMarker(spark, path) {
       // the tables are independent outputs (write order never mattered —
       // any crash inside the marker demands a full rebuild), so their
@@ -100,20 +102,39 @@ private[graft] object CountStore {
       Takedown.inParallel(tables) { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$path/$name")
       }
+      // DERIVED tables are aggregates of sibling tables written above —
+      // built by re-reading the landed parquet (the fn gets this batch's
+      // directory) instead of re-running their own pass over the input
+      // (nb's stats re-scanned + re-tokenized the whole batch to
+      // aggregate three columns the members table already carries).
+      // Still inside the rebuild marker: any crash point demands a full
+      // rebuild, exactly as between the concurrent writes above.
+      derived.foreach { case (name, fn) =>
+        fn(spark, path).write.mode("overwrite").parquet(s"$path/$name")
+      }
       val fs = fsOf(spark, path)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/deltas"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/base_next"), true)
     }
 
-  /** Stage one atomic delta batch (several tables, one `_COMMIT`). */
+  /** Stage one atomic delta batch (several tables, one `_COMMIT`).
+    * `derived` tables are computed from the staged siblings (same
+    * contract as [[writeBase]]); the `_COMMIT` marker lands strictly
+    * after them, so the batch stays invisible until complete.
+    */
   def stageDelta(spark: SparkSession, path: String,
-      tables: Seq[(String, DataFrame)]): Unit = {
+      tables: Seq[(String, DataFrame)],
+      derived: Seq[(String, (SparkSession, String) => DataFrame)] = Nil)
+      : Unit = {
     val bdir =
       s"$path/deltas/${AtomicBatches.nextBatchN(spark, s"$path/deltas")}"
     // concurrent like writeBase: nothing reads the batch before its
     // _COMMIT lands below, so intra-batch write order is free
     Takedown.inParallel(tables) { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$bdir/$name")
+    }
+    derived.foreach { case (name, fn) =>
+      fn(spark, bdir).write.mode("overwrite").parquet(s"$bdir/$name")
     }
     AtomicBatches.commit(spark, bdir)
   }
@@ -150,7 +171,9 @@ private[graft] object CountStore {
       s"$path/deltas/s$batchId/_COMMIT"))
 
   def stageStreamDelta(spark: SparkSession, path: String, batchId: Long,
-      tables: Seq[(String, DataFrame)]): Boolean = {
+      tables: Seq[(String, DataFrame)],
+      derived: Seq[(String, (SparkSession, String) => DataFrame)] = Nil)
+      : Boolean = {
     require(batchId >= 0, "batchId must be non-negative")
     val fs = fsOf(spark, path)
     val bdir = s"$path/deltas/s$batchId"
@@ -158,6 +181,9 @@ private[graft] object CountStore {
     fs.delete(new org.apache.hadoop.fs.Path(bdir), true)
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$bdir/$name")
+    }
+    derived.foreach { case (name, fn) =>
+      fn(spark, bdir).write.mode("overwrite").parquet(s"$bdir/$name")
     }
     AtomicBatches.commit(spark, bdir)
     true

@@ -427,9 +427,29 @@ object Takedown {
     * cause is safe (every face tolerates re-delivery).
     */
   def forget(victims: DataFrame, stores: Seq[Store], idCol: String = "id",
-      textCol: String = "text", bestEffort: Boolean = false): DataFrame = {
+      textCol: String = "text", bestEffort: Boolean = false): DataFrame =
+    withPreparedVictims("forget", victims, stores, idCol, textCol) {
+      (spark, v, nullTextIds, nNullText) =>
+        attemptAll(spark, stores, bestEffort, okStatus = "deleted",
+          what = "takedown",
+          recovery = "Fix the cause and re-run the same forget: every " +
+            "face tolerates re-delivery.") { st =>
+          deleteOne(spark, st, v, idCol, textCol, nullTextIds, nNullText)
+        }
+    }
+
+  /** The shared request preparation of [[forget]] /
+    * [[forgetCompactAssert]]: upfront validation, the ONE bounded victim
+    * materialization (per id, the non-null text wins; `max` ignores
+    * nulls), the divergent-text refusal, and the null-text id set the
+    * id_text cross-check needs. Checkpointed frames are released when
+    * `body` returns.
+    */
+  private def withPreparedVictims[A](face: String, victims: DataFrame,
+      stores: Seq[Store], idCol: String, textCol: String)(
+      body: (SparkSession, DataFrame, DataFrame, Long) => A): A = {
     val spark = victims.sparkSession
-    validateStores("forget", stores)
+    validateStores(face, stores)
     require(victims.columns.contains(idCol),
       s"victims must carry the id column '$idCol'")
     val needText = stores.map(s => kinds(s.kind))
@@ -442,7 +462,8 @@ object Takedown {
     // ONE bounded materialization; every store face scans this. Per id,
     // prefer the non-null text (max ignores nulls); ids arriving from
     // text-less key spaces ride along with NULL text — see the id_text
-    // cross-check below for why those cannot silently count as deleted.
+    // cross-check in [[deleteOne]] for why those cannot silently count
+    // as deleted.
     val v0 =
       if (victims.columns.contains(textCol))
         victims.groupBy(col(idCol))
@@ -465,7 +486,7 @@ object Takedown {
           .select(col(idCol)).orderBy(col(idCol)).limit(6)
           .collect().map(r => String.valueOf(r.get(0)))
         require(conflicted.isEmpty,
-          s"forget: victim ids arrive with more than one distinct " +
+          s"$face: victim ids arrive with more than one distinct " +
           s"non-null '$textCol' (e.g. ${conflicted.mkString(", ")}) — an " +
           "arbitrary winner would subtract the WRONG counts from the " +
           "id_text stores. Deduplicate the request to one exact " +
@@ -484,34 +505,94 @@ object Takedown {
             .localCheckpoint(true)
         else null
       val nNullText = if (nullTextIds == null) 0L else nullTextIds.count()
-      try
-        attemptAll(spark, stores, bestEffort, okStatus = "deleted",
-          what = "takedown",
-          recovery = "Fix the cause and re-run the same forget: every " +
-            "face tolerates re-delivery.") { st =>
-          val kind = kinds(st.kind)
-          kind.invoke(v, idCol, textCol, st)
-          if (kind.victimShape == "id_text" && nNullText > 0) {
-            val held = kind.present(spark, idCol, st)
-              .select(col("id").cast("long").as("id"))
-              .join(broadcast(nullTextIds), Seq("id"), "left_semi")
-            val r = held.agg(countDistinct(col("id")).as("n"),
-              slice(sort_array(collect_set(col("id"))), 1, 5).as("s"))
-              .head()
-            if (r.getLong(0) > 0) throw PartialTakedown(
-              s"${r.getLong(0)} victim id(s) arrived with NULL " +
-              s"'$textCol' and are still present in this id_text store " +
-              s"(e.g. ${r.getSeq[Long](1).mkString(",")}) — re-run " +
-              "forget carrying their exact ingested text")
-          }
-          kind.deleteFace
-        }
+      try body(spark, v, nullTextIds, nNullText)
       finally
         if (nullTextIds != null)
           org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(nullTextIds)
     } finally
       org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(vAll)
   }
+
+  // one store's delete face + the id_text null-text cross-check — the
+  // per-store body of [[forget]], shared verbatim by the fused walk
+  private def deleteOne(spark: SparkSession, st: Store, v: DataFrame,
+      idCol: String, textCol: String, nullTextIds: DataFrame,
+      nNullText: Long): String = {
+    val kind = kinds(st.kind)
+    kind.invoke(v, idCol, textCol, st)
+    if (kind.victimShape == "id_text" && nNullText > 0) {
+      val held = kind.present(spark, idCol, st)
+        .select(col("id").cast("long").as("id"))
+        .join(broadcast(nullTextIds), Seq("id"), "left_semi")
+      val r = held.agg(countDistinct(col("id")).as("n"),
+        slice(sort_array(collect_set(col("id"))), 1, 5).as("s"))
+        .head()
+      if (r.getLong(0) > 0) throw PartialTakedown(
+        s"${r.getLong(0)} victim id(s) arrived with NULL " +
+        s"'$textCol' and are still present in this id_text store " +
+        s"(e.g. ${r.getSeq[Long](1).mkString(",")}) — re-run " +
+        "forget carrying their exact ingested text")
+    }
+    kind.deleteFace
+  }
+
+  /** [[forget]] + [[compactAll]] + [[assertForgotten]] fused into ONE
+    * concurrent store walk: per store, delete → compact → audit-probe
+    * run as one chain, stores in flight on the shared bounded pool.
+    * Semantically identical to calling the three entry points in
+    * sequence (stores are independent — distinct validated roots — and
+    * each phase of one store only reads/writes that store); the fusion
+    * removes the two GLOBAL barriers, so the wall-clock is the slowest
+    * store's whole chain instead of Σ (slowest store per phase), and a
+    * fast store's compaction back-fills executor slots while a slow
+    * store is still deleting (guide §2.6).
+    *
+    * Same attempt-all + loud-failure contract: every store runs its
+    * full chain even when another failed; outcomes are reported per
+    * store — `purged` (delete + compact + audit clean), `partial` (the
+    * id_text null-text case), `held` (the audit probe still sees
+    * requested ids — NOT proven), or `failed` — and unless `bestEffort`
+    * any non-`purged` row raises AFTER the full pass. Recovery is
+    * per-store, exactly as for the unfused faces: fix the cause and
+    * re-run (every delete face tolerates re-delivery; a crashed compact
+    * re-runs under its `_MAINT`/takeover contract).
+    */
+  def forgetCompactAssert(victims: DataFrame, stores: Seq[Store],
+      idCol: String = "id", textCol: String = "text",
+      bestEffort: Boolean = false): DataFrame =
+    withPreparedVictims("forgetCompactAssert", victims, stores, idCol,
+      textCol) { (spark, v, nullTextIds, nNullText) =>
+      attemptAll(spark, stores, bestEffort, okStatus = "purged",
+        what = "takedown",
+        recovery = "Fix the cause and re-run the same " +
+          "forgetCompactAssert: delete faces tolerate re-delivery, " +
+          "compactions re-run under their _MAINT/takeover contract, " +
+          "and completed stores no-op.") { st =>
+        val detail = deleteOne(spark, st, v, idCol, textCol,
+          nullTextIds, nNullText)
+        val compacted = kinds(st.kind).compact match {
+          case Some(c) => c(spark, st); true
+          case None => false
+        }
+        // the audit probe, inline: the store's own read-visibility rule
+        // must no longer see any requested id — post-compact, so `held`
+        // means the takedown is NOT proven for this store. Projections
+        // are built inside this thunk (fresh expression instances over
+        // the checkpointed victim leaf — the single-reader rule).
+        val rem = kinds(st.kind).present(spark, idCol, st)
+          .select(col("id").cast("long").as("id"))
+          .join(broadcast(v.select(col(idCol).cast("long").as("id"))),
+            Seq("id"), "left_semi")
+        val r = rem.agg(countDistinct(col("id")).as("n"),
+          slice(sort_array(collect_set(col("id"))), 1, 5).as("sample"))
+          .head()
+        if (r.getLong(0) > 0) throw HeldAfterTakedown(
+          s"${r.getLong(0)} requested id(s) still visible after delete" +
+          s" + compact (e.g. ${r.getSeq[Long](1).mkString(",")})")
+        s"$detail + ${if (compacted) "compacted" else "no compaction face"}" +
+          " + audit clean"
+      }
+    }
 
   /** The PHYSICAL-REMOVAL half, orchestrated: run each registered
     * store's compaction face (tombstones fold out of bases, ledgers
@@ -614,6 +695,11 @@ object Takedown {
   // loud raise (the takedown is NOT complete on that store)
   private final case class PartialTakedown(msg: String) extends Exception(msg)
 
+  // the fused walk's audit probe still sees requested ids after delete +
+  // compact — reported as 'held' (the assertForgotten verdict, per
+  // store); counts as a failure for the loud raise
+  private final case class HeldAfterTakedown(msg: String) extends Exception(msg)
+
   // one attempt-all pass over the stores: every store is tried even
   // when an earlier one failed, outcomes are reported per store (in
   // input order), and (unless bestEffort) any failure raises AFTER the
@@ -634,12 +720,15 @@ object Takedown {
           (st.kind, st.path, "noop", "delete is already physical")
         case PartialTakedown(m) =>
           (st.kind, st.path, "partial", m.take(300))
+        case HeldAfterTakedown(m) =>
+          (st.kind, st.path, "held", m.take(300))
         case e: Exception =>
           (st.kind, st.path, "failed",
             Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
       }
     }
-    val failed = outcomes.filter(o => o._3 == "failed" || o._3 == "partial")
+    val failed = outcomes.filter(o =>
+      o._3 == "failed" || o._3 == "partial" || o._3 == "held")
     if (failed.nonEmpty && !bestEffort)
       throw new IllegalStateException(
         s"$what INCOMPLETE: ${failed.size}/${stores.size} store(s) " +

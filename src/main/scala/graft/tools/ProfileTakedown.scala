@@ -181,9 +181,16 @@ object ProfileTakedown {
         Map("includeLatest" -> "true")),
       Store("table", s"$base/tbl",
         Map("idCol" -> "doc_id", "partitionCol" -> "p")))
-    t("forget")(Takedown.forget(victims, stores))
-    t("compactAll")(Takedown.compactAll(s, stores))
-    t("assertForgotten")(Takedown.assertForgotten(victims, stores))
+    // arg(1) == "fused": the single-walk delete→compact→audit chain;
+    // default: the three phase-barriered entry points
+    if (args.length > 1 && args(1) == "fused")
+      t("forgetCompactAssert (fused)")(
+        Takedown.forgetCompactAssert(victims, stores))
+    else {
+      t("forget")(Takedown.forget(victims, stores))
+      t("compactAll")(Takedown.compactAll(s, stores))
+      t("assertForgotten")(Takedown.assertForgotten(victims, stores))
+    }
     spark.stop()
   }
 }

@@ -337,6 +337,69 @@ class TakedownSpec extends SparkSpec {
     }.getMessage should include("INCOMPLETE")
   }
 
+  test("forgetCompactAssert: one fused walk == forget + compactAll + " +
+      "assertForgotten, with per-store failure reporting") {
+    import spark.implicits._
+    // two identical store surfaces from one corpus: fused walk on A,
+    // the three phase-barriered calls on B — read faces must agree
+    def build(base: String): Seq[Store] = {
+      Classifier.nbModelWrite(corpus, "doc_id", "text", s"$base/nb")
+      Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", dim = 4,
+        path = s"$base/ivf", nBits = 2, lloydIters = 0)
+      corpus.select(col("doc_id"), (col("doc_id") % 2).as("p"), col("text"))
+        .write.partitionBy("p").parquet(s"$base/tbl")
+      Seq(
+        Store("nb_model", s"$base/nb", Map("idCol" -> "doc_id")),
+        Store("ivf", s"$base/ivf", Map("idCol" -> "vec_id")),
+        Store("table", s"$base/tbl",
+          Map("idCol" -> "doc_id", "partitionCol" -> "p")))
+    }
+    val a = tmp("fusedA"); val b = tmp("fusedB")
+    val storesA = build(a); val storesB = build(b)
+    val vAll = victims.unionByName(
+      vecs.filter(col("vec_id") % 3 === 1)
+        .select(col("vec_id").as("id"), lit(null).cast("string").as("text")))
+
+    val fused = Takedown.forgetCompactAssert(vAll, storesA)
+    fused.count() shouldBe 3L
+    fused.filter(col("status") =!= "purged").count() shouldBe 0L
+
+    Takedown.forget(vAll, storesB)
+    Takedown.compactAll(spark, storesB)
+    Takedown.assertForgotten(vAll, storesB)
+
+    // identical post-state on every read face
+    sorted(Classifier.nbScoreFromModel(survivors, "doc_id", "text",
+      s"$a/nb").select(col("doc_id"), round(col("nb_score"), 6))) shouldBe
+      sorted(Classifier.nbScoreFromModel(survivors, "doc_id", "text",
+        s"$b/nb").select(col("doc_id"), round(col("nb_score"), 6)))
+    sorted(spark.read.parquet(s"$a/ivf/cells").select("vec_id")) shouldBe
+      sorted(spark.read.parquet(s"$b/ivf/cells").select("vec_id"))
+    sorted(spark.read.parquet(s"$a/tbl").select("doc_id")) shouldBe
+      sorted(spark.read.parquet(s"$b/tbl").select("doc_id"))
+    // physical removal happened inside the fused chain (compact ran)
+    spark.read.parquet(s"$a/nb/members")
+      .filter(col("id") % 3 === 1).count() shouldBe 0L
+    // and the fused audit is not vacuous: it proves against the store's
+    // own probe (assertForgotten on the fused surface agrees)
+    Takedown.assertForgotten(vAll, storesA)
+
+    // failure semantics: a broken store fails its OWN chain; the rest
+    // still run to completion (attempt-all), and the loud raise lists it
+    val nbC = tmp("fusedC") + "/nb"
+    Classifier.nbModelWrite(corpus, "doc_id", "text", nbC)
+    val out = Takedown.forgetCompactAssert(vAll, Seq(
+      Store("nb_model", nbC, Map("idCol" -> "doc_id")),
+      Store("bm25", tmp("fusedD") + "/no-such-index")), bestEffort = true)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    out should contain(("nb_model", "purged"))
+    out.find(_._1 == "bm25").get._2 shouldBe "failed"
+    intercept[IllegalStateException] {
+      Takedown.forgetCompactAssert(vAll, Seq(
+        Store("bm25", tmp("fusedE") + "/nope")))
+    }.getMessage should include("INCOMPLETE")
+  }
+
   test("duplicate store roots refuse upfront — concurrent walks must " +
       "be independent") {
     val nb = tmp("dup") + "/nb"
